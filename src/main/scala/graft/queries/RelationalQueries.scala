@@ -1,0 +1,265 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+import graft.util.Tables
+
+/** Relational operator surface, mapped from SURVEY.md §2.2–§2.7.
+  *
+  * Every query here has a DuckDB oracle in [[RelationalQueries.oracle]].
+  * Oracle-parity conventions (the driver hash-compares values after sorting
+  * columns by name):
+  *   - every output column is aliased identically in Spark and SQL;
+  *   - every query ends in a total ORDER BY (deterministic row order);
+  *   - money sums go through DECIMAL(18,2)/(18,4) so they are exact and
+  *     summation-order-independent in both engines, then cast back to double;
+  *   - timestamps are cast to DATE when grouped or output.
+  *
+  * Scale notes are on each query: these run at sf0.01 for correctness but are
+  * written as the plan we'd want at 100 TB (pushdown-friendly filters, partial
+  * aggregation, broadcast for dimension joins).
+  */
+object RelationalQueries {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 2))
+  private def dec4(c: org.apache.spark.sql.Column) = c.cast(DecimalType(18, 4))
+
+  /** q01: TPC-H Q1-shaped scan + group-by aggregation (SURVEY §2.5 A1/A3).
+    * Scale: single shuffle on 6 distinct keys; partial aggregation map-side
+    * reduces 100 TB to KBs before the exchange. Filter pushes to parquet. */
+  def q01Pricing(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .filter($"l_shipdate" <= lit("2000-12-31").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum($"l_quantity").as("sum_qty"),
+        sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q02: filter + top-k (SURVEY §2.6 LIMIT/ORDER BY; S-ops filter shape).
+    * Scale: TakeOrderedAndProject — per-partition top-k then k-way merge on
+    * the driver; never a full sort of the table. */
+  def q02FilterTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .filter($"o_orderstatus" === "O")
+      .select($"o_orderkey", $"o_totalprice", to_date($"o_orderdate").as("o_date"))
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+  }
+
+  /** q03: 3-way join + aggregation (TPC-H Q3 shape; SURVEY §2.3 joins).
+    * Scale: customer is the small side → broadcast; orders⨝lineitem is the
+    * big shuffle join on orderkey. AQE handles skew. */
+  def q03JoinRevenue(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cust = Tables.customer(spark, d).filter($"c_mktsegment" === "BUILDING")
+    val ord = Tables.orders(spark, d)
+    val li = Tables.lineitem(spark, d)
+    li.join(ord, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+      .groupBy($"l_orderkey")
+      .agg(sum(dec4($"l_extendedprice" * (lit(1) - $"l_discount"))).cast("double").as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+  }
+
+  /** q04: anti-join — customers with no pending ('P') orders (SURVEY §2.3 J8
+    * `unreachable_entities` is exactly this left-anti shape: nodes with no
+    * incoming edge of a given type).
+    * Scale: the filter shrinks the right side before the anti join; Spark
+    * broadcasts it when small, else plans a shuffled anti join. */
+  def q04NoOrders(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pending = Tables.orders(spark, d).filter($"o_orderstatus" === "P")
+    Tables.customer(spark, d)
+      .join(pending, $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  /** q05: semi-join — suppliers that shipped something (EXISTS shape).
+    * Scale: left_semi avoids materializing the join product. */
+  def q05ActiveSuppliers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.supplier(spark, d)
+      .join(Tables.lineitem(spark, d), $"s_suppkey" === $"l_suppkey", "left_semi")
+      .select($"s_suppkey", $"s_name")
+      .orderBy($"s_suppkey")
+  }
+
+  /** q06: grouped ordered collect (SURVEY §2.5 A2 `collect(...)`).
+    * Emitted as a comma-joined sorted string so the oracle hash is stable
+    * across engines. Scale: collect_list per group is bounded by group size —
+    * nation cardinality is tiny; the join broadcasts nation. */
+  def q06NationCustomers(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, d)
+      .join(broadcast(Tables.nation(spark, d)), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(
+        count(lit(1)).as("n_customers"),
+        concat_ws(",", sort_array(collect_list($"c_name"))).as("customer_names"))
+      .orderBy($"n_name")
+  }
+
+  /** q07: prefix search (SURVEY §2.7 T1 — fulltext prefix autocomplete).
+    * `startsWith` compiles to a StartsWith pushed filter on the parquet scan.
+    * Scale: with a name-sorted/bucketed layout this is a range scan. */
+  def q07PrefixSearch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.customer(spark, d)
+      .filter($"c_name".startsWith("Customer#00000001"))
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+      .limit(10)
+  }
+
+  /** q08: range (interval) join — the lcov per-function coverage shape
+    * (SURVEY §2.8 F3: line BETWEEN src_start AND src_end).
+    * Scale: band join; at 100 TB bucket both sides by range-start bin so the
+    * cross product is per-bin, or use AQE + a range-join condition. */
+  def q08RangeJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val s = Tables.supplier(spark, d).select($"s_suppkey", $"s_acctbal")
+    val c = Tables.customer(spark, d).select($"c_acctbal")
+    s.join(c, $"c_acctbal".between($"s_acctbal" - 50.0, $"s_acctbal" + 50.0))
+      .groupBy($"s_suppkey")
+      .agg(count(lit(1)).as("n_near"))
+      .orderBy($"s_suppkey")
+  }
+
+  /** q09: window function — top-2 orders per customer.
+    * Scale: one shuffle on o_custkey; rank truncation happens inside the
+    * window operator, no second pass. */
+  def q09TopOrdersPerCustomer(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables.orders(spark, d)
+      // long cast: DuckDB ROW_NUMBER() is BIGINT, Spark's is INT — align types
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter($"rk" <= 2)
+      .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rk")
+      .orderBy($"o_custkey", $"rk", $"o_orderkey")
+  }
+
+  /** q10: stats counters (SURVEY §2.5 A1 — node/edge counts).
+    * Scale: parquet row-group metadata makes count(*) near-free. */
+  def q10Stats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = Seq("customer", "orders", "lineitem", "supplier", "part")
+      .map { t =>
+        Tables.load(spark, d, t).agg(count(lit(1)).as("n_rows"))
+          .withColumn("tbl", lit(t))
+      }
+    counts.reduce(_ unionByName _).select($"tbl", $"n_rows").orderBy($"tbl")
+  }
+
+  /** q11: distinct (dedup-by-key primitive; SURVEY §2 + dedup north star).
+    * Scale: partial distinct map-side, tiny exchange. */
+  def q11Distinct(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d)
+      .select($"l_returnflag", $"l_linestatus").distinct()
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  /** q12: ORDER BY date scan (SURVEY §2.2 S9 `list_commits` shape). */
+  def q12OrderByDate(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.orders(spark, d)
+      .select($"o_orderkey", to_date($"o_orderdate").as("o_date"))
+      .orderBy($"o_date", $"o_orderkey")
+      .limit(50)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_agg" -> (q01Pricing _),
+    "q02_filter_topk" -> (q02FilterTopk _),
+    "q03_join_revenue" -> (q03JoinRevenue _),
+    "q04_anti_join_no_orders" -> (q04NoOrders _),
+    "q05_semi_join_active_suppliers" -> (q05ActiveSuppliers _),
+    "q06_group_collect" -> (q06NationCustomers _),
+    "q07_prefix_search" -> (q07PrefixSearch _),
+    "q08_range_join" -> (q08RangeJoin _),
+    "q09_window_topk" -> (q09TopOrdersPerCustomer _),
+    "q10_stats_counts" -> (q10Stats _),
+    "q11_distinct" -> (q11Distinct _),
+    "q12_order_by_date" -> (q12OrderByDate _))
+
+  val oracle: Map[String, String] = Map(
+    "q01_pricing_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2000-12-31 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_topk" ->
+      """SELECT o_orderkey, o_totalprice, CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders WHERE o_orderstatus = 'O'
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q03_join_revenue" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_anti_join_no_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+        |ORDER BY c_custkey""".stripMargin,
+    "q05_semi_join_active_suppliers" ->
+      """SELECT s_suppkey, s_name FROM supplier
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q06_group_collect" ->
+      """SELECT n_name, COUNT(*) AS n_customers,
+        |  COALESCE(STRING_AGG(c_name, ',' ORDER BY c_name), '') AS customer_names
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q07_prefix_search" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_name LIKE 'Customer#00000001%'
+        |ORDER BY c_custkey LIMIT 10""".stripMargin,
+    "q08_range_join" ->
+      """SELECT s_suppkey, COUNT(*) AS n_near
+        |FROM supplier JOIN customer
+        |  ON c_acctbal BETWEEN s_acctbal - 50.0 AND s_acctbal + 50.0
+        |GROUP BY s_suppkey ORDER BY s_suppkey""".stripMargin,
+    "q09_window_topk" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+        |  FROM orders) t
+        |WHERE rk <= 2 ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+    "q10_stats_counts" ->
+      """SELECT tbl, n_rows FROM (
+        |  SELECT 'customer' AS tbl, COUNT(*) AS n_rows FROM customer
+        |  UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        |  UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+        |  UNION ALL SELECT 'supplier', COUNT(*) FROM supplier
+        |  UNION ALL SELECT 'part', COUNT(*) FROM part) t
+        |ORDER BY tbl""".stripMargin,
+    "q11_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q12_order_by_date" ->
+      """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date
+        |FROM orders ORDER BY o_date, o_orderkey LIMIT 50""".stripMargin)
+}
