@@ -1,0 +1,102 @@
+package graft.graph
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{SaveMode, SparkSession}
+
+/** Parquet warehouse: one directory per repo graph (SURVEY.md §1.6).
+  *
+  * Mirrors the reference's catalog surface (`/root/reference/api/graph.py`):
+  *  - C1 `graph_exists` (`api/graph.py:12-18`)      -> [[exists]]
+  *  - C2 `get_repos` (`api/graph.py:20-32`)         -> [[listRepos]]
+  *  - C6 `clone` (`api/graph.py:64-83`)             -> [[cloneGraph]]
+  *  - C7 `delete` (`api/graph.py:86-90`)            -> [[delete]]
+  * plus the `{name}_info` Redis hash (`api/info.py:9-45`) as a tiny JSON
+  * file per repo ([[setInfo]]/[[getInfo]]).
+  *
+  * Writes are staged to a temp dir then atomically renamed into place
+  * (read-modify-write discipline, SURVEY §4.2): readers of the old snapshot
+  * keep a consistent view; the single-writer assumption matches the
+  * reference (Flask dev server, no cross-query transactions).
+  *
+  * Scale: per-repo directories shard naturally; at 100 TB a repo's
+  * `nodes`/`edges` are partitioned parquet dirs and the same swap protocol
+  * applies per partition.
+  */
+final class GraphStore(spark: SparkSession, val warehouse: String) {
+
+  private def fs: FileSystem =
+    new Path(warehouse).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def repoDir(name: String) = new Path(warehouse, name)
+  private def nodesDir(name: String) = new Path(repoDir(name), "nodes")
+  private def edgesDir(name: String) = new Path(repoDir(name), "edges")
+  private def infoFile(name: String) = new Path(repoDir(name), "info.json")
+
+  /** C1: does the graph exist? (`api/graph.py:12-18`) */
+  def exists(name: String): Boolean = fs.exists(nodesDir(name))
+
+  /** C2: list repos, filtering auxiliary `_git`/`_schema`/`_tmp` graphs
+    * (`api/graph.py:20-32`). */
+  def listRepos(): Seq[String] = {
+    if (!fs.exists(new Path(warehouse))) return Seq.empty
+    fs.listStatus(new Path(warehouse)).toIndexedSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.endsWith("_git") || n.endsWith("_schema") || n.endsWith("_tmp"))
+      .sorted
+  }
+
+  def load(name: String): PropertyGraph =
+    if (!exists(name)) GraphSchema.empty(spark)
+    else PropertyGraph(
+      spark.read.schema(GraphSchema.nodeSchema).parquet(nodesDir(name).toString),
+      spark.read.schema(GraphSchema.edgeSchema).parquet(edgesDir(name).toString))
+
+  /** Persist a snapshot with stage-then-swap (atomic per table). */
+  def save(name: String, g: PropertyGraph): Unit = {
+    val stage = new Path(repoDir(name), s".stage-${java.util.UUID.randomUUID()}")
+    val stagedNodes = new Path(stage, "nodes")
+    val stagedEdges = new Path(stage, "edges")
+    // Materialize BEFORE dropping the old dirs: the new snapshot's plan may
+    // read the old files (read-modify-write).
+    GraphSchema.conform(g.nodes, GraphSchema.nodeSchema)
+      .write.mode(SaveMode.Overwrite).parquet(stagedNodes.toString)
+    GraphSchema.conform(g.edges, GraphSchema.edgeSchema)
+      .write.mode(SaveMode.Overwrite).parquet(stagedEdges.toString)
+    fs.delete(nodesDir(name), true)
+    fs.delete(edgesDir(name), true)
+    fs.rename(stagedNodes, nodesDir(name))
+    fs.rename(stagedEdges, edgesDir(name))
+    fs.delete(stage, true)
+  }
+
+  /** C6: copy a whole graph under a new name (`api/graph.py:64-83`). */
+  def cloneGraph(from: String, to: String): Unit = {
+    require(exists(from), s"no such graph: $from")
+    fs.delete(repoDir(to), true)
+    FileUtil.copy(fs, repoDir(from), fs, repoDir(to), false,
+      spark.sparkContext.hadoopConfiguration)
+  }
+
+  /** C7: drop a graph (`api/graph.py:86-90`). */
+  def delete(name: String): Unit = fs.delete(repoDir(name), true)
+
+  /** `{name}_info` hash: `commit` / `repo_url` (`api/info.py:32-88`). */
+  def setInfo(name: String, kv: Map[String, String]): Unit = {
+    val merged = getInfo(name) ++ kv
+    val json = OpLog.mapper.writeValueAsString(merged)
+    fs.mkdirs(repoDir(name))
+    val out = fs.create(infoFile(name), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  def getInfo(name: String): Map[String, String] = {
+    if (!fs.exists(infoFile(name))) return Map.empty
+    val in = fs.open(infoFile(name))
+    try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, bytes, 4096, false)
+      OpLog.readStringMap(bytes.toString("UTF-8"))
+    } finally in.close()
+  }
+}

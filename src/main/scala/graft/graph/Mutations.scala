@@ -1,0 +1,440 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, MapType, StringType, StructField, StructType}
+
+/** FalkorDB result-set style change counters (SURVEY.md §2.1 C8).
+  * The reference detects "did this query change anything" by checking 8
+  * result-set counters (`/root/reference/api/graph.py:152-169`); any > 0
+  * means the op gets logged to the backlog. */
+final case class ChangeSummary(
+    nodesCreated: Long = 0,
+    nodesDeleted: Long = 0,
+    relationshipsCreated: Long = 0,
+    relationshipsDeleted: Long = 0,
+    propertiesSet: Long = 0) {
+  def changed: Boolean =
+    nodesCreated + nodesDeleted + relationshipsCreated + relationshipsDeleted +
+      propertiesSet > 0
+  def +(o: ChangeSummary): ChangeSummary = ChangeSummary(
+    nodesCreated + o.nodesCreated, nodesDeleted + o.nodesDeleted,
+    relationshipsCreated + o.relationshipsCreated,
+    relationshipsDeleted + o.relationshipsDeleted,
+    propertiesSet + o.propertiesSet)
+}
+
+/** Result of a mutation: the new snapshot, the affected rows (with their
+  * assigned IDs — the reference returns created nodes, `api/graph.py:267`),
+  * and the change counters. */
+final case class MutationResult(graph: PropertyGraph, result: DataFrame,
+    summary: ChangeSummary)
+
+/** All graph mutations as pure `PropertyGraph => PropertyGraph` rewrites
+  * (SURVEY.md §2.4 M1–M11). Batch-first: the reference pays one network
+  * round-trip per entity (`api/graph.py:150` called per AST node — the
+  * anti-goal in BASELINE.md); here every op is a single join-based rewrite
+  * job over arbitrarily large batches.
+  *
+  * Scale: each upsert is (anti-)join on the merge key + union — shuffle on
+  * the key, broadcast when the batch is small (Catalyst/AQE decide). ID
+  * assignment sorts only the *new* rows. No driver-side loops over rows.
+  */
+object Mutations {
+  import GraphSchema.{conform, nodeSchema, edgeSchema, SEARCHABLE}
+
+  private val emptyStrMap: Column =
+    lit(null).cast(MapType(StringType, StringType))
+
+  /** Right-biased property-map merge (`SET c += $props`,
+    * `api/graph.py:253`) without relying on spark.sql.mapKeyDedupPolicy. */
+  def mergeProps(oldP: Column, newP: Column): Column = {
+    val o = coalesce(oldP, map().cast(MapType(StringType, StringType)))
+    val n = coalesce(newP, map().cast(MapType(StringType, StringType)))
+    map_concat(map_filter(o, (k, _) => !map_contains_key(n, k)), n)
+  }
+
+  /** Deterministic sequential ID assignment (SURVEY §4.3): sort the insert
+    * batch on its merge key, then number rows `startId+1 ..` via
+    * zipWithIndex (distributed sort — no single-partition window; the
+    * global order, and therefore every assigned ID, is a pure function of
+    * the batch contents). Never `monotonically_increasing_id`: IDs are
+    * public API surface (`api/index.py:277-288`) and must be replayable. */
+  def assignIds(df: DataFrame, keyCols: Seq[String], startId: Long): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.sort(keyCols.map(c => col(c).asc_nulls_first): _*)
+    val outSchema = StructType(sorted.schema.fields :+
+      StructField("id", LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ (startId + 1 + i))
+    }
+    spark.createDataFrame(rdd, outSchema)
+  }
+
+  private def maxId(g: PropertyGraph): Long =
+    g.nodes.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
+
+  private def nullSafeEq(a: Column, b: Column): Column = a <=> b
+
+  // ---------------------------------------------------------------- M1
+
+  /** M1 `add_entity` (`api/graph.py:243-267`): upsert on
+    * (label, name, path, src_start, src_end); always (re)sets `doc` and
+    * merges `props` — Cypher `MERGE (c:LBL:Searchable {…}) SET c.doc=$doc
+    * SET c += $props RETURN c`.
+    *
+    * `batch` columns: label, name, path, src_start, src_end, doc, props. */
+  def addEntities(g: PropertyGraph, batch: DataFrame): MutationResult = {
+    val key = Seq("label", "name", "path", "src_start", "src_end")
+    val b = batch
+      .groupBy(key.map(col): _*)
+      .agg(first(col("doc"), ignoreNulls = false).as("doc"),
+        first(col("props"), ignoreNulls = false).as("props"))
+      .cache()
+
+    val ex = g.nodes
+    val cond = array_contains(ex("labels"), b("label")) &&
+      nullSafeEq(ex("name"), b("name")) && nullSafeEq(ex("path"), b("path")) &&
+      nullSafeEq(ex("src_start"), b("src_start")) &&
+      nullSafeEq(ex("src_end"), b("src_end"))
+    val joined = b.join(ex.select(col("id").as("_exid"), col("labels"),
+        col("name").as("_exn"), col("path").as("_exp"),
+        col("src_start").as("_exss"), col("src_end").as("_exse")),
+        array_contains(col("labels"), b("label")) &&
+          nullSafeEq(col("_exn"), b("name")) && nullSafeEq(col("_exp"), b("path")) &&
+          nullSafeEq(col("_exss"), b("src_start")) &&
+          nullSafeEq(col("_exse"), b("src_end")),
+        "left")
+      .select(b("label"), b("name"), b("path"), b("src_start"), b("src_end"),
+        b("doc"), b("props"), col("_exid"))
+      .cache()
+    val _ = cond // documented intent; the aliased join above avoids ambiguity
+
+    val toInsert = joined.filter(col("_exid").isNull).drop("_exid")
+    val nInserted = toInsert.count()
+    val inserted = assignIds(toInsert, key, maxId(g))
+    val insertedNodes = conform(
+      inserted.select(col("id"),
+        array(col("label"), lit(SEARCHABLE)).as("labels"),
+        col("name"), col("path"), col("src_start"), col("src_end"),
+        col("doc"), col("props")),
+      nodeSchema)
+
+    val upd = joined.filter(col("_exid").isNotNull)
+      .select(col("_exid").as("_uid"), col("doc").as("_udoc"),
+        col("props").as("_uprops"))
+    val nUpdated = upd.count()
+    val updated = g.nodes.join(upd, col("id") === col("_uid"), "left")
+      .select(col("id"), col("labels"), col("name"), col("path"), col("ext"),
+        col("src_start"), col("src_end"),
+        when(col("_uid").isNotNull, col("_udoc")).otherwise(col("doc")).as("doc"),
+        col("coverage_precentage"),
+        when(col("_uid").isNotNull, mergeProps(col("props"), col("_uprops")))
+          .otherwise(col("props")).as("props"))
+
+    val nodes2 = conform(updated, nodeSchema).unionByName(insertedNodes)
+    val propsSet = (nInserted + nUpdated) // doc assignment counts ≥1 per upsert
+    val resultIds = inserted.select(col("id"), col("label"), col("name"),
+        col("path"), col("src_start"), col("src_end"))
+      .unionByName(joined.filter(col("_exid").isNotNull)
+        .select(col("_exid").as("id"), col("label"), col("name"), col("path"),
+          col("src_start"), col("src_end")))
+    MutationResult(PropertyGraph(nodes2, g.edges), resultIds,
+      ChangeSummary(nodesCreated = nInserted, propertiesSet = propsSet))
+  }
+
+  def addEntity(g: PropertyGraph, label: String, name: String, path: String,
+      srcStart: Long, srcEnd: Long, doc: String,
+      props: Map[String, String]): MutationResult = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val b = Seq((label, name, path, srcStart, srcEnd, doc, props))
+      .toDF("label", "name", "path", "src_start", "src_end", "doc", "props")
+    addEntities(g, b)
+  }
+
+  // ---------------------------------------------------------------- M2
+
+  /** M2 `add_file` (`api/graph.py:392-406`): upsert `File:Searchable` on
+    * (path, name, ext). `batch` columns: path, name, ext. */
+  def addFiles(g: PropertyGraph, batch: DataFrame): MutationResult = {
+    val key = Seq("path", "name", "ext")
+    val b = batch.dropDuplicates(key).cache()
+    val ex = g.nodes.filter(array_contains(col("labels"), "File"))
+      .select(col("id").as("_exid"), col("path").as("_exp"),
+        col("name").as("_exn"), col("ext").as("_exe"))
+    val joined = b.join(ex,
+        nullSafeEq(col("_exp"), b("path")) && nullSafeEq(col("_exn"), b("name")) &&
+          nullSafeEq(col("_exe"), b("ext")), "left").cache()
+
+    val toInsert = joined.filter(col("_exid").isNull).drop("_exid")
+    val nInserted = toInsert.count()
+    val inserted = assignIds(toInsert, key, maxId(g))
+    val insertedNodes = conform(
+      inserted.select(col("id"), array(lit("File"), lit(SEARCHABLE)).as("labels"),
+        col("name"), col("path"), col("ext")),
+      nodeSchema)
+    val nodes2 = conform(g.nodes, nodeSchema).unionByName(insertedNodes)
+    val resultIds = inserted.select(col("id"), col("path"), col("name"), col("ext"))
+      .unionByName(joined.filter(col("_exid").isNotNull)
+        .select(col("_exid").as("id"), col("path"), col("name"), col("ext")))
+    MutationResult(PropertyGraph(nodes2, g.edges), resultIds,
+      ChangeSummary(nodesCreated = nInserted))
+  }
+
+  def addFile(g: PropertyGraph, path: String, name: String,
+      ext: String): MutationResult = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    addFiles(g, Seq((path, name, ext)).toDF("path", "name", "ext"))
+  }
+
+  // ---------------------------------------------------------------- M3
+
+  /** M3 `connect_entities` (`api/graph.py:482-498`): edge upsert on
+    * (src, dst, type) with right-biased prop merge; endpoints must exist
+    * (the Cypher MATCHes both by ID first).
+    * `batch` columns: src, dst, type, props. */
+  def connectEntities(g: PropertyGraph, batch: DataFrame): MutationResult = {
+    val ids = g.nodes.select(col("id"))
+    val b = batch
+      .groupBy(col("src"), col("dst"), col("type"))
+      .agg(first(col("props"), ignoreNulls = false).as("props"))
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .cache()
+
+    val ex = g.edges.select(col("src"), col("dst"), col("type")).distinct()
+    val toInsert = b.join(ex, Seq("src", "dst", "type"), "left_anti")
+    val nInserted = toInsert.count()
+    val toUpdate = b.join(ex, Seq("src", "dst", "type"), "left_semi")
+      .select(col("src").as("_us"), col("dst").as("_ud"),
+        col("type").as("_ut"), col("props").as("_uprops"))
+    val nUpdatedProps = toUpdate
+      .agg(coalesce(sum(size(coalesce(col("_uprops"),
+        map().cast(MapType(StringType, StringType))))), lit(0L)))
+      .head().getLong(0)
+
+    val edges2 = g.edges
+      .join(toUpdate, col("src") === col("_us") && col("dst") === col("_ud") &&
+        col("type") === col("_ut"), "left")
+      .select(col("src"), col("dst"), col("type"), col("line"), col("text"),
+        col("queries"), col("params"),
+        when(col("_us").isNotNull, mergeProps(col("props"), col("_uprops")))
+          .otherwise(col("props")).as("props"))
+    val insertedEdges = conform(
+      toInsert.select(col("src"), col("dst"), col("type"), col("props")),
+      edgeSchema)
+    val edges3 = conform(edges2, edgeSchema).unionByName(insertedEdges)
+    MutationResult(PropertyGraph(g.nodes, edges3),
+      b.select(col("src"), col("dst"), col("type")),
+      ChangeSummary(relationshipsCreated = nInserted,
+        propertiesSet = nUpdatedProps))
+  }
+
+  def connectEntities(g: PropertyGraph, relType: String, src: Long, dst: Long,
+      props: Map[String, String]): MutationResult = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    connectEntities(g,
+      Seq((src, dst, relType, props)).toDF("src", "dst", "type", "props"))
+  }
+
+  // ---------------------------------------------------------------- M4
+
+  /** M4 `function_calls_function` (`api/graph.py:500-516`): CALLS edge
+    * upsert with the call position in the merge key —
+    * `MERGE (caller)-[e:CALLS {pos}]->(callee)`. Position is stored in the
+    * `line` column. `batch` columns: src, dst, pos. */
+  def addCalls(g: PropertyGraph, batch: DataFrame): MutationResult = {
+    val ids = g.nodes.select(col("id"))
+    val b = batch.select(col("src"), col("dst"), col("pos").cast(LongType).as("line"))
+      .dropDuplicates("src", "dst", "line")
+      .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
+      .cache()
+    val ex = g.edges.filter(col("type") === "CALLS")
+      .select(col("src"), col("dst"), col("line"))
+    val toInsert = b.join(ex, Seq("src", "dst", "line"), "left_anti")
+    val nInserted = toInsert.count()
+    val insertedEdges = conform(
+      toInsert.select(col("src"), col("dst"), lit("CALLS").as("type"), col("line")),
+      edgeSchema)
+    val edges2 = conform(g.edges, edgeSchema).unionByName(insertedEdges)
+    MutationResult(PropertyGraph(g.nodes, edges2), b,
+      ChangeSummary(relationshipsCreated = nInserted))
+  }
+
+  // ---------------------------------------------------------------- M5
+
+  /** M5 `set_functions_metadata` (`api/graph.py:290-304`): batch zip-update
+    * `UNWIND range(...) … MATCH (f) WHERE ID(f)=ids[i] SET f += values[i]`.
+    * Well-known keys (`doc`, `coverage_precentage`) are promoted to their
+    * typed columns; the rest merge into `props`. */
+  def setNodesMetadata(g: PropertyGraph, ids: Seq[Long],
+      values: Seq[Map[String, String]]): MutationResult = {
+    require(ids.length == values.length, "ids/values must zip")
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val upd = ids.zip(values).toDF("_uid", "_uvals")
+    val nPropsSet = values.map(_.size.toLong).sum
+    val openTail = map_filter(col("_uvals"),
+      (k, _) => k =!= "doc" && k =!= "coverage_precentage")
+    val nodes2 = g.nodes.join(upd, col("id") === col("_uid"), "left")
+      .select(col("id"), col("labels"), col("name"), col("path"), col("ext"),
+        col("src_start"), col("src_end"),
+        when(col("_uid").isNotNull && map_contains_key(col("_uvals"), "doc"),
+          element_at(col("_uvals"), "doc")).otherwise(col("doc")).as("doc"),
+        when(col("_uid").isNotNull &&
+            map_contains_key(col("_uvals"), "coverage_precentage"),
+          element_at(col("_uvals"), "coverage_precentage").cast("double"))
+          .otherwise(col("coverage_precentage")).as("coverage_precentage"),
+        when(col("_uid").isNotNull, mergeProps(col("props"), openTail))
+          .otherwise(col("props")).as("props"))
+    MutationResult(PropertyGraph(conform(nodes2, nodeSchema), g.edges),
+      upd.select(col("_uid").as("id")),
+      ChangeSummary(propertiesSet = nPropsSet))
+  }
+
+  // ---------------------------------------------------------------- M6
+
+  /** M6 `set_file_coverage` (`api/graph.py:468-480`): set the file's
+    * `coverage_precentage`; when it is exactly 1.0, cascade 1.0 to every
+    * Function the file DEFINES (conditional 1-hop cascade). */
+  def setFileCoverage(g: PropertyGraph, path: String, name: String, ext: String,
+      coverage: Double): MutationResult = {
+    val file = g.nodes.filter(array_contains(col("labels"), "File") &&
+      col("path") <=> lit(path) && col("name") <=> lit(name) &&
+      col("ext") <=> lit(ext))
+    val fileIds = file.select(col("id"))
+    val targets =
+      if (coverage == 1.0) {
+        val childIds = g.edges.filter(col("type") === "DEFINES")
+          .join(fileIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+          .select(col("dst").as("id"))
+        val funcIds = g.nodes
+          .filter(array_contains(col("labels"), "Function"))
+          .join(childIds, Seq("id"), "left_semi").select(col("id"))
+        fileIds.union(funcIds)
+      } else fileIds
+    val t = targets.withColumnRenamed("id", "_uid").cache()
+    val n = t.count()
+    val nodes2 = g.nodes.join(t, col("id") === col("_uid"), "left")
+      .withColumn("coverage_precentage",
+        when(col("_uid").isNotNull, lit(coverage))
+          .otherwise(col("coverage_precentage")))
+      .drop("_uid")
+    MutationResult(PropertyGraph(conform(nodes2, nodeSchema), g.edges),
+      t.select(col("_uid").as("id")), ChangeSummary(propertiesSet = n))
+  }
+
+  // ---------------------------------------------------------------- M7
+
+  /** M7 `delete_files` (`api/graph.py:408-426`): cascading delete over the
+    * transitive closure of DEFINES (`OPTIONAL MATCH (f)-[:DEFINES*]->(e)
+    * DELETE f, e`), plus graph-DB delete semantics: every edge touching a
+    * deleted node goes too. */
+  def deleteFiles(g: PropertyGraph, files: Seq[GraphOp.FileKey]): MutationResult = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val keys = files.map(f => (f.path, f.name, f.ext)).toDF("path", "name", "ext")
+    val roots = g.nodes.filter(array_contains(col("labels"), "File"))
+      .join(keys, Seq("path", "name", "ext"), "left_semi")
+      .select(col("id"))
+    val victims = Paths.reachableFrom(
+      g.edges.filter(col("type") === "DEFINES"), roots).cache()
+    val nVictims = victims.count()
+    val nodes2 = g.nodes.join(victims, Seq("id"), "left_anti")
+    val edges2 = g.edges
+      .join(victims.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+      .join(victims.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
+      .select(g.edges.columns.map(col).toIndexedSeq: _*)
+    val nEdgesDeleted = g.edges.count() - edges2.count()
+    MutationResult(PropertyGraph(nodes2, edges2), victims,
+      ChangeSummary(nodesDeleted = nVictims,
+        relationshipsDeleted = nEdgesDeleted))
+  }
+
+  // ------------------------------------------------------- M8–M10 (commits)
+
+  /** M8 `add_commit` (`api/git_utils/git_graph.py:45-57`): upsert on hash.
+    * Commit mapping: name=hash, doc=message, src_start=date (unix secs),
+    * props.author. `batch` columns: hash, author, message, date. */
+  def addCommits(g: PropertyGraph, batch: DataFrame): MutationResult = {
+    val b = batch.select(lit("Commit").as("label"), col("hash").as("name"),
+      lit(null).cast(StringType).as("path"), col("date").cast(LongType).as("src_start"),
+      lit(null).cast(LongType).as("src_end"), col("message").as("doc"),
+      map(lit("author"), col("author")).as("props"))
+    addEntities(g, b)
+  }
+
+  def addCommit(g: PropertyGraph, hash: String, author: String,
+      message: String, date: Long): MutationResult = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    addCommits(g, Seq((hash, author, message, date))
+      .toDF("hash", "author", "message", "date"))
+  }
+
+  private def commitIdByHash(g: PropertyGraph, hash: String): DataFrame =
+    g.nodes.filter(array_contains(col("labels"), "Commit") &&
+      col("name") === lit(hash)).select(col("id"))
+
+  /** M9 `connect_commits` (`api/git_utils/git_graph.py:99-113`): materialize
+    * both directions — (child)-[:PARENT]->(parent), (parent)-[:CHILD]->(child). */
+  def connectCommits(g: PropertyGraph, childHash: String,
+      parentHash: String): MutationResult = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val child = commitIdByHash(g, childHash).head().getLong(0)
+    val parent = commitIdByHash(g, parentHash).head().getLong(0)
+    val b = Seq((child, parent, "PARENT", Map.empty[String, String]),
+      (parent, child, "CHILD", Map.empty[String, String]))
+      .toDF("src", "dst", "type", "props")
+    connectEntities(g, b)
+  }
+
+  /** M10 `set_parent_transition` / `set_child_transition`
+    * (`api/git_utils/git_graph.py:116-141`): store the op-log arrays on the
+    * PARENT/CHILD edge between two commits. */
+  def setTransition(g: PropertyGraph, fromHash: String, toHash: String,
+      relType: String, queries: Seq[String], params: Seq[String]): MutationResult = {
+    val from = commitIdByHash(g, fromHash).head().getLong(0)
+    val to = commitIdByHash(g, toHash).head().getLong(0)
+    val edges2 = g.edges.withColumn("_hit",
+        col("src") === lit(from) && col("dst") === lit(to) &&
+          col("type") === lit(relType))
+      .withColumn("queries",
+        when(col("_hit"), typedLit(queries)).otherwise(col("queries")))
+      .withColumn("params",
+        when(col("_hit"), typedLit(params)).otherwise(col("params")))
+      .drop("_hit")
+    MutationResult(PropertyGraph(g.nodes, conform(edges2, edgeSchema)),
+      g.edges.filter(col("src") === lit(from) && col("dst") === lit(to) &&
+        col("type") === lit(relType)),
+      ChangeSummary(propertiesSet = 2))
+  }
+
+  // ---------------------------------------------------------------- M11
+
+  /** M11 `rerun_query` (`api/graph.py:540-545`): replay one logged op. */
+  def applyOp(g: PropertyGraph, op: GraphOp): MutationResult = op match {
+    case o: GraphOp.AddEntity =>
+      addEntity(g, o.label, o.name, o.path, o.srcStart, o.srcEnd, o.doc, o.props)
+    case o: GraphOp.AddFile => addFile(g, o.path, o.name, o.ext)
+    case o: GraphOp.ConnectEntities =>
+      connectEntities(g, o.relType, o.src, o.dst, o.props)
+    case o: GraphOp.AddCall =>
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      addCalls(g, Seq((o.callerId, o.calleeId, o.pos)).toDF("src", "dst", "pos"))
+    case o: GraphOp.SetNodesMetadata => setNodesMetadata(g, o.ids, o.values)
+    case o: GraphOp.SetFileCoverage =>
+      setFileCoverage(g, o.path, o.name, o.ext, o.coverage)
+    case o: GraphOp.DeleteFiles => deleteFiles(g, o.files)
+    case o: GraphOp.AddCommit => addCommit(g, o.hash, o.author, o.message, o.date)
+    case o: GraphOp.ConnectCommits => connectCommits(g, o.childHash, o.parentHash)
+    case o: GraphOp.SetTransition =>
+      setTransition(g, o.fromHash, o.toHash, o.relType, o.queries, o.params)
+  }
+}

@@ -1,0 +1,137 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Iterative path/traversal utilities (SURVEY.md §2.3 J6/J7, §4.1).
+  *
+  * Catalyst has no recursion, so variable-length traversals are a driver
+  * loop where each round is one Catalyst-planned distributed join
+  * (`MATCH p=(src)-[:CALLS*]->(dest)`, `/root/reference/api/graph.py:547-591`).
+  * The loop is the control boundary; all data work stays on executors.
+  *
+  * Scale: the frontier is a DataFrame — each expansion is a shuffle join of
+  * frontier×edges on the join key. We `localCheckpoint` the frontier every
+  * round to cut lineage (otherwise plans grow exponentially), and cap
+  * unbounded traversals (the reference's unbounded all-paths is an
+  * exponential-worst-case anti-goal, BASELINE.md).
+  */
+object Paths {
+
+  val DefaultMaxHops = 15
+
+  /** Transitive closure: all node IDs reachable from `roots` (inclusive)
+    * over `edges` — the `DEFINES*` cascade used by delete_files
+    * (`api/graph.py:408-426`). BFS on node-set, not paths: visited-set
+    * semantics, terminates on any graph. */
+  def reachableFrom(edges: DataFrame, roots: DataFrame): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).cache()
+    var visited = roots.select(col("id")).distinct().localCheckpoint(true)
+    var frontier = visited
+    var done = false
+    while (!done) {
+      val next = e.join(frontier.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .localCheckpoint(true)
+      if (next.isEmpty) done = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** J6 `find_paths` (`api/graph.py:547-591`): all simple paths
+    * srcId → dstId over edges of `edgeType`, as `path: Array[Long]` (node
+    * IDs, length hops+1). Cycle-safe via `!array_contains(path, next)`;
+    * bounded by `maxHops` (documented deviation from the reference's
+    * unbounded `[:CALLS*]` — SURVEY §7.4 risk 3). */
+  def findPaths(g: PropertyGraph, srcId: Long, dstId: Long,
+      edgeType: String = "CALLS",
+      maxHops: Int = DefaultMaxHops): DataFrame = {
+    val spark = g.nodes.sparkSession
+    expandPaths(spark, g.edges.filter(col("type") === edgeType),
+      srcId, Some(dstId), maxHops)
+      .filter(element_at(col("path"), -1) === lit(dstId))
+  }
+
+  /** J9 bounded variable-length reachability
+    * (`tests/endpoints/test_find_paths.py:60-62`: `[:CALLS*3..5]`):
+    * all simple paths from srcId with minHops ≤ hops ≤ maxHops. */
+  def boundedPaths(g: PropertyGraph, srcId: Long, edgeType: String,
+      minHops: Int, maxHops: Int): DataFrame = {
+    val spark = g.nodes.sparkSession
+    expandPaths(spark, g.edges.filter(col("type") === edgeType),
+      srcId, None, maxHops)
+      .filter(col("hops").between(minHops, maxHops))
+  }
+
+  /** Core expansion: grow simple paths from `srcId`; paths that reach
+    * `target` stop expanding (they are results). Returns all intermediate
+    * and terminal paths with their hop counts. */
+  private def expandPaths(spark: SparkSession, typedEdges: DataFrame,
+      srcId: Long, target: Option[Long], maxHops: Int): DataFrame = {
+    import spark.implicits._
+    val e = typedEdges.select(col("src"), col("dst")).distinct().cache()
+    var acc = Seq((Array(srcId), 0)).toDF("path", "hops").localCheckpoint(true)
+    var frontier = acc
+    var hop = 0
+    while (hop < maxHops && !frontier.isEmpty) {
+      hop += 1
+      val expandable = target match {
+        case Some(t) => frontier.filter(element_at(col("path"), -1) =!= lit(t))
+        case None => frontier
+      }
+      val next = expandable
+        .join(e, element_at(col("path"), -1) === col("src"))
+        .filter(!array_contains(col("path"), col("dst")))
+        .select(concat(col("path"), array(col("dst"))).as("path"),
+          lit(hop).as("hops"))
+        .localCheckpoint(true)
+      if (next.isEmpty) frontier = next
+      else { acc = acc.union(next).localCheckpoint(true); frontier = next }
+    }
+    e.unpersist()
+    acc
+  }
+
+  /** J7 `get_parent_transitions` / `get_child_transitions`
+    * (`api/git_utils/git_graph.py:144-177`): walk the linear PARENT/CHILD
+    * commit chain from `fromId` to `toId` and return the op-log entries
+    * stored on its edges, in traversal order —
+    * `UNWIND relationships(path) … WHERE e.queries IS NOT NULL`.
+    * Returns (step, queries, params) ordered by step. */
+  def chainTransitions(g: PropertyGraph, fromId: Long, toId: Long,
+      relType: String, maxHops: Int = 10000): DataFrame = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    // First-parent history is a linear chain (SURVEY J7) — follow the single
+    // outgoing edge per step; driver loop with one tiny lookup per hop.
+    val e = g.edges.filter(col("type") === relType)
+      .select(col("src"), col("dst"), col("queries"), col("params")).cache()
+    val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[String], Seq[String])]
+    var cur = fromId
+    var hop = 0
+    while (cur != toId && hop < maxHops) {
+      val row = e.filter(col("src") === lit(cur)).limit(1).collect()
+      if (row.isEmpty) { hop = maxHops } // no path
+      else {
+        val r = row(0)
+        val qs = Option(r.getAs[scala.collection.Seq[String]]("queries"))
+          .map(_.toSeq).getOrElse(null)
+        val ps = Option(r.getAs[scala.collection.Seq[String]]("params"))
+          .map(_.toSeq).getOrElse(null)
+        if (qs != null) steps += ((hop, qs, ps))
+        cur = r.getAs[Long]("dst")
+        hop += 1
+      }
+    }
+    e.unpersist()
+    if (cur != toId) spark.emptyDataset[(Int, Seq[String], Seq[String])]
+      .toDF("step", "queries", "params")
+    else steps.toSeq.toDF("step", "queries", "params")
+  }
+}
