@@ -337,7 +337,12 @@ object Mutations {
   def deleteFiles(g: PropertyGraph, files: Seq[GraphOp.FileKey]): MutationResult = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val keys = files.map(f => (f.path, f.name, f.ext)).toDF("path", "name", "ext")
+    deleteFiles(g, files.map(f => (f.path, f.name, f.ext)).toDF("path", "name", "ext"))
+  }
+
+  /** DataFrame-keyed variant of [[deleteFiles]] — the scale path: victim
+    * keys stay distributed (no driver-side key list). */
+  def deleteFiles(g: PropertyGraph, keys: DataFrame): MutationResult = {
     val roots = g.nodes.filter(array_contains(col("labels"), "File"))
       .join(keys, Seq("path", "name", "ext"), "left_semi")
       .select(col("id"))

@@ -1,0 +1,214 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.graph._
+import graft.util.Tables
+
+/** Graph operator surface (SURVEY.md §2.2/§2.3/§2.4) exercised over the
+  * [[TpchGraph]] so every operator gets a DuckDB oracle in the driver's
+  * correctness gate. g07/g08 go further: they drive the *mutation* engine
+  * (batch upsert, cascading delete) and check its end state against SQL.
+  */
+object GraphParityQueries {
+
+  /** g01 — J1 `get_neighbors` with edge-type + label filters: orders of
+    * customers {1,2,3}. */
+  def g01Neighbors(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    GraphQueries.getNeighbors(g, Seq(1L, 2L, 3L), Some("PLACED"), Some("Order"))
+      .select($"src", $"id", $"name")
+      .orderBy($"src", $"id")
+  }
+
+  /** g02 — J3 incoming-neighbor join + A2 ordered collect: suppliers per
+    * part for the first 100 parts. */
+  def g02IncomingCollect(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    val supplies = g.edges.filter($"type" === "SUPPLIES" &&
+      $"dst" < TpchGraph.PartBase + 100)
+    val suppliers = g.nodes.select($"id".as("_nid"), $"name".as("_nname"))
+    supplies.join(suppliers, $"src" === $"_nid")
+      .groupBy($"dst".as("part_id"))
+      .agg(count(lit(1)).as("n_suppliers"),
+        array_join(sort_array(collect_set($"_nname")), ",").as("supplier_names"))
+      .orderBy($"part_id")
+  }
+
+  /** g03 — J8 `unreachable_entities(Order, NEXT)`: orders with no incoming
+    * NEXT edge == each customer's first order. */
+  def g03UnreachableFirstOrders(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    GraphQueries.unreachableEntities(g, Some("Order"), Some("NEXT"))
+      .select($"id", $"name")
+      .orderBy($"id")
+  }
+
+  /** g05 — 2-hop traversal (bounded J9 shape): distinct parts reachable
+    * from customers <20 via PLACED∘CONTAINS. */
+  def g05TwoHop(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    val hop1 = g.edges.filter($"type" === "PLACED" && $"src" < 20)
+      .select($"src".as("cust"), $"dst".as("order_id"))
+    val hop2 = g.edges.filter($"type" === "CONTAINS")
+      .select($"src".as("order_id"), $"dst".as("part_id"))
+    hop1.join(hop2, "order_id")
+      .select($"cust", $"part_id").distinct()
+      .groupBy($"cust").agg(count(lit(1)).as("n_parts"))
+      .orderBy($"cust")
+  }
+
+  /** g06 — J7 chain walk: length of the NEXT chain from each customer's
+    * first order (iterative frontier expansion, one join per hop —
+    * SURVEY §4.1). Equals (orders per customer - 1). */
+  def g06ChainWalk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    val next = g.edges.filter($"type" === "NEXT")
+      .select($"src".as("_es"), $"dst".as("_ed")).cache()
+    val placed = g.edges.filter($"type" === "PLACED" && $"src" < 50)
+      .select($"src".as("cust"), $"dst".as("cur"))
+    // first orders: not the target of any NEXT
+    var frontier = placed
+      .join(next.select($"_ed".as("cur")), Seq("cur"), "left_anti")
+      .select($"cust", $"cur").localCheckpoint(true)
+    var acc = frontier.select($"cust", lit(0L).as("hops"))
+    var hop = 0L
+    while (!frontier.isEmpty && hop < 1000) {
+      hop += 1
+      frontier = frontier.join(next, $"cur" === $"_es")
+        .select($"cust", $"_ed".as("cur")).localCheckpoint(true)
+      if (!frontier.isEmpty)
+        acc = acc.union(frontier.select($"cust", lit(hop).as("hops")))
+    }
+    next.unpersist()
+    acc.groupBy($"cust").agg(max($"hops").as("chain_len")).orderBy($"cust")
+  }
+
+  /** g07 — M1 batch upsert idempotence: load all documents as entities
+    * TWICE through the mutation engine; the second pass must create
+    * nothing, and deterministic ID assignment must yield ids 1..N. */
+  def g07UpsertIdempotent(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).select(
+      lit("Document").as("label"),
+      concat(lit("doc"), $"doc_id").as("name"),
+      $"source".as("path"),
+      $"doc_id".cast("long").as("src_start"),
+      $"n_chars".cast("long").as("src_end"),
+      $"lang".as("doc"),
+      map(lit("lang"), $"lang").as("props"))
+    val g = new CodeGraph(spark, "g07")
+    g.addEntities(docs)
+    g.addEntities(docs) // idempotent second pass
+    g.graph.nodes.agg(
+      count(lit(1)).as("n_nodes"),
+      min($"id").as("min_id"),
+      max($"id").as("max_id"))
+  }
+
+  /** g08 — M2/M1/M3 bulk build + M7 cascading delete: orders become File
+    * nodes, their lineitems Function nodes under DEFINES; deleting all
+    * 'F'-status order-files must cascade to exactly their lineitems and
+    * drop every dangling edge. */
+  def g08DeleteCascade(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = new CodeGraph(spark, "g08")
+    val files = Tables.orders(spark, d).select(
+      lit("orders").as("path"),
+      $"o_orderkey".cast("string").as("name"),
+      lit(".ord").as("ext"))
+    val fileIds = g.addFiles(files).result // (id, path, name, ext)
+      .select($"id".as("file_id"), $"name".as("okey"))
+    val ents = Tables.lineitem(spark, d).select(
+      lit("Function").as("label"),
+      concat($"l_orderkey", lit("#"), $"l_linenumber").as("name"),
+      $"l_orderkey".cast("string").as("path"),
+      $"l_linenumber".cast("long").as("src_start"),
+      $"l_linenumber".cast("long").as("src_end"),
+      lit("").as("doc"),
+      map().cast("map<string,string>").as("props"))
+    val entIds = g.addEntities(ents).result // (id, label, name, path, ...)
+      .select($"id".as("ent_id"), $"path".as("okey"))
+    val defines = fileIds.join(entIds, "okey")
+      .select($"file_id".as("src"), $"ent_id".as("dst"),
+        lit("DEFINES").as("type"),
+        map().cast("map<string,string>").as("props"))
+    g.connectEntities(defines)
+
+    val victims = Tables.orders(spark, d).filter($"o_orderstatus" === "F")
+      .select(lit("orders").as("path"), $"o_orderkey".cast("string").as("name"),
+        lit(".ord").as("ext"))
+    val res = Mutations.deleteFiles(g.graph, victims)
+
+    val nodeCounts = res.graph.nodes
+      .select(element_at($"labels", 1).as("kind"))
+      .groupBy($"kind").agg(count(lit(1)).as("n"))
+    val edgeCount = res.graph.edges.agg(count(lit(1)).as("n"))
+      .withColumn("kind", lit("edges")).select($"kind", $"n")
+    nodeCounts.unionByName(edgeCount).orderBy($"kind")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g01_graph_neighbors" -> (g01Neighbors _),
+    "g02_graph_incoming_collect" -> (g02IncomingCollect _),
+    "g03_graph_unreachable" -> (g03UnreachableFirstOrders _),
+    "g05_graph_two_hop" -> (g05TwoHop _),
+    "g06_graph_chain_walk" -> (g06ChainWalk _),
+    "g07_graph_upsert_idempotent" -> (g07UpsertIdempotent _),
+    "g08_graph_delete_cascade" -> (g08DeleteCascade _))
+
+  val oracle: Map[String, String] = Map(
+    "g01_graph_neighbors" ->
+      """SELECT o_custkey AS src, 1000000 + o_orderkey AS id,
+        |  'Order#' || CAST(o_orderkey AS VARCHAR) AS name
+        |FROM orders WHERE o_custkey IN (1, 2, 3)
+        |ORDER BY src, id""".stripMargin,
+    "g02_graph_incoming_collect" ->
+      """SELECT 2000000 + l_partkey AS part_id,
+        |  COUNT(*) AS n_suppliers,
+        |  STRING_AGG(s_name, ',' ORDER BY s_name) AS supplier_names
+        |FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+        |      WHERE l_partkey < 100)
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g03_graph_unreachable" ->
+      """SELECT 1000000 + o_orderkey AS id,
+        |  'Order#' || CAST(o_orderkey AS VARCHAR) AS name
+        |FROM (SELECT o_orderkey, ROW_NUMBER() OVER (
+        |        PARTITION BY o_custkey
+        |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t
+        |WHERE rn = 1 ORDER BY id""".stripMargin,
+    "g05_graph_two_hop" ->
+      """SELECT o_custkey AS cust, COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE o_custkey < 20
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g06_graph_chain_walk" ->
+      """SELECT o_custkey AS cust, COUNT(*) - 1 AS chain_len
+        |FROM orders WHERE o_custkey < 50
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "g07_graph_upsert_idempotent" ->
+      """SELECT COUNT(*) AS n_nodes, CAST(1 AS BIGINT) AS min_id,
+        |  COUNT(*) AS max_id
+        |FROM documents""".stripMargin,
+    "g08_graph_delete_cascade" ->
+      """SELECT kind, n FROM (
+        |  SELECT 'File' AS kind, COUNT(*) AS n FROM orders
+        |    WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  -- MERGE semantics collapse duplicate (orderkey, linenumber) keys
+        |  SELECT 'Function', COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |    WHERE o_orderstatus <> 'F'
+        |  UNION ALL
+        |  SELECT 'edges', COUNT(DISTINCT (l_orderkey, l_linenumber))
+        |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |    WHERE o_orderstatus <> 'F') t
+        |ORDER BY kind""".stripMargin)
+}
