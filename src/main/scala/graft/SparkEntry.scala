@@ -1,7 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{GraphParityQueries, RelationalQueries}
+import graft.queries.{GraphParityQueries, MultimodalQueries, PipelineQueries,
+  RelationalQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -15,10 +16,14 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    RelationalQueries.queries ++ GraphParityQueries.queries
+    RelationalQueries.queries ++ GraphParityQueries.queries ++
+      PipelineQueries.queries ++ StreamQueries.queries ++
+      MultimodalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    RelationalQueries.oracle ++ GraphParityQueries.oracle
+    RelationalQueries.oracle ++ GraphParityQueries.oracle ++
+      PipelineQueries.oracle ++ StreamQueries.oracle ++
+      MultimodalQueries.oracle
 }

@@ -1,0 +1,110 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate/exact nearest-neighbor search over an embedding column
+  * (builder north star: brute-force cosine top-k baseline + bucketed
+  * variants as the scale path).
+  *
+  * All vector math uses higher-order functions (`zip_with`/`aggregate`) —
+  * codegen'd expressions, no UDFs, deterministic sequential folds (so SQL
+  * oracles can reproduce results exactly).
+  */
+object Similarity {
+
+  /** Sequential-fold dot product. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column =
+    aggregate(a, lit(0.0), (acc, x) => acc + x * x)
+
+  /** cosine = dot / (sqrt(||a||²) * sqrt(||b||²)) — structured exactly like
+    * the DuckDB oracle formula for ulp-level agreement. */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Brute-force cosine top-k: for each query vector, the k nearest
+    * neighbors ranked by (rounded cosine desc, neighbor id) — the rounding
+    * makes cross-engine ranking deterministic.
+    *
+    * Scale: O(|Q|·|N|) — correct baseline; broadcast the query side (small
+    * by construction) so the big side never shuffles. Use [[ivfTopK]] when
+    * |Q| is large. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** IVF-style ANN: partition the corpus into cells (here: the `label`
+    * column as the coarse quantizer — at scale this is k-means), compute
+    * cell centroids, probe the `nprobe` nearest cells per query, brute-force
+    * only inside probed cells.
+    *
+    * Scale: the centroid table is tiny (broadcast); per-query work drops by
+    * ~|cells|/nprobe; the corpus is shuffled once on cell id and can stay
+    * partitioned that way for repeated queries. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
+    val c = corpus.select(col(idCol).as("nid"), col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    // centroid per cell: element-wise mean via posexplode + group
+    val centroids = c.select(col("cell"), posexplode(col("nvec")).as(Seq("i", "x")))
+      .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+      .groupBy(col("cell"))
+      .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+      .select(col("cell"), transform(col("im"), s => s.getField("m")).as("cvec"))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(centroids))
+      .withColumn("ccos", cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("qvec"), col("cell"))
+    val scored = probed.join(c, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
+    val _ = dims
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** Random-hyperplane LSH bucketing: sign bits of dot products with
+    * `nPlanes` pseudo-random unit-free planes derived deterministically from
+    * xxhash64(planeIdx, dimIdx) — no RNG state, reproducible on any cluster.
+    * Near-dup candidates share a bucket; verify with exact cosine. */
+  def hyperplaneBuckets(emb: DataFrame, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // plane p component for dim i: map hash to [-1, 1)
+    def planeComp(p: Int, i: Column): Column =
+      (pmod(xxhash64(lit(p), i), lit(2000001L)).cast("double") / 1000000.0) - 1.0
+    val sigBits = (0 until nPlanes).map { p =>
+      val d = aggregate(zip_with(col("vec"),
+        transform(sequence(lit(0), size(col("vec")) - 1), i => planeComp(p, i)),
+        (x, w) => x * w), lit(0.0), (acc, x) => acc + x)
+      when(d >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+    v.select(col("id"), sigBits.as("bucket"))
+  }
+}

@@ -1,0 +1,74 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (builder north star:
+  * language-ID, quality scoring, token counting, fingerprinting) over a
+  * `text` column.
+  *
+  * Everything is built from `org.apache.spark.sql.functions` (codegen'd,
+  * whole-stage-compatible) — no UDFs. At 100 TB these are embarrassingly
+  * parallel map-side expressions: no shuffle at all until an aggregation
+  * is asked for.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword proxy: count of word/punctuation units. */
+  def unitCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit("[a-z0-9]+|[^a-z0-9\\s]"), lit(0)))
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[^\\w\\s]"), lit(0)))
+
+  /** Small fixed English stopword list (shared with the DuckDB oracle). */
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "or", "to", "in", "is", "on", "for", "with")
+
+  def stopwordCount(text: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    size(filter(tokens(text), t => array_contains(stops, t)))
+  }
+
+  /** Heuristic quality score in [0,1]: rewards stopword presence and
+    * moderate token length, penalizes punctuation soup. Pure arithmetic on
+    * exact int counts — bit-identical across engines. */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val stopR = stopwordCount(text).cast("double") / nTok
+    val punctR = punctCount(text).cast("double") / length(text).cast("double")
+    val lenOk = when(nTok >= 10 && nTok <= 1000, lit(1.0)).otherwise(lit(0.5))
+    least(lit(1.0), (stopR * 2.0 + (lit(1.0) - punctR)) / 2.0 * lenOk)
+  }
+
+  /** Language-ID by stopword voting (n-gram-heuristic family): the language
+    * whose stopword list hits the most tokens wins; ties and zero-hit docs
+    * fall back to "und" (undetermined). */
+  val LangStopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "del"),
+    "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "dans"))
+
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val ws = array(words.map(lit): _*)
+      struct(size(filter(toks, t => array_contains(ws, t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scores: _*) // struct compare: hits first, lang tiebreak
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: 64-bit content hash of the normalized text
+    * (whitespace-collapsed lowercase). xxhash64 is Spark-native and seeded
+    * deterministically — stable across runs/cluster sizes. */
+  def fingerprint(text: Column): Column =
+    xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+}

@@ -1,0 +1,232 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.pipeline.{Dedup, Similarity, TextAnalysis}
+import graft.util.Tables
+
+/** Training-data pipeline operator surface (builder north star): dedup,
+  * similarity search, text analysis — each as a driver-gate query. Queries
+  * without an oracle entry (hash-based: simhash/minhash internals,
+  * fingerprints, langid) get the driver's rows-only check and are verified
+  * in ScalaTest instead.
+  */
+object PipelineQueries {
+
+  /** d01 — exact dedup summary: distinct normalized texts vs raw rows. */
+  def d01ExactDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exactDedup(Tables.documents(spark, d))
+      .agg(count(lit(1)).as("n_unique"), sum($"n_dups").as("n_docs"))
+  }
+
+  /** d02 — keep-first dedup on events by (user_id, event_type). */
+  def d02EventDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id", $"event_type")
+      .orderBy($"ts", $"event_id")
+    Tables.events(spark, d)
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" === 1)
+      .select($"user_id", $"event_type", $"event_id")
+      .orderBy($"user_id", $"event_type")
+  }
+
+  /** d03 — brute-force 3-gram Jaccard near-dup pairs (threshold 0.8,
+    * bounded candidate set doc_id < 300 — the quadratic baseline). */
+  def d03JaccardPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter($"doc_id" < 300)
+    Dedup.jaccardPairs(docs, 3, 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** d04 — MinHash+LSH near-dup pairs, exact-verified: must find the same
+    * pairs as the brute-force baseline (128 hashes, 64 bands × 2 rows →
+    * miss probability < 1e-70 at jaccard ≥ 0.96). The banded bucket join is
+    * the 100 TB path: shuffle on (band, bucket), never all-pairs. */
+  def d04MinhashLsh(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter($"doc_id" < 300)
+    Dedup.minhashDedup(docs, 3, 128, 2, 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** d05 — SimHash near-dup pairs (hamming ≤ 3 over 64-bit token-vote
+    * hashes). Spark-hash-dependent → rows-only check + ScalaTest. */
+  def d05SimhashPairs(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.simhashPairs(Tables.documents(spark, d), 3)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** d06 — embedding-cosine near-dup pairs (cosine ≥ 0.4 on the rounded
+    * score; sequential-fold math mirrors the SQL oracle). */
+  def d06EmbeddingNearDup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.embeddingNearDupPairs(Tables.embeddings(spark, d), 0.4)
+      .orderBy($"id_a", $"id_b")
+  }
+
+  /** t01 — token/unit/punctuation/stopword counts per document. */
+  def t01TokenStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(
+      $"doc_id",
+      TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"),
+      TextAnalysis.unitCount($"text").cast("long").as("n_units"),
+      TextAnalysis.punctCount($"text").cast("long").as("n_punct"),
+      TextAnalysis.stopwordCount($"text").cast("long").as("n_stopwords"))
+      .orderBy($"doc_id")
+      .limit(200)
+  }
+
+  /** t02 — quality scoring: per source, docs passing quality ≥ 0.5 (the
+    * score formula is identical IEEE arithmetic in both engines). */
+  def t02QualityBySource(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("q", TextAnalysis.qualityScore($"text"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"q" >= 0.5, 1)).as("n_pass"))
+      .orderBy($"source")
+  }
+
+  /** t03 — language-ID by stopword voting (heuristic; Spark-side only →
+    * rows-only check + accuracy spec). */
+  def t03LangId(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("pred", TextAnalysis.langId($"text"))
+      .groupBy($"pred").agg(count(lit(1)).as("n"))
+      .orderBy($"pred")
+  }
+
+  /** t04 — fingerprint integrity: normalized-content hashes must be
+    * distinct exactly when normalized texts are (rows-only + spec). */
+  def t04Fingerprints(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(TextAnalysis.fingerprint($"text").as("fp"),
+        Dedup.normText($"text").as("norm"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"fp").as("n_fingerprints"),
+        countDistinct($"norm").as("n_norm_texts"))
+  }
+
+  /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
+  def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb, 5)
+      .orderBy($"qid", $"rank")
+  }
+
+  /** s02 — IVF-style ANN with geometric cells (3 hyperplane sign bits →
+    * 8 cells), probing the 3 nearest cells (rows-only + recall spec vs
+    * s01). */
+  def s02IvfTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val cells = Similarity.hyperplaneBuckets(emb, 3)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("bucket", "cell")
+    val withCells = emb.join(cells, "vec_id")
+    Similarity.ivfTopK(withCells.filter($"vec_id" < 8), withCells, 5, 3,
+      cellCol = "cell")
+      .orderBy($"qid", $"rank")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d01_exact_dedup" -> (d01ExactDedup _),
+    "d02_event_dedup" -> (d02EventDedup _),
+    "d03_jaccard_pairs" -> (d03JaccardPairs _),
+    "d04_minhash_lsh" -> (d04MinhashLsh _),
+    "d05_simhash_pairs" -> (d05SimhashPairs _),
+    "d06_embedding_neardup" -> (d06EmbeddingNearDup _),
+    "t01_token_stats" -> (t01TokenStats _),
+    "t02_quality_by_source" -> (t02QualityBySource _),
+    "t03_lang_id" -> (t03LangId _),
+    "t04_fingerprints" -> (t04Fingerprints _),
+    "s01_topk_cosine" -> (s01TopkCosine _),
+    "s02_ivf_topk" -> (s02IvfTopk _))
+
+  private val jaccardOracle =
+    """WITH g AS (
+      |  SELECT doc_id,
+      |    list_distinct([substring(lower(text), i, 3)
+      |                   for i in generate_series(1, length(text) - 2)]) AS grams
+      |  FROM documents WHERE doc_id < 300)
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |  len(list_intersect(a.grams, b.grams))::DOUBLE
+      |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jac
+      |FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+      |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d01_exact_dedup" ->
+      """SELECT COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS n_unique,
+        |  COUNT(*) AS n_docs
+        |FROM documents""".stripMargin,
+    "d02_event_dedup" ->
+      """SELECT user_id, event_type, event_id FROM (
+        |  SELECT user_id, event_type, event_id, ROW_NUMBER() OVER (
+        |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+        |  FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "d03_jaccard_pairs" -> jaccardOracle,
+    "d04_minhash_lsh" -> jaccardOracle, // LSH must recover the exact pair set
+    "d06_embedding_neardup" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_dot_product(a.vec, b.vec)
+        |    / (sqrt(list_dot_product(a.vec, a.vec))
+        |       * sqrt(list_dot_product(b.vec, b.vec))), 4) AS cos
+        |FROM v a JOIN v b ON a.vec_id < b.vec_id
+        |WHERE round(list_dot_product(a.vec, b.vec)
+        |    / (sqrt(list_dot_product(a.vec, a.vec))
+        |       * sqrt(list_dot_product(b.vec, b.vec))), 4) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(lower(trim(text)), '\s+')) AS n_tokens,
+        |  len(regexp_extract_all(lower(text), '[a-z0-9]+|[^a-z0-9\s]')) AS n_units,
+        |  len(regexp_extract_all(text, '[^\w\s]')) AS n_punct,
+        |  len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |      x -> list_contains(['the','a','an','of','and','or','to','in',
+        |                          'is','on','for','with'], x))) AS n_stopwords
+        |FROM documents ORDER BY doc_id LIMIT 200""".stripMargin,
+    "t02_quality_by_source" ->
+      """WITH q AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE AS n_tok,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','or','to','in',
+        |                            'is','on','for','with'], x)))::DOUBLE AS n_stop,
+        |    len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS n_punct,
+        |    length(text)::DOUBLE AS n_chars
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE least(1.0,
+        |    (n_stop / n_tok * 2.0 + (1.0 - n_punct / n_chars)) / 2.0
+        |      * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE 0.5 END))
+        |    >= 0.5) AS n_pass
+        |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "s01_topk_cosine" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |s AS (
+        |  SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |    round(list_dot_product(q.vec, n.vec)
+        |      / (sqrt(list_dot_product(q.vec, q.vec))
+        |         * sqrt(list_dot_product(n.vec, n.vec))), 4) AS cos
+        |  FROM v q JOIN v n ON q.vec_id < 8 AND q.vec_id <> n.vec_id)
+        |SELECT qid, rank, nid, cos FROM (
+        |  SELECT qid, nid, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+}

@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.EventStreams
+import graft.util.Tables
+
+/** Driver-gate entries for the streaming transforms, run in batch mode over
+  * the same parquet (Structured Streaming's batch/stream unification: the
+  * transform objects are shared verbatim with the readStream path, which
+  * the spec exercises with watermark + memory sink). */
+object StreamQueries {
+
+  /** st01 — tumbling 1-hour window aggregation per event type. */
+  def st01HourlyAgg(spark: SparkSession, d: String): DataFrame =
+    EventStreams.hourlyAgg(Tables.eventsWithTs(spark, d))
+      .orderBy(col("hour_start"), col("event_type"))
+
+  /** st02 — 30-minute-gap sessionization per user via session_window. */
+  def st02UserSessions(spark: SparkSession, d: String): DataFrame =
+    EventStreams.userSessions(Tables.eventsWithTs(spark, d))
+      .orderBy(col("user_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st01_hourly_agg" -> (st01HourlyAgg _),
+    "st02_user_sessions" -> (st02UserSessions _))
+
+  val oracle: Map[String, String] = Map(
+    "st01_hourly_agg" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "st02_user_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id,
+        |  CAST(1 + COUNT(*) FILTER (WHERE prev IS NOT NULL
+        |    AND ts - prev >= INTERVAL 30 MINUTE) AS BIGINT) AS n_sessions,
+        |  COUNT(*) AS n_events
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

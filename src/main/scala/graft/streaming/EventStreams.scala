@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+import graft.util.Tables
+
+/** Structured Streaming surface over the events table (builder north star;
+  * the reference itself is batch-only — SURVEY.md §1.6 note).
+  *
+  * Each transform is defined once against a DataFrame and used in BOTH
+  * modes: batch (for the DuckDB-oracled driver gate) and streaming
+  * (readStream + watermark, exercised in the spec via the memory sink) —
+  * the Structured Streaming unification is exactly this reuse.
+  *
+  * Scale: windowed aggregation state is bounded by the watermark; the
+  * groupBy(window, type) shuffle keys are low-cardinality; session windows
+  * shuffle on user_id.
+  */
+object EventStreams {
+
+  /** Hourly tumbling-window counts/sums per event type. */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_utc"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        // round before the long cast: value*100 in doubles sits below the
+        // exact cent (185.22*100 = 18521.999…); round() matches the oracle
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Session counts per user: 30-minute inactivity gap sessionization via
+    * session_window (works identically in batch and streaming). */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts_utc"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
+
+  /** Run [[hourlyAgg]] as a real streaming query over the parquet dir with
+    * a watermark, draining to a memory sink (local smoke path). */
+  def runHourlyAggStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    val batchDf = Tables.events(spark, sfDir)
+    // events.parquet is a single file; readStream needs a directory →
+    // stream the sf dir with a glob filter selecting just the events file.
+    val stream = spark.readStream
+      .schema(batchDf.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
+      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
+      .withWatermark("ts_utc", "2 hours")
+    hourlyAgg(stream)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+}

@@ -15,6 +15,8 @@ object GraphDemo {
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
       .appName("graft-demo")
       .config("spark.sql.shuffle.partitions", "8")
+      // events.parquet uses TIMESTAMP(NANOS): read as nanos-since-epoch long
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -24,7 +24,17 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
+  /** NOTE: `ts` arrives as nanos-since-epoch LongType (the parquet file is
+    * TIMESTAMP(NANOS); sessions set spark.sql.legacy.parquet.nanosAsLong).
+    * Use [[eventsWithTs]] when a real timestamp column is needed. */
   def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+
+  /** events + `ts_utc` TIMESTAMP column (µs precision) for time windowing. */
+  def eventsWithTs(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    events(spark, d).withColumn("ts_utc",
+      timestamp_micros((col("ts") / 1000L).cast("long")))
+  }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")
 

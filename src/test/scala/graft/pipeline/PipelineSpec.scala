@@ -1,0 +1,95 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+class PipelineSpec extends SparkSpec {
+
+  test("minhash LSH finds exactly the brute-force jaccard pairs (sf0.001)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny).filter($"doc_id" < 300)
+    val brute = Dedup.jaccardPairs(docs, 3, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashDedup(docs, 3, 128, 2, 0.8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh === brute)
+  }
+
+  test("simhash separates near-dups from random pairs (lower hamming)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny).filter($"doc_id" < 300)
+    val near = Dedup.jaccardPairs(docs, 3, 0.95)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(near.nonEmpty)
+    val sh = Dedup.simhash(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(sh(a) ^ sh(b))
+    val nearMean = near.map { case (a, b) => ham(a, b) }.sum.toDouble / near.length
+    val ids = sh.keys.toArray.sorted
+    val randPairs = ids.take(60).flatMap(a => ids.takeRight(60).map(b => (a, b)))
+      .filter { case (a, b) => a < b && !near.contains((a, b)) }
+    val randMean = randPairs.map { case (a, b) => ham(a, b) }.sum.toDouble /
+      randPairs.length
+    assert(nearMean < randMean / 2,
+      s"near-dup mean hamming $nearMean should be << random $randMean")
+  }
+
+  test("simhash is deterministic and defined for every doc") {
+    val docs = Tables.documents(spark, sfTiny)
+    val a = Dedup.simhash(docs).orderBy("id").collect().map(_.getLong(1)).toSeq
+    val b = Dedup.simhash(docs).orderBy("id").collect().map(_.getLong(1)).toSeq
+    assert(a === b)
+    assert(a.length === docs.count())
+  }
+
+  test("IVF top-k over geometric cells achieves decent recall vs brute force") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val cells = Similarity.hyperplaneBuckets(emb, 3)
+      .withColumnRenamed("id", "vec_id").withColumnRenamed("bucket", "cell")
+    val withCells = emb.join(cells, "vec_id")
+    val q = withCells.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(q, withCells, 5, 3, cellCol = "cell")
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.4, s"IVF nprobe=3/8 geometric-cell recall too low: $recall")
+  }
+
+  test("hyperplane buckets are deterministic and group similar vectors") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val a = Similarity.hyperplaneBuckets(emb, 8).orderBy("id").collect()
+    val b = Similarity.hyperplaneBuckets(emb, 8).orderBy("id").collect()
+    assert(a.map(_.getLong(1)).toSeq === b.map(_.getLong(1)).toSeq)
+  }
+
+  test("language-ID returns a language or 'und' for every doc") {
+    import spark.implicits._
+    val preds = Tables.documents(spark, sfTiny)
+      .select(TextAnalysis.langId($"text").as("pred"))
+      .groupBy("pred").count().collect().map(_.getString(0)).toSet
+    val allowed = TextAnalysis.LangStopwords.keySet + "und"
+    assert(preds.subsetOf(allowed))
+  }
+
+  test("fingerprints collide exactly when normalized text collides") {
+    import spark.implicits._
+    val row = Tables.documents(spark, sfTiny)
+      .select(TextAnalysis.fingerprint($"text").as("fp"),
+        Dedup.normText($"text").as("norm"))
+      .agg(countDistinct($"fp").as("nfp"), countDistinct($"norm").as("nn"))
+      .head()
+    assert(row.getLong(0) === row.getLong(1))
+  }
+
+  test("quality score stays within [0,1]") {
+    import spark.implicits._
+    val bad = Tables.documents(spark, sfTiny)
+      .select(TextAnalysis.qualityScore($"text").as("q"))
+      .filter($"q" < 0.0 || $"q" > 1.0 || $"q".isNull)
+    assert(bad.isEmpty)
+  }
+}

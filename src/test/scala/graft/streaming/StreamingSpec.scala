@@ -1,0 +1,30 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.util.Tables
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming hourly agg (watermark + memory sink) matches batch mode") {
+    val q = EventStreams.runHourlyAggStream(spark, sfTiny, "hourly_smoke")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM hourly_smoke ORDER BY hour_start, event_type").collect()
+    val batch = EventStreams.hourlyAgg(Tables.eventsWithTs(spark, sfTiny))
+      .orderBy(col("hour_start"), col("event_type")).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
+  test("session counts: every user's sessions <= events, >= 1") {
+    import spark.implicits._
+    val rows = EventStreams.userSessions(Tables.eventsWithTs(spark, sfTiny))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (s, e) = (r.getAs[Long]("n_sessions"), r.getAs[Long]("n_events"))
+      assert(s >= 1 && s <= e)
+    }
+  }
+}
