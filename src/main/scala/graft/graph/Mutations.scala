@@ -248,8 +248,12 @@ object Mutations {
     * `line` column. `batch` columns: src, dst, pos. */
   def addCalls(g: PropertyGraph, batch: DataFrame): MutationResult = {
     val ids = g.nodes.select(col("id"))
-    val b = batch.select(col("src"), col("dst"), col("pos").cast(LongType).as("line"))
-      .dropDuplicates("src", "dst", "line")
+    val textCol = if (batch.columns.contains("text")) col("text")
+      else lit(null).cast(StringType)
+    val b = batch.select(col("src"), col("dst"),
+        col("pos").cast(LongType).as("line"), textCol.as("text"))
+      .groupBy(col("src"), col("dst"), col("line"))
+      .agg(first(col("text"), ignoreNulls = true).as("text"))
       .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .cache()
@@ -258,7 +262,8 @@ object Mutations {
     val toInsert = b.join(ex, Seq("src", "dst", "line"), "left_anti")
     val nInserted = toInsert.count()
     val insertedEdges = conform(
-      toInsert.select(col("src"), col("dst"), lit("CALLS").as("type"), col("line")),
+      toInsert.select(col("src"), col("dst"), lit("CALLS").as("type"),
+        col("line"), col("text")),
       edgeSchema)
     val edges2 = conform(g.edges, edgeSchema).unionByName(insertedEdges)
     MutationResult(PropertyGraph(g.nodes, edges2), b,

@@ -1,0 +1,169 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.graph.{CodeGraph, GraphQueries}
+
+/** Two-pass repo ingestion (SURVEY §3.1 Spark trace):
+  *
+  *   1. first pass — distributed extraction: frontends parse each file on
+  *      executors (`mapPartitions`), yielding entity + symbol-ref tables;
+  *      files/entities/DEFINES land as three batch upserts (the reference
+  *      pays one FalkorDB round-trip per AST node,
+  *      `/root/reference/api/graph.py:150` — the BASELINE.md anti-goal);
+  *   2. second pass — name-based resolution JOIN replaces the per-symbol
+  *      LSP `request_definition` IPC (`api/analyzers/source_analyzer.py:
+  *      118-169`): refs ⨝ declared entities on name, preferring same-file
+  *      targets, unresolved call targets materialized as stub Function
+  *      nodes (builtins like `print` appear exactly as in the reference's
+  *      fixture graph — FIXTURES.md §1.1).
+  *
+  * Scale: extraction is embarrassingly parallel over files; every join is
+  * keyed on (name) or (path, idx); the only driver actions are the batch
+  * mutation counters.
+  */
+object Ingestor {
+
+  final case class SourceFile(path: String, source: String)
+
+  /** Frontend registry — mirrors `api/analyzers/source_analyzer.py:24-29`. */
+  val frontends: Seq[LanguageFrontend] = Seq(PythonFrontend, JsonlFrontend)
+
+  def splitPath(p: String): (String, String, String) = {
+    val slash = p.lastIndexOf('/')
+    val (dir, base) = if (slash < 0) ("", p) else (p.substring(0, slash), p.substring(slash + 1))
+    val dot = base.lastIndexOf('.')
+    val ext = if (dot < 0) "" else base.substring(dot)
+    (dir, base, ext)
+  }
+
+  final case class IngestReport(nFiles: Long, nEntities: Long, nEdges: Long)
+
+  def ingest(g: CodeGraph, files: Seq[SourceFile]): IngestReport = {
+    val spark = g.spark
+    import spark.implicits._
+    ingest(g, files.toDF("path", "source"))
+  }
+
+  /** Distributed ingest: `filesDf` has (path, source). */
+  def ingest(g: CodeGraph, filesDf: DataFrame): IngestReport = {
+    val spark = g.spark
+    import spark.implicits._
+    val fes = frontends // serializable objects captured for executors
+
+    // ---- first pass: parallel extraction ---------------------------------
+    val extracted = filesDf.as[(String, String)].mapPartitions { it =>
+      it.flatMap { case (path, source) =>
+        val ext = splitPath(path)._3
+        fes.find(_.extensions.contains(ext)).map { fe =>
+          val logical = if (fe == JsonlFrontend) JsonlFrontend.logicalPath(path) else path
+          (logical, fe.extract(path, source))
+        }
+      }
+    }.cache()
+
+    val entitiesRaw = extracted.flatMap { case (path, fx) =>
+      fx.entities.zipWithIndex.map { case (e, idx) =>
+        (path, idx, e.label, e.name, e.srcStart, e.srcEnd, e.doc, e.parentIdx)
+      }
+    }.toDF("fpath", "idx", "label", "name", "src_start", "src_end", "doc", "parentIdx")
+      .cache()
+    val refsRaw = extracted.flatMap { case (path, fx) =>
+      fx.refs.map(r => (path, r.fromIdx, r.kind, r.name, r.line, r.text))
+    }.toDF("fpath", "fromIdx", "kind", "name", "line", "text").cache()
+
+    // files
+    val fileBatch = extracted.map(_._1).distinct().map { p =>
+      val (dir, base, ext) = splitPath(p)
+      (dir, base, ext, p)
+    }.toDF("path", "name", "ext", "fpath").cache()
+    val fileRes = g.addFiles(fileBatch.select($"path", $"name", $"ext"))
+    val fileIds = fileRes.result
+      .join(fileBatch, Seq("path", "name", "ext"))
+      .select($"fpath", $"id".as("file_id"))
+
+    // entities (path property = containing file path, like the reference)
+    val entRes = g.addEntities(entitiesRaw.select($"label", $"name",
+      $"fpath".as("path"), $"src_start", $"src_end", $"doc",
+      map().cast("map<string,string>").as("props")))
+    val entIds = entitiesRaw
+      .join(entRes.result.withColumnRenamed("path", "fpath"),
+        Seq("label", "name", "fpath", "src_start", "src_end"))
+      .select($"fpath", $"idx", $"id".as("ent_id"), $"label".as("ent_label"))
+      .cache()
+
+    // DEFINES hierarchy
+    val rootDefines = entitiesRaw.filter($"parentIdx" === -1)
+      .join(entIds, Seq("fpath", "idx"))
+      .join(fileIds, Seq("fpath"))
+      .select($"file_id".as("src"), $"ent_id".as("dst"))
+    val nestedDefines = entitiesRaw.filter($"parentIdx" =!= -1)
+      .join(entIds, Seq("fpath", "idx"))
+      .join(entIds.select($"fpath", $"idx".as("parentIdx"),
+        $"ent_id".as("parent_id")), Seq("fpath", "parentIdx"))
+      .select($"parent_id".as("src"), $"ent_id".as("dst"))
+    g.connectEntities(rootDefines.union(nestedDefines)
+      .withColumn("type", lit("DEFINES"))
+      .withColumn("props", map().cast("map<string,string>")))
+
+    // ---- second pass: name-based resolution join ------------------------
+    val declared = entIds.select($"ent_id".as("target_id"),
+      $"fpath".as("target_path"), $"idx".as("target_idx"))
+      .join(entitiesRaw.select($"fpath".as("target_path"),
+        $"idx".as("target_idx"), $"name".as("target_name"),
+        $"label".as("target_label")), Seq("target_path", "target_idx"))
+
+    val srcSide = refsRaw
+      .join(entIds.select($"fpath", $"idx".as("fromIdx"),
+        $"ent_id".as("src_id")), Seq("fpath", "fromIdx"), "left")
+      .filter($"src_id".isNotNull) // module-level refs have no source entity
+
+    val candidates = srcSide.join(declared,
+      $"name" === $"target_name", "left")
+    // prefer same-file declarations, then stable (path, id) order
+    val w = Window.partitionBy($"fpath", $"fromIdx", $"kind", $"name", $"line")
+      .orderBy(when($"target_path" === $"fpath", 0).otherwise(1),
+        $"target_path".asc_nulls_last, $"target_id".asc_nulls_last)
+    val resolved = candidates.withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1).drop("rk").cache()
+
+    // unresolved call targets become stub Function nodes (builtins)
+    val stubs = resolved.filter($"target_id".isNull && $"kind" === "call")
+      .select($"name").distinct()
+      .select(lit("Function").as("label"), $"name", lit("").as("path"),
+        lit(0L).as("src_start"), lit(0L).as("src_end"), lit("").as("doc"),
+        map().cast("map<string,string>").as("props"))
+    val stubRes = g.addEntities(stubs)
+    val stubIds = stubRes.result.select($"name", $"id".as("stub_id"))
+
+    val withTargets = resolved
+      .join(stubIds, Seq("name"), "left")
+      .withColumn("dst_id", coalesce($"target_id", $"stub_id"))
+      .filter($"dst_id".isNotNull)
+      .cache()
+
+    // CALLS (with position + call-site text, api/graph.py:500-516 shape)
+    val calls = withTargets.filter($"kind" === "call")
+      .select($"src_id".as("src"), $"dst_id".as("dst"), $"line".as("pos"), $"text")
+    g.addCalls(calls)
+
+    // typed relation edges (api/analyzers/source_analyzer.py:158-169)
+    val kindToRel = Seq(
+      "base_class" -> "EXTENDS", "extend_interface" -> "EXTENDS",
+      "implement_interface" -> "IMPLEMENTS",
+      "return_type" -> "RETURNS", "parameters" -> "PARAMETERS")
+    kindToRel.foreach { case (kind, rel) =>
+      val edges = withTargets.filter($"kind" === kind)
+        .select($"src_id".as("src"), $"dst_id".as("dst"),
+          lit(rel).as("type"), map().cast("map<string,string>").as("props"))
+      if (!edges.isEmpty) g.connectEntities(edges)
+    }
+
+    val stats = GraphQueries.stats(g.graph).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    extracted.unpersist()
+    IngestReport(fileBatch.count(), stats("nodes"), stats("edges"))
+  }
+}

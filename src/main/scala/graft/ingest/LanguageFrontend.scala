@@ -1,0 +1,41 @@
+package graft.ingest
+
+/** One declared entity in a source file. `parentIdx` indexes into the same
+  * extraction's entity list (-1 = directly under the File node) — the
+  * DEFINES containment hierarchy
+  * (`/root/reference/api/analyzers/source_analyzer.py:61-75`). */
+final case class EntityDecl(
+    label: String, // Function | Class | Interface | Enum | Struct | Method | Constructor
+    name: String,
+    srcStart: Long,
+    srcEnd: Long,
+    doc: String,
+    parentIdx: Int)
+
+/** One symbol reference collected during parse, to be resolved to a target
+  * entity in the second pass
+  * (`api/analyzers/source_analyzer.py:118-169` symbol kinds). */
+final case class SymbolRef(
+    kind: String, // call | base_class | implement_interface | extend_interface | return_type | parameters
+    fromIdx: Int, // entity index the reference occurs in (-1 = module level)
+    name: String, // referenced symbol name
+    line: Long,
+    text: String)
+
+final case class FileExtraction(entities: Seq[EntityDecl], refs: Seq[SymbolRef])
+
+/** Per-language parser surface — the Spark-native mirror of the reference's
+  * `AbstractAnalyzer` extension point (8 abstract methods,
+  * `/root/reference/api/analyzers/analyzer.py:10-144`; registration per
+  * extension at `api/analyzers/source_analyzer.py:24-29`).
+  *
+  * Implementations must be Serializable: extraction runs inside
+  * `mapPartitions` on executors (SURVEY §3.1 Spark trace — parsing is data-
+  * parallel, unlike the reference's per-entity Cypher round trips). */
+trait LanguageFrontend extends Serializable {
+  def language: String
+  /** extensions handled, with dot — mirrors the rglob filter
+    * (`api/analyzers/source_analyzer.py:175-182`). */
+  def extensions: Set[String]
+  def extract(path: String, source: String): FileExtraction
+}

@@ -1,0 +1,123 @@
+package graft.ingest
+
+import graft.SparkSpec
+import graft.graph.{CodeGraph, GraphQueries}
+import org.apache.spark.sql.functions._
+
+/** End-to-end ingest of the reference's Python fixture (FIXTURES.md §1.1,
+  * mirroring /root/reference/tests/source_files/py/src.py and the golden
+  * assertions of tests/test_py_analyzer.py:28-59). */
+class IngestSpec extends SparkSpec {
+
+  val fixtureSource: String = Seq(
+    /* 0 */ "# fixture",
+    /* 1 */ "",
+    /* 2 */ "def log(msg):",
+    /* 3 */ "    print(msg)",
+    /* 4 */ "",
+    /* 5 */ "class Task:",
+    /* 6 */ "    def __init__(self, name, duration):",
+    /* 7 */ "        self.name = name",
+    /* 8 */ "        print(name)",
+    /* 9 */ "",
+    /* 10 */ "    def abort(self, delay):",
+    /* 11 */ "        log(\"abort\")",
+    /* 12 */ "        return self"
+  ).mkString("\n")
+
+  def ingestFixture(): CodeGraph = {
+    val g = new CodeGraph(spark, "ingest_py")
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("src.py", fixtureSource)))
+    g
+  }
+
+  test("python frontend extracts the expected entity hierarchy") {
+    val fx = PythonFrontend.extract("src.py", fixtureSource)
+    val byName = fx.entities.map(e => e.name -> e).toMap
+    assert(byName.keySet === Set("log", "Task", "__init__", "abort"))
+    assert(byName("log").label === "Function")
+    assert(byName("log").srcStart === 2 && byName("log").srcEnd === 3)
+    assert(byName("Task").label === "Class" && byName("Task").srcStart === 5)
+    assert(byName("__init__").parentIdx === fx.entities.indexWhere(_.name == "Task"))
+    assert(byName("abort").parentIdx === fx.entities.indexWhere(_.name == "Task"))
+    val calls = fx.refs.filter(_.kind == "call").map(_.name)
+    assert(calls.sorted === Seq("log", "print", "print"))
+  }
+
+  test("golden: ingested graph answers function_called_by(print) == {__init__, log}") {
+    val g = ingestFixture()
+    val callers = GraphQueries.functionCalledBy(g.graph, "print")
+      .head().getAs[scala.collection.Seq[String]]("callers")
+    assert(callers.toSet === Set("__init__", "log"))
+    val callees = GraphQueries.functionCalls(g.graph, "abort")
+      .head().getAs[scala.collection.Seq[String]]("callees")
+    assert(callees.toSet === Set("log"))
+  }
+
+  test("ingested DEFINES hierarchy matches the fixture graph") {
+    val g = ingestFixture()
+    // file defines log + Task; Task defines __init__ + abort
+    val fns = GraphQueries.getFunctionsInFile(g.graph, "", "src.py", ".py")
+      .collect().map(_.getAs[String]("name")).toSet
+    assert(fns === Set("log")) // direct Function children of the file
+    val taskId = GraphQueries.getByName(g.graph, "Class", "Task")
+      .head().getAs[Long]("id")
+    val children = GraphQueries.getNeighbors(g.graph, Seq(taskId), Some("DEFINES"))
+      .collect().map(_.getAs[String]("name")).toSet
+    assert(children === Set("__init__", "abort"))
+  }
+
+  test("calls carry position and call-site text") {
+    import spark.implicits._
+    val g = ingestFixture()
+    val abortId = GraphQueries.getByName(g.graph, "Function", "abort")
+      .head().getAs[Long]("id")
+    val edge = g.graph.edges
+      .filter($"type" === "CALLS" && $"src" === abortId).collect()
+    assert(edge.length === 1)
+    assert(edge(0).getAs[Long]("line") === 11)
+    assert(edge(0).getAs[String]("text") === "log(\"abort\")")
+  }
+
+  test("ingest is idempotent (re-running changes nothing)") {
+    val g = ingestFixture()
+    val n1 = GraphQueries.stats(g.graph).collect().map(_.getLong(1)).toSeq
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("src.py", fixtureSource)))
+    val n2 = GraphQueries.stats(g.graph).collect().map(_.getLong(1)).toSeq
+    assert(n1 === n2)
+  }
+
+  test("jsonl frontend ingests the same shape") {
+    val jsonl = Seq(
+      """{"kind":"entity","label":"Function","name":"log","start":2,"end":3,"doc":"","parent":-1}""",
+      """{"kind":"entity","label":"Class","name":"Task","start":5,"end":12,"doc":"","parent":-1}""",
+      """{"kind":"entity","label":"Function","name":"__init__","start":6,"end":8,"doc":"","parent":1}""",
+      """{"kind":"entity","label":"Function","name":"abort","start":10,"end":12,"doc":"","parent":1}""",
+      """{"kind":"ref","refKind":"call","from":0,"name":"print","line":3,"text":"print(msg)"}""",
+      """{"kind":"ref","refKind":"call","from":2,"name":"print","line":8,"text":"print(name)"}""",
+      """{"kind":"ref","refKind":"call","from":3,"name":"log","line":11,"text":"log(\"abort\")"}"""
+    ).mkString("\n")
+    val g = new CodeGraph(spark, "ingest_jsonl")
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("src.py.jsonl", jsonl)))
+    val callers = GraphQueries.functionCalledBy(g.graph, "print")
+      .head().getAs[scala.collection.Seq[String]]("callers")
+    assert(callers.toSet === Set("__init__", "log"))
+  }
+
+  test("base classes resolve to EXTENDS edges") {
+    import spark.implicits._
+    val src = Seq(
+      "class Base:",
+      "    pass",
+      "",
+      "class Child(Base):",
+      "    pass").mkString("\n")
+    val g = new CodeGraph(spark, "ingest_ext")
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("m.py", src)))
+    val base = GraphQueries.getByName(g.graph, "Class", "Base").head().getAs[Long]("id")
+    val child = GraphQueries.getByName(g.graph, "Class", "Child").head().getAs[Long]("id")
+    val e = g.graph.edges.filter($"type" === "EXTENDS").collect()
+    assert(e.length === 1)
+    assert(e(0).getAs[Long]("src") === child && e(0).getAs[Long]("dst") === base)
+  }
+}
