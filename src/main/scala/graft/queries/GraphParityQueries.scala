@@ -74,15 +74,17 @@ object GraphParityQueries {
     val placed = g.edges.filter($"type" === "PLACED" && $"src" < 50)
       .select($"src".as("cust"), $"dst".as("cur"))
     // first orders: not the target of any NEXT
+    // tiny frontier (≤50 customers) → single partition keeps the
+    // per-iteration checkpoint at one task
     var frontier = placed
       .join(next.select($"_ed".as("cur")), Seq("cur"), "left_anti")
-      .select($"cust", $"cur").localCheckpoint(true)
+      .select($"cust", $"cur").coalesce(1).localCheckpoint(true)
     var acc = frontier.select($"cust", lit(0L).as("hops"))
     var hop = 0L
     while (!frontier.isEmpty && hop < 1000) {
       hop += 1
-      frontier = frontier.join(next, $"cur" === $"_es")
-        .select($"cust", $"_ed".as("cur")).localCheckpoint(true)
+      frontier = frontier.join(broadcast(next), $"cur" === $"_es")
+        .select($"cust", $"_ed".as("cur")).coalesce(1).localCheckpoint(true)
       if (!frontier.isEmpty)
         acc = acc.union(frontier.select($"cust", lit(hop).as("hops")))
     }
@@ -140,6 +142,8 @@ object GraphParityQueries {
         lit("DEFINES").as("type"),
         map().cast("map<string,string>").as("props"))
     g.connectEntities(defines)
+    g.checkpointNow() // materialize the built graph once; the delete and
+    // the final aggregations below must not replay the bulk ID assignment
 
     val victims = Tables.orders(spark, d).filter($"o_orderstatus" === "F")
       .select(lit("orders").as("path"), $"o_orderkey".cast("string").as("name"),
