@@ -52,17 +52,53 @@ final class CodeGraph(val spark: SparkSession, val name: String,
   def rerun(opJson: String): MutationResult = mutate(OpLog.decode(opJson))
 
   /** Batch mutation entry points (ingest path — one job per batch, not one
-    * round-trip per entity; SURVEY §3.1 Spark trace). Batches are applied
-    * directly (not through the op-log — the reference only backlogs its
-    * fixed per-entity query set during history replay). */
+    * round-trip per entity; SURVEY §3.1 Spark trace). With the backlog ON
+    * (history walks, C8) each batch is captured as ONE op-log entry holding
+    * its rows — the reference backlogs one Cypher query per entity
+    * (`api/graph.py:141-150`); batch granularity replays identically
+    * (deterministic ID assignment) with far fewer entries. Batches during
+    * a history walk are one commit's diff — small by construction. */
   def addEntities(batch: DataFrame): MutationResult =
-    track(Mutations.addEntities(current, batch))
+    logged(batch, Mutations.addEntities(current, batch)) { rows =>
+      GraphOp.AddEntitiesBatch(rows.map(r => GraphOp.EntityRow(
+        r.getAs[String]("label"), r.getAs[String]("name"),
+        r.getAs[String]("path"), r.getAs[Long]("src_start"),
+        r.getAs[Long]("src_end"), r.getAs[String]("doc"),
+        Option(r.getAs[scala.collection.Map[String, String]]("props"))
+          .map(_.toMap).getOrElse(Map.empty))))
+    }
   def addFiles(batch: DataFrame): MutationResult =
-    track(Mutations.addFiles(current, batch))
+    logged(batch, Mutations.addFiles(current, batch)) { rows =>
+      GraphOp.AddFilesBatch(rows.map(r => GraphOp.FileKey(
+        r.getAs[String]("path"), r.getAs[String]("name"),
+        r.getAs[String]("ext"))))
+    }
   def connectEntities(batch: DataFrame): MutationResult =
-    track(Mutations.connectEntities(current, batch))
+    logged(batch, Mutations.connectEntities(current, batch)) { rows =>
+      GraphOp.ConnectEntitiesBatch(rows.map(r => GraphOp.EdgeRow(
+        r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[String]("type"),
+        Option(r.getAs[scala.collection.Map[String, String]]("props"))
+          .map(_.toMap).getOrElse(Map.empty))))
+    }
   def addCalls(batch: DataFrame): MutationResult =
-    track(Mutations.addCalls(current, batch))
+    logged(batch, Mutations.addCalls(current, batch)) { rows =>
+      GraphOp.AddCallsBatch(rows.map(r => GraphOp.CallRow(
+        r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Long]("pos"),
+        if (r.schema.fieldNames.contains("text")) r.getAs[String]("text")
+        else null)))
+    }
+
+  /** Apply a batch mutation; when the backlog is on, ALSO capture the batch
+    * rows as one op (collected before tracking — the batch plan reads the
+    * pre-mutation snapshot, which is immutable). Zero extra cost with the
+    * backlog off. */
+  private def logged(batch: DataFrame, mutation: => MutationResult)(
+      toOp: Seq[org.apache.spark.sql.Row] => GraphOp): MutationResult = {
+    val op = if (backlogEnabled) Some(toOp(batch.collect().toSeq)) else None
+    val res = track(mutation)
+    op.foreach { o => if (res.summary.changed) backlog += OpLog.encode(o) }
+    res
+  }
 
   /** Force-materialize the current snapshot (cuts lineage; call after a
     * bulk build phase so later actions don't replay ID assignment). */

@@ -78,11 +78,17 @@ object GraphSchema {
 }
 
 /** An immutable snapshot of one repo graph. Mutations (graft.graph.Mutations)
-  * are pure functions PropertyGraph => PropertyGraph. */
-final case class PropertyGraph(nodes: DataFrame, edges: DataFrame) {
+  * are pure functions PropertyGraph => PropertyGraph.
+  *
+  * `nextIdHint` is the highest node ID ever assigned in this snapshot's
+  * mutation chain (None when unknown, e.g. freshly loaded from disk). It
+  * lets ID assignment skip a full `max(id)` scan per mutation; IDs stay
+  * monotone across deletes, which keeps op-log replay deterministic. */
+final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
+    nextIdHint: Option[Long] = None) {
   def cache(): PropertyGraph =
-    PropertyGraph(nodes.cache(), edges.cache())
+    copy(nodes = nodes.cache(), edges = edges.cache())
   /** Cut lineage after iterated rewrites (mutation chains grow plans). */
   def checkpointed(): PropertyGraph =
-    PropertyGraph(nodes.localCheckpoint(true), edges.localCheckpoint(true))
+    copy(nodes = nodes.localCheckpoint(true), edges = edges.localCheckpoint(true))
 }

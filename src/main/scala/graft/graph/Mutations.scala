@@ -26,9 +26,22 @@ final case class ChangeSummary(
 
 /** Result of a mutation: the new snapshot, the affected rows (with their
   * assigned IDs — the reference returns created nodes, `api/graph.py:267`),
-  * and the change counters. */
-final case class MutationResult(graph: PropertyGraph, result: DataFrame,
-    summary: ChangeSummary)
+  * and the change counters.
+  *
+  * `summary` is lazy: counting changed rows costs extra Spark jobs, and the
+  * only consumer that needs it is backlog change detection
+  * (`api/graph.py:152-169`) plus tests. Callers that never read it (bulk
+  * ingest, bench) pay zero driver-side actions per mutation. */
+final class MutationResult(val graph: PropertyGraph, val result: DataFrame,
+    summaryThunk: () => ChangeSummary) {
+  lazy val summary: ChangeSummary = summaryThunk()
+}
+
+object MutationResult {
+  def apply(graph: PropertyGraph, result: DataFrame,
+      summary: => ChangeSummary): MutationResult =
+    new MutationResult(graph, result, () => summary)
+}
 
 /** All graph mutations as pure `PropertyGraph => PropertyGraph` rewrites
   * (SURVEY.md §2.4 M1–M11). Batch-first: the reference pays one network
@@ -60,19 +73,34 @@ object Mutations {
     * global order, and therefore every assigned ID, is a pure function of
     * the batch contents). Never `monotonically_increasing_id`: IDs are
     * public API surface (`api/index.py:277-288`) and must be replayable. */
-  def assignIds(df: DataFrame, keyCols: Seq[String], startId: Long): DataFrame = {
+  def assignIds(df: DataFrame, keyCols: Seq[String], startId: Long): DataFrame =
+    assignIdsCounted(df, keyCols, startId)._1
+
+  /** Like [[assignIds]] but also returns the batch size. One eager job
+    * (`localCheckpoint`) materializes the sorted batch; the zipWithIndex
+    * offset pass, the count, and every later consumer read the checkpointed
+    * partitions instead of recomputing the upstream join. Checkpointing
+    * before zipWithIndex is also a correctness requirement: the sort's range
+    * partitioner samples, so an unpinned recompute could shift rows across
+    * partition boundaries after the offsets were taken. */
+  private def assignIdsCounted(df: DataFrame, keyCols: Seq[String],
+      startId: Long): (DataFrame, Long) = {
     val spark = df.sparkSession
     val sorted = df.sort(keyCols.map(c => col(c).asc_nulls_first): _*)
+      .localCheckpoint(true)
     val outSchema = StructType(sorted.schema.fields :+
       StructField("id", LongType, nullable = false))
     val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ (startId + 1 + i))
     }
-    spark.createDataFrame(rdd, outSchema)
+    (spark.createDataFrame(rdd, outSchema), sorted.count())
   }
 
+  /** Highest assigned node ID: from the snapshot's hint when the mutation
+    * chain carried one forward, else one `max(id)` scan. */
   private def maxId(g: PropertyGraph): Long =
-    g.nodes.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0)
+    g.nextIdHint.getOrElse(
+      g.nodes.agg(coalesce(max(col("id")), lit(0L))).head().getLong(0))
 
   private def nullSafeEq(a: Column, b: Column): Column = a <=> b
 
@@ -92,12 +120,7 @@ object Mutations {
         first(col("props"), ignoreNulls = false).as("props"))
       .cache()
 
-    val ex = g.nodes
-    val cond = array_contains(ex("labels"), b("label")) &&
-      nullSafeEq(ex("name"), b("name")) && nullSafeEq(ex("path"), b("path")) &&
-      nullSafeEq(ex("src_start"), b("src_start")) &&
-      nullSafeEq(ex("src_end"), b("src_end"))
-    val joined = b.join(ex.select(col("id").as("_exid"), col("labels"),
+    val joined = b.join(g.nodes.select(col("id").as("_exid"), col("labels"),
         col("name").as("_exn"), col("path").as("_exp"),
         col("src_start").as("_exss"), col("src_end").as("_exse")),
         array_contains(col("labels"), b("label")) &&
@@ -108,11 +131,10 @@ object Mutations {
       .select(b("label"), b("name"), b("path"), b("src_start"), b("src_end"),
         b("doc"), b("props"), col("_exid"))
       .cache()
-    val _ = cond // documented intent; the aliased join above avoids ambiguity
 
     val toInsert = joined.filter(col("_exid").isNull).drop("_exid")
-    val nInserted = toInsert.count()
-    val inserted = assignIds(toInsert, key, maxId(g))
+    val startId = maxId(g)
+    val (inserted, nInserted) = assignIdsCounted(toInsert, key, startId)
     val insertedNodes = conform(
       inserted.select(col("id"),
         array(col("label"), lit(SEARCHABLE)).as("labels"),
@@ -123,7 +145,6 @@ object Mutations {
     val upd = joined.filter(col("_exid").isNotNull)
       .select(col("_exid").as("_uid"), col("doc").as("_udoc"),
         col("props").as("_uprops"))
-    val nUpdated = upd.count()
     val updated = g.nodes.join(upd, col("id") === col("_uid"), "left")
       .select(col("id"), col("labels"), col("name"), col("path"), col("ext"),
         col("src_start"), col("src_end"),
@@ -133,14 +154,16 @@ object Mutations {
           .otherwise(col("props")).as("props"))
 
     val nodes2 = conform(updated, nodeSchema).unionByName(insertedNodes)
-    val propsSet = (nInserted + nUpdated) // doc assignment counts ≥1 per upsert
     val resultIds = inserted.select(col("id"), col("label"), col("name"),
         col("path"), col("src_start"), col("src_end"))
       .unionByName(joined.filter(col("_exid").isNotNull)
         .select(col("_exid").as("id"), col("label"), col("name"), col("path"),
           col("src_start"), col("src_end")))
-    MutationResult(PropertyGraph(nodes2, g.edges), resultIds,
-      ChangeSummary(nodesCreated = nInserted, propertiesSet = propsSet))
+    MutationResult(
+      PropertyGraph(nodes2, g.edges, Some(startId + nInserted)), resultIds,
+      // doc assignment counts ≥1 property per upsert
+      ChangeSummary(nodesCreated = nInserted,
+        propertiesSet = nInserted + upd.count()))
   }
 
   def addEntity(g: PropertyGraph, label: String, name: String, path: String,
@@ -168,8 +191,8 @@ object Mutations {
           nullSafeEq(col("_exe"), b("ext")), "left").cache()
 
     val toInsert = joined.filter(col("_exid").isNull).drop("_exid")
-    val nInserted = toInsert.count()
-    val inserted = assignIds(toInsert, key, maxId(g))
+    val startId = maxId(g)
+    val (inserted, nInserted) = assignIdsCounted(toInsert, key, startId)
     val insertedNodes = conform(
       inserted.select(col("id"), array(lit("File"), lit(SEARCHABLE)).as("labels"),
         col("name"), col("path"), col("ext")),
@@ -178,7 +201,8 @@ object Mutations {
     val resultIds = inserted.select(col("id"), col("path"), col("name"), col("ext"))
       .unionByName(joined.filter(col("_exid").isNotNull)
         .select(col("_exid").as("id"), col("path"), col("name"), col("ext")))
-    MutationResult(PropertyGraph(nodes2, g.edges), resultIds,
+    MutationResult(
+      PropertyGraph(nodes2, g.edges, Some(startId + nInserted)), resultIds,
       ChangeSummary(nodesCreated = nInserted))
   }
 
@@ -206,14 +230,9 @@ object Mutations {
 
     val ex = g.edges.select(col("src"), col("dst"), col("type")).distinct()
     val toInsert = b.join(ex, Seq("src", "dst", "type"), "left_anti")
-    val nInserted = toInsert.count()
     val toUpdate = b.join(ex, Seq("src", "dst", "type"), "left_semi")
       .select(col("src").as("_us"), col("dst").as("_ud"),
         col("type").as("_ut"), col("props").as("_uprops"))
-    val nUpdatedProps = toUpdate
-      .agg(coalesce(sum(size(coalesce(col("_uprops"),
-        map().cast(MapType(StringType, StringType))))), lit(0L)))
-      .head().getLong(0)
 
     val edges2 = g.edges
       .join(toUpdate, col("src") === col("_us") && col("dst") === col("_ud") &&
@@ -226,10 +245,15 @@ object Mutations {
       toInsert.select(col("src"), col("dst"), col("type"), col("props")),
       edgeSchema)
     val edges3 = conform(edges2, edgeSchema).unionByName(insertedEdges)
-    MutationResult(PropertyGraph(g.nodes, edges3),
-      b.select(col("src"), col("dst"), col("type")),
-      ChangeSummary(relationshipsCreated = nInserted,
-        propertiesSet = nUpdatedProps))
+    MutationResult(PropertyGraph(g.nodes, edges3, g.nextIdHint),
+      b.select(col("src"), col("dst"), col("type")), {
+        val nUpdatedProps = toUpdate
+          .agg(coalesce(sum(size(coalesce(col("_uprops"),
+            map().cast(MapType(StringType, StringType))))), lit(0L)))
+          .head().getLong(0)
+        ChangeSummary(relationshipsCreated = toInsert.count(),
+          propertiesSet = nUpdatedProps)
+      })
   }
 
   def connectEntities(g: PropertyGraph, relType: String, src: Long, dst: Long,
@@ -260,14 +284,13 @@ object Mutations {
     val ex = g.edges.filter(col("type") === "CALLS")
       .select(col("src"), col("dst"), col("line"))
     val toInsert = b.join(ex, Seq("src", "dst", "line"), "left_anti")
-    val nInserted = toInsert.count()
     val insertedEdges = conform(
       toInsert.select(col("src"), col("dst"), lit("CALLS").as("type"),
         col("line"), col("text")),
       edgeSchema)
     val edges2 = conform(g.edges, edgeSchema).unionByName(insertedEdges)
-    MutationResult(PropertyGraph(g.nodes, edges2), b,
-      ChangeSummary(relationshipsCreated = nInserted))
+    MutationResult(PropertyGraph(g.nodes, edges2, g.nextIdHint), b,
+      ChangeSummary(relationshipsCreated = toInsert.count()))
   }
 
   // ---------------------------------------------------------------- M5
@@ -296,7 +319,8 @@ object Mutations {
           .otherwise(col("coverage_precentage")).as("coverage_precentage"),
         when(col("_uid").isNotNull, mergeProps(col("props"), openTail))
           .otherwise(col("props")).as("props"))
-    MutationResult(PropertyGraph(conform(nodes2, nodeSchema), g.edges),
+    MutationResult(
+      PropertyGraph(conform(nodes2, nodeSchema), g.edges, g.nextIdHint),
       upd.select(col("_uid").as("id")),
       ChangeSummary(propertiesSet = nPropsSet))
   }
@@ -323,14 +347,15 @@ object Mutations {
         fileIds.union(funcIds)
       } else fileIds
     val t = targets.withColumnRenamed("id", "_uid").cache()
-    val n = t.count()
     val nodes2 = g.nodes.join(t, col("id") === col("_uid"), "left")
       .withColumn("coverage_precentage",
         when(col("_uid").isNotNull, lit(coverage))
           .otherwise(col("coverage_precentage")))
       .drop("_uid")
-    MutationResult(PropertyGraph(conform(nodes2, nodeSchema), g.edges),
-      t.select(col("_uid").as("id")), ChangeSummary(propertiesSet = n))
+    MutationResult(
+      PropertyGraph(conform(nodes2, nodeSchema), g.edges, g.nextIdHint),
+      t.select(col("_uid").as("id")),
+      ChangeSummary(propertiesSet = t.count()))
   }
 
   // ---------------------------------------------------------------- M7
@@ -348,22 +373,26 @@ object Mutations {
   /** DataFrame-keyed variant of [[deleteFiles]] — the scale path: victim
     * keys stay distributed (no driver-side key list). */
   def deleteFiles(g: PropertyGraph, keys: DataFrame): MutationResult = {
-    val allEdges = g.edges.cache() // counted twice below — avoid recompute
+    val allEdges = g.edges
     val roots = g.nodes.filter(array_contains(col("labels"), "File"))
       .join(keys, Seq("path", "name", "ext"), "left_semi")
       .select(col("id"))
+    // reachableFrom checkpoints its result, so victims is already pinned
     val victims = Paths.reachableFrom(
-      allEdges.filter(col("type") === "DEFINES"), roots).cache()
-    val nVictims = victims.count()
+      allEdges.filter(col("type") === "DEFINES"), roots)
     val nodes2 = g.nodes.join(victims, Seq("id"), "left_anti")
     val edges2 = allEdges
       .join(victims.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
       .join(victims.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
       .select(g.edges.columns.map(col).toIndexedSeq: _*)
-    val nEdgesDeleted = allEdges.count() - edges2.count()
-    MutationResult(PropertyGraph(nodes2, edges2), victims,
-      ChangeSummary(nodesDeleted = nVictims,
-        relationshipsDeleted = nEdgesDeleted))
+    MutationResult(PropertyGraph(nodes2, edges2, g.nextIdHint), victims, {
+      // one pass over edges: count rows touching any victim
+      val deleted = allEdges
+        .join(victims.withColumnRenamed("id", "vid"),
+          col("src") === col("vid") || col("dst") === col("vid"), "left_semi")
+      ChangeSummary(nodesDeleted = victims.count(),
+        relationshipsDeleted = deleted.count())
+    })
   }
 
   // ------------------------------------------------------- M8–M10 (commits)
@@ -387,9 +416,13 @@ object Mutations {
       .toDF("hash", "author", "message", "date"))
   }
 
-  private def commitIdByHash(g: PropertyGraph, hash: String): DataFrame =
+  /** Resolve commit hashes to node IDs in ONE job (not one head() each). */
+  private def commitIdsByHash(g: PropertyGraph,
+      hashes: Seq[String]): Map[String, Long] =
     g.nodes.filter(array_contains(col("labels"), "Commit") &&
-      col("name") === lit(hash)).select(col("id"))
+        col("name").isin(hashes: _*))
+      .select(col("name"), col("id")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
 
   /** M9 `connect_commits` (`api/git_utils/git_graph.py:99-113`): materialize
     * both directions — (child)-[:PARENT]->(parent), (parent)-[:CHILD]->(child). */
@@ -397,8 +430,8 @@ object Mutations {
       parentHash: String): MutationResult = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val child = commitIdByHash(g, childHash).head().getLong(0)
-    val parent = commitIdByHash(g, parentHash).head().getLong(0)
+    val ids = commitIdsByHash(g, Seq(childHash, parentHash))
+    val (child, parent) = (ids(childHash), ids(parentHash))
     val b = Seq((child, parent, "PARENT", Map.empty[String, String]),
       (parent, child, "CHILD", Map.empty[String, String]))
       .toDF("src", "dst", "type", "props")
@@ -410,8 +443,8 @@ object Mutations {
     * PARENT/CHILD edge between two commits. */
   def setTransition(g: PropertyGraph, fromHash: String, toHash: String,
       relType: String, queries: Seq[String], params: Seq[String]): MutationResult = {
-    val from = commitIdByHash(g, fromHash).head().getLong(0)
-    val to = commitIdByHash(g, toHash).head().getLong(0)
+    val ids = commitIdsByHash(g, Seq(fromHash, toHash))
+    val (from, to) = (ids(fromHash), ids(toHash))
     val edges2 = g.edges.withColumn("_hit",
         col("src") === lit(from) && col("dst") === lit(to) &&
           col("type") === lit(relType))
@@ -420,7 +453,8 @@ object Mutations {
       .withColumn("params",
         when(col("_hit"), typedLit(params)).otherwise(col("params")))
       .drop("_hit")
-    MutationResult(PropertyGraph(g.nodes, conform(edges2, edgeSchema)),
+    MutationResult(
+      PropertyGraph(g.nodes, conform(edges2, edgeSchema), g.nextIdHint),
       g.edges.filter(col("src") === lit(from) && col("dst") === lit(to) &&
         col("type") === lit(relType)),
       ChangeSummary(propertiesSet = 2))
@@ -447,5 +481,26 @@ object Mutations {
     case o: GraphOp.ConnectCommits => connectCommits(g, o.childHash, o.parentHash)
     case o: GraphOp.SetTransition =>
       setTransition(g, o.fromHash, o.toHash, o.relType, o.queries, o.params)
+    case o: GraphOp.AddEntitiesBatch =>
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      addEntities(g, o.rows.map(r =>
+          (r.label, r.name, r.path, r.srcStart, r.srcEnd, r.doc, r.props))
+        .toDF("label", "name", "path", "src_start", "src_end", "doc", "props"))
+    case o: GraphOp.AddFilesBatch =>
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      addFiles(g, o.rows.map(r => (r.path, r.name, r.ext))
+        .toDF("path", "name", "ext"))
+    case o: GraphOp.ConnectEntitiesBatch =>
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      connectEntities(g, o.rows.map(r => (r.src, r.dst, r.relType, r.props))
+        .toDF("src", "dst", "type", "props"))
+    case o: GraphOp.AddCallsBatch =>
+      val spark = g.nodes.sparkSession
+      import spark.implicits._
+      addCalls(g, o.rows.map(r => (r.src, r.dst, r.pos, r.text))
+        .toDF("src", "dst", "pos", "text"))
   }
 }

@@ -40,6 +40,23 @@ object GraphOp {
   final case class ConnectCommits(childHash: String, parentHash: String) extends GraphOp
   final case class SetTransition(fromHash: String, toHash: String,
       relType: String, queries: Seq[String], params: Seq[String]) extends GraphOp
+
+  // ---- batch rows (history re-analysis capture; SURVEY §2.6 F5) --------
+  // The reference backlogs one Cypher query per entity during the history
+  // walk (`api/graph.py:141-150`); we backlog one op per ingest BATCH —
+  // replay fidelity is identical (deterministic ID assignment) at a
+  // fraction of the op count. Row payloads are small by construction: a
+  // transition covers one commit's diff.
+  final case class EntityRow(label: String, name: String, path: String,
+      srcStart: Long, srcEnd: Long, doc: String, props: Map[String, String])
+  final case class EdgeRow(src: Long, dst: Long, relType: String,
+      props: Map[String, String])
+  final case class CallRow(src: Long, dst: Long, pos: Long, text: String)
+
+  final case class AddEntitiesBatch(rows: Seq[EntityRow]) extends GraphOp
+  final case class AddFilesBatch(rows: Seq[FileKey]) extends GraphOp
+  final case class ConnectEntitiesBatch(rows: Seq[EdgeRow]) extends GraphOp
+  final case class AddCallsBatch(rows: Seq[CallRow]) extends GraphOp
 }
 
 object OpLog {
@@ -83,6 +100,10 @@ object OpLog {
       case "AddCommit" => mapper.treeToValue(data, classOf[AddCommit])
       case "ConnectCommits" => mapper.treeToValue(data, classOf[ConnectCommits])
       case "SetTransition" => mapper.treeToValue(data, classOf[SetTransition])
+      case "AddEntitiesBatch" => mapper.treeToValue(data, classOf[AddEntitiesBatch])
+      case "AddFilesBatch" => mapper.treeToValue(data, classOf[AddFilesBatch])
+      case "ConnectEntitiesBatch" => mapper.treeToValue(data, classOf[ConnectEntitiesBatch])
+      case "AddCallsBatch" => mapper.treeToValue(data, classOf[AddCallsBatch])
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
   }

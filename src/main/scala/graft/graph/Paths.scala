@@ -108,28 +108,30 @@ object Paths {
       relType: String, maxHops: Int = 10000): DataFrame = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    // First-parent history is a linear chain (SURVEY J7) — follow the single
-    // outgoing edge per step; driver loop with one tiny lookup per hop.
-    val e = g.edges.filter(col("type") === relType)
-      .select(col("src"), col("dst"), col("queries"), col("params")).cache()
+    // First-parent history is a linear chain (SURVEY J7), and a repo's
+    // commit-edge table fits in driver memory by construction — so fetch the
+    // whole typed chain in ONE job and walk it locally (the per-hop
+    // `limit(1).collect()` alternative is one Spark job per commit).
+    val rows = g.edges.filter(col("type") === relType)
+      .select(col("src"), col("dst"), col("queries"), col("params")).collect()
+    val bySrc = rows.iterator.map(r => r.getAs[Long]("src") -> r).toMap
     val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[String], Seq[String])]
     var cur = fromId
     var hop = 0
-    while (cur != toId && hop < maxHops) {
-      val row = e.filter(col("src") === lit(cur)).limit(1).collect()
-      if (row.isEmpty) { hop = maxHops } // no path
-      else {
-        val r = row(0)
-        val qs = Option(r.getAs[scala.collection.Seq[String]]("queries"))
-          .map(_.toSeq).getOrElse(null)
-        val ps = Option(r.getAs[scala.collection.Seq[String]]("params"))
-          .map(_.toSeq).getOrElse(null)
-        if (qs != null) steps += ((hop, qs, ps))
-        cur = r.getAs[Long]("dst")
-        hop += 1
+    var dead = false
+    while (cur != toId && hop < maxHops && !dead) {
+      bySrc.get(cur) match {
+        case None => dead = true // no path
+        case Some(r) =>
+          val qs = Option(r.getAs[scala.collection.Seq[String]]("queries"))
+            .map(_.toSeq).orNull
+          val ps = Option(r.getAs[scala.collection.Seq[String]]("params"))
+            .map(_.toSeq).orNull
+          if (qs != null) steps += ((hop, qs, ps))
+          cur = r.getAs[Long]("dst")
+          hop += 1
       }
     }
-    e.unpersist()
     if (cur != toId) spark.emptyDataset[(Int, Seq[String], Seq[String])]
       .toDF("step", "queries", "params")
     else steps.toSeq.toDF("step", "queries", "params")

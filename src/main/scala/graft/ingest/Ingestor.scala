@@ -39,7 +39,14 @@ object Ingestor {
     (dir, base, ext)
   }
 
-  final case class IngestReport(nFiles: Long, nEntities: Long, nEdges: Long)
+  /** Counters are lazy: computing them costs three count jobs over the
+    * final graph, and callers on the hot path (history walks ingest once
+    * per commit) never read them. */
+  final class IngestReport(files: => Long, entities: => Long, edges: => Long) {
+    lazy val nFiles: Long = files
+    lazy val nEntities: Long = entities
+    lazy val nEdges: Long = edges
+  }
 
   def ingest(g: CodeGraph, files: Seq[SourceFile]): IngestReport = {
     val spark = g.spark
@@ -88,11 +95,15 @@ object Ingestor {
     val entRes = g.addEntities(entitiesRaw.select($"label", $"name",
       $"fpath".as("path"), $"src_start", $"src_end", $"doc",
       map().cast("map<string,string>").as("props")))
+    // localCheckpoint, not cache: the ID-assignment plan upstream (upsert
+    // joins + zipWithIndex) would otherwise ride along in every downstream
+    // batch plan — plans grow multiplicatively over a mutation chain
+    // (observed 12 MiB task binaries on history walks).
     val entIds = entitiesRaw
       .join(entRes.result.withColumnRenamed("path", "fpath"),
         Seq("label", "name", "fpath", "src_start", "src_end"))
       .select($"fpath", $"idx", $"id".as("ent_id"), $"label".as("ent_label"))
-      .cache()
+      .localCheckpoint(true)
 
     // DEFINES hierarchy
     val rootDefines = entitiesRaw.filter($"parentIdx" === -1)
@@ -127,7 +138,7 @@ object Ingestor {
       .orderBy(when($"target_path" === $"fpath", 0).otherwise(1),
         $"target_path".asc_nulls_last, $"target_id".asc_nulls_last)
     val resolved = candidates.withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1).drop("rk").cache()
+      .filter($"rk" === 1).drop("rk").localCheckpoint(true)
 
     // unresolved call targets become stub Function nodes (builtins)
     val stubs = resolved.filter($"target_id".isNull && $"kind" === "call")
@@ -142,28 +153,30 @@ object Ingestor {
       .join(stubIds, Seq("name"), "left")
       .withColumn("dst_id", coalesce($"target_id", $"stub_id"))
       .filter($"dst_id".isNotNull)
-      .cache()
+      .localCheckpoint(true)
 
     // CALLS (with position + call-site text, api/graph.py:500-516 shape)
     val calls = withTargets.filter($"kind" === "call")
       .select($"src_id".as("src"), $"dst_id".as("dst"), $"line".as("pos"), $"text")
     g.addCalls(calls)
 
-    // typed relation edges (api/analyzers/source_analyzer.py:158-169)
-    val kindToRel = Seq(
+    // typed relation edges (api/analyzers/source_analyzer.py:158-169) —
+    // ONE batch for all kinds (a per-kind loop costs an isEmpty job plus a
+    // mutation round per relation type)
+    val kindToRel = typedLit(Map(
       "base_class" -> "EXTENDS", "extend_interface" -> "EXTENDS",
       "implement_interface" -> "IMPLEMENTS",
-      "return_type" -> "RETURNS", "parameters" -> "PARAMETERS")
-    kindToRel.foreach { case (kind, rel) =>
-      val edges = withTargets.filter($"kind" === kind)
-        .select($"src_id".as("src"), $"dst_id".as("dst"),
-          lit(rel).as("type"), map().cast("map<string,string>").as("props"))
-      if (!edges.isEmpty) g.connectEntities(edges)
-    }
+      "return_type" -> "RETURNS", "parameters" -> "PARAMETERS"))
+    val typedEdges = withTargets
+      .withColumn("type", element_at(kindToRel, $"kind"))
+      .filter($"type".isNotNull)
+      .select($"src_id".as("src"), $"dst_id".as("dst"), $"type",
+        map().cast("map<string,string>").as("props"))
+    g.connectEntities(typedEdges)
 
-    val stats = GraphQueries.stats(g.graph).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
     extracted.unpersist()
-    IngestReport(fileBatch.count(), stats("nodes"), stats("edges"))
+    lazy val stats = GraphQueries.stats(g.graph).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    new IngestReport(fileBatch.count(), stats("nodes"), stats("edges"))
   }
 }

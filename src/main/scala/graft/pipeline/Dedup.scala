@@ -46,8 +46,9 @@ object Dedup {
       size(array_distinct(concat(a, b))).cast("double")
 
   /** All-pairs n-gram Jaccard above `threshold` — the brute-force baseline
-    * (quadratic: restrict the input or use [[minhashCandidates]] at scale). */
-  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+    * (quadratic: test-oracle use only; [[jaccardPairs]] computes the same
+    * exact pair set with an inverted index). */
+  def jaccardPairsBrute(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val g = docs.select(col(idCol).as("id"),
       ngrams(lower(col(textCol)), n).as("grams"))
@@ -59,12 +60,53 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
-  /** MinHash signature: `numHashes` min-values over the shingle set, each
-    * with a distinct seeded xxhash64. Stored as an array column. */
-  def minhashSignature(grams: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { seed =>
-      array_min(transform(grams, g => xxhash64(lit(seed), g)))
+  /** Exact n-gram Jaccard pairs via an inverted index — no cartesian join.
+    *
+    * explode grams → self-join postings on gram → |∩| = per-pair posting
+    * match count; |∪| = |A| + |B| − |∩| from the per-doc gram counts. Any
+    * pair with jaccard > 0 shares ≥ 1 gram, so the posting join generates a
+    * superset of every pair above any positive threshold — same exact
+    * result set as the all-pairs baseline.
+    *
+    * Scale: shuffles on gram then on (id_a, id_b) — both equi-joins. A gram
+    * appearing in k docs contributes k² candidate rows; at 100 TB drop
+    * ultra-frequent grams first (a stopword-gram cutoff) or use
+    * [[minhashDedup]], which thresholds by banding instead. */
+  def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val g = docs.select(col(idCol).as("id"),
+        ngrams(lower(col(textCol)), n).as("grams"))
+      .select(col("id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+    val a = g.select(col("gram"), col("id").as("id_a"), col("n_grams").as("na"))
+    val b = g.select(col("gram"), col("id").as("id_b"), col("n_grams").as("nb"))
+    a.join(b, Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
+      .withColumn("jac", col("inter").cast("double") /
+        (col("na") + col("nb") - col("inter")).cast("double"))
+      .filter(col("jac") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jac"))
+  }
+
+  /** MinHash signature: `numHashes` min-values over the shingle set.
+    *
+    * Each gram is string-hashed ONCE (xxhash64 → 32-bit base hash); the
+    * `numHashes` permutations are universal hashes `(a_i·h + b_i) mod p`
+    * (p = 2³¹−1) over that base — long multiply-add-mod per gram instead of
+    * `numHashes` string hashes per gram. Constants derive deterministically
+    * from the permutation index, so signatures are reproducible on any
+    * cluster. All intermediates stay < 2⁶³ (no ANSI overflow). */
+  def minhashSignature(grams: Column, numHashes: Int): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val base = transform(grams, g => pmod(xxhash64(g), lit(4294967296L)))
+    array((0 until numHashes).map { i =>
+      val a = 1L + ((i.toLong * 0x9E3779B9L) % (p - 1))
+      val b = (i.toLong * 0x85EBCA6BL) % p
+      array_min(transform(base, h => pmod(h * lit(a) + lit(b), lit(p))))
     }: _*)
+  }
 
   /** MinHash + LSH banding: candidate pairs that agree on at least one band
     * of `rowsPerBand` consecutive signature entries. The band bucket join is
@@ -144,23 +186,38 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
-  /** Embedding cosine near-dup: brute-force pairs with cosine >= threshold.
+  /** Embedding cosine near-dup pairs with cosine >= threshold.
     *
-    * Implementation: broadcast the corpus (id, vec) and scan it once per
-    * row in a tight JVM loop — each task emits its rows' qualifying pairs.
-    * This replaces an all-pairs crossJoin of interpreted `aggregate` folds
-    * (O(n²) array-lambda evaluations) with O(n²/p) fused multiply-adds per
-    * task; at 2k vectors this is ~100× faster. The arithmetic keeps the
-    * exact sequential op order of the SQL oracle
-    * (dot / (sqrt(Σa²)·sqrt(Σb²)), HALF_UP rounding), so results stay
-    * bit-identical. Beyond broadcastable corpus sizes, use
-    * [[Similarity.hyperplaneBuckets]] to shard candidates first. */
+    * Two physical paths behind a corpus-size guard:
+    *  - corpus ≤ `broadcastLimit` rows: broadcast the corpus (id, vec) and
+    *    scan it once per row in a tight JVM loop — exact all-pairs,
+    *    O(n²/p) fused multiply-adds per task. The arithmetic keeps the
+    *    exact sequential op order of the SQL oracle
+    *    (dot / (sqrt(Σa²)·sqrt(Σb²)), HALF_UP rounding) so results are
+    *    bit-identical.
+    *  - larger corpora: banded hyperplane-LSH candidates + exact cosine
+    *    verify ([[embeddingNearDupPairsBucketed]]) — never collects the
+    *    corpus to the driver; approximate (recall < 1 for pairs near the
+    *    threshold) but the only shape that survives 100 TB. */
   def embeddingNearDupPairs(emb: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      broadcastLimit: Long = 500000): DataFrame = {
     val v = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
+    if (v.count() <= broadcastLimit)
+      embeddingNearDupPairsBroadcast(v, threshold)
+    else
+      embeddingNearDupPairsBucketed(emb, threshold, idCol = idCol,
+        vecCol = vecCol)
+  }
+
+  /** Exact broadcast path of [[embeddingNearDupPairs]]; `v` has columns
+    * (id: long, vec: array<double>). Guarded by the caller — the collect
+    * here is the deliberate small-corpus fast path. */
+  private def embeddingNearDupPairsBroadcast(v: DataFrame,
+      threshold: Double): DataFrame = {
+    val spark = v.sparkSession
+    import spark.implicits._
     val all = v.as[(Long, Seq[Double])].collect()
       .sortBy(_._1).map { case (i, xs) => (i, xs.toArray) }
     val bc = spark.sparkContext.broadcast(all)
@@ -181,5 +238,41 @@ object Dedup {
         }
       }
     }.toDF("id_a", "id_b", "cos")
+  }
+
+  /** Scale path: banded random-hyperplane LSH candidates + exact cosine
+    * verify. `nBits` sign bits are banded into `nBands` blocks; a candidate
+    * pair must agree on at least one whole block (similar vectors agree on
+    * most sign bits, so high-cosine pairs almost surely share a block).
+    * Shuffles on (band, block) then (id_a, id_b) — equi-joins only, no
+    * driver-side corpus. */
+  def embeddingNearDupPairsBucketed(emb: DataFrame, threshold: Double,
+      nBits: Int = 64, nBands: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(nBits % nBands == 0, "bands must tile the signature")
+    val bitsPerBand = nBits / nBands
+    val mask = (1L << bitsPerBand) - 1
+    val v = emb.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec")).cache()
+    val sig = v.join(
+      Similarity.hyperplaneBuckets(emb, nBits, idCol, vecCol)
+        .withColumnRenamed("bucket", "sig")
+        .withColumn("id", col("id").cast("long")),
+      Seq("id"))
+    val banded = sig.select(col("id"),
+      posexplode(array((0 until nBands).map { b =>
+        shiftright(col("sig"), b * bitsPerBand).bitwiseAND(lit(mask))
+      }: _*)).as(Seq("band", "block")))
+    val l = banded.select(col("band"), col("block"), col("id").as("id_a"))
+    val r = banded.select(col("band"), col("block"), col("id").as("id_b"))
+    val candidates = l.join(r, Seq("band", "block"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("vec").as("vec_a")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vec_b")), "id_b")
+      .withColumn("cos", round(Similarity.cosine(col("vec_a"), col("vec_b")), 4))
+      .filter(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 }

@@ -60,7 +60,6 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nprobe: Int,
       idCol: String = "vec_id", vecCol: String = "embedding",
       cellCol: String = "label"): DataFrame = {
-    val dims = corpus.select(size(col(vecCol)).as("d")).head().getInt(0)
     val c = corpus.select(col(idCol).as("nid"), col(cellCol).as("cell"),
       col(vecCol).cast("array<double>").as("nvec"))
     // centroid per cell: element-wise mean via posexplode + group
@@ -82,7 +81,6 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid"))
-    val _ = dims
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))

@@ -48,6 +48,27 @@ object GraphParityQueries {
       .orderBy($"id")
   }
 
+  /** g04 — J6 `find_paths`: the single simple path from customer 1's first
+    * order to its last along the NEXT chain, exploded to (step, id) rows so
+    * the DuckDB oracle (the date-ordered order sequence) can hash-match the
+    * traversal output. Exercises the frontier-expansion engine end to end:
+    * cycle guard, target stop, path materialization (T4 nodes(path)). */
+  def g04FindPaths(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    val endpoints = Tables.orders(spark, d).filter($"o_custkey" === 1)
+      .agg(
+        min_by($"o_orderkey", struct($"o_orderdate", $"o_orderkey")).as("first"),
+        max_by($"o_orderkey", struct($"o_orderdate", $"o_orderkey")).as("last"))
+      .head()
+    val src = TpchGraph.OrderBase + endpoints.getAs[Number]("first").longValue()
+    val dst = TpchGraph.OrderBase + endpoints.getAs[Number]("last").longValue()
+    Paths.findPaths(g, src, dst, "NEXT", maxHops = 256)
+      .select(posexplode($"path").as(Seq("step", "id")))
+      .select($"step".cast("long").as("step"), $"id")
+      .orderBy($"step")
+  }
+
   /** g05 — 2-hop traversal (bounded J9 shape): distinct parts reachable
     * from customers <20 via PLACED∘CONTAINS. */
   def g05TwoHop(spark: SparkSession, d: String): DataFrame = {
@@ -64,32 +85,48 @@ object GraphParityQueries {
   }
 
   /** g06 — J7 chain walk: length of the NEXT chain from each customer's
-    * first order (iterative frontier expansion, one join per hop —
-    * SURVEY §4.1). Equals (orders per customer - 1). */
+    * first order. Pointer doubling (SURVEY §4.1): each round squares the
+    * jump relation — (node, jump, dist) becomes (node, jump∘jump,
+    * dist + dist(jump)) — so an L-hop chain resolves in ⌈log₂ L⌉ distributed
+    * self-joins instead of L sequential frontier hops. Equals
+    * (orders per customer − 1). */
   def g06ChainWalk(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val g = TpchGraph.build(spark, d)
-    val next = g.edges.filter($"type" === "NEXT")
-      .select($"src".as("_es"), $"dst".as("_ed")).cache()
     val placed = g.edges.filter($"type" === "PLACED" && $"src" < 50)
-      .select($"src".as("cust"), $"dst".as("cur"))
-    // first orders: not the target of any NEXT
-    // tiny frontier (≤50 customers) → single partition keeps the
-    // per-iteration checkpoint at one task
-    var frontier = placed
-      .join(next.select($"_ed".as("cur")), Seq("cur"), "left_anti")
-      .select($"cust", $"cur").coalesce(1).localCheckpoint(true)
-    var acc = frontier.select($"cust", lit(0L).as("hops"))
-    var hop = 0L
-    while (!frontier.isEmpty && hop < 1000) {
-      hop += 1
-      frontier = frontier.join(broadcast(next), $"cur" === $"_es")
-        .select($"cust", $"_ed".as("cur")).coalesce(1).localCheckpoint(true)
-      if (!frontier.isEmpty)
-        acc = acc.union(frontier.select($"cust", lit(hop).as("hops")))
+      .select($"src".as("cust"), $"dst".as("node"))
+    val next = g.edges.filter($"type" === "NEXT")
+      .select($"src".as("node"), $"dst".as("succ"))
+      .join(placed.select($"node"), Seq("node"), "left_semi")
+      .localCheckpoint(true) // NEXT restricted to the probed customers' orders
+    // ptr(u) = (jump, dist): the node reached after dist hops. Chain ends
+    // point at themselves with dist 0, so squaring is a total function.
+    val nodes = placed.select($"node")
+    var ptr = nodes
+      .join(next, Seq("node"), "left")
+      .select($"node", coalesce($"succ", $"node").as("jump"),
+        when($"succ".isNotNull, 1L).otherwise(0L).as("dist"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    var prevTotal = ptr.select(sum($"dist")).head().getLong(0)
+    while (!converged && rounds < 64) { // 64 ⌈log₂⌉ bounds any chain length
+      rounds += 1
+      val hopOf = ptr.select($"node".as("jump"), $"jump".as("jump2"),
+        $"dist".as("dist2"))
+      val next2 = ptr.join(hopOf, Seq("jump"))
+        .select($"node", $"jump2".as("jump"), ($"dist" + $"dist2").as("dist"))
+        .localCheckpoint(true)
+      // fixpoint when no pointer advanced this round (total dist stable)
+      val total = next2.select(sum($"dist")).head().getLong(0)
+      ptr = next2
+      converged = total == prevTotal
+      prevTotal = total
     }
-    next.unpersist()
-    acc.groupBy($"cust").agg(max($"hops").as("chain_len")).orderBy($"cust")
+    val firstOrders = placed
+      .join(next.select($"succ".as("node")), Seq("node"), "left_anti")
+    firstOrders.join(ptr, Seq("node"))
+      .groupBy($"cust").agg(max($"dist").as("chain_len")).orderBy($"cust")
   }
 
   /** g07 — M1 batch upsert idempotence: load all documents as entities
@@ -162,6 +199,7 @@ object GraphParityQueries {
     "g01_graph_neighbors" -> (g01Neighbors _),
     "g02_graph_incoming_collect" -> (g02IncomingCollect _),
     "g03_graph_unreachable" -> (g03UnreachableFirstOrders _),
+    "g04_graph_find_paths" -> (g04FindPaths _),
     "g05_graph_two_hop" -> (g05TwoHop _),
     "g06_graph_chain_walk" -> (g06ChainWalk _),
     "g07_graph_upsert_idempotent" -> (g07UpsertIdempotent _),
@@ -188,6 +226,12 @@ object GraphParityQueries {
         |        PARTITION BY o_custkey
         |        ORDER BY o_orderdate, o_orderkey) AS rn FROM orders) t
         |WHERE rn = 1 ORDER BY id""".stripMargin,
+    "g04_graph_find_paths" ->
+      """SELECT CAST(ROW_NUMBER() OVER (ORDER BY o_orderdate, o_orderkey) - 1
+        |    AS BIGINT) AS step,
+        |  1000000 + o_orderkey AS id
+        |FROM orders WHERE o_custkey = 1
+        |ORDER BY step""".stripMargin,
     "g05_graph_two_hop" ->
       """SELECT o_custkey AS cust, COUNT(DISTINCT l_partkey) AS n_parts
         |FROM orders JOIN lineitem ON l_orderkey = o_orderkey

@@ -17,6 +17,31 @@ class PipelineSpec extends SparkSpec {
     assert(lsh === brute)
   }
 
+  test("inverted-index jaccard matches the all-pairs baseline exactly") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny).filter($"doc_id" < 300)
+    val brute = Dedup.jaccardPairsBrute(docs, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val indexed = Dedup.jaccardPairs(docs, 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(brute.nonEmpty)
+    assert(indexed === brute)
+  }
+
+  test("bucketed embedding near-dup: exact-verified subset with high recall") {
+    val emb = Tables.embeddings(spark, sfTiny)
+    val threshold = 0.85
+    val exact = Dedup.embeddingNearDupPairs(emb, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bucketed = Dedup.embeddingNearDupPairsBucketed(emb, threshold)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(bucketed.subsetOf(exact), "verify step must make candidates exact")
+    if (exact.nonEmpty) {
+      val recall = (exact & bucketed).size.toDouble / exact.size
+      assert(recall >= 0.7, s"LSH-banded recall too low: $recall over ${exact.size}")
+    }
+  }
+
   test("simhash separates near-dups from random pairs (lower hamming)") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfTiny).filter($"doc_id" < 300)
