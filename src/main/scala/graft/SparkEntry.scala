@@ -1,8 +1,8 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 
-import graft.queries.{GraphParityQueries, MultimodalQueries, PipelineQueries,
-  RelationalQueries, StreamQueries}
+import graft.queries.{CoverageQueries, GraphParityQueries, MultimodalQueries,
+  PipelineQueries, RelationalQueries, StreamQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,12 +18,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     RelationalQueries.queries ++ GraphParityQueries.queries ++
       PipelineQueries.queries ++ StreamQueries.queries ++
-      MultimodalQueries.queries
+      MultimodalQueries.queries ++ CoverageQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     RelationalQueries.oracle ++ GraphParityQueries.oracle ++
       PipelineQueries.oracle ++ StreamQueries.oracle ++
-      MultimodalQueries.oracle
+      MultimodalQueries.oracle ++ CoverageQueries.oracle
 }
