@@ -1,0 +1,283 @@
+package graft.ingest
+
+import scala.collection.mutable.ArrayBuffer
+
+/** Shared heuristic parser for brace-scoped C-family languages — the
+  * pure-Scala stand-in for the reference's tree-sitter grammars
+  * (`/root/reference/api/analyzers/java/analyzer.py`,
+  * `api/analyzers/csharp/analyzer.py`), same extraction surface:
+  * type declarations with their heritage clauses, methods/constructors with
+  * parameter and return types, and call sites inside callable bodies.
+  *
+  * The scope model is brace depth (strings and comments stripped first):
+  * a declaration opens a scope that closes when depth returns below the
+  * declaration's level; bodyless declarations (interface members, abstract
+  * methods — trailing `;`) never open one. Line numbers are 0-based like
+  * the other frontends.
+  */
+abstract class CFamilyFrontend extends LanguageFrontend {
+
+  /** type keyword -> entity label (e.g. "class" -> "Class"). */
+  protected def typeLabels: Map[String, String]
+
+  /** Heritage refs for one type declaration:
+    * (kinds per target) from the clause after the name. */
+  protected def heritageRefs(label: String, clause: String): Seq[(String, String)]
+
+  protected val modifiers: Set[String] = Set("public", "private", "protected",
+    "internal", "static", "final", "abstract", "sealed", "virtual", "override",
+    "async", "synchronized", "native", "default", "strictfp", "transient",
+    "volatile", "readonly", "partial", "extern", "unsafe", "const")
+
+  private val ctrlKeywords = Set("if", "else", "for", "while", "switch",
+    "catch", "return", "new", "do", "throw", "throws", "using", "lock",
+    "foreach", "try", "yield", "case", "base", "this", "super", "goto",
+    "typeof", "sizeof", "nameof", "assert")
+
+  private val CallRe = """([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+
+  /** Last identifier segment of a type expression: strip generics, arrays,
+    * nullability, dotted qualifiers — name resolution is by simple name. */
+  protected def baseTypeName(t: String): String = {
+    val noGen = t.replaceAll("<[^<>]*>", "").replaceAll("<[^<>]*>", "")
+    val core = noGen.replace("[]", "").replace("?", "").replace("...", "").trim
+    val seg = core.split('.').lastOption.getOrElse(core)
+    seg.takeWhile(c => c.isLetterOrDigit || c == '_')
+  }
+
+  /** Strip line comments and string/char literals (block comments handled
+    * by the caller's running state). */
+  private def stripLine(line: String, inBlock: Boolean): (String, Boolean) = {
+    val sb = new StringBuilder
+    var i = 0
+    var block = inBlock
+    var quote: Char = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (block) {
+        if (c == '*' && i + 1 < line.length && line.charAt(i + 1) == '/') {
+          block = false; i += 1
+        }
+      } else if (quote != 0) {
+        if (c == '\\') i += 1
+        else if (c == quote) quote = 0
+      } else c match {
+        case '/' if i + 1 < line.length && line.charAt(i + 1) == '/' =>
+          i = line.length
+        case '/' if i + 1 < line.length && line.charAt(i + 1) == '*' =>
+          block = true; i += 1
+        case '"' | '\'' => quote = c; sb.append(' ')
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    (sb.toString, block)
+  }
+
+  private final case class Scope(idx: Int, closeDepth: Int, label: String,
+      name: String, var armed: Boolean)
+
+  def extract(path: String, source: String): FileExtraction = {
+    val lines = source.split("\n", -1)
+    val entities = ArrayBuffer.empty[EntityDecl]
+    val refs = ArrayBuffer.empty[SymbolRef]
+    val scopes = ArrayBuffer.empty[Scope]
+    var depth = 0
+    var inBlock = false
+    var lastNonEmpty = 0
+
+    def innermost: Option[Scope] = scopes.lastOption
+    def enclosingIdx: Int = innermost.map(_.idx).getOrElse(-1)
+    def inType: Boolean = innermost.exists(s => typeLabels.values.exists(_ == s.label))
+    def inCallable: Boolean =
+      innermost.exists(s => s.label == "Method" || s.label == "Constructor")
+
+    // trailing .* eats an opening brace on the decl line (K&R style); the
+    // heritage tail group still stops at the first '{' or ';'
+    val typeRe = ("""^(?:@\w+(?:\([^)]*\))?\s+)*(?:(?:""" +
+      modifiers.mkString("|") + """)\s+)*(""" +
+      typeLabels.keys.mkString("|") +
+      """)\s+([A-Za-z_][A-Za-z0-9_]*)(?:<[^{;]*?>)?\s*([^{;]*).*""").r
+
+    for (i <- lines.indices) {
+      val (strippedRaw, blockAfter) = stripLine(lines(i), inBlock)
+      inBlock = blockAfter
+      val trimmed = strippedRaw.trim
+      if (trimmed.nonEmpty) {
+        var declaredScope: Option[(Int, String, String)] = None // idx, label, name
+        var isDecl = false
+
+        trimmed match {
+          case typeRe(kw, name, tail) =>
+            isDecl = true
+            val label = typeLabels(kw)
+            entities += EntityDecl(label, name, i.toLong, i.toLong, "", enclosingIdx)
+            val idx = entities.size - 1
+            heritageRefs(label, tail).foreach { case (kind, target) =>
+              val t = baseTypeName(target)
+              if (t.nonEmpty) refs += SymbolRef(kind, idx, t, i.toLong, trimmed)
+            }
+            declaredScope = Some((idx, label, name))
+          case _ if inType && !inCallable =>
+            parseCallable(trimmed, innermost.get.name).foreach {
+              case (label, name, params, ret, bodyless) =>
+                isDecl = true
+                entities += EntityDecl(label, name, i.toLong, i.toLong, "", enclosingIdx)
+                val idx = entities.size - 1
+                params.foreach { p =>
+                  val t = baseTypeName(p)
+                  if (t.nonEmpty) refs += SymbolRef("parameters", idx, t, i.toLong, trimmed)
+                }
+                ret.map(baseTypeName).filter(_.nonEmpty).foreach { r =>
+                  refs += SymbolRef("return_type", idx, r, i.toLong, trimmed)
+                }
+                if (!bodyless) declaredScope = Some((idx, label, name))
+                else entities(idx) = entities(idx).copy(srcEnd = i.toLong)
+            }
+          case _ => ()
+        }
+
+        if (!isDecl && inCallable) {
+          CallRe.findAllMatchIn(trimmed).foreach { m =>
+            val callee = m.group(1)
+            if (!ctrlKeywords.contains(callee) && !modifiers.contains(callee))
+              refs += SymbolRef("call", enclosingIdx, callee, i.toLong, trimmed)
+          }
+        }
+
+        declaredScope.foreach { case (idx, label, name) =>
+          scopes += Scope(idx, depth + 1, label, name, armed = false)
+        }
+
+        depth += trimmed.count(_ == '{') - trimmed.count(_ == '}')
+        scopes.foreach(s => if (depth >= s.closeDepth) s.armed = true)
+        while (scopes.nonEmpty && scopes.last.armed &&
+            depth < scopes.last.closeDepth) {
+          val s = scopes.remove(scopes.size - 1)
+          entities(s.idx) = entities(s.idx).copy(srcEnd = i.toLong)
+        }
+        lastNonEmpty = i
+      }
+    }
+    // close any scopes left open at EOF
+    scopes.reverseIterator.foreach { s =>
+      entities(s.idx) = entities(s.idx).copy(srcEnd = lastNonEmpty.toLong)
+    }
+    FileExtraction(entities.toSeq, refs.toSeq)
+  }
+
+  /** Method/constructor declaration at type-body level:
+    * (label, name, param types, return type, bodyless). */
+  private def parseCallable(trimmed: String,
+      typeName: String): Option[(String, String, Seq[String], Option[String], Boolean)] = {
+    val paren = trimmed.indexOf('(')
+    if (paren <= 0) return None
+    val pre = trimmed.substring(0, paren)
+    if (pre.contains("=") || pre.contains("\"")) return None
+    // strip annotations/attributes and generic argument lists
+    val cleaned = pre.replaceAll("@\\w+(\\([^)]*\\))?", " ")
+      .replaceAll("<[^<>]*>", " ").trim
+    val tokens = cleaned.split("\\s+").filter(_.nonEmpty).toSeq
+    if (tokens.isEmpty) return None
+    val name = tokens.last
+    if (!name.headOption.exists(c => c.isLetter || c == '_')) return None
+    if (ctrlKeywords.contains(name)) return None
+    val rest = tokens.dropRight(1).filterNot(modifiers.contains)
+    val close = trimmed.indexOf(')', paren)
+    if (close < 0) return None
+    val params = splitParams(trimmed.substring(paren + 1, close))
+    val tail = trimmed.substring(close + 1)
+    val bodyless = {
+      val semi = tail.indexOf(';'); val brace = tail.indexOf('{')
+      semi >= 0 && (brace < 0 || semi < brace)
+    }
+    if (rest.isEmpty) {
+      // no return type: constructor iff the name matches the enclosing type
+      if (name == typeName) Some(("Constructor", name, params, None, bodyless))
+      else None
+    } else {
+      if (ctrlKeywords.contains(rest.last)) None
+      else Some(("Method", name, params, Some(rest.last), bodyless))
+    }
+  }
+
+  /** Parameter TYPE names (`(parameter_list … type)` captures): for each
+    * comma-separated parameter, the type token preceding the name, with
+    * parameter-passing modifiers stripped. */
+  private def splitParams(s: String): Seq[String] = {
+    if (s.trim.isEmpty) return Nil
+    // split on top-level commas (ignore commas inside generics)
+    val parts = ArrayBuffer.empty[String]
+    var d = 0
+    val cur = new StringBuilder
+    s.foreach {
+      case '<' => d += 1; cur.append('<')
+      case '>' => d -= 1; cur.append('>')
+      case ',' if d == 0 => parts += cur.toString; cur.clear()
+      case c => cur.append(c)
+    }
+    parts += cur.toString
+    parts.toSeq.flatMap { p =>
+      val toks = p.trim.split("\\s+").filter(_.nonEmpty)
+        .filterNot(t => Set("final", "ref", "out", "in", "params", "this",
+          "const", "scoped").contains(t))
+      if (toks.length >= 2) Some(toks(toks.length - 2)) else None
+    }
+  }
+}
+
+/** Java frontend — label surface Class/Interface/Enum/Method/Constructor
+  * (`api/analyzers/java/analyzer.py:40-51`); heritage: `extends` on a class
+  * -> base_class, `implements` -> implement_interface, `extends` on an
+  * interface -> extend_interface (`java/analyzer.py:70-95`). */
+object JavaFrontend extends CFamilyFrontend {
+  val language = "java"
+  val extensions: Set[String] = Set(".java")
+
+  protected val typeLabels: Map[String, String] = Map(
+    "class" -> "Class", "interface" -> "Interface", "enum" -> "Enum")
+
+  private val ExtendsRe = """extends\s+([^{]+?)(?=\bimplements\b|\{|$)""".r.unanchored
+  private val ImplementsRe = """implements\s+([^{]+?)(?=\{|$)""".r.unanchored
+
+  protected def heritageRefs(label: String, clause: String): Seq[(String, String)] = {
+    val ext = ExtendsRe.findFirstMatchIn(clause).map(_.group(1)).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    val impl = ImplementsRe.findFirstMatchIn(clause).map(_.group(1)).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+    label match {
+      case "Interface" => ext.map("extend_interface" -> _)
+      case _ => ext.map("base_class" -> _) ++ impl.map("implement_interface" -> _)
+    }
+  }
+}
+
+/** C# frontend — label surface adds Struct
+  * (`api/analyzers/csharp/analyzer.py:32-45`); heritage is the base list
+  * `: A, B` — for a class the first entry is base_class and the rest
+  * implement_interface, for a struct all are implement_interface, for an
+  * interface all are extend_interface (`csharp/analyzer.py:74-94`). */
+object CSharpFrontend extends CFamilyFrontend {
+  val language = "csharp"
+  val extensions: Set[String] = Set(".cs")
+
+  protected val typeLabels: Map[String, String] = Map(
+    "class" -> "Class", "interface" -> "Interface", "enum" -> "Enum",
+    "struct" -> "Struct")
+
+  protected def heritageRefs(label: String, clause: String): Seq[(String, String)] = {
+    val colon = clause.indexOf(':')
+    if (colon < 0) return Nil
+    val bases = clause.substring(colon + 1).takeWhile(c => c != '{' && c != ';')
+      .split(",").map(_.trim).filter(_.nonEmpty)
+      .filterNot(_.startsWith("where ")).toSeq
+    label match {
+      case "Interface" => bases.map("extend_interface" -> _)
+      case "Class" =>
+        bases.zipWithIndex.map { case (b, i) =>
+          (if (i == 0) "base_class" else "implement_interface") -> b
+        }
+      case _ => bases.map("implement_interface" -> _) // Struct, Enum
+    }
+  }
+}

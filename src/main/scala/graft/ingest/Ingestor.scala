@@ -28,8 +28,10 @@ object Ingestor {
 
   final case class SourceFile(path: String, source: String)
 
-  /** Frontend registry — mirrors `api/analyzers/source_analyzer.py:24-29`. */
-  val frontends: Seq[LanguageFrontend] = Seq(PythonFrontend, JsonlFrontend)
+  /** Frontend registry — mirrors `api/analyzers/source_analyzer.py:24-29`
+    * (python, java, csharp; plus the JSONL escape hatch). */
+  val frontends: Seq[LanguageFrontend] =
+    Seq(PythonFrontend, JavaFrontend, CSharpFrontend, JsonlFrontend)
 
   def splitPath(p: String): (String, String, String) = {
     val slash = p.lastIndexOf('/')
@@ -167,8 +169,15 @@ object Ingestor {
       "base_class" -> "EXTENDS", "extend_interface" -> "EXTENDS",
       "implement_interface" -> "IMPLEMENTS",
       "return_type" -> "RETURNS", "parameters" -> "PARAMETERS"))
+    // C# base-list correction (`api/analyzers/csharp/analyzer.py:80-88`
+    // NOTE + `tests/test_csharp_analyzer.py:66-69`): syntactically the first
+    // base is tagged base_class, but when it RESOLVES to an Interface the
+    // edge must be IMPLEMENTS — we have the target label right here.
     val typedEdges = withTargets
-      .withColumn("type", element_at(kindToRel, $"kind"))
+      .withColumn("type",
+        when($"kind" === "base_class" && $"target_label" === "Interface",
+          lit("IMPLEMENTS"))
+        .otherwise(element_at(kindToRel, $"kind")))
       .filter($"type".isNotNull)
       .select($"src_id".as("src"), $"dst_id".as("dst"), $"type",
         map().cast("map<string,string>").as("props"))
