@@ -1,0 +1,161 @@
+package graft.api
+
+import java.nio.file.Files
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.graph.{CodeGraph, GraphStore}
+import graft.ingest.Ingestor
+
+/** F10/F11 — endpoint contract invariants mirrored from the reference's
+  * endpoint test suite (`/root/reference/tests/endpoints/`) and
+  * `api/index.py:53-488`. */
+class EndpointsSpec extends SparkSpec {
+
+  private lazy val store = {
+    val wh = Files.createTempDirectory("graft-api-wh").toString
+    val s = new GraphStore(spark, wh)
+    val g = new CodeGraph(spark, "proj", Some(s))
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("src.py", Seq(
+      "def setup(env):",
+      "    configure(env)",
+      "",
+      "def set_output(path):",
+      "    setup(path)",
+      "",
+      "def configure(env):",
+      "    print(env)",
+      "",
+      "class Runner:",
+      "    def run(self):",
+      "        set_output('x')").mkString("\n"))))
+    g.checkpointNow(); g.save()
+    s
+  }
+  private lazy val api = new Endpoints(spark, store)
+
+  test("validation messages match the reference endpoints") {
+    // index.py:71, :118-123, :162-167, :274-288, :436-441, :355
+    assert(api.graphEntities(None).status == "Missing 'repo' parameter")
+    assert(api.graphEntities(Some("nope")).status == "Missing project nope")
+    assert(api.getNeighbors(None, None).status == "Repository name is required.")
+    assert(api.getNeighbors(Some("proj"), None).status == "Node IDs is required.")
+    assert(api.getNeighbors(Some("proj"), Some(Seq("bad")))
+      .status == "Invalid node ID. It must be an integer.")
+    assert(api.autoComplete(None, Some("x"))
+      .status == "Missing mandatory parameter \"repo\"")
+    assert(api.autoComplete(Some("proj"), None)
+      .status == "Missing mandatory parameter \"prefix\"")
+    assert(api.autoComplete(Some("gone"), Some("x")).status == "Missing project gone")
+    assert(api.findPaths(None, Some(1), Some(2))
+      .status == "Missing mandatory parameter \"repo\"")
+    assert(api.findPaths(Some("proj"), Some("x"), Some(2))
+      .status == "src node id must be int")
+    assert(api.findPaths(Some("proj"), Some(1), Some("x"))
+      .status == "dest node id must be int")
+    assert(api.switchCommit(None, Some("abc"))
+      .status == "Missing mandatory parameter \"repo\"")
+    assert(api.switchCommit(Some("proj"), None)
+      .status == "Missing mandatory parameter \"commit\"")
+    assert(api.analyzeFolder(None).status == "'path' is required.")
+    assert(api.analyzeFolder(Some("/no/such/dir"))
+      .status == "Invalid path: must be an existing directory")
+    assert(api.chatAsk(None, Some("hi"))
+      .status == "Missing mandatory parameter \"repo\"")
+    assert(api.chatAsk(Some("proj"), None)
+      .status == "Missing mandatory parameter \"msg\"")
+    assert(api.repoInfo(None).status == "Missing mandatory parameter \"repo\"")
+    assert(api.repoInfo(Some("gone")).status == "Missing repository \"gone\"")
+  }
+
+  test("auto_complete: every completion name starts with the prefix") {
+    // tests/endpoints/test_auto_complete.py:44-50
+    val res = api.autoComplete(Some("proj"), Some("set"))
+    assert(res.status == "success")
+    val completions = res.body.get("completions").elements().asScala.toSeq
+    assert(completions.nonEmpty)
+    completions.foreach { c =>
+      assert(c.get("properties").get("name").asText().startsWith("set"))
+    }
+  }
+
+  test("graph_entities: sub-graph nodes strip Searchable; bounded at 500") {
+    val res = api.graphEntities(Some("proj"))
+    assert(res.status == "success")
+    val nodes = res.body.get("entities").get("nodes").elements().asScala.toSeq
+    assert(nodes.nonEmpty && nodes.size <= 500)
+    nodes.foreach { n =>
+      val labels = n.get("labels").elements().asScala.map(_.asText()).toSeq
+      assert(!labels.contains("Searchable"))
+      assert(labels.nonEmpty)
+    }
+  }
+
+  test("get_neighbors: {nodes, edges} shape, empty for unknown id") {
+    // tests/endpoints/test_get_neighbors.py:47-52
+    val empty = api.getNeighbors(Some("proj"), Some(Seq(99999999)))
+    assert(empty.status == "success")
+    assert(empty.body.get("neighbors").get("nodes").size() == 0)
+    assert(empty.body.get("neighbors").get("edges").size() == 0)
+    // file node (id resolution: find the file's id via its defined entities)
+    val g = store.load("proj")
+    val fileId = g.nodes.filter(org.apache.spark.sql.functions
+      .array_contains(org.apache.spark.sql.functions.col("labels"), "File"))
+      .head().getAs[Long]("id")
+    val res = api.getNeighbors(Some("proj"), Some(Seq(fileId)))
+    assert(res.status == "success")
+    val nb = res.body.get("neighbors")
+    assert(nb.get("nodes").size() > 0)
+    assert(nb.get("edges").size() == nb.get("nodes").size())
+  }
+
+  test("find_paths: interleaved node-edge-node path shape") {
+    // setup -> configure is one CALLS hop; run -> set_output -> setup -> configure
+    val g = store.load("proj")
+    import org.apache.spark.sql.functions._
+    val ids = g.nodes.select(col("id"), col("name")).collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("id")).toMap
+    val res = api.findPaths(Some("proj"), Some(ids("run")), Some(ids("configure")))
+    assert(res.status == "success")
+    val paths = res.body.get("paths").elements().asScala.toSeq
+    assert(paths.nonEmpty)
+    paths.foreach { p =>
+      val elems = p.elements().asScala.toSeq
+      assert(elems.size % 2 == 1, "odd length: n,e,n,...,n")
+      elems.zipWithIndex.foreach { case (e, i) =>
+        if (i % 2 == 0) assert(e.has("labels"), "even positions are nodes")
+        else assert(e.get("relation").asText() == "CALLS")
+      }
+      // endpoints are the requested src/dest
+      assert(elems.head.get("id").asLong() == ids("run"))
+      assert(elems.last.get("id").asLong() == ids("configure"))
+    }
+  }
+
+  test("list_repos + repo_info + chat stub round trip") {
+    val repos = api.listRepos()
+    assert(repos.status == "success")
+    assert(repos.body.get("repositories").elements().asScala
+      .map(_.asText()).toSeq.contains("proj"))
+
+    val info = api.repoInfo(Some("proj"))
+    assert(info.status == "success")
+    assert(info.body.get("info").get("nodes_count").asLong() > 0)
+    assert(info.body.get("info").get("edges_count").asLong() > 0)
+
+    // canned client: exact response pass-through (llm.py ask contract)
+    val canned = new CannedChatClient(Map("hello" -> "world"))
+    val api2 = new Endpoints(spark, store, canned)
+    val chat = api2.chatAsk(Some("proj"), Some("hello"))
+    assert(chat.status == "success")
+    assert(chat.body.get("response").asText() == "world")
+    assert(canned.asked.toSeq == Seq(("proj", "hello")))
+
+    // rule client answers caller questions from the real graph
+    val who = api.chatAsk(Some("proj"), Some("who calls configure?"))
+    assert(who.body.get("response").asText().contains("setup"))
+    val fallback = api.chatAsk(Some("proj"), Some("make me a sandwich"))
+    assert(fallback.body.get("response").asText().contains("Entities:"))
+  }
+}
