@@ -154,4 +154,17 @@ object GraphQueries {
         col("name").startsWith(prefix))
       .select(col("id"), col("labels"), col("name"), col("path"))
       .limit(limit)
+
+  /** T2/T3 — the `CONTAINS` + `size()` surface the reference's
+    * LLM-generated Cypher leans on (`api/prompts.py:16-23`): searchable
+    * nodes whose name contains `needle`, with the name length —
+    * `WHERE n.name CONTAINS $x RETURN n, size(n.name)`. Both functions are
+    * codegen'd Spark built-ins; `contains` cannot push to parquet as a
+    * range but prunes columns. */
+  def searchContains(g: PropertyGraph, needle: String): DataFrame =
+    g.nodes.filter(array_contains(col("labels"), GraphSchema.SEARCHABLE) &&
+        col("name").contains(needle))
+      .select(col("id"), col("labels"), col("name"),
+        length(col("name")).as("name_len"), size(col("labels")).as("n_labels"))
+      .orderBy(col("id"))
 }

@@ -184,6 +184,12 @@ class GraphEngineSpec extends SparkSpec {
     val child = GraphQueries.getChildCommit(g.graph, "c1").collect()
     assert(child.length === 1 && child(0).getAs[String]("hash") === "c2")
 
+    // S8 get_commits: IN-filter by hash list (git_graph.py:69-85)
+    val got = GraphQueries.getCommits(g.graph, Seq("c1", "c3", "zz")).collect()
+    assert(got.map(_.getAs[String]("hash")).sorted.toSeq === Seq("c1", "c3"))
+    assert(got.find(_.getAs[String]("hash") == "c3").get
+      .getAs[String]("author") === "carol")
+
     def cid(h: String): Long =
       GraphQueries.getByName(g.graph, "Commit", h).head().getAs[Long]("id")
     val trans = Paths.chainTransitions(g.graph, cid("c3"), cid("c1"), "PARENT")

@@ -55,7 +55,18 @@ class CFamilySpec extends SparkSpec {
     /* 40 */ "            Execute();",
     /* 41 */ "        }",
     /* 42 */ "    }",
-    /* 43 */ "}"
+    /* 43 */ "",
+    /* 44 */ "    public struct Point : IShape",
+    /* 45 */ "    {",
+    /* 46 */ "        public int X;",
+    /* 47 */ "        public int Y;",
+    /* 48 */ "    }",
+    /* 49 */ "",
+    /* 50 */ "    public interface IShape",
+    /* 51 */ "    {",
+    /* 52 */ "        int Area();",
+    /* 53 */ "    }",
+    /* 54 */ "}"
   ).mkString("\n")
 
   val javaSource: String = Seq(
@@ -112,6 +123,11 @@ class CFamilySpec extends SparkSpec {
       .forall(_.parentIdx == taskIdx))
     // heritage: first base of a class is tagged base_class (csharp/analyzer.py:80-88)
     assert(fx.refs.exists(r => r.kind == "base_class" && r.name == "ILogger"))
+    // struct surface (S6): label + base list all implement_interface
+    assert(one("Point", "Struct").label == "Struct")
+    val pointIdx = fx.entities.indexWhere(e => e.name == "Point" && e.label == "Struct")
+    assert(fx.refs.exists(r => r.kind == "implement_interface" &&
+      r.name == "IShape" && r.fromIdx == pointIdx))
     // calls: ctor logs, Execute logs, Abort logs + calls Execute
     val calls = fx.refs.filter(_.kind == "call").map(_.name)
     assert(calls.count(_ == "Log") == 3)
@@ -150,6 +166,19 @@ class CFamilySpec extends SparkSpec {
     val execId = ids.collectFirst { case ((n, "Method"), id) if n == "Execute" => id }.get
     assert(g.graph.edges.filter($"type" === "CALLS" &&
       $"src" === abortId && $"dst" === execId).count() == 1)
+    // S6 get_struct: point lookup by (Struct, name)
+    val struct = graft.graph.GraphQueries.getByName(g.graph, "Struct", "Point")
+    assert(struct.count() == 1)
+    // struct base resolves to Interface -> IMPLEMENTS
+    assert(g.graph.edges.filter($"type" === "IMPLEMENTS" &&
+      $"src" === ids(("Point", "Struct")) &&
+      $"dst" === ids(("IShape", "Interface"))).count() == 1)
+    // T2/T3 CONTAINS + size()/length() surface
+    val hits = graft.graph.GraphQueries.searchContains(g.graph, "xecut").collect()
+    assert(hits.length == 1)
+    assert(hits(0).getAs[String]("name") == "Execute")
+    assert(hits(0).getAs[Int]("name_len") == 7)
+    assert(hits(0).getAs[Int]("n_labels") == 2) // Method + Searchable
   }
 
   test("java frontend: extends/implements/interface-extends surface") {
