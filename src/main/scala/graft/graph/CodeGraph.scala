@@ -59,7 +59,7 @@ final class CodeGraph(val spark: SparkSession, val name: String,
     * (deterministic ID assignment) with far fewer entries. Batches during
     * a history walk are one commit's diff — small by construction. */
   def addEntities(batch: DataFrame): MutationResult =
-    logged(batch, Mutations.addEntities(current, batch)) { rows =>
+    logged(batch, Mutations.addEntities(current, _)) { rows =>
       GraphOp.AddEntitiesBatch(rows.map(r => GraphOp.EntityRow(
         r.getAs[String]("label"), r.getAs[String]("name"),
         r.getAs[String]("path"), r.getAs[Long]("src_start"),
@@ -68,35 +68,43 @@ final class CodeGraph(val spark: SparkSession, val name: String,
           .map(_.toMap).getOrElse(Map.empty))))
     }
   def addFiles(batch: DataFrame): MutationResult =
-    logged(batch, Mutations.addFiles(current, batch)) { rows =>
+    logged(batch, Mutations.addFiles(current, _)) { rows =>
       GraphOp.AddFilesBatch(rows.map(r => GraphOp.FileKey(
         r.getAs[String]("path"), r.getAs[String]("name"),
         r.getAs[String]("ext"))))
     }
   def connectEntities(batch: DataFrame): MutationResult =
-    logged(batch, Mutations.connectEntities(current, batch)) { rows =>
+    logged(batch, Mutations.connectEntities(current, _)) { rows =>
       GraphOp.ConnectEntitiesBatch(rows.map(r => GraphOp.EdgeRow(
         r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[String]("type"),
         Option(r.getAs[scala.collection.Map[String, String]]("props"))
           .map(_.toMap).getOrElse(Map.empty))))
     }
   def addCalls(batch: DataFrame): MutationResult =
-    logged(batch, Mutations.addCalls(current, batch)) { rows =>
+    logged(batch, Mutations.addCalls(current, _)) { rows =>
       GraphOp.AddCallsBatch(rows.map(r => GraphOp.CallRow(
         r.getAs[Long]("src"), r.getAs[Long]("dst"), r.getAs[Long]("pos"),
         if (r.schema.fieldNames.contains("text")) r.getAs[String]("text")
         else null)))
     }
 
-  /** Apply a batch mutation; when the backlog is on, ALSO capture the batch
-    * rows as one op (collected before tracking — the batch plan reads the
-    * pre-mutation snapshot, which is immutable). Zero extra cost with the
-    * backlog off. */
-  private def logged(batch: DataFrame, mutation: => MutationResult)(
+  /** Apply a batch mutation; when the backlog is on, the batch is collected
+    * ONCE and the mutation runs against the pinned local rows — one
+    * evaluation of the (join-heavy) batch plan serves both the op-log
+    * capture and the rewrite, and the rewrite's own plan shrinks to a
+    * local-relation scan. History-walk batches are one commit's diff, small
+    * by construction. Zero extra cost with the backlog off. */
+  private def logged(batch: DataFrame,
+      run: DataFrame => MutationResult)(
       toOp: Seq[org.apache.spark.sql.Row] => GraphOp): MutationResult = {
-    val op = if (backlogEnabled) Some(toOp(batch.collect().toSeq)) else None
-    val res = track(mutation)
-    op.foreach { o => if (res.summary.changed) backlog += OpLog.encode(o) }
+    if (!backlogEnabled) return track(run(batch))
+    val rows = batch.collect().toSeq
+    val pinned = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      batch.schema)
+    val res = track(run(pinned))
+    if (res.summary.changed) backlog += OpLog.encode(toOp(rows))
     res
   }
 

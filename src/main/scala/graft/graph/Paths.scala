@@ -104,6 +104,25 @@ object Paths {
     acc
   }
 
+  /** T4 `relationships(path)` (`api/prompts.py:15`; encode_path
+    * `api/entities/entity_encoder.py:11-14`): materialize the edge sequence
+    * of each path row — (src, dst, type, line, text) structs in hop order.
+    * One posexplode + one equi-join on (src, dst) + one grouped
+    * `sort_array(collect_list)` — distributed, no driver assembly. */
+  def pathRelationships(g: PropertyGraph, paths: DataFrame,
+      edgeType: String): DataFrame = {
+    val hops = paths.select(col("path"), col("hops"),
+        posexplode(slice(col("path"), lit(1), size(col("path")) - 1))
+          .as(Seq("pos", "src")))
+      .withColumn("dst", element_at(col("path"), col("pos") + 2))
+    val e = g.edges.filter(col("type") === lit(edgeType))
+      .select(col("src"), col("dst"), col("type"), col("line"), col("text"))
+    hops.join(e, Seq("src", "dst"))
+      .groupBy(col("path"), col("hops"))
+      .agg(sort_array(collect_list(struct(col("pos"), col("src"), col("dst"),
+        col("type"), col("line"), col("text")))).as("rels"))
+  }
+
   /** J7 `get_parent_transitions` / `get_child_transitions`
     * (`api/git_utils/git_graph.py:144-177`): walk the linear PARENT/CHILD
     * commit chain from `fromId` to `toId` and return the op-log entries

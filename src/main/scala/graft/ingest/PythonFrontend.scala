@@ -29,7 +29,6 @@ object PythonFrontend extends LanguageFrontend {
     val refs = ArrayBuffer.empty[SymbolRef]
     // open scopes: (indent, entityIdx); entity srcEnd patched when closed
     val scopes = Stack.empty[(Int, Int)]
-    val lastContent = Array.fill(entities.size)(0L)
     var lastNonEmpty = 0
 
     def closeScopesDownTo(indent: Int, line: Int): Unit =
@@ -76,7 +75,6 @@ object PythonFrontend extends LanguageFrontend {
         }
         lastNonEmpty = i
       }
-      val _ = lastContent
     }
     closeScopesDownTo(0, lines.length)
     FileExtraction(entities.toSeq, refs.toSeq)

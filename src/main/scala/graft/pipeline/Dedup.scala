@@ -218,11 +218,13 @@ object Dedup {
       broadcastLimit: Long = 500000): DataFrame = {
     val v = emb.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    if (v.count() <= broadcastLimit)
-      embeddingNearDupPairsBroadcast(v, threshold)
-    else
-      embeddingNearDupPairsBucketed(emb, threshold, idCol = idCol,
-        vecCol = vecCol)
+    // limit-probe, not count(): stops scanning after broadcastLimit+1 rows,
+    // so the guard costs O(limit) even on a 100 TB corpus
+    val small =
+      v.limit(broadcastLimit.toInt + 1).count() <= broadcastLimit
+    if (small) embeddingNearDupPairsBroadcast(v, threshold)
+    else embeddingNearDupPairsBucketed(emb, threshold, idCol = idCol,
+      vecCol = vecCol)
   }
 
   /** Exact broadcast path of [[embeddingNearDupPairs]]; `v` has columns

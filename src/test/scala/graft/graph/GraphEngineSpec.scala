@@ -97,10 +97,18 @@ class GraphEngineSpec extends SparkSpec {
     val g = buildFixture()
     def id(n: String): Long =
       GraphQueries.getByName(g.graph, "Function", n).head().getAs[Long]("id")
-    val paths = Paths.findPaths(g.graph, id("abort"), id("print"), "CALLS")
-      .collect().map(_.getAs[scala.collection.Seq[Long]]("path"))
+    val pathDf = Paths.findPaths(g.graph, id("abort"), id("print"), "CALLS")
+    val paths = pathDf.collect().map(_.getAs[scala.collection.Seq[Long]]("path"))
     assert(paths.length === 1)
     assert(paths.head === Seq(id("abort"), id("log"), id("print")))
+
+    // T4 relationships(path): edge structs in hop order with their props
+    val rels = Paths.pathRelationships(g.graph, pathDf, "CALLS")
+      .head().getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("rels")
+    assert(rels.map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))) ===
+      Seq((id("abort"), id("log")), (id("log"), id("print"))))
+    assert(rels.map(_.getAs[String]("type")).distinct === Seq("CALLS"))
+    assert(rels.map(_.getAs[Long]("line")) === Seq(11L, 3L))
   }
 
   test("set_file_coverage == 1.0 cascades to defined functions") {
