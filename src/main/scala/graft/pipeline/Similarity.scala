@@ -8,13 +8,14 @@ import org.apache.spark.sql.expressions.Window
   * (builder north star: brute-force cosine top-k baseline + bucketed
   * variants as the scale path).
   *
-  * All vector math uses higher-order functions (`zip_with`/`aggregate`) —
-  * codegen'd expressions, no UDFs, deterministic sequential folds (so SQL
-  * oracles can reproduce results exactly).
+  * Vector math goes through the native [[graft.functions.CosineSimilarity]]
+  * expression (fused codegen loop). The fold formulations stay as the
+  * reference semantics: same index-order accumulation, so both produce
+  * bit-identical doubles and match the SQL oracles exactly.
   */
 object Similarity {
 
-  /** Sequential-fold dot product. */
+  /** Sequential-fold dot product (interpreted reference formulation). */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
@@ -22,8 +23,14 @@ object Similarity {
     aggregate(a, lit(0.0), (acc, x) => acc + x * x)
 
   /** cosine = dot / (sqrt(||a||²) * sqrt(||b||²)) — structured exactly like
-    * the DuckDB oracle formula for ulp-level agreement. */
+    * the DuckDB oracle formula for ulp-level agreement; evaluated by the
+    * fused codegen expression. */
   def cosine(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.cosine(a, b)
+
+  /** The higher-order-function formulation of [[cosine]] — kept as the
+    * equivalence oracle for the native expression's spec. */
+  def cosineHof(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
   /** Brute-force cosine top-k: for each query vector, the k nearest
