@@ -93,6 +93,65 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** Lloyd's k-means over the embedding column — the real IVF coarse
+    * quantizer (upgrades the label-as-cell stand-in). Deterministic:
+    * seeds are the k lowest-xxhash64 ids, iteration count is fixed — same
+    * cells on any cluster, any partitioning.
+    *
+    * Scale shape per iteration: broadcast k·dim centroid literals into a
+    * map-side argmin (no shuffle of the corpus), then one groupBy(cell)
+    * for the new means; only k centroids ever reach the driver. The
+    * corpus is scanned `iters + 1` times from cache. Returns (id, cell). */
+  def kmeansCells(emb: DataFrame, k: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec")).cache()
+    // deterministic seeds: k rows with the smallest id hash
+    var centroids: Array[Seq[Double]] = v
+      .orderBy(xxhash64(col("id")), col("id")).limit(k)
+      .collect().map(_.getAs[scala.collection.Seq[Double]]("vec").toSeq)
+
+    def assigned: DataFrame = {
+      val cents = typedLit(centroids.toSeq)
+      val dists = transform(cents, c =>
+        aggregate(zip_with(col("vec"), c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d))
+      v.withColumn("cell",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+    }
+
+    var it = 0
+    while (it < iters) {
+      it += 1
+      val means = assigned
+        .select(col("cell"), posexplode(col("vec")).as(Seq("i", "x")))
+        .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
+        .groupBy(col("cell"))
+        .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
+        .select(col("cell"),
+          transform(col("im"), s => s.getField("m")).as("cvec"))
+        .collect().map(r => r.getAs[Int]("cell") ->
+          r.getAs[scala.collection.Seq[Double]]("cvec").toSeq).toMap
+      // empty cells keep their previous centroid (standard Lloyd's)
+      centroids = centroids.indices
+        .map(i => means.getOrElse(i, centroids(i))).toArray
+    }
+    val out = assigned.select(col("id"), col("cell"))
+    v.unpersist()
+    out
+  }
+
+  /** IVF with the k-means quantizer: cluster the corpus, then delegate to
+    * [[ivfTopK]] with the learned cells. */
+  def ivfTopKKmeans(queries: DataFrame, corpus: DataFrame, k: Int,
+      nprobe: Int, nCells: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = kmeansCells(corpus, nCells, iters, idCol, vecCol)
+      .withColumnRenamed("id", idCol)
+    ivfTopK(queries, corpus.join(cells, idCol), k, nprobe,
+      idCol = idCol, vecCol = vecCol, cellCol = "cell")
+  }
+
   /** Random-hyperplane LSH bucketing: sign bits of dot products with
     * `nPlanes` pseudo-random unit-free planes derived deterministically from
     * xxhash64(planeIdx, dimIdx) — no RNG state, reproducible on any cluster.

@@ -139,6 +139,16 @@ object PipelineQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** s03 — IVF with a learned k-means coarse quantizer (8 cells, 4 Lloyd
+    * iterations), probing 3 cells (rows-only + recall spec vs s01). */
+  def s03IvfKmeans(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    Similarity.ivfTopKKmeans(emb.filter($"vec_id" < 8), emb, 5, 3,
+      nCells = 8, iters = 4)
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_event_dedup" -> (d02EventDedup _),
@@ -151,7 +161,8 @@ object PipelineQueries {
     "t03_lang_id" -> (t03LangId _),
     "t04_fingerprints" -> (t04Fingerprints _),
     "s01_topk_cosine" -> (s01TopkCosine _),
-    "s02_ivf_topk" -> (s02IvfTopk _))
+    "s02_ivf_topk" -> (s02IvfTopk _),
+    "s03_ivf_kmeans" -> (s03IvfKmeans _))
 
   private val jaccardOracle =
     """WITH g AS (

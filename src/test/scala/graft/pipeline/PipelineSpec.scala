@@ -84,6 +84,28 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF nprobe=3/8 geometric-cell recall too low: $recall")
   }
 
+  test("k-means cells: deterministic partition; IVF recall beats threshold") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val cells1 = Similarity.kmeansCells(emb, 8, iters = 3).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val cells2 = Similarity.kmeansCells(emb, 8, iters = 3).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(cells1 === cells2, "k-means must be deterministic")
+    assert(cells1.map(_._1).distinct.length === cells1.length,
+      "every vector lands in exactly one cell")
+    assert(cells1.map(_._2).distinct.length > 1, "multiple cells in use")
+    assert(cells1.map(_._2).forall(c => c >= 0 && c < 8))
+
+    val q = emb.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopKKmeans(q, emb, 5, 3, nCells = 8, iters = 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"k-means IVF nprobe=3/8 recall too low: $recall")
+  }
+
   test("hyperplane buckets are deterministic and group similar vectors") {
     val emb = Tables.embeddings(spark, sfTiny)
     val a = Similarity.hyperplaneBuckets(emb, 8).orderBy("id").collect()
