@@ -22,9 +22,16 @@ object StreamQueries {
     EventStreams.userSessions(Tables.eventsWithTs(spark, d))
       .orderBy(col("user_id"))
 
+  /** st03 — exact event dedup (natural key) rolled up per user; the
+    * streaming twin bounds its dedup state with the watermark. */
+  def st03DedupCounts(spark: SparkSession, d: String): DataFrame =
+    EventStreams.dedupCounts(Tables.eventsWithTs(spark, d))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_hourly_agg" -> (st01HourlyAgg _),
-    "st02_user_sessions" -> (st02UserSessions _))
+    "st02_user_sessions" -> (st02UserSessions _),
+    "st03_dedup_counts" -> (st03DedupCounts _))
 
   val oracle: Map[String, String] = Map(
     "st01_hourly_agg" ->
@@ -42,5 +49,9 @@ object StreamQueries {
         |  CAST(1 + COUNT(*) FILTER (WHERE prev IS NOT NULL
         |    AND ts - prev >= INTERVAL 30 MINUTE) AS BIGINT) AS n_sessions,
         |  COUNT(*) AS n_events
-        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st03_dedup_counts" ->
+      """SELECT user_id,
+        |  CAST(COUNT(DISTINCT (event_type, ts)) AS BIGINT) AS n_unique_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
 }

@@ -40,20 +40,53 @@ object EventStreams {
       .groupBy(col("user_id"))
       .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"))
 
-  /** Run [[hourlyAgg]] as a real streaming query over the parquet dir with
-    * a watermark, draining to a memory sink (local smoke path). */
-  def runHourlyAggStream(spark: SparkSession, sfDir: String,
-      queryName: String): StreamingQuery = {
+  /** Exact event dedup on the natural key (user, type, ts), rolled up to
+    * per-user unique-event counts. In streaming the dedup state is bounded
+    * by the watermark (`dropDuplicatesWithinWatermark`); in batch it is a
+    * plain distinct — the canonical at-least-once-source cleanup stage of
+    * a training-data ingest pipeline. */
+  def dedupCounts(events: DataFrame, withinWatermark: Boolean = false): DataFrame = {
+    // key on the RAW nanosecond ts (exact long equality, same as the SQL
+    // oracle's DISTINCT); the watermark column ts_utc only drives state
+    // expiry in the streaming variant
+    val distinctEvents =
+      if (withinWatermark)
+        events.dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
+      else events.dropDuplicates("user_id", "event_type", "ts")
+    distinctEvents.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_unique_events"))
+  }
+
+  private[graft] def eventStream(spark: SparkSession, sfDir: String,
+      watermark: String): DataFrame = {
     val batchDf = Tables.events(spark, sfDir)
-    // events.parquet is a single file; readStream needs a directory →
-    // stream the sf dir with a glob filter selecting just the events file.
-    val stream = spark.readStream
+    spark.readStream
       .schema(batchDf.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
-      .withWatermark("ts_utc", "2 hours")
-    hourlyAgg(stream)
+      .withWatermark("ts_utc", watermark)
+  }
+
+  /** Run [[dedupCounts]] as a streaming query: watermark-bounded dedup
+    * state feeding a complete-mode aggregation into a memory sink. */
+  def runDedupStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery =
+    dedupCounts(eventStream(spark, sfDir, "2 hours"), withinWatermark = true)
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** Run [[hourlyAgg]] as a real streaming query over the parquet dir with
+    * a watermark, draining to a memory sink (local smoke path). */
+  def runHourlyAggStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    // events.parquet is a single file; readStream needs a directory →
+    // stream the sf dir with a glob filter selecting just the events file.
+    hourlyAgg(eventStream(spark, sfDir, "2 hours"))
       .writeStream
       .outputMode(OutputMode.Complete())
       .format("memory")

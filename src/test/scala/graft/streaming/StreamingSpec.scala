@@ -17,6 +17,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming dedup (dropDuplicatesWithinWatermark) matches batch") {
+    val q = EventStreams.runDedupStream(spark, sfTiny, "dedup_smoke")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM dedup_smoke ORDER BY user_id").collect()
+    val batch = EventStreams.dedupCounts(Tables.eventsWithTs(spark, sfTiny))
+      .orderBy(col("user_id")).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("session counts: every user's sessions <= events, >= 1") {
     import spark.implicits._
     val rows = EventStreams.userSessions(Tables.eventsWithTs(spark, sfTiny))
