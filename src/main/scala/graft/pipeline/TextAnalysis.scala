@@ -30,17 +30,26 @@ object TextAnalysis {
   val Stopwords: Seq[String] = Seq(
     "the", "a", "an", "of", "and", "or", "to", "in", "is", "on", "for", "with")
 
-  def stopwordCount(text: Column): Column = {
+  def stopwordCount(text: Column): Column =
+    stopwordCountOf(tokens(text))
+
+  def stopwordCountOf(toks: Column): Column = {
     val stops = array(Stopwords.map(lit): _*)
-    size(filter(tokens(text), t => array_contains(stops, t)))
+    size(filter(toks, t => array_contains(stops, t)))
   }
 
   /** Heuristic quality score in [0,1]: rewards stopword presence and
     * moderate token length, penalizes punctuation soup. Pure arithmetic on
     * exact int counts — bit-identical across engines. */
-  def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
-    val stopR = stopwordCount(text).cast("double") / nTok
+  def qualityScore(text: Column): Column =
+    qualityScoreOf(tokens(text), text)
+
+  /** [[qualityScore]] over a pre-materialized token column — callers on the
+    * hot path should `withColumn` the tokens first: the split regex and the
+    * (interpreted) stopword filter otherwise re-tokenize per reference. */
+  def qualityScoreOf(toks: Column, text: Column): Column = {
+    val nTok = size(toks).cast("double")
+    val stopR = stopwordCountOf(toks).cast("double") / nTok
     val punctR = punctCount(text).cast("double") / length(text).cast("double")
     val lenOk = when(nTok >= 10 && nTok <= 1000, lit(1.0)).otherwise(lit(0.5))
     least(lit(1.0), (stopR * 2.0 + (lit(1.0) - punctR)) / 2.0 * lenOk)
@@ -55,8 +64,11 @@ object TextAnalysis {
     "de" -> Seq("der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"),
     "fr" -> Seq("le", "la", "les", "de", "et", "un", "une", "des", "est", "dans"))
 
-  def langId(text: Column): Column = {
-    val toks = tokens(text)
+  def langId(text: Column): Column = langIdOf(tokens(text))
+
+  /** [[langId]] over pre-materialized tokens (the per-language votes would
+    * otherwise re-tokenize once per language). */
+  def langIdOf(toks: Column): Column = {
     val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
       val ws = array(words.map(lit): _*)
       struct(size(filter(toks, t => array_contains(ws, t))).as("hits"),

@@ -88,7 +88,8 @@ object PipelineQueries {
   def t02QualityBySource(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
-      .withColumn("q", TextAnalysis.qualityScore($"text"))
+      .withColumn("toks", TextAnalysis.tokens($"text"))
+      .withColumn("q", TextAnalysis.qualityScoreOf($"toks", $"text"))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_docs"),
         count(when($"q" >= 0.5, 1)).as("n_pass"))
@@ -100,7 +101,8 @@ object PipelineQueries {
   def t03LangId(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
-      .withColumn("pred", TextAnalysis.langId($"text"))
+      .withColumn("toks", TextAnalysis.tokens($"text"))
+      .withColumn("pred", TextAnalysis.langIdOf($"toks"))
       .groupBy($"pred").agg(count(lit(1)).as("n"))
       .orderBy($"pred")
   }
