@@ -111,6 +111,7 @@ object GitHistory {
     * working tree back at HEAD. */
   def buildCommitGraph(spark: SparkSession, store: GraphStore, repoDir: String,
       repoName: String, ignoreList: Seq[String] = Nil): CodeGraph = {
+    import spark.implicits._
     val tmpName = repoName + "_tmp"
     store.cloneGraph(repoName, tmpName)
     val g = new CodeGraph(spark, tmpName, Some(store))
@@ -120,14 +121,22 @@ object GitHistory {
     val chain = GitCli.firstParentLog(repoDir) // newest first
     val head = chain.head
     val byHash = chain.map(c => c.hash -> c).toMap
-    gitG.mutate(GraphOp.AddCommit(head.hash, head.author, head.message, head.date))
+
+    // ---- bulk-load the commit skeleton: every node and PARENT/CHILD edge
+    // in TWO batch mutations (the reference pays one round-trip per commit,
+    // `git_utils.py:104-121`; a 10k-commit history here is 2 jobs) --------
+    gitG.addCommits(chain.map(c => (c.hash, c.author, c.message, c.date))
+      .toDF("hash", "author", "message", "date"))
+    gitG.connectCommitsBatch(chain.zip(chain.tail)
+      .map { case (c, p) => (c.hash, p.hash) }
+      .toDF("child_hash", "parent_hash"))
+
+    val transitions =
+      scala.collection.mutable.ArrayBuffer.empty[(String, String, String, Seq[String], Seq[String])]
 
     // ---- backward pass: HEAD -> root (`git_utils.py:107-180`) ----------
     var child = head
     chain.tail.foreach { parent =>
-      gitG.mutate(GraphOp.AddCommit(parent.hash, parent.author,
-        parent.message, parent.date))
-      gitG.mutate(GraphOp.ConnectCommits(child.hash, parent.hash))
       val (added, deleted, modified) = classifyChanges(
         GitCli.diffNameStatus(repoDir, child.hash, parent.hash),
         supportedTypes, ignoreList)
@@ -136,8 +145,8 @@ object GitHistory {
       val queries = g.getBacklog
       g.clearBacklog()
       if (queries.nonEmpty)
-        gitG.mutate(GraphOp.SetTransition(child.hash, parent.hash, "PARENT",
-          queries, queries.map(_ => "{}")))
+        transitions += ((child.hash, parent.hash, "PARENT", queries,
+          queries.map(_ => "{}")))
       child = parent
     }
 
@@ -157,10 +166,15 @@ object GitHistory {
       val queries = g.getBacklog
       g.clearBacklog()
       if (queries.nonEmpty)
-        gitG.mutate(GraphOp.SetTransition(parent.hash, childC.hash, "CHILD",
-          queries, queries.map(_ => "{}")))
+        transitions += ((parent.hash, childC.hash, "CHILD", queries,
+          queries.map(_ => "{}")))
       parent = childC
     }
+
+    // ---- one batched transition writeback (M10) ------------------------
+    if (transitions.nonEmpty)
+      gitG.setTransitions(transitions.toSeq
+        .toDF("from_hash", "to_hash", "rel_type", "queries", "params"))
 
     // ---- clean up (`git_utils.py:248-258`) -----------------------------
     g.disableBacklog()

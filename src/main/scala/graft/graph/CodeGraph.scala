@@ -88,6 +88,16 @@ final class CodeGraph(val spark: SparkSession, val name: String,
         else null)))
     }
 
+  /** Commit-graph batch mutations (M8–M10 bulk forms). Git graphs are
+    * never backlogged (the reference's GitGraph has none,
+    * `api/git_utils/git_graph.py`), so these skip op capture. */
+  def addCommits(batch: DataFrame): MutationResult =
+    track(Mutations.addCommits(current, batch))
+  def connectCommitsBatch(pairs: DataFrame): MutationResult =
+    track(Mutations.connectCommitsBatch(current, pairs))
+  def setTransitions(batch: DataFrame): MutationResult =
+    track(Mutations.setTransitions(current, batch))
+
   /** Apply a batch mutation; when the backlog is on, the batch is collected
     * ONCE and the mutation runs against the pinned local rows — one
     * evaluation of the (join-heavy) batch plan serves both the op-log

@@ -424,26 +424,34 @@ object Mutations {
       .toDF("hash", "author", "message", "date"))
   }
 
-  /** Resolve commit hashes to node IDs in ONE job (not one head() each). */
-  private def commitIdsByHash(g: PropertyGraph,
-      hashes: Seq[String]): Map[String, Long] =
-    g.nodes.filter(array_contains(col("labels"), "Commit") &&
-        col("name").isin(hashes: _*))
-      .select(col("name"), col("id")).collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
-
   /** M9 `connect_commits` (`api/git_utils/git_graph.py:99-113`): materialize
     * both directions — (child)-[:PARENT]->(parent), (parent)-[:CHILD]->(child). */
   def connectCommits(g: PropertyGraph, childHash: String,
       parentHash: String): MutationResult = {
     val spark = g.nodes.sparkSession
     import spark.implicits._
-    val ids = commitIdsByHash(g, Seq(childHash, parentHash))
-    val (child, parent) = (ids(childHash), ids(parentHash))
-    val b = Seq((child, parent, "PARENT", Map.empty[String, String]),
-      (parent, child, "CHILD", Map.empty[String, String]))
-      .toDF("src", "dst", "type", "props")
-    connectEntities(g, b)
+    connectCommitsBatch(g,
+      Seq((childHash, parentHash)).toDF("child_hash", "parent_hash"))
+  }
+
+  /** Batched M9: `pairs` has (child_hash, parent_hash); hash→id resolution
+    * is a join against the Commit nodes (no per-pair driver lookups — a
+    * 10k-commit history connects in one mutation). */
+  def connectCommitsBatch(g: PropertyGraph, pairs: DataFrame): MutationResult = {
+    val commits = g.nodes.filter(array_contains(col("labels"), "Commit"))
+      .select(col("name").as("_hash"), col("id").as("_cid"))
+    val resolved = pairs
+      .join(commits, col("child_hash") === col("_hash"))
+      .withColumnRenamed("_cid", "child_id").drop("_hash")
+      .join(commits, col("parent_hash") === col("_hash"))
+      .withColumnRenamed("_cid", "parent_id").drop("_hash")
+    val parentE = resolved.select(col("child_id").as("src"),
+      col("parent_id").as("dst"), lit("PARENT").as("type"),
+      map().cast(MapType(StringType, StringType)).as("props"))
+    val childE = resolved.select(col("parent_id").as("src"),
+      col("child_id").as("dst"), lit("CHILD").as("type"),
+      map().cast(MapType(StringType, StringType)).as("props"))
+    connectEntities(g, parentE.unionByName(childE))
   }
 
   /** M10 `set_parent_transition` / `set_child_transition`
@@ -451,21 +459,39 @@ object Mutations {
     * PARENT/CHILD edge between two commits. */
   def setTransition(g: PropertyGraph, fromHash: String, toHash: String,
       relType: String, queries: Seq[String], params: Seq[String]): MutationResult = {
-    val ids = commitIdsByHash(g, Seq(fromHash, toHash))
-    val (from, to) = (ids(fromHash), ids(toHash))
-    val edges2 = g.edges.withColumn("_hit",
-        col("src") === lit(from) && col("dst") === lit(to) &&
-          col("type") === lit(relType))
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    setTransitions(g, Seq((fromHash, toHash, relType, queries, params))
+      .toDF("from_hash", "to_hash", "rel_type", "queries", "params"))
+  }
+
+  /** Batched M10: one edge-table rewrite stores EVERY transition of a
+    * history walk (`batch`: from_hash, to_hash, rel_type, queries, params).
+    * Hashes resolve via join; the update is a left join on (src, dst,
+    * type) — no per-transition scans. */
+  def setTransitions(g: PropertyGraph, batch: DataFrame): MutationResult = {
+    val commits = g.nodes.filter(array_contains(col("labels"), "Commit"))
+      .select(col("name").as("_hash"), col("id").as("_cid"))
+    val resolved = batch
+      .join(commits, col("from_hash") === col("_hash"))
+      .withColumnRenamed("_cid", "_usrc").drop("_hash")
+      .join(commits, col("to_hash") === col("_hash"))
+      .withColumnRenamed("_cid", "_udst").drop("_hash")
+      .select(col("_usrc"), col("_udst"), col("rel_type").as("_utype"),
+        col("queries").as("_uq"), col("params").as("_up"))
+    val edges2 = g.edges
+      .join(resolved, col("src") === col("_usrc") &&
+        col("dst") === col("_udst") && col("type") === col("_utype"), "left")
       .withColumn("queries",
-        when(col("_hit"), typedLit(queries)).otherwise(col("queries")))
+        when(col("_usrc").isNotNull, col("_uq")).otherwise(col("queries")))
       .withColumn("params",
-        when(col("_hit"), typedLit(params)).otherwise(col("params")))
-      .drop("_hit")
+        when(col("_usrc").isNotNull, col("_up")).otherwise(col("params")))
+      .drop("_usrc", "_udst", "_utype", "_uq", "_up")
     MutationResult(
       PropertyGraph(g.nodes, conform(edges2, edgeSchema), g.nextIdHint),
-      g.edges.filter(col("src") === lit(from) && col("dst") === lit(to) &&
-        col("type") === lit(relType)),
-      ChangeSummary(propertiesSet = 2))
+      resolved.select(col("_usrc").as("src"), col("_udst").as("dst"),
+        col("_utype").as("type")),
+      ChangeSummary(propertiesSet = 2 * resolved.count())) // lazy (by-name)
   }
 
   // ---------------------------------------------------------------- M11
