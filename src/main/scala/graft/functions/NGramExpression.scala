@@ -1,0 +1,60 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct character n-gram shingles of a string in ONE fused per-row
+  * loop.
+  *
+  * Composable form: `array_distinct(transform(sequence(1, len−n+1),
+  * i => substr(text, i, n)))` — the lambda is interpreted per element
+  * (≈16 ms per 300-char doc measured; higher-order functions get no
+  * codegen), which dominated every shingle-based dedup operator. This
+  * kernel emits the identical gram array (same `substringSQL` semantics,
+  * first-occurrence order, ≥1 gram even for sub-n texts — mirroring the
+  * `greatest(len−n+1, 1)` padding) in a linear scan.
+  */
+case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
+  require(n >= 1, "n-gram size must be >= 1")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects string, got $t")
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_char_ngrams"
+
+  override def nullSafeEval(a: Any): Any =
+    CharNGrams.compute(a.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.functions.CharNGrams$$.MODULE$$.compute($c, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object CharNGrams {
+  /** Tight-loop kernel; public so generated code can call it. */
+  def compute(s: UTF8String, n: Int): ArrayData = {
+    val count = math.max(s.numChars() - (n - 1), 1)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    var i = 1
+    while (i <= count) {
+      seen.add(s.substringSQL(i, n)) // same semantics as substr(text, i, n)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray.asInstanceOf[Array[Any]])
+  }
+
+  /** Column wrapper. */
+  def charNGrams(text: Column, n: Int): Column =
+    GraftSqlBridge.column(CharNGrams(GraftSqlBridge.expression(text), n))
+}

@@ -59,7 +59,8 @@ object GraphSchema {
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row], edgeSchema)
 
   def empty(spark: SparkSession): PropertyGraph =
-    PropertyGraph(emptyNodes(spark), emptyEdges(spark))
+    PropertyGraph(emptyNodes(spark), emptyEdges(spark), Some(0L),
+      nodesKnownEmpty = true, edgesKnownEmpty = true)
 
   /** Align a DataFrame to `schema` by adding missing nullable columns and
     * casting, so unions stay positionally safe. */
@@ -83,9 +84,16 @@ object GraphSchema {
   * `nextIdHint` is the highest node ID ever assigned in this snapshot's
   * mutation chain (None when unknown, e.g. freshly loaded from disk). It
   * lets ID assignment skip a full `max(id)` scan per mutation; IDs stay
-  * monotone across deletes, which keeps op-log replay deterministic. */
+  * monotone across deletes, which keeps op-log replay deterministic.
+  *
+  * `nodesKnownEmpty`/`edgesKnownEmpty` are driver-side bulk-load hints:
+  * true only when the table is provably empty (fresh graph, nothing added
+  * yet). Mutations use them to skip upsert joins against tables Catalyst
+  * cannot know are empty (they are RDD-backed). Conservative: false merely
+  * disables the fast path. */
 final case class PropertyGraph(nodes: DataFrame, edges: DataFrame,
-    nextIdHint: Option[Long] = None) {
+    nextIdHint: Option[Long] = None,
+    nodesKnownEmpty: Boolean = false, edgesKnownEmpty: Boolean = false) {
   def cache(): PropertyGraph =
     copy(nodes = nodes.cache(), edges = edges.cache())
   /** Cut lineage after iterated rewrites (mutation chains grow plans). */

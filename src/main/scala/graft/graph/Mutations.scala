@@ -94,14 +94,26 @@ object Mutations {
     // stay at the InternalRow layer: boxing 10⁵–10⁶ rows to external Rows
     // and back was ~a third of bulk-build time. UnsafeRow buffers are
     // reused per-partition, so copy() before pairing with the id cell.
-    val rdd = org.apache.spark.sql.GraftSqlBridge.toInternalRdd(sorted)
-      .zipWithIndex.map { case (r, i) =>
-        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
-          r.copy(), InternalRow(startId + 1 + i))
+    // Partition sizes come from ONE tiny job over the pinned partitions
+    // (zipWithIndex would run the same counting job internally, and the
+    // batch size falls out of the same pass instead of a separate count()).
+    val rdd0 = org.apache.spark.sql.GraftSqlBridge.toInternalRdd(sorted)
+    val counts = rdd0.mapPartitions(
+      it => Iterator.single(it.length.toLong), preservesPartitioning = true)
+      .collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { (pi, it) =>
+      var i = startId + 1 + offsets(pi)
+      it.map { r =>
+        val out = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          r.copy(), InternalRow(i))
+        i += 1
+        out
       }
+    }
     (org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark,
       rdd.asInstanceOf[org.apache.spark.rdd.RDD[InternalRow]], outSchema),
-      sorted.count())
+      offsets.last)
   }
 
   /** Highest assigned node ID: from the snapshot's hint when the mutation
@@ -122,11 +134,31 @@ object Mutations {
     * `batch` columns: label, name, path, src_start, src_end, doc, props. */
   def addEntities(g: PropertyGraph, batch: DataFrame): MutationResult = {
     val key = Seq("label", "name", "path", "src_start", "src_end")
-    val b = batch
+    val dedup = batch
       .groupBy(key.map(col): _*)
       .agg(first(col("doc"), ignoreNulls = false).as("doc"),
         first(col("props"), ignoreNulls = false).as("props"))
-      .cache()
+
+    // bulk-load fast path: the graph is provably empty, so every row is an
+    // insert — skip the upsert join and the update rewrite entirely.
+    if (g.nodesKnownEmpty) {
+      val startId = maxId(g)
+      val (inserted, nInserted) = assignIdsCounted(dedup, key, startId)
+      val insertedNodes = conform(
+        inserted.select(col("id"),
+          array(col("label"), lit(SEARCHABLE)).as("labels"),
+          col("name"), col("path"), col("src_start"), col("src_end"),
+          col("doc"), col("props")),
+        nodeSchema)
+      return MutationResult(
+        g.copy(nodes = insertedNodes, nextIdHint = Some(startId + nInserted),
+          nodesKnownEmpty = false),
+        inserted.select(col("id"), col("label"), col("name"), col("path"),
+          col("src_start"), col("src_end")),
+        ChangeSummary(nodesCreated = nInserted, propertiesSet = nInserted))
+    }
+
+    val b = dedup.cache()
 
     val joined = b.join(g.nodes.select(col("id").as("_exid"), col("labels"),
         col("name").as("_exn"), col("path").as("_exp"),
@@ -168,7 +200,9 @@ object Mutations {
         .select(col("_exid").as("id"), col("label"), col("name"), col("path"),
           col("src_start"), col("src_end")))
     MutationResult(
-      PropertyGraph(nodes2, g.edges, Some(startId + nInserted)), resultIds,
+      g.copy(nodes = nodes2, nextIdHint = Some(startId + nInserted),
+        nodesKnownEmpty = false),
+      resultIds,
       // doc assignment counts ≥1 property per upsert
       ChangeSummary(nodesCreated = nInserted,
         propertiesSet = nInserted + upd.count()))
@@ -190,6 +224,21 @@ object Mutations {
     * (path, name, ext). `batch` columns: path, name, ext. */
   def addFiles(g: PropertyGraph, batch: DataFrame): MutationResult = {
     val key = Seq("path", "name", "ext")
+    if (g.nodesKnownEmpty) { // bulk-load fast path (see addEntities)
+      val startId = maxId(g)
+      val (inserted, nInserted) =
+        assignIdsCounted(batch.dropDuplicates(key), key, startId)
+      val insertedNodes = conform(
+        inserted.select(col("id"),
+          array(lit("File"), lit(SEARCHABLE)).as("labels"),
+          col("name"), col("path"), col("ext")),
+        nodeSchema)
+      return MutationResult(
+        g.copy(nodes = insertedNodes, nextIdHint = Some(startId + nInserted),
+          nodesKnownEmpty = false),
+        inserted.select(col("id"), col("path"), col("name"), col("ext")),
+        ChangeSummary(nodesCreated = nInserted))
+    }
     val b = batch.dropDuplicates(key).cache()
     val ex = g.nodes.filter(array_contains(col("labels"), "File"))
       .select(col("id").as("_exid"), col("path").as("_exp"),
@@ -210,7 +259,9 @@ object Mutations {
       .unionByName(joined.filter(col("_exid").isNotNull)
         .select(col("_exid").as("id"), col("path"), col("name"), col("ext")))
     MutationResult(
-      PropertyGraph(nodes2, g.edges, Some(startId + nInserted)), resultIds,
+      g.copy(nodes = nodes2, nextIdHint = Some(startId + nInserted),
+        nodesKnownEmpty = false),
+      resultIds,
       ChangeSummary(nodesCreated = nInserted))
   }
 
@@ -236,6 +287,16 @@ object Mutations {
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .cache()
 
+    // bulk-load fast path: no existing edges, so every validated row inserts
+    if (g.edgesKnownEmpty) {
+      val edges3 = conform(
+        b.select(col("src"), col("dst"), col("type"), col("props")),
+        edgeSchema)
+      return MutationResult(g.copy(edges = edges3, edgesKnownEmpty = false),
+        b.select(col("src"), col("dst"), col("type")),
+        ChangeSummary(relationshipsCreated = b.count()))
+    }
+
     val ex = g.edges.select(col("src"), col("dst"), col("type")).distinct()
     val toInsert = b.join(ex, Seq("src", "dst", "type"), "left_anti")
     val toUpdate = b.join(ex, Seq("src", "dst", "type"), "left_semi")
@@ -253,7 +314,7 @@ object Mutations {
       toInsert.select(col("src"), col("dst"), col("type"), col("props")),
       edgeSchema)
     val edges3 = conform(edges2, edgeSchema).unionByName(insertedEdges)
-    MutationResult(PropertyGraph(g.nodes, edges3, g.nextIdHint),
+    MutationResult(g.copy(edges = edges3, edgesKnownEmpty = false),
       b.select(col("src"), col("dst"), col("type")), {
         val nUpdatedProps = toUpdate
           .agg(coalesce(sum(size(coalesce(col("_uprops"),
@@ -289,15 +350,19 @@ object Mutations {
       .join(ids.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
       .join(ids.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       .cache()
-    val ex = g.edges.filter(col("type") === "CALLS")
-      .select(col("src"), col("dst"), col("line"))
-    val toInsert = b.join(ex, Seq("src", "dst", "line"), "left_anti")
+    val toInsert =
+      if (g.edgesKnownEmpty) b // bulk-load fast path: nothing to anti-join
+      else b.join(g.edges.filter(col("type") === "CALLS")
+        .select(col("src"), col("dst"), col("line")),
+        Seq("src", "dst", "line"), "left_anti")
     val insertedEdges = conform(
       toInsert.select(col("src"), col("dst"), lit("CALLS").as("type"),
         col("line"), col("text")),
       edgeSchema)
-    val edges2 = conform(g.edges, edgeSchema).unionByName(insertedEdges)
-    MutationResult(PropertyGraph(g.nodes, edges2, g.nextIdHint), b,
+    val edges2 =
+      if (g.edgesKnownEmpty) insertedEdges
+      else conform(g.edges, edgeSchema).unionByName(insertedEdges)
+    MutationResult(g.copy(edges = edges2, edgesKnownEmpty = false), b,
       ChangeSummary(relationshipsCreated = toInsert.count()))
   }
 
@@ -328,7 +393,7 @@ object Mutations {
         when(col("_uid").isNotNull, mergeProps(col("props"), openTail))
           .otherwise(col("props")).as("props"))
     MutationResult(
-      PropertyGraph(conform(nodes2, nodeSchema), g.edges, g.nextIdHint),
+      g.copy(nodes = conform(nodes2, nodeSchema)),
       upd.select(col("_uid").as("id")),
       ChangeSummary(propertiesSet = nPropsSet))
   }
@@ -361,7 +426,7 @@ object Mutations {
           .otherwise(col("coverage_precentage")))
       .drop("_uid")
     MutationResult(
-      PropertyGraph(conform(nodes2, nodeSchema), g.edges, g.nextIdHint),
+      g.copy(nodes = conform(nodes2, nodeSchema)),
       t.select(col("_uid").as("id")),
       ChangeSummary(propertiesSet = t.count()))
   }
@@ -393,7 +458,7 @@ object Mutations {
       .join(victims.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
       .join(victims.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
       .select(g.edges.columns.map(col).toIndexedSeq: _*)
-    MutationResult(PropertyGraph(nodes2, edges2, g.nextIdHint), victims, {
+    MutationResult(g.copy(nodes = nodes2, edges = edges2), victims, {
       // one pass over edges: count rows touching any victim
       val deleted = allEdges
         .join(victims.withColumnRenamed("id", "vid"),
@@ -488,7 +553,7 @@ object Mutations {
         when(col("_usrc").isNotNull, col("_up")).otherwise(col("params")))
       .drop("_usrc", "_udst", "_utype", "_uq", "_up")
     MutationResult(
-      PropertyGraph(g.nodes, conform(edges2, edgeSchema), g.nextIdHint),
+      g.copy(edges = conform(edges2, edgeSchema)),
       resolved.select(col("_usrc").as("src"), col("_udst").as("dst"),
         col("_utype").as("type")),
       ChangeSummary(propertiesSet = 2 * resolved.count())) // lazy (by-name)

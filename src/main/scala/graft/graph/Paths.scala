@@ -26,6 +26,9 @@ object Paths {
     * semantics, terminates on any graph. */
   def reachableFrom(edges: DataFrame, roots: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst")).cache()
+    // `visited` stays a lazy union of PINNED frontier levels: each level is
+    // localCheckpoint'ed once, so the growing union needs no re-pin per
+    // round (one materialization job per level instead of two).
     var visited = roots.select(col("id")).distinct().localCheckpoint(true)
     var frontier = visited
     var done = false
@@ -36,7 +39,7 @@ object Paths {
         .localCheckpoint(true)
       if (next.isEmpty) done = true
       else {
-        visited = visited.union(next).localCheckpoint(true)
+        visited = visited.union(next)
         frontier = next
       }
     }

@@ -30,14 +30,16 @@ object Dedup {
       .drop("_key")
 
   /** Character n-gram shingle set (1-based positions — mirrors SQL
-    * substring semantics so DuckDB oracles agree). */
+    * substring semantics so DuckDB oracles agree). Fused native kernel;
+    * [[ngramsViaTransform]] is the composable formulation it must match
+    * (cross-checked in PipelineSpec). */
   def ngrams(text: Column, n: Int): Column =
+    graft.functions.CharNGrams.charNGrams(text, n)
+
+  private[graft] def ngramsViaTransform(text: Column, n: Int): Column =
     array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => substring_index_safe(text, i, n)))
-
-  private def substring_index_safe(text: Column, i: Column, n: Int): Column =
-    text.substr(i, lit(n))
+      i => text.substr(i, lit(n))))
 
   /** Exact Jaccard similarity of two shingle-set columns: |∩| / |∪| as an
     * exact integer ratio (bit-identical across engines). */
@@ -60,32 +62,47 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jac"))
   }
 
-  /** Exact n-gram Jaccard pairs via an inverted index — no cartesian join.
+  /** Exact n-gram Jaccard pairs via a prefix-filtered inverted index — no
+    * cartesian join, and no k² posting blow-up on ubiquitous grams.
     *
-    * explode grams → self-join postings on gram → |∩| = per-pair posting
-    * match count; |∪| = |A| + |B| − |∩| from the per-doc gram counts. Any
-    * pair with jaccard > 0 shares ≥ 1 gram, so the posting join generates a
-    * superset of every pair above any positive threshold — same exact
-    * result set as the all-pairs baseline.
+    * Prefix filter (Bayardo et al., WWW'07 "Scaling Up All Pairs"): under a
+    * global gram order (rarest first), J(A,B) ≥ t implies |A∩B| ≥ ⌈t·|A|⌉,
+    * so the intersection cannot hide entirely in A's last ⌈t·|A|⌉−1 grams —
+    * at least one shared gram falls in A's first |A|−⌈t·|A|⌉+1 (its
+    * *prefix*), and symmetrically for B. Joining prefix postings only is
+    * therefore lossless for the threshold, while the frequent grams that
+    * make k² candidates land in suffixes and never join. Candidates are
+    * then verified with the exact gram-set Jaccard — identical result set
+    * to the all-pairs baseline.
     *
-    * Scale: shuffles on gram then on (id_a, id_b) — both equi-joins. A gram
-    * appearing in k docs contributes k² candidate rows; at 100 TB drop
-    * ultra-frequent grams first (a stopword-gram cutoff) or use
-    * [[minhashDedup]], which thresholds by banding instead. */
+    * Scale: shuffles on gram (prefix postings only), then (id_a, id_b);
+    * per-doc prefix ranking is one window over the posting list. All
+    * equi-joins — survives 100 TB where the plain inverted index dies on
+    * its most frequent gram. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val g = docs.select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
-      .select(col("id"), size(col("grams")).as("n_grams"),
-        explode(col("grams")).as("gram"))
-    val a = g.select(col("gram"), col("id").as("id_a"), col("n_grams").as("na"))
-    val b = g.select(col("gram"), col("id").as("id_b"), col("n_grams").as("nb"))
-    a.join(b, Seq("gram"))
+      .cache()
+    val postings = g.select(col("id"), size(col("grams")).as("n_grams"),
+      explode(col("grams")).as("gram"))
+    val freq = postings.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+    // rank each doc's grams rarest-first; prefix = first n−⌈t·n⌉+1 grams
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("gram"))
+    val prefixes = postings.join(freq, "gram")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <=
+        col("n_grams") - ceil(col("n_grams") * threshold) + 1)
+      .select(col("gram"), col("id"))
+      .cache() // both sides of the candidate self-join read this
+    val candidates = prefixes.select(col("gram"), col("id").as("id_a"))
+      .join(prefixes.select(col("gram"), col("id").as("id_b")), Seq("gram"))
       .filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
-      .withColumn("jac", col("inter").cast("double") /
-        (col("na") + col("nb") - col("inter")).cast("double"))
+      .select(col("id_a"), col("id_b")).distinct()
+    candidates
+      .join(g.select(col("id").as("id_a"), col("grams").as("grams_a")), "id_a")
+      .join(g.select(col("id").as("id_b"), col("grams").as("grams_b")), "id_b")
+      .withColumn("jac", jaccard(col("grams_a"), col("grams_b")))
       .filter(col("jac") >= threshold)
       .select(col("id_a"), col("id_b"), col("jac"))
   }
@@ -130,11 +147,11 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val g = docs.select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
-      // base hashes land in a real column so the 128 permutations reuse
-      // them instead of re-hashing every gram string per permutation
-      .withColumn("_mh", baseHashes(col("grams")))
-      .withColumn("sig", minhashSignatureFromBase(col("_mh"), numHashes))
-      .drop("_mh")
+      // fused native kernel: one xxhash per gram + all permutation minima
+      // in a local array (the lambda formulation interprets numHashes
+      // passes over the gram array; kept as the spec's cross-check oracle)
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhashSig(col("grams"), numHashes))
       .cache()
     val banded = g.select(col("id"),
       posexplode(array((0 until numBands).map { b =>
@@ -159,9 +176,20 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of the
-    * token hashes. One explode + one groupBy — fully distributed. */
+    * distinct-token hashes, fused into one generated per-row loop
+    * ([[graft.functions.SimHash64]]) — zero shuffle, no token-row blow-up.
+    * Bit-identical to the explode → 64-sum-aggregate formulation (kept in
+    * DedupSpec as the cross-check oracle). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text"): DataFrame =
+    docs.select(col(idCol).as("id"),
+      graft.functions.SimHash64.simhash64(
+        array_distinct(TextAnalysis.tokens(col(textCol)))).as("simhash"))
+
+  /** The explode → 64-sum-aggregate SimHash formulation — the distributed
+    * shape [[simhash]]'s fused kernel must reproduce; test-oracle use. */
+  private[graft] def simhashViaAggregate(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = docs.select(col(idCol).as("id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
       .withColumn("h", xxhash64(col("tok")))

@@ -107,21 +107,22 @@ object GraphParityQueries {
       .select($"node", coalesce($"succ", $"node").as("jump"),
         when($"succ".isNotNull, 1L).otherwise(0L).as("dist"))
       .localCheckpoint(true)
-    var converged = false
-    var rounds = 0
-    var prevTotal = ptr.select(sum($"dist")).head().getLong(0)
-    while (!converged && rounds < 64) { // 64 ⌈log₂⌉ bounds any chain length
-      rounds += 1
+    // After r rounds every pointer spans min(2^r, chainLen) hops, so
+    // ⌈log₂ longestChain⌉ rounds suffice — computed ONCE from the probe set
+    // (chain length ≤ edge count per customer) instead of paying a
+    // convergence-probe job every round.
+    val longest = next.groupBy($"node").count() // defensive vs fan-out
+      .join(placed, Seq("node"))
+      .groupBy($"cust").agg(sum($"count").as("n"))
+      .agg(coalesce(max($"n"), lit(0L))).head().getLong(0)
+    val rounds = if (longest <= 1) 0
+      else 64 - java.lang.Long.numberOfLeadingZeros(longest - 1)
+    for (_ <- 0 until rounds) {
       val hopOf = ptr.select($"node".as("jump"), $"jump".as("jump2"),
         $"dist".as("dist2"))
-      val next2 = ptr.join(hopOf, Seq("jump"))
+      ptr = ptr.join(hopOf, Seq("jump"))
         .select($"node", $"jump2".as("jump"), ($"dist" + $"dist2").as("dist"))
         .localCheckpoint(true)
-      // fixpoint when no pointer advanced this round (total dist stable)
-      val total = next2.select(sum($"dist")).head().getLong(0)
-      ptr = next2
-      converged = total == prevTotal
-      prevTotal = total
     }
     val firstOrders = placed
       .join(next.select($"succ".as("node")), Seq("node"), "left_anti")

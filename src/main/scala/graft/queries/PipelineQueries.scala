@@ -96,8 +96,8 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
-  /** t03 — language-ID by stopword voting (heuristic; Spark-side only →
-    * rows-only check + accuracy spec). */
+  /** t03 — language-ID by stopword voting (oracle: the same votes +
+    * tiebreak in DuckDB list functions). */
   def t03LangId(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
@@ -230,6 +230,32 @@ object PipelineQueries {
         |      * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE 0.5 END))
         |    >= 0.5) AS n_pass
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "t03_lang_id" ->
+      // mirror of TextAnalysis.langIdOf: per-language stopword hit counts,
+      // winner = max hits with lexicographically-greatest language tiebreak
+      // (Spark `greatest` over (hits, lang) structs), zero hits => 'und'
+      """WITH t AS (
+        |  SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |s AS (
+        |  SELECT
+        |    len(list_filter(toks, x -> list_contains(['der','die','und','das',
+        |      'ist','von','mit','den','nicht','ein'], x))) AS de,
+        |    len(list_filter(toks, x -> list_contains(['the','and','of','to',
+        |      'in','is','that','it','was','for'], x))) AS en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','que',
+        |      'y','en','un','los','se','del'], x))) AS es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','les','de',
+        |      'et','un','une','des','est','dans'], x))) AS fr
+        |  FROM t),
+        |p AS (
+        |  SELECT CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |    WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+        |    WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |    WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |    ELSE 'de' END AS pred
+        |  FROM s)
+        |SELECT pred, COUNT(*) AS n FROM p GROUP BY pred ORDER BY pred""".stripMargin,
     "s01_topk_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |s AS (

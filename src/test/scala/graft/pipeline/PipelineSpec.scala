@@ -61,6 +61,46 @@ class PipelineSpec extends SparkSpec {
       s"near-dup mean hamming $nearMean should be << random $randMean")
   }
 
+  test("fused ngram kernel matches the transform/array_distinct formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny).limit(200)
+      .select($"doc_id", lower($"text").as("t"))
+    val fused = docs.select($"doc_id", Dedup.ngrams($"t", 3).as("g"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq).toSeq
+    val lambda = docs.select($"doc_id", Dedup.ngramsViaTransform($"t", 3).as("g"))
+      .orderBy("doc_id").collect().map(_.getSeq[String](1).toSeq).toSeq
+    assert(fused === lambda)
+    // sub-n and empty edge cases
+    val edge = Seq("", "a", "ab", "abc", "abcd").toDF("t")
+    val f2 = edge.select(Dedup.ngrams($"t", 3).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    val l2 = edge.select(Dedup.ngramsViaTransform($"t", 3).as("g"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    assert(f2 === l2)
+  }
+
+  test("fused minhash kernel matches the lambda formulation") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny).filter($"doc_id" < 100)
+      .select($"doc_id", Dedup.ngrams(lower($"text"), 3).as("grams"))
+    val fused = docs.select($"doc_id",
+        graft.functions.MinHashSignature.minhashSig($"grams", 32).as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    val lambda = docs.select($"doc_id",
+        Dedup.minhashSignature($"grams", 32).as("sig"))
+      .orderBy("doc_id").collect().map(_.getSeq[Long](1).toSeq).toSeq
+    assert(fused === lambda)
+  }
+
+  test("fused simhash kernel matches the explode/aggregate formulation") {
+    val docs = Tables.documents(spark, sfTiny)
+    val fused = Dedup.simhash(docs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val agg = Dedup.simhashViaAggregate(docs).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fused === agg)
+  }
+
   test("simhash is deterministic and defined for every doc") {
     val docs = Tables.documents(spark, sfTiny)
     val a = Dedup.simhash(docs).orderBy("id").collect().map(_.getLong(1)).toSeq
