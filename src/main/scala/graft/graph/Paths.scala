@@ -79,6 +79,8 @@ object Paths {
       srcId: Long, target: Option[Long], maxHops: Int): DataFrame = {
     import spark.implicits._
     val e = typedEdges.select(col("src"), col("dst")).distinct().cache()
+    // `acc` stays a lazy union of PINNED per-hop levels (one checkpoint job
+    // per hop, not two — a 40-hop chain walk saves ~40 driver round-trips)
     var acc = Seq((Array(srcId), 0)).toDF("path", "hops").localCheckpoint(true)
     var frontier = acc
     var hop = 0
@@ -101,7 +103,7 @@ object Paths {
           lit(hop).as("hops"))
         .localCheckpoint(true)
       if (next.isEmpty) frontier = next
-      else { acc = acc.union(next).localCheckpoint(true); frontier = next }
+      else { acc = acc.union(next); frontier = next }
     }
     e.unpersist()
     acc
