@@ -104,6 +104,44 @@ class IngestSpec extends SparkSpec {
     assert(callers.toSet === Set("__init__", "log"))
   }
 
+  test("dependency expansion lists declared packages' site-packages sources") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("dep_exp")
+    Files.writeString(root.resolve("requirements.txt"),
+      "alpha==1.0\n# comment\nbeta>=2.1\n\ngamma\n")
+    val sp = root.resolve("venv/lib/python3.11/site-packages")
+    Files.createDirectories(sp.resolve("alpha/sub"))
+    Files.createDirectories(sp.resolve("beta"))
+    Files.writeString(sp.resolve("alpha/a.py"), "def fa():\n    pass\n")
+    Files.writeString(sp.resolve("alpha/sub/nested.py"), "x = 1\n") // not direct child
+    Files.writeString(sp.resolve("alpha/data.txt"), "not python")
+    Files.writeString(sp.resolve("beta/b.py"), "def fb():\n    pass\n")
+    assert(DependencyExpansion.declaredDependencies(root) ===
+      Seq("alpha", "beta", "gamma"))
+    val found = DependencyExpansion.expand(root).map(root.relativize(_).toString)
+    assert(found === Seq(
+      "venv/lib/python3.11/site-packages/alpha/a.py",
+      "venv/lib/python3.11/site-packages/beta/b.py"))
+    // expanded sources flow through the normal ingest path
+    val g = new CodeGraph(spark, "ingest_deps")
+    Ingestor.ingest(g, DependencyExpansion.sourceFiles(root))
+    assert(GraphQueries.getByName(g.graph, "Function", "fa").count() === 1)
+    assert(GraphQueries.getByName(g.graph, "Function", "fb").count() === 1)
+  }
+
+  test("poetry manifests win over requirements.txt") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("dep_poetry")
+    Files.writeString(root.resolve("requirements.txt"), "ignored==1.0\n")
+    Files.writeString(root.resolve("pyproject.toml"), Seq(
+      "[tool.poetry]", "name = \"x\"", "",
+      "[tool.poetry.dependencies]", "python = \"^3.11\"",
+      "delta = \"1.2.3\"", "",
+      "[tool.poetry.group.dev.dependencies]", "pytest = \"*\"").mkString("\n"))
+    assert(DependencyExpansion.declaredDependencies(root) ===
+      Seq("python", "delta"))
+  }
+
   test("base classes resolve to EXTENDS edges") {
     import spark.implicits._
     val src = Seq(
