@@ -16,8 +16,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * (≈16 ms per 300-char doc measured; higher-order functions get no
   * codegen), which dominated every shingle-based dedup operator. This
   * kernel emits the identical gram array (same `substringSQL` semantics,
-  * first-occurrence order, ≥1 gram even for sub-n texts — mirroring the
-  * `greatest(len−n+1, 1)` padding) in a linear scan.
+  * first-occurrence order) in a linear scan. Sub-n texts yield an EMPTY
+  * set — matching SQL `generate_series(1, len−n+1)` semantics, so DuckDB
+  * oracles agree on degenerate docs too.
   */
 case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
   require(n >= 1, "n-gram size must be >= 1")
@@ -44,8 +45,8 @@ case class CharNGrams(child: Expression, n: Int) extends UnaryExpression {
 object CharNGrams {
   /** Tight-loop kernel; public so generated code can call it. */
   def compute(s: UTF8String, n: Int): ArrayData = {
-    val count = math.max(s.numChars() - (n - 1), 1)
-    val seen = new java.util.LinkedHashSet[UTF8String](count * 2)
+    val count = math.max(s.numChars() - (n - 1), 0)
+    val seen = new java.util.LinkedHashSet[UTF8String](count * 2 + 1)
     var i = 1
     while (i <= count) {
       seen.add(s.substringSQL(i, n)) // same semantics as substr(text, i, n)

@@ -37,9 +37,10 @@ object Dedup {
     graft.functions.CharNGrams.charNGrams(text, n)
 
   private[graft] def ngramsViaTransform(text: Column, n: Int): Column =
-    array_distinct(transform(
-      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => text.substr(i, lit(n))))
+    when(length(text) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
 
   /** Exact Jaccard similarity of two shingle-set columns: |∩| / |∪| as an
     * exact integer ratio (bit-identical across engines). */
