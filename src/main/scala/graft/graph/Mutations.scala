@@ -116,6 +116,58 @@ object Mutations {
       offsets.last)
   }
 
+  /** Like [[assignIdsCounted]] but with MERGE-key dedup fused into the same
+    * range shuffle: `repartitionByRange(key) + sortWithinPartitions(key)`
+    * globally orders rows AND co-locates equal keys, so keeping the first
+    * row per consecutive key equals `groupBy(key).agg(first(...))` — one
+    * shuffle for dedupe + sort instead of two. Bulk-load fast paths only
+    * (upsert paths need the dedupe before their join). IDs depend only on
+    * the distinct-key sorted order, so assignment stays deterministic. */
+  private def assignIdsDedupCounted(df: DataFrame, keyCols: Seq[String],
+      startId: Long): (DataFrame, Long) = {
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
+    val spark = df.sparkSession
+    val order = keyCols.map(c => col(c).asc_nulls_first)
+    val sorted = df.repartitionByRange(order: _*)
+      .sortWithinPartitions(order: _*)
+      .localCheckpoint(true)
+    val schema = sorted.schema
+    val keyRefs = keyCols.map { c =>
+      val i = schema.fieldIndex(c)
+      BoundReference(i, schema(i).dataType, nullable = true)
+    }
+    val outSchema = StructType(schema.fields :+
+      StructField("id", LongType, nullable = false))
+    // first-per-consecutive-key iterator; rows with equal keys are adjacent
+    // within a partition and never span partitions (range partitioning)
+    def firstPerKey(it: Iterator[InternalRow]): Iterator[InternalRow] = {
+      val proj = UnsafeProjection.create(keyRefs)
+      var prev: UnsafeRow = null
+      it.flatMap { r =>
+        val k = proj(r)
+        if (prev != null && k == prev) None
+        else { prev = k.copy(); Some(r) }
+      }
+    }
+    val rdd0 = org.apache.spark.sql.GraftSqlBridge.toInternalRdd(sorted)
+    val counts = rdd0.mapPartitions(
+      it => Iterator.single(firstPerKey(it).length.toLong),
+      preservesPartitioning = true).collect()
+    val offsets = counts.scanLeft(0L)(_ + _)
+    val rdd = rdd0.mapPartitionsWithIndex { (pi, it) =>
+      var i = startId + 1 + offsets(pi)
+      firstPerKey(it).map { r =>
+        val out = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          r.copy(), InternalRow(i))
+        i += 1
+        out
+      }
+    }
+    (org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark,
+      rdd.asInstanceOf[org.apache.spark.rdd.RDD[InternalRow]], outSchema),
+      offsets.last)
+  }
+
   /** Highest assigned node ID: from the snapshot's hint when the mutation
     * chain carried one forward, else one `max(id)` scan. */
   private def maxId(g: PropertyGraph): Long =
@@ -134,16 +186,15 @@ object Mutations {
     * `batch` columns: label, name, path, src_start, src_end, doc, props. */
   def addEntities(g: PropertyGraph, batch: DataFrame): MutationResult = {
     val key = Seq("label", "name", "path", "src_start", "src_end")
-    val dedup = batch
-      .groupBy(key.map(col): _*)
-      .agg(first(col("doc"), ignoreNulls = false).as("doc"),
-        first(col("props"), ignoreNulls = false).as("props"))
-
     // bulk-load fast path: the graph is provably empty, so every row is an
-    // insert — skip the upsert join and the update rewrite entirely.
+    // insert — skip the upsert join and the update rewrite entirely, and
+    // fuse the merge-key dedupe into the ID-assignment sort (one shuffle).
     if (g.nodesKnownEmpty) {
       val startId = maxId(g)
-      val (inserted, nInserted) = assignIdsCounted(dedup, key, startId)
+      val (inserted, nInserted) = assignIdsDedupCounted(
+        batch.select(col("label"), col("name"), col("path"),
+          col("src_start"), col("src_end"), col("doc"), col("props")),
+        key, startId)
       val insertedNodes = conform(
         inserted.select(col("id"),
           array(col("label"), lit(SEARCHABLE)).as("labels"),
@@ -158,7 +209,11 @@ object Mutations {
         ChangeSummary(nodesCreated = nInserted, propertiesSet = nInserted))
     }
 
-    val b = dedup.cache()
+    val b = batch
+      .groupBy(key.map(col): _*)
+      .agg(first(col("doc"), ignoreNulls = false).as("doc"),
+        first(col("props"), ignoreNulls = false).as("props"))
+      .cache()
 
     val joined = b.join(g.nodes.select(col("id").as("_exid"), col("labels"),
         col("name").as("_exn"), col("path").as("_exp"),
@@ -226,8 +281,8 @@ object Mutations {
     val key = Seq("path", "name", "ext")
     if (g.nodesKnownEmpty) { // bulk-load fast path (see addEntities)
       val startId = maxId(g)
-      val (inserted, nInserted) =
-        assignIdsCounted(batch.dropDuplicates(key), key, startId)
+      val (inserted, nInserted) = assignIdsDedupCounted(
+        batch.select(col("path"), col("name"), col("ext")), key, startId)
       val insertedNodes = conform(
         inserted.select(col("id"),
           array(lit("File"), lit(SEARCHABLE)).as("labels"),
