@@ -1,0 +1,92 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.pipeline.Dedup
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property tests: each fused native kernel must be extensionally equal to
+  * the composable Spark-functions formulation it replaced, over adversarial
+  * inputs — unicode (multi-byte, astral plane), whitespace runs, empty and
+  * sub-n strings, duplicate-heavy token lists. A divergence here is a
+  * silent oracle break, so these run on every build. (Raw scalacheck Gen
+  * with fixed seeds: the scalatest bridge artifact isn't on the offline
+  * classpath, and deterministic cases beat shrinking for Spark jobs.) */
+class KernelPropertySpec extends SparkSpec {
+
+  private val weirdChars =
+    Gen.oneOf(Gen.alphaNumChar, Gen.oneOf(' ', '\t', '\n', 'é', 'ß', '中',
+      '文', '☃'), Gen.asciiPrintableChar)
+  private val textGen: Gen[String] = for {
+    n <- Gen.chooseNum(0, 40)
+    cs <- Gen.listOfN(n, weirdChars)
+    astral <- Gen.oneOf("", "𝄞", "💾") // surrogate pairs
+  } yield cs.mkString + astral
+
+  private def cases[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).map(i => g.pureApply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("CharNGrams == array_distinct(transform(...)) on adversarial strings") {
+    import spark.implicits._
+    cases(Gen.listOfN(30, textGen), 8).foreach { texts =>
+      val df = texts.toDF("t")
+      val fused = df.select(Dedup.ngrams($"t", 3)).collect()
+        .map(_.getSeq[String](0).toSeq).toSeq
+      val lambda = df.select(Dedup.ngramsViaTransform($"t", 3)).collect()
+        .map(_.getSeq[String](0).toSeq).toSeq
+      assert(fused === lambda, s"diverged on $texts")
+    }
+  }
+
+  test("MinHashSignature == lambda permutations on adversarial gram sets") {
+    import spark.implicits._
+    cases(Gen.listOfN(20, Gen.listOf(textGen)), 8).foreach { docs =>
+      val df = docs.map(_.toArray).toDF("grams")
+      val fused = df.select(MinHashSignature.minhashSig($"grams", 16))
+        .collect().map(_.getSeq[Long](0).toSeq).toSeq
+      val lambda = df.select(Dedup.minhashSignature($"grams", 16))
+        .collect().map(r => Option(r.getSeq[Long](0)).map(_.toSeq).orNull)
+        .toSeq
+      // lambda array_min of an EMPTY gram set is null per permutation; the
+      // kernel uses Long.MaxValue sentinels (no null signature entries) —
+      // compare non-empty docs, assert the kernel's sentinel otherwise
+      fused.lazyZip(lambda).lazyZip(docs).foreach { (f, l, d) =>
+        if (d.nonEmpty) assert(f === l, s"diverged on $d")
+        else assert(f.forall(_ == Long.MaxValue))
+      }
+    }
+  }
+
+  test("SimHash64 == explode/aggregate votes on adversarial token sets") {
+    import spark.implicits._
+    cases(Gen.listOfN(20, textGen.suchThat(_.trim.nonEmpty)), 8)
+      .foreach { texts =>
+        val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+        val fused = Dedup.simhash(df).orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        val agg = Dedup.simhashViaAggregate(df).orderBy("id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq
+        assert(fused === agg, s"diverged on $texts")
+      }
+  }
+
+  test("prefix-filtered jaccardPairs == brute force on duplicate-heavy corpora") {
+    import spark.implicits._
+    val corpusGen = for {
+      base <- Gen.listOfN(6, textGen.suchThat(_.length >= 5))
+      // near-dups: copies with a small suffix tweak
+      dups <- Gen.listOfN(6, Gen.zip(Gen.oneOf(base), Gen.alphaChar))
+    } yield base ++ dups.map { case (b, c) => b + c }
+    cases(corpusGen, 6).foreach { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val brute = Dedup.jaccardPairsBrute(df, 3, 0.6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val indexed = Dedup.jaccardPairs(df, 3, 0.6).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(indexed === brute, s"diverged on $texts")
+    }
+  }
+}
