@@ -155,8 +155,18 @@ object Similarity {
   /** Random-hyperplane LSH bucketing: sign bits of dot products with
     * `nPlanes` pseudo-random unit-free planes derived deterministically from
     * xxhash64(planeIdx, dimIdx) — no RNG state, reproducible on any cluster.
-    * Near-dup candidates share a bucket; verify with exact cosine. */
+    * Near-dup candidates share a bucket; verify with exact cosine.
+    * Fused native kernel ([[graft.functions.HyperplaneSignature]]);
+    * [[hyperplaneBucketsHof]] is the formulation it must match. */
   def hyperplaneBuckets(emb: DataFrame, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    emb.select(col(idCol).as("id"),
+      graft.functions.HyperplaneSignature.hyperplaneSig(
+        col(vecCol).cast("array<double>"), nPlanes).as("bucket"))
+
+  /** Higher-order-function formulation of [[hyperplaneBuckets]] — one
+    * interpreted lambda pass per plane; test-oracle use. */
+  private[graft] def hyperplaneBucketsHof(emb: DataFrame, nPlanes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val v = emb.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))

@@ -72,6 +72,24 @@ class KernelPropertySpec extends SparkSpec {
       }
   }
 
+  test("HyperplaneSignature == HOF plane formulation on random vectors") {
+    import graft.pipeline.Similarity
+    import spark.implicits._
+    val vecGen = for {
+      d <- Gen.chooseNum(1, 48)
+      xs <- Gen.listOfN(d, Gen.chooseNum(-1e3, 1e3).map(_ / 7.0))
+    } yield xs.toArray
+    cases(Gen.listOfN(25, vecGen), 6).foreach { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("vec_id", "embedding")
+      val fused = Similarity.hyperplaneBuckets(df, 24)
+        .orderBy("id").collect().map(_.getLong(1)).toSeq
+      val hof = Similarity.hyperplaneBucketsHof(df, 24)
+        .orderBy("id").collect().map(_.getLong(1)).toSeq
+      assert(fused === hof)
+    }
+  }
+
   test("prefix-filtered jaccardPairs == brute force on duplicate-heavy corpora") {
     import spark.implicits._
     val corpusGen = for {
