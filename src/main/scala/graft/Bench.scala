@@ -4,9 +4,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // shuffle/checkpoint blocks on tmpfs: the VM's virtio disk gets
+    // burst-throttled by the host (measured minutes-long stalls mid-bench);
+    // sf0.1 spill volume is far below the 126G tmpfs
+    val localDir = "/dev/shm/graft-spark"
+    new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
       // events.parquet uses TIMESTAMP(NANOS): read as nanos-since-epoch long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -7,9 +7,13 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // tmpfs local dir — see Bench.scala (virtio disk burst-throttling)
+    val localDir = "/dev/shm/graft-spark"
+    new java.io.File(localDir).mkdirs()
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", localDir)
       // events.parquet uses TIMESTAMP(NANOS): read as nanos-since-epoch long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.session.timeZone", "UTC")
