@@ -6,9 +6,13 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared session for all suites — one local SparkSession per JVM. */
 object TestSpark {
   lazy val spark: SparkSession = {
+    // tmpfs local dir — see Bench.scala (virtio disk burst-throttling)
+    val localDir = "/dev/shm/graft-spark-test"
+    new java.io.File(localDir).mkdirs()
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
+      .config("spark.local.dir", localDir)
       .config("spark.sql.shuffle.partitions", "8")
       // events.parquet uses TIMESTAMP(NANOS): read as nanos-since-epoch long
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
