@@ -7,8 +7,7 @@ object Bench {
     // shuffle/checkpoint blocks on tmpfs: the VM's virtio disk gets
     // burst-throttled by the host (measured minutes-long stalls mid-bench);
     // sf0.1 spill volume is far below the 126G tmpfs
-    val localDir = "/dev/shm/graft-spark"
-    new java.io.File(localDir).mkdirs()
+    val localDir = graft.util.LocalTmp.sparkLocalDir("graft-spark")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -24,17 +23,22 @@ object Bench {
       case Some(names) => SparkEntry.queries.filter(q => names(q._1))
       case None => SparkEntry.queries
     }
-    // Warmup (reported, not hidden): load the resident TPC-H graph and run
-    // one tiny query so the timed section measures steady-state query
-    // latency — the reference is a resident server whose graph lives in
-    // FalkorDB memory, so cold-start JVM/codegen/cache costs belong to
-    // session open, not to any one query.
+    // Warmup (reported, not hidden): load the resident TPC-H graph and
+    // touch the base tables the selected queries use, so the timed section
+    // measures steady-state query latency — the reference is a resident
+    // server whose graph lives in FalkorDB memory, so cold-start JVM/
+    // codegen/cache costs belong to session open, not to any one query.
+    val names = selected.keySet
     val w0 = System.nanoTime()
     try {
-      val g = graft.queries.TpchGraph.build(spark, sfDir)
-      g.nodes.count(); g.edges.count()
-      graft.util.Tables.documents(spark, sfDir).count()
-      graft.util.Tables.embeddings(spark, sfDir).count()
+      if (names.exists(_.startsWith("g"))) {
+        val g = graft.queries.TpchGraph.build(spark, sfDir)
+        g.nodes.count(); g.edges.count()
+      }
+      if (names.exists(n => n.startsWith("d") || n.startsWith("t")))
+        graft.util.Tables.documents(spark, sfDir).count()
+      if (names.exists(n => n.startsWith("s") || n.startsWith("d06")))
+        graft.util.Tables.embeddings(spark, sfDir).count()
     } catch { case _: Throwable => }
     val warmup = (System.nanoTime() - w0) / 1e9
     val results = selected.map { case (name, fn) =>

@@ -8,8 +8,7 @@ object Verify {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // tmpfs local dir — see Bench.scala (virtio disk burst-throttling)
-    val localDir = "/dev/shm/graft-spark"
-    new java.io.File(localDir).mkdirs()
+    val localDir = graft.util.LocalTmp.sparkLocalDir("graft-spark")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

@@ -86,25 +86,34 @@ object Mutations {
     * partition boundaries after the offsets were taken. */
   private def assignIdsCounted(df: DataFrame, keyCols: Seq[String],
       startId: Long): (DataFrame, Long) = {
-    val spark = df.sparkSession
     val sorted = df.sort(keyCols.map(c => col(c).asc_nulls_first): _*)
       .localCheckpoint(true)
+    attachIds(sorted, startId, identity)
+  }
+
+  /** Shared tail of ID assignment over a PINNED (localCheckpoint'ed)
+    * sorted DataFrame: per-partition survivor counts from ONE tiny job
+    * (zipWithIndex would run the same counting job internally, and the
+    * batch size falls out of the same pass instead of a separate count()),
+    * then sequential IDs attached at the InternalRow layer — boxing
+    * 10⁵–10⁶ rows to external Rows and back was ~a third of bulk-build
+    * time. UnsafeRow buffers are reused per-partition, so copy() before
+    * pairing with the id cell. `rowFilter` runs identically in both
+    * passes (counts, emit). */
+  private def attachIds(sorted: DataFrame, startId: Long,
+      rowFilter: Iterator[InternalRow] => Iterator[InternalRow])
+      : (DataFrame, Long) = {
+    val spark = sorted.sparkSession
     val outSchema = StructType(sorted.schema.fields :+
       StructField("id", LongType, nullable = false))
-    // stay at the InternalRow layer: boxing 10⁵–10⁶ rows to external Rows
-    // and back was ~a third of bulk-build time. UnsafeRow buffers are
-    // reused per-partition, so copy() before pairing with the id cell.
-    // Partition sizes come from ONE tiny job over the pinned partitions
-    // (zipWithIndex would run the same counting job internally, and the
-    // batch size falls out of the same pass instead of a separate count()).
     val rdd0 = org.apache.spark.sql.GraftSqlBridge.toInternalRdd(sorted)
     val counts = rdd0.mapPartitions(
-      it => Iterator.single(it.length.toLong), preservesPartitioning = true)
-      .collect()
+      it => Iterator.single(rowFilter(it).length.toLong),
+      preservesPartitioning = true).collect()
     val offsets = counts.scanLeft(0L)(_ + _)
     val rdd = rdd0.mapPartitionsWithIndex { (pi, it) =>
       var i = startId + 1 + offsets(pi)
-      it.map { r =>
+      rowFilter(it).map { r =>
         val out = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
           r.copy(), InternalRow(i))
         i += 1
@@ -126,7 +135,6 @@ object Mutations {
   private def assignIdsDedupCounted(df: DataFrame, keyCols: Seq[String],
       startId: Long): (DataFrame, Long) = {
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection, UnsafeRow}
-    val spark = df.sparkSession
     val order = keyCols.map(c => col(c).asc_nulls_first)
     val sorted = df.repartitionByRange(order: _*)
       .sortWithinPartitions(order: _*)
@@ -136,8 +144,6 @@ object Mutations {
       val i = schema.fieldIndex(c)
       BoundReference(i, schema(i).dataType, nullable = true)
     }
-    val outSchema = StructType(schema.fields :+
-      StructField("id", LongType, nullable = false))
     // first-per-consecutive-key iterator; rows with equal keys are adjacent
     // within a partition and never span partitions (range partitioning)
     def firstPerKey(it: Iterator[InternalRow]): Iterator[InternalRow] = {
@@ -149,23 +155,7 @@ object Mutations {
         else { prev = k.copy(); Some(r) }
       }
     }
-    val rdd0 = org.apache.spark.sql.GraftSqlBridge.toInternalRdd(sorted)
-    val counts = rdd0.mapPartitions(
-      it => Iterator.single(firstPerKey(it).length.toLong),
-      preservesPartitioning = true).collect()
-    val offsets = counts.scanLeft(0L)(_ + _)
-    val rdd = rdd0.mapPartitionsWithIndex { (pi, it) =>
-      var i = startId + 1 + offsets(pi)
-      firstPerKey(it).map { r =>
-        val out = new org.apache.spark.sql.catalyst.expressions.JoinedRow(
-          r.copy(), InternalRow(i))
-        i += 1
-        out
-      }
-    }
-    (org.apache.spark.sql.GraftSqlBridge.internalCreateDataFrame(spark,
-      rdd.asInstanceOf[org.apache.spark.rdd.RDD[InternalRow]], outSchema),
-      offsets.last)
+    attachIds(sorted, startId, firstPerKey)
   }
 
   /** Highest assigned node ID: from the snapshot's hint when the mutation

@@ -60,24 +60,31 @@ object DependencyExpansion {
     if (!Files.isDirectory(venvLib)) return Seq.empty
     val deps = declaredDependencies(repoRoot)
     if (deps.isEmpty) return Seq.empty
-    val sitePackages = Files.walk(venvLib).iterator().asScala
-      .filter(p => Files.isDirectory(p) &&
-        p.getFileName.toString == "site-packages")
-      .toSeq
+    val walk = Files.walk(venvLib)
+    val sitePackages =
+      try walk.iterator().asScala
+        .filter(p => Files.isDirectory(p) &&
+          p.getFileName.toString == "site-packages")
+        .toSeq
+      finally walk.close()
     for {
       sp <- sitePackages
       dep <- deps
       pkgDir = sp.resolve(dep)
       if Files.isDirectory(pkgDir)
-      f <- Files.list(pkgDir).iterator().asScala.toSeq.sortBy(_.toString)
+      listing = Files.list(pkgDir)
+      f <- (try listing.iterator().asScala.toSeq.sortBy(_.toString)
+            finally listing.close())
       if f.getFileName.toString.endsWith(".py")
     } yield f
   }
 
-  /** [[expand]] materialized as ingest inputs, paths repo-relative. */
+  /** [[expand]] materialized as ingest inputs, paths repo-relative.
+    * Decoding replaces malformed UTF-8 instead of aborting: one latin-1
+    * source in a dependency must not kill the whole ingest. */
   def sourceFiles(repoRoot: Path): Seq[Ingestor.SourceFile] =
     expand(repoRoot).map { p =>
       Ingestor.SourceFile(repoRoot.relativize(p).toString,
-        Files.readString(p))
+        new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
     }
 }

@@ -148,6 +148,10 @@ object Dedup {
     val numBands = numHashes / rowsPerBand
     val g = docs.select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
+      // sub-n docs have empty gram sets -> identical sentinel signatures;
+      // banding them would candidate-pair every such doc with every other
+      // (quadratic). They can never reach a positive jaccard, so drop now.
+      .filter(size(col("grams")) > 0)
       // fused native kernel: one xxhash per gram + all permutation minima
       // in a local array (the lambda formulation interprets numHashes
       // passes over the gram array; kept as the spec's cross-check oracle)
@@ -183,9 +187,10 @@ object Dedup {
     * DedupSpec as the cross-check oracle). */
   def simhash(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
-    docs.select(col(idCol).as("id"),
-      graft.functions.SimHash64.simhash64(
-        array_distinct(TextAnalysis.tokens(col(textCol)))).as("simhash"))
+    docs.filter(col(textCol).isNotNull) // explode drops null-text docs too
+      .select(col(idCol).as("id"),
+        graft.functions.SimHash64.simhash64(
+          array_distinct(TextAnalysis.tokens(col(textCol)))).as("simhash"))
 
   /** The explode → 64-sum-aggregate SimHash formulation — the distributed
     * shape [[simhash]]'s fused kernel must reproduce; test-oracle use. */

@@ -7,8 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 object TestSpark {
   lazy val spark: SparkSession = {
     // tmpfs local dir — see Bench.scala (virtio disk burst-throttling)
-    val localDir = "/dev/shm/graft-spark-test"
-    new java.io.File(localDir).mkdirs()
+    val localDir = graft.util.LocalTmp.sparkLocalDir("graft-spark-test")
     val s = SparkSession.builder()
       .master("local[8]")
       .appName("graft-test")
