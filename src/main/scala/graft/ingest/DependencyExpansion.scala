@@ -1,6 +1,6 @@
 package graft.ingest
 
-import java.nio.file.{Files, Path}
+import java.nio.file.{Files, Path, Paths => JavaPaths}
 import scala.jdk.CollectionConverters._
 
 /** F9 dependency expansion (`/root/reference/api/analyzers/python/
@@ -87,4 +87,57 @@ object DependencyExpansion {
       Ingestor.SourceFile(repoRoot.relativize(p).toString,
         new String(Files.readAllBytes(p), java.nio.charset.StandardCharsets.UTF_8))
     }
+
+  // ---- Java half (`api/analyzers/java/analyzer.py:22-38`): pom.xml deps →
+  // `<artifact>-<version>-sources.jar` under the local Maven repository.
+  // (The C# analyzer's add_dependencies only runs `dotnet restore` — a pure
+  // environment side effect that never extends the file list; its Spark
+  // equivalent is a no-op.)
+
+  /** (groupId, artifactId, version) triples of `pom.xml`'s
+    * `<dependencies>` section, in file order. Line-oriented scan — enough
+    * for the flat structure the reference reads with ElementTree. */
+  def declaredMavenDependencies(repoRoot: Path): Seq[(String, String, String)] = {
+    val pom = repoRoot.resolve("pom.xml")
+    if (!Files.isRegularFile(pom)) return Seq.empty
+    val xml = new String(Files.readAllBytes(pom),
+      java.nio.charset.StandardCharsets.UTF_8)
+    val dep = "(?s)<dependency>(.*?)</dependency>".r
+    def tag(body: String, t: String): Option[String] =
+      s"(?s)<$t>\\s*(.*?)\\s*</$t>".r.findFirstMatchIn(body).map(_.group(1))
+    dep.findAllMatchIn(xml).toSeq.flatMap { m =>
+      for {
+        g <- tag(m.group(1), "groupId")
+        a <- tag(m.group(1), "artifactId")
+        v <- tag(m.group(1), "version")
+      } yield (g, a, v)
+    }
+  }
+
+  /** `.java` entry names of each declared dependency's sources jar found in
+    * `m2Repo` (default `~/.m2/repository`) — the reference unzips these
+    * next to the repo; we read entries straight from the jar. Returns
+    * (jarPath, entryName, source) rows ready for the JSONL/Java frontend. */
+  def mavenSourceFiles(repoRoot: Path,
+      m2Repo: Option[Path] = None): Seq[Ingestor.SourceFile] = {
+    val repo = m2Repo.getOrElse(
+      JavaPaths.get(System.getProperty("user.home"), ".m2", "repository"))
+    declaredMavenDependencies(repoRoot).flatMap { case (g, a, v) =>
+      val jar = repo.resolve(g.replace('.', '/')).resolve(a).resolve(v)
+        .resolve(s"$a-$v-sources.jar")
+      if (!Files.isRegularFile(jar)) Seq.empty
+      else {
+        val zf = new java.util.zip.ZipFile(jar.toFile)
+        try zf.entries().asScala.toSeq
+          .filter(e => !e.isDirectory && e.getName.endsWith(".java"))
+          .sortBy(_.getName)
+          .map { e =>
+            val bytes = zf.getInputStream(e).readAllBytes()
+            Ingestor.SourceFile(s"$a-$v/${e.getName}",
+              new String(bytes, java.nio.charset.StandardCharsets.UTF_8))
+          }
+        finally zf.close()
+      }
+    }
+  }
 }

@@ -129,6 +129,36 @@ class IngestSpec extends SparkSpec {
     assert(GraphQueries.getByName(g.graph, "Function", "fb").count() === 1)
   }
 
+  test("maven dependency expansion reads .java entries from sources jars") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("dep_mvn")
+    Files.writeString(root.resolve("pom.xml"), Seq(
+      "<project>", "<dependencies>",
+      "  <dependency>",
+      "    <groupId>com.example</groupId>",
+      "    <artifactId>lib</artifactId>",
+      "    <version>1.2</version>",
+      "  </dependency>",
+      "</dependencies>", "</project>").mkString("\n"))
+    assert(DependencyExpansion.declaredMavenDependencies(root) ===
+      Seq(("com.example", "lib", "1.2")))
+    val m2 = Files.createTempDirectory("m2")
+    val jarDir = m2.resolve("com/example/lib/1.2")
+    Files.createDirectories(jarDir)
+    val jos = new java.util.zip.ZipOutputStream(
+      Files.newOutputStream(jarDir.resolve("lib-1.2-sources.jar")))
+    jos.putNextEntry(new java.util.zip.ZipEntry("com/example/A.java"))
+    jos.write("class A { void m() {} }".getBytes("UTF-8"))
+    jos.closeEntry()
+    jos.putNextEntry(new java.util.zip.ZipEntry("META-INF/MANIFEST.MF"))
+    jos.write("Manifest-Version: 1.0\n".getBytes("UTF-8"))
+    jos.closeEntry()
+    jos.close()
+    val srcs = DependencyExpansion.mavenSourceFiles(root, Some(m2))
+    assert(srcs.map(_.path) === Seq("lib-1.2/com/example/A.java"))
+    assert(srcs.head.source.contains("class A"))
+  }
+
   test("poetry manifests win over requirements.txt") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("dep_poetry")
