@@ -106,8 +106,9 @@ object Lcov {
       }
       .toDF("lcov_source", "test", "path", "name", "ext", "lines_found",
         "lines_hit", "da")
-      .withColumn("pct",
-        col("lines_hit").cast("double") / col("lines_found").cast("double"))
+      .withColumn("pct", // null (not NaN) for LF:0 records — see applyLcov
+        when(col("lines_found") > 0,
+          col("lines_hit").cast("double") / col("lines_found").cast("double")))
   }
 
   /** F3: per-function interval coverage — the reference's sorted
@@ -158,6 +159,11 @@ object Lcov {
       val rel = if (r.file.startsWith(stripPrefix))
         r.file.substring(stripPrefix.length) else r.file
       val (path, name, ext) = Ingestor.splitPath(rel)
+      // LF:0 records (e.g. header-only sources with FN markers but no DA)
+      // would divide 0/0 → NaN; the reference crashes here
+      // (ZeroDivisionError, `lcov.py:145`) — we skip the record instead of
+      // persisting NaN coverage.
+      if (r.linesFound > 0) {
       val pct = r.linesHit.toDouble / r.linesFound.toDouble
       g.mutate(GraphOp.SetFileCoverage(path, name, ext, pct))
 
@@ -173,6 +179,7 @@ object Lcov {
             cov.map(_.getAs[Long]("fid")).toSeq,
             cov.map(r2 => Map("coverage_precentage" ->
               r2.getAs[Double]("coverage").toString)).toSeq))
+      }
       }
     }
   }

@@ -38,14 +38,16 @@ object GitHistory {
 
   /** F4: split a name-status diff into (added, deleted, modified) paths,
     * keeping only supported extensions and un-ignored paths
-    * (`git_utils.py:35-70`). */
+    * (`git_utils.py:35-70`). Typechange (`T`, e.g. symlink↔file) counts as
+    * modified — dropping it would leave the file permanently stale in the
+    * walked graph. Renames/copies never appear (diff runs --no-renames). */
   def classifyChanges(deltas: Seq[(String, String)], supportedTypes: Set[String],
       ignoreList: Seq[String]): (Seq[String], Seq[String], Seq[String]) = {
     def keep(p: String): Boolean =
       !isIgnored(p, ignoreList) && supportedTypes.contains(Ingestor.splitPath(p)._3)
     (deltas.collect { case ("A", p) if keep(p) => p },
       deltas.collect { case ("D", p) if keep(p) => p },
-      deltas.collect { case ("M", p) if keep(p) => p })
+      deltas.collect { case (s, p) if (s == "M" || s == "T") && keep(p) => p })
   }
 
   private def supportedTypes: Set[String] =
@@ -60,8 +62,11 @@ object GitHistory {
       case Some(rel) => rel.map(root.resolve)
       case None =>
         val s = Files.walk(root)
-        try s.iterator().asScala.toSeq.filter(p => Files.isRegularFile(p) &&
-          !root.relativize(p).toString.startsWith(".git"))
+        // segment-exact .git exclusion: .github/… is a normal source dir
+        try s.iterator().asScala.toSeq.filter { p =>
+          val rel = root.relativize(p).toString
+          Files.isRegularFile(p) && rel != ".git" && !rel.startsWith(".git/")
+        }
         finally s.close()
     }
     paths.filter(p => supportedTypes.contains(

@@ -46,11 +46,18 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
       .sorted
   }
 
+  /** Load a snapshot. `next_id` is restored from the info file when the
+    * graph was saved by this engine: ID assignment must be a pure function
+    * of the mutation history, NOT of the current `max(id)` — after a
+    * delete removed the top IDs, a max-scan would re-issue them, and a
+    * replayed op-log whose captured edges reference the originals would
+    * silently mis-wire (op-log capture/replay divergence). */
   def load(name: String): PropertyGraph =
     if (!exists(name)) GraphSchema.empty(spark)
     else PropertyGraph(
       spark.read.schema(GraphSchema.nodeSchema).parquet(nodesDir(name).toString),
-      spark.read.schema(GraphSchema.edgeSchema).parquet(edgesDir(name).toString))
+      spark.read.schema(GraphSchema.edgeSchema).parquet(edgesDir(name).toString),
+      nextIdHint = getInfo(name).get("next_id").map(_.toLong))
 
   /** Persist a snapshot with stage-then-swap (atomic per table). */
   def save(name: String, g: PropertyGraph): Unit = {
@@ -68,6 +75,8 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
     fs.rename(stagedNodes, nodesDir(name))
     fs.rename(stagedEdges, edgesDir(name))
     fs.delete(stage, true)
+    // persist the ID high-water mark (see load) — monotone across deletes
+    g.nextIdHint.foreach(h => setInfo(name, Map("next_id" -> h.toString)))
   }
 
   /** C6: copy a whole graph under a new name (`api/graph.py:64-83`). */

@@ -504,12 +504,16 @@ object Mutations {
       .join(victims.withColumnRenamed("id", "dst"), Seq("dst"), "left_anti")
       .select(g.edges.columns.map(col).toIndexedSeq: _*)
     MutationResult(g.copy(nodes = nodes2, edges = edges2), victims, {
-      // one pass over edges: count rows touching any victim
-      val deleted = allEdges
-        .join(victims.withColumnRenamed("id", "vid"),
-          col("src") === col("vid") || col("dst") === col("vid"), "left_semi")
+      // count edges touching any victim with hash-joinable equi semi/anti
+      // joins (an OR-condition semi-join plans as a nested-loop join):
+      // |src∈V| + |dst∈V ∧ src∉V|
+      val bySrc = allEdges
+        .join(victims.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
+      val byDstOnly = allEdges
+        .join(victims.withColumnRenamed("id", "src"), Seq("src"), "left_anti")
+        .join(victims.withColumnRenamed("id", "dst"), Seq("dst"), "left_semi")
       ChangeSummary(nodesDeleted = victims.count(),
-        relationshipsDeleted = deleted.count())
+        relationshipsDeleted = bySrc.count() + byDstOnly.count())
     })
   }
 

@@ -139,31 +139,49 @@ object Paths {
     val spark = g.nodes.sparkSession
     import spark.implicits._
     // First-parent history is a linear chain (SURVEY J7), and a repo's
-    // commit-edge table fits in driver memory by construction — so fetch the
-    // whole typed chain in ONE job and walk it locally (the per-hop
-    // `limit(1).collect()` alternative is one Spark job per commit).
-    val rows = g.edges.filter(col("type") === relType)
-      .select(col("src"), col("dst"), col("queries"), col("params")).collect()
-    val bySrc = rows.iterator.map(r => r.getAs[Long]("src") -> r).toMap
-    val steps = scala.collection.mutable.ArrayBuffer.empty[(Int, Seq[String], Seq[String])]
+    // commit-edge SKELETON (src, dst) fits in driver memory by construction
+    // — so fetch it in one job and walk locally (the per-hop
+    // `limit(1).collect()` alternative is one Spark job per commit). The
+    // op-log payloads do NOT come along: every edge carries a full commit's
+    // serialized mutation batches, so collecting them for the whole history
+    // would scale the driver with repo age instead of path length. A second
+    // job fetches queries/params for only the walked hops.
+    val skeleton = g.edges.filter(col("type") === relType)
+      .select(col("src"), col("dst")).collect()
+    val nextOf = skeleton.iterator
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hopOf = scala.collection.mutable.LinkedHashMap.empty[(Long, Long), Int]
     var cur = fromId
     var hop = 0
     var dead = false
     while (cur != toId && hop < maxHops && !dead) {
-      bySrc.get(cur) match {
+      nextOf.get(cur) match {
         case None => dead = true // no path
-        case Some(r) =>
-          val qs = Option(r.getAs[scala.collection.Seq[String]]("queries"))
-            .map(_.toSeq).orNull
-          val ps = Option(r.getAs[scala.collection.Seq[String]]("params"))
-            .map(_.toSeq).orNull
-          if (qs != null) steps += ((hop, qs, ps))
-          cur = r.getAs[Long]("dst")
+        case Some(nxt) =>
+          hopOf((cur, nxt)) = hop
+          cur = nxt
           hop += 1
       }
     }
-    if (cur != toId) spark.emptyDataset[(Int, Seq[String], Seq[String])]
-      .toDF("step", "queries", "params")
-    else steps.toSeq.toDF("step", "queries", "params")
+    if (cur != toId)
+      return spark.emptyDataset[(Int, Seq[String], Seq[String])]
+        .toDF("step", "queries", "params")
+    if (hopOf.isEmpty)
+      return spark.emptyDataset[(Int, Seq[String], Seq[String])]
+        .toDF("step", "queries", "params")
+    val walked = hopOf.toSeq.map { case ((s, d), h) => (s, d, h) }
+      .toDF("src", "dst", "step")
+    val steps = g.edges.filter(col("type") === relType)
+      .join(broadcast(walked), Seq("src", "dst"))
+      .filter(col("queries").isNotNull)
+      .select(col("step").cast("int").as("step"), col("queries"), col("params"))
+      .collect()
+      .sortBy(_.getAs[Int]("step"))
+      .map(r => (r.getAs[Int]("step"),
+        Option(r.getAs[scala.collection.Seq[String]]("queries"))
+          .map(_.toSeq).orNull,
+        Option(r.getAs[scala.collection.Seq[String]]("params"))
+          .map(_.toSeq).orNull))
+    steps.toSeq.toDF("step", "queries", "params")
   }
 }

@@ -60,6 +60,7 @@ object Ingestor {
   def ingest(g: CodeGraph, filesDf: DataFrame): IngestReport = {
     val spark = g.spark
     import spark.implicits._
+    val preNodes = g.graph.nodes // resolution targets already in the graph
     val fes = frontends // serializable objects captured for executors
 
     // ---- first pass: parallel extraction ---------------------------------
@@ -122,11 +123,25 @@ object Ingestor {
       .withColumn("props", map().cast("map<string,string>")))
 
     // ---- second pass: name-based resolution join ------------------------
+    // Targets = this batch's entities PLUS everything already declared in
+    // the graph: an incremental ingest (history-walk step, single changed
+    // file) must resolve cross-file references against the full project,
+    // exactly like the reference's LSP `request_definition` does — batch-
+    // only resolution would stub out calls whose real definition already
+    // exists (`api/analyzers/source_analyzer.py:118-169`).
+    val entityLabels = Seq("Class", "Function", "Interface", "Enum",
+      "Struct", "Method", "Constructor")
+    val preExisting = preNodes
+      .filter(element_at($"labels", 1).isin(entityLabels: _*))
+      .select($"id".as("target_id"), $"path".as("target_path"),
+        $"name".as("target_name"), element_at($"labels", 1).as("target_label"))
     val declared = entIds.select($"ent_id".as("target_id"),
       $"fpath".as("target_path"), $"idx".as("target_idx"))
       .join(entitiesRaw.select($"fpath".as("target_path"),
         $"idx".as("target_idx"), $"name".as("target_name"),
         $"label".as("target_label")), Seq("target_path", "target_idx"))
+      .select($"target_id", $"target_path", $"target_name", $"target_label")
+      .unionByName(preExisting)
 
     val srcSide = refsRaw
       .join(entIds.select($"fpath", $"idx".as("fromIdx"),
@@ -135,9 +150,11 @@ object Ingestor {
 
     val candidates = srcSide.join(declared,
       $"name" === $"target_name", "left")
-    // prefer same-file declarations, then stable (path, id) order
+    // prefer same-file declarations, then real definitions over stubs
+    // (path "" marks a stub), then stable (path, id) order
     val w = Window.partitionBy($"fpath", $"fromIdx", $"kind", $"name", $"line")
       .orderBy(when($"target_path" === $"fpath", 0).otherwise(1),
+        when($"target_path" === "", 1).otherwise(0),
         $"target_path".asc_nulls_last, $"target_id".asc_nulls_last)
     val resolved = candidates.withColumn("rk", row_number().over(w))
       .filter($"rk" === 1).drop("rk").localCheckpoint(true)
@@ -184,7 +201,10 @@ object Ingestor {
     g.connectEntities(typedEdges)
 
     extracted.unpersist()
-    lazy val stats = GraphQueries.stats(g.graph).collect()
+    // snapshot the post-ingest graph NOW: `g` is mutable, so a lazily
+    // forced counter must not observe later mutations
+    val endGraph = g.graph
+    lazy val stats = GraphQueries.stats(endGraph).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     new IngestReport(fileBatch.count(), stats("nodes"), stats("edges"))
   }

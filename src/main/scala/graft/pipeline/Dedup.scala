@@ -302,8 +302,11 @@ object Dedup {
     require(nBits % nBands == 0, "bands must tile the signature")
     val bitsPerBand = nBits / nBands
     val mask = (1L << bitsPerBand) - 1
+    // localCheckpoint, not cache(): cached plans stay pinned in the
+    // CacheManager until an explicit unpersist a library function has no
+    // good place for; checkpoint blocks are GC-reclaimed with the RDD
     val v = emb.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("vec")).cache()
+      col(vecCol).cast("array<double>").as("vec")).localCheckpoint(true)
     val sig = v.join(
       Similarity.hyperplaneBuckets(emb, nBits, idCol, vecCol)
         .withColumnRenamed("bucket", "sig")

@@ -223,6 +223,26 @@ class GraphEngineSpec extends SparkSpec {
     assert(!store.exists("repoA_tmp"))
   }
 
+  test("ID assignment stays monotone across delete + save/load (no reuse)") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-ids").toString
+    val store = new GraphStore(spark, tmp)
+    val g = new CodeGraph(spark, "ids", Some(store))
+    g.addFiles(Seq(("", "a", ".py"), ("", "b", ".py")).toDF("path", "name", "ext"))
+    val maxBefore = g.graph.nodes.agg(org.apache.spark.sql.functions.max($"id"))
+      .head().getLong(0)
+    // delete the file holding the top ID, then persist
+    g.mutate(GraphOp.DeleteFiles(Seq(GraphOp.FileKey("", "b", ".py"))))
+    g.save()
+    // a fresh load must NOT fall back to max(id) (which would re-issue the
+    // deleted top IDs and mis-wire any op-log captured against them)
+    val g2 = new CodeGraph(spark, "ids", Some(store))
+    val res = g2.addFiles(Seq(("", "c", ".py")).toDF("path", "name", "ext"))
+    val newId = res.result.head().getAs[Long]("id")
+    assert(newId > maxBefore,
+      s"new id $newId must be above the pre-delete high-water mark $maxBefore")
+  }
+
   test("bounded var-length paths (3..5 hops probe shape)") {
     import spark.implicits._
     // chain a->b->c->d->e->f via CALLS
