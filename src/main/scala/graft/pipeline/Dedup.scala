@@ -234,6 +234,71 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over an undirected near-dup pair list — turns any
+    * pair generator ([[jaccardPairs]], [[minhashDedup]], [[simhashPairs]],
+    * [[embeddingNearDupPairs]]) into canonical dedup clusters: every doc is
+    * labeled with the minimum id of its component, so "keep one per cluster"
+    * is a filter on `id === cluster_id`.
+    *
+    * Algorithm: alternating large-star / small-star (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", SoCC'14) — each round
+    * is two groupBy-min shuffles over the edge list, and the edge set
+    * contracts toward a star per component in O(log²) rounds even on
+    * high-diameter path graphs, where naive min-label propagation needs
+    * O(diameter) rounds. No driver-side state beyond a convergence
+    * fingerprint; the edge list is `localCheckpoint`ed per round to keep
+    * lineage flat. This is the 100 TB shape for cluster labeling.
+    *
+    * Returns (id, cluster_id) for every id appearing in `pairs`. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+    val a = col(aCol).cast("long")
+    val b = col(bCol).cast("long")
+    // canonical (larger u, smaller v) edges
+    var e = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var fingerprint: (Long, Any) = (-1L, null)
+    var it = 0
+    var done = e.isEmpty
+    while (!done && it < maxIter) {
+      // large-star: every strictly-larger neighbor of u links to the
+      // neighborhood min m = min(N(u) ∪ {u})
+      val sym = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.join(lsMin, "u")
+        .filter(col("v") > col("u") && col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star: all (≤) neighbors of u, and u itself, link to the min
+      // of u's smaller neighborhood (edges already point large → small)
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(ssMin, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(ssMin.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // cheap order-independent convergence fingerprint: one action; the
+      // mod keeps the ANSI-mode sum far from long overflow
+      val fp = next.agg(count(lit(1)),
+        sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head()
+      val nowFp = (fp.getLong(0), fp.get(1))
+      done = nowFp == fingerprint
+      fingerprint = nowFp
+      e = next
+      it += 1
+    }
+    // converged: every edge points node → component min; roots label
+    // themselves. groupBy-min guards the (benign) case of a maxIter stop
+    // before the per-node edge lists fully collapse.
+    e.groupBy(col("u").as("id")).agg(min(col("v")).as("cluster_id"))
+      .select(col("id"), col("cluster_id"))
+      .union(e.select(col("v")).distinct()
+        .select(col("v").as("id"), col("v").as("cluster_id")))
+      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
   /** Embedding cosine near-dup pairs with cosine >= threshold.
     *
     * Two physical paths behind a corpus-size guard:

@@ -70,6 +70,18 @@ object PipelineQueries {
       .orderBy($"id_a", $"id_b")
   }
 
+  /** d07 — canonical dedup clusters: connected components (large-star /
+    * small-star) over the d03 Jaccard pair list; every doc labeled with its
+    * component's min doc_id. Oracle: DuckDB recursive transitive closure
+    * over the same pair set. */
+  def d07DedupClusters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter($"doc_id" < 300)
+    Dedup.connectedComponents(Dedup.jaccardPairs(docs, 3, 0.8))
+      .select($"id".as("doc_id"), $"cluster_id")
+      .orderBy($"doc_id")
+  }
+
   /** t01 — token/unit/punctuation/stopword counts per document. */
   def t01TokenStats(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -119,6 +131,19 @@ object PipelineQueries {
         countDistinct($"norm").as("n_norm_texts"))
   }
 
+  /** t05 — corpus vocabulary: top-50 whitespace tokens by frequency
+    * (deterministic count-desc, token-asc tiebreak). One explode + one
+    * shuffle with map-side partial aggregation + TakeOrdered — the
+    * canonical vocabulary-build shape at 100 TB. */
+  def t05VocabTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(explode(TextAnalysis.tokens($"text")).as("tok"))
+      .groupBy($"tok").agg(count(lit(1)).as("n"))
+      .orderBy($"n".desc, $"tok")
+      .limit(50)
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -158,6 +183,8 @@ object PipelineQueries {
     "d04_minhash_lsh" -> (d04MinhashLsh _),
     "d05_simhash_pairs" -> (d05SimhashPairs _),
     "d06_embedding_neardup" -> (d06EmbeddingNearDup _),
+    "d07_dedup_clusters" -> (d07DedupClusters _),
+    "t05_vocab_topk" -> (t05VocabTopk _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_by_source" -> (t02QualityBySource _),
     "t03_lang_id" -> (t03LangId _),
@@ -194,6 +221,32 @@ object PipelineQueries {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "d03_jaccard_pairs" -> jaccardOracle,
     "d04_minhash_lsh" -> jaccardOracle, // LSH must recover the exact pair set
+    "d07_dedup_clusters" ->
+      // transitive closure over the d03 pair set; cluster = min reachable id
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substring(lower(text), i, 3)
+        |                   for i in generate_series(1, length(text) - 2)]) AS grams
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e
+        |  JOIN reach ON e.d = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
+        |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "t05_vocab_topk" ->
+      """SELECT tok, COUNT(*) AS n FROM (
+        |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents) t
+        |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
     "d06_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

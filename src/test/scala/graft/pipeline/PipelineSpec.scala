@@ -61,6 +61,40 @@ class PipelineSpec extends SparkSpec {
       s"near-dup mean hamming $nearMean should be << random $randMean")
   }
 
+  test("connected components: path graphs, separate clusters, singleton-free") {
+    import spark.implicits._
+    // two components: a diameter-4 path {1,2,3,4,5} and a pair {10,11};
+    // the path exercises the multi-round star contraction
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("connected components agree with local union-find on jaccard pairs") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny).filter($"doc_id" < 300)
+    val pairs = Dedup.jaccardPairs(docs, 3, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+    val got = Dedup.connectedComponents(
+      Dedup.jaccardPairs(docs, 3, 0.8)).as[(Long, Long)].collect().toMap
+    // local union-find oracle
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(k => k -> find(k)).toMap
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("fused ngram kernel matches the transform/array_distinct formulation") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfTiny).limit(200)
