@@ -226,12 +226,16 @@ object Dedup {
       col("simhash").as("sh_a"))
     val r = banded.select(col("band"), col("block"), col("id").as("id_b"),
       col("simhash").as("sh_b"))
+    // verify INSIDE the band join — bit_count(xor) is a codegen'd two-long
+    // op, so filtering hamming before the distinct shrinks the dedup input
+    // from the full candidate fan-out (every band collision) to true pairs
+    // only (duplicated at most 4×). Carrying the 8-byte hash through the
+    // join is far cheaper than a distinct over the unverified pair set.
     l.join(r, Seq("band", "block"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
   /** Connected components over an undirected near-dup pair list — turns any

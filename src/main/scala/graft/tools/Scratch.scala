@@ -1,0 +1,37 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev timing harness: run one SparkEntry query cold then warm, with the
+  * Catalyst phases split out — separates plan/codegen warmup (per-JVM,
+  * amortized in a resident deployment) from steady-state execution.
+  * Usage: SPARK_GRAFT_ONLY=d05_simhash_pairs sbt "runMain graft.tools.Scratch"
+  */
+object Scratch {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val name = sys.env.getOrElse("SPARK_GRAFT_ONLY", "d05_simhash_pairs")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.local.dir", graft.util.LocalTmp.sparkLocalDir("graft-spark"))
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      r
+    }
+    val df = graft.SparkEntry.queries(name)(spark, sfDir)
+    time("analyze") { df.queryExecution.analyzed }
+    time("optimize") { df.queryExecution.optimizedPlan }
+    time("plan") { df.queryExecution.executedPlan }
+    time("execute cold") { df.count() }
+    time("run warm") {
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+    }
+    spark.stop()
+  }
+}
