@@ -1,0 +1,63 @@
+package graft.queries
+
+import graft.SparkSpec
+
+/** Physical-plan regression guards: the scale properties that make these
+  * operators survive 100 TB are properties of the COMPILED PLAN, not of
+  * small-SF results — so they are asserted here directly. A refactor that
+  * silently turns an equi-join into a cartesian, loses a broadcast, or
+  * un-prunes a parquet scan fails this spec even though every value-level
+  * oracle still passes.
+  */
+class PlanInvariantsSpec extends SparkSpec {
+
+  /** Queries where one join side is bounded (a LIMITed query set or an
+    * interval table small enough to broadcast) and a broadcast
+    * nested-loop/range join is the intended physical shape. */
+  private val bnljAllowed = Set(
+    "q08_range_join", // interval join: broadcast range join by design
+    "s01_topk_cosine", "s02_ivf_topk", "s03_ivf_kmeans") // tiny query side
+
+  private def plan(name: String): String =
+    graft.SparkEntry.queries(name)(spark, sfTiny)
+      .queryExecution.executedPlan.toString
+
+  test("no registered query compiles to a cartesian product") {
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"),
+        s"$name compiled to a CartesianProduct")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$name compiled to an unexpected BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("q03 broadcasts the filtered dimension and takes ordered top-k") {
+    val p = plan("q03_join_revenue")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(p.contains("TakeOrdered"))
+  }
+
+  test("top-k queries compile to TakeOrderedAndProject, not a global sort") {
+    Seq("q02_filter_topk", "q07_prefix_search", "q12_order_by_date").foreach {
+      name => assert(plan(name).contains("TakeOrdered"), name)
+    }
+  }
+
+  test("q01 scan is column-pruned and q02 filter reaches the parquet scan") {
+    // q01 aggregates 7 lineitem columns; the 16-column scan must be pruned
+    val p1 = plan("q01_pricing_agg")
+    assert(p1.contains("ReadSchema"))
+    assert(!p1.contains("l_comment") && !p1.contains("l_shipmode"),
+      "q01 reads columns its aggregation never touches")
+    val p2 = plan("q02_filter_topk")
+    assert("PushedFilters: \\[[^\\]]".r.findFirstIn(p2).isDefined,
+      "q02's predicate did not reach the parquet scan")
+  }
+
+  test("anti/semi join shapes survive compilation") {
+    assert(plan("q04_anti_join_no_orders").contains("LeftAnti"))
+    assert(plan("q05_semi_join_active_suppliers").contains("LeftSemi"))
+  }
+}
