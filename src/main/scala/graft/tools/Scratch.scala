@@ -29,8 +29,10 @@ object Scratch {
     time("optimize") { df.queryExecution.optimizedPlan }
     time("plan") { df.queryExecution.executedPlan }
     time("execute cold") { df.count() }
-    time("run warm") {
-      graft.SparkEntry.queries(name)(spark, sfDir).count()
+    (1 to 2).foreach { i =>
+      time(s"run warm #$i") {
+        graft.SparkEntry.queries(name)(spark, sfDir).count()
+      }
     }
     spark.stop()
   }
