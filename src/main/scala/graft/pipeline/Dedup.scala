@@ -253,14 +253,24 @@ object Dedup {
     * fingerprint; the edge list is `localCheckpoint`ed per round to keep
     * lineage flat. This is the 100 TB shape for cluster labeling.
     *
+    * Near-dup pair sets are usually MUCH smaller than the corpus; when the
+    * edge list fits on the driver (≤ `localLimit` edges, probed with a
+    * limit — O(localLimit) even on a huge pair set) a single-pass
+    * union-find replaces the multi-round star contraction. Pass
+    * localLimit = 0 to force the distributed path.
+    *
     * Returns (id, cluster_id) for every id appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
-      bCol: String = "id_b", maxIter: Int = 50): DataFrame = {
+      bCol: String = "id_b", maxIter: Int = 50,
+      localLimit: Long = 100000): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     // canonical (larger u, smaller v) edges
     var e = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    if (localLimit > 0 &&
+        e.limit(localLimit.toInt + 1).count() <= localLimit)
+      return connectedComponentsLocal(e)
     var fingerprint: (Long, Any) = (-1L, null)
     var it = 0
     var done = e.isEmpty
@@ -301,6 +311,30 @@ object Dedup {
       .union(e.select(col("v")).distinct()
         .select(col("v").as("id"), col("v").as("cluster_id")))
       .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+  }
+
+  /** Guarded small-edge-set path of [[connectedComponents]]: path-compressed
+    * union-find on the driver over canonical (u, v) edge rows. */
+  private def connectedComponentsLocal(e: DataFrame): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    // iterative find with full path compression (a recursive find would
+    // blow the stack on a long chain at the 100k-edge limit)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElseUpdate(r, r) != r) r = parent(r)
+      var c = x
+      while (c != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    parent.keys.toSeq.map(k => (k, find(k))).sortBy(_._1)
+      .toDF("id", "cluster_id")
   }
 
   /** Embedding cosine near-dup pairs with cosine >= threshold.

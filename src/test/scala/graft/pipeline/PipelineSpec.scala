@@ -67,10 +67,16 @@ class PipelineSpec extends SparkSpec {
     // the path exercises the multi-round star contraction
     val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (10L, 11L))
       .toDF("id_a", "id_b")
-    val got = Dedup.connectedComponents(pairs)
+    val want = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L)
+    // localLimit = 0 forces the distributed star-contraction path
+    val distributed = Dedup.connectedComponents(pairs, localLimit = 0)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
-      10L -> 10L, 11L -> 10L))
+    assert(distributed == want)
+    // default guard takes the driver union-find path: must agree
+    val local = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(local == want)
   }
 
   test("connected components agree with local union-find on jaccard pairs") {
@@ -79,7 +85,8 @@ class PipelineSpec extends SparkSpec {
     val pairs = Dedup.jaccardPairs(docs, 3, 0.8)
       .select($"id_a", $"id_b").as[(Long, Long)].collect()
     val got = Dedup.connectedComponents(
-      Dedup.jaccardPairs(docs, 3, 0.8)).as[(Long, Long)].collect().toMap
+      Dedup.jaccardPairs(docs, 3, 0.8), localLimit = 0)
+      .as[(Long, Long)].collect().toMap
     // local union-find oracle
     val parent = scala.collection.mutable.Map[Long, Long]()
     def find(x: Long): Long = {
