@@ -83,4 +83,42 @@ object TextAnalysis {
     * deterministically — stable across runs/cluster sizes. */
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
+
+  /** Distinct word n-gram set of a token array (space-joined windows);
+    * empty for docs shorter than n tokens (`sequence` would otherwise run
+    * DESCENDING for stop < start — same pitfall as char n-grams). */
+  def wordNGrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(array_distinct(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " "))))
+
+  /** Cross-document duplicate n-gram stats (the Gopher/RefinedWeb-family
+    * quality signal): per document, how many of its distinct word n-grams
+    * also occur in at least one OTHER document. All counts are integers, so
+    * downstream filters (e.g. `dup·10 > 3·total` for a 30% threshold) are
+    * bit-exact on any engine.
+    *
+    * Scale: one explode of per-doc distinct grams (corpus-token-bounded),
+    * one groupBy(gram) with map-side partial counts, one equi-join back —
+    * no pairwise comparison anywhere. Docs with fewer than n tokens have 0
+    * grams and are kept via the left join with zero counts. */
+  def dupNGramStats(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.withColumn("_grams",
+      wordNGrams(tokens(col(textCol)), n))
+    val exploded = base.select(col(idCol), explode(col("_grams")).as("gram"))
+    // grams are distinct per doc => count(*) = number of docs containing
+    val docFreq = exploded.groupBy(col("gram"))
+      .agg(count(lit(1)).as("gram_docs"))
+    val perDoc = exploded.join(docFreq, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        count(when(col("gram_docs") >= 2, 1)).as("n_dup_grams"))
+    base.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
+  }
 }

@@ -144,6 +144,22 @@ object PipelineQueries {
       .limit(50)
   }
 
+  /** t06 — cross-document duplicate word-5-gram stats per source (the
+    * Gopher/RefinedWeb quality signal): integer-exact gram counts and a
+    * 30%-duplicate flag count. */
+  def t06DupNgrams(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    TextAnalysis.dupNGramStats(docs, 5)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_grams").as("n_grams"),
+        sum($"n_dup_grams").as("n_dup_grams"),
+        count(when($"n_dup_grams" * 10 > $"n_grams" * 3, 1)).as("n_flagged"))
+      .orderBy($"source")
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -185,6 +201,7 @@ object PipelineQueries {
     "d06_embedding_neardup" -> (d06EmbeddingNearDup _),
     "d07_dedup_clusters" -> (d07DedupClusters _),
     "t05_vocab_topk" -> (t05VocabTopk _),
+    "t06_dup_ngrams" -> (t06DupNgrams _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_by_source" -> (t02QualityBySource _),
     "t03_lang_id" -> (t03LangId _),
@@ -247,6 +264,30 @@ object PipelineQueries {
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
         |  FROM documents) t
         |GROUP BY tok ORDER BY n DESC, tok LIMIT 50""".stripMargin,
+    "t06_dup_ngrams" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                   for i in generate_series(1, len(toks) - 4)]) AS grams
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+        |df AS (SELECT gram, COUNT(*) AS gram_docs FROM e GROUP BY gram),
+        |p AS (
+        |  SELECT e.doc_id, COUNT(*) AS n_grams,
+        |    COUNT(*) FILTER (WHERE df.gram_docs >= 2) AS n_dup_grams
+        |  FROM e JOIN df USING (gram) GROUP BY e.doc_id)
+        |SELECT g.source, COUNT(*) AS n_docs,
+        |  COALESCE(SUM(p.n_grams), 0)::BIGINT AS n_grams,
+        |  COALESCE(SUM(p.n_dup_grams), 0)::BIGINT AS n_dup_grams,
+        |  COUNT(*) FILTER (
+        |    WHERE COALESCE(p.n_dup_grams, 0) * 10 > COALESCE(p.n_grams, 0) * 3)
+        |    AS n_flagged
+        |FROM g LEFT JOIN p USING (doc_id)
+        |GROUP BY g.source ORDER BY g.source""".stripMargin,
     "d06_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -102,6 +102,23 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams w/ 2
+      (2L, "the quick brown fox jumps far away"),
+      (3L, "completely unrelated text with many distinct words here"),
+      (4L, "too short")) // < 5 tokens -> 0 grams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.dupNGramStats(docs, 5)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val byId = got.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(1L)._1 == 5 && byId(1L)._2 == 1) // "the quick brown fox jumps"
+    assert(byId(2L)._1 == 3 && byId(2L)._2 == 1)
+    assert(byId(3L) == ((4L, 0L)))
+    assert(byId(4L) == ((0L, 0L)))
+  }
+
   test("fused ngram kernel matches the transform/array_distinct formulation") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfTiny).limit(200)
