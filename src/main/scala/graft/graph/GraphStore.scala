@@ -59,8 +59,18 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
       spark.read.schema(GraphSchema.edgeSchema).parquet(edgesDir(name).toString),
       nextIdHint = getInfo(name).get("next_id").map(_.toLong))
 
-  /** Persist a snapshot with stage-then-swap (atomic per table). */
+  /** Persist a snapshot with stage-then-swap (atomic per table).
+    *
+    * Physical layout (SURVEY §4): edges are hive-partitioned by `type` —
+    * every traversal filters on edge type (J1–J8, the DEFINES* cascade), so
+    * the scan prunes whole directories instead of reading and filtering —
+    * and sorted by `src` within files for parquet min/max row-group
+    * pruning on source-id probes. The `repartition(type)` keeps one file
+    * per type here; at warehouse scale it becomes
+    * `repartition(N, type, src)` for N files per type with disjoint src
+    * ranges, same layout contract. */
   def save(name: String, g: PropertyGraph): Unit = {
+    import org.apache.spark.sql.functions.col
     val stage = new Path(repoDir(name), s".stage-${java.util.UUID.randomUUID()}")
     val stagedNodes = new Path(stage, "nodes")
     val stagedEdges = new Path(stage, "edges")
@@ -69,7 +79,10 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
     GraphSchema.conform(g.nodes, GraphSchema.nodeSchema)
       .write.mode(SaveMode.Overwrite).parquet(stagedNodes.toString)
     GraphSchema.conform(g.edges, GraphSchema.edgeSchema)
-      .write.mode(SaveMode.Overwrite).parquet(stagedEdges.toString)
+      .repartition(col("type"))
+      .sortWithinPartitions(col("src"))
+      .write.partitionBy("type")
+      .mode(SaveMode.Overwrite).parquet(stagedEdges.toString)
     fs.delete(nodesDir(name), true)
     fs.delete(edgesDir(name), true)
     fs.rename(stagedNodes, nodesDir(name))

@@ -221,6 +221,20 @@ class GraphEngineSpec extends SparkSpec {
     assert(store.getInfo("repoA")("commit") === "abc123")
     store.delete("repoA_tmp")
     assert(!store.exists("repoA_tmp"))
+    // edge rows must round-trip by value too, not just count (the edge
+    // table is hive-partitioned by type on disk: the partition column has
+    // to come back in schema position with its values intact)
+    import org.apache.spark.sql.functions.col
+    val before = g.graph.edges.select("src", "dst", "type")
+      .orderBy("src", "dst", "type").collect().toSeq
+    val after = loaded.edges.select("src", "dst", "type")
+      .orderBy("src", "dst", "type").collect().toSeq
+    assert(after === before)
+    // SURVEY §4 layout: a type-filtered traversal scan prunes partitions
+    val scan = loaded.edges.filter(col("type") === "CALLS")
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters") && scan.contains("CALLS"),
+      s"type filter did not reach partition pruning:\n$scan")
   }
 
   test("ID assignment stays monotone across delete + save/load (no reuse)") {
