@@ -1,0 +1,90 @@
+package graft.ingest
+
+import java.nio.file.{Files, Paths}
+
+import graft.SparkSpec
+import graft.graph.{CodeGraph, GraphQueries}
+import org.apache.spark.sql.functions._
+
+/** End-to-end ingest of the reference's OWN test fixture files (read from
+  * /root/reference/tests/source_files/ as inputs), asserting the golden
+  * surface its analyzer tests assert — the strongest parity check the
+  * reference offers:
+  *  - Python: tests/test_py_analyzer.py:28-59 (entities, calls, callers)
+  *  - C#:     tests/test_csharp_analyzer.py:30-69 (labels, DEFINES,
+  *            IMPLEMENTS)
+  */
+class ReferenceFixtureSpec extends SparkSpec {
+
+  private def readFixture(rel: String): Option[String] = {
+    val p = Paths.get("/root/reference/tests/source_files", rel)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), "UTF-8"))
+    else None
+  }
+
+  test("reference src.py: entities, calls, callers match the golden test") {
+    val src = readFixture("py/src.py").getOrElse(cancel("fixture missing"))
+    val g = new CodeGraph(spark, "ref_py")
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("src.py", src)))
+    import spark.implicits._
+
+    // File('', 'src.py', '.py') exists (test_py_analyzer.py:27-28)
+    assert(GraphQueries.getFile(g.graph, "", "src.py", ".py").count() == 1)
+
+    // log / abort / __init__ functions and the Task class exist (:30-49)
+    val nodes = g.graph.nodes
+      .select($"id", $"name", element_at($"labels", 1).as("label"))
+    val names = nodes.collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("label"))).toSet
+    Seq("log", "abort", "__init__").foreach { fn =>
+      assert(names.contains((fn, "Function")), s"missing Function $fn")
+    }
+    assert(names.contains(("Task", "Class")))
+
+    // function_calls(abort) == {log} (:51-53); J2 returns collect(callee)
+    val abortCalls = GraphQueries.functionCalls(g.graph, "abort")
+      .select(explode($"callees").as("c")).as[String].collect().toSet
+    assert(abortCalls == Set("log"))
+
+    // function_called_by(print) includes __init__ and log (:55-60)
+    val printCallers = GraphQueries.functionCalledBy(g.graph, "print")
+      .select(explode($"callers").as("c")).as[String].collect().toSet
+    assert(Set("__init__", "log").subsetOf(printCallers))
+  }
+
+  test("reference Program.cs: labels, DEFINES, IMPLEMENTS match the golden test") {
+    val src = readFixture("csharp/Program.cs").getOrElse(cancel("fixture missing"))
+    val g = new CodeGraph(spark, "ref_cs")
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("Program.cs", src)))
+    import spark.implicits._
+
+    val nodes = g.graph.nodes
+      .select($"id", $"name", element_at($"labels", 1).as("label"))
+    val byKey = nodes.collect()
+      .map(r => (r.getAs[String]("name"), r.getAs[String]("label")) ->
+        r.getAs[Long]("id")).toMap
+
+    // ILogger interface, ConsoleLogger + Task classes (:30-43)
+    assert(byKey.contains(("ILogger", "Interface")))
+    assert(byKey.contains(("ConsoleLogger", "Class")))
+    assert(byKey.contains(("Task", "Class")))
+    // methods Log / Execute / Abort by name (:45-49)
+    Seq("Log", "Execute", "Abort").foreach { m =>
+      assert(byKey.keys.exists(_._1 == m), s"missing method $m")
+    }
+    // Constructor named Task (:51-54)
+    assert(byKey.contains(("Task", "Constructor")))
+
+    val edges = g.graph.edges
+    // File DEFINES > 0 (:56-59)
+    val fileId = byKey(("Program.cs", "File"))
+    assert(edges.filter($"type" === "DEFINES" && $"src" === fileId).count() > 0)
+    // Task class DEFINES its members (:61-64)
+    assert(edges.filter($"type" === "DEFINES" &&
+      $"src" === byKey(("Task", "Class"))).count() > 0)
+    // ConsoleLogger -[:IMPLEMENTS]-> ILogger (:66-69)
+    assert(edges.filter($"type" === "IMPLEMENTS" &&
+      $"src" === byKey(("ConsoleLogger", "Class")) &&
+      $"dst" === byKey(("ILogger", "Interface"))).count() == 1)
+  }
+}
