@@ -79,6 +79,33 @@ class PipelineSpec extends SparkSpec {
     assert(local == want)
   }
 
+  test("property: star-contraction CC == union-find on random graphs") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val edgeGen = for {
+      n <- Gen.chooseNum(0, 40)
+      es <- Gen.listOfN(n, Gen.zip(Gen.chooseNum(0L, 25L), Gen.chooseNum(0L, 25L)))
+    } yield es
+    (0 until 6).foreach { seed =>
+      val edges = edgeGen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val pairs = edges.toDF("id_a", "id_b")
+      val got = Dedup.connectedComponents(pairs, localLimit = 0)
+        .as[(Long, Long)].collect().toMap
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.filter { case (a, b) => a != b }.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      assert(got == want, s"seed=$seed edges=$edges")
+    }
+  }
+
   test("connected components agree with local union-find on jaccard pairs") {
     import spark.implicits._
     val docs = Tables.documents(spark, sfTiny).filter($"doc_id" < 300)
