@@ -28,10 +28,20 @@ object StreamQueries {
     EventStreams.dedupCounts(Tables.eventsWithTs(spark, d))
       .orderBy(col("user_id"))
 
+  /** st04 — event-time attribution: purchases matched to same-user views
+    * in the preceding hour (equi-key + time-interval join), rolled up per
+    * purchase. The streaming twin is a genuine stream-stream join whose
+    * state the watermark + range bound expire. */
+  def st04Attribution(spark: SparkSession, d: String): DataFrame =
+    EventStreams.attributionCounts(
+      EventStreams.attributionPairs(Tables.eventsWithTs(spark, d)))
+      .orderBy(col("purchase_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_hourly_agg" -> (st01HourlyAgg _),
     "st02_user_sessions" -> (st02UserSessions _),
-    "st03_dedup_counts" -> (st03DedupCounts _))
+    "st03_dedup_counts" -> (st03DedupCounts _),
+    "st04_attribution" -> (st04Attribution _))
 
   val oracle: Map[String, String] = Map(
     "st01_hourly_agg" ->
@@ -53,5 +63,13 @@ object StreamQueries {
     "st03_dedup_counts" ->
       """SELECT user_id,
         |  CAST(COUNT(DISTINCT (event_type, ts)) AS BIGINT) AS n_unique_events
-        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "st04_attribution" ->
+      """SELECT p.event_id AS purchase_id, COUNT(*) AS n_views,
+        |  MIN(v.event_id) AS first_view_id
+        |FROM events p JOIN events v
+        |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+        |  AND p.user_id = v.user_id
+        |  AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

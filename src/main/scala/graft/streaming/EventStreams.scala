@@ -57,16 +57,72 @@ object EventStreams {
       .agg(count(lit(1)).as("n_unique_events"))
   }
 
-  private[graft] def eventStream(spark: SparkSession, sfDir: String,
-      watermark: String): DataFrame = {
+  /** Event-time attribution join: each purchase matched to the views by
+    * the same user in the preceding hour — the canonical stream-stream
+    * interval join. Equi-key user_id + time-range predicate: a hash/merge
+    * join in batch, watermark-bounded state in streaming (the range bound
+    * is exactly what lets Structured Streaming expire join state). Returns
+    * (purchase_id, view_id) pairs; aggregate with [[attributionCounts]]. */
+  def attributionPairs(events: DataFrame): DataFrame = {
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_utc").as("view_ts"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_utc").as("purchase_ts"))
+    purchases.join(views, Seq("user_id"))
+      .filter(col("view_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"))
+  }
+
+  /** Per-purchase attribution rollup over [[attributionPairs]]. */
+  def attributionCounts(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("purchase_id"))
+      .agg(count(lit(1)).as("n_views"), min(col("view_id")).as("first_view_id"))
+
+  /** Run [[attributionPairs]] as a genuine stream-stream join: both sides
+    * read from the stream with watermarks; the interval condition bounds
+    * the join state. Append-mode memory sink. */
+  def runAttributionStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    // each join side gets its OWN watermark (re-watermarking one shared
+    // stream is disallowed), so read the raw stream and watermark per side
+    val s = rawEventStream(spark, sfDir)
+    val views = s.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts_utc").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val purchases = s.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts_utc").as("purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    purchases.join(views,
+        purchases("user_id") === views("user_id") &&
+        col("view_ts") <= col("purchase_ts") &&
+        col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("view_id"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  private[graft] def rawEventStream(spark: SparkSession,
+      sfDir: String): DataFrame = {
     val batchDf = Tables.events(spark, sfDir)
     spark.readStream
       .schema(batchDf.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
       .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
-      .withWatermark("ts_utc", watermark)
   }
+
+  private[graft] def eventStream(spark: SparkSession, sfDir: String,
+      watermark: String): DataFrame =
+    rawEventStream(spark, sfDir).withWatermark("ts_utc", watermark)
 
   /** Run [[dedupCounts]] as a streaming query: watermark-bounded dedup
     * state feeding a complete-mode aggregation into a memory sink. */

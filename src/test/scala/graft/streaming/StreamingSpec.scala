@@ -28,6 +28,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("stream-stream attribution join matches the batch interval join") {
+    val q = EventStreams.runAttributionStream(spark, sfTiny, "attr_smoke")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM attr_smoke ORDER BY purchase_id, view_id").collect()
+    val batch = EventStreams
+      .attributionPairs(Tables.eventsWithTs(spark, sfTiny))
+      .orderBy(col("purchase_id"), col("view_id")).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("session counts: every user's sessions <= events, >= 1") {
     import spark.implicits._
     val rows = EventStreams.userSessions(Tables.eventsWithTs(spark, sfTiny))
