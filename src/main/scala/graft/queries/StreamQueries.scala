@@ -37,11 +37,29 @@ object StreamQueries {
       EventStreams.attributionPairs(Tables.eventsWithTs(spark, d)))
       .orderBy(col("purchase_id"))
 
+  /** st05 — as-of join: each purchase paired with the LATEST same-user
+    * view at-or-before it (unbounded lookback — the feature-store join),
+    * via the union+window linear-time shape in [[graft.pipeline.AsOfJoin]],
+    * never a per-key range explosion. Purchases with no prior view keep a
+    * null view_id (left semantics). */
+  def st05AsofJoin(spark: SparkSession, d: String): DataFrame = {
+    val e = Tables.events(spark, d)
+    val p = e.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val v = e.filter(col("event_type") === "view")
+      .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+    graft.pipeline.AsOfJoin
+      .asOf(p, v, Seq("user_id"), "ts", "ts", Seq("view_id"), "view_id")
+      .select(col("event_id").as("purchase_id"), col("asof_view_id").as("view_id"))
+      .orderBy(col("purchase_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_hourly_agg" -> (st01HourlyAgg _),
     "st02_user_sessions" -> (st02UserSessions _),
     "st03_dedup_counts" -> (st03DedupCounts _),
-    "st04_attribution" -> (st04Attribution _))
+    "st04_attribution" -> (st04Attribution _),
+    "st05_asof_join" -> (st05AsofJoin _))
 
   val oracle: Map[String, String] = Map(
     "st01_hourly_agg" ->
@@ -71,5 +89,23 @@ object StreamQueries {
         |  ON p.event_type = 'purchase' AND v.event_type = 'view'
         |  AND p.user_id = v.user_id
         |  AND v.ts <= p.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st05_asof_join" ->
+      // the same union+window formulation, fully deterministic ties:
+      // right-before-left at equal ts, max view_id among equal view ts
+      """WITH u AS (
+        |  SELECT user_id, ts, event_id, 0 AS isv, NULL::BIGINT AS vid
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, event_id, 1, event_id
+        |  FROM events WHERE event_type = 'view'),
+        |w AS (
+        |  SELECT event_id, isv,
+        |    last_value(vid IGNORE NULLS) OVER (
+        |      PARTITION BY user_id
+        |      ORDER BY ts, isv DESC, vid ASC NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS view_id
+        |  FROM u)
+        |SELECT event_id AS purchase_id, view_id
+        |FROM w WHERE isv = 0 ORDER BY 1""".stripMargin)
 }

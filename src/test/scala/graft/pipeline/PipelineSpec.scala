@@ -129,6 +129,25 @@ class PipelineSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("as-of join: latest at-or-before right row, ties and nulls exact") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 101L, 20L), (2L, 200L, 5L))
+      .toDF("key", "lid", "lts")
+    val right = Seq(
+      (1L, 42L, 10L),  // same ts as lid=100 -> <= wins
+      (1L, 41L, 10L),  // equal right ts: larger tieBreak (42) wins
+      (1L, 43L, 15L),  // after lid=100, at-or-before lid=101
+      (2L, 50L, 9L))   // before the key-2 left row... 9 > 5? no: AFTER
+      .toDF("key", "rid", "rts")
+    val got = AsOfJoin.asOf(left, right, Seq("key"), "lts", "rts",
+        Seq("rid"), "rid")
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(100L).contains(42L)) // ts tie: right row counts, max rid
+    assert(got(101L).contains(43L)) // latest at-or-before
+    assert(got(200L).isEmpty)       // no right row at-or-before -> null
+  }
+
   test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
     import spark.implicits._
     val docs = Seq(
