@@ -180,7 +180,48 @@ object RelationalQueries {
       .limit(50)
   }
 
+  /** q13: sketch aggregates — HyperLogLog distinct + quantile sketch over
+    * lineitem. THE 100 TB answer to COUNT(DISTINCT)/percentiles: map-side
+    * mergeable sketch state instead of a key shuffle. Hash-dependent →
+    * rows-only driver check; PlanInvariants-style error bounds are asserted
+    * in RelationalSpec against the exact answers. */
+  def q13SketchStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.lineitem(spark, d).agg(
+      approx_count_distinct($"l_partkey").as("apx_parts"),
+      approx_count_distinct($"l_suppkey").as("apx_suppliers"),
+      approx_percentile($"l_extendedprice", lit(0.5), lit(1000))
+        .as("apx_median_price"),
+      approx_percentile($"l_extendedprice", lit(0.99), lit(1000))
+        .as("apx_p99_price"))
+  }
+
+  /** q14: deterministic corpus sampling/mixing — per-source rates applied
+    * via a hash-mod on the stable doc id (reproducible on any cluster, no
+    * RNG state; the standard training-mixture downsampling shape). Exact
+    * integer expectation is oracle-checkable because the predicate is a
+    * pure function of doc_id. */
+  def q14CorpusMixture(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    // even sources keep ~1/2, odd sources keep ~1/4. The keep decision is a
+    // multiplicative hash of the stable doc id (Knuth constant), NOT id
+    // parity — the synthetic ids are round-robin by source, so any modulus
+    // correlated with the id layout would degenerate to keep-all/keep-none.
+    // Exact integer arithmetic (< 2^51, ANSI-overflow-safe) → bit-identical
+    // in any engine, no RNG state anywhere.
+    val srcNum = regexp_extract($"source", "(\\d+)$", 1).cast("long")
+    val bucket = pmod(pmod($"doc_id", lit(1000003L)) * lit(2654435761L), lit(100L))
+    val keep = when(pmod(srcNum, lit(2)) === 0, bucket < 50)
+      .otherwise(bucket < 25)
+    docs.filter(keep)
+      .groupBy($"source").agg(count(lit(1)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q13_sketch_stats" -> (q13SketchStats _),
+    "q14_corpus_mixture" -> (q14CorpusMixture _),
     "q01_pricing_agg" -> (q01Pricing _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_join_revenue" -> (q03JoinRevenue _),
@@ -261,5 +302,12 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q12_order_by_date" ->
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date
-        |FROM orders ORDER BY o_date, o_orderkey LIMIT 50""".stripMargin)
+        |FROM orders ORDER BY o_date, o_orderkey LIMIT 50""".stripMargin,
+    // q13 is sketch-based (hash-dependent) -> rows-only check + spec bounds
+    "q14_corpus_mixture" ->
+      """SELECT source, COUNT(*) AS n_kept FROM documents
+        |WHERE CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
+        |           THEN ((doc_id % 1000003) * 2654435761) % 100 < 50
+        |           ELSE ((doc_id % 1000003) * 2654435761) % 100 < 25 END
+        |GROUP BY source ORDER BY source""".stripMargin)
 }

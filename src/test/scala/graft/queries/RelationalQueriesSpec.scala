@@ -6,12 +6,32 @@ import org.apache.spark.sql.functions._
 class RelationalQueriesSpec extends SparkSpec {
 
   test("every query runs at sf0.001 and has a matching oracle entry") {
-    assert(RelationalQueries.oracle.keySet == RelationalQueries.queries.keySet)
+    // q13 is sketch-based (hash-dependent): rows-only check + bounds below
+    assert(RelationalQueries.oracle.keySet ==
+      RelationalQueries.queries.keySet - "q13_sketch_stats")
     RelationalQueries.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.columns.nonEmpty, s"$name has no columns")
       df.count() // must execute without throwing
     }
+  }
+
+  test("q13 sketches stay within error bounds of the exact answers") {
+    import graft.util.Tables
+    val li = Tables.lineitem(spark, sfTiny)
+    val exact = li.agg(
+      countDistinct(col("l_partkey")).as("parts"),
+      countDistinct(col("l_suppkey")).as("supps"),
+      expr("percentile(l_extendedprice, 0.5)").as("median")).head()
+    val apx = RelationalQueries.q13SketchStats(spark, sfTiny).head()
+    def relErr(a: Double, e: Double): Double = math.abs(a - e) / e
+    // approx_count_distinct default rsd = 5%; allow 3 sigma
+    assert(relErr(apx.getAs[Long]("apx_parts").toDouble,
+      exact.getAs[Long]("parts").toDouble) < 0.15)
+    assert(relErr(apx.getAs[Long]("apx_suppliers").toDouble,
+      exact.getAs[Long]("supps").toDouble) < 0.15)
+    assert(relErr(apx.getAs[Double]("apx_median_price"),
+      exact.getAs[Double]("median")) < 0.05)
   }
 
   test("q01 groups to the 6 flag/status combinations") {
