@@ -148,6 +148,31 @@ class PipelineSpec extends SparkSpec {
     assert(got(200L).isEmpty)       // no right row at-or-before -> null
   }
 
+  test("property: as-of join equals brute-force latest-at-or-before") {
+    import spark.implicits._
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 5L), Gen.chooseNum(0L, 20L))
+    val gen = Gen.zip(Gen.listOfN(25, rowGen), Gen.listOfN(25, rowGen))
+    (0 until 5).foreach { seed =>
+      val (lRaw, rRaw) = gen.pureApply(Gen.Parameters.default, Seed(seed.toLong))
+      val l = lRaw.zipWithIndex.map { case ((k, ts), i) => (k, i.toLong, ts) }
+      val r = rRaw.zipWithIndex.map { case ((k, ts), i) => (k, 100L + i, ts) }
+      val got = AsOfJoin.asOf(
+          l.toDF("key", "lid", "lts"), r.toDF("key", "rid", "rts"),
+          Seq("key"), "lts", "rts", Seq("rid"), "rid")
+        .select($"lid", $"asof_rid").as[(Long, Option[Long])]
+        .collect().toMap
+      val want = l.map { case (k, lid, lts) =>
+        val cands = r.filter { case (rk, _, rts) => rk == k && rts <= lts }
+        // latest rts; among equal rts the max tiebreak (rid) wins
+        lid -> cands.sortBy { case (_, rid, rts) => (rts, rid) }
+          .lastOption.map(_._2)
+      }.toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
     import spark.implicits._
     val docs = Seq(
