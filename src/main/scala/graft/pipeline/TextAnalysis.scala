@@ -50,7 +50,11 @@ object TextAnalysis {
   def qualityScoreOf(toks: Column, text: Column): Column = {
     val nTok = size(toks).cast("double")
     val stopR = stopwordCountOf(toks).cast("double") / nTok
-    val punctR = punctCount(text).cast("double") / length(text).cast("double")
+    // empty text would make this 0/0 = NaN and poison the whole score;
+    // treat it as zero punctuation (oracle carries the same guard)
+    val punctR = when(length(text) > 0,
+      punctCount(text).cast("double") / length(text).cast("double"))
+      .otherwise(lit(0.0))
     val lenOk = when(nTok >= 10 && nTok <= 1000, lit(1.0)).otherwise(lit(0.5))
     least(lit(1.0), (stopR * 2.0 + (lit(1.0) - punctR)) / 2.0 * lenOk)
   }

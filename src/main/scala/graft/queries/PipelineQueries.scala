@@ -320,7 +320,8 @@ object PipelineQueries {
         |  FROM documents)
         |SELECT source, COUNT(*) AS n_docs,
         |  COUNT(*) FILTER (WHERE least(1.0,
-        |    (n_stop / n_tok * 2.0 + (1.0 - n_punct / n_chars)) / 2.0
+        |    (n_stop / n_tok * 2.0 + (1.0 -
+        |       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)) / 2.0
         |      * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE 0.5 END))
         |    >= 0.5) AS n_pass
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
