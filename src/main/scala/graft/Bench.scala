@@ -1,22 +1,11 @@
 package graft
-import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // shuffle/checkpoint blocks on tmpfs: the VM's virtio disk gets
-    // burst-throttled by the host (measured minutes-long stalls mid-bench);
-    // sf0.1 spill volume is far below the 126G tmpfs
-    val localDir = graft.util.LocalTmp.sparkLocalDir("graft-spark")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.local.dir", localDir)
-      // events.parquet uses TIMESTAMP(NANOS): read as nanos-since-epoch long
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // tmpfs local dir, nanos-as-long, shuffle partitions = cores: the
+    // shared builder carries the session-level fixes (see util.Sessions)
+    val spark = graft.util.Sessions.local(cpus)
     // optional comma-separated query filter for local iteration
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = only match {

@@ -75,11 +75,18 @@ final class HttpApi(spark: SparkSession, store: GraphStore,
     }
   }
 
+  /** Thrown for unparseable request JSON → 400 (Flask's request.get_json()
+    * aborts with Bad Request, not a 500). */
+  private final class BadRequest extends RuntimeException
+
   private def jsonBody(ex: HttpExchange): JsonNode = {
     val raw = new String(ex.getRequestBody.readAllBytes(),
       StandardCharsets.UTF_8)
     if (raw.isEmpty) mapper.createObjectNode()
-    else mapper.readTree(raw)
+    else try mapper.readTree(raw)
+    catch { case _: com.fasterxml.jackson.core.JacksonException =>
+      throw new BadRequest
+    }
   }
 
   private def optText(n: JsonNode, k: String): Option[String] =
@@ -105,12 +112,17 @@ final class HttpApi(spark: SparkSession, store: GraphStore,
   private def optStrSeq(n: JsonNode, k: String): Option[Seq[String]] =
     optSeq(n, k).map(_.map(_.toString))
 
+  /** Parse the RAW query string and percent-decode each component exactly
+    * once — `URI.getQuery` pre-decodes, so decoding its output again would
+    * mangle legitimate '+'/'%' characters in values (and an encoded '&'
+    * would split the value). */
   private def queryParam(ex: HttpExchange, k: String): Option[String] =
-    Option(ex.getRequestURI.getQuery).toSeq
+    Option(ex.getRequestURI.getRawQuery).toSeq
       .flatMap(_.split("&").toSeq)
       .flatMap { kv =>
         kv.split("=", 2) match {
-          case Array(key, v) if key == k =>
+          case Array(key, v)
+              if java.net.URLDecoder.decode(key, StandardCharsets.UTF_8) == k =>
             Some(java.net.URLDecoder.decode(v, StandardCharsets.UTF_8))
           case _ => None
         }
@@ -164,6 +176,9 @@ final class HttpApi(spark: SparkSession, store: GraphStore,
         case None => write(ex, 404, """{"status":"Not found"}""")
       }
     } catch {
+      case _: BadRequest =>
+        try write(ex, 400, """{"status":"Bad request"}""")
+        catch { case _: Throwable => () }
       case e: Throwable =>
         // mirror the reference's per-endpoint catch (`index.py:90-94`)
         try write(ex, 500, """{"status":"Internal server error"}""")

@@ -80,7 +80,10 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
       .write.mode(SaveMode.Overwrite).parquet(stagedNodes.toString)
     GraphSchema.conform(g.edges, GraphSchema.edgeSchema)
       .repartition(col("type"))
-      .sortWithinPartitions(col("src"))
+      // the writer REQUIRES an ordering prefixed by the partition columns;
+      // sorting by (type, src) satisfies it, so no extra writer-inserted
+      // sort can destroy the src order that row-group pruning relies on
+      .sortWithinPartitions(col("type"), col("src"))
       .write.partitionBy("type")
       .mode(SaveMode.Overwrite).parquet(stagedEdges.toString)
     fs.delete(nodesDir(name), true)

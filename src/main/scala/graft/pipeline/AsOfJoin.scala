@@ -15,6 +15,16 @@ import org.apache.spark.sql.functions._
   * the max; this is linear in rows after one sort). State per key is one
   * row — the same trick Structured Streaming uses for stream compaction.
   *
+  * The carried payload is ONE struct per right row, not per-column carries:
+  * independent per-column `last(_, ignoreNulls)` would let an older row's
+  * value shine through a newer row's null field and stitch together a
+  * combined row that never existed. The struct is non-null exactly for
+  * right rows, so null payload FIELDS ride along faithfully.
+  *
+  * Right rows with a null timestamp are dropped: an unknown-time row must
+  * match nothing (under a naive sort, NULLS FIRST would make it
+  * earlier-than-everything and serve as the match for every left row).
+  *
   * Ties: a right row AT the left timestamp wins (<= semantics); equal
   * right timestamps resolve by ascending `tieBreak`, so the LAST one under
   * that order is taken — deterministic on any engine.
@@ -28,26 +38,25 @@ object AsOfJoin {
       .withColumn("_asof_ts", col(leftTs))
       .withColumn("_asof_isr", lit(0))
     val r = right
-      .select((keys.map(col) :+ col(rightTs).as("_asof_ts")) ++
-        (payload :+ tieBreak).distinct.map(c => col(c).as(s"_asof_$c")): _*)
+      .filter(col(rightTs).isNotNull)
+      .select(keys.map(col) :+ col(rightTs).as("_asof_ts") :+
+        struct(payload.map(col): _*).as("_asof_payload") :+
+        col(tieBreak).as("_asof_tie"): _*)
       .withColumn("_asof_isr", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows sort BEFORE the left rows they should serve (same ts →
     // right first via _asof_isr desc), equal right ts resolve by tieBreak
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_asof_ts").asc, col("_asof_isr").desc,
-        col(s"_asof_$tieBreak").asc_nulls_first)
+        col("_asof_tie").asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"_carry_$c", last(col(s"_asof_$c"), ignoreNulls = true).over(w))
-    }
+    val carried = unioned.withColumn("_carry",
+      last(col("_asof_payload"), ignoreNulls = true).over(w))
     val out = carried.filter(col("_asof_isr") === 0)
     val renamed = payload.foldLeft(out) { (df, c) =>
-      df.withColumn(s"asof_$c", col(s"_carry_$c"))
+      df.withColumn(s"asof_$c", col("_carry").getField(c))
     }
-    renamed.drop(
-      (Seq("_asof_ts", "_asof_isr") ++
-        (payload :+ tieBreak).distinct.map(c => s"_asof_$c") ++
-        payload.map(c => s"_carry_$c")): _*)
+    renamed.drop("_asof_ts", "_asof_isr", "_asof_payload", "_asof_tie",
+      "_carry")
   }
 }

@@ -265,12 +265,21 @@ object Dedup {
       localLimit: Long = 100000): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
+    // ids seen ONLY in reflexive pairs still belong in the output (the
+    // contract covers every id in `pairs`): label them as their own
+    // singleton cluster and let the groupBy-min at the end reconcile ids
+    // that also appear in real edges
+    val selfLabels = pairs.filter(a === b)
+      .select(a.as("id"), a.as("cluster_id")).distinct()
+    def withSelf(labels: DataFrame): DataFrame =
+      labels.union(selfLabels)
+        .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
     // canonical (larger u, smaller v) edges
     var e = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
     if (localLimit > 0 &&
         e.limit(localLimit.toInt + 1).count() <= localLimit)
-      return connectedComponentsLocal(e)
+      return withSelf(connectedComponentsLocal(e))
     var fingerprint: (Long, Any) = (-1L, null)
     var it = 0
     var done = e.isEmpty
@@ -306,11 +315,11 @@ object Dedup {
     // converged: every edge points node → component min; roots label
     // themselves. groupBy-min guards the (benign) case of a maxIter stop
     // before the per-node edge lists fully collapse.
-    e.groupBy(col("u").as("id")).agg(min(col("v")).as("cluster_id"))
-      .select(col("id"), col("cluster_id"))
-      .union(e.select(col("v")).distinct()
-        .select(col("v").as("id"), col("v").as("cluster_id")))
-      .groupBy(col("id")).agg(min(col("cluster_id")).as("cluster_id"))
+    withSelf(
+      e.groupBy(col("u").as("id")).agg(min(col("v")).as("cluster_id"))
+        .select(col("id"), col("cluster_id"))
+        .union(e.select(col("v")).distinct()
+          .select(col("v").as("id"), col("v").as("cluster_id"))))
   }
 
   /** Guarded small-edge-set path of [[connectedComponents]]: path-compressed

@@ -205,13 +205,15 @@ object RelationalQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
     // even sources keep ~1/2, odd sources keep ~1/4. The keep decision is a
-    // multiplicative hash of the stable doc id (Knuth constant), NOT id
-    // parity — the synthetic ids are round-robin by source, so any modulus
-    // correlated with the id layout would degenerate to keep-all/keep-none.
-    // Exact integer arithmetic (< 2^51, ANSI-overflow-safe) → bit-identical
-    // in any engine, no RNG state anywhere.
+    // multiplicative hash of the stable doc id bucketed mod a PRIME (101):
+    // the synthetic ids are round-robin by source (stride 20), and any
+    // modulus sharing a factor with the stride would confine each source to
+    // a few buckets (mod 100 → 5 buckets/source, rates off by 20 points); a
+    // prime coprime to every stride covers all residues uniformly. Exact
+    // integer arithmetic (< 2^51, ANSI-overflow-safe) → bit-identical in
+    // any engine, no RNG state anywhere.
     val srcNum = regexp_extract($"source", "(\\d+)$", 1).cast("long")
-    val bucket = pmod(pmod($"doc_id", lit(1000003L)) * lit(2654435761L), lit(100L))
+    val bucket = pmod(pmod($"doc_id", lit(1000003L)) * lit(2654435761L), lit(101L))
     val keep = when(pmod(srcNum, lit(2)) === 0, bucket < 50)
       .otherwise(bucket < 25)
     docs.filter(keep)
@@ -307,7 +309,7 @@ object RelationalQueries {
     "q14_corpus_mixture" ->
       """SELECT source, COUNT(*) AS n_kept FROM documents
         |WHERE CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
-        |           THEN ((doc_id % 1000003) * 2654435761) % 100 < 50
-        |           ELSE ((doc_id % 1000003) * 2654435761) % 100 < 25 END
+        |           THEN ((doc_id % 1000003) * 2654435761) % 101 < 50
+        |           ELSE ((doc_id % 1000003) * 2654435761) % 101 < 25 END
         |GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -26,17 +26,37 @@ object StreamingIngest {
 
   /** Apply one batch of (path, source) rows: delete stale versions of the
     * named files (cascading through DEFINES, dropping dangling edges),
-    * then ingest the new contents. */
+    * then ingest the new contents.
+    *
+    * Delete keys use the same LOGICAL path the ingestor stores file nodes
+    * under (jsonl-delivered files strip the `.jsonl` transport suffix) —
+    * keying on the raw streamed path would no-op the delete and leave the
+    * previous version's entities in the graph.
+    *
+    * If a path appears more than once in a batch (two edits inside one
+    * trigger interval), only ONE deterministic row per path is applied:
+    * micro-batch rows carry no order, so "latest" is undefined without a
+    * version column — the row with the greatest source text wins. Callers
+    * that need true last-wins should aggregate versions upstream. */
   def applyBatch(g: CodeGraph, batch: DataFrame): Unit = {
-    val keys = batch.select("path").distinct().collect()
+    import org.apache.spark.sql.functions.{col, max_by}
+    val onePerPath = batch
+      .groupBy(col("path"))
+      .agg(max_by(col("source"), col("source")).as("source"))
+    val keys = onePerPath.select("path").collect()
       .map(r => r.getString(0))
       .map { p =>
-        val (dir, base, ext) = Ingestor.splitPath(p)
+        val logical =
+          if (graft.ingest.JsonlFrontend.extensions
+              .contains(Ingestor.splitPath(p)._3))
+            graft.ingest.JsonlFrontend.logicalPath(p)
+          else p
+        val (dir, base, ext) = Ingestor.splitPath(logical)
         GraphOp.FileKey(dir, base, ext)
       }.toSeq
     if (keys.nonEmpty) {
       g.mutate(GraphOp.DeleteFiles(keys))
-      Ingestor.ingest(g, batch)
+      Ingestor.ingest(g, onePerPath)
     }
   }
 

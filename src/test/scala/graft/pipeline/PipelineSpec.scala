@@ -101,7 +101,11 @@ class PipelineSpec extends SparkSpec {
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
-      val want = parent.keys.map(k => k -> find(k)).toMap
+      // ids seen only in self-loops are singleton clusters (contract:
+      // every id in `pairs` gets a label); real-edge labels win on overlap
+      val selfSingletons = edges.collect { case (x, y) if x == y => x -> x }
+      val want = (selfSingletons ++
+        parent.keys.map(k => k -> find(k))).toMap
       assert(got == want, s"seed=$seed edges=$edges")
     }
   }
@@ -134,18 +138,27 @@ class PipelineSpec extends SparkSpec {
     val left = Seq((1L, 100L, 10L), (1L, 101L, 20L), (2L, 200L, 5L))
       .toDF("key", "lid", "lts")
     val right = Seq(
-      (1L, 42L, 10L),  // same ts as lid=100 -> <= wins
-      (1L, 41L, 10L),  // equal right ts: larger tieBreak (42) wins
-      (1L, 43L, 15L),  // after lid=100, at-or-before lid=101
-      (2L, 50L, 9L))   // before the key-2 left row... 9 > 5? no: AFTER
-      .toDF("key", "rid", "rts")
+      (1L, 42L, 10L, Some("a")), // same ts as lid=100 -> <= wins
+      (1L, 41L, 10L, Some("b")), // equal right ts: larger tieBreak (42) wins
+      (1L, 43L, 15L, None),      // latest for lid=101; null field must NOT
+                                 // let row 42's "a" shine through
+      (2L, 50L, 9L, Some("c")))  // AFTER the key-2 left row (ts 5) -> no match
+      .toDF("key", "rid", "rts", "extra")
     val got = AsOfJoin.asOf(left, right, Seq("key"), "lts", "rts",
-        Seq("rid"), "rid")
-      .select($"lid", $"asof_rid").as[(Long, Option[Long])]
-      .collect().toMap
-    assert(got(100L).contains(42L)) // ts tie: right row counts, max rid
-    assert(got(101L).contains(43L)) // latest at-or-before
-    assert(got(200L).isEmpty)       // no right row at-or-before -> null
+        Seq("rid", "extra"), "rid")
+      .select($"lid", $"asof_rid", $"asof_extra")
+      .as[(Long, Option[Long], Option[String])]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(100L) == ((Some(42L), Some("a")))) // ts tie: max rid row
+    assert(got(101L) == ((Some(43L), None))) // atomic row: null rides along
+    assert(got(200L) == ((None, None)))      // nothing at-or-before
+    // a null-timestamp right row must match nothing, not everything
+    val nullTs = Seq((2L, 60L, Option.empty[Long], Some("x")))
+      .toDF("key", "rid", "rts", "extra")
+    val got2 = AsOfJoin.asOf(left.filter($"key" === 2L), nullTs,
+        Seq("key"), "lts", "rts", Seq("rid", "extra"), "rid")
+      .select($"lid", $"asof_rid").as[(Long, Option[Long])].collect().toMap
+    assert(got2(200L).isEmpty)
   }
 
   test("property: as-of join equals brute-force latest-at-or-before") {
