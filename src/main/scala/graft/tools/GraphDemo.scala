@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 import graft.graph._
 
@@ -11,15 +10,8 @@ import graft.graph._
 object GraphDemo {
   def main(args: Array[String]): Unit = {
     val warehouse = args.headOption.getOrElse("/tmp/graft-demo-warehouse")
-    val spark = SparkSession.builder()
-      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
-      .appName("graft-demo")
-      .config("spark.sql.shuffle.partitions", "8")
-      // events.parquet uses TIMESTAMP(NANOS): read as nanos-since-epoch long
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.util.Sessions.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt, utc = true)
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
@@ -69,13 +61,10 @@ object GraphDemo {
     g.mutate(GraphOp.DeleteFiles(Seq(GraphOp.FileKey("", "src.py", ".py"))))
     println(s"backlog entries: ${g.getBacklog.length}")
     g.getBacklog.foreach(println)
-    val g2 = new CodeGraph(spark, "replay")
-    // replay from empty fails gracefully? no — replay over the saved snapshot
     val g3 = new CodeGraph(spark, "pyfixture", Some(store))
     g.getBacklog.foreach(g3.rerun)
     println(s"after replay: nodes=${g3.graph.nodes.count()} (expect 2: print + extra)")
     g3.graph.nodes.select("id", "labels", "name").orderBy("id").show(false)
-    val _ = g2
     spark.stop()
   }
 }

@@ -1,6 +1,5 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
 
 import graft.graph.{CodeGraph, GraphQueries}
 import graft.ingest.Ingestor
@@ -9,11 +8,7 @@ import graft.ingest.Ingestor
   * graph and answer the reference's golden queries. */
 object IngestDemo {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder()
-      .master("local[8]").appName("graft-ingest-demo")
-      .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = graft.util.Sessions.local(8)
     spark.sparkContext.setLogLevel("ERROR")
 
     val src = Seq(
