@@ -196,6 +196,22 @@ object GraphParityQueries {
     nodeCounts.unionByName(edgeCount).orderBy($"kind")
   }
 
+  /** g09 — exact triangle count of the part co-purchase graph (parts
+    * sharing at least one order are connected). Degree-oriented
+    * node-iterator ([[GraphAlgorithms.triangleCount]]) — the oracle counts
+    * the same triangles with a 3-way id-ordered self-join (orientation
+    * does not change the count). */
+  def g09TriangleCount(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val li = Tables.lineitem(spark, d)
+      .select($"l_orderkey", $"l_partkey").distinct()
+    val a = li.select($"l_orderkey", $"l_partkey".as("pa"))
+    val b = li.select($"l_orderkey", $"l_partkey".as("pb"))
+    val pairs = a.join(b, "l_orderkey").filter($"pa" < $"pb")
+      .select($"pa", $"pb").distinct()
+    GraphAlgorithms.triangleCount(pairs, "pa", "pb")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g01_graph_neighbors" -> (g01Neighbors _),
     "g02_graph_incoming_collect" -> (g02IncomingCollect _),
@@ -204,7 +220,8 @@ object GraphParityQueries {
     "g05_graph_two_hop" -> (g05TwoHop _),
     "g06_graph_chain_walk" -> (g06ChainWalk _),
     "g07_graph_upsert_idempotent" -> (g07UpsertIdempotent _),
-    "g08_graph_delete_cascade" -> (g08DeleteCascade _))
+    "g08_graph_delete_cascade" -> (g08DeleteCascade _),
+    "g09_triangle_count" -> (g09TriangleCount _))
 
   val oracle: Map[String, String] = Map(
     "g01_graph_neighbors" ->
@@ -259,5 +276,14 @@ object GraphParityQueries {
         |  SELECT 'edges', COUNT(DISTINCT (l_orderkey, l_linenumber))
         |    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
         |    WHERE o_orderstatus <> 'F') t
-        |ORDER BY kind""".stripMargin)
+        |ORDER BY kind""".stripMargin,
+    "g09_triangle_count" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM lineitem a JOIN lineitem b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM pairs e1
+        |JOIN pairs e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        |JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin)
 }
