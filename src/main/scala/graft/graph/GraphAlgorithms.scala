@@ -56,4 +56,45 @@ object GraphAlgorithms {
         "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /** PageRank in FIXED-POINT integer arithmetic — bit-identical on any
+    * engine, any partitioning, any cluster size.
+    *
+    * Float PageRank is non-deterministic across engines (summation order),
+    * which blocks exact verification. Quantizing to integer units
+    * (`scale` = one unit of rank mass, damping fixed at 17/20 = 0.85)
+    * makes every step exact: contributions are integer divisions, sums are
+    * order-independent long additions, so the result hash-matches an
+    * unrolled SQL formulation. Dangling-node mass is dropped (the classic
+    * simplified formulation).
+    *
+    * Scale: each iteration is one equi-join edges⨝ranks + one grouped sum
+    * (map-side partial agg); lineage is cut every 3 iterations. Headroom:
+    * n_nodes × scale × 17 must stay below 2⁶³ — at 10¹² nodes drop `scale`
+    * to 10⁵. */
+  def pageRankFixed(edges: DataFrame, iters: Int = 10,
+      scale: Long = 1000000L, srcCol: String = "src",
+      dstCol: String = "dst"): DataFrame = {
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val base = scale * 3 / 20 // (1 - d) mass per node, d = 17/20
+    var ranks = nodes.withColumn("rank", lit(scale))
+    for (i <- 1 to iters) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("id", "src"), "src")
+        .join(outDeg, "src")
+        .select(col("dst").as("id"), expr("rank div odeg").as("c"))
+      val summed = contribs.groupBy(col("id")).agg(sum(col("c")).as("s"))
+      ranks = nodes.join(summed, Seq("id"), "left_outer")
+        .select(col("id"), (lit(base) +
+          expr("(17 * coalesce(s, cast(0 as bigint))) div 20")).as("rank"))
+      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
+    }
+    ranks
+  }
 }

@@ -212,7 +212,20 @@ object GraphParityQueries {
     GraphAlgorithms.triangleCount(pairs, "pa", "pb")
   }
 
+  /** g10 — fixed-point PageRank over the full TPC-H graph (PLACED ∪
+    * CONTAINS ∪ SUPPLIES ∪ NEXT), 10 iterations, top-20 nodes. Integer
+    * arithmetic makes the iteration bit-exact, so the oracle is the SAME
+    * recurrence unrolled as 10 SQL CTE stages. */
+  def g10PageRank(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    GraphAlgorithms.pageRankFixed(g.edges, iters = 10)
+      .orderBy($"rank".desc, $"id")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g10_pagerank" -> (g10PageRank _),
     "g01_graph_neighbors" -> (g01Neighbors _),
     "g02_graph_incoming_collect" -> (g02IncomingCollect _),
     "g03_graph_unreachable" -> (g03UnreachableFirstOrders _),
@@ -285,5 +298,42 @@ object GraphParityQueries {
         |SELECT COUNT(*) AS n_triangles
         |FROM pairs e1
         |JOIN pairs e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
-        |JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin)
+        |JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin,
+    "g10_pagerank" -> pagerankOracle)
+
+  /** The pageRankFixed recurrence unrolled as SQL: r0 = scale per node;
+    * r_k(v) = 150000 + (17 · Σ_{u→v} (r_{k-1}(u) DIV odeg(u))) DIV 20.
+    * Integer ops only — hash-identical to the Spark loop. */
+  private lazy val pagerankOracle: String = {
+    val stages = (1 to 10).map { k =>
+      s"""r$k AS (
+         |  SELECT n.id,
+         |    (150000 + (17 * COALESCE(SUM(c.c), 0)) // 20)::BIGINT AS rank
+         |  FROM n LEFT JOIN (
+         |    SELECT e.dst AS id, r${k - 1}.rank // od.odeg AS c
+         |    FROM e JOIN r${k - 1} ON r${k - 1}.id = e.src
+         |    JOIN od ON od.src = e.src) c ON c.id = n.id
+         |  GROUP BY n.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT o_custkey::BIGINT AS src,
+       |         (o_orderkey + 1000000)::BIGINT AS dst FROM orders
+       |  UNION
+       |  SELECT (l_orderkey + 1000000)::BIGINT,
+       |         (l_partkey + 2000000)::BIGINT FROM lineitem
+       |  UNION
+       |  SELECT (l_suppkey + 3000000)::BIGINT,
+       |         (l_partkey + 2000000)::BIGINT FROM lineitem
+       |  UNION
+       |  SELECT src, dst FROM (
+       |    SELECT (o_orderkey + 1000000)::BIGINT AS src,
+       |      (lead(o_orderkey) OVER (PARTITION BY o_custkey
+       |         ORDER BY o_orderdate, o_orderkey) + 1000000)::BIGINT AS dst
+       |    FROM orders) t WHERE dst IS NOT NULL),
+       |n AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |od AS (SELECT src, COUNT(*) AS odeg FROM e GROUP BY src),
+       |r0 AS (SELECT id, 1000000::BIGINT AS rank FROM n),
+       |$stages
+       |SELECT id, rank FROM r10 ORDER BY rank DESC, id LIMIT 20""".stripMargin
+  }
 }

@@ -25,6 +25,21 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert(count(Seq.empty) == 0)
   }
 
+  test("fixed-point pagerank: sinks outrank sources, deterministic") {
+    import spark.implicits._
+    // star pointing INTO the hub: hub must outrank every leaf
+    val star = (2L to 8L).map(i => (i, 1L)).toDF("src", "dst")
+    val r = GraphAlgorithms.pageRankFixed(star, iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert((2L to 8L).forall(i => r(1L) > r(i)))
+    // leaves have no incoming mass: exactly the (1-d) floor
+    assert((2L to 8L).forall(i => r(i) == 150000L))
+    // bit-determinism across runs
+    val r2 = GraphAlgorithms.pageRankFixed(star, iters = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(r == r2)
+  }
+
   test("triangle count matches brute-force enumeration on a random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(120)((rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
