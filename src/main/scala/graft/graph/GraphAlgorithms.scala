@@ -81,7 +81,9 @@ object GraphAlgorithms {
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
+    // pinned: the contribution join reads it every iteration
     val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+      .localCheckpoint(true)
     val base = scale * 3 / 20 // (1 - d) mass per node, d = 17/20
     var ranks = nodes.withColumn("rank", lit(scale))
     for (i <- 1 to iters) {
