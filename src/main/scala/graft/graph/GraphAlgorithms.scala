@@ -52,8 +52,14 @@ object GraphAlgorithms {
     val wedges = w1.join(w2, Seq("lo"))
       .filter(col("k1") < col("k2"))
       .select(col("h1").as("lo"), col("h2").as("hi"))
-    wedges.join(oriented.select(col("lo"), col("hi")), Seq("lo", "hi"),
-        "left_semi")
+    // the wedge set is O(m^1.5) — when the EDGE set is broadcastable,
+    // probing it map-side beats shuffling every wedge (size guard: beyond
+    // the bound, fall back to the shuffled semi-join)
+    val closing = oriented.select(col("lo"), col("hi"))
+    val closingSide =
+      if (oriented.limit(3000001).count() <= 3000000L) broadcast(closing)
+      else closing
+    wedges.join(closingSide, Seq("lo", "hi"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))
   }
 
