@@ -237,6 +237,16 @@ class GraphEngineSpec extends SparkSpec {
       s"type filter did not reach partition pruning:\n$scan")
   }
 
+  test("empty graph round-trips through the partitioned store") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-empty").toString
+    val store = new GraphStore(spark, tmp)
+    store.save("empty", GraphSchema.empty(spark))
+    assert(store.exists("empty"))
+    val loaded = store.load("empty")
+    assert(loaded.nodes.count() === 0)
+    assert(loaded.edges.count() === 0)
+  }
+
   test("ID assignment stays monotone across delete + save/load (no reuse)") {
     import spark.implicits._
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh-ids").toString
