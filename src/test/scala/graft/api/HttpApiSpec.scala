@@ -80,6 +80,13 @@ class HttpApiSpec extends SparkSpec {
         == "Invalid node ID. It must be an integer.")
 
       assert(get(port, "/nope").statusCode() == 404)
+      // malformed JSON is a client error, not a 500 (Flask get_json aborts 400)
+      val badJson = post(port, "/repo_info", "{not json")
+      assert(badJson.statusCode() == 400)
+      // '+' in a query value must survive single-decoding (repo "a+b")
+      val plus = get(port, "/graph_entities?repo=a%2Bb")
+      assert(OpLog.mapper.readTree(plus.body()).get("status").asText()
+        == "Missing project a+b")
       // public_access guard (index.py:44-50): disabled -> 401
       val sw = post(port, "/switch_commit", """{"repo":"proj","commit":"x"}""")
       assert(sw.statusCode() == 401)
