@@ -88,6 +88,43 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     xxhash64(regexp_replace(lower(trim(text)), "\\s+", " "))
 
+  /** Winnowing fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03 — the
+    * MOSS algorithm): k-gram polynomial rolling hashes, then the minimum
+    * hash of every w-window, deduplicated — a fingerprint set that is
+    * robust to insertions/reordering (any shared substring of length
+    * ≥ k+w−1 guarantees a shared fingerprint).
+    *
+    * The hash is an EXPLICIT base-257 polynomial mod 1000003 over character
+    * codes — not an engine-private hash — so the fingerprints are
+    * reproducible in plain SQL and the operator gets a real value oracle.
+    * All arithmetic stays < 2³⁸: overflow-free under ANSI mode anywhere.
+    * Pure codegen'd array expressions, zero shuffle. */
+  def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
+    graft.functions.WinnowingFingerprints.winnowing(text, k, w)
+
+  /** The composable higher-order-function formulation the fused kernel
+    * must reproduce — TEST-ORACLE USE ON SHORT STRINGS ONLY: lambda bodies
+    * re-evaluate the inner arrays per element (no CSE through lambdas), so
+    * this is O(n³) per row and hangs on document-sized text. */
+  private[graft] def winnowingViaTransform(text: Column, k: Int = 8,
+      w: Int = 4): Column = {
+    val P = 1000003L
+    val B = 257L
+    val t = lower(text)
+    val n = length(t)
+    val codes = transform(sequence(lit(1), n), i => ascii(t.substr(i, lit(1))))
+    val hashes = when(n < k, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), n - (k - 1)), i =>
+        aggregate(slice(codes, i, lit(k)), lit(0L),
+          (acc, c) => (acc * B + c) % P)))
+    val m = size(hashes)
+    when(m === 0, array().cast("array<bigint>"))
+      .when(m <= w, array(array_min(hashes)))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(1), m - (w - 1)),
+          t0 => array_min(slice(hashes, t0, lit(w)))))))
+  }
+
   /** Distinct word n-gram set of a token array (space-joined windows);
     * empty for docs shorter than n tokens (`sequence` would otherwise run
     * DESCENDING for stop < start — same pitfall as char n-grams). */

@@ -160,6 +160,22 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** t07 — winnowing fingerprints shared across documents: the top
+    * fingerprints by document frequency (≥ 2 docs). Exact-integer rolling
+    * hashes make this hash-verifiable in DuckDB — a fingerprint-index
+    * build (explode + one grouped count), the winnowing-based near-dup
+    * index shape. */
+  def t07Winnowing(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select($"doc_id",
+        explode(TextAnalysis.winnowingFingerprints($"text")).as("fp"))
+      .groupBy($"fp").agg(count(lit(1)).as("n_docs"))
+      .filter($"n_docs" >= 2)
+      .orderBy($"n_docs".desc, $"fp")
+      .limit(100)
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -202,6 +218,7 @@ object PipelineQueries {
     "d07_dedup_clusters" -> (d07DedupClusters _),
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
+    "t07_winnowing" -> (t07Winnowing _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_by_source" -> (t02QualityBySource _),
     "t03_lang_id" -> (t03LangId _),
@@ -288,6 +305,31 @@ object PipelineQueries {
         |    AS n_flagged
         |FROM g LEFT JOIN p USING (doc_id)
         |GROUP BY g.source ORDER BY g.source""".stripMargin,
+    "t07_winnowing" ->
+      // the same base-257 mod-1000003 rolling hash + w=4 window minima;
+      // list_reduce folds from a prepended 0 (it otherwise seeds with the
+      // first element, unlike Spark's aggregate(zero, ...))
+      """WITH d AS (SELECT doc_id, lower(text) AS t, length(text) AS n
+        |           FROM documents),
+        |cs AS (SELECT doc_id, n,
+        |  [ord(substring(t, i, 1)) for i in generate_series(1, n)] AS codes
+        |  FROM d),
+        |hs AS (SELECT doc_id,
+        |  CASE WHEN n < 8 THEN []::BIGINT[]
+        |  ELSE [list_reduce(list_prepend(0::BIGINT, codes[i:i+7]::BIGINT[]),
+        |          (acc, c) -> (acc * 257 + c) % 1000003)
+        |        for i in generate_series(1, n - 7)] END AS hv
+        |  FROM cs),
+        |fps AS (SELECT doc_id,
+        |  CASE WHEN len(hv) = 0 THEN []::BIGINT[]
+        |       WHEN len(hv) <= 4 THEN [list_min(hv)]
+        |       ELSE list_sort(list_distinct(
+        |         [list_min(hv[t:t+3]) for t in generate_series(1, len(hv) - 3)]))
+        |  END AS fp FROM hs)
+        |SELECT fp, COUNT(*) AS n_docs
+        |FROM (SELECT doc_id, unnest(fp) AS fp FROM fps) e
+        |GROUP BY fp HAVING COUNT(*) >= 2
+        |ORDER BY n_docs DESC, fp LIMIT 100""".stripMargin,
     "d06_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

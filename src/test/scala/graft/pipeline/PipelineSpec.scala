@@ -186,6 +186,27 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("winnowing kernel matches the composable formulation; containment") {
+    import spark.implicits._
+    // short strings only: the composable form is O(n³) by construction
+    val texts = Seq("", "short", "abcdefgh", "the quick brown fox jumps",
+      "aaaaaaaaaaaaaaaa", "MiXeD CaSe AbCdEfGh xyzw", "ünïcödé tëxt hërë!?")
+    val df = texts.toDF("text")
+    val a = df.select(TextAnalysis.winnowingFingerprints($"text").as("fp"))
+      .as[Seq[Long]].collect()
+    val b = df.select(TextAnalysis.winnowingViaTransform($"text").as("fp"))
+      .as[Seq[Long]].collect()
+    assert(a.toSeq == b.toSeq)
+    // winnowing guarantee: a shared substring of length >= k+w-1 (11) chars
+    // forces at least one shared fingerprint
+    val shared = "copiedpassagehere"
+    val docs = Seq(s"prefix one $shared tail", s"other text $shared!!")
+      .toDF("text")
+    val fps = docs.select(TextAnalysis.winnowingFingerprints($"text").as("fp"))
+      .as[Seq[Long]].collect()
+    assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
+  }
+
   test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
     import spark.implicits._
     val docs = Seq(
