@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Expression,
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{CharNGrams, CosineSimilarity, HyperplaneSignature,
-  MinHashSignature, SimHash64}
+  MinHashSignature, SimHash64, WinnowingFingerprints}
 import graft.graph.GraphStore
 
 /** SQL surface for graft's native kernels and graph tables.
@@ -84,6 +84,15 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => CosineSimilarity(a, b)
         case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+      }),
+    (FunctionIdentifier("graft_winnowing"),
+      new ExpressionInfo(classOf[WinnowingFingerprints].getName,
+        "graft_winnowing"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, k, w) => WinnowingFingerprints(text,
+          litInt(k, "graft_winnowing"), litInt(w, "graft_winnowing"))
+        case _ => throw new IllegalArgumentException(
+          "graft_winnowing(text, k, w)")
       }),
     (FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[XxHash64].getName, "graft_fingerprint"),

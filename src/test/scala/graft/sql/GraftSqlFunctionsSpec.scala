@@ -41,6 +41,11 @@ class GraftSqlFunctionsSpec extends SparkSpec {
       "SELECT graft_cosine(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c")
       .head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-12)
+
+    val win = spark.sql(
+      """SELECT graft_winnowing(text, 8, 4) AS fp FROM sql_docs LIMIT 5""")
+      .collect()
+    assert(win.forall(_.getAs[scala.collection.Seq[Long]]("fp").nonEmpty))
   }
 
   test("graph views answer label queries from SQL") {
