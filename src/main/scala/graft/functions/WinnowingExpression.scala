@@ -49,9 +49,11 @@ object WinnowingFingerprints {
 
   /** Tight-loop kernel; public so generated code can call it. */
   def compute(s: UTF8String, k: Int, w: Int): ArrayData = {
-    // lowercase first (UTF8String.toLowerCase == SQL lower()), then code
-    // points (== DuckDB ord(substring(t, i, 1)))
-    val lower = s.toLowerCase.toString
+    // locale-independent lowercase (UTF8String.toLowerCase falls back to
+    // the DEFAULT locale for non-ASCII — a Turkish-locale JVM would map
+    // 'I' to U+0131 and silently diverge from DuckDB's utf8proc lower()),
+    // then code points (== DuckDB ord(substring(t, i, 1)))
+    val lower = s.toString.toLowerCase(java.util.Locale.ROOT)
     val n = lower.codePointCount(0, lower.length)
     if (n < k) return new GenericArrayData(Array.empty[Any])
     val cps = new Array[Int](n)

@@ -102,29 +102,6 @@ object TextAnalysis {
   def winnowingFingerprints(text: Column, k: Int = 8, w: Int = 4): Column =
     graft.functions.WinnowingFingerprints.winnowing(text, k, w)
 
-  /** The composable higher-order-function formulation the fused kernel
-    * must reproduce — TEST-ORACLE USE ON SHORT STRINGS ONLY: lambda bodies
-    * re-evaluate the inner arrays per element (no CSE through lambdas), so
-    * this is O(n³) per row and hangs on document-sized text. */
-  private[graft] def winnowingViaTransform(text: Column, k: Int = 8,
-      w: Int = 4): Column = {
-    val P = 1000003L
-    val B = 257L
-    val t = lower(text)
-    val n = length(t)
-    val codes = transform(sequence(lit(1), n), i => ascii(t.substr(i, lit(1))))
-    val hashes = when(n < k, array().cast("array<bigint>"))
-      .otherwise(transform(sequence(lit(1), n - (k - 1)), i =>
-        aggregate(slice(codes, i, lit(k)), lit(0L),
-          (acc, c) => (acc * B + c) % P)))
-    val m = size(hashes)
-    when(m === 0, array().cast("array<bigint>"))
-      .when(m <= w, array(array_min(hashes)))
-      .otherwise(array_sort(array_distinct(
-        transform(sequence(lit(1), m - (w - 1)),
-          t0 => array_min(slice(hashes, t0, lit(w)))))))
-  }
-
   /** Distinct word n-gram set of a token array (space-joined windows);
     * empty for docs shorter than n tokens (`sequence` would otherwise run
     * DESCENDING for stop < start — same pitfall as char n-grams). */

@@ -309,7 +309,9 @@ object PipelineQueries {
       // the same base-257 mod-1000003 rolling hash + w=4 window minima;
       // list_reduce folds from a prepended 0 (it otherwise seeds with the
       // first element, unlike Spark's aggregate(zero, ...))
-      """WITH d AS (SELECT doc_id, lower(text) AS t, length(text) AS n
+      // n = length of the LOWERED text: lowercasing can change codepoint
+      // count (e.g. U+0130), and the kernel hashes the lowered string
+      """WITH d AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
         |           FROM documents),
         |cs AS (SELECT doc_id, n,
         |  [ord(substring(t, i, 1)) for i in generate_series(1, n)] AS codes

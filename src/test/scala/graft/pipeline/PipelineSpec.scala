@@ -186,6 +186,30 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  /** The composable higher-order-function winnowing formulation the fused
+    * kernel must reproduce — SHORT STRINGS ONLY: lambda bodies re-evaluate
+    * the inner arrays per element (no CSE through lambdas), so this is
+    * O(n³) per row; it lives here so the production jar carries only the
+    * kernel. */
+  private def winnowingViaTransform(text: org.apache.spark.sql.Column,
+      k: Int = 8, w: Int = 4): org.apache.spark.sql.Column = {
+    val P = 1000003L
+    val B = 257L
+    val t = lower(text)
+    val n = length(t)
+    val codes = transform(sequence(lit(1), n), i => ascii(t.substr(i, lit(1))))
+    val hashes = when(n < k, array().cast("array<bigint>"))
+      .otherwise(transform(sequence(lit(1), n - (k - 1)), i =>
+        aggregate(slice(codes, i, lit(k)), lit(0L),
+          (acc, c) => (acc * B + c) % P)))
+    val m = size(hashes)
+    when(m === 0, array().cast("array<bigint>"))
+      .when(m <= w, array(array_min(hashes)))
+      .otherwise(array_sort(array_distinct(
+        transform(sequence(lit(1), m - (w - 1)),
+          t0 => array_min(slice(hashes, t0, lit(w)))))))
+  }
+
   test("winnowing kernel matches the composable formulation; containment") {
     import spark.implicits._
     // short strings only: the composable form is O(n³) by construction
@@ -194,7 +218,7 @@ class PipelineSpec extends SparkSpec {
     val df = texts.toDF("text")
     val a = df.select(TextAnalysis.winnowingFingerprints($"text").as("fp"))
       .as[Seq[Long]].collect()
-    val b = df.select(TextAnalysis.winnowingViaTransform($"text").as("fp"))
+    val b = df.select(winnowingViaTransform($"text").as("fp"))
       .as[Seq[Long]].collect()
     assert(a.toSeq == b.toSeq)
     // winnowing guarantee: a shared substring of length >= k+w-1 (11) chars
