@@ -1,0 +1,53 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sequence packing — the final stage of LLM training-data prep: documents
+  * are concatenated in a deterministic global order and chopped into
+  * fixed-length training sequences (concat-and-chop; a doc can span a
+  * sequence boundary).
+  *
+  * The core is a GLOBAL PREFIX SUM of token counts. The naive
+  * `SUM(n) OVER (ORDER BY id)` window has no partition key, so Spark would
+  * run it on ONE task; instead this is the classic two-pass distributed
+  * scan (the same shape the mutation engine uses for ID assignment):
+  * range-partition + sort by id (pinned), per-partition sums to the driver
+  * (one tiny job), then a per-partition running offset — every token
+  * offset is a pure function of the data, identical on any cluster.
+  */
+object Packing {
+
+  /** (id, n, tok_start) per row: tok_start = Σ n over all rows with
+    * smaller id. Input rows with the same id are disallowed (offsets
+    * would depend on partitioning). */
+  def tokenOffsets(df: DataFrame, idCol: String, nCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(idCol).cast("long").as("id"), col(nCol).cast("long").as("n"))
+      .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
+      .localCheckpoint(true)
+    val ds = sorted.as[(Long, Long)]
+    val partSums = ds.mapPartitions(it => Iterator.single(it.map(_._2).sum))
+      .collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val rdd = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var run = offsets(pi)
+      it.map { case (id, n) => val s = run; run += n; (id, n, s) }
+    }
+    spark.createDataFrame(rdd).toDF("id", "n", "tok_start")
+  }
+
+  /** Per-sequence packing stats for context length L: which docs land in
+    * which fixed-length sequence (a doc spanning a boundary counts in
+    * every sequence it touches). Exact integers — oracle-friendly. */
+  def packStats(docs: DataFrame, contextLen: Int, idCol: String = "doc_id",
+      nTokCol: String = "n_tokens"): DataFrame = {
+    val offs = tokenOffsets(docs, idCol, nTokCol).filter(col("n") > 0)
+    offs.select(col("id"),
+        explode(sequence(expr(s"tok_start div $contextLen"),
+          expr(s"(tok_start + n - 1) div $contextLen"))).as("seq_id"))
+      .groupBy(col("seq_id")).agg(count(lit(1)).as("n_docs"))
+  }
+}

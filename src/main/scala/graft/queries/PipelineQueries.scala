@@ -176,6 +176,19 @@ object PipelineQueries {
       .limit(100)
   }
 
+  /** t08 — sequence packing: documents concatenated in doc_id order and
+    * chopped into 512-token training sequences; per sequence, how many
+    * docs it contains. The global token prefix-sum runs as a two-pass
+    * distributed scan, never a single-task window. */
+  def t08SequencePacking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+      .select($"doc_id", TextAnalysis.tokenCount($"text").cast("long")
+        .as("n_tokens"))
+    graft.pipeline.Packing.packStats(docs, 512)
+      .orderBy($"seq_id")
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -219,6 +232,7 @@ object PipelineQueries {
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
     "t07_winnowing" -> (t07Winnowing _),
+    "t08_sequence_packing" -> (t08SequencePacking _),
     "t01_token_stats" -> (t01TokenStats _),
     "t02_quality_by_source" -> (t02QualityBySource _),
     "t03_lang_id" -> (t03LangId _),
@@ -332,6 +346,21 @@ object PipelineQueries {
         |FROM (SELECT doc_id, unnest(fp) AS fp FROM fps) e
         |GROUP BY fp HAVING COUNT(*) >= 2
         |ORDER BY n_docs DESC, fp LIMIT 100""".stripMargin,
+    "t08_sequence_packing" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n,
+        |    COALESCE(SUM(n) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS s
+        |  FROM t)
+        |SELECT seq_id, COUNT(*) AS n_docs FROM (
+        |  SELECT doc_id, unnest(generate_series(s // 512, (s + n - 1) // 512))
+        |    AS seq_id
+        |  FROM c WHERE n > 0) x
+        |GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "d06_embedding_neardup" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -231,6 +231,24 @@ class PipelineSpec extends SparkSpec {
     assert(fps(0).toSet.intersect(fps(1).toSet).nonEmpty)
   }
 
+  test("sequence packing: offsets are a pure function of id order") {
+    import spark.implicits._
+    // docs of 4,4,4 tokens, L=10: doc1 [0,4), doc2 [4,8), doc3 [8,12)
+    // -> seq0 holds docs 1,2,3 (doc3 spans into seq1)
+    val docs = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("doc_id", "n_tokens")
+    val got = graft.pipeline.Packing.packStats(docs, 10)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 3L, 1L -> 1L))
+    // offsets independent of input partitioning
+    val shuffled = Seq((3L, 4L), (1L, 4L), (2L, 4L))
+      .toDF("doc_id", "n_tokens").repartition(7)
+    val offs = graft.pipeline.Packing
+      .tokenOffsets(shuffled, "doc_id", "n_tokens")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(offs.map(r => (r._1, r._3)).toSeq ==
+      Seq((1L, 0L), (2L, 4L), (3L, 8L)))
+  }
+
   test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
     import spark.implicits._
     val docs = Seq(
