@@ -20,6 +20,15 @@ object Paths {
 
   val DefaultMaxHops = 15
 
+  /** Frontier-row bound above which [[expandPaths]] stops force-broadcasting
+    * the frontier and falls back to a stats-driven shuffle join. Simple-path
+    * sets grow exponentially on wide fan-out graphs, and an oversized forced
+    * broadcast is a hard Spark failure (8 GB cap), not a slow query — the
+    * same limit-probe idiom as `Dedup.connectedComponents`. ~10⁶ paths of
+    * ≤16 longs is a few hundred MB serialized: comfortably broadcastable,
+    * far below the cap. */
+  val DefaultFrontierBroadcastLimit = 1000000L
+
   /** Transitive closure: all node IDs reachable from `roots` (inclusive)
     * over `edges` — the `DEFINES*` cascade used by delete_files
     * (`api/graph.py:408-426`). BFS on node-set, not paths: visited-set
@@ -54,10 +63,11 @@ object Paths {
     * unbounded `[:CALLS*]` — SURVEY §7.4 risk 3). */
   def findPaths(g: PropertyGraph, srcId: Long, dstId: Long,
       edgeType: String = "CALLS",
-      maxHops: Int = DefaultMaxHops): DataFrame = {
+      maxHops: Int = DefaultMaxHops,
+      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit): DataFrame = {
     val spark = g.nodes.sparkSession
     expandPaths(spark, g.edges.filter(col("type") === edgeType),
-      srcId, Some(dstId), maxHops)
+      srcId, Some(dstId), maxHops, frontierBroadcastLimit)
       .filter(element_at(col("path"), -1) === lit(dstId))
   }
 
@@ -65,10 +75,11 @@ object Paths {
     * (`tests/endpoints/test_find_paths.py:60-62`: `[:CALLS*3..5]`):
     * all simple paths from srcId with minHops ≤ hops ≤ maxHops. */
   def boundedPaths(g: PropertyGraph, srcId: Long, edgeType: String,
-      minHops: Int, maxHops: Int): DataFrame = {
+      minHops: Int, maxHops: Int,
+      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit): DataFrame = {
     val spark = g.nodes.sparkSession
     expandPaths(spark, g.edges.filter(col("type") === edgeType),
-      srcId, None, maxHops)
+      srcId, None, maxHops, frontierBroadcastLimit)
       .filter(col("hops").between(minHops, maxHops))
   }
 
@@ -76,37 +87,54 @@ object Paths {
     * `target` stop expanding (they are results). Returns all intermediate
     * and terminal paths with their hop counts. */
   private def expandPaths(spark: SparkSession, typedEdges: DataFrame,
-      srcId: Long, target: Option[Long], maxHops: Int): DataFrame = {
+      srcId: Long, target: Option[Long], maxHops: Int,
+      frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit): DataFrame = {
     import spark.implicits._
     val e = typedEdges.select(col("src"), col("dst")).distinct().cache()
     // `acc` stays a lazy union of PINNED per-hop levels (one checkpoint job
     // per hop, not two — a 40-hop chain walk saves ~40 driver round-trips)
     var acc = Seq((Array(srcId), 0)).toDF("path", "hops").localCheckpoint(true)
     var frontier = acc
+    // exact frontier size, refreshed each hop from the pinned level (a
+    // count() on an eager localCheckpoint costs the same driver round-trip
+    // the old isEmpty() did) — it decides broadcast vs shuffle for free
+    var frontierRows = 1L
     var hop = 0
-    while (hop < maxHops && !frontier.isEmpty) {
+    while (hop < maxHops && frontierRows > 0) {
       hop += 1
       val expandable = target match {
         case Some(t) => frontier.filter(element_at(col("path"), -1) =!= lit(t))
         case None => frontier
       }
-      // broadcast the frontier: the edge table streams through a broadcast
-      // hash join instead of being re-shuffled on the computed key every
-      // hop (measured ~5 s/hop -> sub-second on a 150k-edge chain walk).
-      // Frontiers that outgrow a broadcast (wide fan-out graphs) would need
-      // the shuffle form; the reference's CALLS graphs never get there.
-      val next = broadcast(expandable.withColumn("_last",
-          element_at(col("path"), -1)))
-        .join(e, col("_last") === col("src"))
-        .filter(!array_contains(col("path"), col("dst")))
-        .select(concat(col("path"), array(col("dst"))).as("path"),
-          lit(hop).as("hops"))
-        .localCheckpoint(true)
-      if (next.isEmpty) frontier = next
-      else { acc = acc.union(next); frontier = next }
+      val next =
+        expandHop(expandable, e, hop, frontierRows <= frontierBroadcastLimit)
+          .localCheckpoint(true)
+      frontierRows = next.count()
+      if (frontierRows > 0) { acc = acc.union(next); frontier = next }
     }
     e.unpersist()
     acc
+  }
+
+  /** One hop of simple-path expansion: join the frontier's last node to the
+    * edge table, drop cycles, append the new node.
+    *
+    * `useBroadcast` = frontier is measured-small: force a broadcast hash
+    * join so the edge table streams instead of re-shuffling on the computed
+    * `_last` key every hop (measured ~5 s/hop → sub-second on a 150k-edge
+    * chain walk). When the frontier outgrows [[DefaultFrontierBroadcastLimit]]
+    * (wide fan-out graphs — simple-path sets grow exponentially) the hint is
+    * dropped and Catalyst picks a shuffle join from stats; a forced >8 GB
+    * broadcast would be a hard failure. Package-private so
+    * PlanInvariantsSpec can assert both shapes. */
+  private[graft] def expandHop(expandable: DataFrame, e: DataFrame, hop: Int,
+      useBroadcast: Boolean): DataFrame = {
+    val keyed = expandable.withColumn("_last", element_at(col("path"), -1))
+    val hinted = if (useBroadcast) broadcast(keyed) else keyed
+    hinted.join(e, col("_last") === col("src"))
+      .filter(!array_contains(col("path"), col("dst")))
+      .select(concat(col("path"), array(col("dst"))).as("path"),
+        lit(hop).as("hops"))
   }
 
   /** T4 `relationships(path)` (`api/prompts.py:15`; encode_path

@@ -1,0 +1,56 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Guards for the path expander's frontier-size broadcast guard
+  * (VERDICT r2 #1): wide fan-out frontiers must take the shuffle-join form
+  * instead of a forced broadcast, and both forms must agree. */
+class PathsSpec extends SparkSpec {
+
+  /** A deliberately wide fan-out DAG: root 0 → mids 1..1000 → sink 2000.
+    * The hop-1 frontier is 1000 simple paths — far past a tiny broadcast
+    * limit. */
+  private def fanOutGraph(mids: Int = 1000): PropertyGraph = {
+    import spark.implicits._
+    val nodeIds = 0L +: (1L to mids.toLong) :+ 2000L
+    val nodes = GraphSchema.conform(
+      nodeIds.toDF("id")
+        .withColumn("labels", array(lit("Function")))
+        .withColumn("name", concat(lit("f"), col("id"))),
+      GraphSchema.nodeSchema)
+    val edges = GraphSchema.conform(
+      ((1L to mids.toLong).map(m => (0L, m)) ++
+        (1L to mids.toLong).map(m => (m, 2000L)))
+        .toDF("src", "dst")
+        .withColumn("type", lit("CALLS")),
+      GraphSchema.edgeSchema)
+    PropertyGraph(nodes, edges)
+  }
+
+  test("find_paths survives a wide fan-out frontier on the shuffle form") {
+    val g = fanOutGraph()
+    // limit 0: every hop takes the unforced (shuffle) join
+    val shuffled = Paths.findPaths(g, 0L, 2000L, "CALLS",
+        frontierBroadcastLimit = 0L)
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("path").toSeq).toSet
+    assert(shuffled.size === 1000)
+    assert(shuffled.forall(p => p.length == 3 && p.head == 0L && p.last == 2000L))
+  }
+
+  test("broadcast and shuffle forms return the same path set") {
+    val g = fanOutGraph(mids = 50)
+    def paths(limit: Long): Set[Seq[Long]] =
+      Paths.findPaths(g, 0L, 2000L, "CALLS", frontierBroadcastLimit = limit)
+        .collect().map(_.getAs[scala.collection.Seq[Long]]("path").toSeq).toSet
+    assert(paths(0L) === paths(Paths.DefaultFrontierBroadcastLimit))
+  }
+
+  test("bounded paths agree across forms on the fan-out graph") {
+    val g = fanOutGraph(mids = 50)
+    def hops(limit: Long): Seq[Int] =
+      Paths.boundedPaths(g, 0L, "CALLS", 1, 2, frontierBroadcastLimit = limit)
+        .collect().map(_.getAs[Int]("hops")).sorted.toSeq
+    assert(hops(0L) === hops(Paths.DefaultFrontierBroadcastLimit))
+  }
+}

@@ -60,4 +60,23 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan("q04_anti_join_no_orders").contains("LeftAnti"))
     assert(plan("q05_semi_join_active_suppliers").contains("LeftSemi"))
   }
+
+  test("path expander broadcasts the frontier only under the size guard") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val frontier = Seq((Array(1L), 1)).toDF("path", "hops")
+    val e = Seq((1L, 2L)).toDF("src", "dst")
+    // guard open (frontier measured small): the broadcast hint is present
+    val hinted = graft.graph.Paths.expandHop(frontier, e, 1, useBroadcast = true)
+      .queryExecution.analyzed.toString
+    assert(hinted.contains("ResolvedHint"),
+      "small frontier lost its forced-broadcast hint")
+    // guard tripped (frontier over the limit): NO forced broadcast — the
+    // join strategy is left to Catalyst stats (a forced >8 GB broadcast is
+    // a hard failure on wide fan-out graphs)
+    val unhinted = graft.graph.Paths.expandHop(frontier, e, 1, useBroadcast = false)
+      .queryExecution.analyzed.toString
+    assert(!unhinted.contains("ResolvedHint"),
+      "oversized frontier is still force-broadcast")
+  }
 }
