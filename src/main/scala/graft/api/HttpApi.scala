@@ -38,9 +38,17 @@ final class HttpApi(spark: SparkSession, store: GraphStore,
   /** Bound port after [[start]] (useful with port = 0). */
   def port: Int = server.map(_.getAddress.getPort).getOrElse(-1)
 
-  def start(bindPort: Int = 5000): Int = synchronized {
+  /** Binds loopback by default — a fresh deployment without a token should
+    * not be reachable off-host (the reference binds all interfaces,
+    * `index.py`; pass bindHost = "0.0.0.0" to match it). */
+  def start(bindPort: Int = 5000, bindHost: String = "127.0.0.1"): Int =
+      synchronized {
     require(server.isEmpty, "already started")
-    val s = HttpServer.create(new InetSocketAddress(bindPort), 0)
+    if (secretToken.isEmpty)
+      org.slf4j.LoggerFactory.getLogger(classOf[HttpApi]).warn(
+        "SECRET_TOKEN is not configured — the API accepts " +
+          "Authorization-less requests (reference index.py:26-28 parity)")
+    val s = HttpServer.create(new InetSocketAddress(bindHost, bindPort), 0)
     s.createContext("/", handle _)
     s.setExecutor(null) // serial dispatch — single-writer mutation discipline
     s.start()
@@ -69,7 +77,10 @@ final class HttpApi(spark: SparkSession, store: GraphStore,
   private def tokenOk(ex: HttpExchange): Boolean = {
     val header = Option(ex.getRequestHeaders.getFirst("Authorization"))
     (header, secretToken) match {
-      case (Some(h), Some(t)) => h == t
+      // constant-time comparison — a String == short-circuits on the first
+      // differing byte, leaking the match-prefix length through timing
+      case (Some(h), Some(t)) => java.security.MessageDigest.isEqual(
+        h.getBytes(StandardCharsets.UTF_8), t.getBytes(StandardCharsets.UTF_8))
       case (None, None) => true
       case _ => false
     }

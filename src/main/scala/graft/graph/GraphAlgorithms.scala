@@ -22,7 +22,8 @@ object GraphAlgorithms {
     * Three shuffles total: degree count, wedge self-join on the apex,
     * closing-edge semi-join. Exact integer output — oracle-friendly. */
   def triangleCount(pairs: DataFrame, aCol: String = "a",
-      bCol: String = "b"): DataFrame = {
+      bCol: String = "b",
+      broadcastEdgeLimit: Long = 3000000L): DataFrame = {
     val e = pairs
       .select(least(col(aCol), col(bCol)).as("x"),
         greatest(col(aCol), col(bCol)).as("y"))
@@ -54,10 +55,13 @@ object GraphAlgorithms {
       .select(col("h1").as("lo"), col("h2").as("hi"))
     // the wedge set is O(m^1.5) — when the EDGE set is broadcastable,
     // probing it map-side beats shuffling every wedge (size guard: beyond
-    // the bound, fall back to the shuffled semi-join)
+    // `broadcastEdgeLimit` rows — ~16 B each hashed — fall back to the
+    // shuffled semi-join; lower it on memory-constrained drivers)
     val closing = oriented.select(col("lo"), col("hi"))
+    val probe = math.min(broadcastEdgeLimit, Int.MaxValue - 1L).toInt
     val closingSide =
-      if (oriented.limit(3000001).count() <= 3000000L) broadcast(closing)
+      if (broadcastEdgeLimit > 0 &&
+          oriented.limit(probe + 1).count() <= probe) broadcast(closing)
       else closing
     wedges.join(closingSide, Seq("lo", "hi"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))

@@ -302,19 +302,27 @@ object Dedup {
         .union(ssMin.select(col("u"), col("m").as("v")))
         .distinct()
         .localCheckpoint(true)
-      // cheap order-independent convergence fingerprint: one action; the
-      // mod keeps the ANSI-mode sum far from long overflow
+      // cheap order-independent fingerprint (one action; the mod keeps the
+      // ANSI-mode sum far from long overflow) as a PRE-check only — a match
+      // is confirmed by an exact set comparison, so a fingerprint collision
+      // can cost one wasted round but never a wrong label. The exact check
+      // runs once, at convergence: counts already match via the
+      // fingerprint, so next ⊆ e ⇒ next == e.
       val fp = next.agg(count(lit(1)),
         sum(pmod(xxhash64(col("u"), col("v")), lit(1000000007L)))).head()
       val nowFp = (fp.getLong(0), fp.get(1))
-      done = nowFp == fingerprint
+      done = nowFp == fingerprint && next.exceptAll(e).isEmpty
       fingerprint = nowFp
       e = next
       it += 1
     }
+    if (!done && it >= maxIter)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped at maxIter=$maxIter before " +
+          "convergence — cluster labels may not be fully contracted")
     // converged: every edge points node → component min; roots label
-    // themselves. groupBy-min guards the (benign) case of a maxIter stop
-    // before the per-node edge lists fully collapse.
+    // themselves. groupBy-min guards a maxIter stop (warned above) where
+    // the per-node edge lists have not fully collapsed.
     withSelf(
       e.groupBy(col("u").as("id")).agg(min(col("v")).as("cluster_id"))
         .select(col("id"), col("cluster_id"))

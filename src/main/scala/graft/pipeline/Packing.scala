@@ -20,7 +20,10 @@ object Packing {
 
   /** (id, n, tok_start) per row: tok_start = Σ n over all rows with
     * smaller id. Input rows with the same id are disallowed (offsets
-    * would depend on partitioning). */
+    * would depend on partitioning) — ENFORCED: duplicate ids are adjacent
+    * after the range-partition + sort (equal keys share a partition), so
+    * the per-partition sum pass detects them for free and fails loudly
+    * instead of publishing partition-dependent offsets. */
   def tokenOffsets(df: DataFrame, idCol: String, nCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
@@ -29,9 +32,18 @@ object Packing {
       .repartitionByRange(col("id")).sortWithinPartitions(col("id"))
       .localCheckpoint(true)
     val ds = sorted.as[(Long, Long)]
-    val partSums = ds.mapPartitions(it => Iterator.single(it.map(_._2).sum))
-      .collect()
-    val offsets = partSums.scanLeft(0L)(_ + _)
+    val partStats = ds.mapPartitions { it =>
+      var sum = 0L; var prev = 0L; var first = true; var dup = false
+      it.foreach { case (id, n) =>
+        if (!first && id == prev) dup = true
+        prev = id; first = false; sum += n
+      }
+      Iterator.single((sum, dup))
+    }.collect()
+    require(!partStats.exists(_._2),
+      s"tokenOffsets: duplicate values in id column '$idCol' — " +
+        "offsets would be partition-dependent; deduplicate first")
+    val offsets = partStats.map(_._1).scanLeft(0L)(_ + _)
     val rdd = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
       var run = offsets(pi)
       it.map { case (id, n) => val s = run; run += n; (id, n, s) }

@@ -306,9 +306,11 @@ object RelationalQueries {
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_date
         |FROM orders ORDER BY o_date, o_orderkey LIMIT 50""".stripMargin,
     // q13 is sketch-based (hash-dependent) -> rows-only check + spec bounds
+    // TRY_CAST: a digit-less source yields NULL (DuckDB's CAST('') would
+    // error the whole oracle) -> ELSE branch, matching Spark's null-cast
     "q14_corpus_mixture" ->
       """SELECT source, COUNT(*) AS n_kept FROM documents
-        |WHERE CASE WHEN CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
+        |WHERE CASE WHEN TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
         |           THEN ((doc_id % 1000003) * 2654435761) % 101 < 50
         |           ELSE ((doc_id % 1000003) * 2654435761) % 101 < 25 END
         |GROUP BY source ORDER BY source""".stripMargin)

@@ -247,6 +247,13 @@ class PipelineSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect().sortBy(_._1)
     assert(offs.map(r => (r._1, r._3)).toSeq ==
       Seq((1L, 0L), (2L, 4L), (3L, 8L)))
+    // duplicate ids are rejected, not silently given partition-dependent
+    // offsets (the contract tokenOffsets documents)
+    val dup = Seq((1L, 4L), (1L, 2L), (2L, 3L)).toDF("doc_id", "n_tokens")
+    val err = intercept[Exception] {
+      graft.pipeline.Packing.tokenOffsets(dup, "doc_id", "n_tokens").collect()
+    }
+    assert(err.getMessage.contains("duplicate"))
   }
 
   test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
