@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.graph.{CodeGraph, GraphOp, GraphQueries}
+import graft.graph.{CodeGraph, GraphOp}
 import graft.ingest.Ingestor
 
 /** Code-coverage pipeline (SURVEY §2.6 F1–F3) — lcov tracefile → file
@@ -146,41 +146,60 @@ object Lcov {
         col("coverage"))
   }
 
-  /** F1+F2+F3 writeback (`process_lcov`, `lcov.py:127-213`): set each
-    * file's `coverage_precentage` (M6 — 1.0 cascades to its functions),
-    * then for partially-covered files compute per-function coverage against
-    * the graph's Function intervals and write it back in one M5 batch. */
+  /** F1+F2+F3 writeback (`process_lcov`, `lcov.py:127-213`) — BATCHED:
+    * one M6 cascade rewrite for every file percentage in the tracefile,
+    * then ONE [[functionCoverage]] pass over all partially-covered files
+    * (it is already file-partitioned) and one M5 metadata batch. A CI drop
+    * with thousands of SF records is 2 mutations, not thousands of
+    * sequential per-record Spark jobs. Duplicate file keys keep the last
+    * record (the reference's sequential SETs — last wins). */
   def applyLcov(g: CodeGraph, content: String, stripPrefix: String = ""): Unit = {
     val spark = g.spark
     import spark.implicits._
-    val records = parse(content)
-
-    records.foreach { r =>
+    // LF:0 records (e.g. header-only sources with FN markers but no DA)
+    // would divide 0/0 → NaN; the reference crashes here
+    // (ZeroDivisionError, `lcov.py:145`) — we skip the record instead of
+    // persisting NaN coverage.
+    val recs = parse(content).filter(_.linesFound > 0).map { r =>
       val rel = if (r.file.startsWith(stripPrefix))
         r.file.substring(stripPrefix.length) else r.file
       val (path, name, ext) = Ingestor.splitPath(rel)
-      // LF:0 records (e.g. header-only sources with FN markers but no DA)
-      // would divide 0/0 → NaN; the reference crashes here
-      // (ZeroDivisionError, `lcov.py:145`) — we skip the record instead of
-      // persisting NaN coverage.
-      if (r.linesFound > 0) {
-      val pct = r.linesHit.toDouble / r.linesFound.toDouble
-      g.mutate(GraphOp.SetFileCoverage(path, name, ext, pct))
+      (rel, path, name, ext,
+        r.linesHit.toDouble / r.linesFound.toDouble, r.daLines)
+    }
+    if (recs.isEmpty) return
+    val last = recs.groupBy(r => (r._2, r._3, r._4)).map(_._2.last).toSeq
 
-      if (pct != 1.0) {
-        val funcs = GraphQueries.getFunctionsInFile(g.graph, path, name, ext)
-          .select(col("id").as("fid"), lit(rel).as("file"),
-            col("src_start"), col("src_end"))
-        val da = r.daLines.map(d => (rel, d._1)).toDF("file", "line")
-        val cov = functionCoverage(funcs, da)
-          .select(col("fid"), col("coverage")).collect()
-        if (cov.nonEmpty)
-          g.mutate(GraphOp.SetNodesMetadata(
-            cov.map(_.getAs[Long]("fid")).toSeq,
-            cov.map(r2 => Map("coverage_precentage" ->
-              r2.getAs[Double]("coverage").toString)).toSeq))
-      }
-      }
+    // one M6 batch: every file percentage (+ the ==1.0 function cascade)
+    g.mutate(GraphOp.SetFilesCoverage(last.map(r =>
+      GraphOp.FileCoverageRow(r._2, r._3, r._4, r._5))))
+
+    // one interval pass + one M5 batch for the partially-covered files
+    val partial = last.filter(_._5 != 1.0)
+    if (partial.nonEmpty) {
+      val keys = partial.map(r => (r._1, r._2, r._3, r._4))
+        .toDF("file", "_kpath", "_kname", "_kext")
+      val fileIds = g.graph.nodes
+        .filter(array_contains(col("labels"), "File"))
+        .join(broadcast(keys), col("path") <=> col("_kpath") &&
+          col("name") <=> col("_kname") && col("ext") <=> col("_kext"))
+        .select(col("id").as("src"), col("file"))
+      val funcs = g.graph.edges.filter(col("type") === "DEFINES")
+        .join(fileIds, Seq("src"))
+        .join(g.graph.nodes.filter(array_contains(col("labels"), "Function"))
+          .select(col("id").as("dst"), col("src_start"), col("src_end")),
+          Seq("dst"))
+        .select(col("dst").as("fid"), col("file"),
+          col("src_start"), col("src_end"))
+      val da = partial.flatMap(r => r._6.map(d => (r._1, d._1)))
+        .toDF("file", "line")
+      val cov = functionCoverage(funcs, da)
+        .select(col("fid"), col("coverage")).collect()
+      if (cov.nonEmpty)
+        g.mutate(GraphOp.SetNodesMetadata(
+          cov.map(_.getAs[Long]("fid")).toSeq,
+          cov.map(r2 => Map("coverage_precentage" ->
+            r2.getAs[Double]("coverage").toString)).toSeq))
     }
   }
 }

@@ -449,27 +449,43 @@ object Mutations {
     * `coverage_precentage`; when it is exactly 1.0, cascade 1.0 to every
     * Function the file DEFINES (conditional 1-hop cascade). */
   def setFileCoverage(g: PropertyGraph, path: String, name: String, ext: String,
-      coverage: Double): MutationResult = {
-    val file = g.nodes.filter(array_contains(col("labels"), "File") &&
-      col("path") <=> lit(path) && col("name") <=> lit(name) &&
-      col("ext") <=> lit(ext))
-    val fileIds = file.select(col("id"))
-    val targets =
-      if (coverage == 1.0) {
-        val childIds = g.edges.filter(col("type") === "DEFINES")
-          .join(fileIds.withColumnRenamed("id", "src"), Seq("src"), "left_semi")
-          .select(col("dst").as("id"))
-        val funcIds = g.nodes
-          .filter(array_contains(col("labels"), "Function"))
-          .join(childIds, Seq("id"), "left_semi").select(col("id"))
-        fileIds.union(funcIds)
-      } else fileIds
-    val t = targets.withColumnRenamed("id", "_uid").cache()
+      coverage: Double): MutationResult =
+    setFilesCoverage(g,
+      Seq(GraphOp.FileCoverageRow(path, name, ext, coverage)))
+
+  /** Batched [[setFileCoverage]] — one nodes rewrite for a whole tracefile
+    * (the lcov writeback applies hundreds of file percentages at once;
+    * per-file mutations would be one sequential Spark job each). Duplicate
+    * file keys keep the LAST row (the reference's sequential SETs —
+    * last record wins). */
+  def setFilesCoverage(g: PropertyGraph,
+      rows: Seq[GraphOp.FileCoverageRow]): MutationResult = {
+    val spark = g.nodes.sparkSession
+    import spark.implicits._
+    val lastPerKey = rows.groupBy(r => (r.path, r.name, r.ext))
+      .map(_._2.last).toSeq
+    val batch = lastPerKey.map(r => (r.path, r.name, r.ext, r.coverage))
+      .toDF("_cpath", "_cname", "_cext", "_ccov")
+    // null-safe key match (root-level files carry null path components)
+    val files = g.nodes.filter(array_contains(col("labels"), "File"))
+      .join(broadcast(batch), col("path") <=> col("_cpath") &&
+        col("name") <=> col("_cname") && col("ext") <=> col("_cext"))
+      .select(col("id").as("_uid"), col("_ccov"))
+    // fully-covered files cascade 1.0 to the Functions they DEFINE
+    val fullIds = files.filter(col("_ccov") === 1.0)
+      .select(col("_uid").as("src"))
+    val funcTargets = g.edges.filter(col("type") === "DEFINES")
+      .join(fullIds, Seq("src"), "left_semi")
+      .select(col("dst").as("id")).distinct()
+      .join(g.nodes.filter(array_contains(col("labels"), "Function"))
+        .select(col("id")), Seq("id"), "left_semi")
+      .select(col("id").as("_uid"), lit(1.0).as("_ccov"))
+    val t = files.union(funcTargets).cache()
     val nodes2 = g.nodes.join(t, col("id") === col("_uid"), "left")
       .withColumn("coverage_precentage",
-        when(col("_uid").isNotNull, lit(coverage))
+        when(col("_uid").isNotNull, col("_ccov"))
           .otherwise(col("coverage_precentage")))
-      .drop("_uid")
+      .drop("_uid", "_ccov")
     MutationResult(
       g.copy(nodes = conform(nodes2, nodeSchema)),
       t.select(col("_uid").as("id")),
@@ -624,6 +640,7 @@ object Mutations {
     case o: GraphOp.SetNodesMetadata => setNodesMetadata(g, o.ids, o.values)
     case o: GraphOp.SetFileCoverage =>
       setFileCoverage(g, o.path, o.name, o.ext, o.coverage)
+    case o: GraphOp.SetFilesCoverage => setFilesCoverage(g, o.rows)
     case o: GraphOp.DeleteFiles => deleteFiles(g, o.files)
     case o: GraphOp.AddCommit => addCommit(g, o.hash, o.author, o.message, o.date)
     case o: GraphOp.ConnectCommits => connectCommits(g, o.childHash, o.parentHash)

@@ -57,6 +57,16 @@ object GraphOp {
   final case class AddFilesBatch(rows: Seq[FileKey]) extends GraphOp
   final case class ConnectEntitiesBatch(rows: Seq[EdgeRow]) extends GraphOp
   final case class AddCallsBatch(rows: Seq[CallRow]) extends GraphOp
+
+  /** M6 batch row: one tracefile record's file percentage. */
+  final case class FileCoverageRow(path: String, name: String, ext: String,
+      coverage: Double)
+  /** M6 batch (lcov writeback, F1–F3): every file percentage of one
+    * tracefile in a single nodes rewrite — `process_lcov` issues one
+    * `set_file_coverage` per SF record (`lcov.py:127-213`); at batch
+    * granularity a thousand-record CI drop is one Spark job, not a
+    * thousand sequential ones. */
+  final case class SetFilesCoverage(rows: Seq[FileCoverageRow]) extends GraphOp
 }
 
 object OpLog {
@@ -104,6 +114,7 @@ object OpLog {
       case "AddFilesBatch" => mapper.treeToValue(data, classOf[AddFilesBatch])
       case "ConnectEntitiesBatch" => mapper.treeToValue(data, classOf[ConnectEntitiesBatch])
       case "AddCallsBatch" => mapper.treeToValue(data, classOf[AddCallsBatch])
+      case "SetFilesCoverage" => mapper.treeToValue(data, classOf[SetFilesCoverage])
       case other => throw new IllegalArgumentException(s"unknown op: $other")
     }
   }

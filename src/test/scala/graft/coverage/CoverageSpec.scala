@@ -130,4 +130,52 @@ class CoverageSpec extends SparkSpec {
     // empty.py fully covered → 1.0 (M6, no functions to cascade to)
     assert(cov("empty.py").contains(1.0))
   }
+
+  test("applyLcov issues O(1) mutations for a multi-record tracefile") {
+    import spark.implicits._
+    // 6 files, mixed full/partial — per-record mutations would log ≥6 ops
+    val many = (1 to 6).map { i =>
+      val hit = if (i % 2 == 0) 4 else 2
+      s"""TN:unit
+         |SF:src/f$i.py
+         |DA:1,1
+         |DA:2,1
+         |LF:4
+         |LH:$hit
+         |end_of_record""".stripMargin
+    }.mkString("\n")
+    val g = new CodeGraph(spark, "covbatch")
+    g.addFiles((1 to 6).map(i => ("src", s"f$i.py", ".py"))
+      .toDF("path", "name", "ext"))
+    // functions inside two partial files so the M5 leg fires too
+    g.addEntities(Seq(
+        ("Function", "a", "src/f1.py", 1L, 2L, "", Map.empty[String, String]),
+        ("Function", "b", "src/f3.py", 1L, 2L, "", Map.empty[String, String]))
+      .toDF("label", "name", "path", "src_start", "src_end", "doc", "props"))
+    val ids = g.graph.nodes.select($"id", $"name").collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Long]("id")).toMap
+    g.connectEntities(Seq(
+        (ids("f1.py"), ids("a"), "DEFINES", Map.empty[String, String]),
+        (ids("f3.py"), ids("b"), "DEFINES", Map.empty[String, String]))
+      .toDF("src", "dst", "type", "props"))
+    g.enableBacklog()
+    Lcov.applyLcov(g, many)
+    // one M6 batch + one M5 batch, regardless of record count
+    assert(g.getBacklog.length == 2,
+      s"expected 2 batched mutations, got ${g.getBacklog.length}")
+    val cov = g.graph.nodes.filter(array_contains($"labels", "File"))
+      .select($"name", $"coverage_precentage").collect()
+      .map(r => r.getAs[String]("name") -> r.getAs[Double](1)).toMap
+    assert(cov("f1.py") == 0.5 && cov("f2.py") == 1.0)
+    // the function batch landed: a [1,2] sees DA {1,2} → 2/(2-1) capped by
+    // the reference formula = 2.0/1 — faithful to lcov.py:205
+    val fcov = g.graph.nodes.filter($"name" === "a")
+      .select($"coverage_precentage").head().getDouble(0)
+    assert(fcov == 2.0)
+
+    // the batched op round-trips through the op-log (M11 replay surface)
+    val op = GraphOp.SetFilesCoverage(Seq(
+      GraphOp.FileCoverageRow("src", "x.py", ".py", 0.25)))
+    assert(graft.graph.OpLog.decode(graft.graph.OpLog.encode(op)) == op)
+  }
 }
