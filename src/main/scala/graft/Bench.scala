@@ -30,14 +30,18 @@ object Bench {
         graft.util.Tables.embeddings(spark, sfDir).count()
     } catch { case _: Throwable => }
     val warmup = (System.nanoTime() - w0) / 1e9
-    val results = selected.map { case (name, fn) =>
+    // deterministic name order: Map iteration order shifts whenever a query
+    // is added, silently moving queries into/out of the cold early slots
+    // (per-query JIT of generated code is 2-6 s on this VM) — sorted order
+    // keeps per-query numbers comparable across rounds
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

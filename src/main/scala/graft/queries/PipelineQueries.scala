@@ -119,16 +119,20 @@ object PipelineQueries {
       .orderBy($"pred")
   }
 
-  /** t04 — fingerprint integrity: normalized-content hashes must be
-    * distinct exactly when normalized texts are (rows-only + spec). */
+  /** t04 — fingerprint integrity as an INTEGER invariant: the number of
+    * distinct fingerprints must equal the number of distinct normalized
+    * texts (no collisions, no over-merging). The raw hash values are
+    * engine-specific, but this equality is oracle-checkable: DuckDB can
+    * compute n_norm_texts exactly and the integrity flag is 1 by contract. */
   def t04Fingerprints(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
       .select(TextAnalysis.fingerprint($"text").as("fp"),
         Dedup.normText($"text").as("norm"))
       .agg(count(lit(1)).as("n_docs"),
-        countDistinct($"fp").as("n_fingerprints"),
-        countDistinct($"norm").as("n_norm_texts"))
+        countDistinct($"norm").as("n_norm_texts"),
+        (countDistinct($"fp") === countDistinct($"norm"))
+          .cast("long").as("fp_integrity"))
   }
 
   /** t05 — corpus vocabulary: top-50 whitespace tokens by frequency
@@ -398,6 +402,14 @@ object PipelineQueries {
         |      * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE 0.5 END))
         |    >= 0.5) AS n_pass
         |FROM q GROUP BY source ORDER BY source""".stripMargin,
+    "t04_fingerprints" ->
+      // the fingerprint side is Spark-hash-specific, but its INVARIANT is
+      // exact: distinct fingerprints == distinct normalized texts → 1
+      """SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+        |    AS n_norm_texts,
+        |  CAST(1 AS BIGINT) AS fp_integrity
+        |FROM documents""".stripMargin,
     "t03_lang_id" ->
       // mirror of TextAnalysis.langIdOf: per-language stopword hit counts,
       // winner = max hits with lexicographically-greatest language tiebreak
