@@ -6,7 +6,7 @@ import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.git.GitHistory
+import graft.git.{GitCli, GitHistory}
 import graft.graph._
 
 /** F10 — the endpoint facade: the 11 HTTP endpoints of
@@ -20,7 +20,8 @@ import graft.graph._
   * endpoints, and non-null properties.
   */
 final class Endpoints(spark: SparkSession, store: GraphStore,
-    chat: ChatClient = RuleChatClient) {
+    chat: ChatClient = RuleChatClient,
+    allowRemoteClone: Boolean = sys.env.get("GRAFT_ALLOW_CLONE").contains("1")) {
 
   private val mapper = OpLog.mapper
 
@@ -282,18 +283,50 @@ final class Endpoints(spark: SparkSession, store: GraphStore,
     }
   }
 
-  /** POST /analyze_repo (`index.py:383-417`): local git repository path
-    * (the reference clones a GitHub URL; with no egress the library takes
-    * an on-disk repo) — full analysis + commit-graph build. */
+  /** POST /analyze_repo (`index.py:383-417`): a git URL — cloned like the
+    * reference (`api/project.py:19-38` `_clone_source`: fresh clone into a
+    * per-name directory, `repo_url` recorded in the repo info,
+    * `project.py:47-48`) — or a local on-disk repo path. Cloning is gated
+    * on `allowRemoteClone` (env GRAFT_ALLOW_CLONE=1): this library's
+    * default deployment has no egress, so the gate fails loudly instead of
+    * hanging on a firewalled fetch. */
   def analyzeRepo(repoPath: Option[String],
       ignore: Option[Seq[String]] = None): ApiResponse = repoPath match {
     case None => err("Missing mandatory parameter \"url\"")
+    case Some(u) if isGitUrl(u) =>
+      if (!allowRemoteClone)
+        err("Remote clone is disabled; set GRAFT_ALLOW_CLONE=1 or pass a local path")
+      else {
+        // name = last URL path segment (`project.py:55-57`)
+        val name = u.stripSuffix("/").split('/').last
+        val dest = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-repositories", name).toFile
+        if (dest.exists()) deleteRecursively(dest) // `project.py:24-26`
+        dest.getParentFile.mkdirs()
+        GitCli.clone(u, dest.toString)
+        analyzeLocalRepo(dest.toString, name, ignore)
+        store.setInfo(name, Map("repo_url" -> u))
+        resp(200, "status" -> "success")
+      }
     case Some(p) =>
-      val name = new java.io.File(p).getName
-      GitHistory.analyzeRepo(spark, store, p, name)
-      GitHistory.buildCommitGraph(spark, store, p, name,
-        ignore.getOrElse(Nil))
+      analyzeLocalRepo(p, new java.io.File(p).getName, ignore)
       resp(200, "status" -> "success")
+  }
+
+  private def analyzeLocalRepo(path: String, name: String,
+      ignore: Option[Seq[String]]): Unit = {
+    GitHistory.analyzeRepo(spark, store, path, name)
+    GitHistory.buildCommitGraph(spark, store, path, name,
+      ignore.getOrElse(Nil))
+  }
+
+  private def isGitUrl(s: String): Boolean =
+    Seq("http://", "https://", "git://", "ssh://", "file://")
+      .exists(s.startsWith) || s.matches("^[\\w.-]+@[\\w.-]+:.+")
+
+  private def deleteRecursively(f: java.io.File): Unit = {
+    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 
   /** POST /switch_commit (`index.py:419-451`). */

@@ -52,4 +52,14 @@ object GitCli {
   def checkout(repoDir: String, hash: String): Unit = {
     run(repoDir, "checkout", "-f", "-q", hash); ()
   }
+
+  /** `git clone <url> <dest>` (`api/project.py:30-38` `_clone_source`).
+    * Driver-side orchestration like every other git call; the clone's
+    * working tree is then read by the distributed ingest. */
+  def clone(url: String, destDir: String): Unit = {
+    val err = new StringBuilder
+    val code = Process(Seq("git", "clone", "-q", url, destDir))
+      .!(ProcessLogger(_ => (), l => err.append(l).append('\n')))
+    require(code == 0, s"git clone $url failed ($code): $err")
+  }
 }

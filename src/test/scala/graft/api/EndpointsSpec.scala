@@ -158,4 +158,37 @@ class EndpointsSpec extends SparkSpec {
     val fallback = api.chatAsk(Some("proj"), Some("make me a sandwich"))
     assert(fallback.body.get("response").asText().contains("Entities:"))
   }
+
+  test("analyze_repo clones a git URL end to end (file:// remote)") {
+    import scala.sys.process._
+    // a local "remote": one-commit repo served over the file:// transport
+    val remote = Files.createTempDirectory("graft-remote").resolve("cloneme")
+    Files.createDirectories(remote)
+    def sh(cmd: String*): Unit = assert(
+      Process(cmd, remote.toFile).!(ProcessLogger(_ => ())) == 0,
+      cmd.mkString(" "))
+    sh("git", "init", "-q", "-b", "main")
+    sh("git", "config", "user.email", "t@example.com")
+    sh("git", "config", "user.name", "T")
+    Files.write(remote.resolve("m.py"),
+      "def remote_fn():\n    return 7\n".getBytes("UTF-8"))
+    sh("git", "add", "-A")
+    sh("git", "commit", "-q", "-m", "init")
+    val url = "file://" + remote.toString
+
+    // gate closed (the no-egress default): loud error, nothing cloned
+    val gated = new Endpoints(spark, store, allowRemoteClone = false)
+    assert(gated.analyzeRepo(Some(url)).code == 400)
+    assert(gated.analyzeRepo(Some(url)).status.contains("disabled"))
+
+    // gate open: clone + analyze + commit graph + repo_url info hash
+    val open = new Endpoints(spark, store, allowRemoteClone = true)
+    assert(open.analyzeRepo(Some(url)).status == "success")
+    assert(store.exists("cloneme"))
+    assert(store.exists("cloneme_git"))
+    assert(store.getInfo("cloneme").get("repo_url").contains(url))
+    val cloned = store.load("cloneme")
+    assert(cloned.nodes.filter(org.apache.spark.sql.functions.col("name")
+      === "remote_fn").count() == 1)
+  }
 }
