@@ -90,9 +90,36 @@ object DependencyExpansion {
 
   // ---- Java half (`api/analyzers/java/analyzer.py:22-38`): pom.xml deps →
   // `<artifact>-<version>-sources.jar` under the local Maven repository.
-  // (The C# analyzer's add_dependencies only runs `dotnet restore` — a pure
-  // environment side effect that never extends the file list; its Spark
-  // equivalent is a no-op.)
+
+  /** C# leg (`api/analyzers/csharp/analyzer.py:26-30`): when the repo root
+    * holds a `.csproj`/`.sln`, run `dotnet restore` in it. A pure
+    * environment side effect — NuGet populates its cache; the ingest file
+    * list is never extended — mirrored here for parity. Skipped (false)
+    * when `temp_deps_cs` already exists (the reference's marker), no
+    * project file is present, or the dotnet CLI is unavailable — this
+    * engine's containers routinely lack it, and a missing toolchain must
+    * degrade to a no-op, not kill the ingest. */
+  def dotnetRestore(repoRoot: Path): Boolean = {
+    import scala.sys.process._
+    if (Files.isDirectory(repoRoot.resolve("temp_deps_cs"))) return false
+    val listing = Files.list(repoRoot)
+    val hasProj =
+      try listing.iterator().asScala.exists { p =>
+        val n = p.getFileName.toString
+        n.endsWith(".csproj") || n.endsWith(".sln")
+      } finally listing.close()
+    if (!hasProj) return false
+    if (!dotnetAvailable) return false
+    Process(Seq("dotnet", "restore"), repoRoot.toFile)
+      .!(ProcessLogger(_ => ())) == 0
+  }
+
+  /** True when a `dotnet` CLI answers on this machine. */
+  def dotnetAvailable: Boolean = {
+    import scala.sys.process._
+    try Process(Seq("dotnet", "--version")).!(ProcessLogger(_ => ())) == 0
+    catch { case _: java.io.IOException => false }
+  }
 
   /** (groupId, artifactId, version) triples of `pom.xml`'s
     * `<dependencies>` section, in file order. Line-oriented scan — enough

@@ -159,6 +159,28 @@ class IngestSpec extends SparkSpec {
     assert(srcs.head.source.contains("class A"))
   }
 
+  test("dotnet restore leg: guards short-circuit; restore runs when possible") {
+    import java.nio.file.Files
+    // no project file → no restore attempted, regardless of toolchain
+    val empty = Files.createTempDirectory("dep_cs_none")
+    assert(!DependencyExpansion.dotnetRestore(empty))
+    // temp_deps_cs marker short-circuits (reference analyzer.py:27-28)
+    val marked = Files.createTempDirectory("dep_cs_marked")
+    Files.writeString(marked.resolve("app.csproj"), "<Project Sdk=\"Microsoft.NET.Sdk\"/>")
+    Files.createDirectories(marked.resolve("temp_deps_cs"))
+    assert(!DependencyExpansion.dotnetRestore(marked))
+    // real restore needs the dotnet CLI — cancel on machines without it
+    // (the ReferenceFixtureSpec cancel-if-missing pattern)
+    val root = Files.createTempDirectory("dep_cs")
+    Files.writeString(root.resolve("app.csproj"), Seq(
+      "<Project Sdk=\"Microsoft.NET.Sdk\">",
+      "  <PropertyGroup><TargetFramework>net8.0</TargetFramework></PropertyGroup>",
+      "</Project>").mkString("\n"))
+    if (!DependencyExpansion.dotnetAvailable)
+      cancel("dotnet CLI not installed on this machine")
+    assert(DependencyExpansion.dotnetRestore(root))
+  }
+
   test("poetry manifests win over requirements.txt") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("dep_poetry")
