@@ -3,19 +3,22 @@ package graft.tools
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.graph.{CodeGraph, Mutations}
 import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** Scale rehearsal: replicate the sf0.1 tables k× in memory (ids offset per
-  * replica, so dedup semantics stay honest) and measure the pipeline
-  * operators on the enlarged corpus. The point is the growth CURVE, not the
-  * absolute numbers: map-side ops should scale ~linearly, banded LSH ops
-  * with output size, and nothing should fall off a quadratic cliff.
-  * Usage: sbt "runMain graft.tools.ScaleRehearsal [k]"
+  * replica, so dedup semantics stay honest) and measure the pipeline AND
+  * mutation/graph operators on the enlarged corpus. The point is the growth
+  * CURVE, not the absolute numbers: map-side ops should scale ~linearly,
+  * banded LSH ops with output size, bulk graph builds with input size, and
+  * nothing should fall off a quadratic cliff.
+  * Usage: sbt "runMain graft.tools.ScaleRehearsal [k] [pipeline|graph|all]"
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
+    val family = args.lift(1).getOrElse("all")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.util.Sessions.local(32)
 
@@ -41,14 +44,79 @@ object ScaleRehearsal {
         .localCheckpoint(true)
     }
 
-    def time(label: String)(f: => Long): Unit = {
-      val t0 = System.nanoTime()
-      val rows = f
-      println(f"[rehearsal] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
-    }
-
     val base = Tables.documents(spark, sfDir).count()
     println(s"[rehearsal] base docs=$base k=$k -> ${base * k} docs")
+
+    if (family == "graph" || family == "all") graphFamily(spark, sfDir, k)
+    if (family == "pipeline" || family == "all")
+      pipelineFamily(spark, sfDir, k, replicateDocs, replicateEmb)
+    spark.stop()
+  }
+
+  private def time(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val rows = f
+    println(f"[rehearsal] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
+  }
+
+  /** g07/g08-shaped mutation curves: bulk entity upsert (build + idempotent
+    * re-add) and bulk file/entity/edge build + cascading delete, on k×
+    * replicas of orders/lineitem (keys offset per replica). Exercises the
+    * InternalRow ID-assignment path at growing batch sizes. */
+  private def graphFamily(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int): Unit = {
+    import spark.implicits._
+    val n = 10000000L
+    val orders = Tables.orders(spark, sfDir)
+      .crossJoin(spark.range(k).toDF("rep"))
+      .select(($"o_orderkey" + $"rep" * n).as("o_orderkey"), $"o_orderstatus")
+      .repartition(32).localCheckpoint(true)
+    val li = Tables.lineitem(spark, sfDir)
+      .crossJoin(spark.range(k).toDF("rep"))
+      .select(($"l_orderkey" + $"rep" * n).as("l_orderkey"), $"l_linenumber")
+      .repartition(32).localCheckpoint(true)
+
+    time(s"g07-shaped bulk upsert (build + idempotent re-add) x$k") {
+      val ents = orders.select(lit("Document").as("label"),
+        concat(lit("o"), $"o_orderkey").as("name"),
+        $"o_orderstatus".as("path"),
+        $"o_orderkey".cast("long").as("src_start"),
+        lit(0L).as("src_end"), lit("").as("doc"),
+        map().cast("map<string,string>").as("props"))
+      val g = new CodeGraph(spark, s"rehearsal_g07_$k")
+      g.addEntities(ents)
+      g.addEntities(ents) // second pass must create nothing
+      g.graph.nodes.count()
+    }
+    time(s"g08-shaped bulk build + cascade delete x$k") {
+      val g = new CodeGraph(spark, s"rehearsal_g08_$k")
+      val files = orders.select(lit("orders").as("path"),
+        $"o_orderkey".cast("string").as("name"), lit(".ord").as("ext"))
+      val fileIds = g.addFiles(files).result
+        .select($"id".as("file_id"), $"name".as("okey"))
+      val ents = li.select(lit("Function").as("label"),
+        concat($"l_orderkey", lit("#"), $"l_linenumber").as("name"),
+        $"l_orderkey".cast("string").as("path"),
+        $"l_linenumber".cast("long").as("src_start"),
+        $"l_linenumber".cast("long").as("src_end"),
+        lit("").as("doc"), map().cast("map<string,string>").as("props"))
+      val entIds = g.addEntities(ents).result
+        .select($"id".as("ent_id"), $"path".as("okey"))
+      g.connectEntities(fileIds.join(entIds, "okey")
+        .select($"file_id".as("src"), $"ent_id".as("dst"),
+          lit("DEFINES").as("type"),
+          map().cast("map<string,string>").as("props")))
+      g.checkpointNow()
+      val victims = orders.filter($"o_orderstatus" === "F")
+        .select(lit("orders").as("path"),
+          $"o_orderkey".cast("string").as("name"), lit(".ord").as("ext"))
+      Mutations.deleteFiles(g.graph, victims).graph.nodes.count()
+    }
+  }
+
+  private def pipelineFamily(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int, replicateDocs: Int => DataFrame,
+      replicateEmb: Int => DataFrame): Unit = {
     val docs = replicateDocs(k)
     val emb = replicateEmb(math.min(k, 4))
 
@@ -84,6 +152,5 @@ object ScaleRehearsal {
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 8), emb, 5).count()
     }
-    spark.stop()
   }
 }
