@@ -111,6 +111,59 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))))
 
+  /** ALL word n-grams of a token array in order (multiset — unlike
+    * [[wordNGrams]] no dedup): the repetition signal needs occurrence
+    * counts, not set membership. */
+  def wordNGramsAll(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), size(toks) - (n - 1)),
+        i => array_join(slice(toks, i, lit(n)), " ")))
+
+  /** Repetition stats (the Gopher repetitive-content filter, Rae et al.
+    * 2021 §A1.1): per document, the total n-gram occurrence count and the
+    * occurrence count of the MOST FREQUENT n-gram — a doc whose top 2-gram
+    * covers a large fraction of the text is boilerplate/spam. Integer
+    * outputs, so thresholds like `top·10 > total·2` (20%) are bit-exact.
+    *
+    * Scale: explode + two grouped aggregations ((id, gram) then id), both
+    * with map-side partial aggs; no joins, no pairwise work. Docs shorter
+    * than n tokens are kept with zero counts via the left join. */
+  def repetitionStats(docs: DataFrame, n: Int = 2, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(wordNGramsAll(tokens(col(textCol)), n)).as("gram"))
+    val per = grams.groupBy(col(idCol), col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .groupBy(col(idCol))
+      .agg(sum(col("occ")).as("n_grams"), max(col("occ")).as("top_gram"))
+    docs.select(col(idCol))
+      .join(per, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("top_gram"), lit(0L)).as("top_gram"))
+  }
+
+  /** Benchmark decontamination (the GPT-3/PaLM-family eval-overlap check):
+    * ids of training documents sharing at least one distinct word n-gram
+    * with any benchmark document — those docs leak eval answers into
+    * training and must be dropped.
+    *
+    * Scale: benchmark suites are tiny next to a training corpus, so the
+    * distinct benchmark gram set is the small side of one semi-join on
+    * `gram`; the training side is one explode, never materialized as
+    * pairs. */
+  def contaminatedDocs(train: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val trainGrams = train.select(col(idCol),
+      explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
+    val benchGrams = benchmark
+      .select(explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
+      .distinct()
+    trainGrams.join(benchGrams, Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** Cross-document duplicate n-gram stats (the Gopher/RefinedWeb-family
     * quality signal): per document, how many of its distinct word n-grams
     * also occur in at least one OTHER document. All counts are integers, so

@@ -193,6 +193,33 @@ object PipelineQueries {
       .orderBy($"seq_id")
   }
 
+  /** t09 — repetition filter (Gopher §A1.1): per source, how many docs are
+    * flagged because their most frequent 2-gram covers over 20% of all
+    * 2-gram occurrences (`top·10 > total·2`, integer-exact). */
+  def t09Repetition(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    TextAnalysis.repetitionStats(docs, 2)
+      .join(docs.select($"doc_id", $"source"), "doc_id")
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"top_gram").as("top_gram_occ"),
+        count(when($"top_gram" * 10 > $"n_grams" * 2, 1)).as("n_flagged"))
+      .orderBy($"source")
+  }
+
+  /** d08 — benchmark decontamination: ids of training docs (doc_id % 10
+    * != 0) sharing at least one distinct word-5-gram with the benchmark
+    * subset (doc_id % 10 == 0 stands in for an eval suite). */
+  def d08Decontamination(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    TextAnalysis.contaminatedDocs(
+        docs.filter($"doc_id" % 10 =!= 0),
+        docs.filter($"doc_id" % 10 === 0), 5)
+      .orderBy($"doc_id")
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -233,6 +260,8 @@ object PipelineQueries {
     "d05_simhash_pairs" -> (d05SimhashPairs _),
     "d06_embedding_neardup" -> (d06EmbeddingNearDup _),
     "d07_dedup_clusters" -> (d07DedupClusters _),
+    "d08_decontamination" -> (d08Decontamination _),
+    "t09_repetition" -> (t09Repetition _),
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
     "t07_winnowing" -> (t07Winnowing _),
@@ -294,6 +323,40 @@ object PipelineQueries {
         |  JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d08_decontamination" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+4], ' ')
+        |     for i in generate_series(1, len(toks) - 4)])) AS gram
+        |  FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
+        |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+        |WHERE g.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin,
+    "t09_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+        |    for i in generate_series(1, len(toks) - 1)]) AS gram
+        |  FROM t),
+        |per AS (
+        |  SELECT doc_id, SUM(occ)::BIGINT AS n_grams,
+        |    MAX(occ)::BIGINT AS top_gram
+        |  FROM (SELECT doc_id, gram, COUNT(*) AS occ FROM g
+        |        GROUP BY doc_id, gram) c
+        |  GROUP BY doc_id)
+        |SELECT t.source, COUNT(*) AS n_docs,
+        |  COALESCE(SUM(per.top_gram), 0)::BIGINT AS top_gram_occ,
+        |  COUNT(*) FILTER (WHERE COALESCE(per.top_gram, 0) * 10
+        |    > COALESCE(per.n_grams, 0) * 2) AS n_flagged
+        |FROM t LEFT JOIN per USING (doc_id)
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
     "t05_vocab_topk" ->
       """SELECT tok, COUNT(*) AS n FROM (
         |  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok

@@ -256,6 +256,35 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("repetition stats: top-gram occurrence counts, short docs zeroed") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spam spam spam spam ham"),   // bigrams: "spam spam"x3, "spam ham" -> top 3/4
+      (2L, "all words here are unique"), // every bigram once -> top 1/4
+      (3L, "x"))                         // < 2 tokens -> zero grams
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(docs, 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 4L, 3L), (2L, 4L, 1L), (3L, 0L, 0L)))
+    // the Gopher 20% flag is integer-exact: 3*10 > 4*2, 1*10 <= 4*2... (10 > 8)
+    assert(got.map(r => r._3 * 10 > r._2 * 2).toSeq ==
+      Seq(true, true, false)) // doc2: 10 > 8 flags too at 20%; doc3 never
+  }
+
+  test("decontamination: train docs sharing a benchmark n-gram are flagged") {
+    import spark.implicits._
+    val bench = Seq((100L, "the quick brown fox jumps over lazy dogs"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "prefix text the quick brown fox jumps over something"), // shares a 5-gram
+      (2L, "completely unrelated training document with other words"),
+      (3L, "too short"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.contaminatedDocs(train, bench, 5)
+      .as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L))
+  }
+
   test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
     import spark.implicits._
     val docs = Seq(
