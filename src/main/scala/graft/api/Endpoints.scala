@@ -297,12 +297,23 @@ final class Endpoints(spark: SparkSession, store: GraphStore,
       if (!allowRemoteClone)
         err("Remote clone is disabled; set GRAFT_ALLOW_CLONE=1 or pass a local path")
       else {
-        // name = last URL path segment (`project.py:55-57`)
+        // name = last URL path segment (`project.py:55-57`) — but unlike
+        // the reference, reject traversal segments: '..'/'.'/'' would make
+        // the delete-if-exists below escape the repositories dir and wipe
+        // the parent (tmpdir!), and a separator smuggles subpaths in
         val name = u.stripSuffix("/").split('/').last
-        val dest = java.nio.file.Paths.get(
-          sys.props("java.io.tmpdir"), "graft-repositories", name).toFile
-        if (dest.exists()) deleteRecursively(dest) // `project.py:24-26`
-        dest.getParentFile.mkdirs()
+        if (name.isEmpty || name == "." || name == ".." ||
+            name.contains('\\') || name.contains(' '))
+          return err(s"invalid url: $u")
+        val reposRoot = java.nio.file.Paths.get(
+          sys.props("java.io.tmpdir"), "graft-repositories")
+        val dest = reposRoot.resolve(name).normalize()
+        if (!dest.startsWith(reposRoot) || dest == reposRoot)
+          return err(s"invalid url: $u")
+        if (java.nio.file.Files.exists(dest,
+            java.nio.file.LinkOption.NOFOLLOW_LINKS))
+          deleteRecursively(dest.toFile) // `project.py:24-26`
+        java.nio.file.Files.createDirectories(reposRoot)
         GitCli.clone(u, dest.toString)
         analyzeLocalRepo(dest.toString, name, ignore)
         store.setInfo(name, Map("repo_url" -> u))
@@ -324,8 +335,12 @@ final class Endpoints(spark: SparkSession, store: GraphStore,
     Seq("http://", "https://", "git://", "ssh://", "file://")
       .exists(s.startsWith) || s.matches("^[\\w.-]+@[\\w.-]+:.+")
 
+  /** Never follows symlinks (shutil.rmtree semantics): a cloned repo can
+    * legitimately contain a symlink to an absolute directory, and
+    * recursing through it would delete files OUTSIDE the clone. */
   private def deleteRecursively(f: java.io.File): Unit = {
-    Option(f.listFiles).foreach(_.foreach(deleteRecursively))
+    if (!java.nio.file.Files.isSymbolicLink(f.toPath))
+      Option(f.listFiles).foreach(_.foreach(deleteRecursively))
     f.delete(); ()
   }
 

@@ -168,11 +168,14 @@ object Lcov {
         r.linesHit.toDouble / r.linesFound.toDouble, r.daLines)
     }
     if (recs.isEmpty) return
-    val last = recs.groupBy(r => (r._2, r._3, r._4)).map(_._2.last).toSeq
 
-    // one M6 batch: every file percentage (+ the ==1.0 function cascade)
-    g.mutate(GraphOp.SetFilesCoverage(last.map(r =>
+    // one M6 batch: every file percentage (+ the ==1.0 function cascade).
+    // Raw rows go through — the last-wins duplicate-key contract is OWNED
+    // by setFilesCoverage; the local dedup below exists only because the
+    // M5 leg needs each surviving record's daLines.
+    g.mutate(GraphOp.SetFilesCoverage(recs.map(r =>
       GraphOp.FileCoverageRow(r._2, r._3, r._4, r._5))))
+    val last = recs.groupBy(r => (r._2, r._3, r._4)).map(_._2.last).toSeq
 
     // one interval pass + one M5 batch for the partially-covered files
     val partial = last.filter(_._5 != 1.0)

@@ -126,7 +126,10 @@ object PipelineQueries {
     * compute n_norm_texts exactly and the integrity flag is 1 by contract. */
   def t04Fingerprints(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    // non-null texts only: countDistinct skips a NULL norm but counts the
+    // (non-null) xxhash64 of NULL, which would break the invariant — both
+    // sides of the oracle carry the same filter
+    Tables.documents(spark, d).filter($"text".isNotNull)
       .select(TextAnalysis.fingerprint($"text").as("fp"),
         Dedup.normText($"text").as("norm"))
       .agg(count(lit(1)).as("n_docs"),
@@ -472,7 +475,7 @@ object PipelineQueries {
         |  COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |    AS n_norm_texts,
         |  CAST(1 AS BIGINT) AS fp_integrity
-        |FROM documents""".stripMargin,
+        |FROM documents WHERE text IS NOT NULL""".stripMargin,
     "t03_lang_id" ->
       // mirror of TextAnalysis.langIdOf: per-language stopword hit counts,
       // winner = max hits with lexicographically-greatest language tiebreak

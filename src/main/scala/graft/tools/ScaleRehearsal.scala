@@ -19,6 +19,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val family = args.lift(1).getOrElse("all")
+    require(Set("pipeline", "graph", "all")(family),
+      s"unknown family '$family' (expected pipeline|graph|all)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.util.Sessions.local(32)
 

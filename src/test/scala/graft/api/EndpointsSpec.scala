@@ -183,6 +183,10 @@ class EndpointsSpec extends SparkSpec {
 
     // gate open: clone + analyze + commit graph + repo_url info hash
     val open = new Endpoints(spark, store, allowRemoteClone = true)
+    // traversal names must be rejected BEFORE the delete-if-exists — a
+    // name of '..' would otherwise resolve to tmpdir and wipe it
+    Seq("https://host/x/..", "https://host/x/.")
+      .foreach { bad => assert(open.analyzeRepo(Some(bad)).code == 400, bad) }
     assert(open.analyzeRepo(Some(url)).status == "success")
     assert(store.exists("cloneme"))
     assert(store.exists("cloneme_git"))
