@@ -46,6 +46,17 @@ class PathsSpec extends SparkSpec {
     assert(paths(0L) === paths(Paths.DefaultFrontierBroadcastLimit))
   }
 
+  test("guard switches broadcast->shuffle mid-expansion when the frontier grows") {
+    // limit 10: hop 1 expands a 1-row frontier (broadcast), hop 2 expands
+    // the 1000-path frontier (shuffle) — the switch must not change results
+    val g = fanOutGraph()
+    val mixed = Paths.findPaths(g, 0L, 2000L, "CALLS",
+        frontierBroadcastLimit = 10L)
+      .collect().map(_.getAs[scala.collection.Seq[Long]]("path").toSeq).toSet
+    assert(mixed.size === 1000)
+    assert(mixed.forall(p => p.length == 3 && p.head == 0L && p.last == 2000L))
+  }
+
   test("bounded paths agree across forms on the fan-out graph") {
     val g = fanOutGraph(mids = 50)
     def hops(limit: Long): Seq[Int] =
