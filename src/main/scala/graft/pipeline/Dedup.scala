@@ -193,15 +193,23 @@ object Dedup {
           array_distinct(TextAnalysis.tokens(col(textCol)))).as("simhash"))
 
   /** The explode → 64-sum-aggregate SimHash formulation — the distributed
-    * shape [[simhash]]'s fused kernel must reproduce; test-oracle use. */
+    * shape [[simhash]]'s fused kernel must reproduce; test-oracle use. The
+    * per-token hash pair comes from the same [[graft.functions.SimHash64
+    * .tokenHashes]] the kernel folds, via a plain UDF (test-only path; the
+    * production kernel is codegen'd). */
   private[graft] def simhashViaAggregate(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val h1h2 = udf { (tok: String) =>
+      val (h1, h2) = graft.functions.SimHash64.tokenHashes(tok)
+      Array(h1, h2)
+    }
     val toks = docs.select(col(idCol).as("id"),
         explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+      .withColumn("hs", h1h2(col("tok")))
+      .select(col("id"), col("hs")(0).as("h1"), col("hs")(1).as("h2"))
     val voteExprs = (0 until 64).map { b =>
-      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0L, 1)
-        .otherwise(-1)).as(s"b$b")
+      sum(when((col("h1") + lit(b + 1) * col("h2")) % lit(1000003L)
+          % 2 === 1, 1).otherwise(-1)).as(s"b$b")
     }
     val votes = toks.groupBy(col("id")).agg(voteExprs.head, voteExprs.tail: _*)
     val bits = (0 until 64).map { b =>
@@ -236,6 +244,55 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+  }
+
+  /** Duplicated-span token coverage — the exact-substring-dedup signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models Better"
+    * (ACL'22): for every document, how many of its token positions are
+    * covered by at least one word `gramLen`-gram that also occurs in some
+    * OTHER document. A full suffix-array pass is replaced by fixed-length
+    * gram matching (any shared span of ≥ gramLen tokens is detected; the
+    * covered-token count is exact for those spans), which is the standard
+    * distributed approximation.
+    *
+    * Shape: positional gram explode → groupBy(gram) doc-frequency with
+    * map-side partials → semi-join back → per-doc interval union via ONE
+    * running-max window (sweep line: a position is newly covered where the
+    * interval start exceeds every prior end). All integer arithmetic.
+    *
+    * Scale: no pairwise work anywhere — cost is explode (corpus tokens),
+    * two key shuffles, and a per-doc window bounded by document length.
+    * Returns (id, n_tokens, covered_tokens) for docs with coverage > 0. */
+  def duplicatedSpanCoverage(docs: DataFrame, gramLen: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextAnalysis.tokens(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), toks.as("toks"))
+    val posGrams = base
+      .filter(size(col("toks")) >= gramLen)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("toks")) - (gramLen - 1)),
+        i => struct(i.cast("long").as("pos"),
+          array_join(slice(col("toks"), i, lit(gramLen)), " ").as("gram"))))
+        .as("pg"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+    val dupGrams = posGrams.groupBy(col("gram"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("gram"))
+    val iv = posGrams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col(idCol), col("pos").as("s"),
+        (col("pos") + (gramLen - 1)).as("e"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("s"), col("e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val covered = iv.withColumn("pmax", max(col("e")).over(w))
+      .groupBy(col(idCol))
+      .agg(sum(greatest(lit(0L),
+        col("e") - greatest(col("s"), coalesce(col("pmax") + 1, col("s")))
+          + 1)).as("covered_tokens"))
+    base.select(col(idCol), size(col("toks")).cast("long").as("n_tokens"))
+      .join(covered, Seq(idCol))
   }
 
   /** Connected components over an undirected near-dup pair list — turns any

@@ -164,6 +164,88 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
   }
 
+  /** PII patterns (emails, North-American phone numbers, IPv4 addresses) —
+    * deliberately restricted to RE2-compatible constructs (no lookaround,
+    * no backrefs) so the Java-regex Spark side and an RE2-based SQL engine
+    * (DuckDB oracle) match the same spans. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}(?:\\.\\d{1,3}){3}\\b"
+
+  def emailCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailRe), lit(0)))
+  def phoneCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0)))
+  def ipv4Count(text: Column): Column =
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0)))
+
+  /** Redact PII in place: emails → [EMAIL], phones → [PHONE], IPv4 → [IP].
+    * Email first — its char class can span digits/dots that the narrower
+    * patterns would then see. Pure codegen'd regexp_replace chain, zero
+    * shuffle: the canonical 100 TB map-side scrub. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "[EMAIL]"),
+        PhoneRe, "[PHONE]"),
+      Ipv4Re, "[IP]")
+
+  /** Per-document top-k tokens by tf·idf (idf = ln(N/df), the classic
+    * smoothing-free form; score rounded to 4 dp so the value — and the
+    * (score, token) ranking — is reproducible across engines; the nearest
+    * corpus score sits > 1e-3·10⁻⁴ from a rounding tie, 9 orders above
+    * cross-engine libm ulp noise).
+    *
+    * Scale: one explode, a (doc,tok) partial-agg shuffle for tf, a (tok)
+    * partial-agg shuffle for df (two-phase distinct on doc), one equi-join
+    * tf⨝df on `tok`, and a per-doc top-k window — no pairwise work; the
+    * single-row corpus count broadcasts. */
+  def tfIdfTopK(docs: DataFrame, k: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val nDocs = toks.agg(countDistinct(col(idCol)).as("n_docs"))
+    val tf = toks.groupBy(col(idCol), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df_ = toks.groupBy(col("tok"))
+      .agg(countDistinct(col(idCol)).as("df"))
+    val scored = tf.join(df_, "tok")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", round(
+        col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok"))
+    scored.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("rnk"), col("tok"), col("score"))
+  }
+
+  /** Overlapping token-window chunk spans (context-window packing's cousin:
+    * RAG/pretraining chunking with overlap = size − stride). Emits one row
+    * per chunk with exact integer (start, len); the last chunk starts at
+    * the final stride step that still adds new tokens, so every token is
+    * covered and no empty trailing chunk is emitted.
+    *
+    * Scale: pure map-side sequence+explode — output rows ≈ tokens/stride,
+    * no shuffle, no state. */
+  def chunkSpans(docs: DataFrame, size: Int = 16, stride: Int = 12,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(size >= 1 && stride >= 1 && stride <= size,
+      "need 1 <= stride <= size")
+    val n = tokenCount(col(textCol)).cast("long")
+    val lastChunk = when(n <= size, lit(0L))
+      .otherwise(ceil((n - size) / lit(stride.toDouble)).cast("long"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), n.as("n"),
+        explode(sequence(lit(0L), lastChunk)).as("chunk_id"))
+      .filter(col("n") > 0)
+      .select(col(idCol), col("chunk_id"),
+        (col("chunk_id") * stride).as("start_tok"),
+        least(lit(size.toLong), col("n") - col("chunk_id") * stride)
+          .as("chunk_len"))
+  }
+
   /** Cross-document duplicate n-gram stats (the Gopher/RefinedWeb-family
     * quality signal): per document, how many of its distinct word n-grams
     * also occur in at least one OTHER document. All counts are integers, so

@@ -9,9 +9,9 @@ import graft.util.Tables
 
 /** Training-data pipeline operator surface (builder north star): dedup,
   * similarity search, text analysis — each as a driver-gate query. Queries
-  * without an oracle entry (hash-based: simhash/minhash internals,
-  * fingerprints, langid) get the driver's rows-only check and are verified
-  * in ScalaTest instead.
+  * without an oracle entry (seed-dependent: IVF centroids, sketch
+  * internals) get the driver's rows-only check and are verified in
+  * ScalaTest instead.
   */
 object PipelineQueries {
 
@@ -55,7 +55,9 @@ object PipelineQueries {
   }
 
   /** d05 — SimHash near-dup pairs (hamming ≤ 3 over 64-bit token-vote
-    * hashes). Spark-hash-dependent → rows-only check + ScalaTest. */
+    * hashes). The token hash is an explicit double polynomial hash
+    * (SimHash64 scaladoc), so DuckDB recomputes the identical fingerprints
+    * and the gate is a full value oracle. */
   def d05SimhashPairs(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Dedup.simhashPairs(Tables.documents(spark, d), 3)
@@ -223,6 +225,55 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** d09 — duplicated-span token coverage (Lee et al. ACL'22 exact-
+    * substring dedup signal): per doc, token positions covered by a word
+    * 8-gram occurring in ≥ 2 docs, via positional gram match + interval-
+    * union sweep. Integer-exact. */
+  def d09SpanCoverage(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.duplicatedSpanCoverage(Tables.documents(spark, d), 8)
+      .orderBy($"doc_id")
+  }
+
+  /** t10 — PII scan + redaction audit per source: email/phone/IPv4 match
+    * counts and how many docs a redaction pass would rewrite. (This corpus
+    * contains no PII — the oracle checks the zeros exactly; the pattern
+    * semantics are golden-tested on crafted strings in PipelineSpec.) */
+  def t10PiiStats(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .withColumn("n_emails", TextAnalysis.emailCount($"text").cast("long"))
+      .withColumn("n_phones", TextAnalysis.phoneCount($"text").cast("long"))
+      .withColumn("n_ips", TextAnalysis.ipv4Count($"text").cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_emails").as("n_emails"),
+        sum($"n_phones").as("n_phones"),
+        sum($"n_ips").as("n_ips"),
+        count(when($"n_emails" + $"n_phones" + $"n_ips" > 0, 1))
+          .as("n_docs_with_pii"),
+        count(when(TextAnalysis.redactPii($"text") =!= $"text", 1))
+          .as("n_docs_redacted"))
+      .orderBy($"source")
+  }
+
+  /** t11 — per-doc top-3 tokens by tf·idf (doc_id < 200; score rounded to
+    * 4 dp, (score, token) ranking — see TextAnalysis.tfIdfTopK). */
+  def t11TfidfTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.tfIdfTopK(
+        Tables.documents(spark, d).filter($"doc_id" < 200), 3)
+      .orderBy($"doc_id", $"rnk")
+  }
+
+  /** t12 — overlapping chunk spans (size 16, stride 12): every token
+    * covered, integer-exact starts/lengths. */
+  def t12Chunking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.chunkSpans(Tables.documents(spark, d), 16, 12)
+      .orderBy($"doc_id", $"chunk_id")
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -264,7 +315,11 @@ object PipelineQueries {
     "d06_embedding_neardup" -> (d06EmbeddingNearDup _),
     "d07_dedup_clusters" -> (d07DedupClusters _),
     "d08_decontamination" -> (d08Decontamination _),
+    "d09_span_coverage" -> (d09SpanCoverage _),
     "t09_repetition" -> (t09Repetition _),
+    "t10_pii_stats" -> (t10PiiStats _),
+    "t11_tfidf_topk" -> (t11TfidfTopk _),
+    "t12_chunking" -> (t12Chunking _),
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
     "t07_winnowing" -> (t07Winnowing _),
@@ -305,6 +360,49 @@ object PipelineQueries {
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
     "d03_jaccard_pairs" -> jaccardOracle,
     "d04_minhash_lsh" -> jaccardOracle, // LSH must recover the exact pair set
+    "d05_simhash_pairs" ->
+      // the kernel's exact fingerprint: per distinct token two polynomial
+      // hashes over code points, bit b's vote = parity of
+      // (h1 + (b+1)*h2) mod 1000003; fingerprint in two 32-bit halves so
+      // bit_count(xor(...)) gives hamming without signed-shift hazards
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    list_distinct(regexp_split_to_array(lower(trim(text)), '\s+'))
+        |      AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (
+        |  SELECT doc_id,
+        |    [{'h1': list_reduce(list_prepend(0::BIGINT,
+        |        [ord(substring(tok, i, 1))
+        |         for i in generate_series(1, length(tok))]::BIGINT[]),
+        |        (acc, c) -> (acc * 257 + c) % 1000003),
+        |      'h2': list_reduce(list_prepend(0::BIGINT,
+        |        [ord(substring(tok, i, 1))
+        |         for i in generate_series(1, length(tok))]::BIGINT[]),
+        |        (acc, c) -> (acc * 263 + c) % 999983)}
+        |     for tok in toks] AS hs
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN list_sum([CASE WHEN ((x.h1 + (b+1)*x.h2) % 1000003)
+        |                              % 2 = 1 THEN 1 ELSE -1 END
+        |                         for x in hs]) > 0
+        |          THEN 1::BIGINT ELSE 0::BIGINT END
+        |     for b in generate_series(0, 63)] AS bits
+        |  FROM h),
+        |fp AS (
+        |  SELECT doc_id,
+        |    list_sum([bits[b+1] << b for b in generate_series(0, 31)])::BIGINT
+        |      AS lo,
+        |    list_sum([bits[b+33] << b for b in generate_series(0, 31)])::BIGINT
+        |      AS hi
+        |  FROM f)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  (bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)))::INT
+        |    AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
     "d07_dedup_clusters" ->
       // transitive closure over the d03 pair set; cluster = min reachable id
       """WITH RECURSIVE g AS (
@@ -339,6 +437,88 @@ object PipelineQueries {
         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
         |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
         |WHERE g.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin,
+    "d09_span_coverage" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')
+        |    AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, u.pos AS pos, u.gram AS gram FROM (
+        |    SELECT doc_id, unnest(
+        |      [{'pos': i, 'gram': array_to_string(toks[i:i+7], ' ')}
+        |       for i in generate_series(1, len(toks) - 7)]) AS u
+        |    FROM t) z),
+        |df AS (SELECT gram FROM g GROUP BY gram
+        |       HAVING COUNT(DISTINCT doc_id) >= 2),
+        |iv AS (SELECT g.doc_id, g.pos AS s, g.pos + 7 AS e
+        |       FROM g JOIN df USING (gram)),
+        |u AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |cov AS (
+        |  SELECT doc_id,
+        |    SUM(greatest(0, e - greatest(s, coalesce(pmax + 1, s)) + 1))
+        |      ::BIGINT AS covered_tokens
+        |  FROM u GROUP BY doc_id)
+        |SELECT t.doc_id, len(t.toks)::BIGINT AS n_tokens,
+        |  cov.covered_tokens
+        |FROM t JOIN cov USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
+    "t10_pii_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  SUM(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')))::BIGINT
+        |    AS n_emails,
+        |  SUM(len(regexp_extract_all(text,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b')))::BIGINT AS n_phones,
+        |  SUM(len(regexp_extract_all(text,
+        |    '\b\d{1,3}(?:\.\d{1,3}){3}\b')))::BIGINT AS n_ips,
+        |  COUNT(*) FILTER (WHERE
+        |    len(regexp_extract_all(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(text, '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))
+        |    + len(regexp_extract_all(text, '\b\d{1,3}(?:\.\d{1,3}){3}\b'))
+        |    > 0) AS n_docs_with_pii,
+        |  COUNT(*) FILTER (WHERE
+        |    regexp_replace(regexp_replace(regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]',
+        |      'g'),
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g'),
+        |      '\b\d{1,3}(?:\.\d{1,3}){3}\b', '[IP]', 'g') <> text)
+        |    AS n_docs_redacted
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "t11_tfidf_topk" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE doc_id < 200 AND text IS NOT NULL),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM t),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t
+        |       GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |s AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    round(tf.tf * ln(n.n_docs::DOUBLE / df.df), 4) AS score
+        |  FROM tf JOIN df USING (tok) CROSS JOIN n)
+        |SELECT doc_id, rnk, tok, score FROM (
+        |  SELECT doc_id, tok, score, ROW_NUMBER() OVER (
+        |    PARTITION BY doc_id ORDER BY score DESC, tok) AS rnk FROM s) x
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "t12_chunking" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |c AS (
+        |  SELECT doc_id, n, unnest(generate_series(0,
+        |    CASE WHEN n <= 16 THEN 0 ELSE (n - 16 + 11) // 12 END))
+        |    AS chunk_id
+        |  FROM t WHERE n > 0)
+        |SELECT doc_id, chunk_id, chunk_id * 12 AS start_tok,
+        |  least(16, n - chunk_id * 12) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "t09_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, source,

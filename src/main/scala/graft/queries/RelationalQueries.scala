@@ -221,9 +221,28 @@ object RelationalQueries {
       .orderBy($"source")
   }
 
+  /** q15: deterministic train/val/test split — the same multiplicative-
+    * hash bucket as q14 (see its modulus-choice comment) mapped to
+    * ~80/10/10 over the 101 buckets. Pure function of the stable doc id:
+    * any engine, any partitioning, any day reproduces the identical
+    * assignment — the property a training pipeline needs so eval rows can
+    * never leak into train between reruns. Map-side expression + one
+    * partial-agg shuffle. */
+  def q15TrainSplit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bucket = pmod(pmod($"doc_id", lit(1000003L)) * lit(2654435761L), lit(101L))
+    val split = when(bucket < 81, "train").when(bucket < 91, "val")
+      .otherwise("test")
+    Tables.documents(spark, d)
+      .withColumn("split", split)
+      .groupBy($"source", $"split").agg(count(lit(1)).as("n_docs"))
+      .orderBy($"source", $"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q13_sketch_stats" -> (q13SketchStats _),
     "q14_corpus_mixture" -> (q14CorpusMixture _),
+    "q15_train_split" -> (q15TrainSplit _),
     "q01_pricing_agg" -> (q01Pricing _),
     "q02_filter_topk" -> (q02FilterTopk _),
     "q03_join_revenue" -> (q03JoinRevenue _),
@@ -313,5 +332,15 @@ object RelationalQueries {
         |WHERE CASE WHEN TRY_CAST(regexp_extract(source, '(\d+)$', 1) AS BIGINT) % 2 = 0
         |           THEN ((doc_id % 1000003) * 2654435761) % 101 < 50
         |           ELSE ((doc_id % 1000003) * 2654435761) % 101 < 25 END
-        |GROUP BY source ORDER BY source""".stripMargin)
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "q15_train_split" ->
+      """WITH b AS (
+        |  SELECT source,
+        |    ((doc_id % 1000003) * 2654435761) % 101 AS bucket
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN bucket < 81 THEN 'train' WHEN bucket < 91 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  COUNT(*) AS n_docs
+        |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin)
 }

@@ -420,4 +420,94 @@ class PipelineSpec extends SparkSpec {
       .filter($"q" < 0.0 || $"q" > 1.0 || $"q".isNull)
     assert(bad.isEmpty)
   }
+
+  test("simhash kernel matches the cross-engine golden values") {
+    import spark.implicits._
+    // goldens computed by an independent reimplementation of the double
+    // polynomial hash (the same one the DuckDB d05 oracle folds)
+    val got = Seq(
+      (1L, "hello world"),
+      (2L, ""), // one empty token -> every vote -1 -> fingerprint 0
+      (3L, "abc def ghi")).toDF("doc_id", "text")
+    val fp = Dedup.simhash(got).orderBy("id").collect().map(_.getLong(1))
+    assert(fp.toSeq === Seq(6960352840930083104L, 0L, 1338759684199946091L))
+  }
+
+  test("pii counts and redaction: golden spans on crafted text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach me at jane.doe+spam@mail.example.org or 555-867-5309x"),
+      (2L, "server 10.0.255.7 and backup 192.168.1.1 phone 123.456.7890"),
+      (3L, "no pii here, just words and 42 numbers")).toDF("doc_id", "text")
+    val r = docs.select($"doc_id",
+      TextAnalysis.emailCount($"text").as("e"),
+      TextAnalysis.phoneCount($"text").as("p"),
+      TextAnalysis.ipv4Count($"text").as("i"),
+      TextAnalysis.redactPii($"text").as("red"))
+      .orderBy($"doc_id").collect()
+    assert(r(0).getInt(1) === 1 && r(0).getInt(2) === 0 && r(0).getInt(3) === 0)
+    // 555-867-5309x: trailing word char keeps \b from matching -> not a phone
+    assert(r(0).getString(4) ===
+      "reach me at [EMAIL] or 555-867-5309x")
+    assert(r(1).getInt(2) === 1 && r(1).getInt(3) === 2)
+    assert(r(1).getString(4) === "server [IP] and backup [IP] phone [PHONE]")
+    assert(r(2).getInt(1) === 0 && r(2).getInt(2) === 0 && r(2).getInt(3) === 0)
+    assert(r(2).getString(4) === "no pii here, just words and 42 numbers")
+  }
+
+  test("tf-idf top-k ranks corpus-rare tokens above ubiquitous ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common common rare"),
+      (2L, "common filler words"),
+      (3L, "common other stuff")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfIdfTopK(docs, 2).orderBy("doc_id", "rnk")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    // 'common' appears in every doc -> idf = ln(1) = 0; 'rare' tops doc 1
+    assert(top.head === ((1L, 1L, "rare")))
+    assert(!top.exists { case (_, rnk, tok) => tok == "common" && rnk == 1L })
+  }
+
+  test("chunk spans cover every token with exact overlap arithmetic") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (1 to 5).map(i => s"w$i").mkString(" ")),   // n <= size: 1 chunk
+      (2L, (1 to 16).map(i => s"w$i").mkString(" ")),  // n == size: 1 chunk
+      (3L, (1 to 28).map(i => s"w$i").mkString(" ")),  // n == size+stride
+      (4L, (1 to 29).map(i => s"w$i").mkString(" ")))  // one extra token
+      .toDF("doc_id", "text")
+    val spans = TextAnalysis.chunkSpans(docs, 16, 12)
+      .orderBy("doc_id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(spans.filter(_._1 == 1L).toSeq === Seq((1L, 0L, 0L, 5L)))
+    assert(spans.filter(_._1 == 2L).toSeq === Seq((2L, 0L, 0L, 16L)))
+    assert(spans.filter(_._1 == 3L).toSeq ===
+      Seq((3L, 0L, 0L, 16L), (3L, 1L, 12L, 16L)))
+    assert(spans.filter(_._1 == 4L).toSeq ===
+      Seq((4L, 0L, 0L, 16L), (4L, 1L, 12L, 16L), (4L, 2L, 24L, 5L)))
+    // coverage property: last chunk always ends exactly at n
+    spans.groupBy(_._1).foreach { case (_, cs) =>
+      val last = cs.maxBy(_._2)
+      val n = cs.head._1 match {
+        case 1L => 5L; case 2L => 16L; case 3L => 28L; case _ => 29L
+      }
+      assert(last._3 + last._4 === n)
+    }
+  }
+
+  test("duplicated-span coverage unions overlapping gram intervals") {
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ") // 10-token span
+    val docs = Seq(
+      (1L, s"$shared alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, s"prefix words here also longer $shared"),
+      (3L, "totally unrelated text with no duplicated spans at all x y z"))
+      .toDF("doc_id", "text")
+    val cov = Dedup.duplicatedSpanCoverage(docs, 8)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // the shared 10-token span yields three overlapping 8-gram intervals
+    // per doc; the union must count 10 tokens once, not 24
+    assert(cov.toSeq === Seq((1L, 18L, 10L), (2L, 15L, 10L)))
+  }
 }

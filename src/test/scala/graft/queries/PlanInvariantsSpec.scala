@@ -16,7 +16,8 @@ class PlanInvariantsSpec extends SparkSpec {
     * nested-loop/range join is the intended physical shape. */
   private val bnljAllowed = Set(
     "q08_range_join", // interval join: broadcast range join by design
-    "s01_topk_cosine", "s02_ivf_topk", "s03_ivf_kmeans") // tiny query side
+    "s01_topk_cosine", "s02_ivf_topk", "s03_ivf_kmeans", // tiny query side
+    "t11_tfidf_topk") // 1-row corpus-count broadcast into every score row
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfTiny)
