@@ -78,10 +78,19 @@ object GraphAlgorithms {
     * unrolled SQL formulation. Dangling-node mass is dropped (the classic
     * simplified formulation).
     *
-    * Scale: each iteration is one equi-join edges⨝ranks + one grouped sum
-    * (map-side partial agg); lineage is cut every 3 iterations. Headroom:
-    * n_nodes × scale × 17 must stay below 2⁶³ — at 10¹² nodes drop `scale`
-    * to 10⁵. */
+    * Scale: each iteration is ONE equi-join + one grouped sum (map-side
+    * partial agg). The static out-degree is fused into the edge table ONCE
+    * up front (not re-joined every iteration). The iteration state is kept
+    * SPARSE — only the grouped in-link sums — and the rank of a node
+    * absent from the sums (no in-links: rank = the base constant after
+    * iteration 1) is folded into the contribution join as the outer-join
+    * default, so the full node list is joined exactly once at the end, not
+    * once per iteration. Lineage is cut every 3 iterations; a measured
+    * caveat: `localCheckpoint` drops outputPartitioning (the scan comes
+    * back as an ExistingRDD with unknown distribution), so the edge side
+    * re-shuffles per checkpoint block — pre-repartitioning it buys nothing
+    * and is deliberately absent. Headroom: n_nodes × scale × 17 must stay
+    * below 2⁶³ — at 10¹² nodes drop `scale` to 10⁵. */
   def pageRankFixed(edges: DataFrame, iters: Int = 10,
       scale: Long = 1000000L, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
@@ -91,22 +100,29 @@ object GraphAlgorithms {
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
-    // pinned: the contribution join reads it every iteration
-    val outDeg = e.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    // pinned with the per-source degree fused in: the per-iteration
+    // contribution join reads it as-is
+    val eDeg = e.join(
+        e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
       .localCheckpoint(true)
     val base = scale * 3 / 20 // (1 - d) mass per node, d = 17/20
-    var ranks = nodes.withColumn("rank", lit(scale))
+    // rank_{k-1} as an expression over the sparse sums (null ⇒ no in-links)
+    val rankOfSum = lit(base) +
+      expr("(17 * coalesce(s, cast(0 as bigint))) div 20")
+    var summed: DataFrame = null // null ⇒ iteration 0: rank = scale
     for (i <- 1 to iters) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("id", "src"), "src")
-        .join(outDeg, "src")
+      val joined =
+        if (summed == null) eDeg.withColumn("rank", lit(scale))
+        else eDeg
+          .join(summed.withColumnRenamed("id", "src"), Seq("src"), "left_outer")
+          .withColumn("rank", rankOfSum)
+      summed = joined
         .select(col("dst").as("id"), expr("rank div odeg").as("c"))
-      val summed = contribs.groupBy(col("id")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(summed, Seq("id"), "left_outer")
-        .select(col("id"), (lit(base) +
-          expr("(17 * coalesce(s, cast(0 as bigint))) div 20")).as("rank"))
-      if (i % 3 == 0 || i == iters) ranks = ranks.localCheckpoint(true)
+        .groupBy(col("id")).agg(sum(col("c")).as("s"))
+      if (i % 3 == 0 || i == iters) summed = summed.localCheckpoint(true)
     }
-    ranks
+    if (summed == null) nodes.withColumn("rank", lit(scale))
+    else nodes.join(summed, Seq("id"), "left_outer")
+      .select(col("id"), rankOfSum.as("rank"))
   }
 }

@@ -269,14 +269,14 @@ object Dedup {
     val toks = TextAnalysis.tokens(col(textCol))
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), toks.as("toks"))
+    // fused kernel emits ALL grams in position order, so posexplode's
+    // 0-based index + 1 IS the original 1-based token position (short docs
+    // yield an empty array and drop out, like the old size>=gramLen filter)
     val posGrams = base
-      .filter(size(col("toks")) >= gramLen)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("toks")) - (gramLen - 1)),
-        i => struct(i.cast("long").as("pos"),
-          array_join(slice(col("toks"), i, lit(gramLen)), " ").as("gram"))))
-        .as("pg"))
-      .select(col(idCol), col("pg.pos").as("pos"), col("pg.gram").as("gram"))
+      .select(col(idCol), posexplode(
+        graft.functions.WordNGrams.wordNGramsAll(col("toks"), gramLen)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
     val dupGrams = posGrams.groupBy(col("gram"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= 2)

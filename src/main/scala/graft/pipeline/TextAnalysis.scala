@@ -103,18 +103,31 @@ object TextAnalysis {
     graft.functions.WinnowingFingerprints.winnowing(text, k, w)
 
   /** Distinct word n-gram set of a token array (space-joined windows);
-    * empty for docs shorter than n tokens (`sequence` would otherwise run
-    * DESCENDING for stop < start — same pitfall as char n-grams). */
+    * empty for docs shorter than n tokens. Fused native kernel — the
+    * composable HOF form ([[wordNGramsHof]]) re-evaluates the token
+    * expression per gram position (no codegen for lambdas), which made
+    * every word-gram operator pay one full tokenize per gram. */
   def wordNGrams(toks: Column, n: Int): Column =
+    graft.functions.WordNGrams.wordNGrams(toks, n)
+
+  /** ALL word n-grams of a token array in order (multiset — unlike
+    * [[wordNGrams]] no dedup): the repetition signal needs occurrence
+    * counts, not set membership. Fused kernel, same contract as
+    * [[wordNGramsAllHof]]. */
+  def wordNGramsAll(toks: Column, n: Int): Column =
+    graft.functions.WordNGrams.wordNGramsAll(toks, n)
+
+  /** The composable lambda formulation [[wordNGrams]] must reproduce
+    * (`sequence` would run DESCENDING for stop < start without the size
+    * guard — same pitfall as char n-grams); test-oracle use. */
+  private[graft] def wordNGramsHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(array_distinct(transform(
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " "))))
 
-  /** ALL word n-grams of a token array in order (multiset — unlike
-    * [[wordNGrams]] no dedup): the repetition signal needs occurrence
-    * counts, not set membership. */
-  def wordNGramsAll(toks: Column, n: Int): Column =
+  /** Lambda formulation of [[wordNGramsAll]]; test-oracle use. */
+  private[graft] def wordNGramsAllHof(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>"))
       .otherwise(transform(
         sequence(lit(1), size(toks) - (n - 1)),
@@ -151,16 +164,25 @@ object TextAnalysis {
     *
     * Scale: benchmark suites are tiny next to a training corpus, so the
     * distinct benchmark gram set is the small side of one semi-join on
-    * `gram`; the training side is one explode, never materialized as
-    * pairs. */
+    * `gram` — BROADCAST when it fits (limit-probe guard, the
+    * connectedComponents idiom), so the training corpus is filtered
+    * map-side and never shuffles; past the guard it falls back to a
+    * shuffled semi-join. The training side is one explode, never
+    * materialized as pairs. */
   def contaminatedDocs(train: DataFrame, benchmark: DataFrame, n: Int,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastGramLimit: Long = 2000000L): DataFrame = {
     val trainGrams = train.select(col(idCol),
       explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
     val benchGrams = benchmark
       .select(explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
       .distinct()
-    trainGrams.join(benchGrams, Seq("gram"), "left_semi")
+    val probe = math.min(broadcastGramLimit, Int.MaxValue - 1L).toInt
+    val benchSide =
+      if (broadcastGramLimit > 0 &&
+          benchGrams.limit(probe + 1).count() <= probe) broadcast(benchGrams)
+      else benchGrams
+    trainGrams.join(benchSide, Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
   }
 

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Expression,
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{CharNGrams, CosineSimilarity, HyperplaneSignature,
-  MinHashSignature, SimHash64, WinnowingFingerprints}
+  MinHashSignature, SimHash64, WinnowingFingerprints, WordNGrams}
 import graft.graph.GraphStore
 
 /** SQL surface for graft's native kernels and graph tables.
@@ -20,6 +20,7 @@ import graft.graph.GraphStore
   *  - `graft_has_label(labels, 'Class')` — multi-label test (sugar over
   *    array_contains, the §1.6 labels mapping)
   *  - `graft_ngrams(text, n)` — fused char n-gram shingles
+  *  - `graft_word_ngrams(tokens, n[, distinct])` — fused word n-grams
   *  - `graft_minhash_sig(grams, k)` — fused MinHash signature
   *  - `graft_simhash64(tokens)` — fused 64-bit SimHash
   *  - `graft_hyperplane_sig(vec, bits)` — random-hyperplane LSH signature
@@ -55,6 +56,16 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(text, n) => CharNGrams(text, litInt(n, "graft_ngrams"))
         case _ => throw new IllegalArgumentException("graft_ngrams(text, n)")
+      }),
+    (FunctionIdentifier("graft_word_ngrams"),
+      new ExpressionInfo(classOf[WordNGrams].getName, "graft_word_ngrams"),
+      (args: Seq[Expression]) => args match {
+        case Seq(toks, n) =>
+          WordNGrams(toks, litInt(n, "graft_word_ngrams"), distinct = true)
+        case Seq(toks, n, Literal(d: Boolean, _)) =>
+          WordNGrams(toks, litInt(n, "graft_word_ngrams"), distinct = d)
+        case _ => throw new IllegalArgumentException(
+          "graft_word_ngrams(tokens, n[, distinct])")
       }),
     (FunctionIdentifier("graft_minhash_sig"),
       new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),

@@ -39,6 +39,29 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("WordNGrams == HOF slice/join forms on adversarial token arrays") {
+    import spark.implicits._
+    import graft.pipeline.TextAnalysis
+    // duplicate-heavy token lists exercise the distinct path; sub-n and
+    // empty arrays the degenerate path; weird chars the join itself
+    val tokGen = Gen.listOf(Gen.oneOf(Gen.oneOf("a", "b", "a b"), textGen))
+    cases(Gen.listOfN(20, tokGen), 8).foreach { docs =>
+      val df = docs.map(_.toArray).toDF("toks")
+      for (n <- Seq(1, 2, 5)) {
+        val fusedD = df.select(TextAnalysis.wordNGrams($"toks", n))
+          .collect().map(_.getSeq[String](0).toSeq).toSeq
+        val hofD = df.select(TextAnalysis.wordNGramsHof($"toks", n))
+          .collect().map(_.getSeq[String](0).toSeq).toSeq
+        assert(fusedD === hofD, s"distinct diverged at n=$n on $docs")
+        val fusedA = df.select(TextAnalysis.wordNGramsAll($"toks", n))
+          .collect().map(_.getSeq[String](0).toSeq).toSeq
+        val hofA = df.select(TextAnalysis.wordNGramsAllHof($"toks", n))
+          .collect().map(_.getSeq[String](0).toSeq).toSeq
+        assert(fusedA === hofA, s"multiset diverged at n=$n on $docs")
+      }
+    }
+  }
+
   test("MinHashSignature == lambda permutations on adversarial gram sets") {
     import spark.implicits._
     cases(Gen.listOfN(20, Gen.listOf(textGen)), 8).foreach { docs =>
