@@ -268,6 +268,52 @@ object TextAnalysis {
           .as("chunk_len"))
   }
 
+  /** Per-document bigram language-model score (the CCNet/KenLM-family
+    * perplexity quality filter): mean log P(w2 | w1) under the MLE bigram
+    * model of the corpus itself — no smoothing needed, every scored bigram
+    * is by construction observed at least once. Low scores flag
+    * improbable token sequences (gibberish, boilerplate soup); high
+    * scores flag fluent-for-this-corpus text.
+    *
+    * Determinism: double summation is order-dependent, so the per-doc log
+    * terms are folded in POSITION order over a collected array — the SQL
+    * oracle does the identical left fold (`list_reduce` on a
+    * position-ordered list; 0.0 + x == x, so the init conventions agree
+    * bit-for-bit) — and the mean is rounded to 4 dp: the nearest corpus
+    * value sits ~5.6e-8 from a rounding tie, seven orders above
+    * cross-engine libm ulp noise.
+    *
+    * Scale: one explode for unigram counts, one positional gram explode,
+    * two count shuffles with map-side partials, two equi-joins on
+    * token/gram keys, one per-doc aggregation — no pairwise work; the
+    * collected fold array is bounded by document length (same bound the
+    * chunker and packer already rely on). */
+  def bigramLmScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+    val uni = base.select(explode(col("toks")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("cu"))
+    // tokens are whitespace-split, so the space-joined gram splits back
+    // unambiguously: substring_index recovers w1 exactly
+    val bgx = base.select(col(idCol),
+        posexplode(graft.functions.WordNGrams.wordNGramsAll(col("toks"), 2)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+    val bcnt = bgx.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
+    val scored = bgx.join(bcnt, "gram").join(uni, "w1")
+      .select(col(idCol), col("pos"),
+        log(col("cb").cast("double") / col("cu").cast("double")).as("lp"))
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(aggregate(col("arr"), lit(0.0),
+            (acc, x) => acc + x.getField("lp")) /
+          col("n_bigrams").cast("double"), 4).as("avg_logprob"))
+  }
+
   /** Cross-document duplicate n-gram stats (the Gopher/RefinedWeb-family
     * quality signal): per document, how many of its distinct word n-grams
     * also occur in at least one OTHER document. All counts are integers, so

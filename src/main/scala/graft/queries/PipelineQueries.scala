@@ -274,6 +274,15 @@ object PipelineQueries {
       .orderBy($"doc_id", $"chunk_id")
   }
 
+  /** t13 — bigram-LM quality score (CCNet-family perplexity filter):
+    * per-doc mean log P(w2|w1) under the corpus's own MLE bigram model,
+    * position-ordered fold + 4 dp rounding for cross-engine parity. */
+  def t13LmScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.bigramLmScore(Tables.documents(spark, d))
+      .orderBy($"doc_id")
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -320,6 +329,7 @@ object PipelineQueries {
     "t10_pii_stats" -> (t10PiiStats _),
     "t11_tfidf_topk" -> (t11TfidfTopk _),
     "t12_chunking" -> (t12Chunking _),
+    "t13_lm_score" -> (t13LmScore _),
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
     "t07_winnowing" -> (t07Winnowing _),
@@ -519,6 +529,29 @@ object PipelineQueries {
         |SELECT doc_id, chunk_id, chunk_id * 12 AS start_tok,
         |  least(16, n - chunk_id * 12) AS chunk_len
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "t13_lm_score" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |uni AS (
+        |  SELECT w1, count(*)::BIGINT AS cu FROM (
+        |    SELECT unnest(toks) AS w1 FROM t) u GROUP BY w1),
+        |bgx AS (
+        |  SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2
+        |  FROM (SELECT doc_id,
+        |          [struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1])
+        |           for i in generate_series(1, len(toks)-1)] AS pairs
+        |        FROM t) b, unnest(b.pairs) AS u(p)),
+        |bcnt AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bgx
+        |         GROUP BY w1, w2),
+        |s AS (
+        |  SELECT x.doc_id, x.pos, ln(b.cb::DOUBLE / u.cu::DOUBLE) AS lp
+        |  FROM bgx x JOIN bcnt b ON x.w1 = b.w1 AND x.w2 = b.w2
+        |  JOIN uni u ON x.w1 = u.w1)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
+        |        / count(*), 4) AS avg_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t09_repetition" ->
       """WITH t AS (
         |  SELECT doc_id, source,

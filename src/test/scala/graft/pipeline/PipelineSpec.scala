@@ -468,6 +468,22 @@ class PipelineSpec extends SparkSpec {
     assert(!top.exists { case (_, rnk, tok) => tok == "common" && rnk == 1L })
   }
 
+  test("bigram-LM score: hand-computed MLE log probs, fold-order exact") {
+    import spark.implicits._
+    // uni: a:3 b:3 c:1; bigrams: (a,b):3 (b,a):1 (b,c):1
+    val docs = Seq(
+      (1L, "a b a b"), // lp = ln(3/3), ln(1/3), ln(3/3) -> avg = ln(1/3)/3
+      (2L, "a b c"),   // lp = ln(3/3), ln(1/3)          -> avg = ln(1/3)/2
+      (3L, null.asInstanceOf[String])) // dropped: no text
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLmScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    assert(got.toSeq === Seq(
+      (1L, 3L, r4(math.log(1.0 / 3) / 3)),
+      (2L, 2L, r4(math.log(1.0 / 3) / 2))))
+  }
+
   test("chunk spans cover every token with exact overlap arithmetic") {
     import spark.implicits._
     val docs = Seq(
