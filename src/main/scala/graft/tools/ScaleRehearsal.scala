@@ -154,5 +154,22 @@ object ScaleRehearsal {
       Similarity.bruteForceTopK(
         emb.filter(col("vec_id") < 8), emb, 5).count()
     }
+    // word-gram kernel family: explode-heavy ops whose cost is corpus
+    // tokens (d08's benchmark side stays the UNREPLICATED 10% — the
+    // realistic shape: eval suites do not grow with the training corpus)
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 === 0)
+    time(s"d08 decontamination x$k train vs 1x benchmark") {
+      TextAnalysis.contaminatedDocs(docs, bench, 5).count()
+    }
+    time(s"d09 span coverage x$k") {
+      Dedup.duplicatedSpanCoverage(docs, 8).count()
+    }
+    time(s"t09 repetition stats x$k") {
+      TextAnalysis.repetitionStats(docs, 2).count()
+    }
+    time(s"t13 bigram-LM score x$k") {
+      TextAnalysis.bigramLmScore(docs).count()
+    }
   }
 }
