@@ -54,12 +54,23 @@ object StreamQueries {
       .orderBy(col("purchase_id"))
   }
 
+  /** st06 — content keep-first dedup over the documents table (the
+    * streaming ingest-dedup's batch leg): one row per distinct normalized
+    * content, min doc_id kept, copies counted. The DuckDB oracle groups by
+    * the normalized TEXT; the Spark side groups by its 64-bit fingerprint
+    * (equal exactly when the normalized text is equal — spec-asserted). */
+  def st06ContentDedup(spark: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams
+      .contentKeepFirst(Tables.documents(spark, d))
+      .orderBy(col("keep_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st01_hourly_agg" -> (st01HourlyAgg _),
     "st02_user_sessions" -> (st02UserSessions _),
     "st03_dedup_counts" -> (st03DedupCounts _),
     "st04_attribution" -> (st04Attribution _),
-    "st05_asof_join" -> (st05AsofJoin _))
+    "st05_asof_join" -> (st05AsofJoin _),
+    "st06_content_dedup" -> (st06ContentDedup _))
 
   val oracle: Map[String, String] = Map(
     "st01_hourly_agg" ->
@@ -107,5 +118,10 @@ object StreamQueries {
         |      ROWS UNBOUNDED PRECEDING) AS view_id
         |  FROM u)
         |SELECT event_id AS purchase_id, view_id
-        |FROM w WHERE isv = 0 ORDER BY 1""".stripMargin)
+        |FROM w WHERE isv = 0 ORDER BY 1""".stripMargin,
+    "st06_content_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*)::BIGINT AS n_copies
+        |FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY keep_id""".stripMargin)
 }

@@ -110,6 +110,52 @@ object EventStreams {
       .start()
   }
 
+  /** Content keep-first dedup over a documents table: one row per distinct
+    * normalized content (64-bit [[graft.pipeline.TextAnalysis.fingerprint]]
+    * key — 8-byte group keys instead of full texts at shuffle time; the
+    * fingerprint collides exactly when the normalized text collides,
+    * spec-asserted), keeping the MINIMUM doc_id and the copy count. The
+    * canonical "dedup the crawl before training" stage as one map-side-
+    * partial aggregation. */
+  def contentKeepFirst(docs: DataFrame): DataFrame =
+    docs.withColumn("fp",
+        graft.pipeline.TextAnalysis.fingerprint(col("text")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Streaming leg of [[contentKeepFirst]]: FIRST ARRIVAL wins
+    * (`dropDuplicates` keyed on the content fingerprint — 8 bytes of state
+    * per distinct document ever seen). When arrival order follows doc_id —
+    * as in an append-only ingest log — the kept set equals the batch
+    * min-doc_id survivors, which is what the spec asserts. Production note:
+    * bound the state with `dropDuplicatesWithinWatermark` when a document
+    * can only recur within a bounded ingest window. */
+  def contentDedupStream(docs: DataFrame): DataFrame =
+    docs.withColumn("fp",
+        graft.pipeline.TextAnalysis.fingerprint(col("text")))
+      .dropDuplicates("fp")
+      .select(col("doc_id"))
+
+  /** Run [[contentDedupStream]] over the documents parquet as a real
+    * streaming query draining to a memory sink (append mode: each kept
+    * doc_id is emitted exactly once, on first sight). */
+  def runContentDedupStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    val batchDf = Tables.documents(spark, sfDir)
+    val docs = spark.readStream
+      .schema(batchDf.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    contentDedupStream(docs)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   private[graft] def rawEventStream(spark: SparkSession,
       sfDir: String): DataFrame = {
     val batchDf = Tables.events(spark, sfDir)

@@ -40,6 +40,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming content dedup keeps exactly the batch keep-first set") {
+    val q = EventStreams.runContentDedupStream(spark, sfTiny, "cdedup_smoke")
+    try q.processAllAvailable() finally q.stop()
+    // single-file source => arrival order == doc_id order, so first-arrival
+    // survivors must equal the batch min-doc_id survivors
+    val streamed = spark.sql(
+      "SELECT doc_id FROM cdedup_smoke ORDER BY doc_id").collect()
+      .map(_.getLong(0)).toSeq
+    val batch = EventStreams.contentKeepFirst(Tables.documents(spark, sfTiny))
+      .orderBy(col("keep_id")).collect().map(_.getLong(0)).toSeq
+    assert(streamed === batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session counts: every user's sessions <= events, >= 1") {
     import spark.implicits._
     val rows = EventStreams.userSessions(Tables.eventsWithTs(spark, sfTiny))
