@@ -295,6 +295,52 @@ object Dedup {
       .join(covered, Seq(idCol))
   }
 
+  /** End-to-end dedup keep-list — the full "dedup the crawl" pipeline as
+    * one composed operator: exact layer (group on the normalized-content
+    * fingerprint, min id is the representative) → MinHash+LSH near-dup
+    * pairs among REPRESENTATIVES only → connected components → every doc
+    * labeled with the minimum id of its merged (exact ∪ near-dup)
+    * component. Returns (doc_id, keep_id, is_kept); training keeps the
+    * `is_kept` rows.
+    *
+    * Running the near-dup layer on representatives is the standard skew
+    * guard: a corpus with k exact copies of one page would otherwise put
+    * all k in the same LSH bucket and emit k²/2 candidate pairs — the
+    * exact layer collapses them to one row BEFORE banding, so duplicate-
+    * heavy crawls cannot square the candidate count. Exact copies share
+    * their representative's component by construction, and component
+    * minima over representatives ARE global minima (each representative is
+    * already its exact-group minimum), so the rep-level contraction loses
+    * nothing.
+    *
+    * Scale: one fingerprint aggregation + the [[minhashDedup]] band join on
+    * the (much smaller) representative set + [[connectedComponents]] on
+    * the pair list + two broadcast-size joins back. */
+  def dedupKeepList(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
+      rowsPerBand: Int = 2, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val withFp = docs.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("fp"))
+    val reps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as("rep_id"))
+    val docRep = withFp.join(reps, "fp").select(col(idCol), col("rep_id"))
+    val repDocs = docs.join(
+      docRep.filter(col(idCol) === col("rep_id")).select(col(idCol)),
+      Seq(idCol), "left_semi")
+    val pairs = minhashDedup(repDocs, n, numHashes, rowsPerBand, threshold,
+      idCol, textCol)
+    val clusters = connectedComponents(
+      pairs.select(col("id_a"), col("id_b")))
+    // representatives untouched by any near-dup pair stay their own cluster
+    val repCluster = docRep.select(col("rep_id")).distinct()
+      .join(clusters.withColumnRenamed("id", "rep_id"), Seq("rep_id"),
+        "left_outer")
+      .select(col("rep_id"),
+        coalesce(col("cluster_id"), col("rep_id")).as("keep_id"))
+    docRep.join(repCluster, "rep_id")
+      .select(col(idCol), col("keep_id"),
+        (col(idCol) === col("keep_id")).as("is_kept"))
+  }
+
   /** Connected components over an undirected near-dup pair list — turns any
     * pair generator ([[jaccardPairs]], [[minhashDedup]], [[simhashPairs]],
     * [[embeddingNearDupPairs]]) into canonical dedup clusters: every doc is

@@ -235,6 +235,18 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** d10 — end-to-end dedup keep-list over the full documents table:
+    * exact layer → MinHash+LSH among representatives → components → every
+    * doc labeled (keep_id, is_kept). Oracle: recursive min-label closure
+    * over (exact-norm-equality ∪ brute jaccard ≥ 0.8) edges. */
+  def d10KeepList(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    // doc_id < 300: the d03/d04/d07 scope — the ORACLE is a brute-force
+    // all-pairs closure and must stay affordable in DuckDB
+    Dedup.dedupKeepList(Tables.documents(spark, d).filter($"doc_id" < 300))
+      .orderBy($"doc_id")
+  }
+
   /** t10 — PII scan + redaction audit per source: email/phone/IPv4 match
     * counts and how many docs a redaction pass would rewrite. (This corpus
     * contains no PII — the oracle checks the zeros exactly; the pattern
@@ -325,6 +337,7 @@ object PipelineQueries {
     "d07_dedup_clusters" -> (d07DedupClusters _),
     "d08_decontamination" -> (d08Decontamination _),
     "d09_span_coverage" -> (d09SpanCoverage _),
+    "d10_keep_list" -> (d10KeepList _),
     "t09_repetition" -> (t09Repetition _),
     "t10_pii_stats" -> (t10PiiStats _),
     "t11_tfidf_topk" -> (t11TfidfTopk _),
@@ -434,6 +447,31 @@ object PipelineQueries {
         |  JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d10_keep_list" ->
+      // (exact-norm ∪ brute jaccard ≥ 0.8) edges, recursive min-label
+      // closure, every doc labeled; d07's closure pattern + an exact layer
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+        |    list_distinct([substring(lower(text), i, 3)
+        |                   for i in generate_series(1, length(text) - 2)]) AS grams
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE a.norm = b.norm
+        |     OR len(list_intersect(a.grams, b.grams))::DOUBLE
+        |        / nullif(len(list_distinct(list_concat(a.grams, b.grams))), 0)
+        |        >= 0.8),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS id, doc_id AS r FROM documents WHERE doc_id < 300
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e
+        |  JOIN reach ON e.d = reach.id)
+        |SELECT id AS doc_id, MIN(r) AS keep_id, id = MIN(r) AS is_kept
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     "d08_decontamination" ->
       """WITH t AS (
         |  SELECT doc_id,

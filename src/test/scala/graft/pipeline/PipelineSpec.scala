@@ -468,6 +468,25 @@ class PipelineSpec extends SparkSpec {
     assert(!top.exists { case (_, rnk, tok) => tok == "common" && rnk == 1L })
   }
 
+  test("dedup keep-list: exact copies collapse, near-dup chains merge") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and runs far away"
+    val docs = Seq(
+      (1L, base),
+      (2L, base),                 // exact copy
+      (3L, "  " + base + "  "),   // exact after trim-normalization
+      (4L, base + " xx"),         // near-dup (char-3-gram jaccard ~0.95)
+      (5L, "completely different content about spark catalyst engines"),
+      (6L, ""),                   // empty texts: exact group, no grams --
+      (7L, "")                    // must merge via the exact layer only
+    ).toDF("doc_id", "text")
+    val r = Dedup.dedupKeepList(docs).orderBy("doc_id").collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
+    assert(r === Seq((1L, 1L, true), (2L, 1L, false), (3L, 1L, false),
+      (4L, 1L, false), (5L, 5L, true), (6L, 6L, true), (7L, 6L, false)))
+  }
+
   test("bigram-LM score: hand-computed MLE log probs, fold-order exact") {
     import spark.implicits._
     // uni: a:3 b:3 c:1; bigrams: (a,b):3 (b,a):1 (b,c):1
