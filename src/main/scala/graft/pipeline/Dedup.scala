@@ -307,25 +307,38 @@ object Dedup {
     * guard: a corpus with k exact copies of one page would otherwise put
     * all k in the same LSH bucket and emit k²/2 candidate pairs — the
     * exact layer collapses them to one row BEFORE banding, so duplicate-
-    * heavy crawls cannot square the candidate count. Exact copies share
-    * their representative's component by construction, and component
-    * minima over representatives ARE global minima (each representative is
-    * already its exact-group minimum), so the rep-level contraction loses
-    * nothing.
+    * heavy crawls cannot square the candidate count. The contraction is
+    * LOSSLESS because the near-dup layer grams the same NORMALIZED text
+    * the exact layer fingerprints: every exact-group member has the
+    * identical gram set as its representative, so any near-dup edge a
+    * member would have contributed exists at the representative too; and
+    * component minima over representatives ARE global minima (each
+    * representative is already its exact-group minimum).
     *
-    * Scale: one fingerprint aggregation + the [[minhashDedup]] band join on
+    * Null-text docs are EXCLUDED (no content to compare; SQL norm-equality
+    * treats NULL as unequal to everything, so including them would make
+    * "exact" engine-dependent) — callers route them separately.
+    *
+    * Scale: one fingerprint window + the [[minhashDedup]] band join on
     * the (much smaller) representative set + [[connectedComponents]] on
-    * the pair list + two broadcast-size joins back. */
+    * the pair list + one join back over the cached doc→rep map. */
   def dedupKeepList(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
       rowsPerBand: Int = 2, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val withFp = docs.select(col(idCol),
-      TextAnalysis.fingerprint(col(textCol)).as("fp"))
-    val reps = withFp.groupBy(col("fp")).agg(min(col(idCol)).as("rep_id"))
-    val docRep = withFp.join(reps, "fp").select(col(idCol), col("rep_id"))
-    val repDocs = docs.join(
-      docRep.filter(col(idCol) === col("rep_id")).select(col(idCol)),
-      Seq(idCol), "left_semi")
+    import org.apache.spark.sql.expressions.Window
+    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
+    // one pass: rep = min id over the exact (fingerprint) group; cached —
+    // read three times below (rep filter, rep-cluster spine, final join)
+    val docRep = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), norm.as("_norm"),
+        TextAnalysis.fingerprint(col(textCol)).as("fp"))
+      .withColumn("rep_id",
+        min(col(idCol)).over(Window.partitionBy(col("fp"))))
+      .cache()
+    // near-dup layer over representatives, gramming the NORMALIZED text
+    // (losslessness of the contraction depends on it — see above)
+    val repDocs = docRep.filter(col(idCol) === col("rep_id"))
+      .select(col(idCol), col("_norm").as(textCol))
     val pairs = minhashDedup(repDocs, n, numHashes, rowsPerBand, threshold,
       idCol, textCol)
     val clusters = connectedComponents(

@@ -177,6 +177,8 @@ object TextAnalysis {
     val benchGrams = benchmark
       .select(explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
       .distinct()
+      // pinned: read twice (the size probe, then the join's build side)
+      .localCheckpoint(true)
     val probe = math.min(broadcastGramLimit, Int.MaxValue - 1L).toInt
     val benchSide =
       if (broadcastGramLimit > 0 &&
@@ -301,6 +303,7 @@ object TextAnalysis {
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .cache() // read twice: the bigram-count build and the probe side
     val bcnt = bgx.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
     val scored = bgx.join(bcnt, "gram").join(uni, "w1")
       .select(col(idCol), col("pos"),

@@ -448,14 +448,16 @@ object PipelineQueries {
         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "d10_keep_list" ->
-      // (exact-norm ∪ brute jaccard ≥ 0.8) edges, recursive min-label
-      // closure, every doc labeled; d07's closure pattern + an exact layer
+      // (exact-norm ∪ brute jaccard ≥ 0.8 on NORMALIZED-text grams) edges,
+      // recursive min-label closure, every non-null-text doc labeled;
+      // d07's closure pattern + an exact layer. Gramming the normalized
+      // text mirrors the Spark side's lossless representative contraction.
       """WITH RECURSIVE g AS (
         |  SELECT doc_id,
         |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
-        |    list_distinct([substring(lower(text), i, 3)
-        |                   for i in generate_series(1, length(text) - 2)]) AS grams
-        |  FROM documents WHERE doc_id < 300),
+        |    list_distinct([substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 3)
+        |                   for i in generate_series(1, length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2)]) AS grams
+        |  FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
@@ -466,7 +468,8 @@ object PipelineQueries {
         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
         |          UNION SELECT id_b, id_a FROM pairs),
         |reach AS (
-        |  SELECT doc_id AS id, doc_id AS r FROM documents WHERE doc_id < 300
+        |  SELECT doc_id AS id, doc_id AS r FROM documents
+        |  WHERE doc_id < 300 AND text IS NOT NULL
         |  UNION
         |  SELECT e.s AS id, reach.r AS r FROM edges e
         |  JOIN reach ON e.d = reach.id)

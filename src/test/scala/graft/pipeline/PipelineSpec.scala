@@ -479,7 +479,8 @@ class PipelineSpec extends SparkSpec {
       (4L, base + " xx"),         // near-dup (char-3-gram jaccard ~0.95)
       (5L, "completely different content about spark catalyst engines"),
       (6L, ""),                   // empty texts: exact group, no grams --
-      (7L, "")                    // must merge via the exact layer only
+      (7L, ""),                   // must merge via the exact layer only
+      (8L, null.asInstanceOf[String]) // null text: excluded by contract
     ).toDF("doc_id", "text")
     val r = Dedup.dedupKeepList(docs).orderBy("doc_id").collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2))).toSeq
