@@ -295,6 +295,44 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q16 — the training-data funnel: per source, how many TRAIN-split docs
+    * survive each successive filter of a real pretraining pipeline —
+    * English → quality ≥ 0.5 → not repetitive (top 2-gram ≤ 20%) → exact-
+    * dup keeper (min doc_id per normalized content) → not benchmark-
+    * contaminated. Pure composition of the t02/t03/t09/d01/d08 operators;
+    * all counts integer-exact. */
+  def q16PipelineFunnel(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val all = Tables.documents(spark, d)
+    val docs = all.filter($"doc_id" % 10 =!= 0)
+    val bench = all.filter($"doc_id" % 10 === 0)
+    val contam = TextAnalysis.contaminatedDocs(docs, bench, 5)
+      .withColumn("contaminated", lit(true))
+    val rep = TextAnalysis.repetitionStats(docs, 2)
+    val base = docs
+      .withColumn("toks", TextAnalysis.tokens($"text"))
+      .withColumn("lang", TextAnalysis.langIdOf($"toks"))
+      .withColumn("q", TextAnalysis.qualityScoreOf($"toks", $"text"))
+      .withColumn("keeper", $"doc_id" === min($"doc_id").over(
+        Window.partitionBy(regexp_replace(lower(trim($"text")), "\\s+", " "))))
+      .join(rep, Seq("doc_id"))
+      .join(contam, Seq("doc_id"), "left_outer")
+    val en = $"lang" === "en"
+    val qual = en && $"q" >= 0.5
+    val clean = qual && !($"top_gram" * 10 > $"n_grams" * 2)
+    val keep = clean && $"keeper"
+    val fin = keep && $"contaminated".isNull
+    base.groupBy($"source").agg(
+        count(lit(1)).as("n_docs"),
+        count(when(en, 1)).as("n_en"),
+        count(when(qual, 1)).as("n_quality"),
+        count(when(clean, 1)).as("n_clean"),
+        count(when(keep, 1)).as("n_keep"),
+        count(when(fin, 1)).as("n_final"))
+      .orderBy($"source")
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -338,6 +376,7 @@ object PipelineQueries {
     "d08_decontamination" -> (d08Decontamination _),
     "d09_span_coverage" -> (d09SpanCoverage _),
     "d10_keep_list" -> (d10KeepList _),
+    "q16_pipeline_funnel" -> (q16PipelineFunnel _),
     "t09_repetition" -> (t09Repetition _),
     "t10_pii_stats" -> (t10PiiStats _),
     "t11_tfidf_topk" -> (t11TfidfTopk _),
@@ -475,6 +514,80 @@ object PipelineQueries {
         |  JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS keep_id, id = MIN(r) AS is_kept
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q16_pipeline_funnel" ->
+      // composition of the t03 (lang), t02 (quality), t09 (repetition),
+      // d01 (exact keeper), d08 (contamination) oracle fragments into one
+      // per-source funnel over the train split
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |lang AS (
+        |  SELECT doc_id, CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+        |    WHEN fr = greatest(de, en, es, fr) THEN 'fr'
+        |    WHEN es = greatest(de, en, es, fr) THEN 'es'
+        |    WHEN en = greatest(de, en, es, fr) THEN 'en'
+        |    ELSE 'de' END AS pred
+        |  FROM (
+        |    SELECT doc_id,
+        |      len(list_filter(toks, x -> list_contains(['der','die','und','das',
+        |        'ist','von','mit','den','nicht','ein'], x))) AS de,
+        |      len(list_filter(toks, x -> list_contains(['the','and','of','to',
+        |        'in','is','that','it','was','for'], x))) AS en,
+        |      len(list_filter(toks, x -> list_contains(['el','la','de','que',
+        |        'y','en','un','los','se','del'], x))) AS es,
+        |      len(list_filter(toks, x -> list_contains(['le','la','les','de',
+        |        'et','un','une','des','est','dans'], x))) AS fr
+        |    FROM d) s),
+        |qual AS (
+        |  SELECT doc_id, least(1.0,
+        |    (n_stop / n_tok * 2.0 + (1.0 -
+        |       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)) / 2.0
+        |      * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE 0.5 END))
+        |    AS q
+        |  FROM (
+        |    SELECT doc_id, len(toks)::DOUBLE AS n_tok,
+        |      len(list_filter(toks, x -> list_contains(['the','a','an','of',
+        |        'and','or','to','in','is','on','for','with'], x)))::DOUBLE
+        |        AS n_stop,
+        |      len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS n_punct,
+        |      length(text)::DOUBLE AS n_chars
+        |    FROM d) s),
+        |rep AS (
+        |  SELECT doc_id, SUM(occ)::BIGINT AS n_grams, MAX(occ)::BIGINT AS top_gram
+        |  FROM (SELECT doc_id, gram, COUNT(*) AS occ FROM (
+        |          SELECT doc_id, unnest([array_to_string(toks[i:i+1], ' ')
+        |            for i in generate_series(1, len(toks) - 1)]) AS gram FROM d) g
+        |        GROUP BY doc_id, gram) c
+        |  GROUP BY doc_id),
+        |keeper AS (
+        |  SELECT doc_id, doc_id = MIN(doc_id) OVER (PARTITION BY norm) AS kp
+        |  FROM d),
+        |tg AS (
+        |  SELECT doc_id, unnest(list_distinct([array_to_string(toks[i:i+4], ' ')
+        |    for i in generate_series(1, len(toks) - 4)])) AS gram
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents) t),
+        |contam AS (
+        |  SELECT DISTINCT tg.doc_id FROM tg
+        |  JOIN (SELECT DISTINCT gram FROM tg WHERE doc_id % 10 = 0) b USING (gram)
+        |  WHERE tg.doc_id % 10 <> 0),
+        |f AS (
+        |  SELECT d.source, lang.pred = 'en' AS en, qual.q >= 0.5 AS ql,
+        |    NOT (COALESCE(rep.top_gram, 0) * 10 > COALESCE(rep.n_grams, 0) * 2)
+        |      AS cl,
+        |    keeper.kp AS kp, contam.doc_id IS NULL AS nc
+        |  FROM d JOIN lang USING (doc_id) JOIN qual USING (doc_id)
+        |  LEFT JOIN rep USING (doc_id) JOIN keeper USING (doc_id)
+        |  LEFT JOIN contam USING (doc_id))
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE en) AS n_en,
+        |  COUNT(*) FILTER (WHERE en AND ql) AS n_quality,
+        |  COUNT(*) FILTER (WHERE en AND ql AND cl) AS n_clean,
+        |  COUNT(*) FILTER (WHERE en AND ql AND cl AND kp) AS n_keep,
+        |  COUNT(*) FILTER (WHERE en AND ql AND cl AND kp AND nc) AS n_final
+        |FROM f GROUP BY source ORDER BY source""".stripMargin,
     "d08_decontamination" ->
       """WITH t AS (
         |  SELECT doc_id,

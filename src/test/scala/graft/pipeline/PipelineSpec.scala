@@ -468,6 +468,18 @@ class PipelineSpec extends SparkSpec {
     assert(!top.exists { case (_, rnk, tok) => tok == "common" && rnk == 1L })
   }
 
+  test("pipeline funnel: counts are monotone down the filter chain") {
+    val rows = graft.queries.PipelineQueries
+      .q16PipelineFunnel(spark, sfTiny).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = Seq("n_docs", "n_en", "n_quality", "n_clean", "n_keep",
+        "n_final").map(r.getAs[Long])
+      assert(c.zip(c.tail).forall { case (a, b) => a >= b },
+        s"funnel not monotone: $c")
+    }
+  }
+
   test("dedup keep-list: exact copies collapse, near-dup chains merge") {
     import graft.pipeline.Dedup
     import spark.implicits._
