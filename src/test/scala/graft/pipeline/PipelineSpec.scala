@@ -468,6 +468,26 @@ class PipelineSpec extends SparkSpec {
     assert(!top.exists { case (_, rnk, tok) => tok == "common" && rnk == 1L })
   }
 
+  test("keep-list skew guard: 1000 exact copies collapse before banding") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    // a duplicate-heavy crawl: 1000 byte-identical copies + 3 distinct
+    // docs; the exact layer must collapse the copies to ONE representative
+    // before LSH, so the near-dup layer bands 4 docs, not 1003
+    val copy = "the same page scraped a thousand times over and over again"
+    val docs = ((0L until 1000L).map(i => (i, copy)) ++ Seq(
+      (2000L, "an unrelated document about entirely different things"),
+      (2001L, "another distinct page with its own words and content"),
+      (2002L, copy + " tail"))).toDF("doc_id", "text")
+    val r = Dedup.dedupKeepList(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getBoolean(2)))
+    assert(r.length === 1003)
+    // every copy (and the near-dup tail variant) collapses to keeper 0
+    assert(r.filter(_._1 < 1000).forall(_._2 == 0L))
+    assert(r.count(_._3) === 3) // 0, 2000, 2001 survive
+    assert(r.find(_._1 == 2002L).get._2 === 0L)
+  }
+
   test("pipeline funnel: counts are monotone down the filter chain") {
     val rows = graft.queries.PipelineQueries
       .q16PipelineFunnel(spark, sfTiny).collect()

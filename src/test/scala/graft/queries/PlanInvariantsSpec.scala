@@ -62,6 +62,15 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(plan("q05_semi_join_active_suppliers").contains("LeftSemi"))
   }
 
+  test("decontamination broadcasts the benchmark gram set under the guard") {
+    // at this SF the distinct benchmark gram set is far inside the
+    // limit-probe bound, so the train side must be filtered by a broadcast
+    // semi-join — the corpus never shuffles
+    val p = plan("d08_decontamination")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftSemi"),
+      s"d08 lost its broadcast semi-join shape:\n$p")
+  }
+
   test("path expander broadcasts the frontier only under the size guard") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
