@@ -21,6 +21,16 @@ object Dedup {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Spread a frame to the cluster's parallelism when its scan is narrower
+    * (a single-row-group parquet otherwise runs the per-row gram/signature
+    * kernels on one core). No-op at real scale where the scan has plenty of
+    * splits — the guarded repartition only pays when the input is tiny.
+    * Same idiom as Similarity.bruteForceTopK's corpus spread. */
+  private def spread(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
+
   /** Exact dedup: keep the smallest id per normalized text. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame =
@@ -82,7 +92,7 @@ object Dedup {
     * its most frequent gram. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val g = docs.select(col(idCol).as("id"),
+    val g = spread(docs).select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
       .cache()
     val postings = g.select(col("id"), size(col("grams")).as("n_grams"),
@@ -146,7 +156,7 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val numBands = numHashes / rowsPerBand
-    val g = docs.select(col(idCol).as("id"),
+    val g = spread(docs).select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
       // sub-n docs have empty gram sets -> identical sentinel signatures;
       // banding them would candidate-pair every such doc with every other
