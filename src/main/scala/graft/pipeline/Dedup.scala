@@ -156,12 +156,18 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val numBands = numHashes / rowsPerBand
-    val g = spread(docs).select(col(idCol).as("id"),
+    // sub-n docs have empty gram sets -> identical sentinel signatures;
+    // banding them would candidate-pair every such doc with every other
+    // (quadratic). They can never reach a positive jaccard, so drop now.
+    // The filter is on length, not size(grams): grams are empty exactly
+    // when the text is shorter than n, and a size(grams) predicate gets
+    // pushed below the spread-repartition where it evaluates the n-gram
+    // kernel on the narrow scan AND recomputes it after the shuffle —
+    // doubling the most expensive per-row step. length() is pushable and
+    // nearly free.
+    val g = spread(docs.filter(length(col(textCol)) >= n))
+      .select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
-      // sub-n docs have empty gram sets -> identical sentinel signatures;
-      // banding them would candidate-pair every such doc with every other
-      // (quadratic). They can never reach a positive jaccard, so drop now.
-      .filter(size(col("grams")) > 0)
       // fused native kernel: one xxhash per gram + all permutation minima
       // in a local array (the lambda formulation interprets numHashes
       // passes over the gram array; kept as the spec's cross-check oracle)
