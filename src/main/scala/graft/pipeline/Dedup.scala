@@ -21,15 +21,9 @@ object Dedup {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
-  /** Spread a frame to the cluster's parallelism when its scan is narrower
-    * (a single-row-group parquet otherwise runs the per-row gram/signature
-    * kernels on one core). No-op at real scale where the scan has plenty of
-    * splits — the guarded repartition only pays when the input is tiny.
-    * Same idiom as Similarity.bruteForceTopK's corpus spread. */
-  private def spread(df: DataFrame): DataFrame = {
-    val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
-  }
+  /** Spread a narrow scan to the cluster's parallelism before the per-row
+    * gram/signature kernels — see [[graft.util.Spread]] for the guards. */
+  private def spread(df: DataFrame): DataFrame = graft.util.Spread(df)
 
   /** Exact dedup: keep the smallest id per normalized text. */
   def exactDedup(docs: DataFrame, idCol: String = "doc_id",

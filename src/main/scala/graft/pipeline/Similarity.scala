@@ -48,11 +48,9 @@ object Similarity {
       col(vecCol).cast("array<double>").as("nvec"))
     // the big side never shuffles, so its parallelism is the SCAN's — a
     // single-row-group parquet file would run the whole O(|Q|·|N|) cosine
-    // loop on one core. Spread it only when the scan is narrower than the
-    // cluster (at real scale the scan has plenty of splits and this is a
-    // no-op; the guarded repartition only pays when the input is tiny).
-    val cores = corpus.sparkSession.sparkContext.defaultParallelism
-    val c = if (c0.rdd.getNumPartitions < cores) c0.repartition(cores) else c0
+    // loop on one core. Guarded spread (see util.Spread): no-op at real
+    // scale where the scan has plenty of splits.
+    val c = graft.util.Spread(c0)
     val scored = c.crossJoin(broadcast(q))
       .filter(col("qid") =!= col("nid"))
       .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
