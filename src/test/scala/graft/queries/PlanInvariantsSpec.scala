@@ -71,6 +71,18 @@ class PlanInvariantsSpec extends SparkSpec {
       s"d08 lost its broadcast semi-join shape:\n$p")
   }
 
+  test("minhash gram kernel never runs inside a filter or the scan") {
+    // the sub-n drop must be a pushable length() predicate: a size(grams)
+    // filter gets pushed below the spread repartition, evaluating the
+    // n-gram kernel on the narrow scan side and AGAIN after the shuffle —
+    // doubling the most expensive per-row step (and serializing one copy)
+    val p = plan("d04_minhash_lsh")
+    p.linesIterator.filter(_.contains("graft_char_ngrams")).foreach { l =>
+      assert(!l.contains("Filter ") && !l.contains("FileScan"),
+        s"n-gram kernel evaluated in a filter/scan node:\n$l")
+    }
+  }
+
   test("path expander broadcasts the frontier only under the size guard") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
