@@ -2,7 +2,10 @@ package graft
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // default to the machine's cores (the driver contract is local[32] on a
+    // 32-cpu VM); the env var stays as an override for local iteration
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     // tmpfs local dir, nanos-as-long, shuffle partitions = cores: the
     // shared builder carries the session-level fixes (see util.Sessions)
     val spark = graft.util.Sessions.local(cpus)

@@ -5,7 +5,9 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    // default to the machine's cores (matches Bench; env var = local override)
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt)
+      .getOrElse(Runtime.getRuntime.availableProcessors())
     val spark = graft.util.Sessions.local(cpus, utc = true)
     new java.io.File(outDir).mkdirs()
     // optional comma-separated query filter for local iteration
