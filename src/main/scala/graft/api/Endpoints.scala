@@ -277,7 +277,11 @@ final class Endpoints(spark: SparkSession, store: GraphStore,
         val g = new CodeGraph(spark, projName, Some(store))
         val sources = GitHistory.readSources(p)
           .filterNot(s => ignore.getOrElse(Nil).exists(s.path.startsWith))
-        graft.ingest.Ingestor.ingest(g, sources)
+        // analyzer dependency pass (F9): dotnet-restore side effect + pip/
+        // Maven dependency sources, idempotent against the walk above
+        graft.ingest.Ingestor.ingest(g, sources ++
+          graft.ingest.DependencyExpansion.expandAll(
+            java.nio.file.Paths.get(p), sources))
         g.checkpointNow(); g.save()
         resp(200, "status" -> "success", "project" -> projName)
     }
@@ -303,7 +307,7 @@ final class Endpoints(spark: SparkSession, store: GraphStore,
         // the parent (tmpdir!), and a separator smuggles subpaths in
         val name = u.stripSuffix("/").split('/').last
         if (name.isEmpty || name == "." || name == ".." ||
-            name.contains('\\') || name.contains(' '))
+            name.contains('\\') || name.contains('\u0000'))
           return err(s"invalid url: $u")
         val reposRoot = java.nio.file.Paths.get(
           sys.props("java.io.tmpdir"), "graft-repositories")

@@ -5,7 +5,7 @@ import java.nio.file.{Files, Path => JPath, Paths => JPaths}
 import org.apache.spark.sql.SparkSession
 
 import graft.graph.{CodeGraph, GraphOp, GraphQueries, GraphStore, Paths}
-import graft.ingest.Ingestor
+import graft.ingest.{DependencyExpansion, Ingestor}
 
 import scala.jdk.CollectionConverters._
 
@@ -82,7 +82,9 @@ object GitHistory {
   def analyzeRepo(spark: SparkSession, store: GraphStore, repoDir: String,
       repoName: String): CodeGraph = {
     val g = new CodeGraph(spark, repoName, Some(store))
-    Ingestor.ingest(g, readSources(repoDir))
+    val sources = readSources(repoDir)
+    Ingestor.ingest(g, sources ++ DependencyExpansion.expandAll(
+      JPaths.get(repoDir), sources))
     g.checkpointNow()
     g.save()
     store.setInfo(repoName, Map("commit" -> GitCli.headCommit(repoDir).hash))

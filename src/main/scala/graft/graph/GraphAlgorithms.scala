@@ -58,10 +58,9 @@ object GraphAlgorithms {
     // `broadcastEdgeLimit` rows — ~16 B each hashed — fall back to the
     // shuffled semi-join; lower it on memory-constrained drivers)
     val closing = oriented.select(col("lo"), col("hi"))
-    val probe = math.min(broadcastEdgeLimit, Int.MaxValue - 1L).toInt
     val closingSide =
-      if (broadcastEdgeLimit > 0 &&
-          oriented.limit(probe + 1).count() <= probe) broadcast(closing)
+      if (graft.util.LimitProbe.atMost(oriented, broadcastEdgeLimit))
+        broadcast(closing)
       else closing
     wedges.join(closingSide, Seq("lo", "hi"), "left_semi")
       .agg(count(lit(1)).as("n_triangles"))

@@ -145,6 +145,19 @@ object DependencyExpansion {
     * `m2Repo` (default `~/.m2/repository`) — the reference unzips these
     * next to the repo; we read entries straight from the jar. Returns
     * (jarPath, entryName, source) rows ready for the JSONL/Java frontend. */
+  /** The analyzers' whole dependency pass, as the ingest entry points run
+    * it: `dotnet restore` for its NuGet-cache side effect (C# leg), then
+    * pip site-packages + Maven sources-jar files, deduped by path against
+    * the repo sources already read (a non-ignored `venv/` walk will have
+    * picked the pip files up itself — expansion must stay idempotent). */
+  def expandAll(repoRoot: Path,
+      already: Seq[Ingestor.SourceFile]): Seq[Ingestor.SourceFile] = {
+    dotnetRestore(repoRoot)
+    val seen = already.map(_.path).toSet
+    (sourceFiles(repoRoot) ++ mavenSourceFiles(repoRoot))
+      .filterNot(s => seen(s.path))
+  }
+
   def mavenSourceFiles(repoRoot: Path,
       m2Repo: Option[Path] = None): Seq[Ingestor.SourceFile] = {
     val repo = m2Repo.getOrElse(

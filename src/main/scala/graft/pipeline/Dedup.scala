@@ -86,6 +86,12 @@ object Dedup {
     * its most frequent gram. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // cache(), deliberately NOT localCheckpoint: the gram arrays are read
+    // three times below (postings + both verify joins) and deserializing
+    // checkpoint blocks per read measurably loses to the in-memory cache;
+    // CacheManager plan-matching also lets a same-session clustering pass
+    // (d07's components over the same pair spec) reuse this work. The entry
+    // is MEMORY_AND_DISK and LRU-evicted under pressure, not a hard pin.
     val g = spread(docs).select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
       .cache()
@@ -154,12 +160,13 @@ object Dedup {
     // banding them would candidate-pair every such doc with every other
     // (quadratic). They can never reach a positive jaccard, so drop now.
     // The filter is on length, not size(grams): grams are empty exactly
-    // when the text is shorter than n, and a size(grams) predicate gets
-    // pushed below the spread-repartition where it evaluates the n-gram
-    // kernel on the narrow scan AND recomputes it after the shuffle —
-    // doubling the most expensive per-row step. length() is pushable and
-    // nearly free.
-    val g = spread(docs.filter(length(col(textCol)) >= n))
+    // when the LOWERED text is shorter than n (lowercasing can change
+    // codepoint count, e.g. U+0130 — same latent the t07 oracle pins), and
+    // a size(grams) predicate gets pushed below the spread-repartition
+    // where it evaluates the n-gram kernel on the narrow scan AND
+    // recomputes it after the shuffle — doubling the most expensive
+    // per-row step. length(lower()) is nearly free.
+    val g = spread(docs.filter(length(lower(col(textCol))) >= n))
       .select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
       // fused native kernel: one xxhash per gram + all permutation minima
@@ -167,7 +174,9 @@ object Dedup {
       // passes over the gram array; kept as the spec's cross-check oracle)
       .withColumn("sig",
         graft.functions.MinHashSignature.minhashSig(col("grams"), numHashes))
-      .cache()
+      // read by the banding pass and both verify joins; GC-reclaimed
+      // checkpoint blocks instead of a session-pinned cache entry
+      .localCheckpoint(true)
     val banded = g.select(col("id"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64(lit(b) +: (0 until rowsPerBand)
@@ -331,20 +340,20 @@ object Dedup {
     *
     * Scale: one fingerprint window + the [[minhashDedup]] band join on
     * the (much smaller) representative set + [[connectedComponents]] on
-    * the pair list + one join back over the cached doc→rep map. */
+    * the pair list + one join back over the pinned doc→rep map. */
   def dedupKeepList(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
       rowsPerBand: Int = 2, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val norm = regexp_replace(lower(trim(col(textCol))), "\\s+", " ")
-    // one pass: rep = min id over the exact (fingerprint) group; cached —
+    val norm = normText(col(textCol))
+    // one pass: rep = min id over the exact (fingerprint) group; pinned —
     // read three times below (rep filter, rep-cluster spine, final join)
     val docRep = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), norm.as("_norm"),
         TextAnalysis.fingerprint(col(textCol)).as("fp"))
       .withColumn("rep_id",
         min(col(idCol)).over(Window.partitionBy(col("fp"))))
-      .cache()
+      .localCheckpoint(true)
     // near-dup layer over representatives, gramming the NORMALIZED text
     // (losslessness of the contraction depends on it — see above)
     val repDocs = docRep.filter(col(idCol) === col("rep_id"))
@@ -403,8 +412,7 @@ object Dedup {
     // canonical (larger u, smaller v) edges
     var e = pairs.select(greatest(a, b).as("u"), least(a, b).as("v"))
       .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
-    if (localLimit > 0 &&
-        e.limit(localLimit.toInt + 1).count() <= localLimit)
+    if (graft.util.LimitProbe.atMost(e, localLimit))
       return withSelf(connectedComponentsLocal(e))
     var fingerprint: (Long, Any) = (-1L, null)
     var it = 0
@@ -500,8 +508,7 @@ object Dedup {
       col(vecCol).cast("array<double>").as("vec"))
     // limit-probe, not count(): stops scanning after broadcastLimit+1 rows,
     // so the guard costs O(limit) even on a 100 TB corpus
-    val small =
-      v.limit(broadcastLimit.toInt + 1).count() <= broadcastLimit
+    val small = graft.util.LimitProbe.atMost(v, broadcastLimit)
     if (small) embeddingNearDupPairsBroadcast(v, threshold)
     else embeddingNearDupPairsBucketed(emb, threshold, idCol = idCol,
       vecCol = vecCol)

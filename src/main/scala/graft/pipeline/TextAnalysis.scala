@@ -179,10 +179,9 @@ object TextAnalysis {
       .distinct()
       // pinned: read twice (the size probe, then the join's build side)
       .localCheckpoint(true)
-    val probe = math.min(broadcastGramLimit, Int.MaxValue - 1L).toInt
     val benchSide =
-      if (broadcastGramLimit > 0 &&
-          benchGrams.limit(probe + 1).count() <= probe) broadcast(benchGrams)
+      if (graft.util.LimitProbe.atMost(benchGrams, broadcastGramLimit))
+        broadcast(benchGrams)
       else benchGrams
     trainGrams.join(benchSide, Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
@@ -303,7 +302,9 @@ object TextAnalysis {
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gram"))
       .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .cache() // read twice: the bigram-count build and the probe side
+      // read twice (bigram-count build + probe side); GC-reclaimed
+      // checkpoint blocks instead of a session-pinned cache entry
+      .localCheckpoint(true)
     val bcnt = bgx.groupBy(col("gram")).agg(count(lit(1)).as("cb"))
     val scored = bgx.join(bcnt, "gram").join(uni, "w1")
       .select(col(idCol), col("pos"),

@@ -315,7 +315,7 @@ object PipelineQueries {
       .withColumn("lang", TextAnalysis.langIdOf($"toks"))
       .withColumn("q", TextAnalysis.qualityScoreOf($"toks", $"text"))
       .withColumn("keeper", $"doc_id" === min($"doc_id").over(
-        Window.partitionBy(regexp_replace(lower(trim($"text")), "\\s+", " "))))
+        Window.partitionBy(Dedup.normText($"text"))))
       .join(rep, Seq("doc_id"))
       .join(contam, Seq("doc_id"), "left_outer")
     val en = $"lang" === "en"
@@ -395,11 +395,15 @@ object PipelineQueries {
     "s03_ivf_kmeans" -> (s03IvfKmeans _))
 
   private val jaccardOracle =
+    // gram count is bounded by the LOWERED length (lowercasing can change
+    // codepoint count, e.g. U+0130) — same convention as the Spark kernel
+    // and the t07 oracle
     """WITH g AS (
       |  SELECT doc_id,
-      |    list_distinct([substring(lower(text), i, 3)
-      |                   for i in generate_series(1, length(text) - 2)]) AS grams
-      |  FROM documents WHERE doc_id < 300)
+      |    list_distinct([substring(t, i, 3)
+      |                   for i in generate_series(1, length(t) - 2)]) AS grams
+      |  FROM (SELECT doc_id, lower(text) AS t
+      |        FROM documents WHERE doc_id < 300))
       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
       |  len(list_intersect(a.grams, b.grams))::DOUBLE
       |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jac

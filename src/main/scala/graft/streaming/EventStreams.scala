@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.util.Tables
 
@@ -124,18 +124,32 @@ object EventStreams {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
-  /** Streaming leg of [[contentKeepFirst]]: FIRST ARRIVAL wins
-    * (`dropDuplicates` keyed on the content fingerprint — 8 bytes of state
-    * per distinct document ever seen). When arrival order follows doc_id —
-    * as in an append-only ingest log — the kept set equals the batch
-    * min-doc_id survivors, which is what the spec asserts. Production note:
-    * bound the state with `dropDuplicatesWithinWatermark` when a document
-    * can only recur within a bounded ingest window. */
-  def contentDedupStream(docs: DataFrame): DataFrame =
-    docs.withColumn("fp",
-        graft.pipeline.TextAnalysis.fingerprint(col("text")))
-      .dropDuplicates("fp")
-      .select(col("doc_id"))
+  /** Streaming leg of [[contentKeepFirst]]: earliest BATCH wins, ties
+    * within a batch broken by min doc_id — `flatMapGroupsWithState` keyed
+    * on the content fingerprint (one boolean of state per distinct document
+    * ever seen). A plain `dropDuplicates` would keep whichever duplicate
+    * the shuffle fetched first when one micro-batch spans several input
+    * splits — nondeterministic at scale; taking the batch-min restores a
+    * deterministic contract, and for a single AvailableNow batch it equals
+    * [[contentKeepFirst]]'s min-doc_id survivors exactly. Production note:
+    * swap NoTimeout for a processing-time timeout when a document can only
+    * recur within a bounded ingest window, to bound the state store. */
+  def contentDedupStream(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(
+        graft.pipeline.TextAnalysis.fingerprint(col("text")).as("fp"),
+        col("doc_id"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Boolean, Long](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.map(_._2).min) }
+      }
+      .toDF("doc_id")
+  }
 
   /** Run [[contentDedupStream]] over the documents parquet as a real
     * streaming query draining to a memory sink (append mode: each kept

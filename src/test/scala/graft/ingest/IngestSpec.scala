@@ -129,6 +129,22 @@ class IngestSpec extends SparkSpec {
     assert(GraphQueries.getByName(g.graph, "Function", "fb").count() === 1)
   }
 
+  test("expandAll dedupes against sources the repo walk already read") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("dep_all")
+    Files.writeString(root.resolve("requirements.txt"), "alpha\n")
+    val sp = root.resolve("venv/lib/python3.11/site-packages")
+    Files.createDirectories(sp.resolve("alpha"))
+    Files.writeString(sp.resolve("alpha/a.py"), "def fa():\n    pass\n")
+    val already = Seq(Ingestor.SourceFile(
+      "venv/lib/python3.11/site-packages/alpha/a.py", "def fa():\n    pass\n"))
+    // a non-ignored venv walk picked the file up: expansion adds nothing
+    assert(DependencyExpansion.expandAll(root, already) === Seq.empty)
+    // an ignored venv walk did not: expansion restores the declared dep
+    assert(DependencyExpansion.expandAll(root, Seq.empty).map(_.path) ===
+      Seq("venv/lib/python3.11/site-packages/alpha/a.py"))
+  }
+
   test("maven dependency expansion reads .java entries from sources jars") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("dep_mvn")

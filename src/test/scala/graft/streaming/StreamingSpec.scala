@@ -54,6 +54,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("content dedup stream is deterministic under adversarial arrival order") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = EventStreams.contentDedupStream(in.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("cdedup_order").start()
+    try {
+      // duplicates arrive HIGHEST doc_id first within the batch: a
+      // fetch-order dropDuplicates would keep 30; the contract is min
+      in.addData((30L, "same text"), (20L, "same text"),
+        (10L, "same text"), (5L, "other"))
+      q.processAllAvailable()
+      // a later batch re-sending the content emits nothing, even with a
+      // smaller doc_id — earliest BATCH wins, min doc_id within it
+      in.addData((1L, "same text"), (2L, "third"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val kept = spark.sql("SELECT doc_id FROM cdedup_order ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(2L, 5L, 10L))
+  }
+
   test("session counts: every user's sessions <= events, >= 1") {
     import spark.implicits._
     val rows = EventStreams.userSessions(Tables.eventsWithTs(spark, sfTiny))
