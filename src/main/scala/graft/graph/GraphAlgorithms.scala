@@ -84,12 +84,13 @@ object GraphAlgorithms {
     * absent from the sums (no in-links: rank = the base constant after
     * iteration 1) is folded into the contribution join as the outer-join
     * default, so the full node list is joined exactly once at the end, not
-    * once per iteration. Lineage is cut every 3 iterations; a measured
-    * caveat: `localCheckpoint` drops outputPartitioning (the scan comes
-    * back as an ExistingRDD with unknown distribution), so the edge side
-    * re-shuffles per checkpoint block — pre-repartitioning it buys nothing
-    * and is deliberately absent. Headroom: n_nodes × scale × 17 must stay
-    * below 2⁶³ — at 10¹² nodes drop `scale` to 10⁵. */
+    * once per iteration. Lineage is cut every 3 iterations. The edge side
+    * is repartition(src)+cache()d — NOT localCheckpoint'ed, which drops
+    * outputPartitioning (the scan comes back as an ExistingRDD with
+    * unknown distribution) and would re-shuffle the edge table under every
+    * iteration's join; the cache keeps the hash distribution visible so
+    * only the sparse rank side moves. Headroom: n_nodes × scale × 17 must
+    * stay below 2⁶³ — at 10¹² nodes drop `scale` to 10⁵. */
   def pageRankFixed(edges: DataFrame, iters: Int = 10,
       scale: Long = 1000000L, srcCol: String = "src",
       dstCol: String = "dst"): DataFrame = {
@@ -99,11 +100,16 @@ object GraphAlgorithms {
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct().localCheckpoint(true)
-    // pinned with the per-source degree fused in: the per-iteration
-    // contribution join reads it as-is
+    // pinned with the per-source degree fused in, PRE-PARTITIONED on src:
+    // cache() (not localCheckpoint) keeps the outputPartitioning visible to
+    // Catalyst, so the per-iteration contribution join shuffles only the
+    // sparse rank side — the edge table shuffles once here, not once per
+    // iteration. Safe to unpersist before returning: the last iteration's
+    // sums are eagerly checkpointed, so no returned plan reads it.
     val eDeg = e.join(
         e.groupBy(col("src")).agg(count(lit(1)).as("odeg")), "src")
-      .localCheckpoint(true)
+      .repartition(col("src"))
+      .cache()
     val base = scale * 3 / 20 // (1 - d) mass per node, d = 17/20
     // rank_{k-1} as an expression over the sparse sums (null ⇒ no in-links)
     val rankOfSum = lit(base) +
@@ -120,6 +126,7 @@ object GraphAlgorithms {
         .groupBy(col("id")).agg(sum(col("c")).as("s"))
       if (i % 3 == 0 || i == iters) summed = summed.localCheckpoint(true)
     }
+    eDeg.unpersist()
     if (summed == null) nodes.withColumn("rank", lit(scale))
     else nodes.join(summed, Seq("id"), "left_outer")
       .select(col("id"), rankOfSum.as("rank"))
