@@ -45,8 +45,15 @@ object PythonFrontend extends LanguageFrontend {
           case -1 => 0
           case n => n
         }
-        line match {
-          case DefRe(ws, name) if line.trim.startsWith("def ") =>
+        // `async def` declares the same entity as `def` (name, scope and
+        // body indent are unchanged); normalizing here keeps it out of the
+        // content-line arm, which would both miss the Function entity and
+        // record the signature as a spurious call ref
+        val decl =
+          if (trimmed.startsWith("async def ")) line.replaceFirst("async\\s+", "")
+          else line
+        decl match {
+          case DefRe(ws, name) if decl.trim.startsWith("def ") =>
             closeScopesDownTo(ws.length, i)
             val parent = if (scopes.isEmpty) -1 else scopes.top._2
             entities += EntityDecl("Function", name, i.toLong, i.toLong, "", parent)

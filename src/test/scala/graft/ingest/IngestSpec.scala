@@ -44,6 +44,26 @@ class IngestSpec extends SparkSpec {
     assert(calls.sorted === Seq("log", "print", "print"))
   }
 
+  test("async def declares a Function entity, not a spurious call ref") {
+    val src = Seq(
+      /* 0 */ "class Worker:",
+      /* 1 */ "    async def run(self, q):",
+      /* 2 */ "        await log(q)",
+      /* 3 */ "",
+      /* 4 */ "async def main():",
+      /* 5 */ "    pass"
+    ).mkString("\n")
+    val fx = PythonFrontend.extract("w.py", src)
+    val byName = fx.entities.map(e => e.name -> e).toMap
+    assert(byName.keySet === Set("Worker", "run", "main"))
+    assert(byName("run").label === "Function" && byName("run").srcStart === 1)
+    assert(byName("run").parentIdx === fx.entities.indexWhere(_.name == "Worker"))
+    assert(byName("main").srcStart === 4)
+    // the only call ref is log(q) from run — the signatures contribute none
+    assert(fx.refs.filter(_.kind == "call").map(r => (r.name, r.fromIdx)) ===
+      Seq(("log", fx.entities.indexWhere(_.name == "run"))))
+  }
+
   test("golden: ingested graph answers function_called_by(print) == {__init__, log}") {
     val g = ingestFixture()
     val callers = GraphQueries.functionCalledBy(g.graph, "print")
