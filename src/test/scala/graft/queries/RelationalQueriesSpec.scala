@@ -6,9 +6,7 @@ import org.apache.spark.sql.functions._
 class RelationalQueriesSpec extends SparkSpec {
 
   test("every query runs at sf0.001 and has a matching oracle entry") {
-    // q13 is sketch-based (hash-dependent): rows-only check + bounds below
-    assert(RelationalQueries.oracle.keySet ==
-      RelationalQueries.queries.keySet - "q13_sketch_stats")
+    assert(RelationalQueries.oracle.keySet == RelationalQueries.queries.keySet)
     RelationalQueries.queries.foreach { case (name, fn) =>
       val df = fn(spark, sfTiny)
       assert(df.columns.nonEmpty, s"$name has no columns")
@@ -19,19 +17,28 @@ class RelationalQueriesSpec extends SparkSpec {
   test("q13 sketches stay within error bounds of the exact answers") {
     import graft.util.Tables
     val li = Tables.lineitem(spark, sfTiny)
-    val exact = li.agg(
+    // tighter bounds than the gate flags: sketch vs exact, recomputed here
+    val r = li.agg(
+      approx_count_distinct(col("l_partkey")).as("apx_parts"),
+      approx_count_distinct(col("l_suppkey")).as("apx_supps"),
+      expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("apx_median"),
       countDistinct(col("l_partkey")).as("parts"),
       countDistinct(col("l_suppkey")).as("supps"),
       expr("percentile(l_extendedprice, 0.5)").as("median")).head()
-    val apx = RelationalQueries.q13SketchStats(spark, sfTiny).head()
     def relErr(a: Double, e: Double): Double = math.abs(a - e) / e
     // approx_count_distinct default rsd = 5%; allow 3 sigma
-    assert(relErr(apx.getAs[Long]("apx_parts").toDouble,
-      exact.getAs[Long]("parts").toDouble) < 0.15)
-    assert(relErr(apx.getAs[Long]("apx_suppliers").toDouble,
-      exact.getAs[Long]("supps").toDouble) < 0.15)
-    assert(relErr(apx.getAs[Double]("apx_median_price"),
-      exact.getAs[Double]("median")) < 0.05)
+    assert(relErr(r.getAs[Long]("apx_parts").toDouble,
+      r.getAs[Long]("parts").toDouble) < 0.15)
+    assert(relErr(r.getAs[Long]("apx_supps").toDouble,
+      r.getAs[Long]("supps").toDouble) < 0.15)
+    assert(relErr(r.getAs[Double]("apx_median"),
+      r.getAs[Double]("median")) < 0.05)
+    // and the gate row itself: exact counts + all four in-bounds flags
+    val gate = RelationalQueries.q13SketchStats(spark, sfTiny).head()
+    assert(gate.getAs[Long]("n_parts") === r.getAs[Long]("parts"))
+    assert(gate.getAs[Long]("n_suppliers") === r.getAs[Long]("supps"))
+    Seq("parts_ok", "suppliers_ok", "median_ok", "p99_ok")
+      .foreach(f => assert(gate.getAs[Long](f) === 1L, f))
   }
 
   test("q01 groups to the 6 flag/status combinations") {
