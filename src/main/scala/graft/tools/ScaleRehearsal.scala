@@ -171,5 +171,11 @@ object ScaleRehearsal {
     time(s"t13 bigram-LM score x$k") {
       TextAnalysis.bigramLmScore(docs).count()
     }
+    // adversarial near-dup density: every original doc gains k-1 suffix-
+    // perturbed variants, so near-dup clusters of size ~k stress the band
+    // join's candidate generation and the component contraction at once
+    time(s"d10 end-to-end keep-list x$k") {
+      Dedup.dedupKeepList(docs).filter(col("is_kept")).count()
+    }
   }
 }

@@ -17,7 +17,8 @@ class PlanInvariantsSpec extends SparkSpec {
   private val bnljAllowed = Set(
     "q08_range_join", // interval join: broadcast range join by design
     "s01_topk_cosine", "s02_ivf_topk", "s03_ivf_kmeans", // tiny query side
-    "t11_tfidf_topk") // 1-row corpus-count broadcast into every score row
+    "t11_tfidf_topk", // 1-row corpus-count broadcast into every score row
+    "q13_sketch_stats") // 1-row sketch aggregate broadcast vs the scan
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfTiny)
