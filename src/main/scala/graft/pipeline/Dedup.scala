@@ -146,29 +146,77 @@ object Dedup {
     }: _*)
   }
 
-  /** MinHash + LSH banding: candidate pairs that agree on at least one band
-    * of `rowsPerBand` consecutive signature entries. The band bucket join is
-    * the scale path: shuffle on (band, bucketHash) only.
+  /** MinHash + LSH banding over CHARACTER n-gram shingles: candidate pairs
+    * that agree on at least one band of `rowsPerBand` consecutive signature
+    * entries. The band bucket join is the scale path: shuffle on
+    * (band, bucketHash) only. Returns candidates verified with exact
+    * Jaccard >= threshold.
     *
-    * Returns candidates verified with exact Jaccard >= threshold. */
+    * SHINGLE-CHOICE WARNING (measured, not theoretical): char-3 shingles
+    * over short same-language text have a tiny shingle universe, so
+    * UNRELATED docs share grams at background Jaccard ~0.3–0.5. The LSH
+    * S-curve midpoint is (1/numBands)^(1/rowsPerBand) — with 64 bands × 2
+    * rows that is 0.125, far below any real threshold, and the band join
+    * admits essentially every pair (measured: 12.3M candidates from 4992
+    * docs — all-pairs). Char shingles with b·r tuned to the threshold
+    * still inherit the background similarity floor. At corpus scale use
+    * [[minhashDedupWords]]: word shingles have a combinatorial universe,
+    * background Jaccard ~0, and the candidate set collapses to the true
+    * near-dup set. This char form is kept for bounded scopes (the d04
+    * oracle subset) where exact recovery of the char-3 pair semantics is
+    * the contract. */
   def minhashDedup(docs: DataFrame, n: Int, numHashes: Int, rowsPerBand: Int,
       threshold: Double, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
-    val numBands = numHashes / rowsPerBand
-    // sub-n docs have empty gram sets -> identical sentinel signatures;
-    // banding them would candidate-pair every such doc with every other
-    // (quadratic). They can never reach a positive jaccard, so drop now.
-    // The filter is on length, not size(grams): grams are empty exactly
-    // when the LOWERED text is shorter than n (lowercasing can change
-    // codepoint count, e.g. U+0130 — same latent the t07 oracle pins), and
-    // a size(grams) predicate gets pushed below the spread-repartition
-    // where it evaluates the n-gram kernel on the narrow scan AND
-    // recomputes it after the shuffle — doubling the most expensive
-    // per-row step. length(lower()) is nearly free.
-    val g = spread(docs.filter(length(lower(col(textCol))) >= n))
+    // sub-n docs have empty gram sets; they can never reach a positive
+    // jaccard, so drop now. The filter is on length, not size(grams):
+    // grams are empty exactly when the LOWERED text is shorter than n
+    // (lowercasing can change codepoint count, e.g. U+0130 — same latent
+    // the t07 oracle pins), and a size(grams) predicate gets pushed below
+    // the spread-repartition where it evaluates the n-gram kernel on the
+    // narrow scan AND recomputes it after the shuffle — doubling the most
+    // expensive per-row step. length(lower()) is nearly free.
+    val prepared = spread(docs.filter(length(lower(col(textCol))) >= n))
       .select(col(idCol).as("id"),
         ngrams(lower(col(textCol)), n).as("grams"))
+    minhashBandVerify(prepared, numHashes, rowsPerBand, threshold)
+  }
+
+  /** MinHash + LSH banding over WORD w-gram shingles — the corpus-scale
+    * near-dup shape (RefinedWeb / SlimPajama style: word shingles at
+    * threshold ~0.8). Word shingles draw from a combinatorial universe
+    * (vocab^w), so unrelated docs overlap at Jaccard ~0, and the band
+    * join's candidate set ≈ the true near-dup set instead of degenerating
+    * toward all-pairs the way short char shingles do (see [[minhashDedup]]).
+    *
+    * Banding picks the recall/candidate trade via the S-curve midpoint
+    * (1/numBands)^(1/rowsPerBand): with background Jaccard ~0 a LOW
+    * midpoint is affordable, buying near-perfect recall at the threshold —
+    * 128 hashes as 32 bands × 4 rows puts the midpoint at 0.42, recall at
+    * J=0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8, and sub-threshold pairs only become
+    * candidates from J≈0.2 up (vanishingly rare under a ~0 background).
+    * Candidates are exact-verified with word-gram Jaccard, so banding
+    * affects recall only, never precision. */
+  def minhashDedupWords(docs: DataFrame, w: Int, numHashes: Int,
+      rowsPerBand: Int, threshold: Double, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // w tokens need at least w single-char words + (w-1) separators; the
+    // cheap length pre-filter drops most sub-w docs before the kernel, and
+    // minhashBandVerify's post-checkpoint empty-gram filter catches the
+    // rest (long docs with < w tokens)
+    val prepared = spread(docs.filter(length(col(textCol)) >= 2 * w - 1))
+      .select(col(idCol).as("id"),
+        TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
+          .as("grams"))
+    minhashBandVerify(prepared, numHashes, rowsPerBand, threshold)
+  }
+
+  /** Shared band/verify core over a prepared (id, grams) frame. */
+  private def minhashBandVerify(prepared: DataFrame, numHashes: Int,
+      rowsPerBand: Int, threshold: Double): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val numBands = numHashes / rowsPerBand
+    val g = prepared
       // fused native kernel: one xxhash per gram + all permutation minima
       // in a local array (the lambda formulation interprets numHashes
       // passes over the gram array; kept as the spec's cross-check oracle)
@@ -177,6 +225,12 @@ object Dedup {
       // read by the banding pass and both verify joins; GC-reclaimed
       // checkpoint blocks instead of a session-pinned cache entry
       .localCheckpoint(true)
+      // empty shingle sets band on identical sentinel signatures and would
+      // candidate-pair quadratically among themselves; they can never reach
+      // a positive jaccard. Filtered AFTER the checkpoint so size() reads
+      // the stored array — a pre-kernel filter would be pushed below the
+      // spread repartition and evaluate the gram kernel twice.
+      .filter(size(col("grams")) > 0)
     val banded = g.select(col("id"),
       posexplode(array((0 until numBands).map { b =>
         xxhash64(lit(b) +: (0 until rowsPerBand)
@@ -317,19 +371,22 @@ object Dedup {
   /** End-to-end dedup keep-list — the full "dedup the crawl" pipeline as
     * one composed operator: exact layer (group on the normalized-content
     * fingerprint, min id is the representative) → MinHash+LSH near-dup
-    * pairs among REPRESENTATIVES only → connected components → every doc
-    * labeled with the minimum id of its merged (exact ∪ near-dup)
-    * component. Returns (doc_id, keep_id, is_kept); training keeps the
-    * `is_kept` rows.
+    * pairs among REPRESENTATIVES only, over WORD `n`-gram shingles of the
+    * normalized text (the RefinedWeb/SlimPajama shape — char shingles
+    * degenerate to all-pairs at corpus scale, see [[minhashDedup]]'s
+    * shingle-choice warning) → connected components → every doc labeled
+    * with the minimum id of its merged (exact ∪ near-dup) component.
+    * Returns (doc_id, keep_id, is_kept); training keeps the `is_kept`
+    * rows.
     *
     * Running the near-dup layer on representatives is the standard skew
     * guard: a corpus with k exact copies of one page would otherwise put
     * all k in the same LSH bucket and emit k²/2 candidate pairs — the
     * exact layer collapses them to one row BEFORE banding, so duplicate-
     * heavy crawls cannot square the candidate count. The contraction is
-    * LOSSLESS because the near-dup layer grams the same NORMALIZED text
+    * LOSSLESS because the near-dup layer shingles the same NORMALIZED text
     * the exact layer fingerprints: every exact-group member has the
-    * identical gram set as its representative, so any near-dup edge a
+    * identical shingle set as its representative, so any near-dup edge a
     * member would have contributed exists at the representative too; and
     * component minima over representatives ARE global minima (each
     * representative is already its exact-group minimum).
@@ -338,11 +395,11 @@ object Dedup {
     * treats NULL as unequal to everything, so including them would make
     * "exact" engine-dependent) — callers route them separately.
     *
-    * Scale: one fingerprint window + the [[minhashDedup]] band join on
-    * the (much smaller) representative set + [[connectedComponents]] on
+    * Scale: one fingerprint window + the [[minhashDedupWords]] band join
+    * on the (much smaller) representative set + [[connectedComponents]] on
     * the pair list + one join back over the pinned doc→rep map. */
-  def dedupKeepList(docs: DataFrame, n: Int = 3, numHashes: Int = 128,
-      rowsPerBand: Int = 2, threshold: Double = 0.8,
+  def dedupKeepList(docs: DataFrame, n: Int = 5, numHashes: Int = 128,
+      rowsPerBand: Int = 4, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val norm = normText(col(textCol))
@@ -354,12 +411,12 @@ object Dedup {
       .withColumn("rep_id",
         min(col(idCol)).over(Window.partitionBy(col("fp"))))
       .localCheckpoint(true)
-    // near-dup layer over representatives, gramming the NORMALIZED text
+    // near-dup layer over representatives, shingling the NORMALIZED text
     // (losslessness of the contraction depends on it — see above)
     val repDocs = docRep.filter(col(idCol) === col("rep_id"))
       .select(col(idCol), col("_norm").as(textCol))
-    val pairs = minhashDedup(repDocs, n, numHashes, rowsPerBand, threshold,
-      idCol, textCol)
+    val pairs = minhashDedupWords(repDocs, n, numHashes, rowsPerBand,
+      threshold, idCol, textCol)
     val clusters = connectedComponents(
       pairs.select(col("id_a"), col("id_b")))
     // representatives untouched by any near-dup pair stay their own cluster

@@ -235,15 +235,15 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
-  /** d10 — end-to-end dedup keep-list over the full documents table:
-    * exact layer → MinHash+LSH among representatives → components → every
-    * doc labeled (keep_id, is_kept). Oracle: recursive min-label closure
-    * over (exact-norm-equality ∪ brute jaccard ≥ 0.8) edges. */
+  /** d10 — end-to-end dedup keep-list over the FULL documents table:
+    * exact layer → word-5-shingle MinHash+LSH among representatives →
+    * components → every doc labeled (keep_id, is_kept). Oracle: recursive
+    * min-label closure over (exact-norm-equality ∪ brute word-5-gram
+    * jaccard ≥ 0.8) edges — brute all-pairs is affordable in DuckDB at the
+    * oracle SF; the Spark side must reproduce it via the banded path. */
   def d10KeepList(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    // doc_id < 300: the d03/d04/d07 scope — the ORACLE is a brute-force
-    // all-pairs closure and must stay affordable in DuckDB
-    Dedup.dedupKeepList(Tables.documents(spark, d).filter($"doc_id" < 300))
+    Dedup.dedupKeepList(Tables.documents(spark, d))
       .orderBy($"doc_id")
   }
 
@@ -491,16 +491,23 @@ object PipelineQueries {
         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
     "d10_keep_list" ->
-      // (exact-norm ∪ brute jaccard ≥ 0.8 on NORMALIZED-text grams) edges,
-      // recursive min-label closure, every non-null-text doc labeled;
-      // d07's closure pattern + an exact layer. Gramming the normalized
-      // text mirrors the Spark side's lossless representative contraction.
-      """WITH RECURSIVE g AS (
+      // (exact-norm ∪ brute word-5-shingle jaccard ≥ 0.8 on the
+      // NORMALIZED text) edges, recursive min-label closure, every
+      // non-null-text doc labeled; d07's closure pattern + an exact
+      // layer. Word shingles of the normalized text mirror the Spark
+      // side's lossless representative contraction; sub-5-token docs get
+      // an empty shingle list (NULL-safe jaccard → no near-dup edges)
+      // and merge through norm equality only, matching the Spark side's
+      // empty-shingle exclusion from banding.
+      """WITH RECURSIVE nrm AS (
         |  SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
-        |    list_distinct([substring(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), i, 3)
-        |                   for i in generate_series(1, length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) - 2)]) AS grams
-        |  FROM documents WHERE doc_id < 300 AND text IS NOT NULL),
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, norm,
+        |    list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                   for i in generate_series(1, len(toks) - 4)]) AS grams
+        |  FROM (SELECT doc_id, norm, string_split(norm, ' ') AS toks FROM nrm)),
         |pairs AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM g a JOIN g b ON a.doc_id < b.doc_id
@@ -512,7 +519,7 @@ object PipelineQueries {
         |          UNION SELECT id_b, id_a FROM pairs),
         |reach AS (
         |  SELECT doc_id AS id, doc_id AS r FROM documents
-        |  WHERE doc_id < 300 AND text IS NOT NULL
+        |  WHERE text IS NOT NULL
         |  UNION
         |  SELECT e.s AS id, reach.r AS r FROM edges e
         |  JOIN reach ON e.d = reach.id)

@@ -508,7 +508,7 @@ class PipelineSpec extends SparkSpec {
       (1L, base),
       (2L, base),                 // exact copy
       (3L, "  " + base + "  "),   // exact after trim-normalization
-      (4L, base + " xx"),         // near-dup (char-3-gram jaccard ~0.95)
+      (4L, base + " xx"),         // near-dup (word-5-shingle jaccard 0.9)
       (5L, "completely different content about spark catalyst engines"),
       (6L, ""),                   // empty texts: exact group, no grams --
       (7L, ""),                   // must merge via the exact layer only
