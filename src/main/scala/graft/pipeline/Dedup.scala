@@ -85,16 +85,39 @@ object Dedup {
     * equi-joins — survives 100 TB where the plain inverted index dies on
     * its most frequent gram. */
   def jaccardPairs(docs: DataFrame, n: Int, threshold: Double,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    prefixFilteredPairs(
+      spread(docs).select(col(idCol).as("id"),
+        ngrams(lower(col(textCol)), n).as("grams")),
+      threshold)
+
+  /** Exact word w-gram Jaccard pairs — [[jaccardPairs]] with word shingles.
+    *
+    * The prefix filter's effectiveness depends on rare shingles being
+    * RARE: with char-3 shingles over short same-language text every gram
+    * has high document frequency and the filter admits ~all pairs
+    * (measured 11.6M candidates from 4992 docs — see [[minhashDedup]]'s
+    * shingle-choice warning). Word shingles draw from vocab^w, prefixes
+    * are genuinely selective, and the inverted index stays the lossless
+    * sub-quadratic path at corpus scale. */
+  def jaccardPairsWords(docs: DataFrame, w: Int, threshold: Double,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    prefixFilteredPairs(
+      spread(docs).select(col(idCol).as("id"),
+        TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
+          .as("grams")),
+      threshold)
+
+  /** Bayardo prefix-filtered inverted-index core over (id, grams). */
+  private def prefixFilteredPairs(prepared: DataFrame,
+      threshold: Double): DataFrame = {
     // cache(), deliberately NOT localCheckpoint: the gram arrays are read
     // three times below (postings + both verify joins) and deserializing
     // checkpoint blocks per read measurably loses to the in-memory cache;
     // CacheManager plan-matching also lets a same-session clustering pass
     // (d07's components over the same pair spec) reuse this work. The entry
     // is MEMORY_AND_DISK and LRU-evicted under pressure, not a hard pin.
-    val g = spread(docs).select(col(idCol).as("id"),
-        ngrams(lower(col(textCol)), n).as("grams"))
-      .cache()
+    val g = prepared.cache()
     val postings = g.select(col("id"), size(col("grams")).as("n_grams"),
       explode(col("grams")).as("gram"))
     val freq = postings.groupBy(col("gram")).agg(count(lit(1)).as("df"))

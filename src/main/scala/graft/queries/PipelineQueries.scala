@@ -247,6 +247,17 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** d11 — EXACT word-5-shingle Jaccard pairs over the FULL documents
+    * table via the Bayardo prefix-filtered inverted index: the
+    * corpus-scale exact companion to d10's banded LSH path (no recall
+    * caveat — the prefix filter is lossless for the threshold, and word
+    * shingles keep it selective; see the shingle-choice scaladoc). */
+  def d11JaccardWords(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.jaccardPairsWords(Tables.documents(spark, d), 5, 0.8)
+      .orderBy($"id_a", $"id_b")
+  }
+
   /** t10 — PII scan + redaction audit per source: email/phone/IPv4 match
     * counts and how many docs a redaction pass would rewrite. (This corpus
     * contains no PII — the oracle checks the zeros exactly; the pattern
@@ -376,6 +387,7 @@ object PipelineQueries {
     "d08_decontamination" -> (d08Decontamination _),
     "d09_span_coverage" -> (d09SpanCoverage _),
     "d10_keep_list" -> (d10KeepList _),
+    "d11_jaccard_words" -> (d11JaccardWords _),
     "q16_pipeline_funnel" -> (q16PipelineFunnel _),
     "t09_repetition" -> (t09Repetition _),
     "t10_pii_stats" -> (t10PiiStats _),
@@ -525,6 +537,25 @@ object PipelineQueries {
         |  JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS keep_id, id = MIN(r) AS is_kept
         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    "d11_jaccard_words" ->
+      // brute all-pairs word-5-shingle jaccard over the full table —
+      // affordable in DuckDB at the oracle SF; the Spark side must
+      // reproduce it through the prefix-filtered inverted index. Token
+      // split mirrors TextAnalysis.tokens (lower+trim, split on \s+).
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                   for i in generate_series(1, len(toks) - 4)]) AS grams
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents WHERE text IS NOT NULL))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jac
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q16_pipeline_funnel" ->
       // composition of the t03 (lang), t02 (quality), t09 (repetition),
       // d01 (exact keeper), d08 (contamination) oracle fragments into one

@@ -177,5 +177,10 @@ object ScaleRehearsal {
     time(s"d10 end-to-end keep-list x$k") {
       Dedup.dedupKeepList(docs).filter(col("is_kept")).count()
     }
+    // the exact companion: same adversarial density through the
+    // prefix-filtered inverted index instead of banded LSH
+    time(s"d11 exact word-jaccard pairs x$k") {
+      Dedup.jaccardPairsWords(docs, 5, 0.8).count()
+    }
   }
 }

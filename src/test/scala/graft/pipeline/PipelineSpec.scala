@@ -520,6 +520,22 @@ class PipelineSpec extends SparkSpec {
       (4L, 1L, false), (5L, 5L, true), (6L, 6L, true), (7L, 6L, false)))
   }
 
+  test("word-shingle jaccard pairs: golden pair set, sub-w docs excluded") {
+    import graft.pipeline.Dedup
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base),               // 10 tokens -> 6 distinct 5-shingles
+      (2L, base + " tail"),     // 7 shingles; J = 6/7 ~ 0.857 >= 0.8
+      (3L, "totally different words one two three four five six seven"),
+      (4L, "short doc"),        // < 5 tokens: no shingles, never paired
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Dedup.jaccardPairsWords(docs, 5, 0.8).orderBy("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 6.0 / 7.0)))
+  }
+
   test("bigram-LM score: hand-computed MLE log probs, fold-order exact") {
     import spark.implicits._
     // uni: a:3 b:3 c:1; bigrams: (a,b):3 (b,a):1 (b,c):1
