@@ -187,6 +187,44 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
   }
 
+  /** Bloom-prefiltered decontamination — [[contaminatedDocs]] semantics
+    * behind a constant-size broadcast. Past the exact-broadcast guard the
+    * benchmark gram set costs a full shuffle of every training gram; a
+    * Bloom sketch over it is O(n·log(1/fpp)) BITS (~1.2 GB per 10⁹ grams
+    * at fpp 1e-2) and ships to every executor once. Bloom membership has
+    * no false negatives, so the map-side prefilter drops ~(1−fpp) of
+    * clean training grams BEFORE the shuffle while never losing a
+    * contaminated one; the surviving sliver (true hits + fpp noise) is
+    * exact-verified by the same semi-join, so the result is identical to
+    * [[contaminatedDocs]] — the sketch shrinks the shuffle, never the
+    * answer. Same shape Spark's runtime bloom-join pruning injects;
+    * explicit here so the sketch is reusable across pipeline runs and its
+    * size/fpp are policy, not planner heuristics.
+    *
+    * The membership probe is a Scala UDF (Spark's codegen'd
+    * BloomFilterMightContain is not public API): one xxhash+bit-test per
+    * gram, negligible next to the gram explode feeding it. */
+  def contaminatedDocsBloom(train: DataFrame, benchmark: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      fpp: Double = 0.01): DataFrame = {
+    val spark = train.sparkSession
+    val trainGrams = train.select(col(idCol),
+      explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
+    val benchGrams = benchmark
+      .select(explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
+      .distinct()
+      // pinned: read three times (cardinality count, sketch build, verify)
+      .localCheckpoint(true)
+    // size the sketch bits to the measured cardinality, not a guess
+    val bloom = benchGrams.stat.bloomFilter("gram",
+      math.max(benchGrams.count(), 1L), fpp)
+    val bc = spark.sparkContext.broadcast(bloom)
+    val mightContain = udf((g: String) => g != null && bc.value.mightContain(g))
+    trainGrams.filter(mightContain(col("gram")))
+      .join(benchGrams, Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** PII patterns (emails, North-American phone numbers, IPv4 addresses) —
     * deliberately restricted to RE2-compatible constructs (no lookaround,
     * no backrefs) so the Java-regex Spark side and an RE2-based SQL engine

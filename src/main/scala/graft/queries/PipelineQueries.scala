@@ -344,6 +344,43 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** d12 — Bloom-prefiltered benchmark decontamination (word 4-grams,
+    * benchmark = doc_id % 7 == 0): d08's exact semantics with the
+    * benchmark gram set shipped as a constant-size Bloom sketch and the
+    * training-gram shuffle cut map-side before the verify semi-join — the
+    * 100 TB shape when the eval-suite gram set outgrows an exact
+    * broadcast. Bloom has no false negatives and candidates are
+    * exact-verified, so the oracle is the plain exact-overlap SQL. */
+  def d12BloomDecontam(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    TextAnalysis.contaminatedDocsBloom(
+        docs.filter($"doc_id" % 7 =!= 0),
+        docs.filter($"doc_id" % 7 === 0), 4)
+      .orderBy($"doc_id")
+  }
+
+  /** q17 — per-source adaptive quality cutoff (CCNet/RefinedWeb-style):
+    * a single global quality threshold over-prunes clean-but-plain
+    * domains and under-prunes noisy ones, so keep each source's top 20%
+    * by ITS OWN score distribution: percent_rank within source, keep
+    * pr ≥ 0.8. Scale: the one shuffle is the window's partitionBy(source)
+    * — the same shuffle a groupBy(source) pays; scoring is map-side
+    * codegen. percent_rank is (rank−1)/(n−1) over integer inputs, so the
+    * comparison is engine-exact. */
+  def q17QualityCutoff(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val w = Window.partitionBy($"source").orderBy($"q")
+    Tables.documents(spark, d)
+      .withColumn("toks", TextAnalysis.tokens($"text"))
+      .withColumn("q", TextAnalysis.qualityScoreOf($"toks", $"text"))
+      .withColumn("pr", percent_rank().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"pr" >= 0.8, 1)).as("n_kept"))
+      .orderBy($"source")
+  }
+
   /** s01 — brute-force cosine top-5 for query vectors vec_id < 8. */
   def s01TopkCosine(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
@@ -388,7 +425,9 @@ object PipelineQueries {
     "d09_span_coverage" -> (d09SpanCoverage _),
     "d10_keep_list" -> (d10KeepList _),
     "d11_jaccard_words" -> (d11JaccardWords _),
+    "d12_bloom_decontam" -> (d12BloomDecontam _),
     "q16_pipeline_funnel" -> (q16PipelineFunnel _),
+    "q17_quality_cutoff" -> (q17QualityCutoff _),
     "t09_repetition" -> (t09Repetition _),
     "t10_pii_stats" -> (t10PiiStats _),
     "t11_tfidf_topk" -> (t11TfidfTopk _),
@@ -643,6 +682,48 @@ object PipelineQueries {
         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0)
         |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
         |WHERE g.doc_id % 10 <> 0 ORDER BY doc_id""".stripMargin,
+    "d12_bloom_decontam" ->
+      // identical result set to the exact-overlap check (Bloom prefilter
+      // has no false negatives; candidates exact-verified) — so the
+      // oracle is d08's SQL at 4-grams over the %7 split
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+3], ' ')
+        |     for i in generate_series(1, len(toks) - 3)])) AS gram
+        |  FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
+        |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+        |WHERE g.doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
+    "q17_quality_cutoff" ->
+      // t02's score formula + percent_rank within source; pr is
+      // (rank-1)/(n-1) over integer inputs -> engine-exact comparison
+      """WITH q AS (
+        |  SELECT source,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE AS n_tok,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','or','to','in',
+        |                            'is','on','for','with'], x)))::DOUBLE AS n_stop,
+        |    len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS n_punct,
+        |    length(text)::DOUBLE AS n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, least(1.0,
+        |    (n_stop / n_tok * 2.0 + (1.0 -
+        |       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)) / 2.0
+        |      * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE 0.5 END))
+        |    AS q
+        |  FROM q),
+        |r AS (
+        |  SELECT source, percent_rank() OVER (
+        |    PARTITION BY source ORDER BY q) AS pr
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE pr >= 0.8) AS n_kept
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "d09_span_coverage" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+')

@@ -285,6 +285,21 @@ class PipelineSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L))
   }
 
+  test("bloom-prefiltered decontamination equals the exact semi-join (sf0.001)") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sfTiny)
+    val train = docs.filter($"doc_id" % 7 =!= 0)
+    val bench = docs.filter($"doc_id" % 7 === 0)
+    val exact = TextAnalysis.contaminatedDocs(train, bench, 4)
+      .as[Long].collect().toSet
+    val bloom = TextAnalysis.contaminatedDocsBloom(train, bench, 4)
+      .as[Long].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    // Bloom has no false negatives and candidates are exact-verified, so
+    // the sketch path must reproduce the exact result set bit-for-bit
+    assert(bloom === exact)
+  }
+
   test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
     import spark.implicits._
     val docs = Seq(
