@@ -41,6 +41,23 @@ object TpchGraph {
   def build(spark: SparkSession, d: String): PropertyGraph =
     resident.getOrElseUpdate((spark, d), buildUncached(spark, d).cache())
 
+  /** Drop every resident graph: unpersist the cached blocks AND clear the
+    * memo, so the next [[build]] re-caches from scratch. An external
+    * `catalog.clearCache()` alone is NOT enough — the memo would keep
+    * handing out frames whose `.cache()` marker was dropped, and every
+    * later query would silently recompute the graph from parquet (the
+    * round-4 bench regression on g08–g10). Callers that sweep Spark's
+    * storage pool must call this in the same breath. */
+  def reset(): Unit = {
+    resident.values.foreach { g =>
+      try {
+        g.nodes.unpersist(blocking = false)
+        g.edges.unpersist(blocking = false)
+      } catch { case _: Throwable => () }
+    }
+    resident.clear()
+  }
+
   def buildUncached(spark: SparkSession, d: String): PropertyGraph = {
     import spark.implicits._
     val cust = Tables.customer(spark, d).select(

@@ -46,9 +46,10 @@ object EventStreams {
     * plain distinct — the canonical at-least-once-source cleanup stage of
     * a training-data ingest pipeline. */
   def dedupCounts(events: DataFrame, withinWatermark: Boolean = false): DataFrame = {
-    // key on the RAW nanosecond ts (exact long equality, same as the SQL
-    // oracle's DISTINCT); the watermark column ts_utc only drives state
-    // expiry in the streaming variant
+    // key on the RAW ts column (exact equality — long nanos or µs
+    // timestamp, whichever the parquet carries — same as the SQL oracle's
+    // DISTINCT); the watermark column ts_utc only drives state expiry in
+    // the streaming variant
     val distinctEvents =
       if (withinWatermark)
         events.dropDuplicatesWithinWatermark("user_id", "event_type", "ts")
@@ -177,7 +178,9 @@ object EventStreams {
       .schema(batchDf.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts_utc", timestamp_micros((col("ts") / 1000L).cast("long")))
+      // same type-adaptive nanos-long / timestamp[us] handling as the
+      // batch leg (Tables.eventsWithTs) — the driver has shipped both
+      .withColumn("ts_utc", Tables.tsUtcExpr(batchDf.schema))
   }
 
   private[graft] def eventStream(spark: SparkSession, sfDir: String,

@@ -12,7 +12,9 @@ object Sessions {
       .master(s"local[$cores]")
       .config("spark.sql.shuffle.partitions", cores)
       .config("spark.local.dir", LocalTmp.sparkLocalDir("graft-spark"))
-      // events.parquet uses TIMESTAMP(NANOS): read as nanos-since-epoch long
+      // events.parquet has shipped as TIMESTAMP(NANOS) in some driver
+      // rounds: read those as nanos-since-epoch long (no-op for the
+      // timestamp[us] flavor; Tables.tsUtcExpr adapts to whichever loads)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     val spark = (if (utc) b.config("spark.sql.session.timeZone", "UTC") else b)

@@ -24,16 +24,31 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** NOTE: `ts` arrives as nanos-since-epoch LongType (the parquet file is
-    * TIMESTAMP(NANOS); sessions set spark.sql.legacy.parquet.nanosAsLong).
-    * Use [[eventsWithTs]] when a real timestamp column is needed. */
+  /** NOTE: the driver has generated `ts` as TIMESTAMP(NANOS) (arrives as
+    * nanos-since-epoch LongType under spark.sql.legacy.parquet.nanosAsLong)
+    * in some rounds and as timestamp[us] (arrives as TIMESTAMP_NTZ) in
+    * others — do NOT assume either. Use [[eventsWithTs]] / [[tsUtcExpr]]
+    * when a real timestamp column is needed. */
   def events(spark: SparkSession, d: String): DataFrame = load(spark, d, "events")
+
+  /** Type-adaptive `ts` → TIMESTAMP (µs) expression for a loaded events
+    * frame: nanos-long files divide down to µs; timestamp/NTZ files cast
+    * (identity on the stored µs value — every graft session runs UTC, so
+    * the NTZ→TZ reinterpretation matches DuckDB's naive-as-UTC `epoch()`). */
+  def tsUtcExpr(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros((col("ts") / 1000L).cast("long"))
+      case _ => col("ts").cast("timestamp")
+    }
+  }
 
   /** events + `ts_utc` TIMESTAMP column (µs precision) for time windowing. */
   def eventsWithTs(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
-    events(spark, d).withColumn("ts_utc",
-      timestamp_micros((col("ts") / 1000L).cast("long")))
+    val df = events(spark, d)
+    df.withColumn("ts_utc", tsUtcExpr(df.schema))
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

@@ -26,4 +26,26 @@ class SparkEntrySpec extends SparkSpec {
   test("flagship entry returns rows at sf0.001") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  // Full-registry tripwire (round-4 postmortem): when the driver
+  // regenerated testdata with a different events `ts` dtype, st01–st04
+  // stopped analyzing and SILENTLY VANISHED from CORRECTNESS (the driver
+  // omits queries whose Verify write errors) — the correctness file
+  // shrank instead of failing. This sweep EXECUTES every registered query
+  // at sf0.001 and reports every breakage by name, so a testdata change
+  // can never again hide a broken query.
+  test("every registered query executes at sf0.001") {
+    val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        try { fn(spark, sfTiny).count(); None }
+        catch { case e: Throwable =>
+          Some(s"$name: ${e.getClass.getSimpleName}: " +
+            Option(e.getMessage).getOrElse("").linesIterator.take(3)
+              .mkString(" | ").take(300))
+        }
+    }
+    assert(failures.isEmpty,
+      s"${failures.size} registered queries failed to execute:\n" +
+        failures.mkString("\n"))
+  }
 }
