@@ -366,8 +366,12 @@ object PipelineQueries {
     * by ITS OWN score distribution: percent_rank within source, keep
     * pr ≥ 0.8. Scale: the one shuffle is the window's partitionBy(source)
     * — the same shuffle a groupBy(source) pays; scoring is map-side
-    * codegen. percent_rank is (rank−1)/(n−1) over integer inputs, so the
-    * comparison is engine-exact. */
+    * codegen. Oracle-exactness: the rank key `q` is a DOUBLE score, so
+    * cross-engine equality rests on Spark and DuckDB evaluating the
+    * IDENTICAL IEEE expression in the same order (established by t02 for
+    * this score; hash-verified by the driver) — any reordering of the
+    * score arithmetic is an oracle-affecting change, not a no-op. The
+    * (rank−1)/(n−1) percent_rank arithmetic on top is exact in both. */
   def q17QualityCutoff(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val w = Window.partitionBy($"source").orderBy($"q")

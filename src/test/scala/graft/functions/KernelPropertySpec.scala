@@ -130,4 +130,27 @@ class KernelPropertySpec extends SparkSpec {
       assert(indexed === brute, s"diverged on $texts")
     }
   }
+
+  test("BloomMightContain == UDF probe on adversarial strings") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.udf
+    cases(Gen.listOfN(60, textGen), 4).foreach { texts =>
+      // sketch over half the strings; probe ALL of them (members must hit,
+      // non-members may false-positive — but identically in both probes,
+      // since both hash the same UTF-8 bytes against the same bit array)
+      val members = texts.zipWithIndex.collect { case (t, i) if i % 2 == 0 => t }
+      val bloom = members.toDF("g").stat
+        .bloomFilter("g", math.max(members.size.toLong, 1L), 0.03)
+      val bc = spark.sparkContext.broadcast(bloom)
+      val probeUdf = udf((g: String) => g != null && bc.value.mightContain(g))
+      val df = texts.toDF("g")
+      val native = df.select(BloomMightContain.bloomMightContain($"g", bc))
+        .collect().map(_.getBoolean(0)).toSeq
+      val viaUdf = df.select(probeUdf($"g")).collect()
+        .map(_.getBoolean(0)).toSeq
+      assert(native === viaUdf, s"probe diverged on $texts")
+      members.foreach(m => assert(bloom.mightContain(m), "false negative"))
+      bc.destroy()
+    }
+  }
 }

@@ -72,6 +72,17 @@ class PlanInvariantsSpec extends SparkSpec {
       s"d08 lost its broadcast semi-join shape:\n$p")
   }
 
+  test("d12's bloom probe is the codegen'd expression, not a UDF") {
+    // the Bloom prefilter must stay inside the whole-stage-codegen span; a
+    // Scala UDF probe (the pre-round-5 implementation) boxes every gram
+    // and fences codegen around the filter
+    val p = plan("d12_bloom_decontam")
+    assert(!p.contains("UDF"),
+      s"d12 plan contains a UDF probe:\n$p")
+    assert(p.contains("graft_bloom_might_contain"),
+      s"d12 plan lost the native bloom membership expression:\n$p")
+  }
+
   test("minhash gram kernel never runs inside a filter or the scan") {
     // the sub-n drop must be a pushable length() predicate: a size(grams)
     // filter gets pushed below the spread repartition, evaluating the
