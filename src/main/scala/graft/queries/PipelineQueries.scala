@@ -8,10 +8,11 @@ import graft.pipeline.{Dedup, Similarity, TextAnalysis}
 import graft.util.Tables
 
 /** Training-data pipeline operator surface (builder north star): dedup,
-  * similarity search, text analysis — each as a driver-gate query. Queries
-  * without an oracle entry (seed-dependent: IVF centroids, sketch
-  * internals) get the driver's rows-only check and are verified in
-  * ScalaTest instead.
+  * similarity search, text analysis — each as a driver-gate query with a
+  * DuckDB oracle. Results that are not SQL-derivable (the IVF top-k's
+  * cell assignment rests on engine-private hashes / centroid float sums)
+  * are emitted as exact integer-invariant contracts instead (s02/s03 —
+  * see annRecallSummary), so every query in the module hash-verifies.
   */
 object PipelineQueries {
 
@@ -393,28 +394,55 @@ object PipelineQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** Integer-invariant contract over an ANN result (t04 style): the ANN
+    * top-k itself is not SQL-derivable (cell assignment rests on
+    * engine-private hashes / order-dependent centroid float sums), but its
+    * CONTRACT is exact and hash-checkable — every query vector answered
+    * (`n_queries`), a full top-k per query (`n_results`), and aggregate
+    * recall@k against the brute-force answer at or above a floor
+    * (`recall_ok`). The oracle asserts the expected constants from the
+    * embeddings table alone; any ANN breakage (lost query, short result
+    * list, recall collapse) flips a column and fails the hash compare. */
+  private def annRecallSummary(ann: DataFrame, brute: DataFrame,
+      minRecall: Double): DataFrame = {
+    val hits = brute.select(col("qid"), col("nid"))
+      .join(ann.select(col("qid"), col("nid")), Seq("qid", "nid"), "left_semi")
+    ann.agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_results"))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(brute.agg(count(lit(1)).as("n_brute")))
+      .select(col("n_queries"), col("n_results"),
+        (col("n_hits") >= col("n_brute") * minRecall).as("recall_ok"))
+  }
+
   /** s02 — IVF-style ANN with geometric cells (3 hyperplane sign bits →
-    * 8 cells), probing the 3 nearest cells (rows-only + recall spec vs
-    * s01). */
+    * 8 cells), probing the 3 nearest cells; emitted as the
+    * [[annRecallSummary]] contract vs the s01 brute answer (recall floor
+    * 0.4, the long-standing spec threshold; measured 0.65 at the oracle
+    * SF). */
   def s02IvfTopk(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
     val cells = Similarity.hyperplaneBuckets(emb, 3)
       .withColumnRenamed("id", "vec_id").withColumnRenamed("bucket", "cell")
     val withCells = emb.join(cells, "vec_id")
-    Similarity.ivfTopK(withCells.filter($"vec_id" < 8), withCells, 5, 3,
-      cellCol = "cell")
-      .orderBy($"qid", $"rank")
+    val ann = Similarity.ivfTopK(withCells.filter($"vec_id" < 8), withCells,
+      5, 3, cellCol = "cell")
+    annRecallSummary(ann, Similarity.bruteForceTopK(emb.filter($"vec_id" < 8),
+      emb, 5), minRecall = 0.4)
   }
 
   /** s03 — IVF with a learned k-means coarse quantizer (8 cells, 4 Lloyd
-    * iterations), probing 3 cells (rows-only + recall spec vs s01). */
+    * iterations), probing 3 cells; emitted as the [[annRecallSummary]]
+    * contract vs s01 brute (recall floor 0.5, the spec threshold;
+    * measured 0.675 at the oracle SF). */
   def s03IvfKmeans(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val emb = Tables.embeddings(spark, d)
-    Similarity.ivfTopKKmeans(emb.filter($"vec_id" < 8), emb, 5, 3,
+    val ann = Similarity.ivfTopKKmeans(emb.filter($"vec_id" < 8), emb, 5, 3,
       nCells = 8, iters = 4)
-      .orderBy($"qid", $"rank")
+    annRecallSummary(ann, Similarity.bruteForceTopK(emb.filter($"vec_id" < 8),
+      emb, 5), minRecall = 0.5)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1007,5 +1035,19 @@ object PipelineQueries {
         |SELECT qid, rank, nid, cos FROM (
         |  SELECT qid, nid, cos, ROW_NUMBER() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s) t
-        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin)
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    // s02/s03 emit the annRecallSummary contract: the expected constants
+    // derive from the embeddings table alone (8 query vectors, full top-5
+    // each, recall floor met) — the Spark side computes them from the
+    // actual ANN result, so any breakage fails the hash compare
+    "s02_ivf_topk" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "s03_ivf_kmeans" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin)
 }
