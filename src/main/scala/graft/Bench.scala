@@ -26,16 +26,36 @@ object Bench {
     // warmup into the timed pass; only JIT'd classes and file-format code
     // paths carry over — exactly what a resident server amortizes.
     val names = selected.keySet
-    // JIT-warmup dir: the smallest SF sibling of the target. Strip any
-    // trailing slash first (a slash-suffixed SPARK_GRAFT_SF_DIR used to
-    // defeat the regex and silently run the whole warmup at the TARGET SF,
-    // doubling runtime); when no smaller SF exists, SKIP the per-query
-    // warmup instead of pre-running the timed workload.
-    val warmDir: Option[String] = {
+    // JIT-warmup dir: the LARGEST sibling SF strictly below the target
+    // (one decade down in practice). Tiny-SF warmup misses the physical
+    // shapes AQE picks at the target size (broadcast vs sort-merge,
+    // coalesced vs spread), leaving 4-7 s of first-run codegen in the
+    // timed pass of each heavy query; the nearest smaller SF compiles the
+    // target's shapes at a tenth of the data. Trailing slashes are
+    // stripped (a slash-suffixed SPARK_GRAFT_SF_DIR used to defeat the
+    // match and silently pre-run the timed workload); when no smaller SF
+    // exists, SKIP the per-query warmup instead of pre-running it.
+    val warmDir: Option[String] = sys.env.get("SPARK_GRAFT_WARM_DIR")
+      .map(_.replaceAll("/+$", "")).filter(_.nonEmpty).orElse {
       val base = sfDir.replaceAll("/+$", "")
-      val small = base.replaceAll("sf[0-9.]+$", "sf0.001")
-      if (small != base && new java.io.File(small).isDirectory) Some(small)
-      else { System.err.println(s"[bench] no smaller SF next to $sfDir; skipping per-query JIT warmup"); None }
+      val m = "sf([0-9.]+)$".r.findFirstMatchIn(base)
+      val target = m.map(_.group(1).toDouble)
+      val picked = for {
+        t <- target
+        parent <- Option(new java.io.File(base).getParentFile)
+        sibs <- Option(parent.listFiles())
+        best <- sibs.toSeq
+          .flatMap { f =>
+            "^sf([0-9.]+)$".r.findFirstMatchIn(f.getName)
+              .flatMap(s => scala.util.Try(s.group(1).toDouble).toOption)
+              .filter(v => v < t && f.isDirectory)
+              .map(v => (v, f.getAbsolutePath))
+          }
+          .sortBy(-_._1).headOption
+      } yield best._2
+      if (picked.isEmpty)
+        System.err.println(s"[bench] no smaller SF next to $sfDir; skipping per-query JIT warmup")
+      picked
     }
     val w0 = System.nanoTime()
     def warmBaseTables(): Unit = try {

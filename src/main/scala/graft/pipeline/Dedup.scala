@@ -259,15 +259,35 @@ object Dedup {
         xxhash64(lit(b) +: (0 until rowsPerBand)
           .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
       }: _*)).as(Seq("band", "bucket")))
-    val l = banded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val r = banded.select(col("band"), col("bucket"), col("id").as("id_b"))
+    // The band join EXPLODES: its input is a narrow (band, bucket, id)
+    // list measured in KB, its output is the candidate-pair blow-up
+    // measured in rows — AQE, which sizes post-shuffle partitions by
+    // INPUT bytes, coalesces it to one task and serializes the blow-up +
+    // pair distinct on one core (measured at sf0.1: 3.7 s single-task vs
+    // ~0.2 s spread). Pin the join's partitioning explicitly (a
+    // user-specified repartition is exempt from AQE coalescing): both
+    // sides hash on the join key, so this adds NO extra exchange — it
+    // only stops the collapse. Bucket skew stays bounded: word-shingle
+    // buckets hold near-dup clusters only (~0 background collision), and
+    // the char form is contractually scoped to bounded inputs.
+    val parts = prepared.sparkSession.sessionState.conf.numShufflePartitions
+    val l = banded.repartition(parts, col("band"), col("bucket"))
+      .select(col("band"), col("bucket"), col("id").as("id_a"))
+    val r = banded.repartition(parts, col("band"), col("bucket"))
+      .select(col("band"), col("bucket"), col("id").as("id_b"))
     // dedup candidate ids FIRST (cheap long-pair shuffle), then re-join the
     // shingle sets once per surviving pair for exact verification — never
     // drag the gram arrays through the band join or the distinct.
     val candidates = l.join(r, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct() // a pair may collide in many bands
+      // a pair may collide in many bands — dedup; the explicit pinned
+      // repartition IS the dedup's exchange (hash on both columns
+      // satisfies the aggregation's clustering, so no second shuffle) and
+      // keeps the downstream exact-verify — whose gram side broadcasts —
+      // spread across the same partitions instead of AQE-coalesced to one
+      .repartition(parts, col("id_a"), col("id_b"))
+      .dropDuplicates()
     candidates
       .join(g.select(col("id").as("id_a"), col("grams").as("grams_a")), "id_a")
       .join(g.select(col("id").as("id_b"), col("grams").as("grams_b")), "id_b")

@@ -32,6 +32,12 @@ object ProfileQuery {
       }
     })
 
+    // reps > 1: profile the LAST (steady-state) run, JIT/codegen warm
+    val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "1").toInt
+    (1 until reps).foreach { _ =>
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
+    }
+    stages.synchronized(stages.clear())
     val t0 = System.nanoTime()
     val n = graft.SparkEntry.queries(name)(spark, sfDir).count()
     val wall = (System.nanoTime() - t0) / 1e9
