@@ -379,6 +379,39 @@ object Dedup {
     * Scale: no pairwise work anywhere — cost is explode (corpus tokens),
     * two key shuffles, and a per-doc window bounded by document length.
     * Returns (id, n_tokens, covered_tokens) for docs with coverage > 0. */
+  /** Content-defined chunks of every document (Rabin CDC — see
+    * [[graft.functions.CdcChunks]]): one row per chunk with its 61-bit
+    * identity hash and codepoint length. Pure map-side (the kernel is one
+    * codegen'd per-row loop, the explode is linear in corpus codepoints);
+    * zero shuffle. */
+  def cdcChunks(docs: DataFrame, k: Int, divisor: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.CdcChunks
+          .cdcChunks(col(textCol), k, divisor)).as(Seq("chunk_idx", "c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("c.h").as("chunk_hash"), col("c.l").cast("long").as("cp_len"))
+
+  /** Cross-corpus duplicate-chunk statistics over [[cdcChunks]]: for every
+    * chunk content appearing more than once, its hash, codepoint length,
+    * total copies and distinct documents — the storage/dedup win of
+    * chunk-level dedup (shared boilerplate, quoted passages, near-identical
+    * document versions re-align on content-defined boundaries; fixed-width
+    * chunking would lose alignment at the first insertion).
+    *
+    * Scale: explode (map-side kernel) + ONE groupBy(chunk_hash) with
+    * map-side partial aggregation — the same canonical shape as the
+    * vocab/dup-ngram stats; no pairwise work. */
+  def cdcDupChunks(docs: DataFrame, k: Int, divisor: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    cdcChunks(docs, k, divisor, idCol, textCol)
+      .groupBy(col("chunk_hash"))
+      .agg(min(col("cp_len")).as("cp_len"),
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_copies") >= 2)
+
   def duplicatedSpanCoverage(docs: DataFrame, gramLen: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     import org.apache.spark.sql.expressions.Window

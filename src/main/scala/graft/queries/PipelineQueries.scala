@@ -361,6 +361,22 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** d13 — content-defined-chunking dedup stats (Rabin CDC, the
+    * LBFS/FastCDC storage-dedup lineage): chunk every document at
+    * content-derived boundaries (k=8 rolling window, divisor 64 ⇒ ~64-cp
+    * expected chunks), then report every chunk content appearing more
+    * than once — copies and distinct docs. Boundaries move WITH the
+    * content, so near-identical document versions re-align after an edit
+    * and their shared tails dedup; the whole operator is one map-side
+    * kernel + one groupBy. The boundary and identity hashes are explicit
+    * polynomial arithmetic, so DuckDB replays chunking end-to-end — full
+    * value oracle. */
+  def d13CdcDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.cdcDupChunks(Tables.documents(spark, d), 8, 64)
+      .orderBy($"n_copies".desc, $"chunk_hash").limit(100)
+  }
+
   /** q17 — per-source adaptive quality cutoff (CCNet/RefinedWeb-style):
     * a single global quality threshold over-prunes clean-but-plain
     * domains and under-prunes noisy ones, so keep each source's top 20%
@@ -458,6 +474,7 @@ object PipelineQueries {
     "d10_keep_list" -> (d10KeepList _),
     "d11_jaccard_words" -> (d11JaccardWords _),
     "d12_bloom_decontam" -> (d12BloomDecontam _),
+    "d13_cdc_dedup" -> (d13CdcDedup _),
     "q16_pipeline_funnel" -> (q16PipelineFunnel _),
     "q17_quality_cutoff" -> (q17QualityCutoff _),
     "t09_repetition" -> (t09Repetition _),
@@ -1036,6 +1053,42 @@ object PipelineQueries {
         |  SELECT qid, nid, cos, ROW_NUMBER() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s) t
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "d13_cdc_dedup" ->
+      // the same chunking end-to-end: base-257 mod-1000003 boundary hash
+      // over k=8 windows of the LOWERED text's codepoints (boundary when
+      // % 64 = 63, cut AFTER the window end), then the 61-bit double
+      // polynomial identity hash per chunk (h1 base-257 mod 2^31-1,
+      // h2 base-131 mod 1e9+7, packed h1*1000000007+h2 — all folds stay
+      // in BIGINT). list_reduce folds from a prepended 0 (t07 convention)
+      """WITH d AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
+        |           FROM documents WHERE text IS NOT NULL),
+        |cs AS (SELECT doc_id, n,
+        |  [ord(substring(t, i, 1)) for i in generate_series(1, n)] AS codes
+        |  FROM d WHERE n > 0),
+        |bd AS (SELECT doc_id, n, codes,
+        |  CASE WHEN n < 8 THEN []::BIGINT[]
+        |  ELSE [i + 7 for i in generate_series(1, n - 7)
+        |        if list_reduce(list_prepend(0::BIGINT, codes[i:i+7]::BIGINT[]),
+        |             (acc, c) -> (acc * 257 + c) % 1000003) % 64 = 63] END AS ends
+        |  FROM cs),
+        |ch AS (SELECT doc_id, codes, n,
+        |  [struct_pack(
+        |     s := CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END,
+        |     e := CASE WHEN ci <= len(ends) THEN ends[ci] ELSE n END)
+        |   for ci in generate_series(1, len(ends) + 1)] AS spans
+        |  FROM bd),
+        |ck AS (SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, codes[sp.s:sp.e]::BIGINT[]),
+        |    (acc, c) -> (acc * 257 + c) % 2147483647) * 1000000007
+        |  + list_reduce(list_prepend(0::BIGINT, codes[sp.s:sp.e]::BIGINT[]),
+        |    (acc, c) -> (acc * 131 + c) % 1000000007) AS chunk_hash,
+        |  (sp.e - sp.s + 1)::BIGINT AS cp_len
+        |  FROM (SELECT doc_id, codes, unnest(spans) AS sp FROM ch)
+        |  WHERE sp.e >= sp.s)
+        |SELECT chunk_hash, MIN(cp_len) AS cp_len, COUNT(*) AS n_copies,
+        |  COUNT(DISTINCT doc_id) AS n_docs
+        |FROM ck GROUP BY chunk_hash HAVING COUNT(*) >= 2
+        |ORDER BY n_copies DESC, chunk_hash LIMIT 100""".stripMargin,
     // s02/s03 emit the annRecallSummary contract: the expected constants
     // derive from the embeddings table alone (8 query vectors, full top-5
     // each, recall floor met) — the Spark side computes them from the

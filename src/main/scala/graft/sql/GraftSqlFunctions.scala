@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Expression,
   ExpressionInfo, Literal, Lower, RegExpReplace, StringTrim, XxHash64}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CharNGrams, CosineSimilarity, HyperplaneSignature,
-  MinHashSignature, SimHash64, WinnowingFingerprints, WordNGrams}
+import graft.functions.{CdcChunks, CharNGrams, CosineSimilarity,
+  HyperplaneSignature, MinHashSignature, SimHash64, WinnowingFingerprints,
+  WordNGrams}
 import graft.graph.GraphStore
 
 /** SQL surface for graft's native kernels and graph tables.
@@ -25,6 +26,7 @@ import graft.graph.GraphStore
   *  - `graft_simhash64(tokens)` — fused 64-bit SimHash
   *  - `graft_hyperplane_sig(vec, bits)` — random-hyperplane LSH signature
   *  - `graft_cosine(a, b)` — codegen'd cosine similarity
+  *  - `graft_cdc_chunks(text, k, divisor)` — content-defined chunk spans
   *  - `graft_fingerprint(text)` — normalized-content xxhash64 fingerprint
   *
   * Two wiring paths: `GraftSqlFunctions.register(spark)` injects into a
@@ -104,6 +106,14 @@ object GraftSqlFunctions {
           litInt(k, "graft_winnowing"), litInt(w, "graft_winnowing"))
         case _ => throw new IllegalArgumentException(
           "graft_winnowing(text, k, w)")
+      }),
+    (FunctionIdentifier("graft_cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "graft_cdc_chunks"),
+      (args: Seq[Expression]) => args match {
+        case Seq(text, k, d) => CdcChunks(text,
+          litInt(k, "graft_cdc_chunks"), litInt(d, "graft_cdc_chunks"))
+        case _ => throw new IllegalArgumentException(
+          "graft_cdc_chunks(text, k, divisor)")
       }),
     (FunctionIdentifier("graft_fingerprint"),
       new ExpressionInfo(classOf[XxHash64].getName, "graft_fingerprint"),

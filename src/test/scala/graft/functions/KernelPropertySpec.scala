@@ -131,6 +131,46 @@ class KernelPropertySpec extends SparkSpec {
     }
   }
 
+  test("CdcChunks: partition property + shift resistance on adversarial strings") {
+    import spark.implicits._
+    import graft.pipeline.Dedup
+    // 1) chunks PARTITION the lowered text: lengths are positive and sum
+    //    to its codepoint count, on unicode/astral/empty inputs
+    cases(Gen.listOfN(40, textGen), 6).foreach { texts =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.cdcChunks(rows, 3, 4) // small k/divisor: many cuts
+        .groupBy($"doc_id")
+        .agg(org.apache.spark.sql.functions.sum($"cp_len").as("s"),
+          org.apache.spark.sql.functions.min($"cp_len").as("mn"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      texts.zipWithIndex.foreach { case (t, i) =>
+        val lower = t.toLowerCase(java.util.Locale.ROOT)
+        val n = lower.codePointCount(0, lower.length).toLong
+        if (n == 0) assert(!got.contains(i.toLong), s"empty doc $i chunked")
+        else {
+          val (s, mn) = got(i.toLong)
+          assert(s == n, s"chunk lengths of doc $i sum to $s, text has $n cps")
+          assert(mn >= 1, s"doc $i emitted an empty chunk")
+        }
+      }
+    }
+    // 2) SHIFT RESISTANCE — the reason CDC exists: editing a prefix leaves
+    //    the suffix's chunking aligned. Two docs sharing a long suffix
+    //    after different-length prefixes must share every chunk except the
+    //    O(1) chunks overlapping the edit region.
+    val suffix = ("the quick brown fox jumps over the lazy dog " * 20)
+    val df = Seq((1L, "AAAA " + suffix), (2L, "BBBBBBBBBB " + suffix))
+      .toDF("doc_id", "text")
+    val byDoc = Dedup.cdcChunks(df, 8, 32).collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(_.getLong(2)).toSeq }
+    val shared = byDoc(1L).intersect(byDoc(2L))
+    assert(shared.size >= byDoc(1L).size - 2,
+      s"prefix edit broke suffix alignment: ${byDoc(1L).size} chunks, " +
+        s"only ${shared.size} survived")
+  }
+
   test("BloomMightContain == UDF probe on adversarial strings") {
     import spark.implicits._
     import org.apache.spark.sql.functions.udf
