@@ -157,6 +157,57 @@ object Similarity {
       idCol = idCol, vecCol = vecCol, cellCol = "cell")
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    * 2303.09540): group the corpus into coarse semantic cells, compare
+    * embeddings pairwise ONLY within a cell, and keep one representative
+    * (min id) per group of vectors whose cosine clears the threshold.
+    * Cell pruning is the point: pairwise cost drops from corpus² to
+    * Σ cell² — the SemDeDup approximation that cross-cell near-dups are
+    * rare, since the quantizer put them far apart.
+    *
+    * `cellCol` is the coarse quantizer: the curated `label` column here
+    * (SQL-replayable, so the d14 gate gets a full value oracle); swap in
+    * [[kmeansCells]] for the learned quantizer at corpus scale (the s03
+    * path — same shape, engine-private cells).
+    *
+    * Returns (cell, id, keep): every vector, flagged. Scale: one
+    * within-cell self-join (shuffles on cell — salt a mega-cell or cap
+    * cell size at the quantizer if skewed), exact cosine inside the join,
+    * then component contraction on the (tiny) above-threshold pair list. */
+  def semanticDedupFlags(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val v = emb.select(col(cellCol).as("cell"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val a = v.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
+    val b = v.select(col("cell"), col("id").as("id_b"), col("vec").as("vb"))
+    val pairs = a.join(b, Seq("cell"))
+      .filter(col("id_a") < col("id_b"))
+      // same rounded-cosine convention as the brute/IVF top-k and d06:
+      // identical IEEE expression order in both engines
+      .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
+      .select(col("id_a"), col("id_b"))
+    // min-id representative per duplicate group (transitive: a~b, b~c ⇒
+    // one survivor even when a~c is below threshold — the same contract
+    // as the d10 keep-list)
+    val dropped = Dedup.connectedComponents(pairs)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id"))
+    v.select(col("cell"), col("id"))
+      .join(dropped.withColumn("dropFlag", lit(true)), Seq("id"), "left_outer")
+      .select(col("cell"), col("id"),
+        coalesce(!col("dropFlag"), lit(true)).as("keep"))
+  }
+
+  /** Per-cell [[semanticDedupFlags]] rollup: (cell, n_vecs, n_kept). */
+  def semanticDedupSummary(emb: DataFrame, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame =
+    semanticDedupFlags(emb, threshold, idCol, vecCol, cellCol)
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_vecs"),
+        count(when(col("keep"), 1)).as("n_kept"))
+
   /** Random-hyperplane LSH bucketing: sign bits of dot products with
     * `nPlanes` pseudo-random unit-free planes derived deterministically from
     * xxhash64(planeIdx, dimIdx) — no RNG state, reproducible on any cluster.

@@ -377,6 +377,20 @@ object PipelineQueries {
       .orderBy($"n_copies".desc, $"chunk_hash").limit(100)
   }
 
+  /** d14 — SemDeDup-style semantic dedup summary: within-cell embedding
+    * near-dup groups contracted to one representative, reported per cell
+    * (label = the SQL-replayable coarse quantizer; kmeansCells is the
+    * learned-quantizer swap-in). Threshold 0.4 = the d06 "near-dup"
+    * convention for this synthetic embedding space (pair cosines top out
+    * ~0.5). Full value oracle: DuckDB recomputes the within-cell rounded
+    * cosines and the recursive min-id closure. */
+  def d14SemanticDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.semanticDedupSummary(Tables.embeddings(spark, d), 0.4)
+      .select($"cell".as("label"), $"n_vecs", $"n_kept")
+      .orderBy($"label")
+  }
+
   /** q17 — per-source adaptive quality cutoff (CCNet/RefinedWeb-style):
     * a single global quality threshold over-prunes clean-but-plain
     * domains and under-prunes noisy ones, so keep each source's top 20%
@@ -475,6 +489,7 @@ object PipelineQueries {
     "d11_jaccard_words" -> (d11JaccardWords _),
     "d12_bloom_decontam" -> (d12BloomDecontam _),
     "d13_cdc_dedup" -> (d13CdcDedup _),
+    "d14_semantic_dedup" -> (d14SemanticDedup _),
     "q16_pipeline_funnel" -> (q16PipelineFunnel _),
     "q17_quality_cutoff" -> (q17QualityCutoff _),
     "t09_repetition" -> (t09Repetition _),
@@ -1089,6 +1104,31 @@ object PipelineQueries {
         |  COUNT(DISTINCT doc_id) AS n_docs
         |FROM ck GROUP BY chunk_hash HAVING COUNT(*) >= 2
         |ORDER BY n_copies DESC, chunk_hash LIMIT 100""".stripMargin,
+    "d14_semantic_dedup" ->
+      // the same within-label rounded cosines (d06's expression order),
+      // then d07's recursive min-label closure; kept = not a non-root
+      // member of any duplicate component
+      """WITH RECURSIVE v AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS vec FROM embeddings),
+        |pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+        |  WHERE round(list_dot_product(a.vec, b.vec)
+        |      / (sqrt(list_dot_product(a.vec, a.vec))
+        |         * sqrt(list_dot_product(b.vec, b.vec))), 4) >= 0.4),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e
+        |  JOIN reach ON e.d = reach.id),
+        |comp AS (SELECT id, MIN(r) AS root FROM reach GROUP BY id),
+        |dr AS (SELECT id FROM comp WHERE id <> root)
+        |SELECT label, COUNT(*)::BIGINT AS n_vecs,
+        |  (COUNT(*) FILTER (WHERE dr.id IS NULL))::BIGINT AS n_kept
+        |FROM v LEFT JOIN dr ON v.vec_id = dr.id
+        |GROUP BY label ORDER BY label""".stripMargin,
     // s02/s03 emit the annRecallSummary contract: the expected constants
     // derive from the embeddings table alone (8 query vectors, full top-5
     // each, recall floor met) — the Spark side computes them from the

@@ -300,6 +300,26 @@ class PipelineSpec extends SparkSpec {
     assert(bloom === exact)
   }
 
+  test("semantic dedup: transitive min-id groups within cells, cross-cell kept") {
+    import spark.implicits._
+    // cell 0: a chain u1~u2~u3 (adjacent cosines above threshold, u1·u3
+    // below) must contract to ONE survivor (min id) — the transitive
+    // contract; u4 orthogonal, kept. cell 1: v5 IDENTICAL to u1 but in
+    // another cell — kept (the SemDeDup cell-pruning approximation:
+    // cross-cell near-dups are invisible by design).
+    val e = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f), 0),
+      (2L, Array(0.9f, 0.436f, 0.0f), 0), // cos(u1,u2)=0.9
+      (3L, Array(0.62f, 0.785f, 0.0f), 0), // cos(u2,u3)≈0.9, cos(u1,u3)=0.62
+      (4L, Array(0.0f, 0.0f, 1.0f), 0),
+      (5L, Array(1.0f, 0.0f, 0.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val flags = graft.pipeline.Similarity.semanticDedupFlags(e, 0.85)
+      .collect().map(r => r.getLong(1) -> r.getBoolean(2)).toMap
+    assert(flags === Map(1L -> true, 2L -> false, 3L -> false,
+      4L -> true, 5L -> true))
+  }
+
   test("duplicate word-ngram stats: shared grams flagged, short docs zeroed") {
     import spark.implicits._
     val docs = Seq(
