@@ -182,5 +182,19 @@ object ScaleRehearsal {
     time(s"d11 exact word-jaccard pairs x$k") {
       Dedup.jaccardPairsWords(docs, 5, 0.8).count()
     }
+    // CDC: map-side kernel + one hash groupBy — must track corpus bytes.
+    // The suffix perturbation leaves every replica's chunk prefix shared,
+    // so the duplicate-chunk table is ~base-corpus-sized at any k.
+    time(s"d13 CDC dup chunks x$k") {
+      Dedup.cdcDupChunks(docs, 8, 64).count()
+    }
+    // SemDeDup: within-cell pairwise — cost tracks sum(cell^2); replicas
+    // multiply every cell k-fold, so this is the quadratic-pressure probe
+    // (cells here = a synthetic 32-way id hash over the replicated emb)
+    time(s"d14 semantic dedup x$m (32 hash cells)") {
+      Similarity.semanticDedupSummary(
+        emb.withColumn("label", pmod(xxhash64(col("vec_id")), lit(32))),
+        0.4).count()
+    }
   }
 }
