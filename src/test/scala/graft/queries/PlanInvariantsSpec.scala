@@ -83,6 +83,18 @@ class PlanInvariantsSpec extends SparkSpec {
       s"d12 plan lost the native bloom membership expression:\n$p")
   }
 
+  test("d04's band join keeps its pinned partitioning (AQE-coalesce exempt)") {
+    // the band join's input is KB-sized but its output is the candidate
+    // blow-up; without the user-specified repartition AQE coalesces the
+    // join to one task and serializes the verify (round-5 fix). The pin
+    // must survive as REPARTITION_BY_NUM exchanges on the band keys.
+    val p = plan("d04_minhash_lsh")
+    assert(p.contains("REPARTITION_BY_NUM"),
+      s"d04 lost its pinned band-join repartition:\n$p")
+    assert(p.contains("hashpartitioning(band"),
+      s"d04's pinned exchange is not on the band join keys:\n$p")
+  }
+
   test("minhash gram kernel never runs inside a filter or the scan") {
     // the sub-n drop must be a pushable length() predicate: a size(grams)
     // filter gets pushed below the spread repartition, evaluating the
