@@ -66,6 +66,60 @@ object GraphAlgorithms {
       .agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** Multi-source BFS: minimum hop distance from a seed set along directed
+    * edges (the Cypher `shortestPath((s)-[*]->(n))` hop count for every
+    * reachable n — cf. /root/reference/api/graph.py find_paths, which
+    * enumerates paths; this is its aggregate twin).
+    *
+    * Level-synchronous frontier expansion: round k joins the depth-k
+    * frontier to the edge table, anti-joins the visited set, and labels the
+    * survivors depth k+1 — each node is settled the FIRST time it appears,
+    * which for unweighted edges is its true minimum distance, so no
+    * re-labeling pass is needed (Dijkstra degenerates to BFS).
+    *
+    * Scale: rounds = graph eccentricity from the seed set (driver-synced —
+    * inherent to BFS; chains centuries long want [[GraphParityQueries
+    * .g06ChainWalk]]'s pointer doubling instead). Per round only the
+    * frontier shuffles: the edge table is repartition(src)+cache()d once so
+    * its side of every join is exchange-free, and the frontier/visited
+    * frames are eagerly localCheckpoint'ed to cut lineage (round k's plan
+    * would otherwise replay rounds 1..k-1). Memory: visited grows to the
+    * reachable set — at 100 TB keep it as a checkpointed table, which this
+    * is. */
+  def bfsDistances(edges: DataFrame, seeds: DataFrame, maxDepth: Int = 64,
+      srcCol: String = "src", dstCol: String = "dst",
+      idCol: String = "id"): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .repartition(col("src"))
+      .cache()
+    var visited = seeds.select(col(idCol).cast("long").as("id")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    var frontier = visited
+    var depth = 0
+    var exhausted = false
+    while (!exhausted && depth < maxDepth) {
+      depth += 1
+      val next = frontier.select(col("id").as("src"))
+        .join(e, Seq("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited.select(col("id")), Seq("id"), "left_anti")
+        .withColumn("dist", lit(depth.toLong))
+        .localCheckpoint(true)
+      if (next.isEmpty) exhausted = true
+      else {
+        visited = visited.union(next).localCheckpoint(true)
+        frontier = next
+      }
+    }
+    e.unpersist()
+    visited
+  }
+
   /** PageRank in FIXED-POINT integer arithmetic — bit-identical on any
     * engine, any partitioning, any cluster size.
     *

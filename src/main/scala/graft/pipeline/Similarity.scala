@@ -208,6 +208,41 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"),
         count(when(col("keep"), 1)).as("n_kept"))
 
+  /** Partitioned k-NN JOIN: every vector's k nearest neighbors (cosine),
+    * computed exactly WITHIN its coarse cell — the standard distributed
+    * kNN-join shape (partition by a quantizer, exact inside the partition)
+    * used to build kNN graphs for clustering, dedup and retrieval evals.
+    * Contrast with [[bruteForceTopK]], whose broadcast-the-queries plan
+    * assumes a SMALL query side; here both sides are the corpus, so the
+    * join is an equi-join on `cell` — one shuffle of each side, Σ cell²
+    * pairwise work instead of corpus², no broadcast of anything large.
+    *
+    * `cellCol` is the quantizer: the curated `label` column here (so the
+    * s04 gate gets a full value oracle); swap in [[kmeansCells]] at corpus
+    * scale, capping cell size at the quantizer if skewed (a mega-cell
+    * re-creates the all-pairs blow-up this shape exists to avoid —
+    * SemDeDup/d14 note applies verbatim).
+    *
+    * Returns (cell, qid, rank, nid, cos): neighbors ranked by (rounded
+    * cosine desc, nid) — the same cross-engine-deterministic tie-break as
+    * s01. Cells smaller than k+1 yield fewer than k rows (no padding). */
+  def knnJoinWithinCells(emb: DataFrame, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      cellCol: String = "label"): DataFrame = {
+    val v = emb.select(col(cellCol).as("cell"), col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val a = v.select(col("cell"), col("id").as("qid"), col("vec").as("qvec"))
+    val b = v.select(col("cell"), col("id").as("nid"), col("vec").as("nvec"))
+    val scored = a.join(b, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cell"), col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   /** Random-hyperplane LSH bucketing: sign bits of dot products with
     * `nPlanes` pseudo-random unit-free planes derived deterministically from
     * xxhash64(planeIdx, dimIdx) — no RNG state, reproducible on any cluster.

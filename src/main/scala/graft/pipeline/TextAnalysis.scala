@@ -368,6 +368,38 @@ object TextAnalysis {
           col("n_bigrams").cast("double"), 4).as("avg_logprob"))
   }
 
+  /** Character-level Shannon entropy per document (bits/char) — the
+    * classic gibberish/boilerplate detector: natural prose sits ~3.5–4.5
+    * bits, single-char spam near 0, uniform random base64 near 6. Uses
+    * H = ln(n) − (Σ c·ln c)/n, all in one pass over the per-char counts.
+    *
+    * Cross-engine exactness (the t13 conventions): the Σ c·ln c fold runs
+    * in sorted-char order on BOTH engines (sort_array / list ORDER BY —
+    * chars are unique per doc, so the order is total), ln of small-integer
+    * counts is ulp-identical (t13-established), and the final bits value
+    * is rounded to 4 dp. Scale: explode + two partial-agg shuffles keyed
+    * by (doc, char) then doc — no pairwise work, alphabet-bounded fan-in. */
+  def charEntropy(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val chars = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(split(lower(col(textCol)), "")).as("ch"))
+      .filter(col("ch") =!= "")
+    val counts = chars.groupBy(col(idCol), col("ch"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_chars"),
+        count(lit(1)).as("n_distinct"),
+        sort_array(collect_list(struct(col("ch"), col("c")))).as("cc"))
+      .select(col(idCol), col("n_chars"), col("n_distinct"),
+        round(
+          (log(col("n_chars").cast("double")) -
+            aggregate(col("cc"), lit(0.0), (acc, s) =>
+              acc + s.getField("c").cast("double") *
+                log(s.getField("c").cast("double"))) /
+            col("n_chars").cast("double")) / log(lit(2.0)),
+          4).as("entropy_bits"))
+  }
+
   /** Cross-document duplicate n-gram stats (the Gopher/RefinedWeb-family
     * quality signal): per document, how many of its distinct word n-grams
     * also occur in at least one OTHER document. All counts are integers, so

@@ -224,7 +224,22 @@ object GraphParityQueries {
       .limit(20)
   }
 
+  /** g11 — multi-source BFS: minimum hop distance from customers {1,2,3}
+    * to every reachable node of the full graph (PLACED ∪ CONTAINS ∪
+    * SUPPLIES ∪ NEXT). Level-synchronous frontier expansion
+    * ([[GraphAlgorithms.bfsDistances]]); the oracle is a recursive CTE
+    * taking MIN over all path lengths — identical by BFS's settled-first
+    * invariant. */
+  def g11BfsDistances(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    val seeds = Seq(1L, 2L, 3L).toDF("id")
+    GraphAlgorithms.bfsDistances(g.edges, seeds, maxDepth = 64)
+      .orderBy($"id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g11_bfs_distances" -> (g11BfsDistances _),
     "g10_pagerank" -> (g10PageRank _),
     "g01_graph_neighbors" -> (g01Neighbors _),
     "g02_graph_incoming_collect" -> (g02IncomingCollect _),
@@ -299,7 +314,33 @@ object GraphParityQueries {
         |FROM pairs e1
         |JOIN pairs e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
         |JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin,
-    "g10_pagerank" -> pagerankOracle)
+    "g10_pagerank" -> pagerankOracle,
+    "g11_bfs_distances" ->
+      // same edge CTE as the pagerank oracle; the graph is a DAG (NEXT is
+      // date-forward, the other edge types cross disjoint ID layers), so
+      // the UNION ALL recursion terminates; d < 64 mirrors maxDepth
+      """WITH RECURSIVE e AS (
+        |  SELECT o_custkey::BIGINT AS src,
+        |         (o_orderkey + 1000000)::BIGINT AS dst FROM orders
+        |  UNION
+        |  SELECT (l_orderkey + 1000000)::BIGINT,
+        |         (l_partkey + 2000000)::BIGINT FROM lineitem
+        |  UNION
+        |  SELECT (l_suppkey + 3000000)::BIGINT,
+        |         (l_partkey + 2000000)::BIGINT FROM lineitem
+        |  UNION
+        |  SELECT src, dst FROM (
+        |    SELECT (o_orderkey + 1000000)::BIGINT AS src,
+        |      (lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) + 1000000)::BIGINT AS dst
+        |    FROM orders) t WHERE dst IS NOT NULL),
+        |walk(id, d) AS (
+        |  SELECT id::BIGINT, 0 FROM (VALUES (1), (2), (3)) s(id)
+        |  UNION ALL
+        |  SELECT e.dst, walk.d + 1 FROM walk JOIN e ON e.src = walk.id
+        |  WHERE walk.d < 64)
+        |SELECT id, CAST(MIN(d) AS BIGINT) AS dist
+        |FROM walk GROUP BY id ORDER BY id""".stripMargin)
 
   /** The pageRankFixed recurrence unrolled as SQL: r0 = scale per node;
     * r_k(v) = 150000 + (17 · Σ_{u→v} (r_{k-1}(u) DIV odeg(u))) DIV 20.

@@ -307,6 +307,38 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t14 — character-entropy quality signal ([[TextAnalysis.charEntropy]]):
+    * bits/char per document, the gibberish/boilerplate detector. */
+  def t14CharEntropy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.charEntropy(Tables.documents(spark, d))
+      .orderBy($"doc_id")
+  }
+
+  /** q19 — deterministic quality-WEIGHTED sampling (the DSIR/importance-
+    * resampling shape: acceptance probability proportional to a per-doc
+    * weight, here the t02 quality score): accept doc iff its q14/q15
+    * multiplicative-hash bucket < ⌊q·101⌋. The hash draw is a pure function
+    * of doc_id — reproducible on any engine/partitioning, no RNG state —
+    * and the weight enters only through an exact integer threshold
+    * (⌊q·101⌋ on the SAME double both engines compute, t02-established).
+    * `accepted_id_sum` makes the oracle verify the selection, not just
+    * rates. Scale: fully map-side scoring + one partial-agg shuffle. */
+  def q19WeightedSample(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val bucket = pmod(pmod($"doc_id", lit(1000003L)) * lit(2654435761L),
+      lit(101L))
+    Tables.documents(spark, d)
+      .withColumn("toks", TextAnalysis.tokens($"text"))
+      .withColumn("q", TextAnalysis.qualityScoreOf($"toks", $"text"))
+      .withColumn("acc", bucket < floor($"q" * 101.0).cast("long"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"acc", 1)).as("n_accepted"),
+        sum(when($"acc", $"doc_id")).as("accepted_id_sum"))
+      .orderBy($"source")
+  }
+
   /** q16 — the training-data funnel: per source, how many TRAIN-split docs
     * survive each successive filter of a real pretraining pipeline —
     * English → quality ≥ 0.5 → not repetitive (top 2-gram ≤ 20%) → exact-
@@ -475,7 +507,20 @@ object PipelineQueries {
       emb, 5), minRecall = 0.5)
   }
 
+  /** s04 — partitioned k-NN JOIN: every vector's exact top-3 neighbors
+    * within its `label` cell ([[Similarity.knnJoinWithinCells]] — both
+    * sides are the corpus, so this is the equi-join-on-cell shape, not
+    * s01's broadcast-the-queries shape). Label as the SQL-replayable
+    * quantizer gives the gate a full value oracle; kmeansCells is the
+    * learned swap-in at scale. */
+  def s04KnnJoin(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Similarity.knnJoinWithinCells(Tables.embeddings(spark, d), 3)
+      .orderBy($"qid", $"rank")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s04_knn_join" -> (s04KnnJoin _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_event_dedup" -> (d02EventDedup _),
     "d03_jaccard_pairs" -> (d03JaccardPairs _),
@@ -497,6 +542,8 @@ object PipelineQueries {
     "t11_tfidf_topk" -> (t11TfidfTopk _),
     "t12_chunking" -> (t12Chunking _),
     "t13_lm_score" -> (t13LmScore _),
+    "t14_char_entropy" -> (t14CharEntropy _),
+    "q19_weighted_sample" -> (q19WeightedSample _),
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
     "t07_winnowing" -> (t07Winnowing _),
@@ -763,8 +810,12 @@ object PipelineQueries {
         |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
         |WHERE g.doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
     "q17_quality_cutoff" ->
-      // t02's score formula + percent_rank within source; pr is
-      // (rank-1)/(n-1) over integer inputs -> engine-exact comparison
+      // t02's score formula + percent_rank within source. The rank key q
+      // is a DOUBLE: cross-engine equality rests on both engines
+      // evaluating the identical IEEE expression in the same order (as
+      // t02 established for this score), NOT on integer inputs — any
+      // reordering of the score arithmetic is oracle-affecting. The
+      // (rank-1)/(n-1) percent_rank on top is exact in both.
       """WITH q AS (
         |  SELECT source,
         |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE AS n_tok,
@@ -1056,6 +1107,70 @@ object PipelineQueries {
         |    ELSE 'de' END AS pred
         |  FROM s)
         |SELECT pred, COUNT(*) AS n FROM p GROUP BY pred ORDER BY pred""".stripMargin,
+    "t14_char_entropy" ->
+      // H = ln(n) − (Σ c·ln c)/n in bits, the SAME expression order as the
+      // Spark side; the fold runs over counts in sorted-char order on both
+      // engines (chars unique per doc → total order); t13 log conventions
+      """WITH d AS (SELECT doc_id, lower(text) AS t
+        |           FROM documents WHERE text IS NOT NULL),
+        |ch AS (SELECT doc_id, unnest([substring(t, i, 1)
+        |         for i in generate_series(1, length(t))]) AS ch FROM d),
+        |c AS (SELECT doc_id, ch, COUNT(*)::BIGINT AS c
+        |      FROM ch GROUP BY 1, 2),
+        |l AS (SELECT doc_id, SUM(c)::BIGINT AS n_chars,
+        |        COUNT(*)::BIGINT AS n_distinct,
+        |        list(c::DOUBLE ORDER BY ch) AS lc
+        |      FROM c GROUP BY doc_id)
+        |SELECT doc_id, n_chars, n_distinct,
+        |  round((ln(n_chars::DOUBLE)
+        |     - list_reduce(list_prepend(0.0, lc),
+        |         (acc, x) -> acc + x * ln(x)) / n_chars::DOUBLE)
+        |    / ln(2.0), 4) AS entropy_bits
+        |FROM l ORDER BY doc_id""".stripMargin,
+    "q19_weighted_sample" ->
+      // t02's score formula (same doubles both engines — q17 note applies)
+      // entering only through the exact integer threshold ⌊q·101⌋ against
+      // the q14/q15 multiplicative-hash bucket
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE AS n_tok,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','or','to','in',
+        |                            'is','on','for','with'], x)))::DOUBLE AS n_stop,
+        |    len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS n_punct,
+        |    length(text)::DOUBLE AS n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, doc_id, least(1.0,
+        |    (n_stop / n_tok * 2.0 + (1.0 -
+        |       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)) / 2.0
+        |      * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE 0.5 END))
+        |    AS q
+        |  FROM b),
+        |a AS (
+        |  SELECT source, doc_id,
+        |    ((doc_id % 1000003) * 2654435761) % 101
+        |      < CAST(floor(q * 101.0) AS BIGINT) AS acc
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE acc) AS n_accepted,
+        |  CAST(SUM(doc_id) FILTER (WHERE acc) AS BIGINT) AS accepted_id_sum
+        |FROM a GROUP BY source ORDER BY source""".stripMargin,
+    "s04_knn_join" ->
+      // the same rounded-cosine + (cos DESC, nid) ranking as s01, but the
+      // join is within-cell self-join on label — the partitioned kNN join
+      """WITH v AS (SELECT label AS cell, vec_id,
+        |             embedding::DOUBLE[] AS vec FROM embeddings),
+        |s AS (
+        |  SELECT q.cell, q.vec_id AS qid, n.vec_id AS nid,
+        |    round(list_dot_product(q.vec, n.vec)
+        |      / (sqrt(list_dot_product(q.vec, q.vec))
+        |         * sqrt(list_dot_product(n.vec, n.vec))), 4) AS cos
+        |  FROM v q JOIN v n ON q.cell = n.cell AND q.vec_id <> n.vec_id)
+        |SELECT cell, qid, rank, nid, cos FROM (
+        |  SELECT cell, qid, nid, cos, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s) t
+        |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
     "s01_topk_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |s AS (

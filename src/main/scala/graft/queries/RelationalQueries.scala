@@ -261,7 +261,35 @@ object RelationalQueries {
       .orderBy($"source", $"split")
   }
 
+  /** q18: per-domain cap (the Gopher/RefinedWeb "no single domain may
+    * dominate the corpus" rule): keep at most `cap` docs per source,
+    * selected by the q14/q15 multiplicative hash — a deterministic uniform
+    * draw, NOT head-of-file order (which at crawl scale is correlated with
+    * fetch time and would bias the kept set). `kept_id_sum` makes the
+    * oracle verify the SELECTION, not just the counts.
+    *
+    * Scale: one window shuffle on source (the same shuffle a groupBy pays);
+    * rank-then-filter is the exact form — at 100 TB with huge domains,
+    * replace row_number with a per-source hash-threshold refined in a
+    * second pass (count → threshold → filter) so no domain's rows must be
+    * fully sorted; the hash draw makes the two forms agree in expectation. */
+  def q18DomainCap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cap = 10
+    val docs = Tables.documents(spark, d)
+      .withColumn("bkt",
+        pmod(pmod($"doc_id", lit(1000003L)) * lit(2654435761L), lit(101L)))
+    val w = Window.partitionBy($"source").orderBy($"bkt", $"doc_id")
+    docs.withColumn("rn", row_number().over(w))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"rn" <= cap, 1)).as("n_kept"),
+        sum(when($"rn" <= cap, $"doc_id")).as("kept_id_sum"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_domain_cap" -> (q18DomainCap _),
     "q13_sketch_stats" -> (q13SketchStats _),
     "q14_corpus_mixture" -> (q14CorpusMixture _),
     "q15_train_split" -> (q15TrainSplit _),
@@ -372,5 +400,18 @@ object RelationalQueries {
         |  CASE WHEN bucket < 81 THEN 'train' WHEN bucket < 91 THEN 'val'
         |       ELSE 'test' END AS split,
         |  COUNT(*) AS n_docs
-        |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin)
+        |FROM b GROUP BY source, split ORDER BY source, split""".stripMargin,
+    "q18_domain_cap" ->
+      // same multiplicative hash as q14/q15 (nonnegative operands, so
+      // DuckDB's % equals Spark's pmod); DuckDB SUM(BIGINT) is HUGEINT →
+      // cast back to BIGINT for the schema compare
+      """WITH r AS (
+        |  SELECT source, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ((doc_id % 1000003) * 2654435761) % 101, doc_id) AS rn
+        |  FROM documents)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE rn <= 10) AS n_kept,
+        |  CAST(SUM(doc_id) FILTER (WHERE rn <= 10) AS BIGINT) AS kept_id_sum
+        |FROM r GROUP BY source ORDER BY source""".stripMargin)
 }

@@ -64,7 +64,17 @@ object StreamQueries {
       .contentKeepFirst(Tables.documents(spark, d))
       .orderBy(col("keep_id"))
 
+  /** st07 — stream-static broadcast enrichment: events joined to the
+    * customer→nation dimension, revenue per nation. The streaming twin
+    * (StreamingSpec) re-probes the broadcast dim per micro-batch with no
+    * join state. */
+  def st07NationEnrichment(spark: SparkSession, d: String): DataFrame =
+    EventStreams.nationEnrichment(Tables.events(spark, d),
+        Tables.customer(spark, d), Tables.nation(spark, d))
+      .orderBy(col("nation"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st07_nation_enrich" -> (st07NationEnrichment _),
     "st01_hourly_agg" -> (st01HourlyAgg _),
     "st02_user_sessions" -> (st02UserSessions _),
     "st03_dedup_counts" -> (st03DedupCounts _),
@@ -123,5 +133,12 @@ object StreamQueries {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*)::BIGINT AS n_copies
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
-        |ORDER BY keep_id""".stripMargin)
+        |ORDER BY keep_id""".stripMargin,
+    "st07_nation_enrich" ->
+      """SELECT n_name AS nation, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM events
+        |JOIN customer ON user_id = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -111,6 +111,44 @@ object EventStreams {
       .start()
   }
 
+  /** Stream-STATIC enrichment: events joined to the customer→nation
+    * dimension (user_id keys directly into c_custkey in the testdata),
+    * rolled up to event counts and cent-exact revenue per nation — the
+    * canonical "enrich the clickstream with a dimension table" stage.
+    *
+    * The dimension is broadcast explicitly: in streaming, a stream-static
+    * equi-join re-probes the static side every micro-batch, and a broadcast
+    * hash join makes that probe map-side — no shuffle of the stream, no
+    * state store (the static side is not stateful the way stream-stream
+    * joins are). At 100 TB the events side never moves; only the tiny
+    * dim table ships. Works identically in batch (the st07 oracle leg). */
+  def nationEnrichment(events: DataFrame, customer: DataFrame,
+      nation: DataFrame): DataFrame = {
+    val dim = customer.select(col("c_custkey").cast("long").as("user_id"),
+        col("c_nationkey").as("nk"))
+      .join(nation.select(col("n_nationkey").as("nk"), col("n_name")), Seq("nk"))
+      .select(col("user_id"), col("n_name").as("nation"))
+    events.join(broadcast(dim), Seq("user_id"))
+      .groupBy(col("nation"))
+      .agg(count(lit(1)).as("n_events"),
+        // same cents-exact rounding convention as hourlyAgg
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+  }
+
+  /** Run [[nationEnrichment]] with a genuinely streaming events side:
+    * readStream + the static dim, complete-mode aggregation into a memory
+    * sink. */
+  def runNationEnrichmentStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery =
+    nationEnrichment(rawEventStream(spark, sfDir),
+        Tables.customer(spark, sfDir), Tables.nation(spark, sfDir))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Content keep-first dedup over a documents table: one row per distinct
     * normalized content (64-bit [[graft.pipeline.TextAnalysis.fingerprint]]
     * key — 8-byte group keys instead of full texts at shuffle time; the

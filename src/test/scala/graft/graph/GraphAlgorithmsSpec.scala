@@ -53,4 +53,40 @@ class GraphAlgorithmsSpec extends SparkSpec {
     } yield 1).size
     assert(count(edges) == brute)
   }
+
+  private def bfs(edges: Seq[(Long, Long)], seeds: Seq[Long],
+      maxDepth: Int = 64): Map[Long, Long] = {
+    import spark.implicits._
+    GraphAlgorithms.bfsDistances(edges.toDF("src", "dst"), seeds.toDF("id"),
+        maxDepth)
+      .as[(Long, Long)].collect().toMap
+  }
+
+  test("bfs distances: min-hop on a diamond, direction respected") {
+    // 1→2→4, 1→3→4, 4→5; plus a shortcut 1→4: dist(4) must be the MIN (1)
+    val g = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L), (1L, 4L))
+    assert(bfs(g, Seq(1L)) ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+    // edges are directed: nothing reaches 1; seeding downstream stays there
+    assert(bfs(g, Seq(4L)) === Map(4L -> 0L, 5L -> 1L))
+  }
+
+  test("bfs distances: multi-source takes the nearest seed") {
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val d = bfs(chain, Seq(1L, 7L))
+    assert(d(4L) === 3L) // from seed 1
+    assert(d(9L) === 2L) // from seed 7, not 8 hops from seed 1
+    assert(d(7L) === 0L) // a seed already on the other seed's path
+  }
+
+  test("bfs distances: cycles terminate, maxDepth caps the expansion") {
+    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(bfs(cycle, Seq(1L)) === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    val chain = (1L to 9L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val capped = bfs(chain, Seq(1L), maxDepth = 3)
+    assert(capped.values.max === 3L)
+    assert(capped.keySet === Set(1L, 2L, 3L, 4L))
+    // unreachable nodes are absent, not infinite
+    assert(!bfs(Seq((1L, 2L), (3L, 4L)), Seq(1L)).contains(3L))
+  }
 }

@@ -422,6 +422,34 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"k-means IVF nprobe=3/8 recall too low: $recall")
   }
 
+  test("knn join within cells: equals per-cell brute force, respects cells") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val knn = Similarity.knnJoinWithinCells(emb, 3)
+    val rows = knn.collect()
+    // every (qid, nid) pair shares the quantizer cell
+    val cellOf = emb.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(rows.forall(r => cellOf(r.getLong(1)) == cellOf(r.getLong(3))))
+    // per query: at most k rows, ranks contiguous from 1, cos non-increasing
+    val byQ = rows.groupBy(_.getLong(1))
+    assert(byQ.values.forall { rs =>
+      val sorted = rs.sortBy(_.getLong(2))
+      sorted.length <= 3 &&
+        sorted.map(_.getLong(2)).toSeq == (1L to sorted.length).toSeq &&
+        sorted.map(_.getDouble(4)).toSeq.sliding(2).forall {
+          case Seq(a, b) => a >= b; case _ => true }
+    })
+    // equals brute force restricted to the query's cell, for a sample cell
+    val cell0 = emb.filter($"label" === 0)
+    val brute = Similarity.bruteForceTopK(cell0, cell0, 3)
+      .select("qid", "rank", "nid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val inCell0 = rows.filter(r => r.getInt(0) == 0)
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(inCell0 === brute)
+  }
+
   test("hyperplane buckets are deterministic and group similar vectors") {
     val emb = Tables.embeddings(spark, sfTiny)
     val a = Similarity.hyperplaneBuckets(emb, 8).orderBy("id").collect()

@@ -40,6 +40,24 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("stream-static nation enrichment matches batch; dim side broadcast") {
+    val q = EventStreams.runNationEnrichmentStream(spark, sfTiny, "enrich_smoke")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM enrich_smoke ORDER BY nation").collect()
+    val batch = EventStreams.nationEnrichment(Tables.events(spark, sfTiny),
+        Tables.customer(spark, sfTiny), Tables.nation(spark, sfTiny))
+      .orderBy(col("nation")).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    assert(streamed.nonEmpty)
+    // the static dim must ride a broadcast join — no shuffle of the stream
+    val plan = EventStreams.nationEnrichment(Tables.events(spark, sfTiny),
+        Tables.customer(spark, sfTiny), Tables.nation(spark, sfTiny))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
+
   test("streaming content dedup keeps exactly the batch keep-first set") {
     val q = EventStreams.runContentDedupStream(spark, sfTiny, "cdedup_smoke")
     try q.processAllAvailable() finally q.stop()
