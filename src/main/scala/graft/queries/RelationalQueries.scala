@@ -288,7 +288,39 @@ object RelationalQueries {
       .orderBy($"source")
   }
 
+  /** q20: ROLLUP subtotals over (source, lang) — the multi-level corpus
+    * report (per-source-per-lang, per-source, grand total) in ONE pass:
+    * Spark's Expand replicates each row per grouping set map-side, then a
+    * single partial-agg shuffle — no self-union of three aggregations.
+    * NULL marks a rolled-up level, same convention both engines; ordering
+    * keys coalesce NULL to '~total' ('~' > any data value in both). */
+  def q20Rollup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .rollup($"source", $"lang")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("n_chars_sum"))
+      .orderBy(coalesce($"source", lit("~total")),
+        coalesce($"lang", lit("~total")))
+  }
+
+  /** q21: language pivot — per source, one count column per language
+    * (explicit value list keeps the plan deterministic and skips the
+    * distinct-values probe job Spark otherwise runs; absent combinations
+    * are 0, matching the SQL FILTER counts). One partial-agg shuffle on
+    * source; the pivot itself is map-side conditional aggregation. */
+  def q21LangPivot(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .groupBy($"source")
+      .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q20_rollup" -> (q20Rollup _),
+    "q21_lang_pivot" -> (q21LangPivot _),
     "q18_domain_cap" -> (q18DomainCap _),
     "q13_sketch_stats" -> (q13SketchStats _),
     "q14_corpus_mixture" -> (q14CorpusMixture _),
@@ -413,5 +445,19 @@ object RelationalQueries {
         |SELECT source, COUNT(*) AS n_docs,
         |  COUNT(*) FILTER (WHERE rn <= 10) AS n_kept,
         |  CAST(SUM(doc_id) FILTER (WHERE rn <= 10) AS BIGINT) AS kept_id_sum
-        |FROM r GROUP BY source ORDER BY source""".stripMargin)
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q20_rollup" ->
+      """SELECT source, lang, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM documents
+        |GROUP BY ROLLUP(source, lang)
+        |ORDER BY coalesce(source, '~total'), coalesce(lang, '~total')""".stripMargin,
+    "q21_lang_pivot" ->
+      """SELECT source,
+        |  COUNT(*) FILTER (WHERE lang = 'de') AS de,
+        |  COUNT(*) FILTER (WHERE lang = 'en') AS en,
+        |  COUNT(*) FILTER (WHERE lang = 'es') AS es,
+        |  COUNT(*) FILTER (WHERE lang = 'fr') AS fr,
+        |  COUNT(*) FILTER (WHERE lang = 'zh') AS zh
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
 }

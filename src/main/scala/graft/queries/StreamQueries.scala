@@ -73,7 +73,14 @@ object StreamQueries {
         Tables.customer(spark, d), Tables.nation(spark, d))
       .orderBy(col("nation"))
 
+  /** st08 — sliding 1-hour/30-minute window aggregation per event type
+    * (each event in exactly two windows; epoch-aligned grid). */
+  def st08SlidingAgg(spark: SparkSession, d: String): DataFrame =
+    EventStreams.slidingAgg(Tables.eventsWithTs(spark, d))
+      .orderBy(col("win_start"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st08_sliding_agg" -> (st08SlidingAgg _),
     "st07_nation_enrich" -> (st07NationEnrichment _),
     "st01_hourly_agg" -> (st01HourlyAgg _),
     "st02_user_sessions" -> (st02UserSessions _),
@@ -140,5 +147,22 @@ object StreamQueries {
         |FROM events
         |JOIN customer ON user_id = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st08_sliding_agg" ->
+      // window length 2x the slide => every event is in exactly the two
+      // epoch-grid windows starting at floor30(ts) and floor30(ts)-30min.
+      // date_trunc to the SECOND before epoch: every event carries micros,
+      // and CAST(epoch(ts)) would ROUND instead of floor at .5s — flooring
+      // to the second first composes exactly with the % 1800 grid floor
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |    CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS es
+        |  FROM events),
+        |w AS (
+        |  SELECT event_type, value,
+        |    unnest([es - es % 1800, es - es % 1800 - 1800]) AS win_start
+        |  FROM e)
+        |SELECT win_start, event_type, COUNT(*) AS n_events,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_cents
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }

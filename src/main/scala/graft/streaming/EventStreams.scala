@@ -31,6 +31,31 @@ object EventStreams {
       .select(unix_timestamp(col("w.start")).as("hour_start"),
         col("event_type"), col("n_events"), col("value_cents"))
 
+  /** SLIDING-window counts/sums per event type: 1-hour windows every 30
+    * minutes (each event lands in exactly 2 windows — Spark's window()
+    * replicates rows per overlapping window, map-side, before the same
+    * low-cardinality (window, type) aggregation as [[hourlyAgg]]; windows
+    * align to the epoch grid, which is what the SQL oracle replays). */
+  def slidingAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts_utc"), "1 hour", "30 minutes").as("w"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 100).cast("long")).as("value_cents"))
+      .select(unix_timestamp(col("w.start")).as("win_start"),
+        col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Run [[slidingAgg]] as a streaming query (watermark + memory sink). */
+  def runSlidingAggStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery =
+    slidingAgg(eventStream(spark, sfDir, "2 hours"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Session counts per user: 30-minute inactivity gap sessionization via
     * session_window (works identically in batch and streaming). */
   def userSessions(events: DataFrame): DataFrame =

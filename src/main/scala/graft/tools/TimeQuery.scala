@@ -14,6 +14,23 @@ object TimeQuery {
     val names = sys.env.getOrElse("SPARK_GRAFT_ONLY", "d04_minhash_lsh")
       .split(",").toSeq
     val spark = graft.util.Sessions.local(cpus.toInt)
+    // optional warmup emulation of the Bench protocol: run each query
+    // WARM_REPS times at WARM_DIR before timing at the target SF —
+    // separates shape-JIT (one warm rep) from C2 tiering (several)
+    val warmDir = sys.env.get("SPARK_GRAFT_WARM_DIR")
+    val warmReps = sys.env.getOrElse("SPARK_GRAFT_WARM_REPS", "1").toInt
+    warmDir.foreach { wd =>
+      names.foreach { name =>
+        (1 to warmReps).foreach { _ =>
+          graft.SparkEntry.queries(name)(spark, wd).count()
+        }
+      }
+      try {
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      } catch { case _: Throwable => }
+      graft.queries.TpchGraph.reset()
+    }
     names.foreach { name =>
       val times = (1 to reps).map { i =>
         val t0 = System.nanoTime()

@@ -40,6 +40,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming sliding-window agg matches batch; 2 windows per event") {
+    val q = EventStreams.runSlidingAggStream(spark, sfTiny, "sliding_smoke")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM sliding_smoke ORDER BY win_start, event_type").collect()
+    val batch = EventStreams.slidingAgg(Tables.eventsWithTs(spark, sfTiny))
+      .orderBy(col("win_start"), col("event_type")).collect()
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // window = 2x slide: total windowed events = 2x raw events
+    val nRaw = Tables.events(spark, sfTiny).count()
+    assert(batch.map(_.getLong(2)).sum === 2 * nRaw)
+  }
+
   test("stream-static nation enrichment matches batch; dim side broadcast") {
     val q = EventStreams.runNationEnrichmentStream(spark, sfTiny, "enrich_smoke")
     try q.processAllAvailable() finally q.stop()
