@@ -243,6 +243,64 @@ object Similarity {
       .select(col("cell"), col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** Approximate kNN JOIN at corpus scale, single LSH table: hyperplane-
+    * bucket the corpus ([[hyperplaneBuckets]] — deterministic, no learned
+    * state) and run the exact [[knnJoinWithinCells]] inside each bucket.
+    * One table has low recall (a neighbor pair splits whenever ANY plane
+    * separates it) — [[knnJoinLshMulti]] is the production shape; this is
+    * its building block and the spec baseline. */
+  def knnJoinLsh(emb: DataFrame, k: Int, nPlanes: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cells = hyperplaneBuckets(emb, nPlanes, idCol, vecCol)
+      .withColumnRenamed("id", idCol).withColumnRenamed("bucket", "cell")
+    knnJoinWithinCells(emb.join(cells, idCol), k, idCol, vecCol, "cell")
+  }
+
+  /** Multi-table LSH kNN JOIN (classic OR-amplification, Indyk–Motwani
+    * lineage): L independent tables of b sign bits each — one fused
+    * signature of L·b bits, table t keyed by its own b-bit slice — union
+    * the within-bucket candidate pairs across tables, dedup, exact-score
+    * once, top-k. Pair-level recall 1−(1−p^b)^L for per-plane agreement
+    * p, tunable without touching the join shape.
+    *
+    * Scale: one signature kernel pass; explode ×L (rows, not vectors:
+    * 16 bytes per (cell,id)); one shuffle on the (table, bucket) key whose
+    * skew is bounded by 2^b · L buckets; candidate DEDUP before scoring so
+    * a pair sharing several tables is scored once; two id-equi-joins to
+    * re-attach vectors (shuffles candidates, not the corpus²). b grows
+    * with log(corpus) to keep per-bucket occupancy flat; at the gate SF
+    * the buckets are intentionally coarse (tiny corpus), which only
+    * RAISES candidate counts — the recall contract is what's asserted. */
+  def knnJoinLshMulti(emb: DataFrame, k: Int, bitsPerTable: Int,
+      nTables: Int, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(bitsPerTable * nTables <= 62, "signature must fit a long")
+    val v = emb.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val sig = hyperplaneBuckets(emb, bitsPerTable * nTables, idCol, vecCol)
+    val nBuckets = 1L << bitsPerTable
+    // table t's cell = t·2^b + bits [t·b, (t+1)·b) of the fused signature
+    val tabbed = sig.select(col("id"), col("bucket"),
+        explode(sequence(lit(0), lit(nTables - 1))).as("t"))
+      .withColumn("cell",
+        col("t") * nBuckets + expr(
+          s"pmod(bucket div cast(pow(2d, t * $bitsPerTable) as bigint), $nBuckets)"))
+      .select(col("cell"), col("id"))
+    val cand = tabbed.select(col("cell"), col("id").as("qid"))
+      .join(tabbed.select(col("cell"), col("id").as("nid")), Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid")).distinct()
+    val scored = cand
+      .join(v.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
+      .join(v.select(col("id").as("nid"), col("vec").as("nvec")), Seq("nid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
   /** Random-hyperplane LSH bucketing: sign bits of dot products with
     * `nPlanes` pseudo-random unit-free planes derived deterministically from
     * xxhash64(planeIdx, dimIdx) — no RNG state, reproducible on any cluster.

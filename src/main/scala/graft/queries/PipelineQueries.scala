@@ -519,8 +519,34 @@ object PipelineQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** s05 — multi-table LSH approximate kNN JOIN
+    * ([[Similarity.knnJoinLshMulti]], 12 tables × 4 sign bits): the
+    * corpus×corpus ANN join when no quantizer exists. Emitted as the
+    * s02/s03-style integer-invariant contract: every vector covered
+    * (floor 0.95; measured 1.0) and pair recall@3 vs the brute answer
+    * ≥ 0.7 (measured 0.82 at the oracle SF, 0.82–0.9 across SFs —
+    * ProbeS05). The buckets aren't SQL-replayable (xxhash64 planes), the
+    * CONTRACT is. */
+  def s05KnnJoinLshMulti(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val ann = Similarity.knnJoinLshMulti(emb, 3, bitsPerTable = 4,
+      nTables = 12)
+    val brute = Similarity.bruteForceTopK(emb, emb, 3)
+    val hits = brute.select($"qid", $"nid")
+      .join(ann.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
+    emb.agg(count(lit(1)).as("n_vectors"))
+      .crossJoin(ann.agg(countDistinct($"qid").as("ncov")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+      .crossJoin(brute.agg(count(lit(1)).as("n_brute")))
+      .select($"n_vectors",
+        ($"ncov" >= $"n_vectors" * 0.95).as("coverage_ok"),
+        ($"n_hits" >= $"n_brute" * 0.7).as("recall_ok"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s04_knn_join" -> (s04KnnJoin _),
+    "s05_knn_join_lsh" -> (s05KnnJoinLshMulti _),
     "d01_exact_dedup" -> (d01ExactDedup _),
     "d02_event_dedup" -> (d02EventDedup _),
     "d03_jaccard_pairs" -> (d03JaccardPairs _),
@@ -1156,6 +1182,13 @@ object PipelineQueries {
         |  COUNT(*) FILTER (WHERE acc) AS n_accepted,
         |  CAST(SUM(doc_id) FILTER (WHERE acc) AS BIGINT) AS accepted_id_sum
         |FROM a GROUP BY source ORDER BY source""".stripMargin,
+    "s05_knn_join_lsh" ->
+      // s02/s03-style contract oracle: the expected constants from the
+      // embeddings table alone; any coverage/recall collapse flips a
+      // boolean and fails the hash compare
+      """SELECT COUNT(*) AS n_vectors, true AS coverage_ok,
+        |  true AS recall_ok
+        |FROM embeddings""".stripMargin,
     "s04_knn_join" ->
       // the same rounded-cosine + (cos DESC, nid) ranking as s01, but the
       // join is within-cell self-join on label — the partitioned kNN join

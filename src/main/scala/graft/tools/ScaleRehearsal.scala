@@ -114,6 +114,14 @@ object ScaleRehearsal {
           $"o_orderkey".cast("string").as("name"), lit(".ord").as("ext"))
       Mutations.deleteFiles(g.graph, victims).graph.nodes.count()
     }
+    // BFS: frontier-proportional shuffles — seeds scale k-fold over the
+    // UNREPLICATED graph, so round count stays fixed (graph diameter) and
+    // cost must track reachable-set size, not seed count x graph size
+    time(s"g11-shaped BFS from ${100 * k} seeds") {
+      val g = graft.queries.TpchGraph.buildUncached(spark, sfDir)
+      val seeds = spark.range(100L * k).toDF("id")
+      graft.graph.GraphAlgorithms.bfsDistances(g.edges, seeds).count()
+    }
   }
 
   private def pipelineFamily(spark: org.apache.spark.sql.SparkSession,
@@ -195,6 +203,13 @@ object ScaleRehearsal {
       Similarity.semanticDedupSummary(
         emb.withColumn("label", pmod(xxhash64(col("vec_id")), lit(32))),
         0.4).count()
+    }
+    // same quadratic-pressure probe through the kNN-join shape: within-
+    // cell top-k instead of threshold pairs (the s04 gate's scale path)
+    time(s"s04 knn join within 32 hash cells x$m") {
+      Similarity.knnJoinWithinCells(
+        emb.withColumn("label", pmod(xxhash64(col("vec_id")), lit(32))),
+        3).count()
     }
   }
 }

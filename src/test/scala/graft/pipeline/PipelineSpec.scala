@@ -450,6 +450,34 @@ class PipelineSpec extends SparkSpec {
     assert(inCell0 === brute)
   }
 
+  test("multi-table LSH knn join: recall beats one table, ranks well-formed") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val brute = Similarity.bruteForceTopK(emb, emb, 3)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val s = df.select("qid", "nid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & s).size.toDouble / brute.size
+    }
+    val one = recall(Similarity.knnJoinLsh(emb, 3, 4))
+    val multi = Similarity.knnJoinLshMulti(emb, 3, 4, 12)
+    val multiRecall = recall(multi)
+    assert(multiRecall > one,
+      s"OR-amplification must beat one table: $multiRecall vs $one")
+    assert(multiRecall >= 0.7, s"multi-table recall floor: $multiRecall")
+    // well-formed: contiguous ranks from 1, at most k per query
+    val byQ = multi.collect().groupBy(_.getLong(0))
+    assert(byQ.values.forall { rs =>
+      val ranks = rs.map(_.getLong(1)).sorted.toSeq
+      ranks.length <= 3 && ranks == (1L to ranks.length).toSeq
+    })
+    // determinism: same buckets, same candidates, same answer
+    val again = Similarity.knnJoinLshMulti(emb, 3, 4, 12)
+      .orderBy("qid", "rank").collect().map(_.toSeq).toSeq
+    assert(again === multi.orderBy("qid", "rank").collect().map(_.toSeq).toSeq)
+  }
+
   test("hyperplane buckets are deterministic and group similar vectors") {
     val emb = Tables.embeddings(spark, sfTiny)
     val a = Similarity.hyperplaneBuckets(emb, 8).orderBy("id").collect()
