@@ -83,6 +83,15 @@ object Paths {
       .filter(col("hops").between(minHops, maxHops))
   }
 
+  /** Hops expanded per driver round-trip in [[expandPaths]]. A long chain's
+    * cost is ROUND LATENCY, not data (each hop's frontier is tiny): at one
+    * materialization per hop, a 130-hop NEXT chain pays 130 sequential
+    * job round-trips (~80 ms each). Chaining `HopsPerJob` joins inside one
+    * Catalyst plan before materializing divides the round count by that
+    * factor; the at-most `HopsPerJob − 1` extra empty joins after the chain
+    * ends are map-side no-ops on an empty frontier. */
+  val HopsPerJob = 4
+
   /** Core expansion: grow simple paths from `srcId`; paths that reach
     * `target` stop expanding (they are results). Returns all intermediate
     * and terminal paths with their hop counts. */
@@ -91,26 +100,42 @@ object Paths {
       frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit): DataFrame = {
     import spark.implicits._
     val e = typedEdges.select(col("src"), col("dst")).distinct().cache()
-    // `acc` stays a lazy union of PINNED per-hop levels (one checkpoint job
-    // per hop, not two — a 40-hop chain walk saves ~40 driver round-trips)
+    // `acc` stays a lazy union of PINNED per-batch levels (one checkpoint
+    // job per HopsPerJob hops — a 130-hop chain walk is ~33 round-trips)
     var acc = Seq((Array(srcId), 0)).toDF("path", "hops").localCheckpoint(true)
     var frontier = acc
-    // exact frontier size, refreshed each hop from the pinned level (a
+    // exact frontier size, refreshed each batch from the pinned level (a
     // count() on an eager localCheckpoint costs the same driver round-trip
     // the old isEmpty() did) — it decides broadcast vs shuffle for free
     var frontierRows = 1L
     var hop = 0
     while (hop < maxHops && frontierRows > 0) {
-      hop += 1
-      val expandable = target match {
-        case Some(t) => frontier.filter(element_at(col("path"), -1) =!= lit(t))
-        case None => frontier
+      // one Catalyst plan covering up to HopsPerJob hops: each sub-hop
+      // applies the same target-stop filter and cycle guard as before, and
+      // every sub-hop's level is kept (the union below), so the result is
+      // row-identical to one-hop-per-job expansion. The broadcast decision
+      // is made once per batch from the measured batch-entry size, with
+      // 16× headroom for within-batch fan-out growth.
+      val useBroadcast = frontierRows <= frontierBroadcastLimit / 16
+      var level = frontier
+      var levels = Seq.empty[DataFrame]
+      var h = hop
+      while (h < maxHops && (h - hop) < HopsPerJob) {
+        h += 1
+        val expandable = target match {
+          case Some(t) => level.filter(element_at(col("path"), -1) =!= lit(t))
+          case None => level
+        }
+        level = expandHop(expandable, e, h, useBroadcast)
+        levels = levels :+ level
       }
-      val next =
-        expandHop(expandable, e, hop, frontierRows <= frontierBroadcastLimit)
-          .localCheckpoint(true)
-      frontierRows = next.count()
-      if (frontierRows > 0) { acc = acc.union(next); frontier = next }
+      val batch = levels.reduce(_ union _).localCheckpoint(true)
+      val batchEndHop = h
+      // continue from the deepest level; earlier levels are final results
+      frontier = batch.filter(col("hops") === batchEndHop)
+      frontierRows = frontier.count()
+      acc = acc.union(batch)
+      hop = batchEndHop
     }
     e.unpersist()
     acc
