@@ -428,4 +428,63 @@ object TextAnalysis {
         coalesce(col("n_grams"), lit(0L)).as("n_grams"),
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
   }
+
+  /** BM25 ranked retrieval (Robertson–Spärck Jones probabilistic weighting,
+    * the Okapi k1/b form; k1=1.2, b=0.75) of the corpus against a FIXED
+    * query-term set — the scorer a corpus-search / hard-negative-mining
+    * pipeline runs at scale. idf is the +1-inside-log variant
+    * (ln(1 + (N−df+0.5)/(df+0.5))), positive even for terms in most docs.
+    *
+    * Determinism (t11/t13 conventions): every input to the float math is an
+    * integer aggregate (tf, df, dl, N, Σdl) — avgdl included — so each
+    * per-term partial score is one fixed dataflow of exact ints; the
+    * per-doc total is built by fixed-order conditional aggregation (one
+    * column per query term, added in term-list order), never a float SUM
+    * whose addend order the shuffle picks; the total rounds to 4 dp and the
+    * final ordering uses the ROUNDED score so the rank is engine-exact.
+    *
+    * Scale: doc length is one (doc) partial-agg shuffle, tf one (doc,term)
+    * partial-agg shuffle with the IN-filter pushed below it (only query-
+    * term postings shuffle, not the corpus), df + N + Σdl are single-row
+    * broadcast aggregates, and the top-k compiles to
+    * TakeOrderedAndProject. O(|q|) pivot columns, no UDF anywhere. */
+  def bm25TopK(docs: DataFrame, queryTerms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK needs at least one query term")
+    // constants as DOUBLE LITERALS, never Scala-computed (1.2 + 1.0 rounds
+    // to a different double than the literal 2.2 — the oracle uses the
+    // literals, so the kernel must too): k1=1.2, b=0.75, k1+1=2.2, 1-b=0.25
+    val k1 = lit(1.2)
+    val k1p1 = lit(2.2)
+    val oneMinusB = lit(0.25)
+    val b = lit(0.75)
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val dl = toks.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    // N and Σdl in one single-row aggregate → broadcast; avgdl derived from
+    // the two exact integers identically in both engines
+    val corpus = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+    val tf = toks.filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val avgdl = col("tot").cast("double") / col("n_docs")
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) /
+      (col("df") + lit(0.5)))
+    val partial = tf.join(broadcast(df_), "tok")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpus))
+      .withColumn("s", idf * (col("tf") * k1p1) /
+        (col("tf") + k1 * (oneMinusB + b * col("dl") / avgdl)))
+    // fixed-order pivot sum: term columns added in queryTerms order
+    val termCols = queryTerms.map(t =>
+      coalesce(max(when(col("tok") === t, col("s"))), lit(0.0)))
+    val total = termCols.reduceLeft(_ + _)
+    val scored = partial.groupBy(col(idCol))
+      .agg(round(total, 4).as("score"), count(lit(1)).as("n_terms"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    scored.orderBy(col("score").desc, col(idCol)).limit(k)
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col(idCol), col("score"), col("n_terms"))
+  }
 }

@@ -315,6 +315,13 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t15 — BM25 top-20 docs for a fixed 3-term query (see
+    * [[TextAnalysis.bm25TopK]] for the determinism + scale argument). The
+    * oracle replays the identical integer→double dataflow in SQL. */
+  def t15Bm25(spark: SparkSession, d: String): DataFrame =
+    TextAnalysis.bm25TopK(Tables.documents(spark, d),
+      Seq("spark", "join", "window"), 20)
+
   /** q19 — deterministic quality-WEIGHTED sampling (the DSIR/importance-
     * resampling shape: acceptance probability proportional to a per-doc
     * weight, here the t02 quality score): accept doc iff its q14/q15
@@ -569,6 +576,7 @@ object PipelineQueries {
     "t12_chunking" -> (t12Chunking _),
     "t13_lm_score" -> (t13LmScore _),
     "t14_char_entropy" -> (t14CharEntropy _),
+    "t15_bm25_topk" -> (t15Bm25 _),
     "q19_weighted_sample" -> (q19WeightedSample _),
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
@@ -1153,6 +1161,42 @@ object PipelineQueries {
         |         (acc, x) -> acc + x * ln(x)) / n_chars::DOUBLE)
         |    / ln(2.0), 4) AS entropy_bits
         |FROM l ORDER BY doc_id""".stripMargin,
+    "t15_bm25_topk" ->
+      // same integer→double dataflow as bm25TopK: every float input is an
+      // integer aggregate (tf/df/dl/N/Σdl), ::DOUBLE casts force double
+      // (not DECIMAL) arithmetic at each fractional literal, the per-doc
+      // total adds the 3 term columns in term-list order, and the rank
+      // orders by the ROUNDED score — engine-exact end to end
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS tok
+        |  FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, COUNT(*)::BIGINT AS dl FROM t GROUP BY doc_id),
+        |n AS (SELECT COUNT(*)::BIGINT AS n_docs, SUM(dl)::BIGINT AS tot FROM dl),
+        |tf AS (SELECT doc_id, tok, COUNT(*)::BIGINT AS tf FROM t
+        |       WHERE tok IN ('spark', 'join', 'window') GROUP BY doc_id, tok),
+        |df AS (SELECT tok, COUNT(*)::BIGINT AS df FROM tf GROUP BY tok),
+        |s AS (
+        |  SELECT tf.doc_id, tf.tok,
+        |    ln(CAST(1.0 AS DOUBLE) +
+        |       (n.n_docs - df.df + CAST(0.5 AS DOUBLE)) /
+        |       (df.df + CAST(0.5 AS DOUBLE))) *
+        |    (tf.tf * CAST(2.2 AS DOUBLE)) /
+        |    (tf.tf + CAST(1.2 AS DOUBLE) *
+        |      (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl /
+        |        (n.tot::DOUBLE / n.n_docs))) AS s
+        |  FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN n),
+        |p AS (
+        |  SELECT doc_id,
+        |    round(COALESCE(MAX(CASE WHEN tok = 'spark' THEN s END), 0.0)
+        |        + COALESCE(MAX(CASE WHEN tok = 'join' THEN s END), 0.0)
+        |        + COALESCE(MAX(CASE WHEN tok = 'window' THEN s END), 0.0), 4)
+        |      AS score,
+        |    COUNT(*)::BIGINT AS n_terms
+        |  FROM s GROUP BY doc_id)
+        |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rnk,
+        |  doc_id, score, n_terms
+        |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q19_weighted_sample" ->
       // t02's score formula (same doubles both engines — q17 note applies)
       // entering only through the exact integer threshold ⌊q·101⌋ against

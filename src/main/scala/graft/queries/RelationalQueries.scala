@@ -318,7 +318,32 @@ object RelationalQueries {
       .orderBy($"source")
   }
 
+  /** q22: semi-structured extraction — `events.props` carries a JSON
+    * payload; parse it ONCE with an EXPLICIT schema (`from_json` — no
+    * schema-inference pre-scan, the codegen'd Jackson parse stays inside
+    * WholeStageCodegen) and aggregate on the extracted field. At 100 TB
+    * this is the crawl-metadata-sidecar shape: never infer (a second full
+    * scan), never regex the hot path, never parse twice (one struct, fields
+    * projected from it). The oracle replays the fixed '{"k": N}' payload
+    * with a regex slice, so the gate checks the PARSE result, not a shared
+    * parser. Doubles enter via the st01 integer-cents convention. One
+    * partial-agg shuffle on (event_type, k%10); the distinct-user count is
+    * Spark's two-phase partial distinct — no extra job. */
+  def q22PropsExtract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val schema = org.apache.spark.sql.types.StructType.fromDDL("k INT")
+    Tables.events(spark, d)
+      .withColumn("k", from_json($"props", schema)("k"))
+      .groupBy($"event_type", pmod($"k", lit(10)).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct($"user_id").as("n_users"),
+        sum($"k").as("k_sum"),
+        sum(round($"value" * 100).cast("long")).as("value_cents"))
+      .orderBy($"event_type", $"k_bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q22_props_extract" -> (q22PropsExtract _),
     "q20_rollup" -> (q20Rollup _),
     "q21_lang_pivot" -> (q21LangPivot _),
     "q18_domain_cap" -> (q18DomainCap _),
@@ -339,6 +364,17 @@ object RelationalQueries {
     "q12_order_by_date" -> (q12OrderByDate _))
 
   val oracle: Map[String, String] = Map(
+    "q22_props_extract" ->
+      """WITH e AS (
+        |  SELECT event_type, user_id, value,
+        |    CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS INT) AS k
+        |  FROM events)
+        |SELECT event_type, k % 10 AS k_bucket, COUNT(*) AS n_events,
+        |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+        |  CAST(SUM(k) AS BIGINT) AS k_sum,
+        |  CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS value_cents
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q01_pricing_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  SUM(l_quantity) AS sum_qty,
