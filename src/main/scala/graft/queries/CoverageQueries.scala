@@ -65,12 +65,52 @@ object CoverageQueries {
       .orderBy($"file", $"fid")
   }
 
+  /** c03 — F1 through the native DataSource V2 connector
+    * ([[graft.sources.lcov.LcovDataSource]]): the same generated
+    * tracefiles land on disk as real .info files, are read back with
+    * `spark.read.format("lcov")` (one partition per file, record rows
+    * built in the reader), and aggregate to the c01 shape — the oracle is
+    * c01's, so the hash gate proves the CONNECTOR is lossless end to end.
+    *
+    * The driver-side write is bounded by the number of distinct sources
+    * (20 at every SF — a fixture materialization, not a data path; the
+    * connector itself never reads content on the driver). */
+  def c03LcovConnector(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_lcov_" + Integer.toHexString(d.hashCode))
+    dir.mkdirs()
+    tracefiles(spark, d).collect().foreach { row =>
+      java.nio.file.Files.write(
+        dir.toPath.resolve(row.getString(0) + ".info"),
+        row.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    spark.read.format("lcov").load(dir.getAbsolutePath)
+      .select(regexp_replace($"file", "^src/", "").as("name"),
+        $"lines_found", $"lines_hit",
+        round(when($"lines_found" > 0,
+          $"lines_hit".cast("double") / $"lines_found".cast("double")), 4)
+          .as("pct"))
+      .orderBy($"name")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_lcov_file_coverage" -> (c01LcovFileCoverage _),
-    "c02_function_coverage" -> (c02FunctionCoverage _))
+    "c02_function_coverage" -> (c02FunctionCoverage _),
+    "c03_lcov_connector" -> (c03LcovConnector _))
 
   val oracle: Map[String, String] = Map(
     "c01_lcov_file_coverage" ->
+      """SELECT source || '.py' AS name,
+        |  COUNT(*) AS lines_found,
+        |  CAST(SUM(CASE WHEN n_chars % 3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS lines_hit,
+        |  ROUND(CAST(SUM(CASE WHEN n_chars % 3 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / COUNT(*), 4) AS pct
+        |FROM documents GROUP BY source ORDER BY name""".stripMargin,
+    "c03_lcov_connector" ->
+      // identical to c01's oracle: the connector must reproduce the
+      // pre-loaded parse exactly
       """SELECT source || '.py' AS name,
         |  COUNT(*) AS lines_found,
         |  CAST(SUM(CASE WHEN n_chars % 3 > 0 THEN 1 ELSE 0 END) AS BIGINT)
