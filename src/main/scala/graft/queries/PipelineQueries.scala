@@ -322,6 +322,30 @@ object PipelineQueries {
     TextAnalysis.bm25TopK(Tables.documents(spark, d),
       Seq("spark", "join", "window"), 20)
 
+  /** q23 — sharded corpus export round trip: write the documents table
+    * through the [[graft.pipeline.ShardWriter]] JSONL sink (8 hive
+    * `shard=N/` dirs, deterministic hash assignment), read it BACK with an
+    * explicit schema, and emit the per-shard manifest. The oracle replays
+    * the shard hash in SQL over the source table, so the gate proves the
+    * full write→layout→read path is lossless — shard counts, id sums and
+    * char sums must survive the round trip exactly. */
+  def q23ShardManifest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_shards_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    graft.pipeline.ShardWriter.writeJsonl(
+      Tables.documents(spark, d), out, nShards = 8)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "doc_id LONG, text STRING, lang STRING, source STRING, " +
+        "n_chars LONG, shard INT")
+    graft.pipeline.ShardWriter.readJsonl(spark, out, schema)
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("id_sum"),
+        sum($"n_chars").as("n_chars_sum"))
+      .orderBy($"shard")
+  }
+
   /** q19 — deterministic quality-WEIGHTED sampling (the DSIR/importance-
     * resampling shape: acceptance probability proportional to a per-doc
     * weight, here the t02 quality score): accept doc iff its q14/q15
@@ -577,6 +601,7 @@ object PipelineQueries {
     "t13_lm_score" -> (t13LmScore _),
     "t14_char_entropy" -> (t14CharEntropy _),
     "t15_bm25_topk" -> (t15Bm25 _),
+    "q23_shard_manifest" -> (q23ShardManifest _),
     "q19_weighted_sample" -> (q19WeightedSample _),
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
@@ -1197,6 +1222,18 @@ object PipelineQueries {
         |SELECT ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)::BIGINT AS rnk,
         |  doc_id, score, n_terms
         |FROM p ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q23_shard_manifest" ->
+      // the ShardWriter hash replayed over the SOURCE table: the Spark
+      // side aggregates the post-round-trip JSONL, so equality proves the
+      // sink lost nothing and the layout's shard dirs match the assignment
+      """WITH a AS (
+        |  SELECT CAST(((doc_id * 2654435761) % 1000003) % 8 AS INT)
+        |    AS shard, doc_id, n_chars
+        |  FROM documents)
+        |SELECT shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
+        |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
     "q19_weighted_sample" ->
       // t02's score formula (same doubles both engines — q17 note applies)
       // entering only through the exact integer threshold ⌊q·101⌋ against
