@@ -79,7 +79,17 @@ object StreamQueries {
     EventStreams.slidingAgg(Tables.eventsWithTs(spark, d))
       .orderBy(col("win_start"), col("event_type"))
 
+  /** st09 — sequential-pattern (CEP) funnel: per user, the FIRST purchase
+    * preceded by ≥3 views in event-time order. The batch leg is one window
+    * shuffle; the streaming twin is the custom-state
+    * `flatMapGroupsWithState` machine ([[EventStreams.funnelStream]]) with
+    * event-time state expiry — spec-asserted equal on a single batch. */
+  def st09Funnel(spark: SparkSession, d: String): DataFrame =
+    EventStreams.funnelConversions(Tables.eventsWithTs(spark, d))
+      .orderBy(col("user_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st09_funnel" -> (st09Funnel _),
     "st08_sliding_agg" -> (st08SlidingAgg _),
     "st07_nation_enrich" -> (st07NationEnrichment _),
     "st01_hourly_agg" -> (st01HourlyAgg _),
@@ -148,6 +158,24 @@ object StreamQueries {
         |JOIN customer ON user_id = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "st09_funnel" ->
+      // the window filter runs BEFORE the SELECT-list window in p, so rn
+      // ranks only qualifying purchases — rn=1 is the first qualifying one
+      """WITH x AS (
+        |  SELECT user_id, event_id, event_type, ts,
+        |    COUNT(*) FILTER (WHERE event_type = 'view') OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS prior_views
+        |  FROM events WHERE event_type IN ('view', 'purchase')),
+        |p AS (
+        |  SELECT user_id, event_id AS purchase_id, prior_views,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS rn
+        |  FROM x WHERE event_type = 'purchase' AND prior_views >= 3)
+        |SELECT user_id, purchase_id,
+        |  CAST(prior_views AS BIGINT) AS n_prior_views
+        |FROM p WHERE rn = 1 ORDER BY user_id""".stripMargin,
     "st08_sliding_agg" ->
       // window length 2x the slide => every event is in exactly the two
       // epoch-grid windows starting at floor30(ts) and floor30(ts)-30min.

@@ -136,6 +136,98 @@ object EventStreams {
       .start()
   }
 
+  /** Sequential-pattern (CEP) funnel: for each user, the FIRST purchase
+    * preceded by at least 3 views, in event-time order (total order
+    * tie-broken by event_id). Batch leg: one window shuffle on user —
+    * prior-view count over the preceding frame, then first qualifying
+    * purchase per user. This is the operator family (MATCH_RECOGNIZE /
+    * funnel analysis) that in STREAMING genuinely needs custom state
+    * ([[funnelStream]]): no built-in streaming window/join expresses
+    * "count since the start of the key, emit once on the first match". */
+  def funnelConversions(events: DataFrame, minViews: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_utc"), col("event_id"))
+    val prior = events
+      .filter(col("event_type").isin("view", "purchase"))
+      .withColumn("prior_views",
+        count(when(col("event_type") === "view", 1))
+          .over(w.rowsBetween(Window.unboundedPreceding, -1)))
+    val qualifying = prior
+      .filter(col("event_type") === "purchase" &&
+        col("prior_views") >= minViews)
+    qualifying
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("prior_views").as("n_prior_views"))
+  }
+
+  /** Streaming leg of [[funnelConversions]]: `flatMapGroupsWithState`
+    * keyed on user with a two-field state (views seen, already emitted) —
+    * the state machine consumes each user's events in (event-time,
+    * event_id) order within the batch and emits exactly once, on the first
+    * purchase whose prior-view count clears the threshold. State is
+    * expired via EVENT-TIME timeout 1 h past the watermark: at 100 TB the
+    * store holds two longs per user seen within the horizon, not the
+    * events. For a single AvailableNow batch this equals the batch leg
+    * exactly (the spec's contract). */
+  def funnelStream(events: DataFrame, minViews: Int = 3,
+      withTimeout: Boolean = true): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    // withTimeout=false is the BATCH twin (batch execution has no
+    // watermark, so event-time timeouts cannot be registered there); the
+    // streaming path always runs with the timeout so the store stays
+    // bounded. The per-(user,batch) sort is bounded by one user's events
+    // in one micro-batch — the state machine needs in-order consumption.
+    val timeoutConf = if (withTimeout) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    events
+      .filter(col("event_type").isin("view", "purchase"))
+      .select(col("user_id"), col("ts_utc"),
+        unix_micros(col("ts_utc")).as("ts_us"), col("event_id"),
+        (col("event_type") === "view").as("is_view"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Boolean), (Long, Long, Long)](
+          OutputMode.Append(), timeoutConf) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            var (views, done) = state.getOption.getOrElse((0L, false))
+            val out = Seq.newBuilder[(Long, Long, Long)]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(r => (r._3, r._4)).foreach { r =>
+              maxTs = math.max(maxTs, r._3)
+              if (r._5) views += 1
+              else if (!done && views >= minViews) {
+                out += ((user, r._4, views)); done = true
+              }
+            }
+            state.update((views, done))
+            // bound the store: drop the user 1h of event time after their
+            // last activity clears the watermark
+            if (withTimeout)
+              state.setTimeoutTimestamp(maxTs / 1000L, "1 hour")
+            out.result().iterator
+          }
+      }
+      .toDF("user_id", "purchase_id", "n_prior_views")
+  }
+
+  /** Run [[funnelStream]] over the events parquet as a real streaming
+    * query (watermarked event time, append-mode memory sink). */
+  def runFunnelStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery =
+    funnelStream(eventStream(spark, sfDir, "2 hours"))
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-STATIC enrichment: events joined to the customer→nation
     * dimension (user_id keys directly into c_custkey in the testdata),
     * rolled up to event counts and cent-exact revenue per nation — the

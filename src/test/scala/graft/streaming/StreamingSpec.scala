@@ -72,6 +72,25 @@ class StreamingSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("streaming CEP funnel (flatMapGroupsWithState) matches batch") {
+    val q = EventStreams.runFunnelStream(spark, sfTiny, "funnel_smoke")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM funnel_smoke ORDER BY user_id").collect()
+    val batch = EventStreams
+      .funnelConversions(Tables.eventsWithTs(spark, sfTiny))
+      .orderBy(col("user_id")).collect()
+    assert(batch.nonEmpty) // the pattern must actually fire on the data
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+    // the state machine on a BATCH frame (no timeout registration there)
+    // agrees with the window formulation too
+    val viaState = EventStreams
+      .funnelStream(Tables.eventsWithTs(spark, sfTiny), withTimeout = false)
+      .orderBy(col("user_id")).collect()
+    assert(viaState.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("streaming content dedup keeps exactly the batch keep-first set") {
     val q = EventStreams.runContentDedupStream(spark, sfTiny, "cdedup_smoke")
     try q.processAllAvailable() finally q.stop()

@@ -22,18 +22,10 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df.reset_index(drop=True)
 
 
-def value_hash(df: pd.DataFrame) -> str:
-    # row-order sensitive, column-name sorted, repr-normalized floats
-    def cell(v):
-        if isinstance(v, float):
-            return repr(round(v, 9))
-        return repr(v)
-    import hashlib
-    h = hashlib.sha256()
-    for row in df.itertuples(index=False):
-        h.update("|".join(cell(v) for v in row).encode())
-        h.update(b"\n")
-    return h.hexdigest()
+def frames_equal(s: pd.DataFrame, o: pd.DataFrame) -> bool:
+    # the skill's compare: dtype-strict, row-order sensitive
+    return (all(str(a) == str(b) for a, b in zip(s.dtypes, o.dtypes))
+            and s.reset_index(drop=True).equals(o.reset_index(drop=True)))
 
 
 def main():
@@ -67,7 +59,7 @@ def main():
         s, o = canon(spark_df), canon(ora_df)
         rows_ok = len(s) == len(o)
         schema_ok = list(s.columns) == list(o.columns)
-        hash_ok = rows_ok and schema_ok and value_hash(s) == value_hash(o)
+        hash_ok = rows_ok and schema_ok and frames_equal(s, o)
         status = "PASS" if (rows_ok and schema_ok and hash_ok) else "FAIL"
         print(f"{name}: {status} rows={len(s)}/{len(o)} "
               f"schema={schema_ok} hash={hash_ok}")
