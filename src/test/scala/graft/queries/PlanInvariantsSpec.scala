@@ -19,6 +19,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "s01_topk_cosine", "s02_ivf_topk", "s03_ivf_kmeans", // tiny query side
     "s05_knn_join_lsh", // contract rollup: 4 single-row aggregates crossed
     "t11_tfidf_topk", // 1-row corpus-count broadcast into every score row
+    "t15_bm25_topk", // 1-row (N, Σdl) corpus aggregate broadcast likewise
     "q13_sketch_stats") // 1-row sketch aggregate broadcast vs the scan
 
   private def plan(name: String): String =
@@ -45,6 +46,19 @@ class PlanInvariantsSpec extends SparkSpec {
   test("top-k queries compile to TakeOrderedAndProject, not a global sort") {
     Seq("q02_filter_topk", "q07_prefix_search", "q12_order_by_date").foreach {
       name => assert(plan(name).contains("TakeOrdered"), name)
+    }
+  }
+
+  test("grouped top-k gets the partial group-limit before the shuffle") {
+    // Spark's InferWindowGroupLimit (3.5+) rewrites the rank<=k window
+    // filter into a WindowGroupLimit that drops non-top-k rows PER INPUT
+    // PARTITION before the window shuffle — the reason q09/t11 stay the
+    // declarative window form instead of a custom physical operator. This
+    // pins the optimization: losing it (config regression, a filter shape
+    // the rule stops matching) re-shuffles the full table.
+    Seq("q09_window_topk", "t11_tfidf_topk").foreach { name =>
+      assert(plan(name).contains("WindowGroupLimit"),
+        s"$name lost the partial window group-limit")
     }
   }
 
