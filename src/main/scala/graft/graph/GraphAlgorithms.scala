@@ -185,4 +185,51 @@ object GraphAlgorithms {
     else nodes.join(summed, Seq("id"), "left_outer")
       .select(col("id"), rankOfSum.as("rank"))
   }
+
+  /** k-core peeling (Seidman 1983; the distributed level-synchronous
+    * form): repeatedly delete every node whose UNDIRECTED degree over the
+    * distinct directed edge set falls below k, until the fixpoint — the
+    * k-core — or the round budget. Returns the surviving node ids after
+    * `rounds` synchronous rounds; once a round deletes nothing the loop
+    * short-circuits, so for rounds ≥ the convergence round the result IS
+    * the k-core. Fixed-round semantics keep the operator oracle-exact
+    * (the SQL twin unrolls the same rounds) — the same contract as
+    * [[pageRankFixed]].
+    *
+    * Scale: each round is one degree aggregation (map-side partial over
+    * the doubled edge list) and two semi-joins on the survivor set, all
+    * equi-shuffles on node id; lineage is cut per round with
+    * localCheckpoint like every iterative here. Isolated nodes never
+    * appear (degree 0 < k for any k ≥ 1). */
+  def kCorePeel(edges: DataFrame, k: Int, rounds: Int,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(k >= 1 && rounds >= 1, "k-core needs k >= 1 and rounds >= 1")
+    var e = edges
+      .select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct()
+      .localCheckpoint(true)
+    var nEdges = e.count()
+    var survivors: DataFrame = null
+    var r = 0
+    var converged = false
+    while (r < rounds && !converged) {
+      r += 1
+      val deg = e.select(col("src").as("id"))
+        .unionAll(e.select(col("dst").as("id")))
+        .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+      survivors = deg.filter(col("deg") >= k).select(col("id"))
+        .localCheckpoint(true)
+      val pruned = e
+        .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
+        .join(survivors.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .select(col("src"), col("dst"))
+        .localCheckpoint(true)
+      val n = pruned.count()
+      if (n == nEdges) converged = true // fixpoint: later rounds are no-ops
+      else { e = pruned; nEdges = n }
+    }
+    survivors
+  }
 }

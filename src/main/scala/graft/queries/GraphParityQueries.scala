@@ -238,8 +238,29 @@ object GraphParityQueries {
       .orderBy($"id")
   }
 
+  /** g12 — k-core peeling (k=4, 4 synchronous rounds; the loop
+    * short-circuits at the fixpoint, and the oracle unrolls the SAME
+    * rounds, so the comparison is exact whether or not the core has
+    * converged). Surviving nodes rolled up per ID layer with an id-sum so
+    * the oracle verifies the SELECTION, not just the counts. */
+  def g12KCore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    val surv = GraphAlgorithms.kCorePeel(g.edges, k = 4, rounds = 4)
+    surv
+      .withColumn("layer",
+        when($"id" < TpchGraph.OrderBase, "Customer")
+          .when($"id" < TpchGraph.PartBase, "Order")
+          .when($"id" < TpchGraph.SupplierBase, "Part")
+          .otherwise("Supplier"))
+      .groupBy($"layer")
+      .agg(count(lit(1)).as("n_nodes"), sum($"id").as("id_sum"))
+      .orderBy($"layer")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "g11_bfs_distances" -> (g11BfsDistances _),
+    "g12_kcore" -> (g12KCore _),
     "g10_pagerank" -> (g10PageRank _),
     "g01_graph_neighbors" -> (g01Neighbors _),
     "g02_graph_incoming_collect" -> (g02IncomingCollect _),
@@ -315,6 +336,55 @@ object GraphParityQueries {
         |JOIN pairs e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
         |JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin,
     "g10_pagerank" -> pagerankOracle,
+    "g12_kcore" ->
+      // the same distinct-directed-edge CTE as g11, then the peel unrolled
+      // to the operator's 4 rounds: degree over the doubled edge list,
+      // survivors with degree >= 4, edges restricted to survivors — a4 is
+      // exactly kCorePeel's round-4 survivor set
+      """WITH e0 AS (
+        |  SELECT o_custkey::BIGINT AS src,
+        |         (o_orderkey + 1000000)::BIGINT AS dst FROM orders
+        |  UNION
+        |  SELECT (l_orderkey + 1000000)::BIGINT,
+        |         (l_partkey + 2000000)::BIGINT FROM lineitem
+        |  UNION
+        |  SELECT (l_suppkey + 3000000)::BIGINT,
+        |         (l_partkey + 2000000)::BIGINT FROM lineitem
+        |  UNION
+        |  SELECT src, dst FROM (
+        |    SELECT (o_orderkey + 1000000)::BIGINT AS src,
+        |      (lead(o_orderkey) OVER (PARTITION BY o_custkey
+        |         ORDER BY o_orderdate, o_orderkey) + 1000000)::BIGINT AS dst
+        |    FROM orders) t WHERE dst IS NOT NULL),
+        |d1 AS (SELECT id, COUNT(*) AS c FROM (
+        |    SELECT src AS id FROM e0 UNION ALL SELECT dst FROM e0) u
+        |  GROUP BY id),
+        |a1 AS (SELECT id FROM d1 WHERE c >= 4),
+        |e1 AS (SELECT src, dst FROM e0
+        |  WHERE src IN (SELECT id FROM a1) AND dst IN (SELECT id FROM a1)),
+        |d2 AS (SELECT id, COUNT(*) AS c FROM (
+        |    SELECT src AS id FROM e1 UNION ALL SELECT dst FROM e1) u
+        |  GROUP BY id),
+        |a2 AS (SELECT id FROM d2 WHERE c >= 4),
+        |e2 AS (SELECT src, dst FROM e1
+        |  WHERE src IN (SELECT id FROM a2) AND dst IN (SELECT id FROM a2)),
+        |d3 AS (SELECT id, COUNT(*) AS c FROM (
+        |    SELECT src AS id FROM e2 UNION ALL SELECT dst FROM e2) u
+        |  GROUP BY id),
+        |a3 AS (SELECT id FROM d3 WHERE c >= 4),
+        |e3 AS (SELECT src, dst FROM e2
+        |  WHERE src IN (SELECT id FROM a3) AND dst IN (SELECT id FROM a3)),
+        |d4 AS (SELECT id, COUNT(*) AS c FROM (
+        |    SELECT src AS id FROM e3 UNION ALL SELECT dst FROM e3) u
+        |  GROUP BY id),
+        |a4 AS (SELECT id FROM d4 WHERE c >= 4)
+        |SELECT layer, COUNT(*) AS n_nodes, CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM (SELECT id,
+        |        CASE WHEN id < 1000000 THEN 'Customer'
+        |             WHEN id < 2000000 THEN 'Order'
+        |             WHEN id < 3000000 THEN 'Part'
+        |             ELSE 'Supplier' END AS layer FROM a4) t
+        |GROUP BY layer ORDER BY layer""".stripMargin,
     "g11_bfs_distances" ->
       // same edge CTE as the pagerank oracle; the graph is a DAG (NEXT is
       // date-forward, the other edge types cross disjoint ID layers), so

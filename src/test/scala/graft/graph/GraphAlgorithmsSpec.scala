@@ -89,4 +89,50 @@ class GraphAlgorithmsSpec extends SparkSpec {
     // unreachable nodes are absent, not infinite
     assert(!bfs(Seq((1L, 2L), (3L, 4L)), Seq(1L)).contains(3L))
   }
+
+  private def core(pairs: Seq[(Long, Long)], k: Int, rounds: Int): Set[Long] = {
+    import spark.implicits._
+    GraphAlgorithms.kCorePeel(pairs.toDF("src", "dst"), k, rounds)
+      .collect().map(_.getLong(0)).toSet
+  }
+
+  test("k-core: triangle with a pendant peels to the triangle") {
+    // 1-2-3 triangle plus pendant 4 off node 1: 2-core = {1,2,3}
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
+    assert(core(g, 2, 4) === Set(1L, 2L, 3L))
+    // cascade: a CHAIN of pendants needs one round per link — 4-5 hangs
+    // off the pendant; round 1 peels 5, round 2 peels 4
+    val g2 = g ++ Seq((4L, 5L))
+    assert(core(g2, 2, 1) === Set(1L, 2L, 3L, 4L))
+    assert(core(g2, 2, 4) === Set(1L, 2L, 3L))
+    // 3-core of a triangle is empty (degree 2 < 3) — survivors vanish
+    assert(core(g, 3, 4) === Set.empty)
+  }
+
+  test("k-core matches brute-force peeling on a random graph") {
+    val rnd = new scala.util.Random(7)
+    // canonical a<b direction: the operator's degree is over the DISTINCT
+    // DIRECTED edge set, so the undirected brute force needs each pair
+    // present exactly once
+    val edges = (1 to 200).map(_ =>
+      (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    def brute(k: Int): Set[Long] = {
+      var adj = edges.map(e => Set(e._1, e._2)).toSet // undirected pair set
+      var alive = adj.flatten
+      var changed = true
+      while (changed) {
+        val deg = alive.map(n => n -> adj.count(_.contains(n))).toMap
+        val next = alive.filter(deg(_) >= k)
+        changed = next != alive
+        alive = next
+        adj = adj.filter(_.subsetOf(alive))
+      }
+      alive
+    }
+    Seq(2, 3, 4).foreach { k =>
+      assert(core(edges, k, rounds = 40) === brute(k), s"k=$k")
+    }
+  }
 }
