@@ -210,7 +210,6 @@ object GraphAlgorithms {
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
       .localCheckpoint(true)
-    var nEdges = e.count()
     var survivors: DataFrame = null
     var r = 0
     var converged = false
@@ -219,16 +218,24 @@ object GraphAlgorithms {
       val deg = e.select(col("src").as("id"))
         .unionAll(e.select(col("dst").as("id")))
         .groupBy(col("id")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
       survivors = deg.filter(col("deg") >= k).select(col("id"))
-        .localCheckpoint(true)
-      val pruned = e
-        .join(survivors.select(col("id").as("src")), Seq("src"), "left_semi")
-        .join(survivors.select(col("id").as("dst")), Seq("dst"), "left_semi")
-        .select(col("src"), col("dst"))
-        .localCheckpoint(true)
-      val n = pruned.count()
-      if (n == nEdges) converged = true // fixpoint: later rounds are no-ops
-      else { e = pruned; nEdges = n }
+      // prune via the BAD set (deg < k), not the survivor set: after the
+      // first round only the newly-sub-k fringe is bad, so the anti-join's
+      // build side is small and (under the probe) broadcastable — the
+      // alive edge set never re-shuffles. Survivor semi-joins would
+      // shuffle the full edge table twice per round for the same answer
+      // (an edge survives iff NEITHER endpoint is bad; endpoints always
+      // appear in deg, so the anti-join sees every edge's endpoints).
+      var bad = deg.filter(col("deg") < k).select(col("id"))
+      if (bad.isEmpty) converged = true // fixpoint: nothing left to peel
+      else {
+        if (graft.util.LimitProbe.atMost(bad, 2000000)) bad = broadcast(bad)
+        e = e
+          .join(bad.select(col("id").as("src")), Seq("src"), "left_anti")
+          .join(bad.select(col("id").as("dst")), Seq("dst"), "left_anti")
+          .localCheckpoint(true)
+      }
     }
     survivors
   }

@@ -122,6 +122,17 @@ object ScaleRehearsal {
       val seeds = spark.range(100L * k).toDF("id")
       graft.graph.GraphAlgorithms.bfsDistances(g.edges, seeds).count()
     }
+    // k-core: per-round cost is degree-agg + survivor semi-joins over the
+    // ALIVE edge set — replicated edges (k disjoint copies of the graph)
+    // must peel in the same round count at k-fold the per-round volume
+    time(s"g12-shaped k-core peel over $k disjoint graph copies") {
+      val e0 = graft.queries.TpchGraph.buildUncached(spark, sfDir).edges
+        .select($"src", $"dst")
+      val e = e0.crossJoin(spark.range(k).toDF("rep"))
+        .select(($"src" + $"rep" * n).as("src"),
+          ($"dst" + $"rep" * n).as("dst"))
+      graft.graph.GraphAlgorithms.kCorePeel(e, 4, 4).count()
+    }
   }
 
   private def pipelineFamily(spark: org.apache.spark.sql.SparkSession,
@@ -210,6 +221,12 @@ object ScaleRehearsal {
       Similarity.knnJoinWithinCells(
         emb.withColumn("label", pmod(xxhash64(col("vec_id")), lit(32))),
         3).count()
+    }
+    // BM25: postings volume tracks corpus tokens, but only the 3 query
+    // terms' postings cross the tf shuffle — must scale like the flat
+    // map-side family, not like span coverage
+    time(s"t15 bm25 top-20 x$k") {
+      TextAnalysis.bm25TopK(docs, Seq("spark", "join", "window"), 20).count()
     }
   }
 }
