@@ -51,6 +51,39 @@ object Packing {
     spark.createDataFrame(rdd).toDF("id", "n", "tok_start")
   }
 
+  /** Token-budget corpus selection ("fill the training budget with the
+    * best documents"): rank docs by (score DESC, id), keep every doc whose
+    * RUNNING token total including itself stays within `budget` — the
+    * greedy truncation a curation pipeline applies before export. The
+    * running total includes skipped-over rows by construction (the prefix
+    * is monotone, so the kept set is exactly the top-ranked prefix that
+    * fits). Same two-pass distributed scan as [[tokenOffsets]] — range-
+    * partition + sort on the rank key, per-partition sums to the driver,
+    * running offsets — never a single-task global window; the result is a
+    * pure function of the data on any cluster shape (the (score, id) sort
+    * key is unique because ids are). Returns (id, n, score, cum, kept). */
+  def budgetFill(df: DataFrame, idCol: String, nCol: String,
+      scoreCol: String, budget: Long): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(scoreCol).cast("double").as("q"),
+        col(idCol).cast("long").as("id"), col(nCol).cast("long").as("n"))
+      .repartitionByRange(col("q").desc, col("id"))
+      .sortWithinPartitions(col("q").desc, col("id"))
+      .localCheckpoint(true)
+    val ds = sorted.as[(Double, Long, Long)]
+    val partSums = ds
+      .mapPartitions(it => Iterator.single(it.map(_._3).sum)).collect()
+    val offsets = partSums.scanLeft(0L)(_ + _)
+    val rdd = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var run = offsets(pi)
+      it.map { case (q, id, n) => run += n; (id, n, q, run) }
+    }
+    spark.createDataFrame(rdd).toDF("id", "n", "score", "cum")
+      .withColumn("kept", col("cum") <= budget)
+  }
+
   /** Per-sequence packing stats for context length L: which docs land in
     * which fixed-length sequence (a doc spanning a boundary counts in
     * every sequence it touches). Exact integers — oracle-friendly. */

@@ -346,6 +346,32 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
+  /** q24 — token-budget corpus fill: take the best-scored docs (t02
+    * quality, doc_id tiebreak) until HALF the corpus tokens are spent —
+    * the "fill a fixed training budget with the best data" truncation.
+    * The running total is [[graft.pipeline.Packing.budgetFill]]'s two-pass
+    * distributed scan (no single-task global window); the budget itself is
+    * one tiny single-row aggregate. The oracle replays the same cumulative
+    * sum with a SQL window; per-source kept id/token sums verify the
+    * SELECTION. */
+  def q24BudgetFill(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val prepared = Tables.documents(spark, d).select(
+      $"doc_id", $"source",
+      TextAnalysis.tokenCount($"text").cast("long").as("n_tok"),
+      TextAnalysis.qualityScoreOf(TextAnalysis.tokens($"text"), $"text")
+        .as("q"))
+    val budget = prepared.agg(sum($"n_tok")).head.getLong(0) / 2
+    graft.pipeline.Packing.budgetFill(prepared, "doc_id", "n_tok", "q", budget)
+      .join(prepared.select($"doc_id".as("id"), $"source"), Seq("id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"kept", 1)).as("n_kept"),
+        coalesce(sum(when($"kept", $"id")), lit(0L)).as("kept_id_sum"),
+        coalesce(sum(when($"kept", $"n")), lit(0L)).as("kept_tok_sum"))
+      .orderBy($"source")
+  }
+
   /** q19 — deterministic quality-WEIGHTED sampling (the DSIR/importance-
     * resampling shape: acceptance probability proportional to a per-doc
     * weight, here the t02 quality score): accept doc iff its q14/q15
@@ -602,6 +628,7 @@ object PipelineQueries {
     "t14_char_entropy" -> (t14CharEntropy _),
     "t15_bm25_topk" -> (t15Bm25 _),
     "q23_shard_manifest" -> (q23ShardManifest _),
+    "q24_budget_fill" -> (q24BudgetFill _),
     "q19_weighted_sample" -> (q19WeightedSample _),
     "t05_vocab_topk" -> (t05VocabTopk _),
     "t06_dup_ngrams" -> (t06DupNgrams _),
@@ -1234,6 +1261,44 @@ object PipelineQueries {
         |  CAST(SUM(doc_id) AS BIGINT) AS id_sum,
         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_sum
         |FROM a GROUP BY shard ORDER BY shard""".stripMargin,
+    "q24_budget_fill" ->
+      // the same t02 score formula as q19's oracle; the cumulative token
+      // sum is the SQL window twin of budgetFill's two-pass scan (the
+      // prefix includes every row in rank order, so kept = cum <= budget
+      // is the top-ranked prefix that fits)
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
+        |      AS n_tok_i,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::DOUBLE
+        |      AS n_tok,
+        |    len(list_filter(regexp_split_to_array(lower(trim(text)), '\s+'),
+        |        x -> list_contains(['the','a','an','of','and','or','to','in',
+        |                            'is','on','for','with'], x)))::DOUBLE
+        |      AS n_stop,
+        |    len(regexp_extract_all(text, '[^\w\s]'))::DOUBLE AS n_punct,
+        |    length(text)::DOUBLE AS n_chars
+        |  FROM documents),
+        |s AS (
+        |  SELECT source, doc_id, n_tok_i, least(1.0,
+        |    (n_stop / n_tok * 2.0 + (1.0 -
+        |       CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)) / 2.0
+        |      * (CASE WHEN n_tok >= 10 AND n_tok <= 1000 THEN 1.0 ELSE 0.5 END))
+        |    AS q
+        |  FROM b),
+        |tot AS (SELECT CAST(SUM(n_tok_i) // 2 AS BIGINT) AS budget FROM s),
+        |c AS (
+        |  SELECT source, doc_id, n_tok_i,
+        |    SUM(n_tok_i) OVER (ORDER BY q DESC, doc_id
+        |      ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT source, COUNT(*) AS n_docs,
+        |  COUNT(*) FILTER (WHERE cum <= budget) AS n_kept,
+        |  CAST(COALESCE(SUM(doc_id) FILTER (WHERE cum <= budget), 0)
+        |    AS BIGINT) AS kept_id_sum,
+        |  CAST(COALESCE(SUM(n_tok_i) FILTER (WHERE cum <= budget), 0)
+        |    AS BIGINT) AS kept_tok_sum
+        |FROM c CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin,
     "q19_weighted_sample" ->
       // t02's score formula (same doubles both engines — q17 note applies)
       // entering only through the exact integer threshold ⌊q·101⌋ against

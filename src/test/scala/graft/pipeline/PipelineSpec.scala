@@ -256,6 +256,28 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("budget fill: top-ranked prefix that fits, partition-independent") {
+    import spark.implicits._
+    // rank order by (score desc, id): 3(0.9,n=5) 1(0.8,n=5) 4(0.8,n=5)
+    // 2(0.1,n=5); budget 12 -> cum 5,10,15,20 -> kept {3,1}
+    val docs = Seq((1L, 5L, 0.8), (2L, 5L, 0.1), (3L, 5L, 0.9),
+      (4L, 5L, 0.8)).toDF("doc_id", "n_tok", "q").repartition(7)
+    val got = graft.pipeline.Packing
+      .budgetFill(docs, "doc_id", "n_tok", "q", 12L)
+      .select("id", "cum", "kept").as[(Long, Long, Boolean)]
+      .collect().sortBy(_._1)
+    assert(got.toSeq === Seq((1L, 10L, true), (2L, 20L, false),
+      (3L, 5L, true), (4L, 15L, false)))
+    // the straddler rule: the prefix includes non-kept rows, so a later
+    // smaller doc can NOT sneak in past a too-big higher-ranked one
+    val docs2 = Seq((1L, 10L, 0.9), (2L, 100L, 0.5), (3L, 1L, 0.1))
+      .toDF("doc_id", "n_tok", "q")
+    val kept2 = graft.pipeline.Packing
+      .budgetFill(docs2, "doc_id", "n_tok", "q", 20L)
+      .filter($"kept").select("id").as[Long].collect().toSet
+    assert(kept2 === Set(1L))
+  }
+
   test("repetition stats: top-gram occurrence counts, short docs zeroed") {
     import spark.implicits._
     val docs = Seq(
