@@ -346,6 +346,21 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
+  /** d15 — incremental near-dup: the doc_id%17 slice plays the daily
+    * increment, the rest plays the already-ingested corpus; pairs are the
+    * increment docs near-duplicate (word-5 jaccard ≥ 0.8) to ANY corpus
+    * doc, found via the asymmetric band join
+    * ([[Dedup.minhashIncrementalWords]]) and verified exactly. Oracle:
+    * brute cross-jaccard between the two slices. */
+  def d15IncrementalDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    Dedup.minhashIncrementalWords(
+        docs.filter($"doc_id" % 17 === 0),
+        docs.filter($"doc_id" % 17 =!= 0))
+      .orderBy($"new_id", $"corpus_id")
+  }
+
   /** q24 — token-budget corpus fill: take the best-scored docs (t02
     * quality, doc_id tiebreak) until HALF the corpus tokens are spent —
     * the "fill a fixed training budget with the best data" truncation.
@@ -618,6 +633,7 @@ object PipelineQueries {
     "d12_bloom_decontam" -> (d12BloomDecontam _),
     "d13_cdc_dedup" -> (d13CdcDedup _),
     "d14_semantic_dedup" -> (d14SemanticDedup _),
+    "d15_incremental_dedup" -> (d15IncrementalDedup _),
     "q16_pipeline_funnel" -> (q16PipelineFunnel _),
     "q17_quality_cutoff" -> (q17QualityCutoff _),
     "t09_repetition" -> (t09Repetition _),
@@ -792,6 +808,26 @@ object PipelineQueries {
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin,
+    "d15_incremental_dedup" ->
+      // d11's gram construction, brute across the increment/corpus split —
+      // the Spark side must find the identical cross pairs through the
+      // asymmetric band join (miss probability 4e-29 at the 0.8 threshold)
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                   for i in generate_series(1, len(toks) - 4)]) AS grams
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents WHERE text IS NOT NULL)),
+        |b AS (SELECT * FROM g WHERE doc_id % 17 = 0),
+        |c AS (SELECT * FROM g WHERE doc_id % 17 <> 0)
+        |SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |  len(list_intersect(b.grams, c.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(b.grams, c.grams))) AS jac
+        |FROM b JOIN c ON true
+        |WHERE len(list_intersect(b.grams, c.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(b.grams, c.grams))) >= 0.8
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "q16_pipeline_funnel" ->
       // composition of the t03 (lang), t02 (quality), t09 (repetition),
       // d01 (exact keeper), d08 (contamination) oracle fragments into one

@@ -256,6 +256,26 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("incremental minhash finds exactly the cross-split exact pairs") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+    val inc = Dedup.minhashIncrementalWords(
+        docs.filter($"doc_id" % 17 === 0), docs.filter($"doc_id" % 17 =!= 0))
+      .select($"new_id", $"corpus_id").as[(Long, Long)].collect().toSet
+    // the exact inverted-index path over the FULL table, restricted to
+    // pairs straddling the split, re-oriented (new side first)
+    val exact = Dedup.jaccardPairsWords(docs, 5, 0.8)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect()
+      .flatMap { case (a, b) =>
+        (a % 17 == 0, b % 17 == 0) match {
+          case (true, false) => Some((a, b))
+          case (false, true) => Some((b, a))
+          case _ => None
+        }
+      }.toSet
+    assert(inc === exact)
+  }
+
   test("budget fill: top-ranked prefix that fits, partition-independent") {
     import spark.implicits._
     // rank order by (score desc, id): 3(0.9,n=5) 1(0.8,n=5) 4(0.8,n=5)
