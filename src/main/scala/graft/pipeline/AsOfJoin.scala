@@ -31,16 +31,27 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** `maxLookback`: optional staleness bound as a SQL interval literal
+    * (e.g. "1 HOUR") — a carried match OLDER than leftTs − maxLookback is
+    * nulled out (feature-store freshness semantics: a price from last
+    * week must not serve today's trade). The bound is applied to the
+    * matched row's own timestamp, carried INSIDE the payload struct, so
+    * match and bound can never disagree about which row was taken. The
+    * timestamp columns must be timestamp-typed when a bound is given
+    * (interval arithmetic); the unbounded form works on any ordered type.
+    * Still one union + one shuffle: the bound is a map-side post-filter,
+    * never a range join. */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String, payload: Seq[String],
-      tieBreak: String): DataFrame = {
+      tieBreak: String, maxLookback: Option[String] = None): DataFrame = {
     val l = left
       .withColumn("_asof_ts", col(leftTs))
       .withColumn("_asof_isr", lit(0))
     val r = right
       .filter(col(rightTs).isNotNull)
       .select(keys.map(col) :+ col(rightTs).as("_asof_ts") :+
-        struct(payload.map(col): _*).as("_asof_payload") :+
+        struct((payload.map(col) :+
+          col(rightTs).as("_asof_rts")): _*).as("_asof_payload") :+
         col(tieBreak).as("_asof_tie"): _*)
       .withColumn("_asof_isr", lit(1))
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -53,8 +64,13 @@ object AsOfJoin {
     val carried = unioned.withColumn("_carry",
       last(col("_asof_payload"), ignoreNulls = true).over(w))
     val out = carried.filter(col("_asof_isr") === 0)
+    val fresh = maxLookback match {
+      case Some(iv) => col("_carry").getField("_asof_rts") >=
+        col(leftTs) - expr(s"INTERVAL $iv")
+      case None => lit(true)
+    }
     val renamed = payload.foldLeft(out) { (df, c) =>
-      df.withColumn(s"asof_$c", col("_carry").getField(c))
+      df.withColumn(s"asof_$c", when(fresh, col("_carry").getField(c)))
     }
     renamed.drop("_asof_ts", "_asof_isr", "_asof_payload", "_asof_tie",
       "_carry")
