@@ -40,7 +40,11 @@ object ShardWriter {
       idCol: String = "doc_id", maxRecordsPerFile: Long = 100000L): Unit =
     assignShards(df, nShards, idCol)
       .repartition(col("shard"))
-      .sortWithinPartitions(col(idCol)) // stable order inside each file
+      // sort by (shard, id): the dynamic-partition write REQUIRES ordering
+      // by the partition column — a sort on id alone would be discarded
+      // (the planner inserts its own Sort on shard above it) and the
+      // promised stable per-file id order would not survive the write
+      .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")
@@ -51,7 +55,7 @@ object ShardWriter {
       idCol: String = "doc_id", maxRecordsPerFile: Long = 100000L): Unit =
     assignShards(df, nShards, idCol)
       .repartition(col("shard"))
-      .sortWithinPartitions(col(idCol))
+      .sortWithinPartitions(col("shard"), col(idCol)) // see writeJsonl
       .write.mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy("shard")

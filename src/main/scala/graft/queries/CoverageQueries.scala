@@ -79,6 +79,11 @@ object CoverageQueries {
     import spark.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       "graft_lcov_" + Integer.toHexString(d.hashCode))
+    // recreate from empty each run: stale tracefiles from an earlier run
+    // with a different source set (or a hashCode collision between data
+    // dirs) would be scanned by the connector and corrupt the gated result
+    if (dir.isDirectory)
+      dir.listFiles().foreach(f => if (f.isFile) f.delete())
     dir.mkdirs()
     tracefiles(spark, d).collect().foreach { row =>
       java.nio.file.Files.write(

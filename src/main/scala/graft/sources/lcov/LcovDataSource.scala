@@ -51,11 +51,28 @@ class LcovDataSource extends TableProvider
     LcovDataSource.schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: util.Map[String, String]): Table =
-    new LcovTable(properties.asScala.get("path")
-      .orElse(Option(properties.get("paths"))) // single-path JSON fallback
-      .getOrElse(throw new IllegalArgumentException(
-        "lcov source requires a path: spark.read.format(\"lcov\").load(dir)")))
+      properties: util.Map[String, String]): Table = {
+    // `load(dir)` arrives as `path`; `load(dir1, dir2, …)` arrives as
+    // `paths`, a JSON-encoded string array — parse it (it is NOT a path)
+    // and support every root in planInputPartitions.
+    val roots: Seq[String] = properties.asScala.get("path") match {
+      case Some(p) => Seq(p)
+      case None => properties.asScala.get("paths") match {
+        case Some(json) =>
+          import org.json4s.jackson.JsonMethods
+          import org.json4s.{JArray, JString}
+          JsonMethods.parse(json) match {
+            case JArray(vs) => vs.collect { case JString(s) => s }
+            case _ => throw new IllegalArgumentException(
+              s"lcov source: unparseable 'paths' option: $json")
+          }
+        case None => Seq.empty
+      }
+    }
+    if (roots.isEmpty) throw new IllegalArgumentException(
+      "lcov source requires a path: spark.read.format(\"lcov\").load(dir)")
+    new LcovTable(roots)
+  }
 }
 
 object LcovDataSource {
@@ -81,16 +98,16 @@ object LcovDataSource {
     .add("branches", brType)
 }
 
-class LcovTable(path: String) extends Table with SupportsRead {
-  override def name(): String = s"lcov($path)"
+class LcovTable(paths: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = s"lcov(${paths.mkString(",")})"
   override def schema(): StructType = LcovDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new LcovScanBuilder(path)
+    new LcovScanBuilder(paths)
 }
 
-class LcovScanBuilder(path: String) extends ScanBuilder
+class LcovScanBuilder(paths: Seq[String]) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
   private var required: StructType = LcovDataSource.schema
   private var pushed: Array[Filter] = Array.empty
@@ -115,56 +132,67 @@ class LcovScanBuilder(path: String) extends ScanBuilder
   }
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new LcovScan(path, required, pushed)
+  override def build(): Scan = new LcovScan(paths, required, pushed)
 }
 
-class LcovScan(path: String, required: StructType, pushed: Array[Filter])
+class LcovScan(paths: Seq[String], required: StructType, pushed: Array[Filter])
     extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"LcovScan path=$path, PushedFilters=${pushed.mkString("[", ",", "]")}, " +
+    s"LcovScan paths=${paths.mkString(",")}, " +
+      s"PushedFilters=${pushed.mkString("[", ",", "]")}, " +
       s"ReadSchema=${required.simpleString}"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = SparkSession.active.sessionState.newHadoopConf()
-    val root = new Path(path)
-    val fs = root.getFileSystem(conf)
-    val status = fs.getFileStatus(root)
-    val files: Seq[FileStatus] =
+    val files: Seq[FileStatus] = paths.flatMap { path =>
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      val status = fs.getFileStatus(root)
       if (status.isDirectory)
         fs.listStatus(root).toSeq.filter(_.isFile)
           .filterNot(_.getPath.getName.startsWith("_"))
       else Seq(status)
+    }
     files.sortBy(_.getPath.toString)
       .map(f => LcovInputPartition(f.getPath.toString): InputPartition)
       .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LcovReaderFactory(required, pushed)
+    // ship the SESSION Hadoop conf to executors: a bare `new Configuration()`
+    // in the reader would silently drop spark.hadoop.* settings (cloud-store
+    // credentials, fs tuning), so any non-local path that planned fine on
+    // the driver would fail to open on executors
+    new LcovReaderFactory(required, pushed,
+      new org.apache.spark.util.SerializableConfiguration(
+        SparkSession.active.sessionState.newHadoopConf()))
 }
 
 case class LcovInputPartition(file: String) extends InputPartition
 
-class LcovReaderFactory(required: StructType, pushed: Array[Filter])
+class LcovReaderFactory(required: StructType, pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] =
     new LcovPartitionReader(p.asInstanceOf[LcovInputPartition].file,
-      required, pushed)
+      required, pushed, conf)
 }
 
 /** Reads ONE tracefile, parses with the shared pure parser
   * ([[Lcov.parse]] — the same records the F1 pipeline sees), applies the
   * pushed equality filters, and projects the pruned columns. */
 class LcovPartitionReader(file: String, required: StructType,
-    pushed: Array[Filter]) extends PartitionReader[InternalRow] {
+    pushed: Array[Filter],
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReader[InternalRow] {
 
   private val records: Iterator[Lcov.LcovRecord] = {
-    // executors read through the Hadoop FS of the file's own scheme; the
-    // default conf suffices for local/HDFS paths carried in the partition
+    // executors read through the Hadoop FS of the file's own scheme, with
+    // the SESSION conf serialized down from the driver (credentials, tuning)
     val p = new Path(file)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(conf.value)
     val in = fs.open(p)
     val content = try {
       val bytes = new java.io.ByteArrayOutputStream()

@@ -207,9 +207,15 @@ object EventStreams {
             }
             state.update((views, done))
             // bound the store: drop the user 1h of event time after their
-            // last activity clears the watermark
+            // last activity clears the watermark. flatMapGroupsWithState
+            // does NOT drop watermark-late rows, so a group whose newest
+            // event is already >1h behind the current watermark would set a
+            // timeout at-or-before the watermark — an IllegalArgumentException
+            // that kills the query. Clamp past the watermark instead.
             if (withTimeout)
-              state.setTimeoutTimestamp(maxTs / 1000L, "1 hour")
+              state.setTimeoutTimestamp(
+                math.max(maxTs / 1000L, state.getCurrentWatermarkMs() + 1L),
+                "1 hour")
             out.result().iterator
           }
       }

@@ -91,6 +91,49 @@ class StreamingSpec extends SparkSpec {
     assert(viaState.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("funnel survives a group arriving far behind the watermark") {
+    // Contract pinned here: flatMapGroupsWithState with EventTimeTimeout
+    // filters watermark-late rows BEFORE the state function, so a user
+    // whose events are all >1h behind the watermark is silently dropped
+    // (no emit) and the query keeps running. The clamp in funnelStream's
+    // setTimeoutTimestamp additionally guards the configuration where
+    // late-filtering uses the PREVIOUS batch's watermark (multi-stateful-
+    // operator mode): a row admitted under the old watermark while the
+    // current one jumped >1h ahead would otherwise register a timeout
+    // at-or-before the watermark — an IllegalArgumentException that kills
+    // the query.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, java.sql.Timestamp, Long, String)]
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000L)
+    val q = EventStreams.funnelStream(
+        in.toDF.toDF("user_id", "ts_utc", "event_id", "event_type")
+          .withWatermark("ts_utc", "2 hours"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("funnel_late").start()
+    try {
+      // batch 1: user 1 converts at hour 1000 → watermark advances to ~998h
+      in.addData((1L, ts(1000), 1L, "view"), (1L, ts(1000), 2L, "view"),
+        (1L, ts(1000), 3L, "view"), (1L, ts(1001), 4L, "purchase"))
+      q.processAllAvailable()
+      // batch 2: user 2's events are ~997h behind the watermark — dropped
+      // as late data; the query must NOT die
+      in.addData((2L, ts(1), 10L, "view"), (2L, ts(1), 11L, "view"),
+        (2L, ts(1), 12L, "view"), (2L, ts(2), 13L, "purchase"))
+      q.processAllAvailable()
+      // batch 3: a fresh on-time user still converts after the late batch
+      in.addData((3L, ts(1002), 20L, "view"), (3L, ts(1002), 21L, "view"),
+        (3L, ts(1002), 22L, "view"), (3L, ts(1003), 23L, "purchase"))
+      q.processAllAvailable()
+      assert(q.exception.isEmpty)
+    } finally q.stop()
+    val rows = spark.sql(
+      "SELECT user_id, purchase_id FROM funnel_late ORDER BY user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(rows === Seq((1L, 4L), (3L, 23L)))
+  }
+
   test("streaming content dedup keeps exactly the batch keep-first set") {
     val q = EventStreams.runContentDedupStream(spark, sfTiny, "cdedup_smoke")
     try q.processAllAvailable() finally q.stop()
