@@ -87,6 +87,7 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     } catch { case _: Throwable => }
     graft.queries.TpchGraph.reset()
+    graft.queries.PipelineQueries.resetShared()
     warmBaseTables()
     val warmup = (System.nanoTime() - w0) / 1e9
     // deterministic name order: Map iteration order shifts whenever a query

@@ -91,6 +91,12 @@ object Paths {
     * factor; the at-most `HopsPerJob − 1` extra empty joins after the chain
     * ends are map-side no-ops on an empty frontier. */
   val HopsPerJob = 4
+  // Depth 4 is MEASURED, not arbitrary: every level of a batch must be a
+  // result row, so the batch is a union of levels 1..d and union branches
+  // recompute their join prefix (no cross-branch subexpression reuse in
+  // Catalyst) — executed joins grow as d²/2 per batch. On g04's 41-hop
+  // chain walk at sf0.1: d=4 → 2.2 s steady-state, d=8 → 4.6 s (fewer
+  // round-trips lose to the quadratic recompute).
 
   /** Core expansion: grow simple paths from `srcId`; paths that reach
     * `target` stop expanding (they are results). Returns all intermediate
@@ -126,13 +132,17 @@ object Paths {
           case Some(t) => level.filter(element_at(col("path"), -1) =!= lit(t))
           case None => level
         }
-        level = expandHop(expandable, e, h, useBroadcast)
+        level = expandHop(expandable, e, useBroadcast)
         levels = levels :+ level
       }
       val batch = levels.reduce(_ union _).localCheckpoint(true)
       val batchEndHop = h
-      // continue from the deepest level; earlier levels are final results
-      frontier = batch.filter(col("hops") === batchEndHop)
+      // continue from the deepest level; earlier levels are final results.
+      // size(path)-1 == hops, so comparing against the carried column keeps
+      // this filter literal-free too — but the simple literal compare is a
+      // tiny plan; the expensive per-batch codegen was in expandHop (fixed
+      // by the data-derived hops column there).
+      frontier = batch.filter(col("hops") === lit(batchEndHop))
       frontierRows = frontier.count()
       acc = acc.union(batch)
       hop = batchEndHop
@@ -144,6 +154,16 @@ object Paths {
   /** One hop of simple-path expansion: join the frontier's last node to the
     * edge table, drop cycles, append the new node.
     *
+    * The hop counter is DATA-DERIVED (`hops + 1` from the carried column),
+    * never a per-call literal: a literal embeds the hop number as a
+    * constant in the generated code, so every batch of a long walk
+    * compiles a brand-new plan (measured: the 41-hop g04 walk spent ~9 s
+    * of its 12.5 s in-suite time re-doing Janino compiles — one per batch
+    * — because the changing literals defeat the codegen source cache).
+    * With the derived column every batch shares one plan shape per
+    * sub-hop depth: compile once in batch 1, reuse for the rest of the
+    * walk regardless of codegen-cache pressure from other queries.
+    *
     * `useBroadcast` = frontier is measured-small: force a broadcast hash
     * join so the edge table streams instead of re-shuffling on the computed
     * `_last` key every hop (measured ~5 s/hop → sub-second on a 150k-edge
@@ -152,14 +172,14 @@ object Paths {
     * dropped and Catalyst picks a shuffle join from stats; a forced >8 GB
     * broadcast would be a hard failure. Package-private so
     * PlanInvariantsSpec can assert both shapes. */
-  private[graft] def expandHop(expandable: DataFrame, e: DataFrame, hop: Int,
+  private[graft] def expandHop(expandable: DataFrame, e: DataFrame,
       useBroadcast: Boolean): DataFrame = {
     val keyed = expandable.withColumn("_last", element_at(col("path"), -1))
     val hinted = if (useBroadcast) broadcast(keyed) else keyed
     hinted.join(e, col("_last") === col("src"))
       .filter(!array_contains(col("path"), col("dst")))
       .select(concat(col("path"), array(col("dst"))).as("path"),
-        lit(hop).as("hops"))
+        (col("hops") + 1).as("hops"))
   }
 
   /** T4 `relationships(path)` (`api/prompts.py:15`; encode_path

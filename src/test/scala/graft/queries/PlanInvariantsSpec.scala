@@ -128,14 +128,14 @@ class PlanInvariantsSpec extends SparkSpec {
     val frontier = Seq((Array(1L), 1)).toDF("path", "hops")
     val e = Seq((1L, 2L)).toDF("src", "dst")
     // guard open (frontier measured small): the broadcast hint is present
-    val hinted = graft.graph.Paths.expandHop(frontier, e, 1, useBroadcast = true)
+    val hinted = graft.graph.Paths.expandHop(frontier, e, useBroadcast = true)
       .queryExecution.analyzed.toString
     assert(hinted.contains("ResolvedHint"),
       "small frontier lost its forced-broadcast hint")
     // guard tripped (frontier over the limit): NO forced broadcast — the
     // join strategy is left to Catalyst stats (a forced >8 GB broadcast is
     // a hard failure on wide fan-out graphs)
-    val unhinted = graft.graph.Paths.expandHop(frontier, e, 1, useBroadcast = false)
+    val unhinted = graft.graph.Paths.expandHop(frontier, e, useBroadcast = false)
       .queryExecution.analyzed.toString
     assert(!unhinted.contains("ResolvedHint"),
       "oversized frontier is still force-broadcast")
