@@ -69,10 +69,28 @@ object Bench {
         graft.util.Tables.embeddings(spark, sfDir).count()
     } catch { case _: Throwable => }
     warmBaseTables()
+    // The per-query warmup pass runs CONCURRENTLY (8 queries in flight):
+    // its cost is Janino/C2 compile latency plus small-SF jobs, both of
+    // which parallelize across driver threads, and at 86 queries a serial
+    // pass (216 s in round 5, growing linearly with the registry) had
+    // outgrown the timed pass itself. Spark job submission is thread-safe;
+    // every gate query builds per-call state (CodeGraph instances, memo
+    // TrieMaps), and the post-warmup sweep resets shared residents anyway.
     warmDir.foreach { wd =>
-      selected.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-        try fn(spark, wd).count() catch { case _: Throwable => }
-      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+          pool.submit(new Runnable {
+            def run(): Unit =
+              try { fn(spark, wd).count(); () }
+              catch { case t: Throwable =>
+                // a silently-failed warmup leaves that query COLD in the
+                // timed pass — surface it (stderr, not the parsed stdout)
+                System.err.println(s"[bench] warmup failed: $name: $t")
+              }
+          })
+        }.foreach(t => try t.get() catch { case _: Throwable => () })
+      } finally pool.shutdown()
     }
     // drop warmup-pass state (cached frames, localCheckpoint blocks) so the
     // timed pass starts with a clean storage pool — leftover blocks from 60+

@@ -36,10 +36,21 @@ abstract class CFamilyFrontend extends LanguageFrontend {
 
   private val CallRe = """([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
 
+  /** Strip generic argument lists to a FIXPOINT: one pass handles
+    * `List<Integer>` but leaves the outer shell of nested forms like
+    * `Map<String, List<Integer>>` (the inner strip re-exposes the outer
+    * pair), which then corrupts signature tokenization. */
+  protected final def stripGenerics(s: String): String = {
+    var cur = s
+    var prev: String = null
+    while (cur != prev) { prev = cur; cur = cur.replaceAll("<[^<>]*>", " ") }
+    cur
+  }
+
   /** Last identifier segment of a type expression: strip generics, arrays,
     * nullability, dotted qualifiers — name resolution is by simple name. */
   protected def baseTypeName(t: String): String = {
-    val noGen = t.replaceAll("<[^<>]*>", "").replaceAll("<[^<>]*>", "")
+    val noGen = stripGenerics(t)
     val core = noGen.replace("[]", "").replace("?", "").replace("...", "").trim
     val seg = core.split('.').lastOption.getOrElse(core)
     seg.takeWhile(c => c.isLetterOrDigit || c == '_')
@@ -120,9 +131,10 @@ abstract class CFamilyFrontend extends LanguageFrontend {
             declaredScope = Some((idx, label, name))
           case _ if inType && !inCallable =>
             parseCallable(trimmed, innermost.get.name).foreach {
-              case (label, name, params, ret, bodyless) =>
+              case (label, name, params, ret, bodyless, arity) =>
                 isDecl = true
-                entities += EntityDecl(label, name, i.toLong, i.toLong, "", enclosingIdx)
+                entities += EntityDecl(label, name, i.toLong, i.toLong, "",
+                  enclosingIdx, arity)
                 val idx = entities.size - 1
                 params.foreach { p =>
                   val t = baseTypeName(p)
@@ -141,7 +153,8 @@ abstract class CFamilyFrontend extends LanguageFrontend {
           CallRe.findAllMatchIn(trimmed).foreach { m =>
             val callee = m.group(1)
             if (!ctrlKeywords.contains(callee) && !modifiers.contains(callee))
-              refs += SymbolRef("call", enclosingIdx, callee, i.toLong, trimmed)
+              refs += SymbolRef("call", enclosingIdx, callee, i.toLong,
+                trimmed, Arity.countArgs(trimmed, m.end - 1))
           }
         }
 
@@ -167,16 +180,16 @@ abstract class CFamilyFrontend extends LanguageFrontend {
   }
 
   /** Method/constructor declaration at type-body level:
-    * (label, name, param types, return type, bodyless). */
+    * (label, name, param types, return type, bodyless, arity). */
   private def parseCallable(trimmed: String,
-      typeName: String): Option[(String, String, Seq[String], Option[String], Boolean)] = {
+      typeName: String): Option[(String, String, Seq[String], Option[String], Boolean, Int)] = {
     val paren = trimmed.indexOf('(')
     if (paren <= 0) return None
     val pre = trimmed.substring(0, paren)
     if (pre.contains("=") || pre.contains("\"")) return None
-    // strip annotations/attributes and generic argument lists
-    val cleaned = pre.replaceAll("@\\w+(\\([^)]*\\))?", " ")
-      .replaceAll("<[^<>]*>", " ").trim
+    // strip annotations/attributes and generic argument lists (fixpoint —
+    // nested generics like Map<String, List<Integer>> need repeated passes)
+    val cleaned = stripGenerics(pre.replaceAll("@\\w+(\\([^)]*\\))?", " ")).trim
     val tokens = cleaned.split("\\s+").filter(_.nonEmpty).toSeq
     if (tokens.isEmpty) return None
     val name = tokens.last
@@ -191,22 +204,28 @@ abstract class CFamilyFrontend extends LanguageFrontend {
       val semi = tail.indexOf(';'); val brace = tail.indexOf('{')
       semi >= 0 && (brace < 0 || semi < brace)
     }
+    // declaration arity counts TOP-LEVEL parameters with generic-aware
+    // comma splitting — Arity.countArgs tracks ()[]{} but not <>, so
+    // `Map<String, Set<Long>> in, int n` would read as 3. (Call SITES keep
+    // countArgs: there `<` is usually a comparison, not a generic.)
+    val arity = topLevelParts(trimmed.substring(paren + 1, close))
+      .count(_.trim.nonEmpty)
     if (rest.isEmpty) {
       // no return type: constructor iff the name matches the enclosing type
-      if (name == typeName) Some(("Constructor", name, params, None, bodyless))
+      if (name == typeName) Some(("Constructor", name, params, None, bodyless, arity))
       else None
     } else {
       if (ctrlKeywords.contains(rest.last)) None
-      else Some(("Method", name, params, Some(rest.last), bodyless))
+      else Some(("Method", name, params, Some(rest.last), bodyless, arity))
     }
   }
 
   /** Parameter TYPE names (`(parameter_list … type)` captures): for each
     * comma-separated parameter, the type token preceding the name, with
     * parameter-passing modifiers stripped. */
-  private def splitParams(s: String): Seq[String] = {
+  /** Split on top-level commas (commas inside generics don't separate). */
+  private def topLevelParts(s: String): Seq[String] = {
     if (s.trim.isEmpty) return Nil
-    // split on top-level commas (ignore commas inside generics)
     val parts = ArrayBuffer.empty[String]
     var d = 0
     val cur = new StringBuilder
@@ -217,7 +236,11 @@ abstract class CFamilyFrontend extends LanguageFrontend {
       case c => cur.append(c)
     }
     parts += cur.toString
-    parts.toSeq.flatMap { p =>
+    parts.toSeq
+  }
+
+  private def splitParams(s: String): Seq[String] = {
+    topLevelParts(s).flatMap { p =>
       val toks = p.trim.split("\\s+").filter(_.nonEmpty)
         .filterNot(t => Set("final", "ref", "out", "in", "params", "this",
           "const", "scoped").contains(t))

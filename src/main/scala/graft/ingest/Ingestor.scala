@@ -76,13 +76,17 @@ object Ingestor {
 
     val entitiesRaw = extracted.flatMap { case (path, fx) =>
       fx.entities.zipWithIndex.map { case (e, idx) =>
-        (path, idx, e.label, e.name, e.srcStart, e.srcEnd, e.doc, e.parentIdx)
+        (path, idx, e.label, e.name, e.srcStart, e.srcEnd, e.doc, e.parentIdx,
+          e.arity)
       }
-    }.toDF("fpath", "idx", "label", "name", "src_start", "src_end", "doc", "parentIdx")
+    }.toDF("fpath", "idx", "label", "name", "src_start", "src_end", "doc",
+        "parentIdx", "arity")
       .cache()
     val refsRaw = extracted.flatMap { case (path, fx) =>
-      fx.refs.map(r => (path, r.fromIdx, r.kind, r.name, r.line, r.text))
-    }.toDF("fpath", "fromIdx", "kind", "name", "line", "text").cache()
+      fx.refs.map(r => (path, r.fromIdx, r.kind, r.name, r.line, r.text,
+        r.nargs))
+    }.toDF("fpath", "fromIdx", "kind", "name", "line", "text", "nargs")
+      .cache()
 
     // files
     val fileBatch = extracted.map(_._1).distinct().map { p =>
@@ -134,13 +138,16 @@ object Ingestor {
     val preExisting = preNodes
       .filter(element_at($"labels", 1).isin(entityLabels: _*))
       .select($"id".as("target_id"), $"path".as("target_path"),
-        $"name".as("target_name"), element_at($"labels", 1).as("target_label"))
+        $"name".as("target_name"), element_at($"labels", 1).as("target_label"),
+        lit(-1).as("target_arity")) // arity is batch-local, not persisted
     val declared = entIds.select($"ent_id".as("target_id"),
       $"fpath".as("target_path"), $"idx".as("target_idx"))
       .join(entitiesRaw.select($"fpath".as("target_path"),
         $"idx".as("target_idx"), $"name".as("target_name"),
-        $"label".as("target_label")), Seq("target_path", "target_idx"))
-      .select($"target_id", $"target_path", $"target_name", $"target_label")
+        $"label".as("target_label"), $"arity".as("target_arity")),
+        Seq("target_path", "target_idx"))
+      .select($"target_id", $"target_path", $"target_name", $"target_label",
+        $"target_arity")
       .unionByName(preExisting)
 
     val srcSide = refsRaw
@@ -150,14 +157,49 @@ object Ingestor {
 
     val candidates = srcSide.join(declared,
       $"name" === $"target_name", "left")
-    // prefer same-file declarations, then real definitions over stubs
-    // (path "" marks a stub), then stable (path, id) order
+    // Overload/import-aware ranking — the cheap 80% of what the reference
+    // gets from LSP `request_definition` (`api/analyzers/source_analyzer
+    // .py:118-169`), as pure sort keys on the name-join candidates:
+    //   1. same-file declarations win outright (unchanged);
+    //   2. real definitions beat builtin stubs (path "" marks a stub);
+    //   3. ARITY: among same-name callables, the smallest
+    //      |declared params − call-site args| wins; -1 (unknown, e.g.
+    //      multi-line signatures or pre-existing graph nodes) ranks as a
+    //      neutral distance of 1 — better than a hard mismatch, worse
+    //      than an exact match;
+    //   4. PATH PROXIMITY: longest shared leading directory prefix with
+    //      the referencing file — `a/b/x.py` calling `f` prefers
+    //      `a/b/util.py` over `z/util.py` (import-locality heuristic);
+    //   5. stable (path, id) order.
+    val arityDist = when($"nargs" < 0 || $"target_arity" < 0, lit(1))
+      .otherwise(least(abs($"target_arity" - $"nargs"), lit(9)))
+    val srcDirs = expr(
+      "slice(split(fpath, '/'), 1, greatest(size(split(fpath, '/')) - 1, 0))")
+    val tgtDirs = expr(
+      "slice(split(target_path, '/'), 1, greatest(size(split(target_path, '/')) - 1, 0))")
+    val sharedPrefix = expr(
+      """aggregate(
+        |  zip_with(src_dirs, tgt_dirs, (a, b) -> a IS NOT NULL AND a <=> b),
+        |  named_struct('n', 0, 'stop', false),
+        |  (acc, x) -> IF(acc.stop OR NOT x,
+        |    named_struct('n', acc.n, 'stop', true),
+        |    named_struct('n', acc.n + 1, 'stop', false)),
+        |  acc -> acc.n)""".stripMargin)
     val w = Window.partitionBy($"fpath", $"fromIdx", $"kind", $"name", $"line")
       .orderBy(when($"target_path" === $"fpath", 0).otherwise(1),
         when($"target_path" === "", 1).otherwise(0),
+        $"arity_dist".asc,
+        $"shared_prefix".desc,
         $"target_path".asc_nulls_last, $"target_id".asc_nulls_last)
-    val resolved = candidates.withColumn("rk", row_number().over(w))
-      .filter($"rk" === 1).drop("rk").localCheckpoint(true)
+    val resolved = candidates
+      .withColumn("arity_dist", arityDist)
+      .withColumn("src_dirs", srcDirs)
+      .withColumn("tgt_dirs", tgtDirs)
+      .withColumn("shared_prefix", coalesce(sharedPrefix, lit(0)))
+      .withColumn("rk", row_number().over(w))
+      .filter($"rk" === 1)
+      .drop("rk", "arity_dist", "src_dirs", "tgt_dirs", "shared_prefix")
+      .localCheckpoint(true)
 
     // unresolved call targets become stub Function nodes (builtins)
     val stubs = resolved.filter($"target_id".isNull && $"kind" === "call")

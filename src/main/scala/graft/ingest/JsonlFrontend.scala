@@ -29,13 +29,15 @@ object JsonlFrontend extends LanguageFrontend {
           node.get("label").asText(), node.get("name").asText(),
           node.get("start").asLong(), node.get("end").asLong(),
           Option(node.get("doc")).map(_.asText("")).getOrElse(""),
-          Option(node.get("parent")).map(_.asInt(-1)).getOrElse(-1))
+          Option(node.get("parent")).map(_.asInt(-1)).getOrElse(-1),
+          Option(node.get("arity")).map(_.asInt(-1)).getOrElse(-1))
         case "ref" => refs += SymbolRef(
           node.get("refKind").asText(),
           Option(node.get("from")).map(_.asInt(-1)).getOrElse(-1),
           node.get("name").asText(),
           Option(node.get("line")).map(_.asLong(0L)).getOrElse(0L),
-          Option(node.get("text")).map(_.asText("")).getOrElse(""))
+          Option(node.get("text")).map(_.asText("")).getOrElse(""),
+          Option(node.get("nargs")).map(_.asInt(-1)).getOrElse(-1))
         case other => throw new IllegalArgumentException(s"bad jsonl kind: $other")
       }
     }

@@ -56,7 +56,23 @@ object PythonFrontend extends LanguageFrontend {
           case DefRe(ws, name) if decl.trim.startsWith("def ") =>
             closeScopesDownTo(ws.length, i)
             val parent = if (scopes.isEmpty) -1 else scopes.top._2
-            entities += EntityDecl("Function", name, i.toLong, i.toLong, "", parent)
+            // declared arity for overload ranking: top-level params on the
+            // def line, minus the conventional receiver when the def sits
+            // directly in a class body (callers never pass self/cls)
+            val paren = decl.indexOf('(')
+            val raw = Arity.countArgs(decl, paren)
+            val inClass = parent >= 0 && entities(parent).label == "Class"
+            val firstParam = if (raw > 0)
+              decl.substring(paren + 1).dropWhile(_.isWhitespace)
+                .takeWhile(c => c.isLetterOrDigit || c == '_')
+              else ""
+            val arity =
+              if (raw < 0) -1
+              else if (inClass && (firstParam == "self" || firstParam == "cls"))
+                raw - 1
+              else raw
+            entities += EntityDecl("Function", name, i.toLong, i.toLong, "",
+              parent, arity)
             scopes.push((ws.length, entities.size - 1))
           case ClassRe(ws, name, _, bases) if line.trim.startsWith("class ") =>
             closeScopesDownTo(ws.length, i)
@@ -74,11 +90,16 @@ object PythonFrontend extends LanguageFrontend {
             // (bodies are indented strictly deeper than their declaration)
             closeScopesDownTo(indent, i)
             val enclosing = if (scopes.isEmpty) -1 else scopes.top._2
-            CallRe.findAllMatchIn(line).foreach { m =>
-              val callee = m.group(1)
-              if (!Keywords.contains(callee))
-                refs += SymbolRef("call", enclosing, callee, i.toLong, line.trim)
-            }
+            // decorator lines are not body statements: tree-sitter's call
+            // collection runs over function BODIES, so `@lru_cache(2)`
+            // must not surface as a call ref from the enclosing scope
+            if (!trimmed.startsWith("@"))
+              CallRe.findAllMatchIn(line).foreach { m =>
+                val callee = m.group(1)
+                if (!Keywords.contains(callee))
+                  refs += SymbolRef("call", enclosing, callee, i.toLong,
+                    line.trim, Arity.countArgs(line, m.end - 1))
+              }
         }
         lastNonEmpty = i
       }

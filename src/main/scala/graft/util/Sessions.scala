@@ -16,6 +16,16 @@ object Sessions {
       // rounds: read those as nanos-since-epoch long (no-op for the
       // timestamp[us] flavor; Tables.tsUtcExpr adapts to whichever loads)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Static conf, default 100: with 86 registered queries the warmup
+      // pass alone holds far more than 100 generated-class shapes, so by
+      // the timed pass every query's codegen (and its C2-JITted code —
+      // the cache returns the same Class instance) has been EVICTED and
+      // is re-Janino-compiled mid-measurement: measured on g10, 20.8 s
+      // in-suite vs 4.5 s steady-state standalone with no plan change.
+      // A resident analytics server sizes this cache to its workload;
+      // generated classes are small, so 5000 entries is noise in a
+      // multi-GiB driver.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .config("spark.ui.enabled", "false")
     val spark = (if (utc) b.config("spark.sql.session.timeZone", "UTC") else b)
       .getOrCreate()

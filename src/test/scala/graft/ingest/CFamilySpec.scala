@@ -203,6 +203,32 @@ class CFamilySpec extends SparkSpec {
     assert(calls.contains("println") && calls.contains("log"))
   }
 
+  test("java frontend: nested generics and annotations in signatures") {
+    val src = Seq(
+      "class Cache {",
+      "  @Override",
+      "  @SuppressWarnings(\"unchecked\")",
+      "  public Map<String, List<Integer>> index(Map<String, Set<Long>> in, int n) {",
+      "    return build(in, n);",
+      "  }",
+      "  private Map<String, List<Integer>> build(Map<String, Set<Long>> in, int n) {",
+      "    return null;",
+      "  }",
+      "}").mkString("\n")
+    val fx = JavaFrontend.extract("Cache.java", src)
+    val byName = fx.entities.map(e => e.name -> e).toMap
+    // nested generic return types must not swallow the method name
+    assert(byName.contains("index") && byName("index").label == "Method")
+    assert(byName.contains("build") && byName("build").label == "Method")
+    // arity sees top-level params only (generic commas don't count)
+    assert(byName("index").arity === 2)
+    assert(byName("build").arity === 2)
+    // return_type resolves to the outermost simple name
+    assert(fx.refs.exists(r => r.kind == "return_type" && r.name == "Map"))
+    val call = fx.refs.find(r => r.kind == "call" && r.name == "build")
+    assert(call.exists(_.nargs == 2))
+  }
+
   test("golden: Java ingest wires EXTENDS and IMPLEMENTS edges") {
     import spark.implicits._
     val g = new CodeGraph(spark, "ingest_java")

@@ -99,6 +99,78 @@ class IngestSpec extends SparkSpec {
     assert(edge(0).getAs[String]("text") === "log(\"abort\")")
   }
 
+  test("decorated defs: decorator lines yield no call refs, scopes intact") {
+    val src = Seq(
+      /* 0 */ "import functools",
+      /* 1 */ "",
+      /* 2 */ "class Svc:",
+      /* 3 */ "    @functools.lru_cache(maxsize=2)",
+      /* 4 */ "    def cached(self, k):",
+      /* 5 */ "        return fetch(k)",
+      /* 6 */ "",
+      /* 7 */ "    @property",
+      /* 8 */ "    def name(self):",
+      /* 9 */ "        return self._n"
+    ).mkString("\n")
+    val fx = PythonFrontend.extract("svc.py", src)
+    val byName = fx.entities.map(e => e.name -> e).toMap
+    assert(byName.keySet === Set("Svc", "cached", "name"))
+    val svcIdx = fx.entities.indexWhere(_.name == "Svc")
+    assert(byName("cached").parentIdx === svcIdx)
+    assert(byName("name").parentIdx === svcIdx)
+    // the only call ref is fetch(k) from the body — lru_cache is a
+    // decorator, not a body statement (tree-sitter parity)
+    assert(fx.refs.filter(_.kind == "call").map(r => (r.name, r.nargs)) ===
+      Seq(("fetch", 1)))
+    // receiver-stripped arity: cached(self, k) is callable with 1 arg
+    assert(byName("cached").arity === 1)
+  }
+
+  test("golden: same-name functions resolve to the path-nearer definition") {
+    import spark.implicits._
+    // two `util` definitions; the caller sits in pkg/a — the pkg/a/util.py
+    // one must win over other/util.py (longest shared directory prefix),
+    // mirroring import locality (the cheap slice of LSP resolution)
+    val g = new CodeGraph(spark, "ingest_prox")
+    Ingestor.ingest(g, Seq(
+      Ingestor.SourceFile("pkg/a/util.py", "def util(x):\n    return x\n"),
+      Ingestor.SourceFile("other/util.py", "def util(x):\n    return x\n"),
+      Ingestor.SourceFile("pkg/a/main.py",
+        "def main():\n    util(1)\n")))
+    val mainId = g.graph.nodes
+      .filter($"name" === "main" && $"path" === "pkg/a/main.py")
+      .head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === mainId)
+      .join(g.graph.nodes.select($"id".as("dst"), $"path".as("callee_path")),
+        "dst")
+      .collect()
+    assert(callee.length === 1)
+    assert(callee(0).getAs[String]("callee_path") === "pkg/a/util.py")
+  }
+
+  test("golden: overloads resolve by call-site arity") {
+    import spark.implicits._
+    // Java-style overloads in two files, equal path proximity from the
+    // caller: the 2-arg call must pick the 2-parameter overload
+    val g = new CodeGraph(spark, "ingest_arity")
+    Ingestor.ingest(g, Seq(
+      Ingestor.SourceFile("app/One.java",
+        "class One {\n  int plot(int a) { return a; }\n}\n"),
+      Ingestor.SourceFile("app/Two.java",
+        "class Two {\n  int plot(int a, int b) { return a + b; }\n}\n"),
+      Ingestor.SourceFile("app/Main.java",
+        "class Main {\n  void run() {\n    plot(1, 2);\n  }\n}\n")))
+    val runId = g.graph.nodes
+      .filter($"name" === "run" && $"path" === "app/Main.java")
+      .head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === runId)
+      .join(g.graph.nodes.select($"id".as("dst"),
+        $"path".as("callee_path")), "dst")
+      .collect()
+    assert(callee.length === 1)
+    assert(callee(0).getAs[String]("callee_path") === "app/Two.java")
+  }
+
   test("ingest is idempotent (re-running changes nothing)") {
     val g = ingestFixture()
     val n1 = GraphQueries.stats(g.graph).collect().map(_.getLong(1)).toSeq

@@ -172,6 +172,43 @@ class StreamingSpec extends SparkSpec {
     assert(kept === Seq(2L, 5L, 10L))
   }
 
+  test("content dedup is exactly-once across a stop and restart (file sink)") {
+    // st06 fidelity beyond the memory sink: a REAL file sink with a
+    // checkpointLocation, stopped after one drain and restarted with new
+    // input. The flatMapGroupsWithState seen-set lives in the checkpoint's
+    // state store, so (a) a fingerprint kept before the stop must NOT
+    // re-emit after the restart even when a smaller doc_id arrives, and
+    // (b) the sink holds each survivor exactly once — the exactly-once
+    // contract of checkpointed sinks across query incarnations.
+    import spark.implicits._
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val base = java.nio.file.Files.createTempDirectory("graft_restart").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val sink = new java.io.File(base, "sink").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(new java.io.File(src, name).toPath,
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    def drainOnce(): Unit = {
+      val docs = spark.readStream.schema(schema).json(src.getAbsolutePath)
+      val q = EventStreams.contentDedupStream(docs)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    writeFile("a.json", Seq((10L, "alpha"), (11L, "alpha"), (12L, "beta")))
+    drainOnce() // keeps 10 (first alpha) and 12
+    writeFile("b.json", Seq((1L, "alpha"), (13L, "gamma")))
+    drainOnce() // restart: alpha's state survives -> only 13 is new
+    val got = spark.read.parquet(sink).as[Long].collect().sorted.toSeq
+    assert(got === Seq(10L, 12L, 13L))
+  }
+
   test("session counts: every user's sessions <= events, >= 1") {
     import spark.implicits._
     val rows = EventStreams.userSessions(Tables.eventsWithTs(spark, sfTiny))
