@@ -31,39 +31,43 @@ object GraphAlgorithms {
       .localCheckpoint(true) // read by the degree count AND the orientation
     val deg = e.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // orientation key is the PAIR of primitive columns (deg, id), compared
+    // lexicographically with plain long comparisons in the wedge filter —
+    // the earlier struct(hikey) < struct(hikey) form allocated and
+    // compared InternalRows per candidate pair inside the hottest join
+    // (the wedge expansion), which is exactly where codegen-friendly
+    // primitives pay.
+    val lower = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
     val oriented = e
       .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
-      .select(when(struct(col("dx"), col("x")) < struct(col("dy"), col("y")),
-        struct(col("x").as("lo"), col("y").as("hi"),
-          struct(col("dy").as("d"), col("y").as("n")).as("hikey")))
-        .otherwise(struct(col("y").as("lo"), col("x").as("hi"),
-          struct(col("dx").as("d"), col("x").as("n")).as("hikey")))
-        .as("o"))
-      .select(col("o.lo").as("lo"), col("o.hi").as("hi"),
-        col("o.hikey").as("hikey"))
+      .select(
+        when(lower, col("x")).otherwise(col("y")).as("lo"),
+        when(lower, col("y")).otherwise(col("x")).as("hi"),
+        when(lower, col("dy")).otherwise(col("dx")).as("hideg"))
       .localCheckpoint(true) // both wedge sides + the closing join read it
-    val w1 = oriented.select(col("lo"), col("hi").as("h1"),
-      col("hikey").as("k1"))
-    val w2 = oriented.select(col("lo"), col("hi").as("h2"),
-      col("hikey").as("k2"))
-    // wedge at apex lo with ends ordered by orientation key: the closing
-    // edge, if present, is oriented h1 -> h2 (k1 < k2), so one semi-join
-    // decides each wedge and every triangle is counted exactly once
-    val wedges = w1.join(w2, Seq("lo"))
-      .filter(col("k1") < col("k2"))
-      .select(col("h1").as("lo"), col("h2").as("hi"))
-    // the wedge set is O(m^1.5) — when the EDGE set is broadcastable,
-    // probing it map-side beats shuffling every wedge (size guard: beyond
-    // `broadcastEdgeLimit` rows — ~16 B each hashed — fall back to the
-    // shuffled semi-join; lower it on memory-constrained drivers)
-    val closing = oriented.select(col("lo"), col("hi"))
-    val closingSide =
-      if (graft.util.LimitProbe.atMost(oriented, broadcastEdgeLimit))
-        broadcast(closing)
-      else closing
-    wedges.join(closingSide, Seq("lo", "hi"), "left_semi")
-      .agg(count(lit(1)).as("n_triangles"))
+    // Adjacency-intersection closing (Schank-Wagner edge-iterator): each
+    // triangle {a,b,c} with a < b < c in orientation order is counted
+    // exactly once, at edge (a,b), as c ∈ adj⁺(a) ∩ adj⁺(b). This
+    // replaces the explicit wedge self-join, whose per-apex quadratic
+    // expansion is APEX-SKEWED: profiled at sf0.1 the wedge stage ran 16
+    // AQE-coalesced tasks with one ~4 s straggler (hot apex) for a 4.5 s
+    // stage. Here the work is spread per-EDGE, each row costing
+    // |adj⁺(lo)| + |adj⁺(hi)| ≤ 2·O(√m) — no row is hot. When the
+    // adjacency table passes the size guard it is broadcast (two map-side
+    // joins, no shuffle of the edge set at all); beyond the guard both
+    // joins fall back to stats-driven shuffles, still skew-bounded by the
+    // per-row degree cap.
+    val adj = oriented.groupBy(col("lo"))
+      .agg(sort_array(collect_list(col("hi"))).as("adj"))
+    val small = graft.util.LimitProbe.atMost(oriented, broadcastEdgeLimit)
+    val adjLo = adj.select(col("lo"), col("adj").as("adj_lo"))
+    val adjHi = adj.select(col("lo").as("hi"), col("adj").as("adj_hi"))
+    oriented.select(col("lo"), col("hi"))
+      .join(if (small) broadcast(adjLo) else adjLo, Seq("lo"))
+      .join(if (small) broadcast(adjHi) else adjHi, Seq("hi"))
+      .select(size(array_intersect(col("adj_lo"), col("adj_hi"))).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0)).cast("long").as("n_triangles"))
   }
 
   /** Multi-source BFS: minimum hop distance from a seed set along directed
