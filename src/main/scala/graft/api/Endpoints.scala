@@ -20,7 +20,7 @@ import graft.graph._
   * endpoints, and non-null properties.
   */
 final class Endpoints(spark: SparkSession, store: GraphStore,
-    chat: ChatClient = RuleChatClient,
+    chat: ChatClient = Endpoints.defaultChatClient,
     allowRemoteClone: Boolean = sys.env.get("GRAFT_ALLOW_CLONE").contains("1")) {
 
   private val mapper = OpLog.mapper
@@ -374,4 +374,19 @@ final class Endpoints(spark: SparkSession, store: GraphStore,
       }
       resp(200, "status" -> "success", "commits" -> commits)
   }
+}
+
+object Endpoints {
+  /** The model wiring mirrors `api/llm.py:238` (MODEL_NAME env): when
+    * GRAFT_LLM_BASE_URL is set the chat endpoint speaks to that
+    * OpenAI-compatible server (GRAFT_LLM_MODEL, optional
+    * GRAFT_LLM_API_KEY); otherwise the deterministic rule client answers
+    * — no network, still real graph queries. */
+  def defaultChatClient: ChatClient =
+    sys.env.get("GRAFT_LLM_BASE_URL") match {
+      case Some(url) => new HttpChatClient(url,
+        sys.env.getOrElse("GRAFT_LLM_MODEL", "gpt-4o-mini"),
+        sys.env.get("GRAFT_LLM_API_KEY"))
+      case None => RuleChatClient
+    }
 }

@@ -19,8 +19,9 @@ object GraphAlgorithms {
     * fan-out that kills the naive id-oriented plan on skewed graphs (a hub
     * node with degree d would otherwise emit d²/2 wedges on one reducer).
     *
-    * Three shuffles total: degree count, wedge self-join on the apex,
-    * closing-edge semi-join. Exact integer output — oracle-friendly. */
+    * Shuffle budget: degree count, adjacency groupBy, and (beyond the
+    * broadcast guard) the two closing joins. Exact integer output —
+    * oracle-friendly. */
   def triangleCount(pairs: DataFrame, aCol: String = "a",
       bCol: String = "b",
       broadcastEdgeLimit: Long = 3000000L): DataFrame = {
@@ -31,21 +32,16 @@ object GraphAlgorithms {
       .localCheckpoint(true) // read by the degree count AND the orientation
     val deg = e.select(explode(array(col("x"), col("y"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // orientation key is the PAIR of primitive columns (deg, id), compared
-    // lexicographically with plain long comparisons in the wedge filter —
-    // the earlier struct(hikey) < struct(hikey) form allocated and
-    // compared InternalRows per candidate pair inside the hottest join
-    // (the wedge expansion), which is exactly where codegen-friendly
-    // primitives pay.
+    // orient each edge lower-(deg, id) endpoint → higher; only (lo, hi)
+    // survive — the degree columns exist solely to decide the orientation
     val lower = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
     val oriented = e
       .join(deg.select(col("n").as("x"), col("deg").as("dx")), "x")
       .join(deg.select(col("n").as("y"), col("deg").as("dy")), "y")
       .select(
         when(lower, col("x")).otherwise(col("y")).as("lo"),
-        when(lower, col("y")).otherwise(col("x")).as("hi"),
-        when(lower, col("dy")).otherwise(col("dx")).as("hideg"))
-      .localCheckpoint(true) // both wedge sides + the closing join read it
+        when(lower, col("y")).otherwise(col("x")).as("hi"))
+      .localCheckpoint(true) // adjacency build + both closing joins read it
     // Adjacency-intersection closing (Schank-Wagner edge-iterator): each
     // triangle {a,b,c} with a < b < c in orientation order is counted
     // exactly once, at edge (a,b), as c ∈ adj⁺(a) ∩ adj⁺(b). This

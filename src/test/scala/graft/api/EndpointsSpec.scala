@@ -159,6 +159,67 @@ class EndpointsSpec extends SparkSpec {
     assert(fallback.body.get("response").asText().contains("Entities:"))
   }
 
+  test("HttpChatClient: two-stage intent->query->phrase over a live endpoint") {
+    // loopback OpenAI-compatible server: call 1 (intent generation) gets
+    // a JSON intent, call 2 (answer phrasing) echoes grounded content —
+    // proves the adapter's request shape, auth header, two-stage flow,
+    // and that the REAL graph query ran between the calls
+    import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
+    val requests = scala.collection.mutable.ArrayBuffer.empty[String]
+    val auths = scala.collection.mutable.ArrayBuffer.empty[String]
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/chat/completions", new HttpHandler {
+      def handle(x: HttpExchange): Unit = {
+        val body = new String(x.getRequestBody.readAllBytes(), "UTF-8")
+        requests.synchronized {
+          requests += body
+          auths += Option(x.getRequestHeaders.getFirst("Authorization"))
+            .getOrElse("")
+        }
+        val mapper = graft.graph.OpLog.mapper
+        val content =
+          if (requests.size == 1) """{"op": "who_calls", "arg": "configure"}"""
+          else {
+            // phrase using the query results passed in the system role
+            val sys = mapper.readTree(body)
+              .path("messages").path(0).path("content").asText("")
+            val grounded = sys.linesIterator
+              .find(_.contains("is called by")).getOrElse("nothing")
+            s"Answer: $grounded"
+          }
+        val root = mapper.createObjectNode()
+        val msg = root.putArray("choices").addObject().putObject("message")
+        msg.put("role", "assistant"); msg.put("content", content)
+        val bytes = mapper.writeValueAsString(root).getBytes("UTF-8")
+        x.getResponseHeaders.add("Content-Type", "application/json")
+        x.sendResponseHeaders(200, bytes.length)
+        x.getResponseBody.write(bytes); x.close()
+      }
+    })
+    server.start()
+    try {
+      val base = s"http://127.0.0.1:${server.getAddress.getPort}/v1"
+      val client = new HttpChatClient(base, "test-model", Some("sekrit"))
+      val api3 = new Endpoints(spark, store, client)
+      val out = api3.chatAsk(Some("proj"), Some("who calls configure?"))
+      assert(out.status == "success")
+      val answer = out.body.get("response").asText()
+      // grounded on the REAL graph query result: setup calls configure
+      assert(answer.contains("configure is called by") &&
+        answer.contains("setup"), answer)
+      assert(requests.size == 2)
+      assert(auths.forall(_ == "Bearer sekrit"))
+      // stage-1 system prompt carries the published ontology
+      val sys1 = graft.graph.OpLog.mapper.readTree(requests.head)
+        .path("messages").path(0).path("content").asText("")
+      assert(sys1.contains("Entities:") && sys1.contains("who_calls"))
+      val model = graft.graph.OpLog.mapper.readTree(requests.head)
+        .path("model").asText("")
+      assert(model == "test-model")
+    } finally server.stop(0)
+  }
+
   test("analyze_repo clones a git URL end to end (file:// remote)") {
     import scala.sys.process._
     // a local "remote": one-commit repo served over the file:// transport

@@ -37,6 +37,31 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("s05's brute recall verifier stays bounded to the sampled queries") {
+    // the registered gate must never regress to the full-corpus O(n²)
+    // brute cross join (round-5 weak finding): the brute side's scan has
+    // to carry the vec_id sample bound as a pushed filter
+    val p = plan("s05_knn_join_lsh")
+    assert(p.contains("LessThan(vec_id,64)"),
+      "s05's brute side lost its sampled-query bound (full-corpus O(n²) verifier)")
+  }
+
+  test("d07 reuses the pinned d03 pair frame (InMemoryTableScan)") {
+    // d03 and d07 are two gates over ONE resident pair computation
+    // (PipelineQueries.jaccardPairsShared); losing the explicit reuse
+    // (memo bypassed, cache marker dropped) silently recomputes the
+    // Bayardo index inside d07 — the round-5 ×5 regression
+    graft.SparkEntry.queries("d03_jaccard_pairs")(spark, sfTiny).count()
+    // the memo hands back the SAME DataFrame instance...
+    val a = graft.queries.PipelineQueries.jaccardPairsShared(spark, sfTiny)
+    val b = graft.queries.PipelineQueries.jaccardPairsShared(spark, sfTiny)
+    assert(a eq b, "memo returned distinct pair frames")
+    // ...whose scan is served from the cache built by d03
+    assert(a.queryExecution.executedPlan.toString.contains("InMemoryTableScan"),
+      "shared pair frame is not cache-backed after d03 ran")
+    graft.queries.PipelineQueries.resetShared()
+  }
+
   test("q03 broadcasts the filtered dimension and takes ordered top-k") {
     val p = plan("q03_join_revenue")
     assert(p.contains("BroadcastHashJoin"))
