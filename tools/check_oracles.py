@@ -46,7 +46,14 @@ def main():
             print(f"{name}: NO SPARK RESULT")
             failures += 1
             continue
-        spark_df = pd.concat([pd.read_parquet(f) for f in sorted(files)])
+        # read the Spark result THROUGH DUCKDB like the driver does:
+        # pd.read_parquet surfaces DATE columns as dtype object
+        # (datetime.date), while duckdb's .df() gives datetime64[us] on
+        # both sides — the dtype-strict compare only matches on the
+        # driver's read path
+        spark_df = pd.concat([con.execute(
+            f"SELECT * FROM read_parquet('{f}')").df()
+            for f in sorted(files)])
         if name not in oracles:
             print(f"{name}: no_oracle (rows={len(spark_df)})")
             continue
