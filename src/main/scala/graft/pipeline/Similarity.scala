@@ -40,6 +40,30 @@ object Similarity {
     * Scale: O(|Q|·|N|) — correct baseline; broadcast the query side (small
     * by construction) so the big side never shuffles. Use [[ivfTopK]] when
     * |Q| is large. */
+  /** RANGE search: every corpus neighbor with rounded cosine ≥ `minCos`
+    * of each query vector — the radius-query twin of [[bruteForceTopK]]
+    * (top-k bounds the COUNT, range bounds the SIMILARITY; retrieval
+    * pipelines use range queries when the score threshold is the
+    * contract, e.g. "everything ≥ 0.8 is a near-duplicate candidate").
+    *
+    * Scale: same posture as the brute top-k — broadcast the (small by
+    * construction) query side, the corpus never shuffles and there is no
+    * window: the filter is map-side, so output cost is the answer's
+    * size. For corpus×corpus radius search use the LSH-banded pair path
+    * ([[graft.pipeline.Dedup.embeddingNearDupPairs]]). */
+  def rangeSearch(queries: DataFrame, corpus: DataFrame, minCos: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val c = graft.util.Spread(corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec")))
+    c.crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
+      .filter(col("cos") >= minCos)
+      .select(col("qid"), col("nid"), col("cos"))
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),

@@ -655,7 +655,38 @@ object PipelineQueries {
         ($"n_hits" >= $"n_brute" * 0.7).as("recall_ok"))
   }
 
+  /** s06 — cosine RANGE search: all corpus neighbors with rounded cosine
+    * ≥ 0.3 of each query vector (vec_id < 8) — the radius-query twin of
+    * s01's top-k, full value oracle (same d06 sequential-fold cosine
+    * math). Map-side filter: output cost is the answer's size. */
+  def s06RangeSearch(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    Similarity.rangeSearch(emb.filter($"vec_id" < 8), emb, 0.3)
+      .orderBy($"qid", $"nid")
+  }
+
+  /** q25 — LENGTH-BUCKETED batching stats: documents grouped into
+    * power-of-two token-length buckets (the sequence-bucketing a training
+    * loader pads to), with exact token and padding-token totals per
+    * bucket. log2 of an exact power of two is exact in IEEE — identical
+    * bucketing in both engines; all outputs integers, hash-exact. */
+  def q25LengthBuckets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d)
+      .select(TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+      .withColumn("bucket",
+        pow(lit(2.0), ceil(log2($"n_tokens"))).cast("long"))
+      .groupBy($"bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_tokens").as("total_tokens"),
+        sum($"bucket" - $"n_tokens").as("pad_tokens"))
+      .orderBy($"bucket")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s06_range_search" -> (s06RangeSearch _),
+    "q25_length_buckets" -> (q25LengthBuckets _),
     "s04_knn_join" -> (s04KnnJoin _),
     "s05_knn_join_lsh" -> (s05KnnJoinLshMulti _),
     "d01_exact_dedup" -> (d01ExactDedup _),
@@ -1425,6 +1456,34 @@ object PipelineQueries {
         |  SELECT cell, qid, nid, cos, ROW_NUMBER() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s) t
         |WHERE rank <= 3 ORDER BY qid, rank""".stripMargin,
+    "s06_range_search" ->
+      // the s01 cosine math, but a similarity-threshold filter instead of
+      // a rank window — the radius-query contract
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings)
+        |SELECT q.vec_id AS qid, n.vec_id AS nid,
+        |  round(list_dot_product(q.vec, n.vec)
+        |    / (sqrt(list_dot_product(q.vec, q.vec))
+        |       * sqrt(list_dot_product(n.vec, n.vec))), 4) AS cos
+        |FROM v q JOIN v n ON q.vec_id < 8 AND q.vec_id <> n.vec_id
+        |WHERE round(list_dot_product(q.vec, n.vec)
+        |    / (sqrt(list_dot_product(q.vec, q.vec))
+        |       * sqrt(list_dot_product(n.vec, n.vec))), 4) >= 0.3
+        |ORDER BY qid, nid""".stripMargin,
+    "q25_length_buckets" ->
+      // t01's token convention; power-of-two bucket via log2 (exact on
+      // powers of two in IEEE, so both engines bucket identically)
+      """WITH t AS (
+        |  SELECT len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
+        |    AS n_tokens
+        |  FROM documents),
+        |b AS (
+        |  SELECT n_tokens,
+        |    CAST(power(2, ceil(log2(n_tokens))) AS BIGINT) AS bucket
+        |  FROM t)
+        |SELECT bucket, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(bucket - n_tokens) AS BIGINT) AS pad_tokens
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
     "s01_topk_cosine" ->
       """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
         |s AS (

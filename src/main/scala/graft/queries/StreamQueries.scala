@@ -88,7 +88,16 @@ object StreamQueries {
     EventStreams.funnelConversions(Tables.eventsWithTs(spark, d))
       .orderBy(col("user_id"))
 
+  /** st10 — hourly DISTINCT active users: exact windowed COUNT(DISTINCT)
+    * as the streaming-legal dedup→count chain (see
+    * [[EventStreams.hourlyActiveUsers]]); the streaming twin runs the
+    * same transform with chained stateful operators (spec-asserted). */
+  def st10HourlyUsers(spark: SparkSession, d: String): DataFrame =
+    EventStreams.hourlyActiveUsers(Tables.eventsWithTs(spark, d))
+      .orderBy(col("hour_start"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st10_hourly_users" -> (st10HourlyUsers _),
     "st09_funnel" -> (st09Funnel _),
     "st08_sliding_agg" -> (st08SlidingAgg _),
     "st07_nation_enrich" -> (st07NationEnrichment _),
@@ -100,6 +109,10 @@ object StreamQueries {
     "st06_content_dedup" -> (st06ContentDedup _))
 
   val oracle: Map[String, String] = Map(
+    "st10_hourly_users" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "st01_hourly_agg" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  event_type, COUNT(*) AS n_events,

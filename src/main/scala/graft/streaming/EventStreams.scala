@@ -56,6 +56,35 @@ object EventStreams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Hourly DISTINCT active users — the windowed COUNT(DISTINCT) every
+    * engagement dashboard needs, shaped for BOTH engines: an exact
+    * per-(window, user) dedup first (streaming: a stateful dedup whose
+    * state the watermark expires), then a plain windowed count. A direct
+    * `countDistinct` is not allowed in streaming aggregations — the
+    * dedup→count decomposition is the standard exact form, and in batch
+    * Catalyst executes it as the same expand/partial-agg it would plan
+    * for COUNT(DISTINCT). State: one entry per (hour, user) inside the
+    * watermark horizon, not per event. */
+  def hourlyActiveUsers(events: DataFrame): DataFrame =
+    events
+      .select(window(col("ts_utc"), "1 hour").as("w"), col("user_id"))
+      .dropDuplicates("w", "user_id")
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(unix_timestamp(col("w.start")).as("hour_start"), col("n_users"))
+
+  /** Run [[hourlyActiveUsers]] as a streaming query (watermarked chained
+    * stateful operators: dedup then windowed agg; memory sink). */
+  def runHourlyUsersStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery =
+    hourlyActiveUsers(eventStream(spark, sfDir, "2 hours"))
+      .writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Session counts per user: 30-minute inactivity gap sessionization via
     * session_window (works identically in batch and streaming). */
   def userSessions(events: DataFrame): DataFrame =

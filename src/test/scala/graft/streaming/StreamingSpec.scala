@@ -28,6 +28,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
   }
 
+  test("streaming hourly distinct users (chained dedup->agg) matches batch") {
+    val q = EventStreams.runHourlyUsersStream(spark, sfTiny, "husers_smoke")
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+      "SELECT * FROM husers_smoke ORDER BY hour_start").collect()
+    val batch = EventStreams
+      .hourlyActiveUsers(Tables.eventsWithTs(spark, sfTiny))
+      .orderBy(col("hour_start")).collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.length === batch.length)
+    assert(streamed.map(_.toSeq).toSeq === batch.map(_.toSeq).toSeq)
+  }
+
   test("stream-stream attribution join matches the batch interval join") {
     val q = EventStreams.runAttributionStream(spark, sfTiny, "attr_smoke")
     try q.processAllAvailable() finally q.stop()
