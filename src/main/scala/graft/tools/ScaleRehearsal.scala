@@ -133,6 +133,30 @@ object ScaleRehearsal {
           ($"dst" + $"rep" * n).as("dst"))
       graft.graph.GraphAlgorithms.kCorePeel(e, 4, 4).count()
     }
+    // triangles: k disjoint copies triple-check both the curve AND the
+    // answer — the count must be EXACTLY k x the base count (built-in
+    // linearity oracle). Adjacency-intersection closing: per-edge work is
+    // degree-capped, so wall time must track edge count, not a hot apex.
+    val repEdges = {
+      val e0 = graft.queries.TpchGraph.buildUncached(spark, sfDir).edges
+        .select($"src", $"dst")
+      e0.crossJoin(spark.range(k).toDF("rep"))
+        .select(($"src" + $"rep" * n).as("src"),
+          ($"dst" + $"rep" * n).as("dst"))
+        .repartition(32).localCheckpoint(true)
+    }
+    time(s"g09-shaped triangle count over $k disjoint graph copies") {
+      val t = graft.graph.GraphAlgorithms
+        .triangleCount(repEdges, "src", "dst").head().getLong(0)
+      println(s"[rehearsal]   triangles=$t (must be k x base)")
+      t
+    }
+    // PageRank: 10 iterations of join + grouped sum over the replicated
+    // edge set — per-iteration cost must scale with edges, round count
+    // fixed by construction
+    time(s"g10-shaped PageRank (10 iters) over $k disjoint graph copies") {
+      graft.graph.GraphAlgorithms.pageRankFixed(repEdges).count()
+    }
   }
 
   private def pipelineFamily(spark: org.apache.spark.sql.SparkSession,
