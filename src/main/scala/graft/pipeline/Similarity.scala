@@ -333,7 +333,12 @@ object Similarity {
     * [[hyperplaneBucketsHof]] is the formulation it must match. */
   def hyperplaneBuckets(emb: DataFrame, nPlanes: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
-    emb.select(col(idCol).as("id"),
+    // guarded spread BEFORE the signature kernel: the per-row cost is
+    // nPlanes × dims multiply-adds, and a single-row-group parquet scan
+    // would run the whole corpus's signatures on one core (profiled in
+    // s05: a 1.33 s single-task stage at sf0.1 — the only straggler in
+    // the plan). No-op at real scale where the scan has many splits.
+    graft.util.Spread(emb).select(col(idCol).as("id"),
       graft.functions.HyperplaneSignature.hyperplaneSig(
         col(vecCol).cast("array<double>"), nPlanes).as("bucket"))
 
