@@ -98,12 +98,22 @@ object Similarity {
       cellCol: String = "label"): DataFrame = {
     val c = corpus.select(col(idCol).as("nid"), col(cellCol).as("cell"),
       col(vecCol).cast("array<double>").as("nvec"))
-    // centroid per cell: element-wise mean via posexplode + group
-    val centroids = c.select(col("cell"), posexplode(col("nvec")).as(Seq("i", "x")))
+    probeCells(queries, c, cellCentroids(c), k, nprobe, idCol, vecCol)
+  }
+
+  /** Centroid per cell as the element-wise mean: (cell, cvec). */
+  private def cellCentroids(c: DataFrame): DataFrame =
+    c.select(col("cell"), posexplode(col("nvec")).as(Seq("i", "x")))
       .groupBy(col("cell"), col("i")).agg(avg(col("x")).as("m"))
       .groupBy(col("cell"))
       .agg(array_sort(collect_list(struct(col("i"), col("m")))).as("im"))
       .select(col("cell"), transform(col("im"), s => s.getField("m")).as("cvec"))
+
+  /** Shared IVF probe: rank cells by query-centroid cosine, take nprobe,
+    * score only the probed cells' members. `c` = (nid, cell, nvec). */
+  private def probeCells(queries: DataFrame, c: DataFrame,
+      centroids: DataFrame, k: Int, nprobe: Int,
+      idCol: String, vecCol: String): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast("array<double>").as("qvec"))
     val wProbe = Window.partitionBy(col("qid"))
@@ -120,6 +130,46 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** PERSISTED IVF index — the build-once / probe-many lifecycle a 100 TB
+    * deployment needs: the index is two parquet tables, the quantizer
+    * (`centroids/`: cell, cvec — k rows, broadcastable forever) and the
+    * posting lists (`assignments/`: id, cell — one row per corpus vector,
+    * partition-prunable by cell if written partitioned). The corpus
+    * vectors stay in the base table; the index references ids, so a
+    * re-embed or re-shard of the corpus invalidates nothing but the
+    * assignment join. Build is one k-means batch job; a probe reads ONLY
+    * the centroid table plus the probed cells' members. */
+  def buildIvfIndex(corpus: DataFrame, nCells: Int, iters: Int = 5,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): (DataFrame, DataFrame) = {
+    val assign = kmeansCells(corpus, nCells, iters, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec"))
+      .join(assign.select(col("id").as("nid"), col("cell")), "nid")
+    (cellCentroids(c), assign)
+  }
+
+  def writeIvfIndex(centroids: DataFrame, assignments: DataFrame,
+      dir: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$dir/centroids")
+    assignments.write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$dir/centroids"),
+      spark.read.parquet(s"$dir/assignments"))
+
+  /** Probe a LOADED index against the base corpus table. */
+  def ivfProbeIndex(queries: DataFrame, corpus: DataFrame,
+      centroids: DataFrame, assignments: DataFrame, k: Int, nprobe: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("nid"),
+        col(vecCol).cast("array<double>").as("nvec"))
+      .join(assignments.select(col("id").as("nid"), col("cell")), "nid")
+    probeCells(queries, c, centroids, k, nprobe, idCol, vecCol)
   }
 
   /** Lloyd's k-means over the embedding column — the real IVF coarse

@@ -684,7 +684,28 @@ object PipelineQueries {
       .orderBy($"bucket")
   }
 
+  /** s07 — PERSISTED IVF index lifecycle: build the k-means index, WRITE
+    * it as two parquet tables (quantizer + posting lists), READ it back,
+    * and probe the loaded index — the build-once / probe-many split a
+    * 100 TB deployment runs (the gate's recall contract covers the full
+    * round trip, so a lossy save/load or a broken assignment join flips
+    * the boolean). Same contract form and floor as s03. */
+  def s07IvfIndex(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_ivf_" + Integer.toHexString(d.hashCode))
+    val (cent, assign) = Similarity.buildIvfIndex(emb, nCells = 8, iters = 4)
+    Similarity.writeIvfIndex(cent, assign, dir.getAbsolutePath)
+    val (cent2, assign2) = Similarity.readIvfIndex(spark, dir.getAbsolutePath)
+    val ann = Similarity.ivfProbeIndex(emb.filter($"vec_id" < 8), emb,
+      cent2, assign2, 5, 3)
+    annRecallSummary(ann, Similarity.bruteForceTopK(emb.filter($"vec_id" < 8),
+      emb, 5), minRecall = 0.5)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s07_ivf_index" -> (s07IvfIndex _),
     "s06_range_search" -> (s06RangeSearch _),
     "q25_length_buckets" -> (q25LengthBuckets _),
     "s04_knn_join" -> (s04KnnJoin _),
@@ -1567,6 +1588,13 @@ object PipelineQueries {
         |  TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
     "s03_ivf_kmeans" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "s07_ivf_index" ->
+      // same contract form as s03: constants from the embeddings table;
+      // a lossy index save/load or broken posting join flips recall_ok
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
         |  TRUE AS recall_ok

@@ -727,4 +727,26 @@ class PipelineSpec extends SparkSpec {
     // per doc; the union must count 10 tokens once, not 24
     assert(cov.toSeq === Seq((1L, 18L, 10L), (2L, 15L, 10L)))
   }
+
+  test("IVF index: parquet round trip is lossless; probe matches in-memory") {
+    import org.apache.spark.sql.functions._
+    val emb = graft.util.Tables.embeddings(spark, sfTiny)
+    val (cent, assign) = Similarity.buildIvfIndex(emb, nCells = 4, iters = 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.writeIvfIndex(cent, assign, dir)
+    val (cent2, assign2) = Similarity.readIvfIndex(spark, dir)
+    // doubles survive parquet bit-exactly -> identical tables
+    assert(cent2.orderBy(col("cell")).collect().map(_.toSeq).toSeq ===
+      cent.orderBy(col("cell")).collect().map(_.toSeq).toSeq)
+    assert(assign2.count() === assign.count())
+    assert(assign2.join(assign, Seq("id", "cell"), "left_anti").count() === 0)
+    // probing the LOADED index equals probing the built frames
+    val q = emb.filter(col("vec_id") < 4)
+    val a = Similarity.ivfProbeIndex(q, emb, cent, assign, 3, 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    val b = Similarity.ivfProbeIndex(q, emb, cent2, assign2, 3, 2)
+      .orderBy(col("qid"), col("rank")).collect().map(_.toSeq).toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
