@@ -704,7 +704,39 @@ object PipelineQueries {
       emb, 5), minRecall = 0.5)
   }
 
+  /** q26 — LEAKAGE-SAFE train/val split: near-dup CLUSTERS (the d03/d07
+    * component labels, shared pair frame) are assigned to splits
+    * atomically — hash the cluster id, not the doc id — so no near-dup
+    * pair ever straddles train and validation (the contamination path a
+    * doc-hash split leaves open). Singletons are their own cluster. The
+    * gate emits per-split totals PLUS the straddle count computed from
+    * the data (must be 0), so the invariant itself is hash-checked. */
+  def q26LeakageSplit(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter($"doc_id" < 300)
+      .select($"doc_id")
+    val clustered = docs.join(
+        Dedup.connectedComponents(jaccardPairsShared(spark, d))
+          .select($"id".as("doc_id"), $"cluster_id"),
+        Seq("doc_id"), "left_outer")
+      .select($"doc_id", coalesce($"cluster_id", $"doc_id").as("cluster"))
+    // q14/q19's integer hash family, applied to the CLUSTER id
+    val tagged = clustered.withColumn("split",
+      when(pmod(pmod($"cluster", lit(1000003L)) * lit(2654435761L),
+        lit(10L)) < 8, lit("train")).otherwise(lit("val")))
+    val straddle = tagged.groupBy($"cluster")
+      .agg(countDistinct($"split").as("ns"))
+      .filter($"ns" > 1).agg(count(lit(1)).as("n_straddling"))
+    tagged.groupBy($"split")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct($"cluster").as("n_clusters"),
+        sum($"doc_id").as("doc_id_sum"))
+      .crossJoin(straddle)
+      .orderBy($"split")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
     "s06_range_search" -> (s06RangeSearch _),
     "q25_length_buckets" -> (q25LengthBuckets _),
@@ -845,6 +877,45 @@ object PipelineQueries {
         |  JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q26_leakage_split" ->
+      // d07's recursive closure labels the paired docs; singletons keep
+      // their own id as cluster; the q14/q19 hash family assigns CLUSTERS
+      // to splits; the straddle count is re-derived (and must be 0)
+      """WITH RECURSIVE g AS (
+        |  SELECT doc_id,
+        |    list_distinct([substring(lower(text), i, 3)
+        |                   for i in generate_series(1, length(text) - 2)]) AS grams
+        |  FROM documents WHERE doc_id < 300),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8),
+        |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+        |          UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT s AS id, s AS r FROM edges
+        |  UNION
+        |  SELECT e.s AS id, reach.r AS r FROM edges e
+        |  JOIN reach ON e.d = reach.id)
+        |, lab AS (
+        |  SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+        |tagged AS (
+        |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster,
+        |    CASE WHEN ((COALESCE(l.cluster_id, d.doc_id) % 1000003)
+        |               * 2654435761) % 10 < 8
+        |         THEN 'train' ELSE 'val' END AS split
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id < 300) d
+        |  LEFT JOIN lab l USING (doc_id)),
+        |strad AS (
+        |  SELECT COUNT(*) AS n_straddling FROM (
+        |    SELECT cluster FROM tagged
+        |    GROUP BY cluster HAVING COUNT(DISTINCT split) > 1))
+        |SELECT split, COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT cluster) AS n_clusters,
+        |  CAST(SUM(doc_id) AS BIGINT) AS doc_id_sum,
+        |  (SELECT n_straddling FROM strad) AS n_straddling
+        |FROM tagged GROUP BY split ORDER BY split""".stripMargin,
     "d10_keep_list" ->
       // (exact-norm ∪ brute word-5-shingle jaccard ≥ 0.8 on the
       // NORMALIZED text) edges, recursive min-label closure, every
