@@ -84,6 +84,32 @@ object Packing {
       .withColumn("kept", col("cum") <= budget)
   }
 
+  /** GLOBAL rank in (n DESC, id) order — the same two-pass distributed
+    * scan as [[tokenOffsets]], counting ROWS instead of tokens: a naive
+    * `ROW_NUMBER() OVER (ORDER BY …)` has no partition key and runs on
+    * one task. Returns (id, n, rank), rank 0-based, a pure function of
+    * the data on any cluster shape (the (n desc, id) key is unique
+    * because ids are). */
+  def globalRankDesc(df: DataFrame, idCol: String,
+      nCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(nCol).cast("long").as("n"), col(idCol).cast("long").as("id"))
+      .repartitionByRange(col("n").desc, col("id"))
+      .sortWithinPartitions(col("n").desc, col("id"))
+      .localCheckpoint(true)
+    val ds = sorted.as[(Long, Long)]
+    val partCounts = ds
+      .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val rdd = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var r = offsets(pi)
+      it.map { case (n, id) => val my = r; r += 1; (id, n, my) }
+    }
+    spark.createDataFrame(rdd).toDF("id", "n", "rank")
+  }
+
   /** Per-sequence packing stats for context length L: which docs land in
     * which fixed-length sequence (a doc spanning a boundary counts in
     * every sequence it touches). Exact integers — oracle-friendly. */

@@ -735,7 +735,34 @@ object PipelineQueries {
       .orderBy($"split")
   }
 
+  /** q27 — BALANCED shard assignment: docs ranked by token count
+    * descending (doc_id tie-break) and dealt to shards in SERPENTINE
+    * order (rank r → shard r%n on even passes, n-1-r%n on odd) — the
+    * distributed longest-processing-time approximation that keeps shard
+    * token sums near-equal where q23's hash sharding leaves size to
+    * chance (shard skew = straggler training batches). Deterministic and
+    * SQL-replayable: the gate hash-checks per-shard totals. The global
+    * rank is [[graft.pipeline.Packing.globalRankDesc]]'s two-pass
+    * distributed scan — a bare `ROW_NUMBER() OVER (ORDER BY …)` would be
+    * a single-task global sort, the t08/q24 anti-pattern. */
+  def q27BalancedShards(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val n = 8
+    val ranked = graft.pipeline.Packing.globalRankDesc(
+        Tables.documents(spark, d)
+          .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens")),
+        "doc_id", "n_tokens")
+      .select($"id".as("doc_id"), $"n".as("n_tokens"), $"rank".as("r"))
+    val shard = when((($"r" / n).cast("long") % 2) === 0, pmod($"r", lit(n)))
+      .otherwise(lit(n - 1) - pmod($"r", lit(n)))
+    ranked.withColumn("shard", shard.cast("int"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("token_sum"))
+      .orderBy($"shard")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
     "s06_range_search" -> (s06RangeSearch _),
@@ -877,6 +904,26 @@ object PipelineQueries {
         |  JOIN reach ON e.d = reach.id)
         |SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach
         |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "q27_balanced_shards" ->
+      // same serpentine deal: rank by (tokens desc, doc_id), shard from
+      // the rank's pass parity
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
+        |      AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, n_tokens,
+        |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
+        |  FROM t),
+        |s AS (
+        |  SELECT n_tokens,
+        |    CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+        |         ELSE 7 - (rk % 8) END AS shard
+        |  FROM r)
+        |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+        |  CAST(SUM(n_tokens) AS BIGINT) AS token_sum
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q26_leakage_split" ->
       // d07's recursive closure labels the paired docs; singletons keep
       // their own id as cluster; the q14/q19 hash family assigns CLUSTERS

@@ -749,4 +749,19 @@ class PipelineSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("global rank: dense 0..n-1, (n desc, id) order, partition-independent") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rows = Seq((1L, 5L), (2L, 9L), (3L, 5L), (4L, 1L), (5L, 9L), (6L, 7L))
+    def rank(parts: Int) = Packing.globalRankDesc(
+        rows.toDF("doc_id", "n_tokens").repartition(parts),
+        "doc_id", "n_tokens")
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSeq
+    // (9,2) (9,5) (7,6) (5,1) (5,3) (1,4)
+    val expected = Seq((2L, 0L), (5L, 1L), (6L, 2L), (1L, 3L), (3L, 4L), (4L, 5L))
+    assert(rank(1) === expected)
+    assert(rank(7) === expected)
+  }
 }
