@@ -126,6 +126,18 @@ class IngestSpec extends SparkSpec {
     assert(byName("cached").arity === 1)
   }
 
+  test("Arity.countArgs: nesting, whitespace, unclosed groups") {
+    def at(s: String) = Arity.countArgs(s, s.indexOf('('))
+    assert(at("f()") === 0)
+    assert(at("f( )") === 0)
+    assert(at("f(a)") === 1)
+    assert(at("f(a, b)") === 2)
+    assert(at("f(g(a,b), c)") === 2) // nested call's comma doesn't count
+    assert(at("f(a[1,2], {x: 1, y: 2})") === 2) // brackets/braces nest
+    assert(at("f(a,") === -1) // unclosed: unknown beats a wrong guess
+    assert(Arity.countArgs("no paren", 0) === -1)
+  }
+
   test("golden: same-name functions resolve to the path-nearer definition") {
     import spark.implicits._
     // two `util` definitions; the caller sits in pkg/a — the pkg/a/util.py
