@@ -404,7 +404,7 @@ object PipelineQueries {
       TextAnalysis.tokenCount($"text").cast("long").as("n_tok"),
       TextAnalysis.qualityScoreOf(TextAnalysis.tokens($"text"), $"text")
         .as("q"))
-    val budget = prepared.agg(sum($"n_tok")).head.getLong(0) / 2
+    val budget = prepared.agg(sum($"n_tok")).head().getLong(0) / 2
     graft.pipeline.Packing.budgetFill(prepared, "doc_id", "n_tok", "q", budget)
       .join(prepared.select($"doc_id".as("id"), $"source"), Seq("id"))
       .groupBy($"source")
