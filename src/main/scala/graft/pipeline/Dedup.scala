@@ -48,9 +48,17 @@ object Dedup {
 
   /** Exact Jaccard similarity of two shingle-set columns: |∩| / |∪| as an
     * exact integer ratio (bit-identical across engines). */
-  def jaccard(a: Column, b: Column): Column =
-    size(array_intersect(a, b)).cast("double") /
-      size(array_distinct(concat(a, b))).cast("double")
+  /** Exact Jaccard of two DISTINCT-element arrays (every gram producer
+    * here emits sets — CharNGrams/WordNGrams dedup by contract), via the
+    * inclusion-exclusion identity |A∪B| = |A|+|B|−|A∩B|: one hash pass
+    * (the intersect) instead of two (the old concat+array_distinct built
+    * and deduped a combined array per candidate pair — pure allocation in
+    * the verify join's hottest loop). Whole-stage codegen's subexpression
+    * elimination evaluates the repeated intersect once. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a).cast("double") + size(b).cast("double") - inter)
+  }
 
   /** All-pairs n-gram Jaccard above `threshold` — the brute-force baseline
     * (quadratic: test-oracle use only; [[jaccardPairs]] computes the same
