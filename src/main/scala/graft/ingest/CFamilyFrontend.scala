@@ -58,32 +58,8 @@ abstract class CFamilyFrontend extends LanguageFrontend {
 
   /** Strip line comments and string/char literals (block comments handled
     * by the caller's running state). */
-  private def stripLine(line: String, inBlock: Boolean): (String, Boolean) = {
-    val sb = new StringBuilder
-    var i = 0
-    var block = inBlock
-    var quote: Char = 0
-    while (i < line.length) {
-      val c = line.charAt(i)
-      if (block) {
-        if (c == '*' && i + 1 < line.length && line.charAt(i + 1) == '/') {
-          block = false; i += 1
-        }
-      } else if (quote != 0) {
-        if (c == '\\') i += 1
-        else if (c == quote) quote = 0
-      } else c match {
-        case '/' if i + 1 < line.length && line.charAt(i + 1) == '/' =>
-          i = line.length
-        case '/' if i + 1 < line.length && line.charAt(i + 1) == '*' =>
-          block = true; i += 1
-        case '"' | '\'' => quote = c; sb.append(' ')
-        case other => sb.append(other)
-      }
-      i += 1
-    }
-    (sb.toString, block)
-  }
+  protected def stripLine(line: String, inBlock: Boolean): (String, Boolean) =
+    CSource.stripLine(line, inBlock)
 
   private final case class Scope(idx: Int, closeDepth: Int, label: String,
       name: String, var armed: Boolean)

@@ -29,9 +29,12 @@ object Ingestor {
   final case class SourceFile(path: String, source: String)
 
   /** Frontend registry — mirrors `api/analyzers/source_analyzer.py:24-29`
-    * (python, java, csharp; plus the JSONL escape hatch). */
+    * (python, java, csharp; plus the JSONL escape hatch), and ALSO wires
+    * the C analyzer the reference ships but keeps commented out of its
+    * registry (`source_analyzer.py:25-26` — golden-tested here over the
+    * reference's own `tests/source_files/c/src.c`). */
   val frontends: Seq[LanguageFrontend] =
-    Seq(PythonFrontend, JavaFrontend, CSharpFrontend, JsonlFrontend)
+    Seq(PythonFrontend, JavaFrontend, CSharpFrontend, CFrontend, JsonlFrontend)
 
   def splitPath(p: String): (String, String, String) = {
     val slash = p.lastIndexOf('/')

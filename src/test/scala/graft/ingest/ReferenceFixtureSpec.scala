@@ -87,4 +87,33 @@ class ReferenceFixtureSpec extends SparkSpec {
       $"src" === byKey(("ConsoleLogger", "Class")) &&
       $"dst" === byKey(("ILogger", "Interface"))).count() == 1)
   }
+
+  test("reference src.c: functions, struct, calls match the golden test") {
+    // tests/test_c_analyzer.py:26-61 over tests/source_files/c/src.c —
+    // the analyzer the reference ships but keeps out of its registry
+    val src = readFixture("c/src.c").getOrElse(cancel("fixture missing"))
+    val fx = CFrontend.extract("src.c", src)
+    val byName = fx.entities.map(e => e.name -> e).toMap
+    // Function('src.c', 'add', ..., 0, 7): multi-line signature spans 0-7
+    assert(byName("add").label === "Function")
+    assert(byName("add").srcStart === 0 && byName("add").srcEnd === 7)
+    assert(byName("add").arity === 2)
+    // Struct('src.c', 'exp', '', 9, 13)
+    assert(byName("exp").label === "Struct")
+    assert(byName("exp").srcStart === 9 && byName("exp").srcEnd === 13)
+    // Function('src.c', 'main', ..., 15, 18)
+    assert(byName("main").label === "Function")
+    assert(byName("main").srcStart === 15 && byName("main").srcEnd === 18)
+    assert(byName("main").arity === 2)
+
+    // graph leg: main calls add; add called by {add, main} (the self-call)
+    val g = new CodeGraph(spark, "ref_c")
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("src.c", src)))
+    val callees = GraphQueries.functionCalls(g.graph, "main")
+      .head().getAs[scala.collection.Seq[String]]("callees")
+    assert(callees.toSet === Set("add"))
+    val callers = GraphQueries.functionCalledBy(g.graph, "add")
+      .head().getAs[scala.collection.Seq[String]]("callers")
+    assert(callers.toSet === Set("add", "main"))
+  }
 }
