@@ -77,7 +77,11 @@ object CFrontend extends LanguageFrontend {
     for (i <- lines.indices) {
       val (stripped, blockAfter) = CSource.stripLine(lines(i), inBlock)
       inBlock = blockAfter
-      val t = stripped.trim
+      val t0 = stripped.trim
+      // preprocessor lines carry no brace or semicolon: without this skip,
+      // a leading `#include <stdio.h>` would sit in the declaration
+      // accumulator forever and shift every srcStart in the file
+      val t = if (t0.startsWith("#")) "" else t0
       if (t.nonEmpty) {
         if (depth == 0 && scopes.isEmpty) {
           if (pendStart < 0) pendStart = i

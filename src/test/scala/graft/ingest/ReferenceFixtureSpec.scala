@@ -88,6 +88,22 @@ class ReferenceFixtureSpec extends SparkSpec {
       $"dst" === byKey(("ILogger", "Interface"))).count() == 1)
   }
 
+  test("C frontend: preprocessor lines don't shift declaration bounds") {
+    val src = Seq(
+      /* 0 */ "#include <stdio.h>",
+      /* 1 */ "#define MAX 10",
+      /* 2 */ "",
+      /* 3 */ "int twice(int x) {",
+      /* 4 */ "    return x + x;",
+      /* 5 */ "}"
+    ).mkString("\n")
+    val fx = CFrontend.extract("p.c", src)
+    val f = fx.entities.find(_.name == "twice").get
+    assert(f.srcStart === 3 && f.srcEnd === 5)
+    assert(f.arity === 1)
+    assert(fx.entities.map(_.name) === Seq("twice"))
+  }
+
   test("reference src.c: functions, struct, calls match the golden test") {
     // tests/test_c_analyzer.py:26-61 over tests/source_files/c/src.c —
     // the analyzer the reference ships but keeps out of its registry
