@@ -674,6 +674,7 @@ object PipelineQueries {
   def q25LengthBuckets(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
+      .filter($"text".isNotNull) // defensive: engines order null groups differently
       .select(TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
       .withColumn("bucket",
         pow(lit(2.0), ceil(log2($"n_tokens"))).cast("long"))
@@ -750,6 +751,7 @@ object PipelineQueries {
     val n = 8
     val ranked = graft.pipeline.Packing.globalRankDesc(
         Tables.documents(spark, d)
+          .filter($"text".isNotNull) // null ranks diverge between engines
           .select($"doc_id", TextAnalysis.tokenCount($"text").as("n_tokens")),
         "doc_id", "n_tokens")
       .select($"id".as("doc_id"), $"n".as("n_tokens"), $"rank".as("r"))
@@ -911,7 +913,7 @@ object PipelineQueries {
         |  SELECT doc_id,
         |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
         |      AS n_tokens
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |r AS (
         |  SELECT doc_id, n_tokens,
         |    ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS rk
@@ -1614,7 +1616,7 @@ object PipelineQueries {
       """WITH t AS (
         |  SELECT len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
         |    AS n_tokens
-        |  FROM documents),
+        |  FROM documents WHERE text IS NOT NULL),
         |b AS (
         |  SELECT n_tokens,
         |    CAST(power(2, ceil(log2(n_tokens))) AS BIGINT) AS bucket
