@@ -195,20 +195,26 @@ object GraphAlgorithms {
     val rankOfSum = lit(base) +
       expr("(17 * coalesce(s, cast(0 as bigint))) div 20")
     var summed: DataFrame = null // null ⇒ iteration 0: rank = scale
-    for (i <- 1 to iters) {
-      val joined =
-        if (summed == null) eDeg.withColumn("rank", lit(scale))
-        else eDeg
-          .join(summed.withColumnRenamed("id", "src"), Seq("src"), "left_outer")
-          .withColumn("rank", rankOfSum)
-      summed = joined
-        .select(col("dst").as("id"), expr("rank div odeg").as("c"))
-        .groupBy(col("id")).agg(sum(col("c")).as("s"))
-      if (i % CheckpointEvery == 0 || i == iters)
-        summed = summed.localCheckpoint(true)
+    // try/finally: the AQE override is session-global, so an exception
+    // mid-loop must not leak it into concurrently-planning queries (the
+    // bench warmup runs 8 threads on this session) or the timed pass.
+    try {
+      for (i <- 1 to iters) {
+        val joined =
+          if (summed == null) eDeg.withColumn("rank", lit(scale))
+          else eDeg
+            .join(summed.withColumnRenamed("id", "src"), Seq("src"), "left_outer")
+            .withColumn("rank", rankOfSum)
+        summed = joined
+          .select(col("dst").as("id"), expr("rank div odeg").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        if (i % CheckpointEvery == 0 || i == iters)
+          summed = summed.localCheckpoint(true)
+      }
+    } finally {
+      if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
     }
     eDeg.unpersist()
-    if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
     if (summed == null) nodes.withColumn("rank", lit(scale))
     else nodes.join(summed, Seq("id"), "left_outer")
       .select(col("id"), rankOfSum.as("rank"))

@@ -669,15 +669,22 @@ object PipelineQueries {
   /** q25 — LENGTH-BUCKETED batching stats: documents grouped into
     * power-of-two token-length buckets (the sequence-bucketing a training
     * loader pads to), with exact token and padding-token totals per
-    * bucket. log2 of an exact power of two is exact in IEEE — identical
-    * bucketing in both engines; all outputs integers, hash-exact. */
+    * bucket. Spark's log2 is ln(x)/ln(2) and overshoots at some exact
+    * powers of two (log2(2^29) = 29.000000000000004) while DuckDB's is
+    * exact, so the bucket is clamped arithmetically after the log: if the
+    * half-bucket still covers n_tokens, take it. The clamp is a no-op
+    * wherever log2 was exact — identical bucketing in both engines; all
+    * outputs integers, hash-exact. */
   def q25LengthBuckets(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
       .filter($"text".isNotNull) // defensive: engines order null groups differently
       .select(TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
-      .withColumn("bucket",
+      .withColumn("b0",
         pow(lit(2.0), ceil(log2($"n_tokens"))).cast("long"))
+      .withColumn("bucket",
+        when(($"b0".cast("double") / 2) >= $"n_tokens",
+          ($"b0".cast("double") / 2).cast("long")).otherwise($"b0"))
       .groupBy($"bucket")
       .agg(count(lit(1)).as("n_docs"),
         sum($"n_tokens").as("total_tokens"),
@@ -1611,16 +1618,22 @@ object PipelineQueries {
         |       * sqrt(list_dot_product(n.vec, n.vec))), 4) >= 0.3
         |ORDER BY qid, nid""".stripMargin,
     "q25_length_buckets" ->
-      // t01's token convention; power-of-two bucket via log2 (exact on
-      // powers of two in IEEE, so both engines bucket identically)
+      // t01's token convention; power-of-two bucket via log2, then the
+      // same arithmetic clamp as the Spark side (Spark's ln-based log2
+      // overshoots at some exact powers of two; the clamp makes both
+      // engines bucket identically regardless of FP log exactness)
       """WITH t AS (
         |  SELECT len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT
         |    AS n_tokens
         |  FROM documents WHERE text IS NOT NULL),
+        |b0 AS (
+        |  SELECT n_tokens,
+        |    CAST(power(2, ceil(log2(n_tokens))) AS BIGINT) AS b0
+        |  FROM t),
         |b AS (
         |  SELECT n_tokens,
-        |    CAST(power(2, ceil(log2(n_tokens))) AS BIGINT) AS bucket
-        |  FROM t)
+        |    CASE WHEN b0 // 2 >= n_tokens THEN b0 // 2 ELSE b0 END AS bucket
+        |  FROM b0)
         |SELECT bucket, COUNT(*) AS n_docs,
         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
         |  CAST(SUM(bucket - n_tokens) AS BIGINT) AS pad_tokens
