@@ -9,13 +9,18 @@ import org.apache.spark.sql.types._
   * decode / feature-extract / resize / frame-sample as per-partition batch
   * transforms.
   *
-  * The actual media decode is STUBBED with a deterministic fake (the
-  * image/audio codec libraries are not in this container) — see
-  * [[FakeCodec]]. Everything around it is real and tested: the asset
-  * schema, binary handling, partitioning for parallel decode, the
-  * mapPartitions batch shape (the Scala equivalent of a Pandas UDF over
-  * `mapInPandas`: one iterator of rows per partition, vectorizable
-  * per-batch work, no per-row driver involvement).
+  * IMAGE decode is REAL: [[ImageIoCodec]] decodes PNG/JPEG/BMP payloads
+  * with `javax.imageio` (ships with the JDK — no external codec needed)
+  * and re-encodes lossless grayscale PNG. Payloads are sniffed by magic
+  * bytes; anything that is not a recognizable image container (audio,
+  * video, the synthetic text-byte fixtures) falls back to [[FakeCodec]],
+  * the deterministic stand-in for the codecs that genuinely are not in
+  * this container (ffmpeg-class audio/video). Everything around the
+  * codecs is container-agnostic: the asset schema, binary handling,
+  * partitioning for parallel decode, the mapPartitions batch shape (the
+  * Scala equivalent of a Pandas UDF over `mapInPandas`: one iterator of
+  * rows per partition, vectorizable per-batch work, no per-row driver
+  * involvement).
   *
   * Scale: decode is embarrassingly parallel; `repartition(n)` sizes decode
   * tasks; feature vectors stay columnar (`array<double>`) and feed the
@@ -34,8 +39,85 @@ object Multimodal {
       StructField("sample_rate", IntegerType),
       StructField("n_frames", IntegerType))))))
 
-  /** Deterministic fake media codec — STUB standing in for libjpeg/ffmpeg
-    * etc. Real systems swap this object out; signatures stay. */
+  /** REAL image codec over `javax.imageio` (in the JDK, works offline):
+    * grayscale PNG encode + PNG/JPEG/BMP decode to 8-bit gray pixels.
+    * PNG is lossless, so encode→decode round-trips pixels exactly — the
+    * property the mm04 gate checks end-to-end against a DuckDB replay of
+    * the synthesized bitmaps. */
+  object ImageIoCodec {
+    import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+    import java.awt.image.BufferedImage
+
+    /** Magic-byte sniff for containers javax.imageio handles. Only
+      * signatures whose lead byte cannot open ASCII/UTF-8 text are
+      * sniffed in the generic pipeline (PNG 0x89…, JPEG 0xFFD8FF), so a
+      * text payload can never be misrouted; BMP ("BM", valid ASCII) is
+      * honored only when longer than any plausible text preamble check —
+      * callers with real BMPs use the codec API directly. */
+    def looksLikeImage(data: Array[Byte]): Boolean =
+      data != null && data.length >= 8 &&
+        (((data(0) & 0xFF) == 0x89 && data(1) == 'P' && data(2) == 'N' &&
+            data(3) == 'G') ||
+          ((data(0) & 0xFF) == 0xFF && (data(1) & 0xFF) == 0xD8 &&
+            (data(2) & 0xFF) == 0xFF))
+
+    /** Encode 8-bit gray pixels (row-major, 0–255) as a lossless PNG. */
+    def encodeGrayPng(pixels: Array[Int], w: Int, h: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+      img.getRaster.setSamples(0, 0, w, h, 0, pixels)
+      val bos = new ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode any imageio-supported container (PNG/JPEG/BMP/GIF) to
+      * (width, height, 8-bit gray pixels). Single-band rasters read
+      * directly; color images fold through integer Rec.601 luma. */
+    def decodeGray(bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      require(img != null, "imageio could not decode payload")
+      val w = img.getWidth; val h = img.getHeight
+      val out = new Array[Int](w * h)
+      if (img.getRaster.getNumBands == 1) {
+        img.getRaster.getSamples(0, 0, w, h, 0, out)
+      } else {
+        var y = 0; var idx = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val r = (rgb >> 16) & 0xFF; val g = (rgb >> 8) & 0xFF
+            val b = rgb & 0xFF
+            out(idx) = (299 * r + 587 * g + 114 * b + 500) / 1000
+            idx += 1; x += 1
+          }
+          y += 1
+        }
+      }
+      (w, h, out)
+    }
+
+    /** Real nearest-neighbor resize: decode, subsample, re-encode PNG. */
+    def resizePng(bytes: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      val (w, h, px) = decodeGray(bytes)
+      val out = new Array[Int](w2 * h2)
+      var y = 0
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          out(y * w2 + x) = px((y * h / h2) * w + (x * w / w2))
+          x += 1
+        }
+        y += 1
+      }
+      encodeGrayPng(out, w2, h2)
+    }
+  }
+
+  /** Deterministic fake media codec — STUB standing in for the
+    * audio/video codecs (ffmpeg-class) that are not in this container;
+    * image payloads take the real [[ImageIoCodec]] path. Real systems
+    * swap this object out; signatures stay. */
   object FakeCodec {
     /** "Decode" = interpret bytes as grayscale pixels row-major. */
     def decode(data: Array[Byte], width: Int, height: Int): Array[Double] = {
@@ -112,7 +194,14 @@ object Multimodal {
         rows.map { r =>
           val data = r.getAs[Array[Byte]]("data")
           val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
-          val feats = FakeCodec.features(FakeCodec.decode(data, w, h))
+          // real image containers decode through javax.imageio; other
+          // payloads (audio/video/synthetic) take the deterministic stub
+          val pixels =
+            if (ImageIoCodec.looksLikeImage(data)) {
+              val (_, _, px) = ImageIoCodec.decodeGray(data)
+              px.map(_ / 255.0)
+            } else FakeCodec.decode(data, w, h)
+          val feats = FakeCodec.features(pixels)
           Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),
             feats.toSeq)
         }
@@ -131,8 +220,12 @@ object Multimodal {
           if (r.getString(1) != "image") Row(r.getLong(0), r.getString(1),
             r.getAs[Array[Byte]](2), meta)
           else {
-            val resized = FakeCodec.resize(r.getAs[Array[Byte]](2),
-              meta.getInt(0), meta.getInt(1), w2, h2)
+            val data = r.getAs[Array[Byte]](2)
+            val resized =
+              if (ImageIoCodec.looksLikeImage(data))
+                ImageIoCodec.resizePng(data, w2, h2)
+              else FakeCodec.resize(data, meta.getInt(0), meta.getInt(1),
+                w2, h2)
             Row(r.getLong(0), r.getString(1), resized,
               Row(w2, h2, meta.getInt(2), meta.getInt(3), meta.getInt(4)))
           }

@@ -6,10 +6,12 @@ import org.apache.spark.sql.functions._
 import graft.pipeline.Multimodal
 import graft.util.Tables
 
-/** Driver-gate entries for the multimodal plumbing. The decode itself is a
-  * deterministic stub ([[Multimodal.FakeCodec]]); the oracle checks the
-  * Spark-side plumbing that IS real: schema derivation, modality routing,
-  * per-partition batch transform fan-out, frame explosion arithmetic. */
+/** Driver-gate entries for the multimodal pipeline. mm01–mm03 run the
+  * synthetic-payload plumbing (schema derivation, modality routing,
+  * per-partition batch transform fan-out, frame explosion arithmetic)
+  * through the deterministic [[Multimodal.FakeCodec]]; mm04 exercises the
+  * REAL `javax.imageio` codec ([[Multimodal.ImageIoCodec]]) end-to-end —
+  * PNG encode + decode on executors against an arithmetic DuckDB replay. */
 object MultimodalQueries {
 
   /** mm01 — feature extraction fan-out: every asset yields one fixed-width
@@ -57,10 +59,43 @@ object MultimodalQueries {
       .orderBy(col("shard"))
   }
 
+  /** mm04 — REAL image decode through `javax.imageio` (no stub in this
+    * path): each doc_id < 64 synthesizes a deterministic 16×16 grayscale
+    * bitmap (pixel i = (doc_id·31 + i·7) mod 256), encodes it to an
+    * actual PNG byte array, DECODES those bytes back with ImageIO on the
+    * executors, and reports integer-exact stats of the decoded pixels
+    * (dims, sum, sum of squares, 4-bin histogram). PNG is lossless, so
+    * the oracle replays the same stats from the arithmetic formula alone
+    * — any encoder/decoder defect, channel mixup, or dimension swap
+    * breaks the hash. The codec runs inside mapPartitions: the same
+    * embarrassingly-parallel, no-driver-involvement shape a 100 TB image
+    * corpus needs. */
+  def mm04ImageioDecode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).filter(col("doc_id") < 64)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = 16; val h = 16
+          val pixels = Array.tabulate(w * h)(i =>
+            (((id * 31 + i.toLong * 7) % 256) + 256).toInt % 256)
+          val png = Multimodal.ImageIoCodec.encodeGrayPng(pixels, w, h)
+          val (dw, dh, px) = Multimodal.ImageIoCodec.decodeGray(png)
+          var s = 0L; var s2 = 0L; val hist = new Array[Long](4)
+          px.foreach { p => s += p; s2 += p.toLong * p; hist(p / 64) += 1 }
+          (id, dw, dh, s, s2, hist(0), hist(1), hist(2), hist(3))
+        }
+      }
+      .toDF("asset_id", "width", "height", "px_sum", "px_sumsq",
+        "h0", "h1", "h2", "h3")
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm01_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),
-    "mm03_sample_assembly" -> (mm03SampleAssembly _))
+    "mm03_sample_assembly" -> (mm03SampleAssembly _),
+    "mm04_imageio_decode" -> (mm04ImageioDecode _))
 
   val oracle: Map[String, String] = Map(
     "mm01_features" ->
@@ -91,5 +126,20 @@ object MultimodalQueries {
         |  SUM(len(embedding))::BIGINT AS emb_dims,
         |  SUM(length(text))::BIGINT AS payload_bytes
         |FROM documents JOIN embeddings ON doc_id = vec_id
-        |GROUP BY 1 ORDER BY 1""".stripMargin)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "mm04_imageio_decode" ->
+      // replay of the synthesized bitmaps from the arithmetic formula:
+      // the Spark side must reproduce these exact integers THROUGH a real
+      // PNG encode + javax.imageio decode round trip
+      """WITH px AS (
+        |  SELECT doc_id AS asset_id, (doc_id * 31 + g.i * 7) % 256 AS p
+        |  FROM documents, generate_series(0, 255) AS g(i)
+        |  WHERE doc_id < 64)
+        |SELECT asset_id, CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+        |  SUM(p)::BIGINT AS px_sum, SUM(p * p)::BIGINT AS px_sumsq,
+        |  (COUNT(*) FILTER (WHERE p // 64 = 0))::BIGINT AS h0,
+        |  (COUNT(*) FILTER (WHERE p // 64 = 1))::BIGINT AS h1,
+        |  (COUNT(*) FILTER (WHERE p // 64 = 2))::BIGINT AS h2,
+        |  (COUNT(*) FILTER (WHERE p // 64 = 3))::BIGINT AS h3
+        |FROM px GROUP BY asset_id ORDER BY asset_id""".stripMargin)
 }

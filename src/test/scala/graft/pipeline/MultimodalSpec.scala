@@ -46,4 +46,71 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.nonEmpty)
     assert(frames.forall(_.getAs[Long]("frame_idx") % 4 === 0))
   }
+
+  test("ImageIoCodec: gray PNG encode/decode round-trips pixels exactly") {
+    val w = 7; val h = 5
+    val px = Array.tabulate(w * h)(i => (i * 37 + 11) % 256)
+    val png = Multimodal.ImageIoCodec.encodeGrayPng(px, w, h)
+    // a REAL PNG byte stream: 8-byte signature
+    assert((png(0) & 0xFF) === 0x89 && png(1) === 'P'.toByte &&
+      png(2) === 'N'.toByte && png(3) === 'G'.toByte)
+    assert(Multimodal.ImageIoCodec.looksLikeImage(png))
+    val (dw, dh, out) = Multimodal.ImageIoCodec.decodeGray(png)
+    assert(dw === w && dh === h)
+    assert(out.toSeq === px.toSeq)
+  }
+
+  test("ImageIoCodec: color PNG decodes through integer Rec.601 luma") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000) // pure red
+    img.setRGB(1, 0, 0x00FF00) // pure green
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (_, _, px) = Multimodal.ImageIoCodec.decodeGray(bos.toByteArray)
+    assert(px.toSeq === Seq((299 * 255 + 500) / 1000, (587 * 255 + 500) / 1000))
+  }
+
+  test("extractFeatures routes real PNG payloads through javax.imageio") {
+    import spark.implicits._
+    val w = 16; val h = 16
+    val mkPx = (id: Long) => Array.tabulate(w * h)(i => ((id * 31 + i * 7) % 256).toInt)
+    val rows = (0L until 4L).map { id =>
+      (id, "image", Multimodal.ImageIoCodec.encodeGrayPng(mkPx(id), w, h),
+        (w, h, 1, 0, 1))
+    }
+    val assets = rows.toDF("asset_id", "modality", "data", "m")
+      .select(col("asset_id"), col("modality"), col("data"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("channels"), col("m._4").as("sample_rate"),
+          col("m._5").as("n_frames")).as("meta"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        r.getAs[scala.collection.Seq[Double]]("features")).toMap
+    (0L until 4L).foreach { id =>
+      val expected = Multimodal.FakeCodec.features(mkPx(id).map(_ / 255.0))
+      assert(feats(id).toSeq === expected.toSeq, s"asset $id")
+    }
+  }
+
+  test("resizeImages re-encodes real PNGs at the target dimensions") {
+    import spark.implicits._
+    val w = 16; val h = 16
+    val px = Array.tabulate(w * h)(i => (i * 3) % 256)
+    val assets = Seq((1L, "image", Multimodal.ImageIoCodec.encodeGrayPng(px, w, h),
+        (w, h, 1, 0, 1)))
+      .toDF("asset_id", "modality", "data", "m")
+      .select(col("asset_id"), col("modality"), col("data"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("channels"), col("m._4").as("sample_rate"),
+          col("m._5").as("n_frames")).as("meta"))
+    val out = Multimodal.resizeImages(assets, 4, 4).collect()(0)
+    val data = out.getAs[Array[Byte]]("data")
+    assert(Multimodal.ImageIoCodec.looksLikeImage(data), "output is a real PNG")
+    val (dw, dh, dpx) = Multimodal.ImageIoCodec.decodeGray(data)
+    assert(dw === 4 && dh === 4)
+    val expected = for (y <- 0 until 4; x <- 0 until 4)
+      yield px((y * h / 4) * w + (x * w / 4))
+    assert(dpx.toSeq === expected)
+  }
 }
