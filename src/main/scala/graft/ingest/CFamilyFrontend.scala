@@ -24,6 +24,9 @@ abstract class CFamilyFrontend extends LanguageFrontend {
     * (kinds per target) from the clause after the name. */
   protected def heritageRefs(label: String, clause: String): Seq[(String, String)]
 
+  /** Scope binding from one top-level import/using line, if any. */
+  protected def parseImport(trimmed: String): Option[ImportDecl] = None
+
   protected val modifiers: Set[String] = Set("public", "private", "protected",
     "internal", "static", "final", "abstract", "sealed", "virtual", "override",
     "async", "synchronized", "native", "default", "strictfp", "transient",
@@ -68,6 +71,7 @@ abstract class CFamilyFrontend extends LanguageFrontend {
     val lines = source.split("\n", -1)
     val entities = ArrayBuffer.empty[EntityDecl]
     val refs = ArrayBuffer.empty[SymbolRef]
+    val imports = ArrayBuffer.empty[ImportDecl]
     val scopes = ArrayBuffer.empty[Scope]
     var depth = 0
     var inBlock = false
@@ -105,12 +109,14 @@ abstract class CFamilyFrontend extends LanguageFrontend {
               if (t.nonEmpty) refs += SymbolRef(kind, idx, t, i.toLong, trimmed)
             }
             declaredScope = Some((idx, label, name))
+          case _ if !inType && !inCallable && parseImport(trimmed).nonEmpty =>
+            imports ++= parseImport(trimmed)
           case _ if inType && !inCallable =>
             parseCallable(trimmed, innermost.get.name).foreach {
-              case (label, name, params, ret, bodyless, arity) =>
+              case (label, name, params, ret, bodyless, arity, minArity) =>
                 isDecl = true
                 entities += EntityDecl(label, name, i.toLong, i.toLong, "",
-                  enclosingIdx, arity)
+                  enclosingIdx, arity, minArity)
                 val idx = entities.size - 1
                 params.foreach { p =>
                   val t = baseTypeName(p)
@@ -152,13 +158,13 @@ abstract class CFamilyFrontend extends LanguageFrontend {
     scopes.reverseIterator.foreach { s =>
       entities(s.idx) = entities(s.idx).copy(srcEnd = lastNonEmpty.toLong)
     }
-    FileExtraction(entities.toSeq, refs.toSeq)
+    FileExtraction(entities.toSeq, refs.toSeq, imports.toSeq)
   }
 
   /** Method/constructor declaration at type-body level:
-    * (label, name, param types, return type, bodyless, arity). */
+    * (label, name, param types, return type, bodyless, arity, minArity). */
   private def parseCallable(trimmed: String,
-      typeName: String): Option[(String, String, Seq[String], Option[String], Boolean, Int)] = {
+      typeName: String): Option[(String, String, Seq[String], Option[String], Boolean, Int, Int)] = {
     val paren = trimmed.indexOf('(')
     if (paren <= 0) return None
     val pre = trimmed.substring(0, paren)
@@ -184,15 +190,23 @@ abstract class CFamilyFrontend extends LanguageFrontend {
     // comma splitting — Arity.countArgs tracks ()[]{} but not <>, so
     // `Map<String, Set<Long>> in, int n` would read as 3. (Call SITES keep
     // countArgs: there `<` is usually a comparison, not a generic.)
-    val arity = topLevelParts(trimmed.substring(paren + 1, close))
-      .count(_.trim.nonEmpty)
+    val parts = topLevelParts(trimmed.substring(paren + 1, close))
+      .map(_.trim).filter(_.nonEmpty)
+    // optional-at-the-call-site params: C# defaults (`int x = 5`), varargs
+    // (Java `int... xs`, C# `params int[] xs`) — required vs total range
+    // feeds the resolver's overload ranking
+    val varargs = parts.exists(p => p.contains("...") || p.startsWith("params "))
+    val optional = parts.count(p => p.contains("=")) + (if (varargs) 1 else 0)
+    val arity = if (varargs) 99 else parts.length
+    val minArity = parts.length - optional
     if (rest.isEmpty) {
       // no return type: constructor iff the name matches the enclosing type
-      if (name == typeName) Some(("Constructor", name, params, None, bodyless, arity))
+      if (name == typeName)
+        Some(("Constructor", name, params, None, bodyless, arity, minArity))
       else None
     } else {
       if (ctrlKeywords.contains(rest.last)) None
-      else Some(("Method", name, params, Some(rest.last), bodyless, arity))
+      else Some(("Method", name, params, Some(rest.last), bodyless, arity, minArity))
     }
   }
 
@@ -238,6 +252,19 @@ object JavaFrontend extends CFamilyFrontend {
 
   private val ExtendsRe = """extends\s+([^{]+?)(?=\bimplements\b|\{|$)""".r.unanchored
   private val ImplementsRe = """implements\s+([^{]+?)(?=\{|$)""".r.unanchored
+  private val ImportRe = """^import\s+(?:static\s+)?([\w.]+)\s*;.*$""".r
+
+  /** `import a.b.C;` binds C from package a.b (wildcard imports bind no
+    * concrete name — skipped; static imports bind the member name). */
+  override protected def parseImport(trimmed: String): Option[ImportDecl] =
+    trimmed match {
+      case ImportRe(fqn) if !fqn.endsWith(".") =>
+        val segs = fqn.split("\\.")
+        if (segs.length < 2 || segs.last == "*") None
+        else Some(ImportDecl(segs.last, segs.dropRight(1).mkString("."),
+          segs.last))
+      case _ => None
+    }
 
   protected def heritageRefs(label: String, clause: String): Seq[(String, String)] = {
     val ext = ExtendsRe.findFirstMatchIn(clause).map(_.group(1)).toSeq
@@ -263,6 +290,21 @@ object CSharpFrontend extends CFamilyFrontend {
   protected val typeLabels: Map[String, String] = Map(
     "class" -> "Class", "interface" -> "Interface", "enum" -> "Enum",
     "struct" -> "Struct")
+
+  private val UsingAliasRe = """^using\s+(\w+)\s*=\s*([\w.]+)\s*;.*$""".r
+
+  /** `using X = A.B.C;` binds X to C of namespace A.B. Plain namespace
+    * `using A.B;` binds no concrete name — skipped (the resolver's
+    * path-proximity heuristic covers it). */
+  override protected def parseImport(trimmed: String): Option[ImportDecl] =
+    trimmed match {
+      case UsingAliasRe(alias, fqn) =>
+        val segs = fqn.split("\\.")
+        Some(ImportDecl(alias,
+          if (segs.length < 2) "" else segs.dropRight(1).mkString("."),
+          segs.last))
+      case _ => None
+    }
 
   protected def heritageRefs(label: String, clause: String): Seq[(String, String)] = {
     val colon = clause.indexOf(':')

@@ -109,7 +109,21 @@ object CFrontend extends LanguageFrontend {
                   val arity = Arity.countArgs(buf, paren)
                   entities += EntityDecl("Function", name,
                     pendStart.toLong, pendStart.toLong, "", -1, arity)
-                  scopes += ((depth + 1, entities.size - 1, true))
+                  val fnIdx = entities.size - 1
+                  scopes += ((depth + 1, fnIdx, true))
+                  // body text on the DECLARATION line itself (K&R one-
+                  // liners: `int f(int x) { return g(x); }`) was consumed
+                  // by the accumulator — scan the remainder after the
+                  // opening '{' for calls now, attributed to the new
+                  // entity, or they are silently dropped (tree-sitter
+                  // collects body calls regardless of line layout)
+                  val body = buf.substring(brace + 1)
+                  CallRe.findAllMatchIn(body).foreach { m =>
+                    val callee = m.group(1)
+                    if (!ctrl.contains(callee))
+                      refs += SymbolRef("call", fnIdx, callee, i.toLong,
+                        body.trim, Arity.countArgs(body, m.end - 1))
+                  }
                 } else
                   scopes += ((depth + 1, -1, false)) // anonymous block
             }

@@ -80,16 +80,24 @@ object Ingestor {
     val entitiesRaw = extracted.flatMap { case (path, fx) =>
       fx.entities.zipWithIndex.map { case (e, idx) =>
         (path, idx, e.label, e.name, e.srcStart, e.srcEnd, e.doc, e.parentIdx,
-          e.arity)
+          e.arity, e.minArity)
       }
     }.toDF("fpath", "idx", "label", "name", "src_start", "src_end", "doc",
-        "parentIdx", "arity")
+        "parentIdx", "arity", "min_arity")
       .cache()
     val refsRaw = extracted.flatMap { case (path, fx) =>
       fx.refs.map(r => (path, r.fromIdx, r.kind, r.name, r.line, r.text,
         r.nargs))
     }.toDF("fpath", "fromIdx", "kind", "name", "line", "text", "nargs")
       .cache()
+    // per-file scope table: what each file's imports bind each name to —
+    // the reference gets this from LSP (`source_analyzer.py:118-169`);
+    // only member bindings (symbol != "") can redirect a bare call name
+    val importsRaw = extracted.flatMap { case (path, fx) =>
+      fx.imports.filter(_.symbol.nonEmpty)
+        .map(im => (path, im.alias, im.module, im.symbol))
+    }.toDF("fpath", "alias", "import_module", "import_symbol")
+      .dropDuplicates("fpath", "alias")
 
     // files
     val fileBatch = extracted.map(_._1).distinct().map { p =>
@@ -142,40 +150,75 @@ object Ingestor {
       .filter(element_at($"labels", 1).isin(entityLabels: _*))
       .select($"id".as("target_id"), $"path".as("target_path"),
         $"name".as("target_name"), element_at($"labels", 1).as("target_label"),
-        lit(-1).as("target_arity")) // arity is batch-local, not persisted
+        lit(-1).as("target_arity"), // arity is batch-local, not persisted
+        lit(-1).as("target_min_arity"))
     val declared = entIds.select($"ent_id".as("target_id"),
       $"fpath".as("target_path"), $"idx".as("target_idx"))
       .join(entitiesRaw.select($"fpath".as("target_path"),
         $"idx".as("target_idx"), $"name".as("target_name"),
-        $"label".as("target_label"), $"arity".as("target_arity")),
+        $"label".as("target_label"), $"arity".as("target_arity"),
+        $"min_arity".as("target_min_arity")),
         Seq("target_path", "target_idx"))
       .select($"target_id", $"target_path", $"target_name", $"target_label",
-        $"target_arity")
+        $"target_arity", $"target_min_arity")
       .unionByName(preExisting)
 
+    // import/alias pre-resolution: a call name matching one of the
+    // calling FILE's member imports resolves against the imported symbol
+    // (`from m import f as g; g()` must find m's `f` — a bare name join
+    // never would), and carries the module for the in-scope ranking below
     val srcSide = refsRaw
       .join(entIds.select($"fpath", $"idx".as("fromIdx"),
         $"ent_id".as("src_id")), Seq("fpath", "fromIdx"), "left")
       .filter($"src_id".isNotNull) // module-level refs have no source entity
+      .join(importsRaw, refsRaw("name") === importsRaw("alias") &&
+        refsRaw("fpath") === importsRaw("fpath"), "left")
+      .drop(importsRaw("fpath")).drop("alias")
+      .withColumn("eff_name", coalesce($"import_symbol", $"name"))
 
     val candidates = srcSide.join(declared,
-      $"name" === $"target_name", "left")
+      $"eff_name" === $"target_name", "left")
     // Overload/import-aware ranking — the cheap 80% of what the reference
     // gets from LSP `request_definition` (`api/analyzers/source_analyzer
     // .py:118-169`), as pure sort keys on the name-join candidates:
     //   1. same-file declarations win outright (unchanged);
-    //   2. real definitions beat builtin stubs (path "" marks a stub);
-    //   3. ARITY: among same-name callables, the smallest
-    //      |declared params − call-site args| wins; -1 (unknown, e.g.
-    //      multi-line signatures or pre-existing graph nodes) ranks as a
-    //      neutral distance of 1 — better than a hard mismatch, worse
-    //      than an exact match;
-    //   4. PATH PROXIMITY: longest shared leading directory prefix with
+    //   2. IMPORTS: a candidate whose module matches what the calling
+    //      file actually imported the name from outranks everything
+    //      cross-file — `from a.m1 import f` makes `a/m1.py`'s f win
+    //      regardless of arity or directory distance;
+    //   3. real definitions beat builtin stubs (path "" marks a stub);
+    //   4. ARITY: among same-name callables, a call-site argument count
+    //      INSIDE the declared [required, total] range is an exact match
+    //      (defaults and varargs are optional — `f(1)` fits
+    //      `def f(a, b=2)`); outside it, distance to the nearer bound,
+    //      capped at 9; -1 (unknown, e.g. multi-line signatures or
+    //      pre-existing graph nodes) ranks as a neutral distance of 1;
+    //   5. PATH PROXIMITY: longest shared leading directory prefix with
     //      the referencing file — `a/b/x.py` calling `f` prefers
     //      `a/b/util.py` over `z/util.py` (import-locality heuristic);
-    //   5. stable (path, id) order.
+    //   6. stable (path, id) order.
+    val minEff = when($"target_min_arity" >= 0, $"target_min_arity")
+      .otherwise($"target_arity")
     val arityDist = when($"nargs" < 0 || $"target_arity" < 0, lit(1))
-      .otherwise(least(abs($"target_arity" - $"nargs"), lit(9)))
+      .otherwise(when($"nargs" >= minEff && $"nargs" <= $"target_arity", lit(0))
+        .otherwise(least(
+          least(abs($"target_arity" - $"nargs"), abs(minEff - $"nargs")),
+          lit(9))))
+    // dotted module of the candidate's file (path minus extension); an
+    // import matches if it names that module directly (Python: module is
+    // the file) or module.symbol does (Java/C#: symbol is the type in a
+    // package) — as an exact or dot-boundary suffix match
+    val targetModule =
+      translate(regexp_replace($"target_path", "\\.[^./]+$", ""), "/", ".")
+    val importMatch = when(
+      $"import_module".isNotNull && $"import_module" =!= "" &&
+        $"target_path".isNotNull && (
+        targetModule === $"import_module" ||
+        targetModule.endsWith(concat(lit("."), $"import_module")) ||
+        targetModule === concat_ws(".", $"import_module", $"import_symbol") ||
+        targetModule.endsWith(concat(lit("."),
+          concat_ws(".", $"import_module", $"import_symbol")))),
+      lit(0)).otherwise(lit(1))
     val srcDirs = expr(
       "slice(split(fpath, '/'), 1, greatest(size(split(fpath, '/')) - 1, 0))")
     val tgtDirs = expr(
@@ -190,18 +233,21 @@ object Ingestor {
         |  acc -> acc.n)""".stripMargin)
     val w = Window.partitionBy($"fpath", $"fromIdx", $"kind", $"name", $"line")
       .orderBy(when($"target_path" === $"fpath", 0).otherwise(1),
+        $"import_match".asc,
         when($"target_path" === "", 1).otherwise(0),
         $"arity_dist".asc,
         $"shared_prefix".desc,
         $"target_path".asc_nulls_last, $"target_id".asc_nulls_last)
     val resolved = candidates
       .withColumn("arity_dist", arityDist)
+      .withColumn("import_match", importMatch)
       .withColumn("src_dirs", srcDirs)
       .withColumn("tgt_dirs", tgtDirs)
       .withColumn("shared_prefix", coalesce(sharedPrefix, lit(0)))
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
-      .drop("rk", "arity_dist", "src_dirs", "tgt_dirs", "shared_prefix")
+      .drop("rk", "arity_dist", "import_match", "src_dirs", "tgt_dirs",
+        "shared_prefix", "eff_name", "import_module", "import_symbol")
       .localCheckpoint(true)
 
     // unresolved call targets become stub Function nodes (builtins)

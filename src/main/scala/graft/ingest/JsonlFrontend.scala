@@ -22,6 +22,7 @@ object JsonlFrontend extends LanguageFrontend {
   def extract(path: String, source: String): FileExtraction = {
     val entities = Vector.newBuilder[EntityDecl]
     val refs = Vector.newBuilder[SymbolRef]
+    val imports = Vector.newBuilder[ImportDecl]
     source.split("\n").iterator.map(_.trim).filter(_.nonEmpty).foreach { line =>
       val node = OpLog.mapper.readTree(line)
       node.get("kind").asText() match {
@@ -30,7 +31,8 @@ object JsonlFrontend extends LanguageFrontend {
           node.get("start").asLong(), node.get("end").asLong(),
           Option(node.get("doc")).map(_.asText("")).getOrElse(""),
           Option(node.get("parent")).map(_.asInt(-1)).getOrElse(-1),
-          Option(node.get("arity")).map(_.asInt(-1)).getOrElse(-1))
+          Option(node.get("arity")).map(_.asInt(-1)).getOrElse(-1),
+          Option(node.get("min_arity")).map(_.asInt(-1)).getOrElse(-1))
         case "ref" => refs += SymbolRef(
           node.get("refKind").asText(),
           Option(node.get("from")).map(_.asInt(-1)).getOrElse(-1),
@@ -38,9 +40,13 @@ object JsonlFrontend extends LanguageFrontend {
           Option(node.get("line")).map(_.asLong(0L)).getOrElse(0L),
           Option(node.get("text")).map(_.asText("")).getOrElse(""),
           Option(node.get("nargs")).map(_.asInt(-1)).getOrElse(-1))
+        case "import" => imports += ImportDecl(
+          node.get("alias").asText(),
+          Option(node.get("module")).map(_.asText("")).getOrElse(""),
+          Option(node.get("symbol")).map(_.asText("")).getOrElse(""))
         case other => throw new IllegalArgumentException(s"bad jsonl kind: $other")
       }
     }
-    FileExtraction(entities.result(), refs.result())
+    FileExtraction(entities.result(), refs.result(), imports.result())
   }
 }

@@ -11,7 +11,17 @@ final case class EntityDecl(
     srcEnd: Long,
     doc: String,
     parentIdx: Int,
-    arity: Int = -1) // declared parameter count; -1 = unknown / not callable
+    arity: Int = -1, // declared parameter count (max); -1 = unknown / not callable
+    minArity: Int = -1) // required parameter count (params without defaults);
+                        // -1 = unknown → resolver treats it as == arity
+
+/** One import/using/alias binding declared by a file — the scope table the
+  * reference's LSP `request_definition` consults implicitly
+  * (`api/analyzers/source_analyzer.py:118-169`). `alias` is the name the
+  * importing file actually uses; `module` is the dotted module/package it
+  * comes from; `symbol` is the real declared name there ("" for whole-
+  * module imports like Python `import x as y`, where no member is bound). */
+final case class ImportDecl(alias: String, module: String, symbol: String)
 
 /** One symbol reference collected during parse, to be resolved to a target
   * entity in the second pass
@@ -51,9 +61,37 @@ object Arity {
     else if (!seen) 0
     else commas + 1
   }
+
+  /** The top-level comma-separated items of the paren group whose `(`
+    * sits at index `open` of `s`; Nil when the group is empty or does not
+    * close in `s`. Same nesting rules as [[countArgs]]. */
+  def topLevelArgs(s: String, open: Int): Seq[String] = {
+    if (open < 0 || open >= s.length || s.charAt(open) != '(') return Nil
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = open + 1
+    var depth = 1
+    while (i < s.length && depth > 0) {
+      s.charAt(i) match {
+        case c @ ('(' | '[' | '{') => depth += 1; cur.append(c)
+        case c @ (')' | ']' | '}') =>
+          depth -= 1; if (depth > 0) cur.append(c)
+        case ',' if depth == 1 => parts += cur.toString; cur.clear()
+        case c => cur.append(c)
+      }
+      i += 1
+    }
+    if (depth != 0) Nil
+    else {
+      parts += cur.toString
+      val out = parts.toSeq.map(_.trim)
+      if (out.forall(_.isEmpty)) Nil else out
+    }
+  }
 }
 
-final case class FileExtraction(entities: Seq[EntityDecl], refs: Seq[SymbolRef])
+final case class FileExtraction(entities: Seq[EntityDecl], refs: Seq[SymbolRef],
+    imports: Seq[ImportDecl] = Nil)
 
 /** Per-language parser surface — the Spark-native mirror of the reference's
   * `AbstractAnalyzer` extension point (8 abstract methods,

@@ -19,14 +19,51 @@ object PythonFrontend extends LanguageFrontend {
   private val DefRe = """^(\s*)def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r.unanchored
   private val ClassRe = """^(\s*)class\s+([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*:""".r.unanchored
   private val CallRe = """([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+  private val ImportRe = """^import\s+(.+)$""".r
+  private val FromImportRe = """^from\s+([.\w]+)\s+import\s+(.+)$""".r
   private val Keywords = Set("if", "elif", "while", "for", "return", "yield",
     "with", "assert", "print_function", "def", "class", "lambda", "except",
     "raise", "in", "not", "and", "or", "del")
+
+  /** Parse one import statement into scope bindings
+    * (`import a.b`, `import a.b as x`, `from m import f, g as h`).
+    * Wildcard and parenthesized continuation-line tails degrade to
+    * whatever names sit on this line — heuristic-frontend contract. */
+  private def parseImports(trimmed: String): Seq[ImportDecl] = trimmed match {
+    case FromImportRe(module0, names) =>
+      // relative `from .m import f` → module "m" (resolver matches module
+      // paths as dot-boundary suffixes, so the leading dots only hurt)
+      val module = module0.replaceAll("^\\.+", "")
+      names.replace("(", "").replace(")", "").split(",").toSeq
+        .map(_.trim).filter(n => n.nonEmpty && n != "*")
+        .flatMap { part =>
+          part.split("\\s+as\\s+") match {
+            case Array(sym) if sym.matches("\\w+") =>
+              Some(ImportDecl(sym, module, sym))
+            case Array(sym, alias) if sym.matches("\\w+") && alias.matches("\\w+") =>
+              Some(ImportDecl(alias, module, sym))
+            case _ => None
+          }
+        }
+    case ImportRe(names) =>
+      names.split(",").toSeq.map(_.trim).filter(_.nonEmpty).flatMap { part =>
+        part.split("\\s+as\\s+") match {
+          case Array(mod) if mod.matches("[.\\w]+") =>
+            // `import a.b` binds `a` to module a (the usable prefix)
+            Some(ImportDecl(mod.split("\\.").head, mod.split("\\.").head, ""))
+          case Array(mod, alias) if mod.matches("[.\\w]+") && alias.matches("\\w+") =>
+            Some(ImportDecl(alias, mod, ""))
+          case _ => None
+        }
+      }
+    case _ => Nil
+  }
 
   def extract(path: String, source: String): FileExtraction = {
     val lines = source.split("\n", -1)
     val entities = ArrayBuffer.empty[EntityDecl]
     val refs = ArrayBuffer.empty[SymbolRef]
+    val imports = ArrayBuffer.empty[ImportDecl]
     // open scopes: (indent, entityIdx); entity srcEnd patched when closed
     val scopes = Stack.empty[(Int, Int)]
     var lastNonEmpty = 0
@@ -62,17 +99,25 @@ object PythonFrontend extends LanguageFrontend {
             val paren = decl.indexOf('(')
             val raw = Arity.countArgs(decl, paren)
             val inClass = parent >= 0 && entities(parent).label == "Class"
-            val firstParam = if (raw > 0)
-              decl.substring(paren + 1).dropWhile(_.isWhitespace)
-                .takeWhile(c => c.isLetterOrDigit || c == '_')
-              else ""
+            val params0 = Arity.topLevelArgs(decl, paren)
+            val firstParam = params0.headOption.getOrElse("")
+              .takeWhile(c => c.isLetterOrDigit || c == '_')
+            val dropReceiver =
+              inClass && (firstParam == "self" || firstParam == "cls")
+            val params = if (dropReceiver) params0.drop(1) else params0
+            // required-vs-total range for the resolver's overload ranking:
+            // defaults and *args/**kwargs are optional at the call site;
+            // a bare `*` (keyword-only marker) binds nothing either way
+            val hasVarargs = params.exists(_.startsWith("*"))
             val arity =
               if (raw < 0) -1
-              else if (inClass && (firstParam == "self" || firstParam == "cls"))
-                raw - 1
-              else raw
+              else if (hasVarargs) 99 // effectively unbounded max
+              else params.length
+            val minArity =
+              if (raw < 0) -1
+              else params.count(p => !p.contains("=") && !p.startsWith("*"))
             entities += EntityDecl("Function", name, i.toLong, i.toLong, "",
-              parent, arity)
+              parent, arity, minArity)
             scopes.push((ws.length, entities.size - 1))
           case ClassRe(ws, name, _, bases) if line.trim.startsWith("class ") =>
             closeScopesDownTo(ws.length, i)
@@ -90,10 +135,14 @@ object PythonFrontend extends LanguageFrontend {
             // (bodies are indented strictly deeper than their declaration)
             closeScopesDownTo(indent, i)
             val enclosing = if (scopes.isEmpty) -1 else scopes.top._2
+            val importDecls = parseImports(trimmed)
             // decorator lines are not body statements: tree-sitter's call
             // collection runs over function BODIES, so `@lru_cache(2)`
-            // must not surface as a call ref from the enclosing scope
-            if (!trimmed.startsWith("@"))
+            // must not surface as a call ref from the enclosing scope.
+            // Import lines bind scope, they don't call (`from m import (a`
+            // would otherwise read as a call to `import`).
+            if (importDecls.nonEmpty) imports ++= importDecls
+            else if (!trimmed.startsWith("@"))
               CallRe.findAllMatchIn(line).foreach { m =>
                 val callee = m.group(1)
                 if (!Keywords.contains(callee))
@@ -105,6 +154,6 @@ object PythonFrontend extends LanguageFrontend {
       }
     }
     closeScopesDownTo(0, lines.length)
-    FileExtraction(entities.toSeq, refs.toSeq)
+    FileExtraction(entities.toSeq, refs.toSeq, imports.toSeq)
   }
 }

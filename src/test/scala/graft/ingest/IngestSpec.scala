@@ -183,6 +183,130 @@ class IngestSpec extends SparkSpec {
     assert(callee(0).getAs[String]("callee_path") === "app/Two.java")
   }
 
+  test("python frontend parses import bindings (plain, aliased, from, relative)") {
+    val src = Seq(
+      "import os",
+      "import numpy as np",
+      "from a.m1 import f",
+      "from b.m2 import g as h, k",
+      "from .rel import r",
+      "from c import *"
+    ).mkString("\n")
+    val fx = PythonFrontend.extract("x.py", src)
+    assert(fx.imports === Seq(
+      ImportDecl("os", "os", ""),
+      ImportDecl("np", "numpy", ""),
+      ImportDecl("f", "a.m1", "f"),
+      ImportDecl("h", "b.m2", "g"),
+      ImportDecl("k", "b.m2", "k"),
+      ImportDecl("r", "rel", "r")))
+    // import lines never surface as call refs (incl. the `import (` form)
+    assert(fx.refs.isEmpty)
+  }
+
+  test("python frontend tracks required-vs-total arity ranges") {
+    val src = Seq(
+      "def plain(a, b):",
+      "    pass",
+      "def defaulted(a, b=2, c=3):",
+      "    pass",
+      "def varargs(a, *rest, **kw):",
+      "    pass"
+    ).mkString("\n")
+    val byName = PythonFrontend.extract("x.py", src)
+      .entities.map(e => e.name -> e).toMap
+    assert(byName("plain").arity === 2 && byName("plain").minArity === 2)
+    assert(byName("defaulted").arity === 3 && byName("defaulted").minArity === 1)
+    assert(byName("varargs").arity === 99 && byName("varargs").minArity === 1)
+  }
+
+  test("java/c# frontends parse imports and optional-parameter ranges") {
+    val jfx = JavaFrontend.extract("A.java", Seq(
+      "import java.util.List;",
+      "import static org.junit.Assert.assertTrue;",
+      "import a.b.*;",
+      "class A {",
+      "  int sum(int first, int... rest) { return 0; }",
+      "}").mkString("\n"))
+    assert(jfx.imports === Seq(
+      ImportDecl("List", "java.util", "List"),
+      ImportDecl("assertTrue", "org.junit.Assert", "assertTrue")))
+    val sum = jfx.entities.find(_.name == "sum").get
+    assert(sum.arity === 99 && sum.minArity === 1)
+
+    val cfx = CSharpFrontend.extract("B.cs", Seq(
+      "using System.Text;",
+      "using Alias = My.Ns.Thing;",
+      "class B {",
+      "  int Go(int a, int b = 5) { return a; }",
+      "}").mkString("\n"))
+    assert(cfx.imports === Seq(ImportDecl("Alias", "My.Ns", "Thing")))
+    val go = cfx.entities.find(_.name == "Go").get
+    assert(go.arity === 2 && go.minArity === 1)
+  }
+
+  test("golden: an in-scope import beats path proximity") {
+    import spark.implicits._
+    // b/util.py sits NEXT TO the caller — proximity alone would pick it;
+    // the caller's explicit `from a.m1 import f` must override
+    val g = new CodeGraph(spark, "ingest_imp")
+    Ingestor.ingest(g, Seq(
+      Ingestor.SourceFile("a/m1.py", "def f(x):\n    return x\n"),
+      Ingestor.SourceFile("b/util.py", "def f(x):\n    return x\n"),
+      Ingestor.SourceFile("b/main.py",
+        "from a.m1 import f\ndef main():\n    f(1)\n")))
+    val mainId = g.graph.nodes
+      .filter($"name" === "main" && $"path" === "b/main.py")
+      .head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === mainId)
+      .join(g.graph.nodes.select($"id".as("dst"), $"path".as("callee_path")),
+        "dst").collect()
+    assert(callee.length === 1)
+    assert(callee(0).getAs[String]("callee_path") === "a/m1.py")
+  }
+
+  test("golden: aliased import resolves to the real symbol in its module") {
+    import spark.implicits._
+    // two same-name functions in different modules; the caller binds g to
+    // b/m2's f — a bare name join would never find `f` from a `g()` call
+    val g = new CodeGraph(spark, "ingest_alias")
+    Ingestor.ingest(g, Seq(
+      Ingestor.SourceFile("a/m1.py", "def f(x):\n    return x\n"),
+      Ingestor.SourceFile("b/m2.py", "def f(x):\n    return x\n"),
+      Ingestor.SourceFile("c/main.py",
+        "from b.m2 import f as g\ndef main():\n    g(1)\n")))
+    val mainId = g.graph.nodes
+      .filter($"name" === "main" && $"path" === "c/main.py")
+      .head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === mainId)
+      .join(g.graph.nodes.select($"id".as("dst"), $"path".as("callee_path"),
+        $"name".as("callee_name")), "dst").collect()
+    assert(callee.length === 1)
+    assert(callee(0).getAs[String]("callee_name") === "f")
+    assert(callee(0).getAs[String]("callee_path") === "b/m2.py")
+    // and no stub Function `g` was fabricated
+    assert(GraphQueries.getByName(g.graph, "Function", "g").count() === 0)
+  }
+
+  test("golden: default args widen the arity range (same-dir def wins)") {
+    import spark.implicits._
+    // helper(1) fits defaulted [1,2] of the same-directory definition; the
+    // old |declared-args| distance let any exact-1-param def anywhere win
+    val g = new CodeGraph(spark, "ingest_arange")
+    Ingestor.ingest(g, Seq(
+      Ingestor.SourceFile("pkg/a/util.py", "def helper(a, b=2):\n    return a\n"),
+      Ingestor.SourceFile("z/other.py", "def helper(a):\n    return a\n"),
+      Ingestor.SourceFile("pkg/a/main.py", "def main():\n    helper(1)\n")))
+    val mainId = g.graph.nodes
+      .filter($"name" === "main" && $"path" === "pkg/a/main.py")
+      .head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === mainId)
+      .join(g.graph.nodes.select($"id".as("dst"), $"path".as("callee_path")),
+        "dst").collect()
+    assert(callee.length === 1)
+    assert(callee(0).getAs[String]("callee_path") === "pkg/a/util.py")
+  }
+
   test("ingest is idempotent (re-running changes nothing)") {
     val g = ingestFixture()
     val n1 = GraphQueries.stats(g.graph).collect().map(_.getLong(1)).toSeq

@@ -104,6 +104,24 @@ class ReferenceFixtureSpec extends SparkSpec {
     assert(fx.entities.map(_.name) === Seq("twice"))
   }
 
+  test("C frontend: calls in single-line bodies are collected") {
+    // the declaration accumulator consumes the whole K&R one-liner; the
+    // body after '{' must still be scanned (tree-sitter collects body
+    // calls regardless of line layout)
+    val src = Seq(
+      /* 0 */ "int g(int x) { return x; }",
+      /* 1 */ "int f(int x) { return g(x); }",
+      /* 2 */ "int h(int a,",
+      /* 3 */ "      int b) { return f(a) + g(b); }"
+    ).mkString("\n")
+    val fx = CFrontend.extract("k.c", src)
+    assert(fx.entities.map(_.name) === Seq("g", "f", "h"))
+    val fIdx = fx.entities.indexWhere(_.name == "f")
+    val hIdx = fx.entities.indexWhere(_.name == "h")
+    assert(fx.refs.map(r => (r.name, r.fromIdx, r.nargs)).toSet ===
+      Set(("g", fIdx, 1), ("f", hIdx, 1), ("g", hIdx, 1)))
+  }
+
   test("reference src.c: functions, struct, calls match the golden test") {
     // tests/test_c_analyzer.py:26-61 over tests/source_files/c/src.c —
     // the analyzer the reference ships but keeps out of its registry
