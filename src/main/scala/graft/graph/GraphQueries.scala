@@ -155,6 +155,63 @@ object GraphQueries {
       .select(col("id"), col("labels"), col("name"), col("path"))
       .limit(limit)
 
+  /** T1 scored fulltext twin of [[autoComplete]] — the semantics a real
+    * RediSearch `prefix*` query gives the reference (`api/graph.py:324-357`:
+    * a TOKENIZED fulltext index, so "re" finds "red widget" by its token,
+    * not by the string head) with idf relevance ranking on top. The plain
+    * prefix scan above stays the default path because the reference's own
+    * tests pin startswith semantics (`tests/endpoints/test_auto_complete
+    * .py:44-50`); this is the optional scored path.
+    *
+    * Shape: names → distinct lowercase tokens (the posting list of an
+    * inverted index); only postings matching the prefix survive the filter
+    * — so df and scores are computed over the MATCHING postings alone, not
+    * the corpus. Score = Σ idf(tok) over a node's matching tokens, idf in
+    * the +1-inside-log form (ln(1 + (N−df+0.5)/(df+0.5)), t15's BM25
+    * convention) from exact integer aggregates only.
+    *
+    * Determinism (gate q28): the per-node Σ runs in sorted-token order via
+    * `aggregate(array_sort(collect_list(...)))` — one fixed float dataflow,
+    * mirrored by DuckDB's ordered aggregate `SUM(... ORDER BY tok)` — and
+    * the final rank orders by the ROUNDED score, so the top-k is
+    * engine-exact.
+    *
+    * Scale: tokenize is a map-side explode; the prefix filter cuts postings
+    * before any shuffle; df is a grouped count of the survivors; N is a
+    * 1-row broadcast aggregate; top-k compiles to TakeOrderedAndProject and
+    * only then joins names back (broadcast of ≤ limit rows). At 100 TB the
+    * posting list would be a persisted name-bucketed table (build once,
+    * probe per keystroke) — same plan minus the tokenize. */
+  def autoCompleteScored(g: PropertyGraph, prefix: String,
+      limit: Int = 10): DataFrame = {
+    val searchable = g.nodes
+      .filter(array_contains(col("labels"), GraphSchema.SEARCHABLE))
+      .select(col("id"), col("name"))
+    val toks = searchable.select(col("id"),
+      explode(array_distinct(filter(
+        split(lower(col("name")), "[^a-z0-9]+"), t => t =!= lit("")))).as("tok"))
+    val corpus = searchable.agg(count(lit(1)).as("n_docs"))
+    val matches = toks.filter(col("tok").startsWith(prefix))
+    val dfreq = matches.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val scored = matches.join(broadcast(dfreq), "tok")
+      .crossJoin(broadcast(corpus))
+      .withColumn("idf", idf)
+      .groupBy(col("id"))
+      .agg(
+        round(aggregate(array_sort(collect_list(struct(col("tok"), col("idf")))),
+          lit(0.0), (acc, x) => acc + x.getField("idf")), 4).as("score"),
+        count(lit(1)).as("n_match"))
+    val top = scored.orderBy(col("score").desc, col("id")).limit(limit)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("score").desc, col("id"))
+    broadcast(top).join(searchable, "id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .select(col("rnk"), col("id"), col("name"), col("score"), col("n_match"))
+      .orderBy(col("rnk"))
+  }
+
   /** T2/T3 — the `CONTAINS` + `size()` surface the reference's
     * LLM-generated Cypher leans on (`api/prompts.py:16-23`): searchable
     * nodes whose name contains `needle`, with the name length —

@@ -258,7 +258,19 @@ object GraphParityQueries {
       .orderBy($"layer")
   }
 
+  /** q28 — T1 scored fulltext autocomplete ([[GraphQueries
+    * .autoCompleteScored]]): top-10 searchable nodes for token prefix "r"
+    * (matches tokens red/ring/rod across part names — nodes holding two
+    * matching tokens, e.g. "red ring", must outrank single-token ones).
+    * The oracle replays tokenize → df → idf → ordered Σ → rounded top-k in
+    * SQL; q07 pins that the DEFAULT prefix path stays startswith. */
+  def q28ScoredAutocomplete(spark: SparkSession, d: String): DataFrame = {
+    val g = TpchGraph.build(spark, d)
+    GraphQueries.autoCompleteScored(g, "r", limit = 10)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q28_scored_autocomplete" -> (q28ScoredAutocomplete _),
     "g11_bfs_distances" -> (g11BfsDistances _),
     "g12_kcore" -> (g12KCore _),
     "g10_pagerank" -> (g10PageRank _),
@@ -273,6 +285,32 @@ object GraphParityQueries {
     "g09_triangle_count" -> (g09TriangleCount _))
 
   val oracle: Map[String, String] = Map(
+    "q28_scored_autocomplete" ->
+      """WITH names AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS id, c_name AS name FROM customer
+        |  UNION ALL SELECT 1000000 + o_orderkey,
+        |    'Order#' || CAST(o_orderkey AS VARCHAR) FROM orders
+        |  UNION ALL SELECT 2000000 + p_partkey, p_name FROM part
+        |  UNION ALL SELECT 3000000 + s_suppkey, s_name FROM supplier),
+        |toks AS (
+        |  SELECT DISTINCT id, tok FROM names,
+        |    unnest(string_split_regex(lower(name), '[^a-z0-9]+')) AS t(tok)
+        |  WHERE tok <> ''),
+        |corpus AS (SELECT COUNT(*) AS n_docs FROM names),
+        |m AS (SELECT id, tok FROM toks WHERE tok LIKE 'r%'),
+        |dfreq AS (SELECT tok, COUNT(*) AS df FROM m GROUP BY tok),
+        |scored AS (
+        |  SELECT m.id,
+        |    ROUND(SUM(LN(1.0 + (corpus.n_docs - dfreq.df + 0.5)
+        |                       / (dfreq.df + 0.5)) ORDER BY m.tok), 4) AS score,
+        |    COUNT(*) AS n_match
+        |  FROM m JOIN dfreq USING (tok) CROSS JOIN corpus
+        |  GROUP BY m.id)
+        |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, id) AS BIGINT)
+        |    AS rnk, id, name, score, n_match
+        |FROM (SELECT * FROM scored ORDER BY score DESC, id LIMIT 10)
+        |JOIN names USING (id)
+        |ORDER BY rnk""".stripMargin,
     "g01_graph_neighbors" ->
       """SELECT o_custkey AS src, 1000000 + o_orderkey AS id,
         |  'Order#' || CAST(o_orderkey AS VARCHAR) AS name

@@ -23,6 +23,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "s05_knn_join_lsh", // contract rollup: 4 single-row aggregates crossed
     "t11_tfidf_topk", // 1-row corpus-count broadcast into every score row
     "t15_bm25_topk", // 1-row (N, Σdl) corpus aggregate broadcast likewise
+    "q28_scored_autocomplete", // 1-row corpus-count broadcast into postings
     "q13_sketch_stats") // 1-row sketch aggregate broadcast vs the scan
 
   private def plan(name: String): String =
