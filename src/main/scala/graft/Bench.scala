@@ -69,15 +69,19 @@ object Bench {
         graft.util.Tables.embeddings(spark, sfDir).count()
     } catch { case _: Throwable => }
     warmBaseTables()
-    // The per-query warmup pass runs CONCURRENTLY (8 queries in flight):
+    // The per-query warmup pass runs CONCURRENTLY (16 queries in flight):
     // its cost is Janino/C2 compile latency plus small-SF jobs, both of
     // which parallelize across driver threads, and at 86 queries a serial
     // pass (216 s in round 5, growing linearly with the registry) had
     // outgrown the timed pass itself. Spark job submission is thread-safe;
     // every gate query builds per-call state (CodeGraph instances, memo
     // TrieMaps), and the post-warmup sweep resets shared residents anyway.
+    // Concurrency ladder, measured at sf0.1 with the 93-query registry:
+    // serial 216 s (r5) → 8 threads 74 s (r6/r7) → 16 threads: see
+    // bench_full.json warmup_sec — compile latency is the pole, and 32
+    // cores keep 16 small-SF query streams busy without queue collapse.
     warmDir.foreach { wd =>
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       try {
         selected.toSeq.sortBy(_._1).map { case (name, fn) =>
           pool.submit(new Runnable {
@@ -107,6 +111,12 @@ object Bench {
     graft.queries.TpchGraph.reset()
     graft.queries.PipelineQueries.resetShared()
     warmBaseTables()
+    // settle AFTER the sweep, inside the warmup span: the 16-way warmup
+    // leaves ~90 queries of dead frames whose async ContextCleaner RPCs
+    // otherwise drain concurrently with the first heavy timed queries
+    // (measured: g08 9.7 s settled vs 21.7 s with the storm in flight);
+    // three GC+drain rounds empty the cleaner queue before timing starts
+    (1 to 3).foreach { _ => System.gc(); Thread.sleep(700) }
     val warmup = (System.nanoTime() - w0) / 1e9
     // deterministic name order: Map iteration order shifts whenever a query
     // is added, silently moving queries into/out of the cold early slots

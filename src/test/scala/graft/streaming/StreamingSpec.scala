@@ -222,6 +222,99 @@ class StreamingSpec extends SparkSpec {
     assert(got === Seq(10L, 12L, 13L))
   }
 
+  test("funnel state machine survives TWO restarts with state expiry between") {
+    // st09 fidelity across query incarnations: the flatMapGroupsWithState
+    // funnel runs as THREE AvailableNow drains of one checkpoint (two real
+    // stop/restart boundaries) with the 1 h event-time state expiry firing
+    // between them. Contracts proven:
+    //   (a) cross-restart state: u1's view count from drain 1 survives the
+    //       restart, so the drain-2 purchase converts with 2+1 prior views;
+    //   (b) expiry: u2 banks 3 views in drain 1, goes idle past the 1 h
+    //       timeout, and their drain-3 purchase must NOT convert (state
+    //       removed) — while BATCH over the same events does convert u2,
+    //       the documented stream-vs-batch deviation expiry introduces;
+    //   (c) exactly-once: the file sink holds each conversion once across
+    //       all three incarnations.
+    // maxFilesPerTrigger=1 pins one file per micro-batch so drain 3's
+    // sentinel batch processes u2's pending timeout BEFORE the purchase
+    // arrives, independent of whether a drain ends with a no-data batch.
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val base = java.nio.file.Files.createTempDirectory("graft_funnel3").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val sink = new java.io.File(base, "sink").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    var nextFile = 0
+    def writeFile(rows: Seq[(Long, Long, String, String)]): Unit = {
+      // zero-padded names + mtime spacing: the file source orders by
+      // modification time, and the state-expiry narrative needs drain 3's
+      // sentinel file strictly before the purchase file
+      java.nio.file.Files.write(
+        new java.io.File(src, f"ev$nextFile%03d.json").toPath,
+        rows.map { case (u, e, t, ts) =>
+          s"""{"user_id":$u,"event_id":$e,"event_type":"$t","ts":"$ts"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+      nextFile += 1
+      Thread.sleep(50)
+    }
+    val schema = new StructType().add("user_id", LongType)
+      .add("event_id", LongType).add("event_type", StringType)
+      .add("ts", StringType)
+    def drainOnce(): Unit = {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).json(src.getAbsolutePath)
+        .withColumn("ts_utc", to_timestamp(col("ts")))
+        .withWatermark("ts_utc", "2 hours")
+      val q = EventStreams.funnelStream(events)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    val d = "2026-01-01T"
+    // drain 1: u1 banks 2 views, u2 banks 3; sentinel pushes wm to 01:00
+    writeFile(Seq(
+      (1L, 10L, "view", s"${d}00:00:00"), (1L, 11L, "view", s"${d}00:10:00"),
+      (2L, 20L, "view", s"${d}00:00:00"), (2L, 21L, "view", s"${d}00:05:00"),
+      (2L, 22L, "view", s"${d}00:10:00"),
+      (99L, 90L, "view", s"${d}03:00:00")))
+    drainOnce()
+    // drain 2 (restart 1): u1's third view + converting purchase (state
+    // carried over); u3 banks 3 views at 03:3x (timeout 04:40); sentinel
+    // pushes wm to 04:00 — past u2's 01:10 timeout
+    writeFile(Seq(
+      (1L, 12L, "view", s"${d}01:30:00"),
+      (1L, 13L, "purchase", s"${d}01:40:00"),
+      (3L, 30L, "view", s"${d}03:30:00"), (3L, 31L, "view", s"${d}03:35:00"),
+      (3L, 32L, "view", s"${d}03:40:00"),
+      (99L, 91L, "view", s"${d}06:00:00")))
+    drainOnce()
+    // drain 3 (restart 2): first a sentinel-only batch at wm 04:00 — u2's
+    // expired state is removed here — THEN the purchases: u2's must not
+    // convert (views lost to expiry), u3's must (timeout 04:40 > wm 04:30)
+    writeFile(Seq((99L, 92L, "view", s"${d}06:30:00")))
+    writeFile(Seq(
+      (2L, 23L, "purchase", s"${d}04:30:00"),
+      (3L, 33L, "purchase", s"${d}04:30:00")))
+    drainOnce()
+    val got = spark.read.parquet(sink)
+      .select("user_id", "purchase_id", "n_prior_views")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(got === Seq((1L, 13L, 3L), (3L, 33L, 3L)),
+      "exactly-once cross-restart conversions with u2 expired")
+    // batch over the SAME events converts u2 too (no expiry in batch) —
+    // streaming equals batch exactly on every user whose activity gaps
+    // stay inside the expiry horizon
+    val batch = EventStreams.funnelConversions(
+        spark.read.schema(schema).json(src.getAbsolutePath)
+          .withColumn("ts_utc", to_timestamp(col("ts"))))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(batch === Seq((1L, 13L, 3L), (2L, 23L, 3L), (3L, 33L, 3L)))
+    assert(batch.filterNot(_._1 == 2L) === got)
+  }
+
   test("session counts: every user's sessions <= events, >= 1") {
     import spark.implicits._
     val rows = EventStreams.userSessions(Tables.eventsWithTs(spark, sfTiny))
