@@ -37,7 +37,9 @@ abstract class CFamilyFrontend extends LanguageFrontend {
     "foreach", "try", "yield", "case", "base", "this", "super", "goto",
     "typeof", "sizeof", "nameof", "assert")
 
-  private val CallRe = """([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+  // group 1 = dotted receiver prefix ("Helper." / "a.b."), group 2 = callee
+  private val CallRe =
+    """((?:[A-Za-z_][A-Za-z0-9_]*\.)*)([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
 
   /** Strip generic argument lists to a FIXPOINT: one pass handles
     * `List<Integer>` but leaves the outer shell of nested forms like
@@ -133,10 +135,11 @@ abstract class CFamilyFrontend extends LanguageFrontend {
 
         if (!isDecl && inCallable) {
           CallRe.findAllMatchIn(trimmed).foreach { m =>
-            val callee = m.group(1)
+            val callee = m.group(2)
             if (!ctrlKeywords.contains(callee) && !modifiers.contains(callee))
               refs += SymbolRef("call", enclosingIdx, callee, i.toLong,
-                trimmed, Arity.countArgs(trimmed, m.end - 1))
+                trimmed, Arity.countArgs(trimmed, m.end - 1),
+                m.group(1).stripSuffix("."))
           }
         }
 

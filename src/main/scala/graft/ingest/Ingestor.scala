@@ -87,8 +87,9 @@ object Ingestor {
       .cache()
     val refsRaw = extracted.flatMap { case (path, fx) =>
       fx.refs.map(r => (path, r.fromIdx, r.kind, r.name, r.line, r.text,
-        r.nargs))
-    }.toDF("fpath", "fromIdx", "kind", "name", "line", "text", "nargs")
+        r.nargs, r.qualifier))
+    }.toDF("fpath", "fromIdx", "kind", "name", "line", "text", "nargs",
+        "qualifier")
       .cache()
     // per-file scope table: what each file's imports bind each name to —
     // the reference gets this from LSP (`source_analyzer.py:118-169`);
@@ -98,6 +99,20 @@ object Ingestor {
         .map(im => (path, im.alias, im.module, im.symbol))
     }.toDF("fpath", "alias", "import_module", "import_symbol")
       .dropDuplicates("fpath", "alias")
+    // second scope table, for QUALIFIED calls: every import binds its alias
+    // to a dotted module — whole-module binds (`import numpy as np`,
+    // symbol "") to the module itself, member binds (`import a.b.C`) to
+    // module.symbol — so `np.array(..)` / `C.m(..)` can resolve inside the
+    // module the receiver actually names
+    val qualImportsRaw = extracted.flatMap { case (path, fx) =>
+      fx.imports.map { im =>
+        val target = if (im.symbol.isEmpty) im.module
+          else if (im.module.isEmpty) im.symbol
+          else im.module + "." + im.symbol
+        (path, im.alias, target)
+      }
+    }.toDF("qfpath", "qalias", "qual_module")
+      .dropDuplicates("qfpath", "qalias")
 
     // files
     val fileBatch = extracted.map(_._1).distinct().map { p =>
@@ -171,10 +186,26 @@ object Ingestor {
       .join(entIds.select($"fpath", $"idx".as("fromIdx"),
         $"ent_id".as("src_id")), Seq("fpath", "fromIdx"), "left")
       .filter($"src_id".isNotNull) // module-level refs have no source entity
+      // bare-name redirect only: `obj.f()` is attribute lookup on obj, NOT
+      // the file-scope binding of a `from m import f` — qualified calls
+      // resolve through the receiver's alias below instead
       .join(importsRaw, refsRaw("name") === importsRaw("alias") &&
-        refsRaw("fpath") === importsRaw("fpath"), "left")
+        refsRaw("fpath") === importsRaw("fpath") &&
+        refsRaw("qualifier") === "", "left")
       .drop(importsRaw("fpath")).drop("alias")
       .withColumn("eff_name", coalesce($"import_symbol", $"name"))
+      // receiver resolution: map the qualifier's HEAD segment through the
+      // calling file's import aliases; trailing segments ride along
+      // (`import a as x; x.b.f()` -> module a.b)
+      .withColumn("qual_head", element_at(split($"qualifier", "\\."), 1))
+      .join(qualImportsRaw, $"fpath" === $"qfpath" &&
+        $"qual_head" === $"qalias" && $"qualifier" =!= "", "left")
+      .withColumn("eff_qual_module", when($"qual_module".isNotNull,
+        concat($"qual_module",
+          when(length($"qualifier") > length($"qual_head"),
+            concat(lit("."), expr("substring(qualifier, length(qual_head) + 2)")))
+            .otherwise(lit("")))))
+      .drop("qfpath", "qalias", "qual_module", "qual_head")
 
     val candidates = srcSide.join(declared,
       $"eff_name" === $"target_name", "left")
@@ -218,6 +249,16 @@ object Ingestor {
         targetModule === concat_ws(".", $"import_module", $"import_symbol") ||
         targetModule.endsWith(concat(lit("."),
           concat_ws(".", $"import_module", $"import_symbol")))),
+      lit(0)).when(
+      // qualified call whose receiver resolved through an import alias:
+      // the candidate must live in (or under) the module the receiver
+      // names — `np.array()` with `import numpy as np` prefers a
+      // definition in numpy.py / numpy/* over any closer bare `array`
+      $"eff_qual_module".isNotNull && $"target_path".isNotNull && (
+        targetModule === $"eff_qual_module" ||
+        targetModule.endsWith(concat(lit("."), $"eff_qual_module")) ||
+        targetModule.startsWith(concat($"eff_qual_module", lit("."))) ||
+        targetModule.contains(concat(lit("."), $"eff_qual_module", lit(".")))),
       lit(0)).otherwise(lit(1))
     val srcDirs = expr(
       "slice(split(fpath, '/'), 1, greatest(size(split(fpath, '/')) - 1, 0))")
@@ -231,7 +272,8 @@ object Ingestor {
         |    named_struct('n', acc.n, 'stop', true),
         |    named_struct('n', acc.n + 1, 'stop', false)),
         |  acc -> acc.n)""".stripMargin)
-    val w = Window.partitionBy($"fpath", $"fromIdx", $"kind", $"name", $"line")
+    val w = Window.partitionBy($"fpath", $"fromIdx", $"kind", $"name",
+        $"line", $"qualifier")
       .orderBy(when($"target_path" === $"fpath", 0).otherwise(1),
         $"import_match".asc,
         when($"target_path" === "", 1).otherwise(0),
@@ -247,7 +289,8 @@ object Ingestor {
       .withColumn("rk", row_number().over(w))
       .filter($"rk" === 1)
       .drop("rk", "arity_dist", "import_match", "src_dirs", "tgt_dirs",
-        "shared_prefix", "eff_name", "import_module", "import_symbol")
+        "shared_prefix", "eff_name", "import_module", "import_symbol",
+        "eff_qual_module")
       .localCheckpoint(true)
 
     // unresolved call targets become stub Function nodes (builtins)

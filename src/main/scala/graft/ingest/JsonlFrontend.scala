@@ -39,7 +39,8 @@ object JsonlFrontend extends LanguageFrontend {
           node.get("name").asText(),
           Option(node.get("line")).map(_.asLong(0L)).getOrElse(0L),
           Option(node.get("text")).map(_.asText("")).getOrElse(""),
-          Option(node.get("nargs")).map(_.asInt(-1)).getOrElse(-1))
+          Option(node.get("nargs")).map(_.asInt(-1)).getOrElse(-1),
+          Option(node.get("qualifier")).map(_.asText("")).getOrElse(""))
         case "import" => imports += ImportDecl(
           node.get("alias").asText(),
           Option(node.get("module")).map(_.asText("")).getOrElse(""),

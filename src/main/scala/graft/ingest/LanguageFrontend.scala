@@ -32,7 +32,13 @@ final case class SymbolRef(
     name: String, // referenced symbol name
     line: Long,
     text: String,
-    nargs: Int = -1) // call-site argument count; -1 = unknown / not a call
+    nargs: Int = -1, // call-site argument count; -1 = unknown / not a call
+    qualifier: String = "") // dotted receiver prefix of a qualified call
+                            // (`np.array(..)` -> "np", `a.b.f(..)` -> "a.b");
+                            // "" = bare call. The resolver maps the HEAD
+                            // segment through the calling file's import
+                            // aliases (`import numpy as np` makes np.array
+                            // resolve inside module numpy).
 
 /** Shared single-line argument/parameter counting for the heuristic
   * frontends — feeds the resolver's overload ranking (the cheap slice of

@@ -18,7 +18,9 @@ object PythonFrontend extends LanguageFrontend {
 
   private val DefRe = """^(\s*)def\s+([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r.unanchored
   private val ClassRe = """^(\s*)class\s+([A-Za-z_][A-Za-z0-9_]*)\s*(\(([^)]*)\))?\s*:""".r.unanchored
-  private val CallRe = """([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
+  // group 1 = dotted receiver prefix ("np." / "a.b."), group 2 = callee
+  private val CallRe =
+    """((?:[A-Za-z_][A-Za-z0-9_]*\.)*)([A-Za-z_][A-Za-z0-9_]*)\s*\(""".r
   private val ImportRe = """^import\s+(.+)$""".r
   private val FromImportRe = """^from\s+([.\w]+)\s+import\s+(.+)$""".r
   private val Keywords = Set("if", "elif", "while", "for", "return", "yield",
@@ -144,10 +146,11 @@ object PythonFrontend extends LanguageFrontend {
             if (importDecls.nonEmpty) imports ++= importDecls
             else if (!trimmed.startsWith("@"))
               CallRe.findAllMatchIn(line).foreach { m =>
-                val callee = m.group(1)
+                val callee = m.group(2)
                 if (!Keywords.contains(callee))
                   refs += SymbolRef("call", enclosing, callee, i.toLong,
-                    line.trim, Arity.countArgs(line, m.end - 1))
+                    line.trim, Arity.countArgs(line, m.end - 1),
+                    m.group(1).stripSuffix("."))
               }
         }
         lastNonEmpty = i

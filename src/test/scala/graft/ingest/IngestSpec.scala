@@ -288,6 +288,70 @@ class IngestSpec extends SparkSpec {
     assert(GraphQueries.getByName(g.graph, "Function", "g").count() === 0)
   }
 
+  test("golden: qualified call resolves through a module alias (python)") {
+    import spark.implicits._
+    // `import a.m1 as m; m.f(1)` names module a.m1 as the receiver — the
+    // same-directory bare f that proximity would pick must lose, and the
+    // file-scope binding must NOT treat `m.f` as the bare name f
+    val g = new CodeGraph(spark, "ingest_qual_py")
+    Ingestor.ingest(g, Seq(
+      Ingestor.SourceFile("a/m1.py", "def f(x):\n    return x\n"),
+      Ingestor.SourceFile("c/util.py", "def f(x):\n    return x\n"),
+      Ingestor.SourceFile("c/main.py",
+        "import a.m1 as m\ndef main():\n    m.f(1)\n")))
+    val mainId = g.graph.nodes
+      .filter($"name" === "main" && $"path" === "c/main.py")
+      .head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === mainId)
+      .join(g.graph.nodes.select($"id".as("dst"), $"path".as("callee_path")),
+        "dst").collect()
+    assert(callee.length === 1)
+    assert(callee(0).getAs[String]("callee_path") === "a/m1.py")
+  }
+
+  test("golden: qualified call resolves through a type import (java)") {
+    import spark.implicits._
+    // `import util.Helper; Helper.fmt(x)` — the receiver names the
+    // imported type, so util/Helper.java's fmt beats the same-package one
+    val g = new CodeGraph(spark, "ingest_qual_java")
+    Ingestor.ingest(g, Seq(
+      Ingestor.SourceFile("util/Helper.java", Seq(
+        "public class Helper {",
+        "  public static int fmt(int x) { return x; }",
+        "}").mkString("\n")),
+      Ingestor.SourceFile("app/Other.java", Seq(
+        "public class Other {",
+        "  public int fmt(int x) { return x; }",
+        "}").mkString("\n")),
+      Ingestor.SourceFile("app/Main.java", Seq(
+        "import util.Helper;",
+        "public class Main {",
+        "  public int run(int x) {",
+        "    return Helper.fmt(x);",
+        "  }",
+        "}").mkString("\n"))))
+    val runId = g.graph.nodes
+      .filter($"name" === "run" && $"path" === "app/Main.java")
+      .head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === runId)
+      .join(g.graph.nodes.select($"id".as("dst"), $"path".as("callee_path")),
+        "dst").collect()
+    assert(callee.length === 1)
+    assert(callee(0).getAs[String]("callee_path") === "util/Helper.java")
+  }
+
+  test("python frontend records the dotted receiver on qualified calls") {
+    val fx = PythonFrontend.extract("q.py", Seq(
+      "def main():",
+      "    np.array(3)",
+      "    a.b.f(1, 2)",
+      "    plain(7)").mkString("\n"))
+    val calls = fx.refs.filter(_.kind == "call")
+      .map(r => (r.name, r.qualifier, r.nargs))
+    assert(calls === Seq(("array", "np", 1), ("f", "a.b", 2),
+      ("plain", "", 1)))
+  }
+
   test("golden: default args widen the arity range (same-dir def wins)") {
     import spark.implicits._
     // helper(1) fits defaulted [1,2] of the same-directory definition; the
