@@ -205,13 +205,29 @@ object Similarity {
       col(vecCol).cast("array<double>").as("vec"))
     // ONE job: deterministic sample (and seeds = its first k rows), in
     // xxhash64-of-id order so the choice is partitioning-independent
-    val sample: Array[Array[Double]] = v
-      .orderBy(xxhash64(col("id")), col("id")).limit(trainCap)
-      .select(col("vec")).collect()
-      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+    val sample = trainSample(v, trainCap)
+    val centroids = lloydLocal(sample, k, iters)
+
+    val centDf = Seq(Tuple1(centroids.toSeq.map(_.toSeq)))
+      .toDF("cents").withColumn("ck", lit(1))
+    val dists = transform(col("cents"), c =>
+      aggregate(zip_with(col("vec"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d))
+    v.withColumn("ck", lit(1))
+      .join(broadcast(centDf), "ck")
+      .withColumn("cell",
+        (array_position(dists, array_min(dists)) - 1).cast("int"))
+      .select(col("id"), col("cell"))
+  }
+
+  /** Driver-local Lloyd's iterations (seeds = first k sample rows, fixed
+    * iteration count, empty cells keep their previous centroid) — the
+    * shared trainer behind [[kmeansCells]] and [[pqTrain]]. Deterministic
+    * for a deterministic sample. */
+  private def lloydLocal(sample: Array[Array[Double]], k: Int,
+      iters: Int): Array[Array[Double]] = {
     var centroids: Array[Array[Double]] = sample.take(k).map(_.clone())
     val dim = if (sample.nonEmpty) sample(0).length else 0
-
     var it = 0
     while (it < iters && sample.nonEmpty) {
       it += 1
@@ -236,17 +252,127 @@ object Similarity {
         else sums(c).map(_ / counts(c))
       }.toArray
     }
+    centroids
+  }
 
-    val centDf = Seq(Tuple1(centroids.toSeq.map(_.toSeq)))
-      .toDF("cents").withColumn("ck", lit(1))
-    val dists = transform(col("cents"), c =>
-      aggregate(zip_with(col("vec"), c, (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, d) => acc + d))
-    v.withColumn("ck", lit(1))
-      .join(broadcast(centDf), "ck")
-      .withColumn("cell",
-        (array_position(dists, array_min(dists)) - 1).cast("int"))
-      .select(col("id"), col("cell"))
+  /** Deterministic driver-side training sample: the `cap` lowest-xxhash64
+    * ids, one TakeOrdered job — partitioning-independent. */
+  private def trainSample(v: DataFrame, cap: Int): Array[Array[Double]] =
+    v.orderBy(xxhash64(col("id")), col("id")).limit(cap)
+      .select(col("vec")).collect()
+      .map(_.getAs[scala.collection.Seq[Double]](0).toArray)
+
+  /** Product-quantization codebooks (Jégou–Douze–Schmid 2011, TPAMI —
+    * the FAISS PQ/ADC recipe): split the D-dim space into `m` orthogonal
+    * subspaces of D/m dims and train `ksub` centroids per subspace with
+    * driver-local Lloyd over a bounded deterministic sample (same
+    * training posture as [[kmeansCells]] — a codebook needs ~256·ksub
+    * points, not the corpus). Returns codebook[m][ksub][D/m]: m·ksub·D/m
+    * doubles ≈ KBs, broadcastable everywhere.
+    *
+    * Why PQ at 100 TB: raw float32 embeddings are the dominant ANN cost
+    * (64-dim = 256 B/vector); PQ codes are m bytes (64× smaller at
+    * m=8/ksub=16 here), so the probe scan reads codes, not vectors —
+    * the memory-bounded ANN shape. */
+  def pqTrain(corpus: DataFrame, m: Int, ksub: Int, iters: Int = 5,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      trainCap: Int = 65536): Array[Array[Array[Double]]] = {
+    val v = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val sample = trainSample(v, trainCap)
+    require(sample.nonEmpty, "pqTrain: empty corpus")
+    val dim = sample(0).length
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    Array.tabulate(m) { j =>
+      val sub = sample.map(x =>
+        java.util.Arrays.copyOfRange(x, j * dsub, (j + 1) * dsub))
+      lloydLocal(sub, ksub, iters)
+    }
+  }
+
+  /** Encode the corpus against a trained codebook: ONE distributed pass,
+    * codebook flowing as broadcast DATA (1-row frame — the stable-plan
+    * convention from [[kmeansCells]]: a `typedLit` would bake the trained
+    * values into the expression tree and recompile per build). Per
+    * subspace the nearest-centroid argmin runs as higher-order functions
+    * inside whole-stage codegen. Returns (id, codes: array<int> of
+    * length m) — the m-byte compressed corpus. */
+  def pqEncode(corpus: DataFrame, codebook: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val dsub = codebook(0)(0).length
+    val cbDf = Seq(Tuple1(codebook.toSeq.map(_.toSeq.map(_.toSeq))))
+      .toDF("cb").withColumn("ck", lit(1))
+    val v = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val codes = transform(col("cb"), (sub, j) => {
+      val s = slice(col("vec"), j * dsub + 1, lit(dsub))
+      val dists = transform(sub, c =>
+        aggregate(zip_with(s, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d))
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    })
+    v.withColumn("ck", lit(1)).join(broadcast(cbDf), "ck")
+      .withColumn("codes", codes)
+      .select(col("id"), col("codes"))
+  }
+
+  /** ADC top-k over PQ codes with exact re-rank (the production two-stage
+    * retrieval shape): each query precomputes its m×ksub distance lookup
+    * table against the codebook (tiny, rides the query broadcast), the
+    * codes table is scanned ONCE with the approximate distance as m table
+    * lookups per row — no vector math against the corpus — and only the
+    * top `k·rerankFactor` ADC candidates per query fetch their real
+    * vectors for an exact cosine re-rank to the final k.
+    *
+    * Scale: the full scan touches m-byte codes (64× less IO than raw
+    * vectors at m=8); LUTs are query-side broadcast data; the re-rank
+    * joins |Q|·k·rerankFactor candidate ids against the corpus — an
+    * equi-join whose small side broadcasts. Output matches
+    * [[bruteForceTopK]]'s (qid, rank, nid, cos) so recall contracts
+    * compose. */
+  def pqTopK(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
+      codebook: Array[Array[Array[Double]]], k: Int, rerankFactor: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val dsub = codebook(0)(0).length
+    val cbDf = Seq(Tuple1(codebook.toSeq.map(_.toSeq.map(_.toSeq))))
+      .toDF("cb").withColumn("ck", lit(1))
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val lut = transform(col("cb"), (sub, j) => {
+      val s = slice(col("qvec"), j * dsub + 1, lit(dsub))
+      transform(sub, c =>
+        aggregate(zip_with(s, c, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d))
+    })
+    val ql = q.withColumn("ck", lit(1)).join(broadcast(cbDf), "ck")
+      .withColumn("lut", lut)
+      .select(col("qid"), col("lut"))
+    val scored = graft.util.Spread(codes)
+      .crossJoin(broadcast(ql))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adist",
+        aggregate(zip_with(col("lut"), col("codes"),
+          (l, c) => element_at(l, c + 1)), lit(0.0), (acc, d) => acc + d))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("adist").asc, col("id"))
+    val cand = scored.withColumn("crk", row_number().over(wA))
+      .filter(col("crk") <= k * rerankFactor)
+      .select(col("qid"), col("id").as("nid"))
+    val c = corpus.select(col(idCol).as("nid"),
+      col(vecCol).cast("array<double>").as("nvec"))
+    val wE = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    broadcast(cand).join(c, "nid")
+      .join(q, "qid")
+      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
+      .withColumn("rank", row_number().over(wE).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
   /** IVF with the k-means quantizer: cluster the corpus, then delegate to

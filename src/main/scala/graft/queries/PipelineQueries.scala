@@ -712,6 +712,28 @@ object PipelineQueries {
       emb, 5), minRecall = 0.5)
   }
 
+  /** s08 — PRODUCT QUANTIZATION (Jégou et al. 2011): train m=16×ksub=64
+    * codebooks, encode the corpus to 16-byte codes (32× smaller than the
+    * raw 64-dim doubles), ADC-probe the code table with per-query lookup
+    * tables, exact-re-rank the top 8k candidates — the memory-bounded ANN
+    * shape a 100 TB corpus needs (the probe scan reads codes, never
+    * vectors). Contract form as s03/s07; floor 0.5. The synthetic
+    * near-uniform embeddings are PQ's adversarial case (distance
+    * concentration), so the config is picked from the measured
+    * recall grid (tools.ProbePq, sf0.01): m=8/ksub=16/rf=4 0.375 →
+    * m=16/ksub=16/rf=4 0.725 → m=16/ksub=64/rf=8 0.975 — deterministic
+    * end-to-end (fixed sample, fixed Lloyd, fixed tie-breaks). */
+  def s08PqTopk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val cb = Similarity.pqTrain(emb, m = 16, ksub = 64, iters = 4)
+    val codes = Similarity.pqEncode(emb, cb)
+    val ann = Similarity.pqTopK(emb.filter($"vec_id" < 8), codes, emb,
+      cb, k = 5, rerankFactor = 8)
+    annRecallSummary(ann, Similarity.bruteForceTopK(emb.filter($"vec_id" < 8),
+      emb, 5), minRecall = 0.5)
+  }
+
   /** q26 — LEAKAGE-SAFE train/val split: near-dup CLUSTERS (the d03/d07
     * component labels, shared pair frame) are assigned to splits
     * atomically — hash the cluster id, not the doc id — so no near-dup
@@ -774,6 +796,7 @@ object PipelineQueries {
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
+    "s08_pq_topk" -> (s08PqTopk _),
     "s06_range_search" -> (s06RangeSearch _),
     "q25_length_buckets" -> (q25LengthBuckets _),
     "s04_knn_join" -> (s04KnnJoin _),
@@ -1728,6 +1751,13 @@ object PipelineQueries {
     "s07_ivf_index" ->
       // same contract form as s03: constants from the embeddings table;
       // a lossy index save/load or broken posting join flips recall_ok
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "s08_pq_topk" ->
+      // same contract form: a broken codebook, encode argmin, ADC lookup
+      // or re-rank join drops recall below the floor and flips recall_ok
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
         |  TRUE AS recall_ok

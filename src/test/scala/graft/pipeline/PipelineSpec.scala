@@ -464,6 +464,53 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"k-means IVF nprobe=3/8 recall too low: $recall")
   }
 
+  test("PQ: deterministic codebook, valid codes, ADC+rerank recall") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val dim = emb.select(size($"embedding")).head().getInt(0)
+    val m = 8
+    val cb1 = Similarity.pqTrain(emb, m, ksub = 16, iters = 3)
+    val cb2 = Similarity.pqTrain(emb, m, ksub = 16, iters = 3)
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb2.map(_.map(_.toSeq).toSeq).toSeq, "PQ training must be deterministic")
+    assert(cb1.length === m)
+    cb1.foreach { sub =>
+      assert(sub.nonEmpty && sub.length <= 16)
+      sub.foreach(c => assert(c.length === dim / m))
+    }
+    val codes = Similarity.pqEncode(emb, cb1).collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1)))
+    assert(codes.length === emb.count())
+    codes.foreach { case (_, cs) =>
+      assert(cs.length === m)
+      cs.foreach(c => assert(c >= 0 && c < 16))
+    }
+    val q = emb.filter($"vec_id" < 8)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.pqTopK(q, Similarity.pqEncode(emb, cb1), emb, cb1,
+        5, rerankFactor = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ann).size.toDouble / brute.size
+    assert(recall >= 0.5, s"PQ ADC+rerank recall too low: $recall")
+  }
+
+  test("PQ encodes a codebook centroid to its own code exactly") {
+    import spark.implicits._
+    // a vector that IS the concatenation of one centroid per subspace has
+    // zero quantization error in every subspace — the argmin must pick
+    // exactly those codes (ties impossible at distance 0 unless centroids
+    // duplicate, which deterministic Lloyd over distinct data avoids here)
+    val emb = Tables.embeddings(spark, sfTiny)
+    val m = 8
+    val cb = Similarity.pqTrain(emb, m, ksub = 16, iters = 3)
+    val picked = (0 until m).map(j => j % cb(j).length)
+    val synth = picked.zipWithIndex.flatMap { case (c, j) => cb(j)(c) }
+    val one = Seq((0L, synth)).toDF("vec_id", "embedding")
+    val got = Similarity.pqEncode(one, cb).head().getSeq[Int](1)
+    assert(got === picked)
+  }
+
   test("knn join within cells: equals per-cell brute force, respects cells") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfTiny)
