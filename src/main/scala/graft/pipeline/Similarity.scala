@@ -336,28 +336,46 @@ object Similarity {
   def pqTopK(queries: DataFrame, codes: DataFrame, corpus: DataFrame,
       codebook: Array[Array[Array[Double]]], k: Int, rerankFactor: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val spark = queries.sparkSession
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val scored = graft.util.Spread(codes)
+      .crossJoin(broadcast(adcLuts(q, codebook)))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adist", adcDist)
+    adcRerank(scored, q, corpus, k, rerankFactor, idCol, vecCol)
+  }
+
+  /** Per-query ADC lookup tables against the codebook: (qid, lut) with
+    * lut[j][c] = ||q_subj − cb[j][c]||². Codebook flows as broadcast
+    * DATA (stable plan shape). */
+  private def adcLuts(q: DataFrame,
+      codebook: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = q.sparkSession
     import spark.implicits._
     val dsub = codebook(0)(0).length
     val cbDf = Seq(Tuple1(codebook.toSeq.map(_.toSeq.map(_.toSeq))))
       .toDF("cb").withColumn("ck", lit(1))
-    val q = queries.select(col(idCol).as("qid"),
-      col(vecCol).cast("array<double>").as("qvec"))
     val lut = transform(col("cb"), (sub, j) => {
       val s = slice(col("qvec"), j * dsub + 1, lit(dsub))
       transform(sub, c =>
         aggregate(zip_with(s, c, (x, y) => (x - y) * (x - y)),
           lit(0.0), (acc, d) => acc + d))
     })
-    val ql = q.withColumn("ck", lit(1)).join(broadcast(cbDf), "ck")
+    q.withColumn("ck", lit(1)).join(broadcast(cbDf), "ck")
       .withColumn("lut", lut)
       .select(col("qid"), col("lut"))
-    val scored = graft.util.Spread(codes)
-      .crossJoin(broadcast(ql))
-      .filter(col("qid") =!= col("id"))
-      .withColumn("adist",
-        aggregate(zip_with(col("lut"), col("codes"),
-          (l, c) => element_at(l, c + 1)), lit(0.0), (acc, d) => acc + d))
+  }
+
+  /** Approximate distance: m table lookups per (query, code row). */
+  private def adcDist: Column =
+    aggregate(zip_with(col("lut"), col("codes"),
+      (l, c) => element_at(l, c + 1)), lit(0.0), (acc, d) => acc + d)
+
+  /** Cut to the top k·rf ADC candidates per query, then exact-cosine
+    * re-rank against the real vectors — the shared tail of [[pqTopK]] and
+    * [[pqIvfTopK]]. `scored` needs (qid, id, adist). */
+  private def adcRerank(scored: DataFrame, q: DataFrame, corpus: DataFrame,
+      k: Int, rerankFactor: Int, idCol: String, vecCol: String): DataFrame = {
     val wA = Window.partitionBy(col("qid"))
       .orderBy(col("adist").asc, col("id"))
     val cand = scored.withColumn("crk", row_number().over(wA))
@@ -373,6 +391,43 @@ object Similarity {
       .withColumn("rank", row_number().over(wE).cast("long"))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
+  }
+
+  /** IVFADC (Jégou et al. 2011, §IV; the FAISS IVF+PQ composition): the
+    * coarse k-means quantizer prunes the corpus to `nprobe` of `nCells`
+    * posting lists per query, and ONLY those cells' PQ codes are ADC-
+    * scored before the exact re-rank. This is the full big-corpus probe
+    * shape: the scan cost drops to ~nprobe/nCells of the code table,
+    * which itself is 32× smaller than the vectors — cells prune IO,
+    * codes compress it, the re-rank restores exactness on a candidate
+    * set of k·rf rows per query.
+    *
+    * Scale: the cell assignment is an equi-join of codes to postings
+    * (one shuffle, or free if both are bucketed by id); probed (qid,
+    * cell) pairs and LUTs are tiny broadcasts; nothing quadratic
+    * anywhere. */
+  def pqIvfTopK(queries: DataFrame, corpus: DataFrame,
+      codebook: Array[Array[Array[Double]]], k: Int, nprobe: Int,
+      nCells: Int, iters: Int = 4, rerankFactor: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val (cent, assign) = buildIvfIndex(corpus, nCells, iters, idCol, vecCol)
+    val codes = pqEncode(corpus, codebook, idCol, vecCol)
+      .join(assign.select(col("id"), col("cell")), "id")
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(col("ccos").desc, col("cell"))
+    val probed = q.crossJoin(broadcast(cent))
+      .withColumn("ccos", cosine(col("qvec"), col("cvec")))
+      .withColumn("crank", row_number().over(wProbe))
+      .filter(col("crank") <= nprobe)
+      .select(col("qid"), col("cell"))
+    val scored = codes
+      .join(broadcast(probed), "cell") // cell pruning BEFORE any scoring
+      .join(broadcast(adcLuts(q, codebook)), "qid")
+      .filter(col("qid") =!= col("id"))
+      .withColumn("adist", adcDist)
+    adcRerank(scored, q, corpus, k, rerankFactor, idCol, vecCol)
   }
 
   /** IVF with the k-means quantizer: cluster the corpus, then delegate to

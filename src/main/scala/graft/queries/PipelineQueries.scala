@@ -734,6 +734,23 @@ object PipelineQueries {
       emb, 5), minRecall = 0.5)
   }
 
+  /** s09 — IVFADC (the FAISS IVF+PQ composition, Jégou et al. 2011 §IV):
+    * the coarse quantizer prunes to nprobe=4 of 8 cells per query, ADC
+    * scores only those cells' PQ codes, exact re-rank restores order —
+    * cells prune IO, codes compress it. Contract form as s03/s07/s08;
+    * floor 0.5 (measured 0.750 at the oracle SF via tools.ProbePq —
+    * recall is cell-bounded: nprobe=3 caps at s03's 0.675, 6/8 at 0.875,
+    * the documented IVF recall/scan-fraction tradeoff). */
+  def s09PqIvf(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val cb = Similarity.pqTrain(emb, m = 16, ksub = 64, iters = 4)
+    val ann = Similarity.pqIvfTopK(emb.filter($"vec_id" < 8), emb, cb,
+      k = 5, nprobe = 4, nCells = 8, iters = 4, rerankFactor = 8)
+    annRecallSummary(ann, Similarity.bruteForceTopK(emb.filter($"vec_id" < 8),
+      emb, 5), minRecall = 0.5)
+  }
+
   /** q26 — LEAKAGE-SAFE train/val split: near-dup CLUSTERS (the d03/d07
     * component labels, shared pair frame) are assigned to splits
     * atomically — hash the cluster id, not the doc id — so no near-dup
@@ -797,6 +814,7 @@ object PipelineQueries {
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
     "s08_pq_topk" -> (s08PqTopk _),
+    "s09_pq_ivf" -> (s09PqIvf _),
     "s06_range_search" -> (s06RangeSearch _),
     "q25_length_buckets" -> (q25LengthBuckets _),
     "s04_knn_join" -> (s04KnnJoin _),
@@ -1758,6 +1776,13 @@ object PipelineQueries {
     "s08_pq_topk" ->
       // same contract form: a broken codebook, encode argmin, ADC lookup
       // or re-rank join drops recall below the floor and flips recall_ok
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+        |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
+        |  TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "s09_pq_ivf" ->
+      // same contract form: broken cell probing, posting joins or ADC
+      // scoring inside the composition flips recall_ok
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
         |  TRUE AS recall_ok

@@ -31,6 +31,15 @@ object ProbePq {
       }
       codes.unpersist()
     }
+    // IVFADC composition: cell pruning in front of the ADC scan
+    val cb = Similarity.pqTrain(emb, 16, 64, iters = 4)
+    for (nprobe <- Seq(3, 4, 6); rf <- Seq(8, 16)) {
+      val ann = Similarity.pqIvfTopK(queries, emb, cb, 5, nprobe,
+        nCells = 8, iters = 4, rerankFactor = rf)
+      val hits = brute.join(ann.select($"qid", $"nid"),
+        Seq("qid", "nid"), "left_semi").count()
+      println(f"[pq] ivfadc nprobe=$nprobe/8 rf=$rf recall=${hits.toDouble / nBrute}%.3f")
+    }
     spark.stop()
   }
 }

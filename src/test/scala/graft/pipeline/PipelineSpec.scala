@@ -495,6 +495,28 @@ class PipelineSpec extends SparkSpec {
     assert(recall >= 0.5, s"PQ ADC+rerank recall too low: $recall")
   }
 
+  test("IVFADC: recall within the cell bound; full-probe equals plain PQ") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val q = emb.filter($"vec_id" < 8)
+    val cb = Similarity.pqTrain(emb, 8, ksub = 16, iters = 3)
+    val brute = Similarity.bruteForceTopK(q, emb, 5)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivfadc = Similarity.pqIvfTopK(q, emb, cb, 5, nprobe = 4, nCells = 8,
+        iters = 3, rerankFactor = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert((brute & ivfadc).size.toDouble / brute.size >= 0.4)
+    // probing ALL cells removes the pruning: result must equal plain PQ
+    // over the full code table (same codebook, same rerank budget)
+    val full = Similarity.pqIvfTopK(q, emb, cb, 5, nprobe = 8, nCells = 8,
+        iters = 3, rerankFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = Similarity.pqTopK(q, Similarity.pqEncode(emb, cb), emb, cb,
+        5, rerankFactor = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full === plain)
+  }
+
   test("PQ encodes a codebook centroid to its own code exactly") {
     import spark.implicits._
     // a vector that IS the concatenation of one centroid per subspace has
