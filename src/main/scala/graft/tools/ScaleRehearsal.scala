@@ -252,5 +252,17 @@ object ScaleRehearsal {
     time(s"t15 bm25 top-20 x$k") {
       TextAnalysis.bm25TopK(docs, Seq("spark", "join", "window"), 20).count()
     }
+    // PQ: training cost is FLAT (bounded driver sample), encode is one
+    // map-side pass over the corpus (must scale linearly), the ADC probe
+    // scans only the m-int code table — the memory-bounded ANN curve
+    val mEmb = math.min(k, 4)
+    val cb = Similarity.pqTrain(emb, 16, 64, iters = 4)
+    time(s"s08 pq encode x$mEmb") {
+      Similarity.pqEncode(emb, cb).count()
+    }
+    time(s"s08 pq ADC top-5 (8 queries, rerank 8) x$mEmb") {
+      Similarity.pqTopK(emb.filter(col("vec_id") < 8),
+        Similarity.pqEncode(emb, cb), emb, cb, 5, 8).count()
+    }
   }
 }
