@@ -273,4 +273,53 @@ object GraphAlgorithms {
     }
     survivors
   }
+
+  /** Semi-synchronous label propagation (Raghavan–Albert–Kumara 2007) —
+    * community detection with ENGINE-EXACT semantics: every node starts
+    * as its own label; each of `iters` synchronous rounds a node adopts
+    * the label held by the plurality of its (undirected) neighbors, ties
+    * broken toward the SMALLEST label, isolated-this-round nodes keep
+    * their label. All integer ops with total tie-orders, so a fixed
+    * iteration count is bit-identical on any engine / partitioning — the
+    * same determinism contract as the fixed-point PageRank, and the
+    * property the g13 oracle unrolls in SQL.
+    *
+    * Scale: per round ONE equi-join (edges × labels on the neighbor key)
+    * + one grouped count + one argmax agg (`max(struct(cnt, -lbl))` —
+    * no window, so the plurality pick is a partial-aggregable shuffle on
+    * the node key, not a sort). The undirected edge list is deduped and
+    * cached once; labels are checkpointed per round to cut lineage.
+    * Returns (id, lbl). */
+  def labelPropagation(edges: DataFrame, iters: Int = 3,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    val dir = edges.select(col(srcCol).cast("long").as("u"),
+      col(dstCol).cast("long").as("v"))
+    val und = dir
+      .union(dir.select(col("v").as("u"), col("u").as("v")))
+      .filter(col("u").isNotNull && col("v").isNotNull &&
+        col("u") =!= col("v"))
+      .distinct()
+      .repartition(col("v"))
+      .cache()
+    var labels = und.select(col("u").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      it += 1
+      val counts = und
+        .join(labels.select(col("id").as("u"), col("lbl")), Seq("u"))
+        .groupBy(col("v"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val best = counts.groupBy(col("v"))
+        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("b"))
+        .select(col("v").as("id"), (-col("b.neg")).as("new_lbl"))
+      labels = labels.join(best, Seq("id"), "left")
+        .select(col("id"),
+          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+    }
+    und.unpersist()
+    labels
+  }
 }

@@ -269,8 +269,26 @@ object GraphParityQueries {
     GraphQueries.autoCompleteScored(g, "r", limit = 10)
   }
 
+  /** g13 — community detection via semi-synchronous label propagation
+    * ([[GraphAlgorithms.labelPropagation]], 3 rounds over the undirected
+    * deduped TPC-H graph): top-20 communities by size with a member-id
+    * checksum, so the oracle pins the ASSIGNMENT, not just the counts.
+    * The plurality/tie semantics are all-integer with total orders, so
+    * the DuckDB oracle unrolls the same 3 rounds and must agree exactly
+    * (the g10 fixed-point determinism contract, applied to LPA). */
+  def g13LabelPropagation(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    GraphAlgorithms.labelPropagation(g.edges, iters = 3)
+      .groupBy($"lbl")
+      .agg(count(lit(1)).as("n_members"), sum($"id").as("id_sum"))
+      .orderBy($"n_members".desc, $"lbl")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q28_scored_autocomplete" -> (q28ScoredAutocomplete _),
+    "g13_label_propagation" -> (g13LabelPropagation _),
     "g11_bfs_distances" -> (g11BfsDistances _),
     "g12_kcore" -> (g12KCore _),
     "g10_pagerank" -> (g10PageRank _),
@@ -374,6 +392,7 @@ object GraphParityQueries {
         |JOIN pairs e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
         |JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin,
     "g10_pagerank" -> pagerankOracle,
+    "g13_label_propagation" -> lpaOracle,
     "g12_kcore" ->
       // the same distinct-directed-edge CTE as g11, then the peel unrolled
       // to the operator's 4 rounds: degree over the doubled edge list,
@@ -453,6 +472,48 @@ object GraphParityQueries {
   /** The pageRankFixed recurrence unrolled as SQL: r0 = scale per node;
     * r_k(v) = 150000 + (17 · Σ_{u→v} (r_{k-1}(u) DIV odeg(u))) DIV 20.
     * Integer ops only — hash-identical to the Spark loop. */
+  /** 3 unrolled LPA rounds over the undirected deduped edge set — per
+    * round: neighbor-label counts, plurality pick (count desc, label asc),
+    * keep-if-isolated — then the top-20 community rollup. */
+  private lazy val lpaOracle: String = {
+    val stages = (1 to 3).map { k =>
+      s"""c$k AS (
+         |  SELECT und.v, l${k - 1}.lbl, COUNT(*) AS cnt
+         |  FROM und JOIN l${k - 1} ON l${k - 1}.id = und.u
+         |  GROUP BY und.v, l${k - 1}.lbl),
+         |b$k AS (
+         |  SELECT v AS id, lbl FROM (
+         |    SELECT v, lbl, ROW_NUMBER() OVER (
+         |      PARTITION BY v ORDER BY cnt DESC, lbl) AS rk FROM c$k)
+         |  WHERE rk = 1),
+         |l$k AS (
+         |  SELECT l.id, COALESCE(b.lbl, l.lbl) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN b$k b USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (
+       |  SELECT o_custkey::BIGINT AS src,
+       |         (o_orderkey + 1000000)::BIGINT AS dst FROM orders
+       |  UNION
+       |  SELECT (l_orderkey + 1000000)::BIGINT,
+       |         (l_partkey + 2000000)::BIGINT FROM lineitem
+       |  UNION
+       |  SELECT (l_suppkey + 3000000)::BIGINT,
+       |         (l_partkey + 2000000)::BIGINT FROM lineitem
+       |  UNION
+       |  SELECT src, dst FROM (
+       |    SELECT (o_orderkey + 1000000)::BIGINT AS src,
+       |      (lead(o_orderkey) OVER (PARTITION BY o_custkey
+       |         ORDER BY o_orderdate, o_orderkey) + 1000000)::BIGINT AS dst
+       |    FROM orders) t WHERE dst IS NOT NULL),
+       |und AS (SELECT src AS u, dst AS v FROM e
+       |        UNION SELECT dst, src FROM e),
+       |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM und),
+       |$stages
+       |SELECT lbl, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM l3 GROUP BY lbl
+       |ORDER BY n_members DESC, lbl LIMIT 20""".stripMargin
+  }
+
   private lazy val pagerankOracle: String = {
     val stages = (1 to 10).map { k =>
       s"""r$k AS (

@@ -96,6 +96,33 @@ class GraphAlgorithmsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
   }
 
+  test("label propagation: two cliques with a bridge settle to two communities") {
+    import spark.implicits._
+    // K4 on {1..4} and K4 on {10..13} joined by one bridge 4—10: after a
+    // few rounds every member holds its clique's minimum label (ties break
+    // toward the smallest label, so label 1 floods clique one and label 10
+    // clique two — the bridge is outvoted by the three clique neighbors)
+    def k4(base: Long): Seq[(Long, Long)] =
+      (for { a <- 0 to 3; b <- (a + 1) to 3 } yield (base + a, base + b)).toSeq
+    val edges = (k4(1) ++ k4(10) :+ ((4L, 10L))).toDF("src", "dst")
+    val got = GraphAlgorithms.labelPropagation(edges, iters = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert((1L to 4L).forall(got(_) == 1L), s"clique one: $got")
+    assert((10L to 13L).forall(got(_) == 10L), s"clique two: $got")
+  }
+
+  test("label propagation is partitioning-independent") {
+    import spark.implicits._
+    val edges = (1 to 200).map(i => (i.toLong, (i % 37).toLong + 1000))
+      .toDF("src", "dst")
+    val a = GraphAlgorithms.labelPropagation(edges, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val b = GraphAlgorithms.labelPropagation(edges.repartition(7), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
   test("k-core: triangle with a pendant peels to the triangle") {
     // 1-2-3 triangle plus pendant 4 off node 1: 2-core = {1,2,3}
     val g = Seq((1L, 2L), (2L, 3L), (1L, 3L), (1L, 4L))
