@@ -302,6 +302,25 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    val cbDf = Seq(Tuple1(codebook.toSeq.map(_.toSeq.map(_.toSeq))))
+      .toDF("cb").withColumn("ck", lit(1))
+    val v = corpus.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    v.withColumn("ck", lit(1)).join(broadcast(cbDf), "ck")
+      .withColumn("codes",
+        graft.functions.PqExpressions.encode(col("vec"), col("cb")))
+      .select(col("id"), col("codes"))
+  }
+
+  /** HOF formulation of [[pqEncode]]'s argmin — kept as the equivalence
+    * oracle for the native [[graft.functions.PqEncodeCodes]] kernel's
+    * spec (the cosineHof convention). Note `dsub` is a closure constant
+    * here: the HOF form cannot derive it from the codebook column. */
+  private[graft] def pqEncodeHof(corpus: DataFrame,
+      codebook: Array[Array[Array[Double]]],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val dsub = codebook(0)(0).length
     val cbDf = Seq(Tuple1(codebook.toSeq.map(_.toSeq.map(_.toSeq))))
       .toDF("cb").withColumn("ck", lit(1))
@@ -348,7 +367,7 @@ object Similarity {
   /** Per-query ADC lookup tables against the codebook: (qid, lut) with
     * lut[j][c] = ||q_subj − cb[j][c]||². Codebook flows as broadcast
     * DATA (stable plan shape). */
-  private def adcLuts(q: DataFrame,
+  private[graft] def adcLuts(q: DataFrame,
       codebook: Array[Array[Array[Double]]]): DataFrame = {
     val spark = q.sparkSession
     import spark.implicits._
@@ -366,8 +385,15 @@ object Similarity {
       .select(col("qid"), col("lut"))
   }
 
-  /** Approximate distance: m table lookups per (query, code row). */
+  /** Approximate distance: m table lookups per (query, code row) — the
+    * per-scored-row hot path, fused by the native
+    * [[graft.functions.PqAdcDistance]] kernel. */
   private def adcDist: Column =
+    graft.functions.PqExpressions.adcDistance(col("lut"), col("codes"))
+
+  /** HOF formulation of [[adcDist]] — the native kernel's equivalence
+    * oracle (spec-only). */
+  private[graft] def adcDistHof: Column =
     aggregate(zip_with(col("lut"), col("codes"),
       (l, c) => element_at(l, c + 1)), lit(0.0), (acc, d) => acc + d)
 

@@ -517,6 +517,33 @@ class PipelineSpec extends SparkSpec {
     assert(full === plain)
   }
 
+  test("native PQ kernels match their HOF formulations bit-exactly") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val cb = Similarity.pqTrain(emb, 8, ksub = 16, iters = 3)
+    val native = Similarity.pqEncode(emb, cb).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    val hof = Similarity.pqEncodeHof(emb, cb).orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(native === hof)
+    // ADC: every (query LUT × code row) distance equal under both forms
+    val q = emb.filter($"vec_id" < 4)
+    val frame = Similarity.pqEncode(emb, cb)
+      .crossJoin(broadcast(Similarity.adcLuts(
+        q.select($"vec_id".as("qid"),
+          $"embedding".cast("array<double>").as("qvec")), cb)))
+    val both = frame
+      .select($"qid", $"id",
+        graft.functions.PqExpressions.adcDistance($"lut", $"codes").as("n"),
+        Similarity.adcDistHof.as("h"))
+      .collect()
+    assert(both.nonEmpty)
+    both.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(3),
+        s"ADC mismatch for (${r.getLong(0)}, ${r.getLong(1)})")
+    }
+  }
+
   test("PQ encodes a codebook centroid to its own code exactly") {
     import spark.implicits._
     // a vector that IS the concatenation of one centroid per subspace has
