@@ -299,7 +299,10 @@ object GraphAlgorithms {
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
       .distinct()
-      .repartition(col("v"))
+      // partition by the per-round JOIN key: the edge table stays
+      // stationary across all rounds and only the (node-sized) label
+      // frame shuffles to meet it — the pageRankFixed posture
+      .repartition(col("u"))
       .cache()
     var labels = und.select(col("u").as("id")).distinct()
       .withColumn("lbl", col("id"))
