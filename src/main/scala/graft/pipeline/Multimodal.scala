@@ -114,10 +114,65 @@ object Multimodal {
     }
   }
 
+  /** REAL audio codec over `javax.sound.sampled` (in the JDK, works
+    * offline): 16-bit mono PCM WAV encode + decode. WAV PCM is lossless,
+    * so encode→decode round-trips samples exactly — the property the
+    * mm05 gate checks end-to-end against a DuckDB replay of the
+    * synthesized waveforms. */
+  object WavCodec {
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat,
+      AudioInputStream, AudioSystem}
+
+    /** RIFF/WAVE container sniff. */
+    def looksLikeWav(data: Array[Byte]): Boolean =
+      data != null && data.length >= 12 &&
+        data(0) == 'R' && data(1) == 'I' && data(2) == 'F' &&
+        data(3) == 'F' && data(8) == 'W' && data(9) == 'A' &&
+        data(10) == 'V' && data(11) == 'E'
+
+    /** Encode signed 16-bit mono samples as a PCM WAV container. */
+    def encodePcm16Wav(samples: Array[Int], sampleRate: Int): Array[Byte] = {
+      val bytes = new Array[Byte](samples.length * 2)
+      var i = 0
+      while (i < samples.length) {
+        val s = samples(i)
+        bytes(2 * i) = (s & 0xFF).toByte
+        bytes(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+        i += 1
+      }
+      val fmt = new AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, samples.length.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+
+    /** Decode a 16-bit mono PCM WAV to (sampleRate, samples). */
+    def decodePcm16(bytes: Array[Byte]): (Int, Array[Int]) = {
+      val ais = AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      require(fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1,
+        s"expected 16-bit mono PCM, got $fmt")
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      val out = new Array[Int](n)
+      var i = 0
+      while (i < n) {
+        // WAV PCM16 is little-endian: signed high byte, unsigned low
+        out(i) = (data(2 * i + 1).toInt << 8) | (data(2 * i) & 0xFF)
+        i += 1
+      }
+      (fmt.getSampleRate.toInt, out)
+    }
+  }
+
   /** Deterministic fake media codec — STUB standing in for the
-    * audio/video codecs (ffmpeg-class) that are not in this container;
-    * image payloads take the real [[ImageIoCodec]] path. Real systems
-    * swap this object out; signatures stay. */
+    * video codecs (ffmpeg-class) that are not in this container; image
+    * payloads take the real [[ImageIoCodec]] path, WAV audio the real
+    * [[WavCodec]] path. Real systems swap this object out; signatures
+    * stay. */
   object FakeCodec {
     /** "Decode" = interpret bytes as grayscale pixels row-major. */
     def decode(data: Array[Byte], width: Int, height: Int): Array[Double] = {
@@ -194,12 +249,20 @@ object Multimodal {
         rows.map { r =>
           val data = r.getAs[Array[Byte]]("data")
           val w = r.getAs[Int]("width"); val h = r.getAs[Int]("height")
-          // real image containers decode through javax.imageio; other
-          // payloads (audio/video/synthetic) take the deterministic stub
+          // real image containers decode through javax.imageio, real WAV
+          // audio through javax.sound (samples normalized to [0,1), the
+          // intensity domain the downstream featurizer expects); other
+          // payloads (video/synthetic) take the deterministic stub. The
+          // WAV route re-sniffs under try: "RIFF" is valid ASCII, so a
+          // pathological text payload falls back instead of failing.
           val pixels =
             if (ImageIoCodec.looksLikeImage(data)) {
               val (_, _, px) = ImageIoCodec.decodeGray(data)
               px.map(_ / 255.0)
+            } else if (WavCodec.looksLikeWav(data)) {
+              try WavCodec.decodePcm16(data)._2
+                .map(s => (s + 32768) / 65536.0)
+              catch { case _: Exception => FakeCodec.decode(data, w, h) }
             } else FakeCodec.decode(data, w, h)
           val feats = FakeCodec.features(pixels)
           Row(r.getAs[Long]("asset_id"), r.getAs[String]("modality"),

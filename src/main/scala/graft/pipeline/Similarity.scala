@@ -419,6 +419,27 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** Persist a PQ index as two parquet tables: the codebook (one row,
+    * KBs — broadcastable forever) and the code table (m ints per corpus
+    * vector — the 32× compressed probe scan). Build once, probe from any
+    * session: the [[buildIvfIndex]] lifecycle, for PQ. */
+  def writePqIndex(spark: org.apache.spark.sql.SparkSession,
+      codebook: Array[Array[Array[Double]]], codes: DataFrame,
+      dir: String): Unit = {
+    import spark.implicits._
+    Seq(Tuple1(codebook.toSeq.map(_.toSeq.map(_.toSeq)))).toDF("cb")
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  def readPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Array[Array[Array[Double]]], DataFrame) = {
+    val cb = spark.read.parquet(s"$dir/codebook").head()
+      .getSeq[scala.collection.Seq[scala.collection.Seq[Double]]](0)
+      .map(_.map(_.toArray).toArray).toArray
+    (cb, spark.read.parquet(s"$dir/codes"))
+  }
+
   /** IVFADC (Jégou et al. 2011, §IV; the FAISS IVF+PQ composition): the
     * coarse k-means quantizer prunes the corpus to `nprobe` of `nCells`
     * posting lists per query, and ONLY those cells' PQ codes are ADC-

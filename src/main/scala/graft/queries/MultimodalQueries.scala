@@ -91,13 +91,66 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** mm05 — REAL audio decode through `javax.sound.sampled` (no stub in
+    * this path): each doc_id < 64 synthesizes a deterministic 200-sample
+    * 16-bit waveform (sample i = (id·37 + i·113) mod 4001 − 2000, pure
+    * integers), encodes it to an actual PCM WAV container, DECODES those
+    * bytes back with AudioSystem on the executors, and reports
+    * integer-exact stats of the decoded samples. WAV PCM is lossless, so
+    * the oracle replays the stats from the arithmetic formula alone —
+    * any header, endianness, or sign-extension defect breaks the hash.
+    * Same mapPartitions shape as mm04: embarrassingly parallel, no
+    * driver involvement. */
+  def mm05WavDecode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select(col("doc_id")).filter(col("doc_id") < 64)
+      .as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val n = 200
+          val samples = Array.tabulate(n)(i =>
+            ((id * 37 + i.toLong * 113) % 4001).toInt - 2000)
+          val wav = Multimodal.WavCodec.encodePcm16Wav(samples, 8000)
+          val (sr, got) = Multimodal.WavCodec.decodePcm16(wav)
+          var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+          var neg = 0L; var abs = 0L
+          got.foreach { s =>
+            sum += s; mn = math.min(mn, s); mx = math.max(mx, s)
+            if (s < 0) neg += 1
+            abs += math.abs(s)
+          }
+          (id, sr, got.length.toLong, sum, mn, mx, neg, abs)
+        }
+      }
+      .toDF("asset_id", "sample_rate", "n_samples", "s_sum", "s_min",
+        "s_max", "n_neg", "abs_sum")
+      .orderBy(col("asset_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm05_wav_decode" -> (mm05WavDecode _),
     "mm01_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),
     "mm03_sample_assembly" -> (mm03SampleAssembly _),
     "mm04_imageio_decode" -> (mm04ImageioDecode _))
 
   val oracle: Map[String, String] = Map(
+    "mm05_wav_decode" ->
+      // replay of the synthesized waveforms from the arithmetic formula:
+      // the Spark side must reproduce these exact integers THROUGH a real
+      // PCM WAV encode + javax.sound decode round trip
+      """WITH s AS (
+        |  SELECT doc_id AS asset_id,
+        |    ((doc_id * 37 + g.i * 113) % 4001) - 2000 AS v
+        |  FROM documents, generate_series(0, 199) AS g(i)
+        |  WHERE doc_id < 64)
+        |SELECT asset_id, CAST(8000 AS INT) AS sample_rate,
+        |  COUNT(*)::BIGINT AS n_samples,
+        |  SUM(v)::BIGINT AS s_sum, MIN(v)::BIGINT AS s_min,
+        |  MAX(v)::BIGINT AS s_max,
+        |  (COUNT(*) FILTER (WHERE v < 0))::BIGINT AS n_neg,
+        |  SUM(ABS(v))::BIGINT AS abs_sum
+        |FROM s GROUP BY asset_id ORDER BY asset_id""".stripMargin,
     "mm01_features" ->
       """SELECT doc_id AS asset_id,
         |  CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'

@@ -93,6 +93,39 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WavCodec: PCM16 WAV encode/decode round-trips samples exactly") {
+    val samples = Array(0, 1, -1, 32767, -32768, 12345, -12345, 255, -256)
+    val wav = Multimodal.WavCodec.encodePcm16Wav(samples, 8000)
+    assert(Multimodal.WavCodec.looksLikeWav(wav), "output is a RIFF/WAVE")
+    assert(!Multimodal.WavCodec.looksLikeWav("RIFFLE text".getBytes), "sniff")
+    val (sr, got) = Multimodal.WavCodec.decodePcm16(wav)
+    assert(sr === 8000)
+    assert(got.toSeq === samples.toSeq)
+  }
+
+  test("extractFeatures routes real WAV payloads through javax.sound") {
+    import spark.implicits._
+    val mkSamples = (id: Long) =>
+      Array.tabulate(300)(i => (((id * 37 + i * 113) % 4001) - 2000).toInt)
+    val rows = (0L until 3L).map { id =>
+      (id, "audio", Multimodal.WavCodec.encodePcm16Wav(mkSamples(id), 16000),
+        (16, 16, 1, 16000, 1))
+    }
+    val assets = rows.toDF("asset_id", "modality", "data", "m")
+      .select(col("asset_id"), col("modality"), col("data"),
+        struct(col("m._1").as("width"), col("m._2").as("height"),
+          col("m._3").as("channels"), col("m._4").as("sample_rate"),
+          col("m._5").as("n_frames")).as("meta"))
+    val feats = Multimodal.extractFeatures(assets).collect()
+      .map(r => r.getAs[Long]("asset_id") ->
+        r.getAs[scala.collection.Seq[Double]]("features")).toMap
+    (0L until 3L).foreach { id =>
+      val expected = Multimodal.FakeCodec.features(
+        mkSamples(id).map(s => (s + 32768) / 65536.0))
+      assert(feats(id).toSeq === expected.toSeq, s"asset $id")
+    }
+  }
+
   test("resizeImages re-encodes real PNGs at the target dimensions") {
     import spark.implicits._
     val w = 16; val h = 16

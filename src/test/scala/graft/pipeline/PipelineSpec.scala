@@ -517,6 +517,24 @@ class PipelineSpec extends SparkSpec {
     assert(full === plain)
   }
 
+  test("PQ index: parquet round trip is lossless; probe matches in-memory") {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, sfTiny)
+    val cb = Similarity.pqTrain(emb, 8, ksub = 16, iters = 3)
+    val codes = Similarity.pqEncode(emb, cb)
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq").toString
+    Similarity.writePqIndex(spark, cb, codes, dir)
+    val (cb2, codes2) = Similarity.readPqIndex(spark, dir)
+    assert(cb2.map(_.map(_.toSeq).toSeq).toSeq ===
+      cb.map(_.map(_.toSeq).toSeq).toSeq, "codebook round trip")
+    val q = emb.filter($"vec_id" < 4)
+    val a = Similarity.pqTopK(q, codes, emb, cb, 3, 8)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    val b = Similarity.pqTopK(q, codes2, emb, cb2, 3, 8)
+      .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    assert(a === b)
+  }
+
   test("native PQ kernels match their HOF formulations bit-exactly") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfTiny)
