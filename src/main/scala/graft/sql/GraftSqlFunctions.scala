@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.expressions.{ArrayContains, Expression,
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{CdcChunks, CharNGrams, CosineSimilarity,
-  HyperplaneSignature, MinHashSignature, SimHash64, WinnowingFingerprints,
-  WordNGrams}
+  HyperplaneSignature, MinHashSignature, PqAdcDistance, PqEncodeCodes,
+  SimHash64, WinnowingFingerprints, WordNGrams}
 import graft.graph.GraphStore
 
 /** SQL surface for graft's native kernels and graph tables.
@@ -26,6 +26,8 @@ import graft.graph.GraphStore
   *  - `graft_simhash64(tokens)` — fused 64-bit SimHash
   *  - `graft_hyperplane_sig(vec, bits)` — random-hyperplane LSH signature
   *  - `graft_cosine(a, b)` — codegen'd cosine similarity
+  *  - `graft_pq_encode(vec, codebook)` — PQ nearest-centroid codes
+  *  - `graft_pq_adc(lut, codes)` — PQ asymmetric-distance lookup sum
   *  - `graft_cdc_chunks(text, k, divisor)` — content-defined chunk spans
   *  - `graft_fingerprint(text)` — normalized-content xxhash64 fingerprint
   *
@@ -97,6 +99,20 @@ object GraftSqlFunctions {
       (args: Seq[Expression]) => args match {
         case Seq(a, b) => CosineSimilarity(a, b)
         case _ => throw new IllegalArgumentException("graft_cosine(a, b)")
+      }),
+    (FunctionIdentifier("graft_pq_encode"),
+      new ExpressionInfo(classOf[PqEncodeCodes].getName, "graft_pq_encode"),
+      (args: Seq[Expression]) => args match {
+        case Seq(vec, cb) => PqEncodeCodes(vec, cb)
+        case _ => throw new IllegalArgumentException(
+          "graft_pq_encode(vec, codebook)")
+      }),
+    (FunctionIdentifier("graft_pq_adc"),
+      new ExpressionInfo(classOf[PqAdcDistance].getName, "graft_pq_adc"),
+      (args: Seq[Expression]) => args match {
+        case Seq(lut, codes) => PqAdcDistance(lut, codes)
+        case _ => throw new IllegalArgumentException(
+          "graft_pq_adc(lut, codes)")
       }),
     (FunctionIdentifier("graft_winnowing"),
       new ExpressionInfo(classOf[WinnowingFingerprints].getName,

@@ -157,6 +157,16 @@ object ScaleRehearsal {
     time(s"g10-shaped PageRank (10 iters) over $k disjoint graph copies") {
       graft.graph.GraphAlgorithms.pageRankFixed(repEdges).count()
     }
+    // LPA: k disjoint copies carry a built-in linearity oracle like the
+    // triangle one — each replica's community structure is the base
+    // graph's shifted by the id offset, so the community COUNT must be
+    // exactly k x base (and per-round cost must track edges)
+    time(s"g13-shaped label propagation (3 rounds) over $k disjoint copies") {
+      val nComm = graft.graph.GraphAlgorithms.labelPropagation(repEdges, 3)
+        .select(col("lbl")).distinct().count()
+      println(s"[rehearsal]   communities=$nComm (must be k x base)")
+      nComm
+    }
   }
 
   private def pipelineFamily(spark: org.apache.spark.sql.SparkSession,

@@ -46,6 +46,17 @@ class GraftSqlFunctionsSpec extends SparkSpec {
       """SELECT graft_winnowing(text, 8, 4) AS fp FROM sql_docs LIMIT 5""")
       .collect()
     assert(win.forall(_.getAs[scala.collection.Seq[Long]]("fp").nonEmpty))
+
+    // PQ: a vector equal to the second centroid of each subspace encodes
+    // to [1, 1], and the ADC lookup sums the addressed LUT cells
+    val pq = spark.sql(
+      """SELECT graft_pq_encode(array(1.0d, 1.0d, 5.0d, 5.0d),
+        |  array(array(array(0.0d, 0.0d), array(1.0d, 1.0d)),
+        |        array(array(9.0d, 9.0d), array(5.0d, 5.0d)))) AS codes,
+        |  graft_pq_adc(array(array(0.5d, 1.5d), array(2.0d, 4.0d)),
+        |    array(1, 0)) AS adist""".stripMargin).head()
+    assert(pq.getAs[scala.collection.Seq[Int]]("codes").toSeq === Seq(1, 1))
+    assert(pq.getDouble(1) === 3.5)
   }
 
   test("graph views answer label queries from SQL") {
