@@ -52,6 +52,20 @@ class PlanInvariantsSpec extends SparkSpec {
       "s05's brute side lost its sampled-query bound (full-corpus O(n²) verifier)")
   }
 
+  test("s08/s09 score through the native PQ kernels, not interpreted HOFs") {
+    // the encode argmin and the ADC lookup are per-row hot loops; the HOF
+    // formulations evaluate interpreted (measured 6-7 s per gate at
+    // sf0.1, ~SF-independent) and exist only as spec oracles — a refactor
+    // that reintroduces them into the registered plans must fail here
+    Seq("s08_pq_topk", "s09_pq_ivf").foreach { name =>
+      val p = plan(name)
+      assert(p.contains("graft_pq_encode"),
+        s"$name lost the native PQ encode kernel")
+      assert(p.contains("graft_pq_adc"),
+        s"$name lost the native ADC distance kernel")
+    }
+  }
+
   test("d07 reuses the pinned d03 pair frame (InMemoryTableScan)") {
     // d03 and d07 are two gates over ONE resident pair computation
     // (PipelineQueries.jaccardPairsShared); losing the explicit reuse
