@@ -143,11 +143,32 @@ abstract class CFamilyFrontend extends LanguageFrontend {
           }
         }
 
+        val netBraces = trimmed.count(_ == '{') - trimmed.count(_ == '}')
         declaredScope.foreach { case (idx, label, name) =>
-          scopes += Scope(idx, depth + 1, label, name, armed = false)
+          if (trimmed.contains('{') && netBraces == 0) {
+            // one-line body (`int f(int x) { return g(x); }`): the scope
+            // opens AND closes on the declaration line — without this the
+            // scope never arms (depth never reaches closeDepth) and every
+            // following declaration is swallowed as body text. Body calls
+            // on the line are collected here, attributed to the new
+            // entity, mirroring tree-sitter's layout-independent walk.
+            if (label == "Method" || label == "Constructor") {
+              val body = trimmed.substring(trimmed.indexOf('{') + 1)
+              CallRe.findAllMatchIn(body).foreach { m =>
+                val callee = m.group(2)
+                if (!ctrlKeywords.contains(callee) && !modifiers.contains(callee))
+                  refs += SymbolRef("call", idx, callee, i.toLong,
+                    trimmed, Arity.countArgs(body, m.end - 1),
+                    m.group(1).stripSuffix("."))
+              }
+            }
+            entities(idx) = entities(idx).copy(srcEnd = i.toLong)
+          } else {
+            scopes += Scope(idx, depth + 1, label, name, armed = false)
+          }
         }
 
-        depth += trimmed.count(_ == '{') - trimmed.count(_ == '}')
+        depth += netBraces
         scopes.foreach(s => if (depth >= s.closeDepth) s.armed = true)
         while (scopes.nonEmpty && scopes.last.armed &&
             depth < scopes.last.closeDepth) {

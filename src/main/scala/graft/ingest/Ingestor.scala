@@ -172,11 +172,13 @@ object Ingestor {
       .join(entitiesRaw.select($"fpath".as("target_path"),
         $"idx".as("target_idx"), $"name".as("target_name"),
         $"label".as("target_label"), $"arity".as("target_arity"),
-        $"min_arity".as("target_min_arity")),
+        $"min_arity".as("target_min_arity"),
+        $"parentIdx".as("target_parent_idx")),
         Seq("target_path", "target_idx"))
       .select($"target_id", $"target_path", $"target_name", $"target_label",
-        $"target_arity", $"target_min_arity")
-      .unionByName(preExisting)
+        $"target_arity", $"target_min_arity", $"target_parent_idx")
+      .unionByName(preExisting
+        .withColumn("target_parent_idx", lit(-1))) // parent is batch-local
 
     // import/alias pre-resolution: a call name matching one of the
     // calling FILE's member imports resolves against the imported symbol
@@ -186,6 +188,10 @@ object Ingestor {
       .join(entIds.select($"fpath", $"idx".as("fromIdx"),
         $"ent_id".as("src_id")), Seq("fpath", "fromIdx"), "left")
       .filter($"src_id".isNotNull) // module-level refs have no source entity
+      // the caller's ENCLOSING entity (its class, for a method) — feeds
+      // the member-resolution rank below
+      .join(entitiesRaw.select($"fpath", $"idx".as("fromIdx"),
+        $"parentIdx".as("src_parent_idx")), Seq("fpath", "fromIdx"), "left")
       // bare-name redirect only: `obj.f()` is attribute lookup on obj, NOT
       // the file-scope binding of a `from m import f` — qualified calls
       // resolve through the receiver's alias below instead
@@ -272,9 +278,23 @@ object Ingestor {
         |    named_struct('n', acc.n, 'stop', true),
         |    named_struct('n', acc.n + 1, 'stop', false)),
         |  acc -> acc.n)""".stripMargin)
+    // member resolution: a `self.m()` / `this.m()` call (or a bare call in
+    // Java/C#, whose scoping DOES search the enclosing class) prefers the
+    // method declared in the caller's OWN class over a same-file same-name
+    // method of another class. Python bare calls are excluded — class
+    // scope is not on their resolution path.
+    val sameClass = when(
+      coalesce($"src_parent_idx", lit(-1)) >= 0 &&
+        $"target_path" === $"fpath" &&
+        $"target_parent_idx" === $"src_parent_idx" &&
+        ($"qualifier".isin("self", "this") ||
+          ($"qualifier" === "" &&
+            ($"fpath".endsWith(".java") || $"fpath".endsWith(".cs")))),
+      lit(0)).otherwise(lit(1))
     val w = Window.partitionBy($"fpath", $"fromIdx", $"kind", $"name",
         $"line", $"qualifier")
       .orderBy(when($"target_path" === $"fpath", 0).otherwise(1),
+        sameClass.asc,
         $"import_match".asc,
         when($"target_path" === "", 1).otherwise(0),
         $"arity_dist".asc,
@@ -290,7 +310,7 @@ object Ingestor {
       .filter($"rk" === 1)
       .drop("rk", "arity_dist", "import_match", "src_dirs", "tgt_dirs",
         "shared_prefix", "eff_name", "import_module", "import_symbol",
-        "eff_qual_module")
+        "eff_qual_module", "src_parent_idx", "target_parent_idx")
       .localCheckpoint(true)
 
     // unresolved call targets become stub Function nodes (builtins)

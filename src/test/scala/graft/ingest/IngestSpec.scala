@@ -352,6 +352,57 @@ class IngestSpec extends SparkSpec {
       ("plain", "", 1)))
   }
 
+  test("golden: self.m() resolves to the caller's OWN class's method") {
+    import spark.implicits._
+    // class Beta declares run FIRST (wins any declaration-order tie);
+    // Alpha.go's self.run must still resolve to Alpha.run
+    val g = new CodeGraph(spark, "ingest_selfres")
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("m.py", Seq(
+      "class Beta:",
+      "    def run(self, x):",
+      "        return x",
+      "class Alpha:",
+      "    def run(self, x):",
+      "        return x",
+      "    def go(self):",
+      "        return self.run(1)").mkString("\n"))))
+    val alpha = g.graph.nodes.filter($"name" === "Alpha").head().getAs[Long]("id")
+    val goId = g.graph.nodes.filter($"name" === "go").head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === goId)
+      .join(g.graph.nodes.select($"id".as("dst")), "dst")
+      .select($"dst").head().getLong(0)
+    // the resolved run must be DEFINES-child of Alpha, not Beta
+    val parentOfCallee = g.graph.edges
+      .filter($"type" === "DEFINES" && $"dst" === callee)
+      .select($"src").head().getLong(0)
+    assert(parentOfCallee === alpha)
+  }
+
+  test("golden: java bare call prefers the enclosing class's method") {
+    import spark.implicits._
+    // Java scoping searches the enclosing class for bare calls; Util.fmt
+    // is declared first in the same file and must lose to Main.fmt
+    val g = new CodeGraph(spark, "ingest_javamember")
+    Ingestor.ingest(g, Seq(Ingestor.SourceFile("app/Main.java", Seq(
+      "class Util {",
+      "  public int fmt(int x) { return x; }",
+      "}",
+      "public class Main {",
+      "  public int fmt(int x) { return x; }",
+      "  public int run(int x) {",
+      "    return fmt(x);",
+      "  }",
+      "}").mkString("\n"))))
+    val main = g.graph.nodes.filter($"name" === "Main").head().getAs[Long]("id")
+    val runId = g.graph.nodes.filter($"name" === "run").head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === runId)
+      .select($"dst").head().getLong(0)
+    val parentOfCallee = g.graph.edges
+      .filter($"type" === "DEFINES" && $"dst" === callee)
+      .select($"src").head().getLong(0)
+    assert(parentOfCallee === main)
+  }
+
   test("golden: default args widen the arity range (same-dir def wins)") {
     import spark.implicits._
     // helper(1) fits defaulted [1,2] of the same-directory definition; the
