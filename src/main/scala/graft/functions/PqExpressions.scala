@@ -44,7 +44,7 @@ case class PqEncodeCodes(left: Expression, right: Expression)
     val vec = a.asInstanceOf[ArrayData]
     val cb = b.asInstanceOf[ArrayData]
     val m = cb.numElements()
-    if (m == 0) return null
+    if (m == 0 || cb.getArray(0).numElements() == 0) return null
     val dsub = cb.getArray(0).getArray(0).numElements()
     if (vec.numElements() != m * dsub) return null
     val codes = new Array[Int](m)
@@ -52,12 +52,16 @@ case class PqEncodeCodes(left: Expression, right: Expression)
     while (j < m) {
       val sub = cb.getArray(j)
       val ksub = sub.numElements()
+      if (ksub == 0) return null
       val base = j * dsub
       var best = 0
       var bestD = Double.MaxValue
       var c = 0
       while (c < ksub) {
         val cent = sub.getArray(c)
+        // ragged codebook (a centroid shorter/longer than dsub) would
+        // read out of bounds in the codegen path — NULL per the contract
+        if (cent.numElements() != dsub) return null
         var d = 0.0
         var i = 0
         while (i < dsub) {
@@ -92,22 +96,24 @@ case class PqEncodeCodes(left: Expression, right: Expression)
       val t = ctx.freshName("t")
       s"""
         final int $m = $b.numElements();
-        final int $dsub = $m == 0 ? 0
+        final int $dsub = ($m == 0 || $b.getArray(0).numElements() == 0) ? 0
           : $b.getArray(0).getArray(0).numElements();
-        if ($m == 0 || $a.numElements() != $m * $dsub) {
+        if ($m == 0 || $dsub == 0 || $a.numElements() != $m * $dsub) {
           ${ev.isNull} = true;
         } else {
           final int[] $codes = new int[$m];
-          for (int $j = 0; $j < $m; $j++) {
+          for (int $j = 0; $j < $m && !${ev.isNull}; $j++) {
             final org.apache.spark.sql.catalyst.util.ArrayData $sub =
               $b.getArray($j);
             final int $ksub = $sub.numElements();
+            if ($ksub == 0) { ${ev.isNull} = true; continue; }
             final int $base = $j * $dsub;
             int $best = 0;
             double $bestD = Double.MAX_VALUE;
-            for (int $c = 0; $c < $ksub; $c++) {
+            for (int $c = 0; $c < $ksub && !${ev.isNull}; $c++) {
               final org.apache.spark.sql.catalyst.util.ArrayData $cent =
                 $sub.getArray($c);
+              if ($cent.numElements() != $dsub) { ${ev.isNull} = true; continue; }
               double $d = 0.0;
               for (int $i = 0; $i < $dsub; $i++) {
                 final double $t = $a.getDouble($base + $i) - $cent.getDouble($i);
@@ -117,8 +123,10 @@ case class PqEncodeCodes(left: Expression, right: Expression)
             }
             $codes[$j] = $best;
           }
-          ${ev.value} =
-            new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+          if (!${ev.isNull}) {
+            ${ev.value} =
+              new org.apache.spark.sql.catalyst.util.GenericArrayData($codes);
+          }
         }
       """
     })

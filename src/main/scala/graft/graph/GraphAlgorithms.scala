@@ -213,8 +213,11 @@ object GraphAlgorithms {
       }
     } finally {
       if (aqeOff) spark.conf.set("spark.sql.adaptive.enabled", aqePrev)
+      // in the finally: an exception mid-loop (e.g. during the concurrent
+      // bench warmup) must not leave the cached edge table orphaned in
+      // the long-lived session's storage pool
+      eDeg.unpersist()
     }
-    eDeg.unpersist()
     if (summed == null) nodes.withColumn("rank", lit(scale))
     else nodes.join(summed, Seq("id"), "left_outer")
       .select(col("id"), rankOfSum.as("rank"))
@@ -308,21 +311,22 @@ object GraphAlgorithms {
       .withColumn("lbl", col("id"))
       .localCheckpoint(true)
     var it = 0
-    while (it < iters) {
-      it += 1
-      val counts = und
-        .join(labels.select(col("id").as("u"), col("lbl")), Seq("u"))
-        .groupBy(col("v"), col("lbl"))
-        .agg(count(lit(1)).as("cnt"))
-      val best = counts.groupBy(col("v"))
-        .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("b"))
-        .select(col("v").as("id"), (-col("b.neg")).as("new_lbl"))
-      labels = labels.join(best, Seq("id"), "left")
-        .select(col("id"),
-          coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-    }
-    und.unpersist()
+    try {
+      while (it < iters) {
+        it += 1
+        val counts = und
+          .join(labels.select(col("id").as("u"), col("lbl")), Seq("u"))
+          .groupBy(col("v"), col("lbl"))
+          .agg(count(lit(1)).as("cnt"))
+        val best = counts.groupBy(col("v"))
+          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("b"))
+          .select(col("v").as("id"), (-col("b.neg")).as("new_lbl"))
+        labels = labels.join(best, Seq("id"), "left")
+          .select(col("id"),
+            coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+          .localCheckpoint(true)
+      }
+    } finally und.unpersist() // never orphan the cached edges on a throw
     labels
   }
 }

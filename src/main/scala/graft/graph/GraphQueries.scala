@@ -191,7 +191,9 @@ object GraphQueries {
       explode(array_distinct(filter(
         split(lower(col("name")), "[^a-z0-9]+"), t => t =!= lit("")))).as("tok"))
     val corpus = searchable.agg(count(lit(1)).as("n_docs"))
-    val matches = toks.filter(col("tok").startsWith(prefix))
+    // tokens are case-folded above, so fold the prefix too — an uppercase
+    // query ("Re") must find "red widget", not silently return nothing
+    val matches = toks.filter(col("tok").startsWith(prefix.toLowerCase))
     val dfreq = matches.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

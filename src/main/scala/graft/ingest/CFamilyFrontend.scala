@@ -99,6 +99,10 @@ abstract class CFamilyFrontend extends LanguageFrontend {
       if (trimmed.nonEmpty) {
         var declaredScope: Option[(Int, String, String)] = None // idx, label, name
         var isDecl = false
+        // parsed once per top-level line (was evaluated twice: once in the
+        // match guard, once in the body)
+        val importDecl =
+          if (!inType && !inCallable) parseImport(trimmed) else None
 
         trimmed match {
           case typeRe(kw, name, tail) =>
@@ -111,8 +115,8 @@ abstract class CFamilyFrontend extends LanguageFrontend {
               if (t.nonEmpty) refs += SymbolRef(kind, idx, t, i.toLong, trimmed)
             }
             declaredScope = Some((idx, label, name))
-          case _ if !inType && !inCallable && parseImport(trimmed).nonEmpty =>
-            imports ++= parseImport(trimmed)
+          case _ if importDecl.nonEmpty =>
+            imports ++= importDecl
           case _ if inType && !inCallable =>
             parseCallable(trimmed, innermost.get.name).foreach {
               case (label, name, params, ret, bodyless, arity, minArity) =>
@@ -145,7 +149,12 @@ abstract class CFamilyFrontend extends LanguageFrontend {
 
         val netBraces = trimmed.count(_ == '{') - trimmed.count(_ == '}')
         declaredScope.foreach { case (idx, label, name) =>
-          if (trimmed.contains('{') && netBraces == 0) {
+          if (trimmed.contains('{') && netBraces <= 0) {
+            // netBraces < 0: the one-liner's line ALSO closes enclosing
+            // scope(s) (`void f() { g(); }}`) — the entity still completes
+            // here and the outer scopes pop through the armed-scope loop
+            // below; pushing a scope instead would never arm and would
+            // swallow the rest of the file as body text.
             // one-line body (`int f(int x) { return g(x); }`): the scope
             // opens AND closes on the declaration line — without this the
             // scope never arms (depth never reaches closeDepth) and every

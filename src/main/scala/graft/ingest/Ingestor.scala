@@ -92,27 +92,33 @@ object Ingestor {
         "qualifier")
       .cache()
     // per-file scope table: what each file's imports bind each name to —
-    // the reference gets this from LSP (`source_analyzer.py:118-169`);
+    // the reference gets this from LSP (`source_analyzer.py:118-169`).
+    // When a file rebinds one alias twice (`from a import f` then
+    // `from b import f`), the LAST import wins — Python's runtime
+    // shadowing — picked deterministically by the frontend's emission
+    // order (dropDuplicates would keep a partitioning-dependent row).
+    val importsLast = extracted.flatMap { case (path, fx) =>
+      fx.imports.zipWithIndex.map { case (im, ord) =>
+        (path, im.alias, im.module, im.symbol, ord.toLong)
+      }
+    }.toDF("fpath", "alias", "import_module", "import_symbol", "ord")
+      .groupBy($"fpath", $"alias")
+      .agg(max_by(struct($"import_module", $"import_symbol"), $"ord").as("b"))
+      .select($"fpath", $"alias", $"b.import_module".as("import_module"),
+        $"b.import_symbol".as("import_symbol"))
     // only member bindings (symbol != "") can redirect a bare call name
-    val importsRaw = extracted.flatMap { case (path, fx) =>
-      fx.imports.filter(_.symbol.nonEmpty)
-        .map(im => (path, im.alias, im.module, im.symbol))
-    }.toDF("fpath", "alias", "import_module", "import_symbol")
-      .dropDuplicates("fpath", "alias")
+    val importsRaw = importsLast.filter($"import_symbol" =!= "")
     // second scope table, for QUALIFIED calls: every import binds its alias
     // to a dotted module — whole-module binds (`import numpy as np`,
     // symbol "") to the module itself, member binds (`import a.b.C`) to
     // module.symbol — so `np.array(..)` / `C.m(..)` can resolve inside the
     // module the receiver actually names
-    val qualImportsRaw = extracted.flatMap { case (path, fx) =>
-      fx.imports.map { im =>
-        val target = if (im.symbol.isEmpty) im.module
-          else if (im.module.isEmpty) im.symbol
-          else im.module + "." + im.symbol
-        (path, im.alias, target)
-      }
-    }.toDF("qfpath", "qalias", "qual_module")
-      .dropDuplicates("qfpath", "qalias")
+    val qualImportsRaw = importsLast.select($"fpath".as("qfpath"),
+      $"alias".as("qalias"),
+      when($"import_symbol" === "", $"import_module")
+        .when($"import_module" === "", $"import_symbol")
+        .otherwise(concat_ws(".", $"import_module", $"import_symbol"))
+        .as("qual_module"))
 
     // files
     val fileBatch = extracted.map(_._1).distinct().map { p =>

@@ -31,7 +31,12 @@ object PythonFrontend extends LanguageFrontend {
     * (`import a.b`, `import a.b as x`, `from m import f, g as h`).
     * Wildcard and parenthesized continuation-line tails degrade to
     * whatever names sit on this line — heuristic-frontend contract. */
-  private def parseImports(trimmed: String): Seq[ImportDecl] = trimmed match {
+  private def parseImports(trimmed0: String): Seq[ImportDecl] = {
+    // strip a trailing comment (`import os  # for paths`) — string
+    // literals never appear on well-formed import lines, so a bare '#'
+    // cut is safe here and keeps the bindings parseable
+    val trimmed = trimmed0.takeWhile(_ != '#').trim
+    trimmed match {
     case FromImportRe(module0, names) =>
       // relative `from .m import f` → module "m" (resolver matches module
       // paths as dot-boundary suffixes, so the leading dots only hurt)
@@ -59,6 +64,7 @@ object PythonFrontend extends LanguageFrontend {
         }
       }
     case _ => Nil
+    }
   }
 
   def extract(path: String, source: String): FileExtraction = {
@@ -141,10 +147,14 @@ object PythonFrontend extends LanguageFrontend {
             // decorator lines are not body statements: tree-sitter's call
             // collection runs over function BODIES, so `@lru_cache(2)`
             // must not surface as a call ref from the enclosing scope.
-            // Import lines bind scope, they don't call (`from m import (a`
-            // would otherwise read as a call to `import`).
+            // Import lines bind scope, they don't call — keyed on the line
+            // HEAD, not on whether bindings parsed, so a parenthesized
+            // continuation head (`from typing import (`) cannot fall
+            // through to CallRe and fabricate a call to "import".
+            val isImportLine =
+              trimmed.startsWith("import ") || trimmed.startsWith("from ")
             if (importDecls.nonEmpty) imports ++= importDecls
-            else if (!trimmed.startsWith("@"))
+            else if (!trimmed.startsWith("@") && !isImportLine)
               CallRe.findAllMatchIn(line).foreach { m =>
                 val callee = m.group(2)
                 if (!Keywords.contains(callee))

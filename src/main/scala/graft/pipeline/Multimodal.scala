@@ -257,8 +257,15 @@ object Multimodal {
           // pathological text payload falls back instead of failing.
           val pixels =
             if (ImageIoCodec.looksLikeImage(data)) {
-              val (_, _, px) = ImageIoCodec.decodeGray(data)
-              px.map(_ / 255.0)
+              // try-guarded like the WAV route: ONE corrupt payload with
+              // valid magic must degrade to the stub, not kill the job —
+              // at corpus scale a poison asset is a certainty
+              try {
+                val (_, _, px) = ImageIoCodec.decodeGray(data)
+                px.map(_ / 255.0)
+              } catch {
+                case _: Exception => FakeCodec.decode(data, w, h)
+              }
             } else if (WavCodec.looksLikeWav(data)) {
               try WavCodec.decodePcm16(data)._2
                 .map(s => (s + 32768) / 65536.0)
@@ -286,7 +293,11 @@ object Multimodal {
             val data = r.getAs[Array[Byte]](2)
             val resized =
               if (ImageIoCodec.looksLikeImage(data))
-                ImageIoCodec.resizePng(data, w2, h2)
+                try ImageIoCodec.resizePng(data, w2, h2)
+                catch { case _: Exception =>
+                  FakeCodec.resize(data, meta.getInt(0), meta.getInt(1),
+                    w2, h2)
+                }
               else FakeCodec.resize(data, meta.getInt(0), meta.getInt(1),
                 w2, h2)
             Row(r.getLong(0), r.getString(1), resized,

@@ -11,6 +11,25 @@ import org.apache.spark.sql.functions._
   * (`api/analyzers/java/analyzer.py:70-95`). */
 class CFamilySpec extends SparkSpec {
 
+  test("one-line body that also closes the class does not swallow the file") {
+    // `{ return g(x); }}` — the method's body opens AND closes on its
+    // declaration line, which ALSO closes the class (netBraces = -1).
+    // The entity must complete there with its body call collected, and
+    // class B afterwards must parse as a fresh top-level type.
+    val src = Seq(
+      "class A {",
+      "  int f(int x) { return g(x); }}",
+      "class B {",
+      "  int h(int x) { return x; }",
+      "}").mkString("\n")
+    val fx = JavaFrontend.extract("A.java", src)
+    assert(fx.entities.map(e => (e.label, e.name, e.parentIdx)) === Seq(
+      ("Class", "A", -1), ("Method", "f", 0),
+      ("Class", "B", -1), ("Method", "h", 2)))
+    assert(fx.refs.exists(r =>
+      r.kind == "call" && r.name == "g" && r.fromIdx == 1))
+  }
+
   val csharpSource: String = Seq(
     /*  0 */ "using System;",
     /*  1 */ "",

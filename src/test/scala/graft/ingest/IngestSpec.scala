@@ -204,6 +204,44 @@ class IngestSpec extends SparkSpec {
     assert(fx.refs.isEmpty)
   }
 
+  test("python imports: trailing comments stripped, paren head not a call") {
+    val src = Seq(
+      "import numpy as np  # for arrays",
+      "from a.m1 import f  # noqa",
+      "def go():",
+      "    from typing import (",
+      "        List,",
+      "    )",
+      "    return f(1)"
+    ).mkString("\n")
+    val fx = PythonFrontend.extract("x.py", src)
+    assert(fx.imports.take(2) === Seq(
+      ImportDecl("np", "numpy", ""),
+      ImportDecl("f", "a.m1", "f")))
+    // the bare `from typing import (` head must NOT fabricate a call to
+    // "import" from the enclosing function
+    val calls = fx.refs.filter(_.kind == "call").map(_.name)
+    assert(calls === Seq("f"))
+  }
+
+  test("golden: a rebound alias resolves to the LAST import (shadowing)") {
+    import spark.implicits._
+    val g = new CodeGraph(spark, "ingest_shadow")
+    Ingestor.ingest(g, Seq(
+      Ingestor.SourceFile("a/m1.py", "def f(x):\n    return x\n"),
+      Ingestor.SourceFile("b/m1.py", "def f(x):\n    return x\n"),
+      Ingestor.SourceFile("c/main.py",
+        "from a.m1 import f\nfrom b.m1 import f\ndef main():\n    f(1)\n")))
+    val mainId = g.graph.nodes
+      .filter($"name" === "main" && $"path" === "c/main.py")
+      .head().getAs[Long]("id")
+    val callee = g.graph.edges.filter($"type" === "CALLS" && $"src" === mainId)
+      .join(g.graph.nodes.select($"id".as("dst"), $"path".as("callee_path")),
+        "dst").collect()
+    assert(callee.length === 1)
+    assert(callee(0).getAs[String]("callee_path") === "b/m1.py")
+  }
+
   test("python frontend tracks required-vs-total arity ranges") {
     val src = Seq(
       "def plain(a, b):",

@@ -57,6 +57,21 @@ class GraftSqlFunctionsSpec extends SparkSpec {
         |    array(1, 0)) AS adist""".stripMargin).head()
     assert(pq.getAs[scala.collection.Seq[Int]]("codes").toSeq === Seq(1, 1))
     assert(pq.getDouble(1) === 3.5)
+
+    // degenerate geometry returns NULL per the contract, never throws
+    // or reads out of bounds: empty codebook, empty subspace, ragged
+    // centroid, out-of-range ADC code
+    val nulls = spark.sql(
+      """SELECT
+        |  graft_pq_encode(array(1.0d),
+        |    cast(array() as array<array<array<double>>>)) AS c1,
+        |  graft_pq_encode(array(1.0d),
+        |    array(cast(array() as array<array<double>>))) AS c2,
+        |  graft_pq_encode(array(1.0d, 2.0d),
+        |    array(array(array(0.0d, 0.0d), array(1.0d)))) AS c3,
+        |  graft_pq_adc(array(array(0.5d)), array(3)) AS c4""".stripMargin)
+      .head()
+    (0 to 3).foreach(i => assert(nulls.isNullAt(i), s"col $i must be NULL"))
   }
 
   test("graph views answer label queries from SQL") {
