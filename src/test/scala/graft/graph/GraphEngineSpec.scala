@@ -76,6 +76,18 @@ class GraphEngineSpec extends SparkSpec {
     assert(hits.map(_.getAs[String]("name")).contains("abort"))
   }
 
+  test("scored autocomplete matches by token, case-folded, idf-ranked") {
+    val g = buildFixture()
+    val hits = GraphQueries.autoCompleteScored(g.graph, "ab").collect()
+    assert(hits.map(_.getAs[String]("name")).contains("abort"))
+    // uppercase query folds to the same result set (tokens are lowercase)
+    val upper = GraphQueries.autoCompleteScored(g.graph, "AB").collect()
+    assert(upper.map(_.toSeq).toSeq === hits.map(_.toSeq).toSeq)
+    // scores are positive and ranks are dense from 1
+    assert(hits.map(_.getAs[Double]("score")).forall(_ > 0))
+    assert(hits.map(_.getAs[Long]("rnk")).toSeq === (1L to hits.length))
+  }
+
   test("unreachable entities: print has no DEFINES parent") {
     val g = buildFixture()
     val un = GraphQueries.unreachableEntities(g.graph, Some("Function"),
