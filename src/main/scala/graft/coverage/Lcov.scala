@@ -111,6 +111,40 @@ object Lcov {
           col("lines_hit").cast("double") / col("lines_found").cast("double")))
   }
 
+  /** Coverage DELTA between two parsed tracefile frames (the CI
+    * regression-detection op every coverage pipeline runs: "which lines
+    * lost coverage since the last run?"). Inputs are two
+    * [[parseTracefiles]] outputs; per-line DA arrays explode and
+    * full-outer-join on (file name, line), then classify per file:
+    * gained (was 0/absent, now hit), lost (was hit, now 0/absent — but
+    * still instrumented), still_hit, added/removed (line newly
+    * instrumented / no longer instrumented).
+    *
+    * Scale: one explode per side + ONE full-outer equi-join on
+    * (name, line) + a grouped rollup — all partition-friendly; nothing
+    * driver-side. Returns one row per file, totally ordered. */
+  def coverageDelta(a: DataFrame, b: DataFrame): DataFrame = {
+    def lines(df: DataFrame, tag: String): DataFrame =
+      df.select(col("name"), explode(col("da")).as("d"))
+        .select(col("name"), col("d._1").as("line"), col("d._2").as(tag))
+    lines(a, "hit_a").join(lines(b, "hit_b"), Seq("name", "line"),
+        "full_outer")
+      .groupBy(col("name"))
+      .agg(
+        // disjoint categories: gained/lost require the line instrumented
+        // in BOTH runs (null comparisons are false); added/removed cover
+        // the one-sided lines
+        sum(when(col("hit_a") === 0 && col("hit_b") > 0, 1L).otherwise(0L))
+          .as("n_gained"),
+        sum(when(col("hit_a") > 0 && col("hit_b") === 0, 1L).otherwise(0L))
+          .as("n_lost"),
+        sum(when(col("hit_a") > 0 && col("hit_b") > 0, 1L).otherwise(0L))
+          .as("n_still_hit"),
+        sum(when(col("hit_a").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("hit_b").isNull, 1L).otherwise(0L)).as("n_removed"))
+      .orderBy(col("name"))
+  }
+
   /** F3: per-function interval coverage — the reference's sorted
     * consume-the-lines loop (`lcov.py:174-208`) as a distributed plan.
     *

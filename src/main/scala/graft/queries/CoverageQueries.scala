@@ -18,12 +18,16 @@ import graft.util.Tables
 object CoverageQueries {
 
   /** Deterministic per-source tracefile built from `documents`: one record
-    * per source, one `DA:` per doc (line = doc_id, hit = n_chars % 3),
-    * LF = docs, LH = docs with hit>0. */
-  private def tracefiles(spark: SparkSession, d: String): DataFrame = {
+    * per source, one `DA:` per doc (line = doc_id, hit = n_chars % mod),
+    * LF = docs, LH = docs with hit>0. `onlyMod7 = true` drops doc_id % 7
+    * == 0 lines — the "second run instruments fewer lines" flavor c04's
+    * delta needs. */
+  private def tracefiles(spark: SparkSession, d: String, mod: Int = 3,
+      onlyMod7: Boolean = false): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, d)
-      .select($"source", $"doc_id", ($"n_chars" % 3).cast("long").as("hit"))
+      .filter(if (onlyMod7) $"doc_id" % 7 =!= 0 else lit(true))
+      .select($"source", $"doc_id", ($"n_chars" % mod).cast("long").as("hit"))
       .groupBy($"source")
       .agg(
         count(lit(1)).as("lf"),
@@ -99,10 +103,26 @@ object CoverageQueries {
       .orderBy($"name")
   }
 
+  /** c04 — coverage DELTA between two runs ([[Lcov.coverageDelta]]): run A
+    * hits n_chars % 3, run B hits n_chars % 5 over a SMALLER instrumented
+    * set (doc_id % 7 == 0 lines dropped), both round-tripped through real
+    * tracefile text and the distributed parser. The oracle replays the
+    * full-outer line join and the gained/lost/still/added/removed
+    * classification straight from `documents` — any parse or join defect
+    * shifts a count and breaks the hash. This is the CI
+    * coverage-regression op (which files lost coverage since last run?). */
+  def c04CoverageDelta(spark: SparkSession, d: String): DataFrame = {
+    val a = Lcov.parseTracefiles(tracefiles(spark, d), stripPrefix = "src/")
+    val b = Lcov.parseTracefiles(tracefiles(spark, d, mod = 5,
+      onlyMod7 = true), stripPrefix = "src/")
+    Lcov.coverageDelta(a, b)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "c01_lcov_file_coverage" -> (c01LcovFileCoverage _),
     "c02_function_coverage" -> (c02FunctionCoverage _),
-    "c03_lcov_connector" -> (c03LcovConnector _))
+    "c03_lcov_connector" -> (c03LcovConnector _),
+    "c04_coverage_delta" -> (c04CoverageDelta _))
 
   val oracle: Map[String, String] = Map(
     "c01_lcov_file_coverage" ->
@@ -123,6 +143,29 @@ object CoverageQueries {
         |  ROUND(CAST(SUM(CASE WHEN n_chars % 3 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
         |        / COUNT(*), 4) AS pct
         |FROM documents GROUP BY source ORDER BY name""".stripMargin,
+    "c04_coverage_delta" ->
+      """WITH a AS (
+        |  SELECT source || '.py' AS name, doc_id AS line,
+        |    CAST(n_chars % 3 AS BIGINT) AS hit_a FROM documents),
+        |b AS (
+        |  SELECT source || '.py' AS name, doc_id AS line,
+        |    CAST(n_chars % 5 AS BIGINT) AS hit_b FROM documents
+        |  WHERE doc_id % 7 <> 0),
+        |j AS (
+        |  SELECT COALESCE(a.name, b.name) AS name, hit_a, hit_b
+        |  FROM a FULL OUTER JOIN b ON a.name = b.name AND a.line = b.line)
+        |SELECT name,
+        |  CAST(SUM(CASE WHEN hit_a = 0 AND hit_b > 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
+        |  CAST(SUM(CASE WHEN hit_a > 0 AND hit_b = 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+        |  CAST(SUM(CASE WHEN hit_a > 0 AND hit_b > 0
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_still_hit,
+        |  CAST(SUM(CASE WHEN hit_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_added,
+        |  CAST(SUM(CASE WHEN hit_b IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed
+        |FROM j GROUP BY name ORDER BY name""".stripMargin,
     "c02_function_coverage" ->
       """WITH fns AS (
         |  SELECT 'f' || CAST(s_nationkey AS VARCHAR) AS file,

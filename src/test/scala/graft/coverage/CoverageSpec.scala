@@ -178,4 +178,28 @@ class CoverageSpec extends SparkSpec {
       GraphOp.FileCoverageRow("src", "x.py", ".py", 0.25)))
     assert(graft.graph.OpLog.decode(graft.graph.OpLog.encode(op)) == op)
   }
+
+  test("coverageDelta classifies gained/lost/still/added/removed per line") {
+    import spark.implicits._
+    def tf(src: String, das: Seq[(Long, Long)]): (String, String) =
+      (src, (Seq("TN:t", s"SF:$src.py") ++
+        das.map { case (l, h) => s"DA:$l,$h" } ++
+        Seq(s"LF:${das.length}",
+          s"LH:${das.count(_._2 > 0)}", "end_of_record")).mkString("\n"))
+    // run A: lines 1(hit) 2(miss) 3(hit) 4(hit); run B: 1 miss (lost),
+    // 2 hit (gained), 3 hit (still), 4 absent (removed), 5 new (added)
+    val a = Lcov.parseTracefiles(Seq(
+      tf("u", Seq(1L -> 1L, 2L -> 0L, 3L -> 2L, 4L -> 1L)))
+      .toDF("source", "content"))
+    val b = Lcov.parseTracefiles(Seq(
+      tf("u", Seq(1L -> 0L, 2L -> 3L, 3L -> 1L, 5L -> 1L)))
+      .toDF("source", "content"))
+    val r = Lcov.coverageDelta(a, b).head()
+    assert(r.getAs[String]("name") === "u.py")
+    assert(r.getAs[Long]("n_gained") === 1)
+    assert(r.getAs[Long]("n_lost") === 1)
+    assert(r.getAs[Long]("n_still_hit") === 1)
+    assert(r.getAs[Long]("n_added") === 1)
+    assert(r.getAs[Long]("n_removed") === 1)
+  }
 }
