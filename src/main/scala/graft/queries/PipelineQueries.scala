@@ -751,6 +751,31 @@ object PipelineQueries {
       emb, 5), minRecall = 0.5)
   }
 
+  /** q29 — DATA-QUALITY AUDIT ([[graft.pipeline.DataQuality]], the
+    * Deequ-style "unit tests for data" pass a table runs before feeding
+    * training): six declarative checks over lineitem — not-null,
+    * numeric range (chosen so roughly half the rows violate), a row
+    * predicate, key uniqueness, and two referential-integrity checks
+    * (one clean, one against a truncated dimension so violations are
+    * nonzero). All row-local checks fuse into ONE aggregation pass;
+    * uniqueness is one groupBy; each FK is one anti-join. The oracle
+    * replays every count in SQL — six rows, engine-exact. */
+  def q29DataQuality(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    import graft.pipeline.DataQuality
+    DataQuality.audit(Tables.lineitem(spark, d), Seq(
+      DataQuality.NotNull("l_returnflag"),
+      DataQuality.InRange("l_quantity", 1.0, 25.0),
+      DataQuality.Satisfies("discount_not_above_tax",
+        "l_discount <= l_tax"),
+      DataQuality.Unique(Seq("l_orderkey", "l_linenumber")),
+      DataQuality.RefIntegrity("l_suppkey",
+        Tables.supplier(spark, d), "s_suppkey", "supplier"),
+      DataQuality.RefIntegrity("l_partkey",
+        Tables.part(spark, d).filter($"p_partkey" < 1000), "p_partkey",
+        "small_parts")))
+  }
+
   /** q26 — LEAKAGE-SAFE train/val split: near-dup CLUSTERS (the d03/d07
     * component labels, shared pair frame) are assigned to splits
     * atomically — hash the cluster id, not the doc id — so no near-dup
@@ -815,6 +840,7 @@ object PipelineQueries {
     "s07_ivf_index" -> (s07IvfIndex _),
     "s08_pq_topk" -> (s08PqTopk _),
     "s09_pq_ivf" -> (s09PqIvf _),
+    "q29_data_quality" -> (q29DataQuality _),
     "s06_range_search" -> (s06RangeSearch _),
     "q25_length_buckets" -> (q25LengthBuckets _),
     "s04_knn_join" -> (s04KnnJoin _),
@@ -1786,5 +1812,48 @@ object PipelineQueries {
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
         |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
         |  TRUE AS recall_ok
-        |FROM embeddings WHERE vec_id < 8""".stripMargin)
+        |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "q29_data_quality" ->
+      """WITH n AS (SELECT COUNT(*) AS n_rows FROM lineitem)
+        |SELECT * FROM (
+        |  SELECT 'in_range(l_quantity,1.0,25.0)' AS "check",
+        |    CAST(SUM(CASE WHEN l_quantity IS NULL OR l_quantity < 1.0
+        |             OR l_quantity > 25.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_violations,
+        |    (SELECT n_rows FROM n) AS n_rows
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'not_null(l_returnflag)',
+        |    CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT),
+        |    (SELECT n_rows FROM n)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ref_integrity(l_partkey->small_parts.p_partkey)',
+        |    CAST(COUNT(*) FILTER (WHERE l_partkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM part
+        |        WHERE p_partkey = l_partkey AND p_partkey < 1000))
+        |      AS BIGINT),
+        |    (SELECT n_rows FROM n)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'ref_integrity(l_suppkey->supplier.s_suppkey)',
+        |    CAST(COUNT(*) FILTER (WHERE l_suppkey IS NOT NULL
+        |      AND NOT EXISTS (SELECT 1 FROM supplier
+        |        WHERE s_suppkey = l_suppkey)) AS BIGINT),
+        |    (SELECT n_rows FROM n)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'satisfies(discount_not_above_tax)',
+        |    CAST(SUM(CASE WHEN l_discount <= l_tax THEN 0 ELSE 1 END)
+        |      AS BIGINT),
+        |    (SELECT n_rows FROM n)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique(l_orderkey,l_linenumber)',
+        |    (SELECT CAST(COALESCE(SUM(cnt - 1), 0) AS BIGINT)
+        |     FROM (SELECT COUNT(*) AS cnt FROM lineitem
+        |           GROUP BY l_orderkey, l_linenumber)),
+        |    (SELECT n_rows FROM n))
+        |ORDER BY "check"""".stripMargin)
 }

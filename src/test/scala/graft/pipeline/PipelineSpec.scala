@@ -517,6 +517,30 @@ class PipelineSpec extends SparkSpec {
     assert(full === plain)
   }
 
+  test("data-quality audit: exact violation counts on a crafted frame") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some(5.0), "a"),   // clean
+      (Some(1L), Some(500.0), "a"), // dup key + out of range
+      (None, Some(5.0), "b"),       // null key (not-null + FK skip-null)
+      (Some(9L), None, "c"),        // FK miss (9 not in dim) + null range
+      (Some(2L), Some(-1.0), "d")   // below range
+    ).toDF("k", "v", "tag")
+    val dim = Seq(1L, 2L, 3L).toDF("id")
+    val out = DataQuality.audit(df, Seq(
+      DataQuality.NotNull("k"),
+      DataQuality.InRange("v", 0.0, 100.0),
+      DataQuality.Satisfies("tag_not_d", "tag <> 'd'"),
+      DataQuality.Unique(Seq("k")),
+      DataQuality.RefIntegrity("k", dim, "id", "dim")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("not_null(k)") === 1)
+    assert(out("in_range(v,0.0,100.0)") === 3) // 500, null, -1
+    assert(out("satisfies(tag_not_d)") === 1)
+    assert(out("unique(k)") === 1) // key 1 appears twice -> 1 excess row
+    assert(out("ref_integrity(k->dim.id)") === 1) // the 9; null k skipped
+  }
+
   test("PQ index: parquet round trip is lossless; probe matches in-memory") {
     import spark.implicits._
     val emb = Tables.embeddings(spark, sfTiny)
