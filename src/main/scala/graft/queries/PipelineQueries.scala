@@ -44,7 +44,28 @@ object PipelineQueries {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     residentPairs.clear()
+    // the BPE vocab is localCheckpoint-backed: a storage sweep kills its
+    // blocks with NO lineage to recompute from, so the memo must go too
+    // (next gate retrains) — same contract as the pair-frame memo above
+    residentBpe.clear()
   }
+
+  /** t16/t17 share one trained tokenizer per (session, dir): training is
+    * driver-paced (one argmax collect per merge round), so the second gate
+    * must reuse the first's model, not retrain. */
+  private val residentBpe = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Bpe.Model]
+
+  /** Merge-round count for the BPE gates — small enough that the corpus
+    * never runs out of adjacent pairs (the unrolled oracle assumes every
+    * round's argmax is non-empty), large enough that multi-step merge
+    * interactions (merged symbols re-merging) are exercised. */
+  private val BpeRounds = 20
+
+  private[graft] def bpeShared(spark: SparkSession, d: String)
+      : graft.pipeline.Bpe.Model =
+    residentBpe.getOrElseUpdate((spark, d),
+      graft.pipeline.Bpe.train(Tables.documents(spark, d), BpeRounds))
 
   /** d01 — exact dedup summary: distinct normalized texts vs raw rows. */
   def d01ExactDedup(spark: SparkSession, d: String): DataFrame = {
@@ -834,7 +855,36 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
+  /** t16 — BPE tokenizer training ([[graft.pipeline.Bpe.train]], 20
+    * distributed pair-count rounds over the full documents corpus): the
+    * learned merge table (rank, lhs, rhs, pair frequency at merge time).
+    * Deterministic by the total argmax order (freq DESC, lhs, rhs), so the
+    * DuckDB oracle re-derives the IDENTICAL merges by unrolling all 20
+    * rounds — per round: position-counted pair frequencies, the same
+    * argmax, and merge application as repeated first-occurrence
+    * replacement in a recursive CTE (equivalent to the engine's greedy
+    * left-to-right pass; see the Bpe scaladoc for the proof sketch). */
+  def t16BpeTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Bpe.mergeTable(spark, bpeShared(spark, d))
+      .orderBy($"rank")
+  }
+
+  /** t17 — BPE corpus encoding by vocabulary join: per document, the
+    * whitespace word count and the BPE token count under the t16 vocab.
+    * The encode path is the 100 TB shape — one explode + one broadcast
+    * equi-join on the word key against the trained word table; no per-row
+    * fold math anywhere near the corpus. */
+  def t17BpeEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Bpe.encodeTokenCounts(
+        Tables.documents(spark, d), bpeShared(spark, d))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t16_bpe_train" -> (t16BpeTrain _),
+    "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -884,6 +934,74 @@ object PipelineQueries {
     "s02_ivf_topk" -> (s02IvfTopk _),
     "s03_ivf_kmeans" -> (s03IvfKmeans _))
 
+  /** The t16/t17 oracle's shared CTE chain: BPE training unrolled to
+    * [[BpeRounds]] rounds (the g10/g13 unrolling idiom). Per round k:
+    * `p_k` position-counts adjacent pairs of the round-(k−1) vocab,
+    * `b_k` is the deterministic argmax (freq DESC, lhs, rhs — DuckDB and
+    * Spark agree on binary string order for this ASCII corpus), the
+    * recursive `m_k` applies the merge as repeated FIRST-occurrence
+    * replacement until none remains (provably equal to the engine's one
+    * greedy left-to-right pass — a merge can never create a new occurrence
+    * of its own pair), and `w_k` keeps each word's fixpoint row. The
+    * chosen pair is CROSS JOINed in (single row) because DuckDB lambdas
+    * cannot hold subqueries. */
+  private def bpeOracleChain: String = {
+    val w0 =
+      """w0 AS MATERIALIZED (
+        |  SELECT word, COUNT(*)::BIGINT AS cnt,
+        |    list_transform(generate_series(1, length(word)),
+        |                   i -> word[i]) AS seq
+        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |                                            '\s+')) AS word
+        |        FROM documents WHERE text IS NOT NULL) t
+        |  WHERE word <> '' GROUP BY word)""".stripMargin
+    val stages = (1 to BpeRounds).map { k =>
+      s"""p$k AS MATERIALIZED (
+         |  SELECT seq[i] AS l, seq[i+1] AS r, SUM(cnt)::BIGINT AS c
+         |  FROM (SELECT cnt, seq,
+         |          unnest(generate_series(1, len(seq)-1)) AS i
+         |        FROM w${k - 1})
+         |  GROUP BY 1, 2),
+         |b$k AS MATERIALIZED (SELECT l, r, c FROM p$k ORDER BY c DESC, l, r LIMIT 1),
+         |m$k(word, cnt, seq) AS (
+         |  SELECT word, cnt, seq FROM w${k - 1}
+         |  UNION ALL
+         |  SELECT word, cnt, seq[1:idx-1] || [l || r] || seq[idx+2:]
+         |  FROM (SELECT m$k.word, m$k.cnt, m$k.seq, b$k.l, b$k.r,
+         |          COALESCE(list_filter(generate_series(1, len(seq)-1),
+         |            i -> seq[i] = l AND seq[i+1] = r)[1], 0) AS idx
+         |        FROM m$k CROSS JOIN b$k) WHERE idx > 0),
+         |w$k AS MATERIALIZED (
+         |  SELECT word, cnt, seq FROM m$k CROSS JOIN b$k
+         |  WHERE len(list_filter(generate_series(1, len(seq)-1),
+         |    i -> seq[i] = l AND seq[i+1] = r)) = 0)""".stripMargin
+    }
+    "WITH RECURSIVE " + (w0 +: stages).mkString(",\n")
+  }
+
+  private lazy val bpeTrainOracle: String = {
+    val rows = (1 to BpeRounds).map { k =>
+      if (k == 1) s"SELECT 1::BIGINT AS rank, l AS lhs, r AS rhs, c AS freq FROM b1"
+      else s"SELECT $k::BIGINT, l, r, c FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""$bpeOracleChain
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY rank""".stripMargin
+  }
+
+  private lazy val bpeEncodeOracle: String =
+    s"""$bpeOracleChain,
+       |tok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(len(w.seq))::BIGINT AS n_bpe_tokens
+       |FROM (SELECT * FROM tok WHERE word <> '') t
+       |JOIN w$BpeRounds w USING (word)
+       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+
   private val jaccardOracle =
     // gram count is bounded by the LOWERED length (lowercasing can change
     // codepoint count, e.g. U+0130) — same convention as the Spark kernel
@@ -903,6 +1021,8 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t16_bpe_train" -> bpeTrainOracle,
+    "t17_bpe_encode" -> bpeEncodeOracle,
     "d01_exact_dedup" ->
       """SELECT COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
         |    AS n_unique,

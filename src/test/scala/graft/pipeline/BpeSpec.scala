@@ -1,0 +1,118 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** BPE tokenizer: merge-fold semantics, distributed training vs a plain
+  * driver-side reference trainer, and encode path equivalences. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain single-threaded BPE trainer (the Sennrich et al. 2016 reference
+    * algorithm, verbatim over a word-count map) — the independent oracle
+    * the distributed trainer must match merge-for-merge. */
+  private def referenceTrain(wordCounts: Map[String, Long], numMerges: Int)
+      : (Seq[(String, String, Long)], Map[String, Vector[String]]) = {
+    var vocab: Map[String, (Long, Vector[String])] =
+      wordCounts.map { case (w, c) => w -> (c, w.map(_.toString).toVector) }
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.values.foreach { case (c, syms) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        val ((l, r), c) = pairs.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((l, r, c))
+        vocab = vocab.map { case (w, (cnt, syms)) =>
+          val out = Vector.newBuilder[String]
+          var last: Option[String] = None
+          syms.foreach { x =>
+            if (last.contains(l) && x == r) { out += (l + r); last = None }
+            else { last.foreach(out += _); last = Some(x) }
+          }
+          last.foreach(out += _)
+          // clearing `last` after a merge = greedy non-overlapping pass:
+          // the merged token can never left-merge with the same pair
+          // anyway (l+r is strictly longer than l), so one symbol of
+          // lookbehind is exactly the engine's fold semantics
+          w -> (cnt, out.result())
+        }
+        k += 1
+      }
+    }
+    (merges.result(), vocab.map { case (w, (_, s)) => w -> s })
+  }
+
+  test("merge fold is greedy left-to-right, non-overlapping") {
+    val df = Seq(
+      ("aaaa", Seq("a", "a", "a", "a")),
+      ("aaa", Seq("a", "a", "a")),
+      ("a", Seq("a")),
+      ("ab", Seq("a", "b"))).toDF("w", "syms")
+    val out = df.select($"w",
+      Bpe.applyMergeFold($"syms", lit("a"), lit("a")).as("m"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("aaaa") == Seq("aa", "aa"))
+    assert(out("aaa") == Seq("aa", "a"))
+    assert(out("a") == Seq("a"))
+    assert(out("ab") == Seq("a", "b"))
+  }
+
+  test("merged token chains: (a,b)->ab then (ab,c)->abc") {
+    val df = Seq(Seq("a", "b", "c", "a", "b")).toDF("syms")
+    val once = df.select(
+      Bpe.applyMergeFold($"syms", lit("a"), lit("b")).as("syms"))
+    val twice = once.select(
+      Bpe.applyMergeFold($"syms", lit("ab"), lit("c")).as("syms"))
+    assert(twice.as[Seq[String]].head() == Seq("abc", "ab"))
+  }
+
+  test("distributed train matches the reference trainer merge-for-merge") {
+    val corpus = Seq(
+      "low low low low low",
+      "lower lower newer newer newer newer",
+      "newest newest newest widest widest",
+      "low lower newest")
+    val docs = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, numMerges = 12)
+    val wc = corpus.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (refMerges, refVocab) = referenceTrain(wc, 12)
+    assert(model.merges.map(m => (m.lhs, m.rhs, m.freq)) == refMerges)
+    val vocab = model.vocab.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    refVocab.foreach { case (w, syms) =>
+      assert(vocab(w) == syms, s"vocab mismatch for '$w'")
+    }
+  }
+
+  test("trained vocab round-trips: symbols concatenate back to the word") {
+    val model = graft.queries.PipelineQueries.bpeShared(spark, sfTiny)
+    val bad = model.vocab
+      .filter(concat_ws("", $"syms") =!= $"word")
+    assert(bad.count() == 0, "a vocab row's symbols do not rebuild its word")
+    assert(model.merges.size == 20)
+    // ranks are 1..20 and frequencies are the argmax of their round —
+    // monotonicity is NOT required (later merges can beat earlier counts
+    // only if ties were broken), but every freq must be >= 1
+    assert(model.merges.map(_.rank) == (1 to 20))
+    assert(model.merges.forall(_.freq >= 1L))
+  }
+
+  test("encodeWord fold path equals the trained vocab join path") {
+    val model = graft.queries.PipelineQueries.bpeShared(spark, sfTiny)
+    val mismatched = model.vocab
+      .withColumn("folded", Bpe.encodeWord($"word", model.merges))
+      .filter($"folded" =!= $"syms")
+    assert(mismatched.count() == 0,
+      "per-word fold encoding diverges from the trained vocabulary")
+  }
+}
