@@ -781,4 +781,89 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .select(col("new_id"), col("corpus_id"), col("jac"))
   }
+
+  /** Exact-substring duplicate spans (Lee, Ippolito et al., ACL 2022
+    * "Deduplicating Training Data Makes Language Models Better" — the
+    * ExactSubstr dedup): every maximal character span of the normalized
+    * text whose length-`minLen` windows ALL occur elsewhere in the corpus
+    * (any document, any position — including elsewhere in the same
+    * document) is emitted as a `(doc, span_start, span_end)` removal,
+    * 1-based inclusive. Unlike [[duplicatedSpanCoverage]] (d09's
+    * fixed-length cross-document token-gram coverage STATISTIC), this is
+    * the removal operator proper: character-precise maximal spans, and
+    * within-document repetition counts as duplication, exactly as a
+    * suffix array over the concatenated corpus would report it.
+    *
+    * The suffix-array formulation re-expressed for a cluster: a position
+    * is inside a duplicated span of length ≥ L iff one of its covering
+    * L-windows occurs at ≥ 2 corpus positions — and "shares a prefix of
+    * length ≥ L with its lexicographic neighbor" degenerates, for a key
+    * bounded at exactly L, to "L-key occurs twice". That turns the
+    * single-machine suffix SORT into a hash-partitioned groupBy with
+    * map-side partial counts: no global order, no partition-boundary
+    * straddle to patch up.
+    *
+    * Scale: the corpus explodes to one row per character position, so the
+    * dominant cost is the position shuffle. It is paid on an 8-byte
+    * xxhash64 of the window, NOT the L-char window itself (first groupBy);
+    * the survivors — hash-duplicated candidates, a small fraction of a
+    * real corpus — are then EXACT-verified on the materialized key (equal
+    * keys always hash equal, so the prefilter has no false negatives, and
+    * the exact second pass kills hash collisions: the result is
+    * value-exact). Both candidate filters broadcast under a
+    * [[graft.util.LimitProbe]] guard and fall back to shuffled semi-joins
+    * past it. Span merging is one per-document window (the d09 interval
+    * idiom): flagged starts sorted per doc, a run breaks where the next
+    * start clears the running max end by more than one, contiguous-or-
+    * overlapping L-windows fuse into maximal removal spans. */
+  def exactSubstrSpans(docs: DataFrame, minLen: Int = 40,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastKeyLimit: Long = 2000000L): DataFrame = {
+    val L = minLen
+    require(L >= 2, "need a minimum duplicated-substring length >= 2")
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), normText(col(textCol)).as("t"))
+    val pos = spread(base.filter(length(col("t")) >= L))
+      .select(col(idCol),
+        explode(sequence(lit(1), length(col("t")) - (L - 1))).as("i"),
+        col("t"))
+      .select(col(idCol), col("i"),
+        col("t").substr(col("i"), lit(L)).as("key"))
+      .withColumn("h", xxhash64(col("key")))
+    // phase 1: duplicate candidates by 8-byte hash — the corpus-sized
+    // shuffle moves (id, i, h), never the L-char windows
+    val dupHash = pos.select(col("h")).groupBy(col("h"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("h"))
+      .localCheckpoint(true) // read twice: size probe + join build side
+    val hashSide =
+      if (graft.util.LimitProbe.atMost(dupHash, broadcastKeyLimit))
+        broadcast(dupHash)
+      else dupHash
+    val cand = pos.join(hashSide, Seq("h"), "left_semi")
+    // phase 2: exact verification on the candidate slice only — a 64-bit
+    // collision would otherwise flag a unique span
+    val dupKey = cand.select(col("key")).groupBy(col("key"))
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).select(col("key"))
+      .localCheckpoint(true)
+    val keySide =
+      if (graft.util.LimitProbe.atMost(dupKey, broadcastKeyLimit))
+        broadcast(dupKey)
+      else dupKey
+    val flagged = cand.join(keySide, Seq("key"), "left_semi")
+      .select(col(idCol), col("i").cast("long").as("s"),
+        (col("i") + (L - 1)).cast("long").as("e"))
+    // merge overlapping-or-contiguous L-windows into maximal spans
+    val before = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val upToHere = Window.partitionBy(col(idCol)).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    flagged
+      .withColumn("brk",
+        when(col("s") > coalesce(max(col("e")).over(before), lit(-1L)) + 1,
+          lit(1L)).otherwise(lit(0L)))
+      .withColumn("run", sum(col("brk")).over(upToHere))
+      .groupBy(col(idCol), col("run"))
+      .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
+      .select(col(idCol), col("span_start"), col("span_end"))
+  }
 }

@@ -882,7 +882,24 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** d16 — exact-substring dedup ([[Dedup.exactSubstrSpans]], the Lee et
+    * al. ACL'22 ExactSubstr removal operator, min duplicated length 40
+    * chars): per document with any duplicated span, the maximal-span
+    * count, removed-character total and longest span — all integers, so
+    * the DuckDB oracle (same positions → dup windows → interval merge in
+    * plain SQL) hash-matches exactly. */
+  def d16ExactSubstr(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.exactSubstrSpans(Tables.documents(spark, d), minLen = 40)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum($"span_end" - $"span_start" + 1).as("removed_chars"),
+        max($"span_end" - $"span_start" + 1).as("max_span_len"))
+      .orderBy($"doc_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d16_exact_substr" -> (d16ExactSubstr _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1021,6 +1038,38 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d16_exact_substr" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+        |  FROM documents WHERE text IS NOT NULL),
+        |pos AS (
+        |  SELECT doc_id, i, substring(t, i, 40) AS key
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 39))
+        |          AS i
+        |        FROM d WHERE length(t) >= 40)),
+        |dup AS (SELECT key FROM pos GROUP BY key HAVING COUNT(*) >= 2),
+        |f AS (
+        |  SELECT doc_id, i::BIGINT AS s, (i + 39)::BIGINT AS e
+        |  FROM pos WHERE key IN (SELECT key FROM dup)),
+        |runs AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      -1) + 1
+        |    THEN 1 ELSE 0 END AS brk
+        |  FROM f),
+        |spans AS (
+        |  SELECT doc_id, MIN(s) AS sp_s, MAX(e) AS sp_e
+        |  FROM (SELECT doc_id, s, e, SUM(brk) OVER (
+        |          PARTITION BY doc_id ORDER BY s
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+        |        FROM runs)
+        |  GROUP BY doc_id, run)
+        |SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
+        |  SUM(sp_e - sp_s + 1)::BIGINT AS removed_chars,
+        |  MAX(sp_e - sp_s + 1)::BIGINT AS max_span_len
+        |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t16_bpe_train" -> bpeTrainOracle,
     "t17_bpe_encode" -> bpeEncodeOracle,
     "d01_exact_dedup" ->
