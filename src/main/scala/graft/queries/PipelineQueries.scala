@@ -898,7 +898,30 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q30 — hashed-bigram linear quality/tier classifier
+    * ([[graft.pipeline.QualityClassifier.nbTrainScore]], the
+    * CCNet/fastText filter class): trained on the even-doc_id half to
+    * predict the corpus's synthetic tier column (lang = 'en'), scored on
+    * the held-out half; per-label document counts, positive predictions
+    * and integer micro-log-odds sums. Everything after the two ln-of-
+    * integer weight tables is integer arithmetic, so the DuckDB oracle
+    * (same hash, same counts, same fixed-point rounding) hash-matches. */
+  def q30QualityClassifier(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.QualityClassifier.nbTrainScore(
+        Tables.documents(spark, d),
+        label = when($"lang" === "en", 1).otherwise(0),
+        isTrain = pmod($"doc_id", lit(2)) === 0)
+      .filter(!$"is_train")
+      .groupBy($"label")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"pred" === 1, 1)).as("n_pred_pos"),
+        sum($"score").as("score_sum"))
+      .orderBy($"label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q30_quality_classifier" -> (q30QualityClassifier _),
     "d16_exact_substr" -> (d16ExactSubstr _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -1038,6 +1061,56 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q30_quality_classifier" ->
+      // the kernel's exact pipeline: explicit base-257 mod-1000003 gram
+      // hash mod 4096, NB class counts over the even-doc_id train slice,
+      // fixed-point micro-log-odds weights (fixed ln combination order),
+      // integer score sums + prior bias on the held-out slice
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS label,
+        |    doc_id % 2 = 0 AS is_train,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |g AS (
+        |  SELECT doc_id, label, is_train,
+        |    unnest([array_to_string(toks[i:i+1], ' ')
+        |            for i in generate_series(1, len(toks)-1)]) AS gram
+        |  FROM t),
+        |fx AS (
+        |  SELECT doc_id, label, is_train,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [ord(substring(gram, i, 1))
+        |       for i in generate_series(1, length(gram))]::BIGINT[]),
+        |      (acc, c) -> (acc * 257 + c) % 1000003) % 4096 AS f
+        |  FROM g),
+        |cnt AS (
+        |  SELECT f, SUM(label)::BIGINT AS cpos,
+        |    SUM(1 - label)::BIGINT AS cneg
+        |  FROM fx WHERE is_train GROUP BY f),
+        |tot AS (SELECT SUM(cpos)::BIGINT AS npos,
+        |               SUM(cneg)::BIGINT AS nneg FROM cnt),
+        |w AS (
+        |  SELECT f, CAST(round(1000000.0 * (ln(cpos + 1) - ln(cneg + 1)
+        |    + ln(nneg + 4096) - ln(npos + 4096))) AS BIGINT) AS w
+        |  FROM cnt CROSS JOIN tot),
+        |prior AS (
+        |  SELECT CAST(round(1000000.0 *
+        |    (ln(COUNT(*) FILTER (WHERE label = 1) + 1)
+        |     - ln(COUNT(*) FILTER (WHERE label = 0) + 1))) AS BIGINT) AS bias
+        |  FROM t WHERE is_train),
+        |sc AS (
+        |  SELECT fx.doc_id, SUM(COALESCE(w.w, 0))::BIGINT AS s
+        |  FROM fx LEFT JOIN w USING (f) WHERE NOT fx.is_train
+        |  GROUP BY fx.doc_id),
+        |scored AS (
+        |  SELECT t.doc_id, t.label,
+        |    (SELECT bias FROM prior) + COALESCE(sc.s, 0) AS score
+        |  FROM t LEFT JOIN sc USING (doc_id) WHERE NOT t.is_train)
+        |SELECT label, COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(*) FILTER (WHERE score >= 0)::BIGINT AS n_pred_pos,
+        |  SUM(score)::BIGINT AS score_sum
+        |FROM scored GROUP BY label ORDER BY label""".stripMargin,
     "d16_exact_substr" ->
       """WITH d AS (
         |  SELECT doc_id,
