@@ -162,6 +162,64 @@ object Similarity {
     (spark.read.parquet(s"$dir/centroids"),
       spark.read.parquet(s"$dir/assignments"))
 
+  /** Assign a vector batch to the NEAREST EXISTING cell of a persisted
+    * quantizer frame (cell, cvec) — the no-retrain maintenance path. The
+    * quantizer is collected (nCells rows — the bounded-index posture) and
+    * flows as broadcast DATA; the argmin is the same squared-L2 the
+    * builder uses, with the argmin position mapped back to the persisted
+    * cell ids (cells can be non-contiguous when a build left a cell
+    * empty). Returns (id, cell). */
+  def assignToCells(batch: DataFrame, centroids: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val cents = centroids
+      .select(col("cell").cast("int"), col("cvec").cast("array<double>"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toSeq))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "assignToCells: empty quantizer")
+    val centDf = Seq((cents.toSeq.map(_._2), cents.toSeq.map(_._1)))
+      .toDF("cents", "ids").withColumn("ck", lit(1))
+    val v = batch.select(col(idCol).as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    val dists = transform(col("cents"), c =>
+      aggregate(zip_with(col("vec"), c, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, d) => acc + d))
+    v.withColumn("ck", lit(1)).join(broadcast(centDf), "ck")
+      .withColumn("cell",
+        element_at(col("ids"), array_position(dists, array_min(dists))
+          .cast("int")))
+      .select(col("id"), col("cell"))
+  }
+
+  /** Append a new-vector batch to a PERSISTED IVF index WITHOUT
+    * retraining (the FAISS `add`-after-`train` maintenance op): assign
+    * the batch against the stored quantizer, append the posting rows.
+    * The quantizer is untouched, so existing probes see the same cells
+    * and the daily-crawl increment costs one assignment pass over the
+    * batch — never a rebuild of the corpus index. */
+  def appendIvfIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val (cent, _) = readIvfIndex(spark, dir)
+    assignToCells(batch, cent, idCol, vecCol)
+      .write.mode("append").parquet(s"$dir/assignments")
+  }
+
+  /** Append a batch to a PERSISTED PQ index WITHOUT retraining: encode
+    * with the stored codebook, append the code rows. Because encoding is
+    * a pure per-row function of (vector, codebook), the appended index is
+    * BIT-IDENTICAL to re-encoding the union corpus against the same
+    * codebook — the probe-equality contract the spec pins. */
+  def appendPqIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      batch: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): Unit = {
+    val (cb, _) = readPqIndex(spark, dir)
+    pqEncode(batch, cb, idCol, vecCol)
+      .write.mode("append").parquet(s"$dir/codes")
+  }
+
   /** Probe a LOADED index against the base corpus table. */
   def ivfProbeIndex(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, assignments: DataFrame, k: Int, nprobe: Int,

@@ -772,6 +772,35 @@ object PipelineQueries {
       emb, 5), minRecall = 0.5)
   }
 
+  /** s10 — INCREMENTAL ANN index maintenance: build the persisted PQ
+    * index on the vec_id%5≠4 seed slice, APPEND the remaining batch with
+    * [[Similarity.appendPqIndex]] (encode against the stored codebook —
+    * no retraining), read the index back and probe it against the FULL
+    * corpus. Contract form as s08 plus `n_codes` — the appended code
+    * table must hold exactly one row per corpus vector, so a lost or
+    * double-appended batch fails the hash compare even before recall
+    * moves; a stale codebook, lossy parquet round trip or broken append
+    * drops recall below the floor (same 0.5 as s08; codebook trained on
+    * 80 % of the corpus — measured 0.975 at the oracle SF). */
+  def s10IncrementalAnn(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val seed = emb.filter(pmod($"vec_id", lit(5)) =!= 4)
+    val batch = emb.filter(pmod($"vec_id", lit(5)) === 4)
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_pq_inc_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    val cb = Similarity.pqTrain(seed, m = 16, ksub = 64, iters = 4)
+    Similarity.writePqIndex(spark, cb, Similarity.pqEncode(seed, cb), dir)
+    Similarity.appendPqIndex(spark, dir, batch)
+    val (cb2, codes2) = Similarity.readPqIndex(spark, dir)
+    val ann = Similarity.pqTopK(emb.filter($"vec_id" < 8), codes2, emb,
+      cb2, k = 5, rerankFactor = 8)
+    annRecallSummary(ann, Similarity.bruteForceTopK(emb.filter($"vec_id" < 8),
+        emb, 5), minRecall = 0.5)
+      .crossJoin(codes2.agg(count(lit(1)).as("n_codes")))
+      .select($"n_queries", $"n_results", $"n_codes", $"recall_ok")
+  }
+
   /** q29 — DATA-QUALITY AUDIT ([[graft.pipeline.DataQuality]], the
     * Deequ-style "unit tests for data" pass a table runs before feeding
     * training): six declarative checks over lineitem — not-null,
@@ -922,6 +951,7 @@ object PipelineQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q30_quality_classifier" -> (q30QualityClassifier _),
+    "s10_incremental_ann" -> (s10IncrementalAnn _),
     "d16_exact_substr" -> (d16ExactSubstr _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2048,6 +2078,16 @@ object PipelineQueries {
         |  CAST(5 * COUNT(*) AS BIGINT) AS n_results,
         |  TRUE AS recall_ok
         |FROM embeddings WHERE vec_id < 8""".stripMargin,
+    "s10_incremental_ann" ->
+      // s08 contract plus append completeness: the incrementally-
+      // maintained code table must hold exactly one row per corpus vector
+      """SELECT CAST(COUNT(*) FILTER (WHERE vec_id < 8) AS BIGINT)
+        |    AS n_queries,
+        |  CAST(5 * COUNT(*) FILTER (WHERE vec_id < 8) AS BIGINT)
+        |    AS n_results,
+        |  CAST(COUNT(*) AS BIGINT) AS n_codes,
+        |  TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
     "s09_pq_ivf" ->
       // same contract form: broken cell probing, posting joins or ADC
       // scoring inside the composition flips recall_ok

@@ -1,0 +1,38 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Similarity
+import graft.util.Tables
+
+/** Measure s10's incremental-PQ recall@5 (seed-trained codebook, appended
+  * batch) against brute force — the measured grid behind the gate's 0.5
+  * floor. Usage: runMain graft.tools.ProbeS10 [sfDir...] */
+object ProbeS10 {
+  def main(args: Array[String]): Unit = {
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    val spark = graft.util.Sessions.local(8)
+    import spark.implicits._
+    dirs.foreach { d =>
+      val emb = Tables.embeddings(spark, d)
+      val seed = emb.filter(pmod($"vec_id", lit(5)) =!= 4)
+      val batch = emb.filter(pmod($"vec_id", lit(5)) === 4)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_probe_s10").toString
+      val cb = Similarity.pqTrain(seed, m = 16, ksub = 64, iters = 4)
+      Similarity.writePqIndex(spark, cb, Similarity.pqEncode(seed, cb), dir)
+      Similarity.appendPqIndex(spark, dir, batch)
+      val (cb2, codes2) = Similarity.readPqIndex(spark, dir)
+      val ann = Similarity.pqTopK(emb.filter($"vec_id" < 8), codes2, emb,
+        cb2, k = 5, rerankFactor = 8)
+      val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb, 5)
+      val nBrute = brute.count()
+      val hits = brute.select($"qid", $"nid")
+        .join(ann.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
+        .count()
+      println(s"PROBE_S10 $d recall@5 = ${hits.toDouble / nBrute} " +
+        s"($hits/$nBrute)")
+    }
+    spark.stop()
+  }
+}

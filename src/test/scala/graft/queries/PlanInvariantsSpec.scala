@@ -20,6 +20,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "s06_range_search", // radius query: tiny broadcast query side
     "s07_ivf_index", // contract rollup: single-row aggregates crossed
     "s08_pq_topk", // 1-row codebook broadcast + tiny query-LUT broadcast
+    "s10_incremental_ann", // s08 shape over the appended persisted index
     "s09_pq_ivf", // 1-row codebook + tiny centroid/probe broadcasts
     "q26_leakage_split", // straddle-invariant scalar crossed into the rollup
     "s05_knn_join_lsh", // contract rollup: 4 single-row aggregates crossed
