@@ -782,6 +782,38 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jac"))
   }
 
+  /** The banded-MinHash front half of [[minhashDedupWords]] exposed as a
+    * row stream — (id, ghash, band, bucket), one row per (doc, band) —
+    * for consumers that maintain the band index THEMSELVES, specifically
+    * the st11 streaming ingest dedup ([[graft.streaming.EventStreams
+    * .nearDupPairsStream]]): no localCheckpoint, no spread repartition,
+    * no driver-side anything, so the plan is legal under Structured
+    * Streaming. Grams ride as 8-byte xxhash64 values (`ghash`) so the
+    * per-bucket state stores longs, not strings — hashed-gram Jaccard
+    * equals string-gram Jaccard up to a 2⁻⁶⁴ in-pair collision. The
+    * banding expression is byte-identical to [[minhashBandVerify]]'s, so
+    * a band-index consumer sees exactly the batch operator's candidate
+    * buckets. */
+  def wordBandRows(docs: DataFrame, w: Int, numHashes: Int,
+      rowsPerBand: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    val numBands = numHashes / rowsPerBand
+    docs.filter(length(col(textCol)) >= 2 * w - 1)
+      .select(col(idCol).as("id"),
+        TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
+          .as("grams"))
+      .filter(size(col("grams")) > 0)
+      .withColumn("sig",
+        graft.functions.MinHashSignature.minhashSig(col("grams"), numHashes))
+      .withColumn("ghash", transform(col("grams"), g => xxhash64(g)))
+      .select(col("id"), col("ghash"),
+        posexplode(array((0 until numBands).map { b =>
+          xxhash64(lit(b) +: (0 until rowsPerBand)
+            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
+        }: _*)).as(Seq("band", "bucket")))
+  }
+
   /** Exact-substring duplicate spans (Lee, Ippolito et al., ACL 2022
     * "Deduplicating Training Data Makes Language Models Better" — the
     * ExactSubstr dedup): every maximal character span of the normalized

@@ -96,7 +96,21 @@ object StreamQueries {
     EventStreams.hourlyActiveUsers(Tables.eventsWithTs(spark, d))
       .orderBy(col("hour_start"))
 
+  /** st11 — streaming near-dup detection's batch leg: word-5-shingle
+    * MinHash+LSH pairs at threshold 0.8 over the documents table
+    * ([[graft.pipeline.Dedup.minhashDedupWords]], 128 hashes × 2
+    * rows/band — miss probability ≈ 4e-29 at t = 0.8, so the brute
+    * all-pairs DuckDB oracle matches exactly, the d04/d11 convention).
+    * The streaming twin ([[EventStreams.nearDupPairsStream]]) maintains
+    * the same band index as `flatMapGroupsWithState` state and is
+    * spec-asserted equal, including across a checkpointed restart. */
+  def st11NearDup(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Dedup
+      .minhashDedupWords(Tables.documents(spark, d), 5, 128, 2, 0.8)
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st11_near_dup" -> (st11NearDup _),
     "st10_hourly_users" -> (st10HourlyUsers _),
     "st09_funnel" -> (st09Funnel _),
     "st08_sliding_agg" -> (st08SlidingAgg _),
@@ -109,6 +123,23 @@ object StreamQueries {
     "st06_content_dedup" -> (st06ContentDedup _))
 
   val oracle: Map[String, String] = Map(
+    "st11_near_dup" ->
+      // brute all-pairs word-5-shingle jaccard (the d11 oracle) — the LSH
+      // band index must recover the exact pair set at this threshold
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                   for i in generate_series(1, len(toks) - 4)]) AS grams
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents WHERE text IS NOT NULL))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) AS jac
+        |FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+        |ORDER BY id_a, id_b""".stripMargin,
     "st10_hourly_users" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  COUNT(DISTINCT user_id) AS n_users

@@ -342,6 +342,88 @@ object EventStreams {
       .toDF("doc_id")
   }
 
+  /** Streaming NEAR-dup detection at ingest (the st11 operator — the
+    * streaming twin of the d04/d15 MinHash+LSH family): every arriving
+    * document's 64 band buckets are routed to a `flatMapGroupsWithState`
+    * BAND INDEX keyed on (band, bucket); the per-bucket state holds the
+    * members seen so far (id + xxhash64'd gram set), each arrival is
+    * exact-Jaccard-verified against them in-state, and verified pairs
+    * (id_a, id_b, jac) stream out the moment the duplicate arrives — the
+    * drop-at-ingest signal, with no corpus self-join ever.
+    *
+    * Equality contract (spec-pinned, including across restarts): the
+    * emitted DISTINCT pair set equals [[graft.pipeline.Dedup
+    * .minhashDedupWords]] over the union of everything ingested — same
+    * banding expression, same candidates, same verification formula
+    * (hashed-gram Jaccard == string-gram Jaccard up to 2⁻⁶⁴ collisions),
+    * and the pair set is arrival-order-independent because every bucket
+    * member pairs with every later arrival. A pair sharing several
+    * buckets emits one identical tuple per bucket — sinks dedup with
+    * `distinct` (exactly the batch operator's candidate dropDuplicates,
+    * moved to the consumer because cross-group dedup would be a second
+    * stateful stage).
+    *
+    * Scale/state: one entry per (band, document) inside the index —
+    * NoTimeout here because the gate corpus is bounded; a production
+    * ingest bounds the store exactly like [[funnelStream]] does, with an
+    * event-time timeout at the boilerplate-recurrence horizon, trading
+    * "dups farther apart than the horizon" for bounded state. */
+  def nearDupPairsStream(docs: DataFrame, w: Int = 5, numHashes: Int = 128,
+      rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    graft.pipeline.Dedup.wordBandRows(docs, w, numHashes, rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"), col("ghash"))
+      .as[(Int, Long, Long, Seq[Long])]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[(Long, Array[Long])],
+          (Long, Long, Double)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long, Double)]
+          // in-batch id order: within one micro-batch the earlier id is
+          // the "corpus" side, exactly as a row-at-a-time ingest would see
+          rows.toSeq.sortBy(_._3).foreach { r =>
+            val g = r._4.toArray
+            val gs = g.toSet
+            members.foreach { case (mid, mg) =>
+              if (mid != r._3) {
+                var inter = 0
+                mg.foreach(h => if (gs.contains(h)) inter += 1)
+                // same inclusion-exclusion dataflow as Dedup.jaccard
+                val jac = inter.toDouble /
+                  (mg.length.toDouble + g.length.toDouble - inter.toDouble)
+                if (jac >= threshold)
+                  out += ((math.min(mid, r._3), math.max(mid, r._3), jac))
+              }
+            }
+            members = members :+ ((r._3, g))
+          }
+          state.update(members)
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b", "jac")
+  }
+
+  /** Run [[nearDupPairsStream]] over the documents parquet as a real
+    * streaming query (append-mode memory sink). */
+  def runNearDupStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    val batchDf = Tables.documents(spark, sfDir)
+    val docs = spark.readStream
+      .schema(batchDf.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    nearDupPairsStream(docs)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run [[contentDedupStream]] over the documents parquet as a real
     * streaming query draining to a memory sink (append mode: each kept
     * doc_id is emitted exactly once, on first sight). */

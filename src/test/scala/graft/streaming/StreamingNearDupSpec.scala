@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** st11 — streaming near-dup detection: the flatMapGroupsWithState band
+  * index must emit exactly the batch MinHash+LSH pair set, on real data,
+  * on crafted duplicates, and across a checkpointed stop/restart whose
+  * duplicate pairs straddle the restart boundary. */
+class StreamingNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchPairs(docs: org.apache.spark.sql.DataFrame) =
+    graft.pipeline.Dedup.minhashDedupWords(docs, 5, 128, 2, 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+
+  test("stream == batch on the documents table (single drain)") {
+    val q = EventStreams.runNearDupStream(spark, sfTiny, "st11_mem")
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("st11_mem")
+      .as[(Long, Long, Double)].collect().toSet // distinct via toSet
+    val batch = batchPairs(graft.util.Tables.documents(spark, sfTiny))
+    assert(streamed == batch,
+      s"stream/batch pair sets diverge: only-stream=" +
+        s"${streamed -- batch}, only-batch=${batch -- streamed}")
+    assert(streamed.nonEmpty, "fixture produced no near-dup pairs")
+  }
+
+  test("band-index state survives a checkpointed restart: cross-restart " +
+    "pairs emit exactly once") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType}
+    val base = java.nio.file.Files.createTempDirectory("graft_st11").toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val sink = new java.io.File(base, "sink").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    // ≥5-token texts; a near-dup = the same text plus one appended token
+    // (46 of 47 grams shared → jac 46/47 ≈ 0.979); unique docs draw from
+    // doc-tagged vocabularies so no background pair clears 0.8
+    def text(tag: String): String =
+      (0 until 50).map(j => s"$tag$j").mkString(" ")
+    def nearDup(t: String, extra: String): String = s"$t $extra"
+    val tA = text("alpha"); val tB = text("beta"); val tC = text("gamma")
+    def writeFile(name: String, rows: Seq[(Long, String)]): Unit =
+      java.nio.file.Files.write(new java.io.File(src, name).toPath,
+        rows.map { case (id, t) => s"""{"doc_id":$id,"text":"$t"}""" }
+          .mkString("\n").getBytes("UTF-8"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("text", StringType)
+    def drainOnce(): Unit = {
+      val docs = spark.readStream.schema(schema).json(src.getAbsolutePath)
+      val q = EventStreams.nearDupPairsStream(docs)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // drain 1: an in-batch near-dup pair (1,2) and the future cross-
+    // restart partner 3
+    writeFile("a.json", Seq(
+      (1L, tA), (2L, nearDup(tA, "x1")), (3L, tB), (4L, tC)))
+    drainOnce()
+    // drain 2 (restart): 5 pairs with 3 ACROSS the restart boundary —
+    // only the checkpointed band index can see it; 6~7 pair in-batch;
+    // 8 unique
+    writeFile("b.json", Seq(
+      (5L, nearDup(tB, "x2")),
+      (6L, text("delta")), (7L, nearDup(text("delta"), "x3")),
+      (8L, text("epsi"))))
+    drainOnce()
+    val streamed = spark.read.parquet(sink)
+      .as[(Long, Long, Double)].collect()
+    val distinctPairs = streamed.toSet
+    // exactly-once per (pair, bucket) → after distinct, once per pair;
+    // the batch twin over the UNION of both files is the contract
+    val all = spark.read.schema(schema).json(src.getAbsolutePath)
+    val batch = batchPairs(all)
+    assert(distinctPairs == batch,
+      s"cross-restart pair set diverges: only-stream=" +
+        s"${distinctPairs -- batch}, only-batch=${batch -- distinctPairs}")
+    assert(batch.map(p => (p._1, p._2)) == Set((1L, 2L), (3L, 5L), (6L, 7L)),
+      s"fixture's planted pair set is off: $batch")
+    // the cross-restart pair (3,5) proves the state store carried file-a's
+    // band members through the stop/restart
+    assert(distinctPairs.exists(p => p._1 == 3L && p._2 == 5L),
+      "cross-restart near-dup pair lost — band index state did not survive")
+  }
+}
