@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.graph._
+import graft.pipeline.Dedup
 import graft.util.Tables
 
 /** Graph operator surface (SURVEY.md §2.2/§2.3/§2.4) exercised over the
@@ -286,7 +287,32 @@ object GraphParityQueries {
       .limit(20)
   }
 
+  /** g14 — weakly connected components ([[Dedup.connectedComponents]],
+    * the large-star/small-star contraction) as a first-class gate: WCC
+    * over the PRUNED TPC-H graph (CONTAINS/SUPPLIES restricted to every
+    * 20th part — SF-independent, leaving one web component plus hundreds
+    * of per-customer islands; the full graph is a single component, which
+    * exercises propagation but not separation). Top-20 components by size
+    * with an id-sum checksum, the g13 rollup shape, so the oracle pins
+    * the ASSIGNMENT. The oracle unrolls 14 rounds of min-label
+    * propagation (measured convergence: 8 rounds at the oracle SF, 10 at
+    * sf0.1) — labels are component minima either way, so the converged
+    * star contraction and the unrolled propagation agree exactly. */
+  def g14Wcc(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val g = TpchGraph.build(spark, d)
+    val pruned = g.edges.filter($"type".isin("PLACED", "NEXT") ||
+      pmod($"dst", lit(20)) === 0)
+    Dedup.connectedComponents(
+        pruned.select($"src".as("id_a"), $"dst".as("id_b")))
+      .groupBy($"cluster_id")
+      .agg(count(lit(1)).as("n_members"), sum($"id").as("id_sum"))
+      .orderBy($"n_members".desc, $"cluster_id")
+      .limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "g14_wcc" -> (g14Wcc _),
     "q28_scored_autocomplete" -> (q28ScoredAutocomplete _),
     "g13_label_propagation" -> (g13LabelPropagation _),
     "g11_bfs_distances" -> (g11BfsDistances _),
@@ -393,6 +419,7 @@ object GraphParityQueries {
         |JOIN pairs e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin,
     "g10_pagerank" -> pagerankOracle,
     "g13_label_propagation" -> lpaOracle,
+    "g14_wcc" -> wccOracle,
     "g12_kcore" ->
       // the same distinct-directed-edge CTE as g11, then the peel unrolled
       // to the operator's 4 rounds: degree over the doubled edge list,
@@ -512,6 +539,48 @@ object GraphParityQueries {
        |SELECT lbl, COUNT(*) AS n_members, CAST(SUM(id) AS BIGINT) AS id_sum
        |FROM l3 GROUP BY lbl
        |ORDER BY n_members DESC, lbl LIMIT 20""".stripMargin
+  }
+
+  /** 14 unrolled min-label propagation rounds over the PRUNED undirected
+    * edge set (every 20th part) — measured convergence is 8 rounds at the
+    * oracle SF, so labels are the exact component minima; MATERIALIZED
+    * CTEs stop DuckDB's default inlining from re-expanding the chain
+    * exponentially (each round reads its predecessor twice — the t16
+    * lesson). */
+  private lazy val wccOracle: String = {
+    val stages = (1 to 14).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT l.id, LEAST(l.lbl, COALESCE(m.nl, l.lbl)) AS lbl
+         |  FROM l${k - 1} l LEFT JOIN (
+         |    SELECT und.v AS id, MIN(lu.lbl) AS nl
+         |    FROM und JOIN l${k - 1} lu ON lu.id = und.u
+         |    GROUP BY und.v) m ON m.id = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT o_custkey::BIGINT AS src,
+       |         (o_orderkey + 1000000)::BIGINT AS dst FROM orders
+       |  UNION
+       |  SELECT (l_orderkey + 1000000)::BIGINT,
+       |         (l_partkey + 2000000)::BIGINT FROM lineitem
+       |  WHERE l_partkey % 20 = 0
+       |  UNION
+       |  SELECT (l_suppkey + 3000000)::BIGINT,
+       |         (l_partkey + 2000000)::BIGINT FROM lineitem
+       |  WHERE l_partkey % 20 = 0
+       |  UNION
+       |  SELECT src, dst FROM (
+       |    SELECT (o_orderkey + 1000000)::BIGINT AS src,
+       |      (lead(o_orderkey) OVER (PARTITION BY o_custkey
+       |         ORDER BY o_orderdate, o_orderkey) + 1000000)::BIGINT AS dst
+       |    FROM orders) t WHERE dst IS NOT NULL),
+       |und AS MATERIALIZED (SELECT src AS u, dst AS v FROM e
+       |        UNION SELECT dst, src FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT u AS id, u AS lbl FROM und),
+       |$stages
+       |SELECT lbl AS cluster_id, COUNT(*) AS n_members,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM l14 GROUP BY lbl
+       |ORDER BY n_members DESC, cluster_id LIMIT 20""".stripMargin
   }
 
   private lazy val pagerankOracle: String = {

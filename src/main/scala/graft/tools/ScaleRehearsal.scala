@@ -167,6 +167,19 @@ object ScaleRehearsal {
       println(s"[rehearsal]   communities=$nComm (must be k x base)")
       nComm
     }
+    // WCC: k disjoint copies carry the same built-in linearity oracle as
+    // triangles/LPA — the component count must be EXACTLY k x base (one
+    // giant component per replica of the full graph), and the star
+    // contraction's per-round cost must track the alive edge set. The
+    // replicated edge count also clears connectedComponents' bounded
+    // local fast path, so this measures the DISTRIBUTED contraction.
+    time(s"g14-shaped connected components over $k disjoint copies") {
+      val nComp = Dedup.connectedComponents(
+          repEdges.select($"src".as("id_a"), $"dst".as("id_b")))
+        .select(col("cluster_id")).distinct().count()
+      println(s"[rehearsal]   components=$nComp (must be k x base)")
+      nComp
+    }
   }
 
   private def pipelineFamily(spark: org.apache.spark.sql.SparkSession,
