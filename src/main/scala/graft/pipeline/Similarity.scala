@@ -560,18 +560,19 @@ object Similarity {
     * path — same shape, engine-private cells).
     *
     * Returns (cell, id, keep): every vector, flagged. Scale: one
-    * within-cell self-join (shuffles on cell — salt a mega-cell or cap
-    * cell size at the quantizer if skewed), exact cosine inside the join,
-    * then component contraction on the (tiny) above-threshold pair list. */
+    * within-cell self-join (shuffles on cell), exact cosine inside the
+    * join, then component contraction on the (tiny) above-threshold pair
+    * list. MEGA-CELL GUARD: cells above `saltBound` members are salted
+    * into triangle blocks ([[cellPairCandidates]]) so one skewed cell can
+    * never serialize its pairwise work onto one task — the pair set is
+    * IDENTICAL (not an approximation), so keep-flags are unchanged by
+    * construction and the d14 oracle holds verbatim. */
   def semanticDedupFlags(emb: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
-      cellCol: String = "label"): DataFrame = {
+      cellCol: String = "label", saltBound: Int = 10000): DataFrame = {
     val v = emb.select(col(cellCol).as("cell"), col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    val a = v.select(col("cell"), col("id").as("id_a"), col("vec").as("va"))
-    val b = v.select(col("cell"), col("id").as("id_b"), col("vec").as("vb"))
-    val pairs = a.join(b, Seq("cell"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = cellPairCandidates(v, saltBound)
       // same rounded-cosine convention as the brute/IVF top-k and d06:
       // identical IEEE expression order in both engines
       .filter(round(cosine(col("va"), col("vb")), 4) >= threshold)
@@ -586,6 +587,52 @@ object Similarity {
       .join(dropped.withColumn("dropFlag", lit(true)), Seq("id"), "left_outer")
       .select(col("cell"), col("id"),
         coalesce(!col("dropFlag"), lit(true)).as("keep"))
+  }
+
+  /** Within-cell candidate pairs with the MEGA-CELL SALT: every unordered
+    * pair of distinct vectors sharing a cell, exactly once, with per-task
+    * pairwise work bounded even when one cell dwarfs the rest (the d14
+    * skew hardening — the plain self-join shuffles on `cell`, so a
+    * mega-cell's |cell|² pair work lands on ONE task).
+    *
+    * Triangle blocking: each cell of n members gets a salt factor
+    * s = ⌈n / saltBound⌉ (one broadcast join against the cell-size table,
+    * which is quantizer-bounded — k cells, not corpus rows). A member
+    * with salt g = hash(id) mod s replicates to the s blocks
+    * (min(g,k), max(g,k)); the join runs on (cell, bl, bh), so block
+    * (p,q) holds only salts p and q — ~2n/s rows, (2n/s)² pair work per
+    * task, s(s+1)/2 tasks per mega-cell. Exactness: a cross-salt pair
+    * meets exactly in its own block in both orders, a same-salt-p pair
+    * would ALSO meet in every (p,k) block — the `bl = bh ∨ gₐ ≠ g_b`
+    * filter scopes same-salt pairs to their diagonal block — and the
+    * usual id_a < id_b keeps one orientation. s = 1 (every cell within
+    * the bound) degenerates to the plain within-cell join, block (0,0).
+    *
+    * Returns (cell, bl, bh, id_a, va, id_b, vb) — the block coordinates
+    * stay visible so skew guards (the SaltedCellSpec work-bound check,
+    * future profilers) can see the task decomposition. */
+  private[graft] def cellPairCandidates(v: DataFrame,
+      saltBound: Int): DataFrame = {
+    require(saltBound >= 1, "saltBound must be positive")
+    val sizes = v.groupBy(col("cell"))
+      .agg(ceil(count(lit(1)).cast("double") / saltBound)
+        .cast("int").as("_s"))
+    val salted = v.join(broadcast(sizes), "cell")
+      .withColumn("_g", pmod(xxhash64(col("id")), col("_s").cast("long"))
+        .cast("int"))
+    def side(idAs: String, vecAs: String, gAs: String): DataFrame =
+      salted
+        .withColumn("_k", explode(sequence(lit(0), col("_s") - 1)))
+        .select(col("cell"),
+          least(col("_g"), col("_k")).as("bl"),
+          greatest(col("_g"), col("_k")).as("bh"),
+          col("_g").as(gAs), col("id").as(idAs), col("vec").as(vecAs))
+    side("id_a", "va", "_ga")
+      .join(side("id_b", "vb", "_gb"), Seq("cell", "bl", "bh"))
+      .filter(col("bl") === col("bh") || col("_ga") =!= col("_gb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("cell"), col("bl"), col("bh"),
+        col("id_a"), col("va"), col("id_b"), col("vb"))
   }
 
   /** Per-cell [[semanticDedupFlags]] rollup: (cell, n_vecs, n_kept). */
