@@ -243,6 +243,20 @@ object Dedup {
   }
 
   /** Shared band/verify core over a prepared (id, grams) frame. */
+  /** The ONE banded-bucket expression every LSH consumer shares —
+    * batch verify ([[minhashBandVerify]]), the incremental corpus index
+    * ([[minhashIncrementalWords]]) and the streaming band rows
+    * ([[wordBandRows]]) all band through this helper, so the st11
+    * stream==batch candidate-parity contract holds by construction
+    * instead of by three copies staying byte-identical. Emits
+    * posexplode(band, bucket) over xxhash64(band, sig rows). */
+  private[graft] def bandBuckets(sig: Column, numBands: Int,
+      rowsPerBand: Int): Column =
+    posexplode(array((0 until numBands).map { b =>
+      xxhash64(lit(b) +: (0 until rowsPerBand)
+        .map(r => element_at(sig, b * rowsPerBand + r + 1)): _*)
+    }: _*))
+
   private def minhashBandVerify(prepared: DataFrame, numHashes: Int,
       rowsPerBand: Int, threshold: Double): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
@@ -263,10 +277,8 @@ object Dedup {
       // spread repartition and evaluate the gram kernel twice.
       .filter(size(col("grams")) > 0)
     val banded = g.select(col("id"),
-      posexplode(array((0 until numBands).map { b =>
-        xxhash64(lit(b) +: (0 until rowsPerBand)
-          .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-      }: _*)).as(Seq("band", "bucket")))
+      bandBuckets(col("sig"), numBands, rowsPerBand)
+        .as(Seq("band", "bucket")))
     // The band join EXPLODES: its input is a narrow (band, bucket, id)
     // list measured in KB, its output is the candidate-pair blow-up
     // measured in rows — AQE, which sizes post-shuffle partitions by
@@ -757,10 +769,8 @@ object Dedup {
         .filter(size(col("grams")) > 0)
     def bandsOf(g: DataFrame, idAs: String): DataFrame =
       g.select(col("id").as(idAs),
-        posexplode(array((0 until numBands).map { b =>
-          xxhash64(lit(b) +: (0 until rowsPerBand)
-            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-        }: _*)).as(Seq("band", "bucket")))
+        bandBuckets(col("sig"), numBands, rowsPerBand)
+          .as(Seq("band", "bucket")))
     val ng = prep(newDocs)
     val cg = prep(corpus)
     val parts = newDocs.sparkSession.sessionState.conf.numShufflePartitions
@@ -808,10 +818,8 @@ object Dedup {
         graft.functions.MinHashSignature.minhashSig(col("grams"), numHashes))
       .withColumn("ghash", transform(col("grams"), g => xxhash64(g)))
       .select(col("id"), col("ghash"),
-        posexplode(array((0 until numBands).map { b =>
-          xxhash64(lit(b) +: (0 until rowsPerBand)
-            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-        }: _*)).as(Seq("band", "bucket")))
+        bandBuckets(col("sig"), numBands, rowsPerBand)
+          .as(Seq("band", "bucket")))
   }
 
   /** Exact-substring duplicate spans (Lee, Ippolito et al., ACL 2022
@@ -871,7 +879,13 @@ object Dedup {
       if (graft.util.LimitProbe.atMost(dupHash, broadcastKeyLimit))
         broadcast(dupHash)
       else dupHash
+    // pinned: the candidate slice is read twice (exact-verify build +
+    // probe) and each read would otherwise re-run the corpus-dominant
+    // position explode (normText + substr + hash per character) — the
+    // checkpoint caps that at one evaluation for this phase while staying
+    // candidate-sized, never corpus-positions-sized
     val cand = pos.join(hashSide, Seq("h"), "left_semi")
+      .localCheckpoint(true)
     // phase 2: exact verification on the candidate slice only — a 64-bit
     // collision would otherwise flag a unique span
     val dupKey = cand.select(col("key")).groupBy(col("key"))

@@ -301,8 +301,11 @@ object GraphParityQueries {
   def g14Wcc(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val g = TpchGraph.build(spark, d)
+    // the part-sampling disjunct is SCOPED to the part-edge types: a
+    // future TpchGraph edge type must not leak into the Spark side while
+    // the oracle's hand-unrolled 4-relation union omits it
     val pruned = g.edges.filter($"type".isin("PLACED", "NEXT") ||
-      pmod($"dst", lit(20)) === 0)
+      ($"type".isin("CONTAINS", "SUPPLIES") && pmod($"dst", lit(20)) === 0))
     Dedup.connectedComponents(
         pruned.select($"src".as("id_a"), $"dst".as("id_b")))
       .groupBy($"cluster_id")

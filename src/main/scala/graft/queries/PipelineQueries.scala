@@ -64,8 +64,17 @@ object PipelineQueries {
 
   private[graft] def bpeShared(spark: SparkSession, d: String)
       : graft.pipeline.Bpe.Model =
-    residentBpe.getOrElseUpdate((spark, d),
-      graft.pipeline.Bpe.train(Tables.documents(spark, d), BpeRounds))
+    residentBpe.getOrElseUpdate((spark, d), {
+      val m = graft.pipeline.Bpe.train(Tables.documents(spark, d), BpeRounds)
+      // fail FAST if a corpus ever runs out of adjacent pairs early: the
+      // unrolled oracle assumes a non-empty argmax every round (an empty
+      // b_k cascades w_k to empty and the t17 oracle to zero rows — a
+      // confusing all-vs-nothing diff instead of this message)
+      require(m.merges.size == BpeRounds,
+        s"BPE corpus at $d exhausted pairs after ${m.merges.size} of " +
+          s"$BpeRounds merges — lower BpeRounds or widen the corpus")
+      m
+    })
 
   /** d01 — exact dedup summary: distinct normalized texts vs raw rows. */
   def d01ExactDedup(spark: SparkSession, d: String): DataFrame = {
@@ -787,8 +796,12 @@ object PipelineQueries {
     val emb = Tables.embeddings(spark, d)
     val seed = emb.filter(pmod($"vec_id", lit(5)) =!= 4)
     val batch = emb.filter(pmod($"vec_id", lit(5)) === 4)
-    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      "graft_pq_inc_" + Integer.toHexString(d.hashCode)).getAbsolutePath
+    // fresh per-invocation dir: a fixed hashCode-keyed path races
+    // overwrite/append/read across concurrent invocations (the 16-way
+    // bench warmup runs this very gate in parallel) and can collide
+    // distinct sf dirs onto one index
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_inc").toString
     val cb = Similarity.pqTrain(seed, m = 16, ksub = 64, iters = 4)
     Similarity.writePqIndex(spark, cb, Similarity.pqEncode(seed, cb), dir)
     Similarity.appendPqIndex(spark, dir, batch)

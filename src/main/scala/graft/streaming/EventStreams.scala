@@ -363,11 +363,18 @@ object EventStreams {
     * moved to the consumer because cross-group dedup would be a second
     * stateful stage).
     *
-    * Scale/state: one entry per (band, document) inside the index —
-    * NoTimeout here because the gate corpus is bounded; a production
-    * ingest bounds the store exactly like [[funnelStream]] does, with an
-    * event-time timeout at the boilerplate-recurrence horizon, trading
-    * "dups farther apart than the horizon" for bounded state. */
+    * Scale/state: one entry per (band, document) inside the index, and
+    * each entry carries the document's WHOLE hashed gram set — a
+    * numBands-fold (64× here) duplication of per-doc verify data in the
+    * state store and its checkpoint stream. That is the price of exact
+    * in-state verification in ONE stateful stage; the 100 TB shape
+    * splits it in two (the band index emits candidate id pairs only,
+    * and a second keyed state — one gram set per doc — verifies),
+    * trading a stage for 1× state. NoTimeout here because the gate
+    * corpus is bounded; a production ingest bounds the store exactly
+    * like [[funnelStream]] does, with an event-time timeout at the
+    * boilerplate-recurrence horizon, trading "dups farther apart than
+    * the horizon" for bounded state. */
   def nearDupPairsStream(docs: DataFrame, w: Int = 5, numHashes: Int = 128,
       rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
     val spark = docs.sparkSession
