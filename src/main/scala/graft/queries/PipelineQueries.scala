@@ -962,7 +962,24 @@ object PipelineQueries {
       .orderBy($"label")
   }
 
+  /** t18 — BPE-TOKENIZED sequence packing: the tokenize→pack composition
+    * that IS the pretraining data job — per-doc BPE token counts under
+    * the t16 vocab ([[graft.pipeline.Bpe.encodeTokenCounts]], broadcast
+    * vocab join) feed the two-pass distributed prefix sum
+    * ([[graft.pipeline.Packing.packStats]], never a single-task global
+    * window) chopping the corpus into 256-token training sequences.
+    * Oracle: the t16 unrolled-merge chain + the t08 cumulative-window
+    * replay, all integers. */
+  def t18BpePacking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val counts = graft.pipeline.Bpe.encodeTokenCounts(
+      Tables.documents(spark, d), bpeShared(spark, d))
+    graft.pipeline.Packing.packStats(counts, 256, "doc_id", "n_bpe_tokens")
+      .orderBy($"seq_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t18_bpe_packing" -> (t18BpePacking _),
     "q30_quality_classifier" -> (q30QualityClassifier _),
     "s10_incremental_ann" -> (s10IncrementalAnn _),
     "d16_exact_substr" -> (d16ExactSubstr _),
@@ -1073,17 +1090,40 @@ object PipelineQueries {
        |) ORDER BY rank""".stripMargin
   }
 
-  private lazy val bpeEncodeOracle: String =
-    s"""$bpeOracleChain,
-       |tok AS (
+  /** The t17/t18 shared tail: per-doc word + BPE-token counts under the
+    * round-[[BpeRounds]] vocab. */
+  private lazy val bpeDocCountsCte: String =
+    s"""tok AS (
        |  SELECT doc_id,
        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
-       |  FROM documents WHERE text IS NOT NULL)
-       |SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
-       |  SUM(len(w.seq))::BIGINT AS n_bpe_tokens
-       |FROM (SELECT * FROM tok WHERE word <> '') t
-       |JOIN w$BpeRounds w USING (word)
-       |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin
+       |  FROM documents WHERE text IS NOT NULL),
+       |nb AS (
+       |  SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
+       |    SUM(len(w.seq))::BIGINT AS n
+       |  FROM (SELECT * FROM tok WHERE word <> '') t
+       |  JOIN w$BpeRounds w USING (word)
+       |  GROUP BY t.doc_id)""".stripMargin
+
+  private lazy val bpeEncodeOracle: String =
+    s"""$bpeOracleChain,
+       |$bpeDocCountsCte
+       |SELECT doc_id, n_words, n AS n_bpe_tokens
+       |FROM nb ORDER BY doc_id""".stripMargin
+
+  private lazy val bpePackingOracle: String =
+    s"""$bpeOracleChain,
+       |$bpeDocCountsCte,
+       |c AS (
+       |  SELECT doc_id, n,
+       |    COALESCE(SUM(n) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+       |      AS s
+       |  FROM nb)
+       |SELECT seq_id, COUNT(*) AS n_docs FROM (
+       |  SELECT doc_id,
+       |    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_id
+       |  FROM c WHERE n > 0) x
+       |GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
   private val jaccardOracle =
     // gram count is bounded by the LOWERED length (lowercasing can change
@@ -1104,6 +1144,7 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t18_bpe_packing" -> bpePackingOracle,
     "q30_quality_classifier" ->
       // the kernel's exact pipeline: explicit base-257 mod-1000003 gram
       // hash mod 4096, NB class counts over the even-doc_id train slice,
