@@ -220,6 +220,39 @@ object Similarity {
       .write.mode("append").parquet(s"$dir/codes")
   }
 
+  /** DELETE ids from a PERSISTED PQ index without retraining — the other
+    * half of index maintenance (takedowns, retention expiry, dedup
+    * verdicts arriving after indexing): one anti-join rewrites the code
+    * table; codebook and every other row are untouched, so the remaining
+    * index is BIT-IDENTICAL to encoding the remaining corpus against the
+    * same codebook (the s10 probe-equality argument, mirrored). The
+    * surviving rows are pinned (eager localCheckpoint) BEFORE the
+    * overwrite — the rewrite reads the files it replaces. */
+  def removeFromPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, removeIds: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val (_, codes) = readPqIndex(spark, dir)
+    val remaining = codes.join(
+        removeIds.select(col(idCol).cast("long").as("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    remaining.write.mode("overwrite").parquet(s"$dir/codes")
+  }
+
+  /** DELETE ids from a PERSISTED IVF index — the posting-list twin of
+    * [[removeFromPqIndex]]: anti-join the assignments, quantizer
+    * untouched. */
+  def removeFromIvfIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String, removeIds: DataFrame,
+      idCol: String = "vec_id"): Unit = {
+    val (_, assign) = readIvfIndex(spark, dir)
+    val remaining = assign.join(
+        removeIds.select(col(idCol).cast("long").as("id")),
+        Seq("id"), "left_anti")
+      .localCheckpoint(true)
+    remaining.write.mode("overwrite").parquet(s"$dir/assignments")
+  }
+
   /** Probe a LOADED index against the base corpus table. */
   def ivfProbeIndex(queries: DataFrame, corpus: DataFrame,
       centroids: DataFrame, assignments: DataFrame, k: Int, nprobe: Int,

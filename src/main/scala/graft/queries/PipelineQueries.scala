@@ -814,6 +814,36 @@ object PipelineQueries {
       .select($"n_queries", $"n_results", $"n_codes", $"recall_ok")
   }
 
+  /** s11 — ANN index DELETE maintenance ([[Similarity.removeFromPqIndex]],
+    * the s10 lifecycle's other half): build the persisted PQ index on the
+    * FULL corpus, delete the vec_id%7==3 slice by posting rewrite (no
+    * retraining — codebook untouched), probe the re-read index against
+    * the REMAINING corpus. Contract form as s10: recall floor 0.5
+    * (measured 0.971 at the oracle SF via tools.ProbeS10's harness — the
+    * codebook still reflects full-corpus training, which is exactly the
+    * deletion semantics), `n_codes` pins that exactly the removed slice
+    * is gone, and deleted vectors can never surface (their codes no
+    * longer exist). */
+  def s11AnnDelete(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val victims = emb.filter(pmod($"vec_id", lit(7)) === 3)
+    val remaining = emb.filter(pmod($"vec_id", lit(7)) =!= 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_pq_del").toString
+    val cb = Similarity.pqTrain(emb, m = 16, ksub = 64, iters = 4)
+    Similarity.writePqIndex(spark, cb, Similarity.pqEncode(emb, cb), dir)
+    Similarity.removeFromPqIndex(spark, dir, victims)
+    val (cb2, codes2) = Similarity.readPqIndex(spark, dir)
+    val q = remaining.filter($"vec_id" < 8)
+    val ann = Similarity.pqTopK(q, codes2, remaining, cb2,
+      k = 5, rerankFactor = 8)
+    annRecallSummary(ann, Similarity.bruteForceTopK(q, remaining, 5),
+        minRecall = 0.5)
+      .crossJoin(codes2.agg(count(lit(1)).as("n_codes")))
+      .select($"n_queries", $"n_results", $"n_codes", $"recall_ok")
+  }
+
   /** q29 — DATA-QUALITY AUDIT ([[graft.pipeline.DataQuality]], the
     * Deequ-style "unit tests for data" pass a table runs before feeding
     * training): six declarative checks over lineitem — not-null,
@@ -978,7 +1008,38 @@ object PipelineQueries {
       .orderBy($"seq_id")
   }
 
+  /** q31 — PER-SOURCE DOCUMENT CAP (the C4/RefinedWeb per-domain cap: no
+    * single site may dominate the corpus): keep at most 15 docs per
+    * source ranked by (token count DESC, doc_id), rolled up per source
+    * with kept-token and kept-id checksums so the oracle pins the
+    * SELECTION. Plan shape: the rank<=k filter compiles to Spark's
+    * WindowGroupLimit — non-top-k rows drop per input partition BEFORE
+    * the window shuffle (the q09/t11 invariant, pinned for this gate
+    * too), so at 100 TB each source moves ~k rows, not its corpus. */
+  def q31SourceCap(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val cap = 15
+    val t = Tables.documents(spark, d).filter($"text".isNotNull)
+      .select($"source", $"doc_id",
+        TextAnalysis.tokenCount($"text").cast("long").as("n_tokens"))
+    val w = Window.partitionBy($"source")
+      .orderBy($"n_tokens".desc, $"doc_id")
+    val kept = t.withColumn("rk", row_number().over(w))
+      .filter($"rk" <= cap)
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_kept"),
+        sum($"n_tokens").as("kept_tokens"),
+        sum($"doc_id").as("kept_id_sum"))
+    t.groupBy($"source").agg(count(lit(1)).as("n_docs"))
+      .join(kept, "source")
+      .select($"source", $"n_docs", $"n_kept", $"kept_tokens",
+        $"kept_id_sum")
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_source_cap" -> (q31SourceCap _),
+    "s11_ann_delete" -> (s11AnnDelete _),
     "t18_bpe_packing" -> (t18BpePacking _),
     "q30_quality_classifier" -> (q30QualityClassifier _),
     "s10_incremental_ann" -> (s10IncrementalAnn _),
@@ -1144,6 +1205,38 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q31_source_cap" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |    len(regexp_split_to_array(lower(trim(text)), '\s+'))::BIGINT AS n
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT source, doc_id, n, ROW_NUMBER() OVER (
+        |    PARTITION BY source ORDER BY n DESC, doc_id) AS rk
+        |  FROM t),
+        |k AS (
+        |  SELECT source, COUNT(*)::BIGINT AS n_kept,
+        |    SUM(n)::BIGINT AS kept_tokens,
+        |    SUM(doc_id)::BIGINT AS kept_id_sum
+        |  FROM r WHERE rk <= 15 GROUP BY source)
+        |SELECT t.source, COUNT(*)::BIGINT AS n_docs,
+        |  ANY_VALUE(k.n_kept) AS n_kept,
+        |  ANY_VALUE(k.kept_tokens) AS kept_tokens,
+        |  ANY_VALUE(k.kept_id_sum) AS kept_id_sum
+        |FROM t JOIN k USING (source)
+        |GROUP BY t.source ORDER BY t.source""".stripMargin,
+    "s11_ann_delete" ->
+      // s10's contract over the post-delete corpus: counts exclude the
+      // removed vec_id%7==3 slice exactly
+      """SELECT
+        |  CAST(COUNT(*) FILTER (WHERE vec_id < 8 AND vec_id % 7 <> 3)
+        |    AS BIGINT) AS n_queries,
+        |  CAST(5 * COUNT(*) FILTER (WHERE vec_id < 8 AND vec_id % 7 <> 3)
+        |    AS BIGINT) AS n_results,
+        |  CAST(COUNT(*) FILTER (WHERE vec_id % 7 <> 3) AS BIGINT)
+        |    AS n_codes,
+        |  TRUE AS recall_ok
+        |FROM embeddings""".stripMargin,
     "t18_bpe_packing" -> bpePackingOracle,
     "q30_quality_classifier" ->
       // the kernel's exact pipeline: explicit base-257 mod-1000003 gram

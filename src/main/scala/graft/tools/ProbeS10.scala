@@ -32,6 +32,28 @@ object ProbeS10 {
         .count()
       println(s"PROBE_S10 $d recall@5 = ${hits.toDouble / nBrute} " +
         s"($hits/$nBrute)")
+
+      // s11 delete-maintenance recall: full-corpus-trained codebook,
+      // vec_id%7==3 slice deleted, probe the remaining corpus
+      val dDir = java.nio.file.Files
+        .createTempDirectory("graft_probe_s11").toString
+      val cbFull = Similarity.pqTrain(emb, m = 16, ksub = 64, iters = 4)
+      Similarity.writePqIndex(spark, cbFull,
+        Similarity.pqEncode(emb, cbFull), dDir)
+      Similarity.removeFromPqIndex(spark, dDir,
+        emb.filter(pmod($"vec_id", lit(7)) === 3))
+      val (cbD, codesD) = Similarity.readPqIndex(spark, dDir)
+      val remaining = emb.filter(pmod($"vec_id", lit(7)) =!= 3)
+      val qD = remaining.filter($"vec_id" < 8)
+      val annD = Similarity.pqTopK(qD, codesD, remaining, cbD,
+        k = 5, rerankFactor = 8)
+      val bruteD = Similarity.bruteForceTopK(qD, remaining, 5)
+      val nBruteD = bruteD.count()
+      val hitsD = bruteD.select($"qid", $"nid")
+        .join(annD.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
+        .count()
+      println(s"PROBE_S11 $d recall@5 = ${hitsD.toDouble / nBruteD} " +
+        s"($hitsD/$nBruteD)")
     }
     spark.stop()
   }

@@ -51,6 +51,47 @@ class IncrementalAnnSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "appended-index probe diverges from scratch")
   }
 
+  test("PQ/IVF delete removes exactly the victims and probes like a " +
+    "from-scratch build on the remaining corpus") {
+    val emb = graft.util.Tables.embeddings(spark, sfTiny)
+    val victims = emb.filter(pmod($"vec_id", lit(7)) === 3)
+    val remaining = emb.filter(pmod($"vec_id", lit(7)) =!= 3)
+    val dir = tmp("graft_del_pq")
+    val cb = Similarity.pqTrain(emb, m = 8, ksub = 16, iters = 3)
+    Similarity.writePqIndex(spark, cb, Similarity.pqEncode(emb, cb), dir)
+    Similarity.removeFromPqIndex(spark, dir, victims)
+    val (cb2, codes2) = Similarity.readPqIndex(spark, dir)
+    // exactly the victims are gone; survivors' codes untouched
+    val left = codes2.select($"id").as[Long].collect().toSet
+    val want = remaining.select($"vec_id").as[Long].collect().toSet
+    assert(left == want, "post-delete id set is not corpus minus victims")
+    val scratch = Similarity.pqEncode(remaining, cb)
+      .as[(Long, Seq[Int])].collect().toMap
+    codes2.as[(Long, Seq[Int])].collect().foreach { case (id, codes) =>
+      assert(codes == scratch(id), s"delete rewrote codes for vec $id")
+    }
+    // probe equality vs the from-scratch remaining-corpus build, and no
+    // deleted id can surface (its code row no longer exists)
+    val q = remaining.filter($"vec_id" < 8)
+    val a = Similarity.pqTopK(q, codes2, remaining, cb2, 5, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    val b = Similarity.pqTopK(q, Similarity.pqEncode(remaining, cb),
+        remaining, cb, 5, 4)
+      .as[(Long, Long, Long, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(a.toSeq == b.toSeq, "post-delete probe diverges from scratch")
+    val victimIds = victims.select($"vec_id").as[Long].collect().toSet
+    assert(a.forall(r => !victimIds.contains(r._3)),
+      "a deleted vector surfaced in probe results")
+    // IVF twin: posting rewrite, quantizer untouched
+    val dir2 = tmp("graft_del_ivf")
+    val (cent, assign) = Similarity.buildIvfIndex(emb, nCells = 8, iters = 3)
+    Similarity.writeIvfIndex(cent, assign, dir2)
+    Similarity.removeFromIvfIndex(spark, dir2, victims)
+    val (cent2, assign2) = Similarity.readIvfIndex(spark, dir2)
+    assert(cent2.count() == cent.count())
+    assert(assign2.select($"id").as[Long].collect().toSet == want)
+  }
+
   test("IVF append assigns to existing cells and probes like a one-pass " +
     "union assignment") {
     val emb = graft.util.Tables.embeddings(spark, sfTiny)

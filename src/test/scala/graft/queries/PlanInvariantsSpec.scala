@@ -21,6 +21,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "s07_ivf_index", // contract rollup: single-row aggregates crossed
     "s08_pq_topk", // 1-row codebook broadcast + tiny query-LUT broadcast
     "s10_incremental_ann", // s08 shape over the appended persisted index
+    "s11_ann_delete", // s08 shape over the post-delete persisted index
     "s09_pq_ivf", // 1-row codebook + tiny centroid/probe broadcasts
     "q26_leakage_split", // straddle-invariant scalar crossed into the rollup
     "s05_knn_join_lsh", // contract rollup: 4 single-row aggregates crossed
@@ -103,7 +104,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // declarative window form instead of a custom physical operator. This
     // pins the optimization: losing it (config regression, a filter shape
     // the rule stops matching) re-shuffles the full table.
-    Seq("q09_window_topk", "t11_tfidf_topk").foreach { name =>
+    Seq("q09_window_topk", "t11_tfidf_topk", "q31_source_cap").foreach { name =>
       assert(plan(name).contains("WindowGroupLimit"),
         s"$name lost the partial window group-limit")
     }
