@@ -287,5 +287,27 @@ object ScaleRehearsal {
       Similarity.pqTopK(emb.filter(col("vec_id") < 8),
         Similarity.pqEncode(emb, cb), emb, cb, 5, 8).count()
     }
+    // exact-substring dedup: the corpus-position explode is the dominant
+    // cost (one row per character), so wall time must track corpus CHARS;
+    // the suffix-perturbed replicas duplicate every original's text body,
+    // so flagged spans grow ~k-fold with the corpus — output-linear
+    time(s"d16 exact-substring spans x$k") {
+      Dedup.exactSubstrSpans(docs, 40).count()
+    }
+    // BPE training must be CORPUS-SIZE-FLAT after the one word-count
+    // shuffle: the per-round pair work is vocabulary-sized, and the
+    // replica-suffix tokens only add k distinct words to the vocab —
+    // the curve that makes distributed BPE viable at 100 TB
+    time(s"t16 BPE train (20 merges) x$k corpus") {
+      graft.pipeline.Bpe.train(docs, 20).vocab.count()
+    }
+    // NB classifier: counting-trained — one explode + two partial-agg
+    // shuffles, so train+score must scale with corpus tokens (the same
+    // family as t01/t05), never with label or feature cardinality
+    time(s"q30 NB classifier train+score x$k") {
+      graft.pipeline.QualityClassifier.nbTrainScore(docs,
+        label = when(col("lang") === "en", 1).otherwise(0),
+        isTrain = pmod(col("doc_id"), lit(2)) === 0).count()
+    }
   }
 }
