@@ -429,6 +429,62 @@ object TextAnalysis {
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
   }
 
+  /** The Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
+    * Models: Methods, Analysis & Insights from Training Gopher",
+    * §A1.1 — the document-level filters nearly every modern pretraining
+    * pipeline reuses), as ONE fused map-side pass emitting a boolean per
+    * rule. Every ratio test is rephrased as an INTEGER cross-product
+    * comparison (mean word length ∈ [3,10] ⟺ 3n ≤ Σlen ≤ 10n; symbol
+    * ratio ≤ 0.1 ⟺ 10·symbols ≤ words; alpha-word share ≥ 0.8 ⟺
+    * 5·alpha ≥ 4n), so the verdicts are bit-exact on any engine — the
+    * t01/q29 convention. Rules (doc drops if ANY fails):
+    *   r_wc    word count ∈ [minWords, maxWords]
+    *   r_mwl   mean word length ∈ [3, 10]
+    *   r_sym   symbol-to-word ratio (# or …) ≤ 0.1
+    *   r_alpha ≥ 80 % of words contain an alphabetic character
+    *   r_stop  ≥ 2 hits from the Gopher stop-word list
+    * Returns the input plus the five rule columns and `r_pass_all`. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  def gopherRules(docs: DataFrame, minWords: Int = 50,
+      maxWords: Int = 100000, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val base = docs.filter(col(textCol).isNotNull)
+      .withColumn("_toks", toks)
+      .withColumn("_n", size(col("_toks")).cast("long"))
+      .withColumn("_sumlen",
+        aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t)))
+      .withColumn("_sym",
+        (size(regexp_extract_all(col(textCol), lit("#"), lit(0))) +
+          size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0))))
+          .cast("long"))
+      .withColumn("_alpha",
+        size(filter(col("_toks"), t => t.rlike("[a-z]"))).cast("long"))
+      .withColumn("_stop",
+        stopwordCountOfList(col("_toks"), GopherStopwords).cast("long"))
+    base
+      .withColumn("r_wc", col("_n") >= minWords && col("_n") <= maxWords)
+      .withColumn("r_mwl",
+        lit(3) * col("_n") <= col("_sumlen") &&
+          col("_sumlen") <= lit(10) * col("_n"))
+      .withColumn("r_sym", lit(10) * col("_sym") <= col("_n"))
+      .withColumn("r_alpha", lit(5) * col("_alpha") >= lit(4) * col("_n"))
+      .withColumn("r_stop", col("_stop") >= 2)
+      .withColumn("r_pass_all",
+        col("r_wc") && col("r_mwl") && col("r_sym") &&
+          col("r_alpha") && col("r_stop"))
+      .drop("_toks", "_n", "_sumlen", "_sym", "_alpha", "_stop")
+  }
+
+  /** Stop-word hits against an arbitrary list (the langId/stopword-count
+    * building block, parameterized). */
+  private def stopwordCountOfList(toks: Column, words: Seq[String]): Column = {
+    val ws = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(ws, t)))
+  }
+
   /** BM25 ranked retrieval (Robertson–Spärck Jones probabilistic weighting,
     * the Okapi k1/b form; k1=1.2, b=0.75) of the corpus against a FIXED
     * query-term set — the scorer a corpus-search / hard-negative-mining

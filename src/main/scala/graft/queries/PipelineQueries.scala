@@ -1037,7 +1037,28 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** t19 — the GOPHER QUALITY-RULE bundle ([[TextAnalysis.gopherRules]],
+    * Rae et al. 2021 §A1.1 — the document filters modern pretraining
+    * pipelines reuse): per source, doc counts, per-rule violation counts
+    * and the pass-all count. One fused map-side pass; every ratio test
+    * is an integer cross-product comparison, so the verdicts hash-match
+    * the DuckDB replay exactly. */
+  def t19GopherRules(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    TextAnalysis.gopherRules(Tables.documents(spark, d))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(!$"r_wc", 1)).as("v_wc"),
+        count(when(!$"r_mwl", 1)).as("v_mwl"),
+        count(when(!$"r_sym", 1)).as("v_sym"),
+        count(when(!$"r_alpha", 1)).as("v_alpha"),
+        count(when(!$"r_stop", 1)).as("v_stop"),
+        count(when($"r_pass_all", 1)).as("n_pass"))
+      .orderBy($"source")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "t19_gopher_rules" -> (t19GopherRules _),
     "q31_source_cap" -> (q31SourceCap _),
     "s11_ann_delete" -> (s11AnnDelete _),
     "t18_bpe_packing" -> (t18BpePacking _),
@@ -1205,6 +1226,42 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "t19_gopher_rules" ->
+      // integer cross-product forms of every ratio rule (3n<=suml<=10n,
+      // 10*sym<=n, 5*alpha>=4n) — bit-exact on both engines
+      """WITH t AS (
+        |  SELECT source,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks, text
+        |  FROM documents WHERE text IS NOT NULL),
+        |m AS (
+        |  SELECT source, len(toks)::BIGINT AS n,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [length(t) for t in toks]::BIGINT[]),
+        |      (a, b) -> a + b) AS suml,
+        |    (len(regexp_extract_all(text, '#'))
+        |     + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS sym,
+        |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT
+        |      AS alpha,
+        |    len(list_filter(toks, t -> t IN ('the','be','to','of','and',
+        |      'that','have','with')))::BIGINT AS stop
+        |  FROM t),
+        |r AS (
+        |  SELECT source,
+        |    n BETWEEN 50 AND 100000 AS r_wc,
+        |    3 * n <= suml AND suml <= 10 * n AS r_mwl,
+        |    10 * sym <= n AS r_sym,
+        |    5 * alpha >= 4 * n AS r_alpha,
+        |    stop >= 2 AS r_stop
+        |  FROM m)
+        |SELECT source, COUNT(*)::BIGINT AS n_docs,
+        |  COUNT(*) FILTER (WHERE NOT r_wc)::BIGINT AS v_wc,
+        |  COUNT(*) FILTER (WHERE NOT r_mwl)::BIGINT AS v_mwl,
+        |  COUNT(*) FILTER (WHERE NOT r_sym)::BIGINT AS v_sym,
+        |  COUNT(*) FILTER (WHERE NOT r_alpha)::BIGINT AS v_alpha,
+        |  COUNT(*) FILTER (WHERE NOT r_stop)::BIGINT AS v_stop,
+        |  COUNT(*) FILTER (WHERE r_wc AND r_mwl AND r_sym AND r_alpha
+        |    AND r_stop)::BIGINT AS n_pass
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "q31_source_cap" ->
       """WITH t AS (
         |  SELECT source, doc_id,
