@@ -1057,7 +1057,43 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q32 — TEMPERATURE-SCALED mixture sampling (the XLM-R/multilingual
+    * α-sampling rule, Conneau et al. 2020: p_l ∝ n_l^α with α = 0.5 —
+    * upsample small languages, damp the head): per-language targets
+    * floor(B·p_l) over a 300-doc budget, selection = the doc_id-ranked
+    * prefix per language (deterministic, SQL-replayable), rolled up with
+    * kept-id checksums. Cross-engine exactness: sqrt of integer counts
+    * is correctly rounded IEEE on both engines, the normalizer folds in
+    * LANGUAGE order (the t13/t14 sorted-fold convention — a shuffled SUM
+    * would order-depend), and the multiply/divide dataflow is pinned to
+    * the oracle's. */
+  def q32TemperatureMix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, d).filter($"text".isNotNull)
+    val n = base.groupBy($"lang").agg(count(lit(1)).as("n"))
+    val tot = n
+      .agg(sort_array(collect_list(struct($"lang",
+        sqrt($"n".cast("double")).as("sq")))).as("arr"))
+      .select(aggregate($"arr", lit(0.0),
+        (acc, s) => acc + s.getField("sq")).as("s"))
+    val tgt = n.crossJoin(broadcast(tot))
+      .select($"lang", $"n",
+        floor(lit(300.0) * sqrt($"n".cast("double")) / $"s")
+          .cast("long").as("target"))
+    val w = Window.partitionBy($"lang").orderBy($"doc_id")
+    base.select($"lang", $"doc_id")
+      .withColumn("rk", row_number().over(w))
+      .join(broadcast(tgt), "lang")
+      .groupBy($"lang")
+      .agg(first($"n").as("n_docs"), first($"target").as("target"),
+        count(when($"rk" <= $"target", 1)).as("n_kept"),
+        coalesce(sum(when($"rk" <= $"target", $"doc_id")), lit(0L))
+          .as("kept_id_sum"))
+      .orderBy($"lang")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q32_temperature_mix" -> (q32TemperatureMix _),
     "t19_gopher_rules" -> (t19GopherRules _),
     "q31_source_cap" -> (q31SourceCap _),
     "s11_ann_delete" -> (s11AnnDelete _),
@@ -1226,6 +1262,31 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "q32_temperature_mix" ->
+      // sqrt of integer counts + a language-ordered normalizer fold +
+      // the pinned (300*sqrt)/s dataflow — bit-exact on both engines
+      """WITH n AS (
+        |  SELECT lang, COUNT(*)::BIGINT AS n FROM documents
+        |  WHERE text IS NOT NULL GROUP BY lang),
+        |tot AS (
+        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+        |    list(sqrt(n::DOUBLE) ORDER BY lang)), (a, b) -> a + b) AS s
+        |  FROM n),
+        |tgt AS (
+        |  SELECT lang, n,
+        |    CAST(floor(300.0 * sqrt(n::DOUBLE) / tot.s) AS BIGINT)
+        |      AS target
+        |  FROM n CROSS JOIN tot),
+        |r AS (
+        |  SELECT lang, doc_id, ROW_NUMBER() OVER (
+        |    PARTITION BY lang ORDER BY doc_id) AS rk
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT t.lang, t.n AS n_docs, t.target,
+        |  COUNT(*) FILTER (WHERE r.rk <= t.target)::BIGINT AS n_kept,
+        |  COALESCE(SUM(doc_id) FILTER (WHERE r.rk <= t.target), 0)::BIGINT
+        |    AS kept_id_sum
+        |FROM r JOIN tgt t USING (lang)
+        |GROUP BY t.lang, t.n, t.target ORDER BY t.lang""".stripMargin,
     "t19_gopher_rules" ->
       // integer cross-product forms of every ratio rule (3n<=suml<=10n,
       // 10*sym<=n, 5*alpha>=4n) — bit-exact on both engines

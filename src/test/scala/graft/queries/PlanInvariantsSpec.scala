@@ -22,6 +22,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "s08_pq_topk", // 1-row codebook broadcast + tiny query-LUT broadcast
     "s10_incremental_ann", // s08 shape over the appended persisted index
     "s11_ann_delete", // s08 shape over the post-delete persisted index
+    "q32_temperature_mix", // 1-row normalizer fold broadcast into targets
     "s09_pq_ivf", // 1-row codebook + tiny centroid/probe broadcasts
     "q26_leakage_split", // straddle-invariant scalar crossed into the rollup
     "s05_knn_join_lsh", // contract rollup: 4 single-row aggregates crossed
