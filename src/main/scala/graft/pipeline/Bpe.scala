@@ -150,6 +150,28 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
 
+  /** Persist a trained tokenizer as two parquet tables — the merge list
+    * (rank, lhs, rhs, freq: KBs, broadcastable forever) and the encoded
+    * vocabulary (word, cnt, syms: the corpus-scale encode dictionary) —
+    * the build-once / encode-many lifecycle, mirroring
+    * [[Similarity.writePqIndex]]: train on one corpus snapshot, encode
+    * every later batch from any session against the frozen vocab (OOV
+    * words route through [[encodeWord]] with the re-read merges). */
+  def writeModel(spark: SparkSession, model: Model, dir: String): Unit = {
+    mergeTable(spark, model).write.mode("overwrite")
+      .parquet(s"$dir/merges")
+    model.vocab.write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  def readModel(spark: SparkSession, dir: String): Model = {
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
+        r.getLong(3)))
+      .toSeq
+    Model(merges, spark.read.parquet(s"$dir/vocab"))
+  }
+
   /** Encode ONE word column by applying the merge list in rank order —
     * the out-of-vocabulary path and the spec's independent oracle for the
     * join path. A chain of `numMerges` interpreted folds per row: bounded

@@ -107,6 +107,26 @@ class BpeSpec extends SparkSpec {
     assert(model.merges.forall(_.freq >= 1L))
   }
 
+  test("model persists and reloads: merges verbatim, vocab set-equal, " +
+    "encode counts identical") {
+    val model = graft.queries.PipelineQueries.bpeShared(spark, sfTiny)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bpe").toString
+    Bpe.writeModel(spark, model, dir)
+    val back = Bpe.readModel(spark, dir)
+    assert(back.merges == model.merges, "merge list changed on reload")
+    val a = back.vocab.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    val b = model.vocab.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(a == b, "vocab changed on reload")
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+    val c1 = Bpe.encodeTokenCounts(docs, back)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    val c2 = Bpe.encodeTokenCounts(docs, model)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(c1 == c2, "reloaded model encodes differently")
+  }
+
   test("encodeWord fold path equals the trained vocab join path") {
     val model = graft.queries.PipelineQueries.bpeShared(spark, sfTiny)
     val mismatched = model.vocab
