@@ -792,6 +792,78 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jac"))
   }
 
+  /** Persist the corpus's MinHash BAND INDEX — (band, bucket, id), one
+    * row per (doc, band) — as a parquet table: the stored side of the
+    * daily-increment dedup that [[minhashIncrementalWords]]'s scaladoc
+    * promises ("in production the corpus bands are a precomputed stored
+    * table"). Build once per corpus snapshot; every increment then joins
+    * its own bands against the STORED index ([[minhashAgainstIndex]])
+    * without re-hashing the corpus — the dedup twin of the persisted
+    * PQ/IVF/BPE lifecycles. Append new batches' bands with
+    * mode("append") after they are admitted to the corpus. */
+  def writeBandIndex(docs: DataFrame, dir: String, w: Int = 5,
+      numHashes: Int = 128, rowsPerBand: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    wordBandRows(docs, w, numHashes, rowsPerBand, idCol, textCol)
+      .select(col("band"), col("bucket"), col("id"))
+      .write.mode("overwrite").parquet(dir)
+
+  def readBandIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(dir)
+
+  /** Increment-vs-corpus near-dup pairs against a STORED band index:
+    * [[minhashIncrementalWords]]'s semantics with the corpus side's
+    * banding read from [[writeBandIndex]]'s table instead of recomputed —
+    * the per-day cost is the increment's postings plus gram re-derivation
+    * for only the CANDIDATE corpus docs (semi-join pruned; the corpus at
+    * large never re-hashes, never re-bands). Same banding kernel
+    * ([[bandBuckets]] via [[wordBandRows]]), same exact-Jaccard verify —
+    * the result is identical to the recompute path by construction
+    * (spec-pinned). */
+  def minhashAgainstIndex(newDocs: DataFrame, corpus: DataFrame,
+      storedBands: DataFrame, w: Int = 5, numHashes: Int = 128,
+      rowsPerBand: Int = 2, threshold: Double = 0.8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ng = spread(newDocs.filter(length(col(textCol)) >= 2 * w - 1))
+      .select(col(idCol).as("id"),
+        TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
+          .as("grams"))
+      .localCheckpoint(true) // read by banding AND the verify re-join
+      .filter(size(col("grams")) > 0)
+    val parts = newDocs.sparkSession.sessionState.conf.numShufflePartitions
+    val newBands = ng
+      .select(col("id"),
+        graft.functions.MinHashSignature.minhashSig(col("grams"), numHashes)
+          .as("sig"))
+      .select(col("id").as("new_id"),
+        bandBuckets(col("sig"), numHashes / rowsPerBand, rowsPerBand)
+          .as(Seq("band", "bucket")))
+    val candidates = newBands
+        .repartition(parts, col("band"), col("bucket"))
+      .join(storedBands.select(col("band"), col("bucket"),
+          col("id").as("corpus_id"))
+        .repartition(parts, col("band"), col("bucket")),
+        Seq("band", "bucket"))
+      .select(col("new_id"), col("corpus_id"))
+      .repartition(parts, col("new_id"), col("corpus_id"))
+      .dropDuplicates()
+      .localCheckpoint(true) // read by the id-prune AND the verify joins
+    // gram re-derivation for CANDIDATE corpus docs only
+    val cg = corpus.join(
+        candidates.select(col("corpus_id").as(idCol)).distinct(),
+        Seq(idCol), "left_semi")
+      .select(col(idCol).as("corpus_id"),
+        TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
+          .as("grams_b"))
+    candidates
+      .join(ng.select(col("id").as("new_id"), col("grams").as("grams_a")),
+        "new_id")
+      .join(cg, "corpus_id")
+      .withColumn("jac", jaccard(col("grams_a"), col("grams_b")))
+      .filter(col("jac") >= threshold)
+      .select(col("new_id"), col("corpus_id"), col("jac"))
+  }
+
   /** The banded-MinHash front half of [[minhashDedupWords]] exposed as a
     * row stream — (id, ghash, band, bucket), one row per (doc, band) —
     * for consumers that maintain the band index THEMSELVES, specifically

@@ -1092,7 +1092,26 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** d17 — incremental near-dup against a PERSISTED band index
+    * ([[Dedup.writeBandIndex]]/[[Dedup.minhashAgainstIndex]] — the
+    * stored-corpus-bands production shape d15's scaladoc promises): the
+    * corpus bands are written once, the increment probes the re-read
+    * table, grams re-derive for candidate corpus docs only. Identical
+    * result to d15's recompute path — same split, same brute oracle. */
+  def d17BandIndexDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val corpus = docs.filter($"doc_id" % 17 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_band_idx").toString
+    Dedup.writeBandIndex(corpus, dir)
+    Dedup.minhashAgainstIndex(docs.filter($"doc_id" % 17 === 0), corpus,
+        Dedup.readBandIndex(spark, dir))
+      .orderBy($"new_id", $"corpus_id")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d17_band_index_dedup" -> (d17BandIndexDedup _),
     "q32_temperature_mix" -> (q32TemperatureMix _),
     "t19_gopher_rules" -> (t19GopherRules _),
     "q31_source_cap" -> (q31SourceCap _),
@@ -1262,6 +1281,25 @@ object PipelineQueries {
       |ORDER BY id_a, id_b""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "d17_band_index_dedup" ->
+      // the d15 brute oracle verbatim: the persisted-index path must find
+      // the identical cross pairs
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    list_distinct([array_to_string(toks[i:i+4], ' ')
+        |                   for i in generate_series(1, len(toks) - 4)]) AS grams
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |        FROM documents WHERE text IS NOT NULL)),
+        |b AS (SELECT * FROM g WHERE doc_id % 17 = 0),
+        |c AS (SELECT * FROM g WHERE doc_id % 17 <> 0)
+        |SELECT b.doc_id AS new_id, c.doc_id AS corpus_id,
+        |  len(list_intersect(b.grams, c.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(b.grams, c.grams))) AS jac
+        |FROM b JOIN c ON true
+        |WHERE len(list_intersect(b.grams, c.grams))::DOUBLE
+        |    / len(list_distinct(list_concat(b.grams, c.grams))) >= 0.8
+        |ORDER BY new_id, corpus_id""".stripMargin,
     "q32_temperature_mix" ->
       // sqrt of integer counts + a language-ordered normalizer fold +
       // the pinned (300*sqrt)/s dataflow — bit-exact on both engines

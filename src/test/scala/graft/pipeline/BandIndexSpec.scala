@@ -1,0 +1,51 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Persisted MinHash band index (d17): the stored-bands probe must equal
+  * the recompute path exactly, and appended bands must make admitted
+  * batches visible to later increments. */
+class BandIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stored-index probe equals minhashIncrementalWords exactly") {
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+    val inc = docs.filter($"doc_id" % 17 === 0)
+    val corpus = docs.filter($"doc_id" % 17 =!= 0)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bands").toString
+    Dedup.writeBandIndex(corpus, dir)
+    val viaIndex = Dedup.minhashAgainstIndex(inc, corpus,
+        Dedup.readBandIndex(spark, dir))
+      .as[(Long, Long, Double)].collect().toSet
+    val recompute = Dedup.minhashIncrementalWords(inc, corpus)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaIndex == recompute,
+      s"index path diverges: only-index=${viaIndex -- recompute}, " +
+        s"only-recompute=${recompute -- viaIndex}")
+    assert(viaIndex.nonEmpty, "fixture produced no cross pairs")
+  }
+
+  test("appended bands make an admitted batch visible to later increments") {
+    def doc(tag: String): String = (0 until 40).map(j => s"$tag$j")
+      .mkString(" ")
+    val corpus = Seq((1L, doc("base")), (2L, doc("other")))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, doc("fresh"))).toDF("doc_id", "text")
+    // the later increment near-dups the ADMITTED batch, not the corpus
+    val inc = Seq((20L, doc("fresh") + " tail")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bands_app").toString
+    Dedup.writeBandIndex(corpus, dir)
+    // admit the batch: append its bands (mode append, the documented flow)
+    Dedup.wordBandRows(batch, 5, 128, 2)
+      .select($"band", $"bucket", $"id")
+      .write.mode("append").parquet(dir)
+    val pairs = Dedup.minhashAgainstIndex(inc, corpus.union(batch),
+        Dedup.readBandIndex(spark, dir))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.map(p => (p._1, p._2)) == Seq((20L, 10L)),
+      s"increment did not find the appended batch: $pairs")
+  }
+}
