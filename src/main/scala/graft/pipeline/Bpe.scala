@@ -166,8 +166,8 @@ object Bpe {
   def readModel(spark: SparkSession, dir: String): Model = {
     val merges = spark.read.parquet(s"$dir/merges")
       .orderBy(col("rank")).collect()
-      .map(r => Merge(r.getLong(0).toInt, r.getString(1), r.getString(2),
-        r.getLong(3)))
+      .map(r => Merge(r.getAs[Long]("rank").toInt, r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("freq")))
       .toSeq
     Model(merges, spark.read.parquet(s"$dir/vocab"))
   }

@@ -803,13 +803,55 @@ object Dedup {
     * mode("append") after they are admitted to the corpus. */
   def writeBandIndex(docs: DataFrame, dir: String, w: Int = 5,
       numHashes: Int = 128, rowsPerBand: Int = 2,
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     wordBandRows(docs, w, numHashes, rowsPerBand, idCol, textCol)
       .select(col("band"), col("bucket"), col("id"))
-      .write.mode("overwrite").parquet(dir)
+      .write.mode("overwrite").parquet(s"$dir/bands")
+    // the banding parameters ARE part of the index: appends and probes
+    // with different w/numHashes/rowsPerBand would join a different
+    // banding scheme against these rows and silently match nothing —
+    // the stored meta row lets every later operation reuse the build's
+    // parameters instead of trusting the caller to repeat them
+    Seq((w, numHashes, rowsPerBand)).toDF("w", "num_hashes", "rows_per_band")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
 
   def readBandIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): DataFrame = spark.read.parquet(dir)
+      dir: String): DataFrame = spark.read.parquet(s"$dir/bands")
+
+  private def readBandMeta(spark: org.apache.spark.sql.SparkSession,
+      dir: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$dir/meta").head()
+    (m.getAs[Int]("w"), m.getAs[Int]("num_hashes"),
+      m.getAs[Int]("rows_per_band"))
+  }
+
+  /** Admit a batch to a persisted band index: append its bands using the
+    * INDEX'S OWN stored parameters — the caller cannot corrupt the table
+    * with a mismatched banding scheme. The same batch must also be
+    * unioned into the corpus frame later probes pass (see
+    * [[minhashAgainstIndex]]'s sync contract). */
+  def appendBandIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val (w, nh, rpb) = readBandMeta(docs.sparkSession, dir)
+    wordBandRows(docs, w, nh, rpb, idCol, textCol)
+      .select(col("band"), col("bucket"), col("id"))
+      .write.mode("append").parquet(s"$dir/bands")
+  }
+
+  /** Probe a persisted band index with an increment: reads the stored
+    * bands AND the stored banding parameters, so probe-time banding is
+    * BY CONSTRUCTION the scheme the index was built with. */
+  def probeBandIndex(newDocs: DataFrame, corpus: DataFrame, dir: String,
+      threshold: Double = 0.8, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val (w, nh, rpb) = readBandMeta(spark, dir)
+    minhashAgainstIndex(newDocs, corpus, readBandIndex(spark, dir),
+      w, nh, rpb, threshold, idCol, textCol)
+  }
 
   /** Increment-vs-corpus near-dup pairs against a STORED band index:
     * [[minhashIncrementalWords]]'s semantics with the corpus side's
@@ -824,6 +866,13 @@ object Dedup {
       storedBands: DataFrame, w: Int = 5, numHashes: Int = 128,
       rowsPerBand: Int = 2, threshold: Double = 0.8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // SYNC CONTRACT: `corpus` must cover every id in `storedBands` — a
+    // candidate whose corpus_id is indexed but absent from the corpus
+    // frame (an admitted batch whose bands were appended but that was
+    // never unioned into the frame) drops at the gram re-join and its
+    // near-dups are silently missed. Prefer [[probeBandIndex]], whose
+    // parameters cannot drift from the build's.
+    require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val ng = spread(newDocs.filter(length(col(textCol)) >= 2 * w - 1))
       .select(col(idCol).as("id"),
         TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)

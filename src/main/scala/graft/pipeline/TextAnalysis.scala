@@ -33,9 +33,15 @@ object TextAnalysis {
   def stopwordCount(text: Column): Column =
     stopwordCountOf(tokens(text))
 
-  def stopwordCountOf(toks: Column): Column = {
-    val stops = array(Stopwords.map(lit): _*)
-    size(filter(toks, t => array_contains(stops, t)))
+  def stopwordCountOf(toks: Column): Column =
+    stopwordCountOfList(toks, Stopwords)
+
+  /** Stop-word hits against an arbitrary list — the ONE counting kernel
+    * behind [[stopwordCountOf]], [[langIdOf]]'s per-language votes and
+    * [[gopherRules]]' stop rule. */
+  private def stopwordCountOfList(toks: Column, words: Seq[String]): Column = {
+    val ws = array(words.map(lit): _*)
+    size(filter(toks, t => array_contains(ws, t)))
   }
 
   /** Heuristic quality score in [0,1]: rewards stopword presence and
@@ -74,8 +80,7 @@ object TextAnalysis {
     * otherwise re-tokenize once per language). */
   def langIdOf(toks: Column): Column = {
     val scores = LangStopwords.toSeq.sortBy(_._1).map { case (lang, words) =>
-      val ws = array(words.map(lit): _*)
-      struct(size(filter(toks, t => array_contains(ws, t))).as("hits"),
+      struct(stopwordCountOfList(toks, words).as("hits"),
         lit(lang).as("lang"))
     }
     val best = greatest(scores: _*) // struct compare: hits first, lang tiebreak
@@ -429,6 +434,10 @@ object TextAnalysis {
         coalesce(col("n_dup_grams"), lit(0L)).as("n_dup_grams"))
   }
 
+  /** The stop-word list the Gopher stop rule counts against. */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
   /** The Gopher quality-rule bundle (Rae et al. 2021, "Scaling Language
     * Models: Methods, Analysis & Insights from Training Gopher",
     * §A1.1 — the document-level filters nearly every modern pretraining
@@ -444,9 +453,6 @@ object TextAnalysis {
     *   r_alpha ≥ 80 % of words contain an alphabetic character
     *   r_stop  ≥ 2 hits from the Gopher stop-word list
     * Returns the input plus the five rule columns and `r_pass_all`. */
-  val GopherStopwords: Seq[String] =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
-
   def gopherRules(docs: DataFrame, minWords: Int = 50,
       maxWords: Int = 100000, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
@@ -476,13 +482,6 @@ object TextAnalysis {
         col("r_wc") && col("r_mwl") && col("r_sym") &&
           col("r_alpha") && col("r_stop"))
       .drop("_toks", "_n", "_sumlen", "_sym", "_alpha", "_stop")
-  }
-
-  /** Stop-word hits against an arbitrary list (the langId/stopword-count
-    * building block, parameterized). */
-  private def stopwordCountOfList(toks: Column, words: Seq[String]): Column = {
-    val ws = array(words.map(lit): _*)
-    size(filter(toks, t => array_contains(ws, t)))
   }
 
   /** BM25 ranked retrieval (Robertson–Spärck Jones probabilistic weighting,

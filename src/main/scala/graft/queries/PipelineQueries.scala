@@ -1105,8 +1105,7 @@ object PipelineQueries {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_band_idx").toString
     Dedup.writeBandIndex(corpus, dir)
-    Dedup.minhashAgainstIndex(docs.filter($"doc_id" % 17 === 0), corpus,
-        Dedup.readBandIndex(spark, dir))
+    Dedup.probeBandIndex(docs.filter($"doc_id" % 17 === 0), corpus, dir)
       .orderBy($"new_id", $"corpus_id")
   }
 

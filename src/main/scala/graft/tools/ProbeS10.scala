@@ -13,6 +13,18 @@ object ProbeS10 {
       else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
     val spark = graft.util.Sessions.local(8)
     import spark.implicits._
+    // the one recall measurement both probes report: brute truth count +
+    // left-semi hit count
+    def recall(tag: String, d: String,
+        ann: org.apache.spark.sql.DataFrame,
+        brute: org.apache.spark.sql.DataFrame): Unit = {
+      val nBrute = brute.count()
+      val hits = brute.select($"qid", $"nid")
+        .join(ann.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
+        .count()
+      println(s"$tag $d recall@5 = ${hits.toDouble / nBrute} " +
+        s"($hits/$nBrute)")
+    }
     dirs.foreach { d =>
       val emb = Tables.embeddings(spark, d)
       val seed = emb.filter(pmod($"vec_id", lit(5)) =!= 4)
@@ -23,15 +35,10 @@ object ProbeS10 {
       Similarity.writePqIndex(spark, cb, Similarity.pqEncode(seed, cb), dir)
       Similarity.appendPqIndex(spark, dir, batch)
       val (cb2, codes2) = Similarity.readPqIndex(spark, dir)
-      val ann = Similarity.pqTopK(emb.filter($"vec_id" < 8), codes2, emb,
-        cb2, k = 5, rerankFactor = 8)
-      val brute = Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb, 5)
-      val nBrute = brute.count()
-      val hits = brute.select($"qid", $"nid")
-        .join(ann.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
-        .count()
-      println(s"PROBE_S10 $d recall@5 = ${hits.toDouble / nBrute} " +
-        s"($hits/$nBrute)")
+      recall("PROBE_S10", d,
+        Similarity.pqTopK(emb.filter($"vec_id" < 8), codes2, emb, cb2,
+          k = 5, rerankFactor = 8),
+        Similarity.bruteForceTopK(emb.filter($"vec_id" < 8), emb, 5))
 
       // s11 delete-maintenance recall: full-corpus-trained codebook,
       // vec_id%7==3 slice deleted, probe the remaining corpus
@@ -45,15 +52,10 @@ object ProbeS10 {
       val (cbD, codesD) = Similarity.readPqIndex(spark, dDir)
       val remaining = emb.filter(pmod($"vec_id", lit(7)) =!= 3)
       val qD = remaining.filter($"vec_id" < 8)
-      val annD = Similarity.pqTopK(qD, codesD, remaining, cbD,
-        k = 5, rerankFactor = 8)
-      val bruteD = Similarity.bruteForceTopK(qD, remaining, 5)
-      val nBruteD = bruteD.count()
-      val hitsD = bruteD.select($"qid", $"nid")
-        .join(annD.select($"qid", $"nid"), Seq("qid", "nid"), "left_semi")
-        .count()
-      println(s"PROBE_S11 $d recall@5 = ${hitsD.toDouble / nBruteD} " +
-        s"($hitsD/$nBruteD)")
+      recall("PROBE_S11", d,
+        Similarity.pqTopK(qD, codesD, remaining, cbD, k = 5,
+          rerankFactor = 8),
+        Similarity.bruteForceTopK(qD, remaining, 5))
     }
     spark.stop()
   }

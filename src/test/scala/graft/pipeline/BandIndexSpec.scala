@@ -16,8 +16,7 @@ class BandIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bands").toString
     Dedup.writeBandIndex(corpus, dir)
-    val viaIndex = Dedup.minhashAgainstIndex(inc, corpus,
-        Dedup.readBandIndex(spark, dir))
+    val viaIndex = Dedup.probeBandIndex(inc, corpus, dir)
       .as[(Long, Long, Double)].collect().toSet
     val recompute = Dedup.minhashIncrementalWords(inc, corpus)
       .as[(Long, Long, Double)].collect().toSet
@@ -38,12 +37,10 @@ class BandIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_bands_app").toString
     Dedup.writeBandIndex(corpus, dir)
-    // admit the batch: append its bands (mode append, the documented flow)
-    Dedup.wordBandRows(batch, 5, 128, 2)
-      .select($"band", $"bucket", $"id")
-      .write.mode("append").parquet(dir)
-    val pairs = Dedup.minhashAgainstIndex(inc, corpus.union(batch),
-        Dedup.readBandIndex(spark, dir))
+    // admit the batch: appendBandIndex reuses the index's STORED banding
+    // parameters, so a caller cannot corrupt the table with a mismatch
+    Dedup.appendBandIndex(batch, dir)
+    val pairs = Dedup.probeBandIndex(inc, corpus.union(batch), dir)
       .as[(Long, Long, Double)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) == Seq((20L, 10L)),
       s"increment did not find the appended batch: $pairs")

@@ -26,25 +26,30 @@ class GopherRulesSpec extends SparkSpec {
     assert(rules((1L, good))(1L) == ((true, true, true, true, true, true)))
   }
 
-  test("each rule fails in isolation") {
-    val shortDoc = "the cat of and to sat mat dog run now" // 10 words
+  test("each rule fails in isolation — every other rule passes") {
+    val shortDoc = "the cat and dog sat near mat run now fast" // 10 words
     val longWords = (Seq.fill(30)("the") ++
       Seq.fill(30)("pneumonoultramicroscopics")).mkString(" ") // mwl > 10
-    val symbols = good + " " + Seq.fill(12)("#").mkString(" ") // 12 sym / 72 w
-    val numeric = (Seq.fill(20)("the") ++ (1 to 40).map(_.toString))
-      .mkString(" ") // 20/60 alphabetic < 80%
+    // '###' tokens are length 3 (mean stays in [3,10]) and 83% of words
+    // stay alphabetic; 36 '#' occurrences vs 72 words trips only r_sym
+    val symbols = good + " " + Seq.fill(12)("###").mkString(" ")
+    // 3-digit numbers keep the mean at exactly 3.0 (the rule boundary —
+    // 3n <= suml holds with equality); 20/60 alphabetic trips only r_alpha
+    val numeric = (Seq.fill(20)("the") ++ (100 until 140).map(_.toString))
+      .mkString(" ")
     val noStops = Seq.fill(60)("spark").mkString(" ") + " the" // 1 stop hit
     val r = rules((1L, shortDoc), (2L, longWords), (3L, symbols),
       (4L, numeric), (5L, noStops))
-    assert(r(1L)._1 == false && r(1L)._6 == false, "word-count rule")
-    assert(r(2L)._2 == false, "mean-word-length rule")
-    assert(r(2L)._1, "long-word doc still clears word count")
-    assert(r(3L)._3 == false, "symbol-ratio rule")
-    assert(r(4L)._4 == false, "alpha-word rule")
-    assert(r(5L)._5 == false, "stop-word rule")
-    // every violator fails pass_all; no cross-contamination on rule 3-5's
-    // other verdicts
-    assert(Seq(2L, 3L, 4L, 5L).forall(id => r(id)._6 == false))
-    assert(r(5L)._1 && r(5L)._2 && r(5L)._3 && r(5L)._4)
+    // exactly ONE rule fails per violator (isolation asserted for all)
+    assert(r(1L) == ((false, true, true, true, true, false)),
+      s"word-count violator: ${r(1L)}")
+    assert(r(2L) == ((true, false, true, true, true, false)),
+      s"mean-word-length violator: ${r(2L)}")
+    assert(r(3L) == ((true, true, false, true, true, false)),
+      s"symbol-ratio violator: ${r(3L)}")
+    assert(r(4L) == ((true, true, true, false, true, false)),
+      s"alpha-word violator: ${r(4L)}")
+    assert(r(5L) == ((true, true, true, true, false, false)),
+      s"stop-word violator: ${r(5L)}")
   }
 }
