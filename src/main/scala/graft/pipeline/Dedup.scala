@@ -1033,4 +1033,57 @@ object Dedup {
       .agg(min(col("s")).as("span_start"), max(col("e")).as("span_end"))
       .select(col(idCol), col("span_start"), col("span_end"))
   }
+
+  /** APPLY [[exactSubstrSpans]] removals — cut every span out of the
+    * normalized text and re-emit the cleaned corpus: the actual product
+    * of the Lee et al. ACL'22 ExactSubstr pipeline (a user runs dedup to
+    * GET a cleaned corpus, not a span list). Spans are 1-based inclusive
+    * character intervals over `normText(text)`, assumed disjoint per doc
+    * (exactSubstrSpans emits fused MAXIMAL spans, so they are). Returns
+    * (id, orig text normalized as `t`, `clean`).
+    *
+    * Plan shape: the span side aggregates to ONE row per affected doc (a
+    * sorted (start, end) list — bounded by doc length), and under the
+    * [[graft.util.LimitProbe]] guard that per-doc list table BROADCASTS
+    * into a left join, so the corpus never shuffles to be spliced; past
+    * the guard it falls back to a shuffled equi-join on the id. The
+    * splice itself is one codegen'd fold per doc (accumulator = (next
+    * position to keep from, output so far); each span contributes the
+    * gap before it, the finish step appends the tail).
+    *
+    * Near-fixed-point caveat (spec'd on the gate corpus): re-running
+    * [[exactSubstrSpans]] on the cleaned corpus finds nothing UNLESS a
+    * splice junction coincidentally manufactures a new length-L window
+    * that also occurs elsewhere — Lee et al.'s own sequential
+    * implementation has the same property (removal concatenates the
+    * flanks). */
+  def removeSpans(docs: DataFrame, spans: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text",
+      broadcastDocLimit: Long = 2000000L): DataFrame = {
+    val t = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), normText(col(textCol)).as("t"))
+    val sp = spans.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(
+        col("span_start").cast("long").as("s"),
+        col("span_end").cast("long").as("e")))).as("sps"))
+      .localCheckpoint(true) // read twice: size probe + join build side
+    val spanSide =
+      if (graft.util.LimitProbe.atMost(sp, broadcastDocLimit)) broadcast(sp)
+      else sp
+    val spliced = aggregate(col("sps"),
+      struct(lit(1L).as("pos"), lit("").as("out")),
+      (acc, x) => struct(
+        (x.getField("e") + lit(1L)).as("pos"),
+        concat(acc.getField("out"),
+          col("t").substr(acc.getField("pos").cast("int"),
+            (x.getField("s") - acc.getField("pos")).cast("int")))
+          .as("out")),
+      acc => concat(acc.getField("out"),
+        col("t").substr(acc.getField("pos").cast("int"),
+          (length(col("t")) - acc.getField("pos") + lit(1L)).cast("int"))))
+    t.join(spanSide, Seq(idCol), "left")
+      .withColumn("clean", when(col("sps").isNull, col("t"))
+        .otherwise(spliced))
+      .select(col(idCol), col("t"), col("clean"))
+  }
 }

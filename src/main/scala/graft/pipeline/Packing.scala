@@ -110,6 +110,52 @@ object Packing {
     spark.createDataFrame(rdd).toDF("id", "n", "rank")
   }
 
+  /** PER-GROUP rank in (id ASC) order — the grouped variant of
+    * [[globalRankDesc]]'s two-pass distributed scan. A
+    * `ROW_NUMBER() OVER (PARTITION BY group ORDER BY id)` puts each whole
+    * group on ONE task; with a handful of groups (languages, sources)
+    * over a corpus that is a single-core sort of the corpus's biggest
+    * slice. Here the data range-partitions on (group, id) — a group
+    * spans many partitions — per-partition per-group counts come to the
+    * driver (bounded: partitions × groups), and a second pass assigns
+    * running ranks from the per-(partition, group) offsets. Rank is
+    * 1-based, a pure function of the data on any cluster shape (the
+    * (group, id) key is unique because ids are). Returns (g, id, rk). */
+  def groupRankAsc(df: DataFrame, groupCol: String,
+      idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sorted = df
+      .select(col(groupCol).cast("string").as("g"),
+        col(idCol).cast("long").as("id"))
+      .repartitionByRange(col("g"), col("id"))
+      .sortWithinPartitions(col("g"), col("id"))
+      .localCheckpoint(true)
+    val ds = sorted.as[(String, Long)]
+    val partCounts: Array[Seq[(String, Long)]] = ds
+      .mapPartitions { it =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { case (g, _) => m.update(g, m.getOrElse(g, 0L) + 1L) }
+        Iterator.single(m.toSeq)
+      }.collect()
+    val offsets: Array[Map[String, Long]] = partCounts
+      .scanLeft(Map.empty[String, Long]) { (acc, cs) =>
+        cs.foldLeft(acc) { case (a, (g, c)) =>
+          a.updated(g, a.getOrElse(g, 0L) + c)
+        }
+      }.dropRight(1)
+    val rdd = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val run = scala.collection.mutable.HashMap.empty[String, Long]
+      offsets(pi).foreach { case (g, c) => run.update(g, c) }
+      it.map { case (g, id) =>
+        val r = run.getOrElse(g, 0L) + 1L
+        run.update(g, r)
+        (g, id, r)
+      }
+    }
+    spark.createDataFrame(rdd).toDF("g", "id", "rk")
+  }
+
   /** Per-sequence packing stats for context length L: which docs land in
     * which fixed-length sequence (a doc spanning a boundary counts in
     * every sequence it touches). Exact integers — oracle-friendly. */

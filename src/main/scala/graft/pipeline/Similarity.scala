@@ -226,8 +226,11 @@ object Similarity {
     * table; codebook and every other row are untouched, so the remaining
     * index is BIT-IDENTICAL to encoding the remaining corpus against the
     * same codebook (the s10 probe-equality argument, mirrored). The
-    * surviving rows are pinned (eager localCheckpoint) BEFORE the
-    * overwrite — the rewrite reads the files it replaces. */
+    * rewrite reads the files it replaces, so the surviving rows go
+    * through [[graft.util.StageSwap]] — stage dir + atomic swap —
+    * instead of a localCheckpoint pin: nothing materializes in executor
+    * block storage, and a mid-write crash leaves the OLD index intact
+    * rather than a truncated one. */
   def removeFromPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String, removeIds: DataFrame,
       idCol: String = "vec_id"): Unit = {
@@ -235,8 +238,7 @@ object Similarity {
     val remaining = codes.join(
         removeIds.select(col(idCol).cast("long").as("id")),
         Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    remaining.write.mode("overwrite").parquet(s"$dir/codes")
+    graft.util.StageSwap.rewrite(remaining, s"$dir/codes")
   }
 
   /** DELETE ids from a PERSISTED IVF index — the posting-list twin of
@@ -249,8 +251,7 @@ object Similarity {
     val remaining = assign.join(
         removeIds.select(col(idCol).cast("long").as("id")),
         Seq("id"), "left_anti")
-      .localCheckpoint(true)
-    remaining.write.mode("overwrite").parquet(s"$dir/assignments")
+    graft.util.StageSwap.rewrite(remaining, s"$dir/assignments")
   }
 
   /** Probe a LOADED index against the base corpus table. */

@@ -449,7 +449,8 @@ object TextAnalysis {
     * t01/q29 convention. Rules (doc drops if ANY fails):
     *   r_wc    word count ∈ [minWords, maxWords]
     *   r_mwl   mean word length ∈ [3, 10]
-    *   r_sym   symbol-to-word ratio (# or …) ≤ 0.1
+    *   r_sym   symbol-to-word ratio ≤ 0.1 — symbols are '#' and the
+    *           ellipsis, BOTH spellings (ASCII "..." and U+2026 '…')
     *   r_alpha ≥ 80 % of words contain an alphabetic character
     *   r_stop  ≥ 2 hits from the Gopher stop-word list
     * Returns the input plus the five rule columns and `r_pass_all`. */
@@ -464,8 +465,8 @@ object TextAnalysis {
         aggregate(col("_toks"), lit(0L), (acc, t) => acc + length(t)))
       .withColumn("_sym",
         (size(regexp_extract_all(col(textCol), lit("#"), lit(0))) +
-          size(regexp_extract_all(col(textCol), lit("\\.\\.\\."), lit(0))))
-          .cast("long"))
+          size(regexp_extract_all(col(textCol), lit("(\\.\\.\\.|…)"),
+            lit(0)))).cast("long"))
       .withColumn("_alpha",
         size(filter(col("_toks"), t => t.rlike("[a-z]"))).cast("long"))
       .withColumn("_stop",

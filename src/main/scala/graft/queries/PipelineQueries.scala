@@ -44,11 +44,38 @@ object PipelineQueries {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     residentPairs.clear()
+    residentSpans.values.foreach { df =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    residentSpans.clear()
     // the BPE vocab is localCheckpoint-backed: a storage sweep kills its
     // blocks with NO lineage to recompute from, so the memo must go too
-    // (next gate retrains) — same contract as the pair-frame memo above
+    // (next gate retrains) — same contract as the pair-frame memo above.
+    // Free the checkpoint's RDD blocks NOW rather than waiting for the
+    // ContextCleaner to GC the dropped Model: localCheckpoint persistence
+    // is RDD-level, so Dataset.unpersist (CacheManager-level) would not
+    // touch it — unpersist the LogicalRDD's backing RDD directly
+    residentBpe.values.foreach { m =>
+      try m.vocab.queryExecution.analyzed.foreach {
+        case r: org.apache.spark.sql.execution.LogicalRDD =>
+          r.rdd.unpersist(blocking = false): Unit
+        case _ => ()
+      } catch { case _: Throwable => () }
+    }
     residentBpe.clear()
   }
+
+  /** d16 (span statistics) and d18 (span application) are two gates over
+    * ONE exact-substring span computation — the jaccardPairsShared
+    * contract, applied to the corpus-dominant position shuffle. */
+  private val residentSpans = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private[graft] def exactSpansShared(spark: SparkSession,
+      d: String): DataFrame =
+    residentSpans.getOrElseUpdate((spark, d), {
+      Dedup.exactSubstrSpans(Tables.documents(spark, d), minLen = 40).cache()
+    })
 
   /** t16/t17 share one trained tokenizer per (session, dir): training is
     * driver-paced (one argmax collect per merge round), so the second gate
@@ -800,8 +827,7 @@ object PipelineQueries {
     // overwrite/append/read across concurrent invocations (the 16-way
     // bench warmup runs this very gate in parallel) and can collide
     // distinct sf dirs onto one index
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_pq_inc").toString
+    val dir = graft.util.Scratch.dir("graft_pq_inc")
     val cb = Similarity.pqTrain(seed, m = 16, ksub = 64, iters = 4)
     Similarity.writePqIndex(spark, cb, Similarity.pqEncode(seed, cb), dir)
     Similarity.appendPqIndex(spark, dir, batch)
@@ -829,8 +855,7 @@ object PipelineQueries {
     val emb = Tables.embeddings(spark, d)
     val victims = emb.filter(pmod($"vec_id", lit(7)) === 3)
     val remaining = emb.filter(pmod($"vec_id", lit(7)) =!= 3)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_pq_del").toString
+    val dir = graft.util.Scratch.dir("graft_pq_del")
     val cb = Similarity.pqTrain(emb, m = 16, ksub = 64, iters = 4)
     Similarity.writePqIndex(spark, cb, Similarity.pqEncode(emb, cb), dir)
     Similarity.removeFromPqIndex(spark, dir, victims)
@@ -962,11 +987,28 @@ object PipelineQueries {
     * plain SQL) hash-matches exactly. */
   def d16ExactSubstr(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Dedup.exactSubstrSpans(Tables.documents(spark, d), minLen = 40)
+    exactSpansShared(spark, d)
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum($"span_end" - $"span_start" + 1).as("removed_chars"),
         max($"span_end" - $"span_start" + 1).as("max_span_len"))
+      .orderBy($"doc_id")
+  }
+
+  /** d18 — exact-substring span REMOVAL ([[Dedup.removeSpans]], the back
+    * half of the Lee et al. ExactSubstr pipeline): cut the d16 spans out
+    * of the normalized text and emit the cleaned corpus — per document
+    * the original and cleaned lengths plus an md5 of the cleaned text, so
+    * the oracle pins the SPLICED STRING itself, not just its size. Spans
+    * come from the d16-shared resident frame (one position shuffle feeds
+    * both gates); the per-doc span lists broadcast under the LimitProbe
+    * guard, so the corpus never shuffles to be spliced. */
+  def d18SpanRemoval(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Dedup.removeSpans(Tables.documents(spark, d), exactSpansShared(spark, d))
+      .select($"doc_id", length($"t").cast("long").as("orig_len"),
+        length($"clean").cast("long").as("clean_len"),
+        md5($"clean").as("clean_md5"))
       .orderBy($"doc_id")
   }
 
@@ -1066,7 +1108,15 @@ object PipelineQueries {
     * is correctly rounded IEEE on both engines, the normalizer folds in
     * LANGUAGE order (the t13/t14 sorted-fold convention — a shuffled SUM
     * would order-depend), and the multiply/divide dataflow is pinned to
-    * the oracle's. */
+    * the oracle's.
+    *
+    * Plan shape: the per-language rank is [[graft.pipeline.Packing
+    * .groupRankAsc]]'s two-pass distributed scan, NOT a
+    * `row_number().over(partitionBy(lang))` window — the window form
+    * serial-sorts each whole language on ONE task (and `en` is ~44% of
+    * this corpus; at 100 TB that's half the corpus through one core),
+    * and because the `rk <= target` bound arrives via a join,
+    * InferWindowGroupLimit can never rescue it the way it does q31. */
   def q32TemperatureMix(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val base = Tables.documents(spark, d).filter($"text".isNotNull)
@@ -1077,18 +1127,19 @@ object PipelineQueries {
       .select(aggregate($"arr", lit(0.0),
         (acc, s) => acc + s.getField("sq")).as("s"))
     val tgt = n.crossJoin(broadcast(tot))
-      .select($"lang", $"n",
+      .select($"lang".as("g"), $"n",
         floor(lit(300.0) * sqrt($"n".cast("double")) / $"s")
           .cast("long").as("target"))
-    val w = Window.partitionBy($"lang").orderBy($"doc_id")
-    base.select($"lang", $"doc_id")
-      .withColumn("rk", row_number().over(w))
-      .join(broadcast(tgt), "lang")
-      .groupBy($"lang")
+    graft.pipeline.Packing
+      .groupRankAsc(base.select($"lang", $"doc_id"), "lang", "doc_id")
+      .join(broadcast(tgt), "g")
+      .groupBy($"g")
       .agg(first($"n").as("n_docs"), first($"target").as("target"),
         count(when($"rk" <= $"target", 1)).as("n_kept"),
-        coalesce(sum(when($"rk" <= $"target", $"doc_id")), lit(0L))
+        coalesce(sum(when($"rk" <= $"target", $"id")), lit(0L))
           .as("kept_id_sum"))
+      .select($"g".as("lang"), $"n_docs", $"target", $"n_kept",
+        $"kept_id_sum")
       .orderBy($"lang")
   }
 
@@ -1102,8 +1153,7 @@ object PipelineQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
     val corpus = docs.filter($"doc_id" % 17 =!= 0)
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft_band_idx").toString
+    val dir = graft.util.Scratch.dir("graft_band_idx")
     Dedup.writeBandIndex(corpus, dir)
     Dedup.probeBandIndex(docs.filter($"doc_id" % 17 === 0), corpus, dir)
       .orderBy($"new_id", $"corpus_id")
@@ -1119,6 +1169,7 @@ object PipelineQueries {
     "q30_quality_classifier" -> (q30QualityClassifier _),
     "s10_incremental_ann" -> (s10IncrementalAnn _),
     "d16_exact_substr" -> (d16ExactSubstr _),
+    "d18_span_removal" -> (d18SpanRemoval _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1261,6 +1312,38 @@ object PipelineQueries {
        |  FROM c WHERE n > 0) x
        |GROUP BY seq_id ORDER BY seq_id""".stripMargin
 
+  /** The d16/d18 shared CTE chain: normalized text → per-position
+    * 40-char windows → duplicated keys → flagged positions → maximal
+    * fused spans (doc_id, sp_s, sp_e). */
+  private val exactSubstrSpanCtes: String =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
+      |  FROM documents WHERE text IS NOT NULL),
+      |pos AS (
+      |  SELECT doc_id, i, substring(t, i, 40) AS key
+      |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 39))
+      |          AS i
+      |        FROM d WHERE length(t) >= 40)),
+      |dup AS (SELECT key FROM pos GROUP BY key HAVING COUNT(*) >= 2),
+      |f AS (
+      |  SELECT doc_id, i::BIGINT AS s, (i + 39)::BIGINT AS e
+      |  FROM pos WHERE key IN (SELECT key FROM dup)),
+      |runs AS (
+      |  SELECT doc_id, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
+      |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      -1) + 1
+      |    THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |spans AS (
+      |  SELECT doc_id, MIN(s) AS sp_s, MAX(e) AS sp_e
+      |  FROM (SELECT doc_id, s, e, SUM(brk) OVER (
+      |          PARTITION BY doc_id ORDER BY s
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
+      |        FROM runs)
+      |  GROUP BY doc_id, run)""".stripMargin
+
   private val jaccardOracle =
     // gram count is bounded by the LOWERED length (lowercasing can change
     // codepoint count, e.g. U+0130) — same convention as the Spark kernel
@@ -1337,7 +1420,8 @@ object PipelineQueries {
         |      [length(t) for t in toks]::BIGINT[]),
         |      (a, b) -> a + b) AS suml,
         |    (len(regexp_extract_all(text, '#'))
-        |     + len(regexp_extract_all(text, '\.\.\.')))::BIGINT AS sym,
+        |     + len(regexp_extract_all(text, '(\.\.\.|…)')))::BIGINT
+        |      AS sym,
         |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT
         |      AS alpha,
         |    len(list_filter(toks, t -> t IN ('the','be','to','of','and',
@@ -1444,37 +1528,43 @@ object PipelineQueries {
         |  SUM(score)::BIGINT AS score_sum
         |FROM scored GROUP BY label ORDER BY label""".stripMargin,
     "d16_exact_substr" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS t
-        |  FROM documents WHERE text IS NOT NULL),
-        |pos AS (
-        |  SELECT doc_id, i, substring(t, i, 40) AS key
-        |  FROM (SELECT doc_id, t, unnest(generate_series(1, length(t) - 39))
-        |          AS i
-        |        FROM d WHERE length(t) >= 40)),
-        |dup AS (SELECT key FROM pos GROUP BY key HAVING COUNT(*) >= 2),
-        |f AS (
-        |  SELECT doc_id, i::BIGINT AS s, (i + 39)::BIGINT AS e
-        |  FROM pos WHERE key IN (SELECT key FROM dup)),
-        |runs AS (
-        |  SELECT doc_id, s, e,
-        |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY doc_id
-        |      ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      -1) + 1
-        |    THEN 1 ELSE 0 END AS brk
-        |  FROM f),
-        |spans AS (
-        |  SELECT doc_id, MIN(s) AS sp_s, MAX(e) AS sp_e
-        |  FROM (SELECT doc_id, s, e, SUM(brk) OVER (
-        |          PARTITION BY doc_id ORDER BY s
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run
-        |        FROM runs)
-        |  GROUP BY doc_id, run)
+      s"""$exactSubstrSpanCtes
         |SELECT doc_id, COUNT(*)::BIGINT AS n_spans,
         |  SUM(sp_e - sp_s + 1)::BIGINT AS removed_chars,
         |  MAX(sp_e - sp_s + 1)::BIGINT AS max_span_len
         |FROM spans GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d18_span_removal" ->
+      // the d16 span chain + the splice: kept segments are the gaps
+      // between spans plus the tail, concatenated in position order;
+      // docs whose whole text is one span clean to ''; untouched docs
+      // pass through. md5 pins the spliced STRING on both engines.
+      s"""$exactSubstrSpanCtes,
+        |segs AS (
+        |  SELECT doc_id,
+        |    COALESCE(LAG(sp_e) OVER (PARTITION BY doc_id ORDER BY sp_s),
+        |      0) + 1 AS ss,
+        |    sp_s - 1 AS se
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT s.doc_id, MAX(s.sp_e) + 1 AS ss, length(d.t) AS se
+        |  FROM spans s JOIN d USING (doc_id) GROUP BY s.doc_id, length(d.t)),
+        |pieces AS (
+        |  SELECT doc_id, ss, substring(t, ss::INT, (se - ss + 1)::INT)
+        |    AS piece
+        |  FROM segs JOIN d USING (doc_id) WHERE se >= ss),
+        |cleaned AS (
+        |  SELECT doc_id, string_agg(piece, '' ORDER BY ss) AS clean
+        |  FROM pieces GROUP BY doc_id)
+        |SELECT doc_id, length(t)::BIGINT AS orig_len,
+        |  length(cl)::BIGINT AS clean_len, md5(cl) AS clean_md5
+        |FROM (
+        |  SELECT d.doc_id, d.t,
+        |    CASE WHEN sp.doc_id IS NULL THEN d.t
+        |         ELSE COALESCE(c.clean, '') END AS cl
+        |  FROM d
+        |  LEFT JOIN (SELECT DISTINCT doc_id FROM spans) sp USING (doc_id)
+        |  LEFT JOIN cleaned c ON d.doc_id = c.doc_id)
+        |ORDER BY doc_id""".stripMargin,
     "t16_bpe_train" -> bpeTrainOracle,
     "t17_bpe_encode" -> bpeEncodeOracle,
     "d01_exact_dedup" ->

@@ -902,4 +902,24 @@ class PipelineSpec extends SparkSpec {
     assert(rank(1) === expected)
     assert(rank(7) === expected)
   }
+
+  test("group rank: equals the per-group window rank, partition-independent") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    val rows = (1L to 97L).map(i => (if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr", i * 7 % 101))
+    val df = rows.toDF("lang", "doc_id")
+    val expected = df
+      .withColumn("rk",
+        row_number().over(Window.partitionBy($"lang").orderBy($"doc_id"))
+          .cast("long"))
+      .select($"lang", $"doc_id", $"rk")
+      .orderBy($"lang", $"doc_id")
+      .collect().map(_.toSeq).toSeq
+    Seq(1, 5, 32).foreach { parts =>
+      val got = Packing.groupRankAsc(df.repartition(parts), "lang", "doc_id")
+        .orderBy(col("g"), col("id")).collect().map(_.toSeq).toSeq
+      assert(got === expected, s"parts=$parts")
+    }
+  }
 }

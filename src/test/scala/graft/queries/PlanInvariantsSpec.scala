@@ -111,6 +111,22 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("q32 ranks languages with the distributed two-pass scan, not a window") {
+    // row_number().over(partitionBy(lang)) serial-sorts each whole
+    // language on ONE task (en alone is ~44% of this corpus), and the
+    // rank bound arrives via a join so InferWindowGroupLimit can never
+    // rescue it — the round-9 weak finding. The fix is
+    // Packing.groupRankAsc; a regression back to the window form must
+    // fail here
+    val p = plan("q32_temperature_mix")
+    assert(!p.contains("Window"),
+      s"q32 regressed to a per-language window rank:\n$p")
+    // the two-pass rank materializes as an RDD-backed frame (the ranked
+    // rows ARE data by the time the gate plan compiles)
+    assert(p.contains("ExistingRDD"),
+      "q32 lost the two-pass distributed rank scan")
+  }
+
   test("q01 scan is column-pruned and q02 filter reaches the parquet scan") {
     // q01 aggregates 7 lineitem columns; the 16-column scan must be pruned
     val p1 = plan("q01_pricing_agg")
