@@ -927,18 +927,23 @@ object Dedup {
     * buckets. */
   def wordBandRows(docs: DataFrame, w: Int, numHashes: Int,
       rowsPerBand: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", tsCol: Option[String] = None): DataFrame = {
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
     val numBands = numHashes / rowsPerBand
+    // the event-time column rides along UNWRAPPED (null when the caller
+    // has no event time) so the streaming consumer can expire band-index
+    // members at its horizon — wrapping it (unix_micros etc.) would strip
+    // the watermark metadata the event-time timeout is validated against
+    val ts = tsCol.map(col).getOrElse(lit(null).cast("timestamp"))
     docs.filter(length(col(textCol)) >= 2 * w - 1)
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as("id"), ts.as("ts_evt"),
         TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
           .as("grams"))
       .filter(size(col("grams")) > 0)
       .withColumn("sig",
         graft.functions.MinHashSignature.minhashSig(col("grams"), numHashes))
       .withColumn("ghash", transform(col("grams"), g => xxhash64(g)))
-      .select(col("id"), col("ghash"),
+      .select(col("id"), col("ts_evt"), col("ghash"),
         bandBuckets(col("sig"), numBands, rowsPerBand)
           .as(Seq("band", "bucket")))
   }

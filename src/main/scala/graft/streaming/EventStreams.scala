@@ -370,45 +370,85 @@ object EventStreams {
     * in-state verification in ONE stateful stage; the 100 TB shape
     * splits it in two (the band index emits candidate id pairs only,
     * and a second keyed state — one gram set per doc — verifies),
-    * trading a stage for 1× state. NoTimeout here because the gate
-    * corpus is bounded; a production ingest bounds the store exactly
-    * like [[funnelStream]] does, with an event-time timeout at the
-    * boilerplate-recurrence horizon, trading "dups farther apart than
-    * the horizon" for bounded state. */
+    * trading a stage for 1× state.
+    *
+    * State bound: pass `tsCol` to expire band-index members at the
+    * dedup horizon, exactly like [[funnelStream]]'s event-time timeout —
+    * the stream watermarks on `tsCol` with delay `horizon`, members
+    * whose event time the watermark has passed are pruned on every
+    * visit AND on group timeout, and a fully-expired bucket removes its
+    * state. The trade is explicit: duplicates arriving more than
+    * `horizon` of event time after their original are no longer
+    * reported (the boilerplate-recurrence horizon assumption); within
+    * the horizon the pair set still equals the batch operator's.
+    * Without `tsCol` (the bounded gate corpus) nothing expires. */
   def nearDupPairsStream(docs: DataFrame, w: Int = 5, numHashes: Int = 128,
-      rowsPerBand: Int = 2, threshold: Double = 0.8): DataFrame = {
+      rowsPerBand: Int = 2, threshold: Double = 0.8,
+      tsCol: Option[String] = None, horizon: String = "1 hour"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    graft.pipeline.Dedup.wordBandRows(docs, w, numHashes, rowsPerBand)
-      .select(col("band"), col("bucket"), col("id"), col("ghash"))
-      .as[(Int, Long, Long, Seq[Long])]
+    val src = tsCol match {
+      case Some(tc) if docs.isStreaming => docs.withWatermark(tc, horizon)
+      case _ => docs
+    }
+    val timeoutConf =
+      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    graft.pipeline.Dedup.wordBandRows(src, w, numHashes, rowsPerBand,
+        tsCol = tsCol)
+      .select(col("band"), col("bucket"), col("id"), col("ghash"),
+        col("ts_evt"))
+      .as[(Int, Long, Long, Seq[Long], java.sql.Timestamp)]
       .groupByKey(r => (r._1, r._2))
-      .flatMapGroupsWithState[Seq[(Long, Array[Long])],
+      .flatMapGroupsWithState[Seq[(Long, Long, Array[Long])],
           (Long, Long, Double)](
-          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+          OutputMode.Append(), timeoutConf) {
         (_, rows, state) =>
-          var members = state.getOption.getOrElse(Seq.empty)
-          val out = Seq.newBuilder[(Long, Long, Double)]
-          // in-batch id order: within one micro-batch the earlier id is
-          // the "corpus" side, exactly as a row-at-a-time ingest would see
-          rows.toSeq.sortBy(_._3).foreach { r =>
-            val g = r._4.toArray
-            val gs = g.toSet
-            members.foreach { case (mid, mg) =>
-              if (mid != r._3) {
-                var inter = 0
-                mg.foreach(h => if (gs.contains(h)) inter += 1)
-                // same inclusion-exclusion dataflow as Dedup.jaccard
-                val jac = inter.toDouble /
-                  (mg.length.toDouble + g.length.toDouble - inter.toDouble)
-                if (jac >= threshold)
-                  out += ((math.min(mid, r._3), math.max(mid, r._3), jac))
+          // a member is live while the watermark has not passed its event
+          // time; with withWatermark(horizon) that means it expires once
+          // events more than `horizon` newer have been seen
+          val wmMs = if (tsCol.isDefined) state.getCurrentWatermarkMs()
+            else Long.MinValue
+          def live(ms: Seq[(Long, Long, Array[Long])]) =
+            ms.filter(_._2 >= wmMs)
+          // reset the expiry clock past the newest live member (clamped
+          // past the watermark — the funnelStream late-group lesson)
+          def armTimeout(ms: Seq[(Long, Long, Array[Long])]): Unit =
+            if (tsCol.isDefined && ms.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(ms.map(_._2).max, wmMs + 1L), horizon)
+          if (state.hasTimedOut) {
+            val kept = live(state.getOption.getOrElse(Seq.empty))
+            if (kept.isEmpty) state.remove()
+            else { state.update(kept); armTimeout(kept) }
+            Iterator.empty
+          } else {
+            var members = live(state.getOption.getOrElse(Seq.empty))
+            val out = Seq.newBuilder[(Long, Long, Double)]
+            // in-batch id order: within one micro-batch the earlier id is
+            // the "corpus" side, exactly as a row-at-a-time ingest would
+            // see
+            rows.toSeq.sortBy(_._3).foreach { r =>
+              val g = r._4.toArray
+              val gs = g.toSet
+              members.foreach { case (mid, _, mg) =>
+                if (mid != r._3) {
+                  var inter = 0
+                  mg.foreach(h => if (gs.contains(h)) inter += 1)
+                  // same inclusion-exclusion dataflow as Dedup.jaccard
+                  val jac = inter.toDouble /
+                    (mg.length.toDouble + g.length.toDouble - inter.toDouble)
+                  if (jac >= threshold)
+                    out += ((math.min(mid, r._3), math.max(mid, r._3), jac))
+                }
               }
+              members = members :+
+                ((r._3, if (r._5 == null) 0L else r._5.getTime, g))
             }
-            members = members :+ ((r._3, g))
+            state.update(members)
+            armTimeout(members)
+            out.result().iterator
           }
-          state.update(members)
-          out.result().iterator
       }
       .toDF("id_a", "id_b", "jac")
   }

@@ -85,4 +85,60 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(distinctPairs.exists(p => p._1 == 3L && p._2 == 5L),
       "cross-restart near-dup pair lost — band index state did not survive")
   }
+
+  test("horizon-bounded band index expires old members across restarts; " +
+    "in-horizon pairs still emit") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType,
+      TimestampType}
+    val base = java.nio.file.Files.createTempDirectory("graft_st11_ttl")
+      .toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val sink = new java.io.File(base, "sink").getAbsolutePath
+    val ckpt = new java.io.File(base, "ckpt").getAbsolutePath
+    def text(tag: String): String =
+      (0 until 50).map(j => s"$tag$j").mkString(" ")
+    def nearDup(t: String, extra: String): String = s"$t $extra"
+    val tA = text("alpha"); val tB = text("beta")
+    def writeFile(name: String, rows: Seq[(Long, String, String)]): Unit =
+      java.nio.file.Files.write(new java.io.File(src, name).toPath,
+        rows.map { case (id, ts, t) =>
+          s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("ts", TimestampType)
+      .add("text", StringType)
+    def drainOnce(): Unit = {
+      val docs = spark.readStream.schema(schema).json(src.getAbsolutePath)
+      val q = EventStreams
+        .nearDupPairsStream(docs, tsCol = Some("ts"), horizon = "1 hour")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    }
+    // drain 1: an in-horizon near-dup pair (1,2), 30 min apart
+    writeFile("a.json", Seq(
+      (1L, "2026-01-01T10:00:00Z", tA),
+      (2L, "2026-01-01T10:30:00Z", nearDup(tA, "x1"))))
+    drainOnce()
+    // drain 2 (restart): a unique doc at 13:00 advances the watermark to
+    // 12:00 — docs 1 and 2 fall behind the horizon
+    writeFile("b.json", Seq((4L, "2026-01-01T13:00:00Z", tB)))
+    drainOnce()
+    // drain 3 (restart): 3 duplicates the EXPIRED alpha text (must NOT
+    // pair — members 1/2 were pruned); 5 duplicates beta within the
+    // horizon (must pair with 4)
+    writeFile("c.json", Seq(
+      (3L, "2026-01-01T12:30:00Z", nearDup(tA, "x2")),
+      (5L, "2026-01-01T13:10:00Z", nearDup(tB, "x3"))))
+    drainOnce()
+    val pairs = spark.read.parquet(sink)
+      .as[(Long, Long, Double)].collect().toSet.map(
+        (p: (Long, Long, Double)) => (p._1, p._2))
+    assert(pairs == Set((1L, 2L), (4L, 5L)),
+      s"horizon semantics off — got $pairs: expected the in-horizon " +
+        "pairs (1,2) and (4,5) only, with the expired alpha members " +
+        "never pairing against doc 3")
+  }
 }
