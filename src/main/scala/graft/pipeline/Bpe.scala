@@ -18,13 +18,17 @@ import org.apache.spark.sql.functions._
   *      via a guarded index explode + one map-side-partial groupBy, a
   *      deterministic argmax (freq DESC, lhs ASC, rhs ASC — total order, so
   *      the learned vocab is engine-exact), and a map-side merge
-  *      application. The chosen pair travels as a BROADCAST single-row
-  *      frame, not a literal, so all rounds share one compiled plan shape
-  *      (the repo's changing-literal codegen lesson), and each round is
-  *      localCheckpoint-truncated so lineage stays O(1).
-  *   3. The argmax `.limit(1).collect()` moves ONE row per round to the
-  *      driver — the same bounded-collect posture as
-  *      [[Similarity]]'s trainSample.
+  *      application. Rounds are BATCHED: a symbol-disjoint argmax-prefix
+  *      of merges — provably the exact sequential sequence, see [[train]]
+  *      — applies in one fused pass, so a 32k-vocab production train is
+  *      ~numMerges/avgBatch driver rounds, not numMerges. The batch
+  *      travels as a BROADCAST single-row map frame, not literals, so all
+  *      rounds share one compiled plan shape (the repo's changing-literal
+  *      codegen lesson), and each round is localCheckpoint-truncated so
+  *      lineage stays O(1).
+  *   3. The per-round argmax `.limit(maxBatch + 1).collect()` moves a
+  *      bounded handful of rows to the driver — the same bounded-collect
+  *      posture as [[Similarity]]'s trainSample.
   *
   * Pair counts follow the reference convention: every adjacent POSITION
   * counts (a word `aaaa` holds three `(a,a)` pairs), weighted by word
@@ -88,38 +92,134 @@ object Bpe {
             concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
             .otherwise(concat(acc, array(x)))))
 
+  /** The length-prefixed pair key `len(l) ":" l r` — unambiguous without
+    * trusting any delimiter to stay out of the symbols (the prefix says
+    * where `l` ends). Built identically on the map side and the probe
+    * side of [[applyMergeMapFold]]. */
+  private def pairKey(l: Column, r: Column): Column =
+    concat(length(l).cast("string"), lit(":"), l, r)
+
+  /** One greedy left-to-right pass applying a whole BATCH of merges via a
+    * map lookup (`m`: pairKey → merged symbol). For a symbol-disjoint
+    * batch this is exactly equal to applying the batch members one after
+    * another in rank order ([[applyMergeFold]] per member): no occurrence
+    * of one member can overlap an occurrence of another (they would have
+    * to share the symbol at the overlap position), so the per-pair greedy
+    * passes commute and fuse into one. `try_element_at` keeps the absent-
+    * key probe null under ANSI evaluation. */
+  def applyMergeMapFold(syms: Column, m: Column): Column =
+    aggregate(syms, array().cast("array<string>"), (acc, x) =>
+      when(size(acc) === 0, concat(acc, array(x)))
+        .otherwise {
+          val merged = try_element_at(m, pairKey(element_at(acc, -1), x))
+          when(merged.isNotNull,
+            concat(slice(acc, lit(1), size(acc) - 1), array(merged)))
+            .otherwise(concat(acc, array(x)))
+        })
+
   /** Train `numMerges` merges on the corpus. Stops early (fewer merges)
     * only if the vocabulary runs out of adjacent pairs — callers that pair
     * the result with the unrolled SQL oracle must pick `numMerges` below
-    * that bound (the oracle's per-round CTEs assume a non-empty argmax). */
+    * that bound (the oracle's per-round CTEs assume a non-empty argmax).
+    *
+    * The driver loop is BATCHED (the parallel-BPE trick): each round
+    * collects the top `maxBatch + 1` pairs and applies, in ONE fused
+    * pass, the maximal argmax-order prefix that is (a) pairwise
+    * symbol-disjoint, (b) concat-collision-free (no batch member's merged
+    * string equals an existing symbol or another member's symbols), and
+    * (c) strictly above the first excluded pair's frequency. That prefix
+    * is provably the exact sequential merge sequence: applying an
+    * accepted pair cannot change the count of any other accepted pair
+    * (every destroyed pair occurrence contains one of its symbols, every
+    * created pair contains its merged symbol — which, collision-free, is
+    * NEW), and every pair outside the batch — preexisting, decreased, or
+    * newly created (bounded by some symbol-sharing pair's old count,
+    * which ranks at or past the stop pair) — stays strictly below every
+    * accepted frequency, so each sequential argmax picks the batch
+    * members in order. Spec-pinned: `maxBatch = 1` reproduces the same
+    * merge list on the gate corpus and on a crafted tie/collision-heavy
+    * corpus. A 32k-vocab production train thus runs in
+    * ~numMerges/avgBatch driver rounds instead of numMerges, and every
+    * round stays vocabulary-sized, never corpus-sized. */
   def train(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): Model = {
+      textCol: String = "text", maxBatch: Int = 64): Model = {
     val spark = docs.sparkSession
     require(numMerges >= 1, "need at least one merge")
+    require(maxBatch >= 1, "need a positive merge batch bound")
     // chars: split("", -1) appends one trailing empty string — drop it
     var words = wordCounts(docs, textCol)
       .withColumn("syms", filter(split(col("word"), ""), c => c =!= ""))
       .localCheckpoint(true)
+    // vocabulary-proportional parallelism: the distinct-word table is
+    // tiny next to the corpus (tens of rows here, ~10⁷ at web scale), so
+    // per-round stages on the session's full shuffle width would be pure
+    // task-scheduling overhead — one partition per 64k words, capped at
+    // the session width
+    val parts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      words.count() / 65536L + 1L)).toInt
+    words = words.repartition(parts).localCheckpoint(true)
+    // the symbol UNIVERSE is driver-sized by construction — the initial
+    // alphabet plus one new symbol per merge — so the batch rule's
+    // collision probe is a local set lookup
+    val symbols = scala.collection.mutable.HashSet.empty[String]
+    words.select(explode(col("syms")).as("s")).distinct().collect()
+      .foreach(r => symbols += r.getString(0))
     val merges = Seq.newBuilder[Merge]
-    var rank = 1
+    var done = 0
     var exhausted = false
-    while (rank <= numMerges && !exhausted) {
-      val best = pairCounts(words)
+    while (done < numMerges && !exhausted) {
+      val cand = pairCounts(words)
         .orderBy(col("freq").desc, col("lhs"), col("rhs"))
-        .limit(1).collect() // exactly one row per round crosses the driver
-      if (best.isEmpty) exhausted = true
+        .limit(maxBatch + 1).collect() // bounded rows per round
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      if (cand.isEmpty) exhausted = true
       else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        merges += Merge(rank, l, r, c)
-        // broadcast single-row pair (constant plan shape across rounds);
-        // checkpoint truncates the per-round lineage
-        val pair = spark.createDataFrame(Seq((l, r))).toDF("_ml", "_mr")
-        words = words.crossJoin(broadcast(pair))
+        val touched = scala.collection.mutable.HashSet.empty[String]
+        val accepted = Seq.newBuilder[(String, String, Long)]
+        var nAcc = 0
+        var stopFreq = -1L // sentinel: no stop pair seen
+        var i = 0
+        while (i < cand.length && stopFreq < 0L) {
+          val (l, r, f) = cand(i)
+          val cat = l + r
+          if (touched(l) || touched(r) || touched(cat) || symbols(cat))
+            stopFreq = f
+          else {
+            accepted += ((l, r, f)); nAcc += 1
+            touched += l; touched += r; touched += cat
+          }
+          i += 1
+        }
+        // an overlap-free scan that RAN OFF the collected window proves
+        // nothing about pair maxBatch+2 — treat the window edge as the
+        // stop pair; a fully-scanned shorter candidate list IS the whole
+        // remaining pair set, no stop needed
+        if (stopFreq < 0L && cand.length > maxBatch)
+          stopFreq = cand.last._3
+        var batch =
+          if (stopFreq < 0L) accepted.result()
+          else accepted.result().filter(_._3 > stopFreq)
+        if (batch.isEmpty) batch = Seq(cand.head) // forced sequential step
+        batch = batch.take(numMerges - done)
+        batch.foreach { case (l, r, f) =>
+          done += 1
+          merges += Merge(done, l, r, f)
+          symbols += (l + r)
+        }
+        // the whole batch travels as ONE broadcast single-row map —
+        // constant plan shape across rounds (the changing-literal codegen
+        // lesson); checkpoint truncates the per-round lineage
+        val bdf = spark.createDataFrame(batch.map { case (l, r, _) =>
+            (l, r)
+          }).toDF("_l", "_r")
+          .agg(map_from_arrays(
+            collect_list(pairKey(col("_l"), col("_r"))),
+            collect_list(concat(col("_l"), col("_r")))).as("_m"))
+        words = words.crossJoin(broadcast(bdf))
           .select(col("word"), col("cnt"),
-            applyMergeFold(col("syms"), col("_ml"), col("_mr")).as("syms"))
+            applyMergeMapFold(col("syms"), col("_m")).as("syms"))
           .localCheckpoint(true)
-        rank += 1
       }
     }
     Model(merges.result(), words)

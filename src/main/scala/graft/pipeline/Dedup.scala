@@ -846,11 +846,11 @@ object Dedup {
     * BY CONSTRUCTION the scheme the index was built with. */
   def probeBandIndex(newDocs: DataFrame, corpus: DataFrame, dir: String,
       threshold: Double = 0.8, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", checkCoverage: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val (w, nh, rpb) = readBandMeta(spark, dir)
     minhashAgainstIndex(newDocs, corpus, readBandIndex(spark, dir),
-      w, nh, rpb, threshold, idCol, textCol)
+      w, nh, rpb, threshold, idCol, textCol, checkCoverage)
   }
 
   /** Increment-vs-corpus near-dup pairs against a STORED band index:
@@ -865,14 +865,27 @@ object Dedup {
   def minhashAgainstIndex(newDocs: DataFrame, corpus: DataFrame,
       storedBands: DataFrame, w: Int = 5, numHashes: Int = 128,
       rowsPerBand: Int = 2, threshold: Double = 0.8,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      checkCoverage: Boolean = true): DataFrame = {
     // SYNC CONTRACT: `corpus` must cover every id in `storedBands` — a
     // candidate whose corpus_id is indexed but absent from the corpus
     // frame (an admitted batch whose bands were appended but that was
     // never unioned into the frame) drops at the gram re-join and its
-    // near-dups are silently missed. Prefer [[probeBandIndex]], whose
-    // parameters cannot drift from the build's.
+    // near-dups are silently missed. checkCoverage (default ON) turns
+    // that silent miss into a loud failure: one index-sized distinct +
+    // anti-join against the corpus ids, cheap next to the probe itself.
+    // Prefer [[probeBandIndex]], whose parameters cannot drift from the
+    // build's.
     require(numHashes % rowsPerBand == 0, "bands must tile the signature")
+    if (checkCoverage) {
+      val orphans = storedBands.select(col("id")).distinct()
+        .join(corpus.select(col(idCol).cast("long").as("id")),
+          Seq("id"), "left_anti")
+      require(orphans.limit(1).count() == 0L,
+        "band index holds ids absent from the corpus frame — an admitted " +
+          "batch's bands were appended without unioning the batch into " +
+          "the corpus; its near-dups would be silently missed")
+    }
     val ng = spread(newDocs.filter(length(col(textCol)) >= 2 * w - 1))
       .select(col(idCol).as("id"),
         TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)

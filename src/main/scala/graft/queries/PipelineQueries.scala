@@ -55,14 +55,16 @@ object PipelineQueries {
     // ContextCleaner to GC the dropped Model: localCheckpoint persistence
     // is RDD-level, so Dataset.unpersist (CacheManager-level) would not
     // touch it — unpersist the LogicalRDD's backing RDD directly
-    residentBpe.values.foreach { m =>
+    def dropVocab(m: graft.pipeline.Bpe.Model): Unit =
       try m.vocab.queryExecution.analyzed.foreach {
         case r: org.apache.spark.sql.execution.LogicalRDD =>
           r.rdd.unpersist(blocking = false): Unit
         case _ => ()
       } catch { case _: Throwable => () }
-    }
+    residentBpe.values.foreach(dropVocab)
     residentBpe.clear()
+    residentBpeDeep.values.foreach(dropVocab)
+    residentBpeDeep.clear()
   }
 
   /** d16 (span statistics) and d18 (span application) are two gates over
@@ -88,6 +90,30 @@ object PipelineQueries {
     * round's argmax is non-empty), large enough that multi-step merge
     * interactions (merged symbols re-merging) are exercised. */
   private val BpeRounds = 20
+
+  /** Merge depth for the DEEP train gate (t20): as close to pair
+    * EXHAUSTION as the synthetic corpus permits. The testdata vocabulary
+    * is 31 distinct words with 107 intra-word pair positions in total, so
+    * word-level BPE exhausts after exactly 89 merges at every SF (same
+    * generator, same end state — measured by exact simulation); a
+    * literal 32k-merge production train is physically impossible here.
+    * 85 leaves the oracle's non-empty-argmax assumption a margin while
+    * still driving the batched merge loop ~4× past t16's depth. */
+  private val BpeDeepRounds = 85
+
+  private val residentBpeDeep = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Bpe.Model]
+
+  private[graft] def bpeDeepShared(spark: SparkSession, d: String)
+      : graft.pipeline.Bpe.Model =
+    residentBpeDeep.getOrElseUpdate((spark, d), {
+      val m = graft.pipeline.Bpe
+        .train(Tables.documents(spark, d), BpeDeepRounds)
+      require(m.merges.size == BpeDeepRounds,
+        s"corpus exhausted adjacent pairs after ${m.merges.size} < " +
+          s"$BpeDeepRounds merges — lower BpeDeepRounds")
+      m
+    })
 
   private[graft] def bpeShared(spark: SparkSession, d: String)
       : graft.pipeline.Bpe.Model =
@@ -431,18 +457,26 @@ object PipelineQueries {
       .orderBy($"shard")
   }
 
-  /** d15 — incremental near-dup: the doc_id%17 slice plays the daily
-    * increment, the rest plays the already-ingested corpus; pairs are the
-    * increment docs near-duplicate (word-5 jaccard ≥ 0.8) to ANY corpus
-    * doc, found via the asymmetric band join
-    * ([[Dedup.minhashIncrementalWords]]) and verified exactly. Oracle:
-    * brute cross-jaccard between the two slices. */
+  /** d15 — incremental near-dup THROUGH THE PERSISTED INDEX LIFECYCLE:
+    * the doc_id%17 slice plays the daily increment, the rest plays the
+    * already-ingested corpus — and the corpus side runs the full
+    * production shape: the band index is BUILT from the initial corpus
+    * snapshot ([[Dedup.writeBandIndex]]), a later admitted batch is
+    * APPENDED ([[Dedup.appendBandIndex]], reusing the index's stored
+    * banding params), and the increment PROBES the stored table
+    * ([[Dedup.probeBandIndex]], coverage-checked) — the corpus at large
+    * never re-hashes, never re-bands. The recompute twin
+    * ([[Dedup.minhashIncrementalWords]]) is spec-pinned identical
+    * (BandIndexSpec); the oracle is the same brute cross-jaccard between
+    * the two slices. */
   def d15IncrementalDedup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
-    Dedup.minhashIncrementalWords(
-        docs.filter($"doc_id" % 17 === 0),
-        docs.filter($"doc_id" % 17 =!= 0))
+    val corpus = docs.filter($"doc_id" % 17 =!= 0)
+    val dir = graft.util.Scratch.dir("graft_band_d15")
+    Dedup.writeBandIndex(corpus.filter($"doc_id" % 3 =!= 1), dir)
+    Dedup.appendBandIndex(corpus.filter($"doc_id" % 3 === 1), dir)
+    Dedup.probeBandIndex(docs.filter($"doc_id" % 17 === 0), corpus, dir)
       .orderBy($"new_id", $"corpus_id")
   }
 
@@ -1050,6 +1084,52 @@ object PipelineQueries {
       .orderBy($"seq_id")
   }
 
+  /** t20 — DEEP BPE train through the BATCHED merge loop
+    * ([[graft.pipeline.Bpe.train]] with its symbol-disjoint argmax-prefix
+    * batching): [[BpeDeepRounds]] merges — as close to this corpus's
+    * 89-merge pair exhaustion as the oracle's non-empty-argmax assumption
+    * allows (see BpeDeepRounds) — replayed merge-for-merge by the same
+    * unrolled DuckDB chain as t16. The batched path is spec-pinned equal
+    * to maxBatch=1 sequential training, so this gate certifies the
+    * production shape: a real 32k-vocab train runs ~numMerges/avgBatch
+    * driver rounds, each vocabulary-sized. */
+  def t20BpeDeepTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Bpe.mergeTable(spark, bpeDeepShared(spark, d))
+      .orderBy($"rank")
+  }
+
+  /** q33 — token-budget fill measured in REAL BPE TOKENS (the t18
+    * composition applied to q24's budget shape): spend half the corpus's
+    * BPE-token budget on the docs that tokenize most efficiently —
+    * fewest subword tokens per whitespace word, the compression-ratio
+    * quality signal (noisy/garbled text fragments into many subwords).
+    * Token counts come from the t16 vocab via the broadcast dictionary
+    * join; the running total is [[graft.pipeline.Packing.budgetFill]]'s
+    * two-pass distributed scan (never a single-task global window). The
+    * ratio is ONE double division of exact integers — bit-identical on
+    * both engines — and the oracle replays the whole chain: unrolled
+    * merges → per-doc counts → cumulative window → per-source rollup. */
+  def q33BpeBudgetFill(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val counts = graft.pipeline.Bpe
+      .encodeTokenCounts(docs, bpeShared(spark, d))
+      .select($"doc_id",
+        ($"n_words".cast("double") / $"n_bpe_tokens").as("q"),
+        $"n_bpe_tokens")
+    val budget = counts.agg(sum($"n_bpe_tokens")).head().getLong(0) / 2
+    graft.pipeline.Packing
+      .budgetFill(counts, "doc_id", "n_bpe_tokens", "q", budget)
+      .join(docs.select($"doc_id".as("id"), $"source"), Seq("id"))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when($"kept", 1)).as("n_kept"),
+        coalesce(sum(when($"kept", $"id")), lit(0L)).as("kept_id_sum"),
+        coalesce(sum(when($"kept", $"n")), lit(0L)).as("kept_bpe_sum"))
+      .orderBy($"source")
+  }
+
   /** q31 — PER-SOURCE DOCUMENT CAP (the C4/RefinedWeb per-domain cap: no
     * single site may dominate the corpus): keep at most 15 docs per
     * source ranked by (token count DESC, doc_id), rolled up per source
@@ -1170,6 +1250,8 @@ object PipelineQueries {
     "s10_incremental_ann" -> (s10IncrementalAnn _),
     "d16_exact_substr" -> (d16ExactSubstr _),
     "d18_span_removal" -> (d18SpanRemoval _),
+    "t20_bpe_deep_train" -> (t20BpeDeepTrain _),
+    "q33_bpe_budget_fill" -> (q33BpeBudgetFill _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1232,7 +1314,7 @@ object PipelineQueries {
     * of its own pair), and `w_k` keeps each word's fixpoint row. The
     * chosen pair is CROSS JOINed in (single row) because DuckDB lambdas
     * cannot hold subqueries. */
-  private def bpeOracleChain: String = {
+  private def bpeOracleChain(rounds: Int): String = {
     val w0 =
       """w0 AS MATERIALIZED (
         |  SELECT word, COUNT(*)::BIGINT AS cnt,
@@ -1242,7 +1324,7 @@ object PipelineQueries {
         |                                            '\s+')) AS word
         |        FROM documents WHERE text IS NOT NULL) t
         |  WHERE word <> '' GROUP BY word)""".stripMargin
-    val stages = (1 to BpeRounds).map { k =>
+    val stages = (1 to rounds).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT seq[i] AS l, seq[i+1] AS r, SUM(cnt)::BIGINT AS c
          |  FROM (SELECT cnt, seq,
@@ -1266,16 +1348,19 @@ object PipelineQueries {
     "WITH RECURSIVE " + (w0 +: stages).mkString(",\n")
   }
 
-  private lazy val bpeTrainOracle: String = {
-    val rows = (1 to BpeRounds).map { k =>
+  private def bpeTrainOracleOf(rounds: Int): String = {
+    val rows = (1 to rounds).map { k =>
       if (k == 1) s"SELECT 1::BIGINT AS rank, l AS lhs, r AS rhs, c AS freq FROM b1"
       else s"SELECT $k::BIGINT, l, r, c FROM b$k"
     }.mkString("\nUNION ALL ")
-    s"""$bpeOracleChain
+    s"""${bpeOracleChain(rounds)}
        |SELECT * FROM (
        |$rows
        |) ORDER BY rank""".stripMargin
   }
+
+  private lazy val bpeTrainOracle: String = bpeTrainOracleOf(BpeRounds)
+  private lazy val bpeDeepTrainOracle: String = bpeTrainOracleOf(BpeDeepRounds)
 
   /** The t17/t18 shared tail: per-doc word + BPE-token counts under the
     * round-[[BpeRounds]] vocab. */
@@ -1292,13 +1377,13 @@ object PipelineQueries {
        |  GROUP BY t.doc_id)""".stripMargin
 
   private lazy val bpeEncodeOracle: String =
-    s"""$bpeOracleChain,
+    s"""${bpeOracleChain(BpeRounds)},
        |$bpeDocCountsCte
        |SELECT doc_id, n_words, n AS n_bpe_tokens
        |FROM nb ORDER BY doc_id""".stripMargin
 
   private lazy val bpePackingOracle: String =
-    s"""$bpeOracleChain,
+    s"""${bpeOracleChain(BpeRounds)},
        |$bpeDocCountsCte,
        |c AS (
        |  SELECT doc_id, n,
@@ -1566,6 +1651,30 @@ object PipelineQueries {
         |  LEFT JOIN cleaned c ON d.doc_id = c.doc_id)
         |ORDER BY doc_id""".stripMargin,
     "t16_bpe_train" -> bpeTrainOracle,
+    "t20_bpe_deep_train" -> bpeDeepTrainOracle,
+    "q33_bpe_budget_fill" ->
+      // the t16 merge chain → per-doc BPE counts → q24's cumulative
+      // budget window, ranked by the compression ratio (one double
+      // division of exact integers)
+      s"""${bpeOracleChain(BpeRounds)},
+         |$bpeDocCountsCte,
+         |s AS (SELECT doc_id, n_words::DOUBLE / n AS q, n FROM nb),
+         |tot AS (SELECT CAST(SUM(n) // 2 AS BIGINT) AS budget FROM s),
+         |c AS (
+         |  SELECT doc_id, n,
+         |    SUM(n) OVER (ORDER BY q DESC, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM s)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  COUNT(*) FILTER (WHERE cum <= budget) AS n_kept,
+         |  CAST(COALESCE(SUM(c.doc_id) FILTER (WHERE cum <= budget), 0)
+         |    AS BIGINT) AS kept_id_sum,
+         |  CAST(COALESCE(SUM(n) FILTER (WHERE cum <= budget), 0)
+         |    AS BIGINT) AS kept_bpe_sum
+         |FROM c
+         |JOIN (SELECT doc_id, source FROM documents
+         |      WHERE text IS NOT NULL) src USING (doc_id)
+         |CROSS JOIN tot GROUP BY source ORDER BY source""".stripMargin,
     "t17_bpe_encode" -> bpeEncodeOracle,
     "d01_exact_dedup" ->
       """SELECT COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))

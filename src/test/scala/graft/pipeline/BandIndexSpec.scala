@@ -44,5 +44,17 @@ class BandIndexSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(pairs.map(p => (p._1, p._2)) == Seq((20L, 10L)),
       s"increment did not find the appended batch: $pairs")
+    // append-without-union drift (bands admitted, corpus frame not) must
+    // fail LOUDLY — the near-dups against the orphaned ids would
+    // otherwise drop silently at the gram re-join
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.probeBandIndex(inc, corpus, dir).collect()
+    }
+    assert(ex.getMessage.contains("absent from the corpus frame"))
+    // the documented escape hatch still probes (and silently misses 10)
+    val unchecked = Dedup
+      .probeBandIndex(inc, corpus, dir, checkCoverage = false)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(unchecked.isEmpty)
   }
 }

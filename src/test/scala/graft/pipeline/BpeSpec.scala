@@ -94,6 +94,46 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("batched merge rounds equal sequential training to exhaustion on " +
+    "a tie/collision-heavy corpus") {
+    // words engineered so merged symbols COLLIDE with existing words
+    // ('a'+'b' -> "ab" which is itself a word / prefix everywhere), plus
+    // heavy frequency ties — the two traps the batch rule must stop on
+    val vocab = Seq("ab", "aab", "abab", "banana", "bandana", "cabbage",
+      "abcabc", "xxyy", "xyxy", "zzz", "aa", "bb")
+    val text = vocab.zipWithIndex
+      .flatMap { case (w, i) => Seq.fill(10 + i % 3)(w) }.mkString(" ")
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+    // far past exhaustion: both paths must stop at the same merge list
+    val seq_ = Bpe.train(docs, numMerges = 500, maxBatch = 1)
+    val bat = Bpe.train(docs, numMerges = 500, maxBatch = 64)
+    assert(bat.merges == seq_.merges,
+      s"batched merges diverge from sequential:\n${bat.merges}\nvs\n" +
+        s"${seq_.merges}")
+    assert(seq_.merges.nonEmpty && seq_.merges.size < 500,
+      "fixture must exhaust before the merge budget")
+    // end state identical too
+    val va = seq_.vocab.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    val vb = bat.vocab.select($"word", $"syms")
+      .as[(String, Seq[String])].collect().toMap
+    assert(va == vb)
+    // and the reference trainer agrees end-to-end
+    val wc = text.split("\\s+").groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (refMerges, _) = referenceTrain(wc, 500)
+    assert(seq_.merges.map(m => (m.lhs, m.rhs, m.freq)) == refMerges)
+  }
+
+  test("the deep gate model (t20) matches sequential training on the " +
+    "gate corpus") {
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+    val deep = graft.queries.PipelineQueries.bpeDeepShared(spark, sfTiny)
+    val seq_ = Bpe.train(docs, numMerges = deep.merges.size, maxBatch = 1)
+    assert(deep.merges == seq_.merges,
+      "batched deep train diverges from the sequential merge sequence")
+  }
+
   test("trained vocab round-trips: symbols concatenate back to the word") {
     val model = graft.queries.PipelineQueries.bpeShared(spark, sfTiny)
     val bad = model.vocab

@@ -74,4 +74,48 @@ class ExactSubstrSpec extends SparkSpec {
     assert(Dedup.duplicatedSpanCoverage(both, gramLen = 5)
       .filter($"covered_tokens" > 0).count() == 2)
   }
+
+  test("span removal splices exactly; the cleaned corpus re-scans to " +
+    "zero spans") {
+    import org.apache.spark.sql.functions.col
+    // doc 3 holds TWO planted copies (two disjoint spans — exercises the
+    // multi-span fold); docs 1/2 share one passage; doc 4 is untouched
+    val t1 = pad("aq", 12) + " 1" + shared + "2 " + pad("az", 12)
+    val t2 = pad("bq", 12) + " 3" + shared + "4 " + pad("bz", 12)
+    val t3 = pad("cq", 10) + " 1" + phrase + "2 " + pad("cm", 10) + " 3" +
+      phrase + "4 " + pad("cz", 10)
+    val t4 = pad("dq", 40)
+    val docs = Seq((1L, t1), (2L, t2), (3L, t3), (4L, t4))
+      .toDF("doc_id", "text")
+    val spans = Dedup.exactSubstrSpans(docs, minLen = 40)
+    val cleaned = Dedup.removeSpans(docs, spans)
+      .as[(Long, String, String)].collect().sortBy(_._1).toSeq
+    assert(cleaned.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    // manual splice oracle: cut [s,e] out of the normalized text
+    val spanMap = spans.as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    cleaned.foreach { case (id, t, clean) =>
+      val expected = spanMap.get(id) match {
+        case None => t
+        case Some(sp) =>
+          val keep = new StringBuilder
+          var pos = 1L
+          sp.foreach { case (_, s, e) =>
+            keep ++= t.substring(pos.toInt - 1, s.toInt - 1); pos = e + 1
+          }
+          keep ++= t.substring(pos.toInt - 1)
+          keep.toString
+      }
+      assert(clean == expected, s"doc $id splice mismatch")
+    }
+    assert(cleaned.count { case (id, t, c) => c != t } == 3,
+      "exactly docs 1,2,3 must shrink")
+    // the fixed point (modulo splice junctions, which the unique pad
+    // boundaries here rule out): nothing left to remove
+    val again = Dedup.exactSubstrSpans(
+      cleaned.toDF("doc_id", "t", "text").select(col("doc_id"), col("text")),
+      minLen = 40)
+    assert(again.count() == 0,
+      "re-running d16 on the cleaned corpus still finds spans")
+  }
 }
