@@ -56,8 +56,11 @@ object Bpe {
 
   /** Trained tokenizer: the ordered merge list plus the encoded vocabulary
     * `(word, cnt, syms)` — `syms` is the word's final BPE symbol sequence,
-    * i.e. the result of applying `merges` in rank order to its characters. */
-  final case class Model(merges: Seq[Merge], vocab: DataFrame)
+    * i.e. the result of applying `merges` in rank order to its characters.
+    * `driverRounds` counts the batched driver-loop iterations the train
+    * took (≤ merges.size; the batching win a rehearsal can report). */
+  final case class Model(merges: Seq[Merge], vocab: DataFrame,
+      driverRounds: Int = 0)
 
   /** Distinct-word counts of the corpus — the one corpus-sized shuffle in
     * BPE training (map-side partial counts make it cheap even at 100 TB). */
@@ -167,6 +170,7 @@ object Bpe {
       .foreach(r => symbols += r.getString(0))
     val merges = Seq.newBuilder[Merge]
     var done = 0
+    var rounds = 0
     var exhausted = false
     while (done < numMerges && !exhausted) {
       val cand = pairCounts(words)
@@ -175,6 +179,7 @@ object Bpe {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (cand.isEmpty) exhausted = true
       else {
+        rounds += 1
         val touched = scala.collection.mutable.HashSet.empty[String]
         val accepted = Seq.newBuilder[(String, String, Long)]
         var nAcc = 0
@@ -216,13 +221,17 @@ object Bpe {
           .agg(map_from_arrays(
             collect_list(pairKey(col("_l"), col("_r"))),
             collect_list(concat(col("_l"), col("_r")))).as("_m"))
+        // LAZY checkpoint: the merge application materializes inside the
+        // NEXT round's argmax job instead of a job of its own — one Spark
+        // job per driver round, half the round latency of an eager pin;
+        // lineage still truncates at every round once computed
         words = words.crossJoin(broadcast(bdf))
           .select(col("word"), col("cnt"),
             applyMergeMapFold(col("syms"), col("_m")).as("syms"))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
     }
-    Model(merges.result(), words)
+    Model(merges.result(), words, rounds)
   }
 
   /** The learned merge table as a DataFrame (rank BIGINT, lhs, rhs,

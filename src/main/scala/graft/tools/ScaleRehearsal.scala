@@ -301,6 +301,19 @@ object ScaleRehearsal {
     time(s"t16 BPE train (20 merges) x$k corpus") {
       graft.pipeline.Bpe.train(docs, 20).vocab.count()
     }
+    // DEEP batched train (the t20 shape): total time / merges must stay
+    // flat in corpus size, and the batched driver loop must need FEWER
+    // rounds than merges — the two numbers that make a 32k-vocab
+    // production train viable (≈ numMerges/avgBatch vocabulary-sized
+    // rounds, zero corpus passes after the word count)
+    locally {
+      val t0 = System.nanoTime()
+      val m = graft.pipeline.Bpe.train(docs, 85)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] t20 BPE deep train x$k: $secs%.2fs " +
+        f"merges=${m.merges.size} driverRounds=${m.driverRounds} " +
+        f"perMerge=${secs / m.merges.size}%.3fs")
+    }
     // NB classifier: counting-trained — one explode + two partial-agg
     // shuffles, so train+score must scale with corpus tokens (the same
     // family as t01/t05), never with label or feature cardinality

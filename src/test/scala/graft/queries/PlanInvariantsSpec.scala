@@ -122,8 +122,9 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(!p.contains("Window"),
       s"q32 regressed to a per-language window rank:\n$p")
     // the two-pass rank materializes as an RDD-backed frame (the ranked
-    // rows ARE data by the time the gate plan compiles)
-    assert(p.contains("ExistingRDD"),
+    // rows ARE data by the time the gate plan compiles; the tuple RDD
+    // compiles to an object scan + SerializeFromObject)
+    assert(p.contains("Scan[obj") || p.contains("ExistingRDD"),
       "q32 lost the two-pass distributed rank scan")
   }
 
