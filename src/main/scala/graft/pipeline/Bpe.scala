@@ -73,16 +73,83 @@ object Bpe {
   /** Adjacent symbol pairs of every vocab word, position-counted and
     * frequency-weighted. The index sequence is guarded (`size >= 2`)
     * because Spark's `sequence(1, 0)` runs DESCENDING — the repo's
-    * established n-gram pitfall. */
-  private def pairCounts(words: DataFrame): DataFrame =
-    words
+    * established n-gram pitfall.
+    *
+    * `parts < sessionWidth` means the word table is small enough that
+    * vocabulary-proportional parallelism kicked in ([[train]]) — then the
+    * aggregation runs over ONE narrow `parts`-wide exchange instead of a
+    * session-width shuffle (32 near-empty reduce tasks per merge round
+    * measured ~0.1 s of pure scheduling each round). Map-side combine is
+    * worthless on a table that tiny; at real vocab scale `parts` hits the
+    * session width and the plain groupBy keeps its partial aggregation. */
+  private def pairCounts(words: DataFrame, parts: Int,
+      sessionWidth: Int): DataFrame = {
+    val pairs = words
       .select(col("cnt"), col("syms"),
         explode(when(size(col("syms")) >= 2,
             sequence(lit(1), size(col("syms")) - 1))
           .otherwise(array().cast("array<int>"))).as("i"))
       .select(element_at(col("syms"), col("i")).as("lhs"),
         element_at(col("syms"), col("i") + 1).as("rhs"), col("cnt"))
-      .groupBy(col("lhs"), col("rhs")).agg(sum(col("cnt")).as("freq"))
+    val clustered =
+      if (parts < sessionWidth) pairs.repartition(parts, col("lhs"), col("rhs"))
+      else pairs
+    clustered.groupBy(col("lhs"), col("rhs")).agg(sum(col("cnt")).as("freq"))
+  }
+
+  /** The argmax total order — (freq DESC, lhs ASC, rhs ASC) — with the
+    * string legs compared on UTF-8 BYTES, exactly Spark's (and DuckDB's)
+    * binary string order; Scala's default String ordering compares UTF-16
+    * units and diverges beyond the BMP. */
+  private[pipeline] val pairOrdering: Ordering[(String, String, Long)] =
+    new Ordering[(String, String, Long)] {
+      private def cmpUtf8(a: String, b: String): Int = {
+        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        var i = 0
+        while (i < x.length && i < y.length) {
+          val c = (x(i) & 0xff) - (y(i) & 0xff)
+          if (c != 0) return c
+          i += 1
+        }
+        x.length - y.length
+      }
+      def compare(p: (String, String, Long), q: (String, String, Long)): Int = {
+        val f = java.lang.Long.compare(q._3, p._3) // freq DESC
+        if (f != 0) f
+        else {
+          val l = cmpUtf8(p._1, q._1)
+          if (l != 0) l else cmpUtf8(p._2, q._2)
+        }
+      }
+    }
+
+  /** Top-k pairs when the WHOLE word table sits in one partition (the
+    * vocabulary-proportional small end of [[train]]): the pair count is a
+    * single task's local hash map — one narrow 1-task job per round, no
+    * exchange, no extra query stages. Bit-identical to the groupBy path
+    * by the shared [[pairOrdering]] (spec-pinned against it). */
+  private[pipeline] def topPairsSinglePartition(words: DataFrame,
+      k: Int): Array[(String, String, Long)] = {
+    val rdd = words.select(col("cnt"), col("syms")).rdd
+    require(rdd.getNumPartitions == 1,
+      "single-partition argmax on a multi-partition word table")
+    rdd.mapPartitions { it =>
+      val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      it.foreach { row =>
+        val c = row.getLong(0)
+        val syms = row.getSeq[String](1)
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          m.update(key, m.getOrElse(key, 0L) + c)
+          i += 1
+        }
+      }
+      m.iterator.map { case ((l, r), f) => (l, r, f) }
+        .toArray.sorted(pairOrdering).take(k).iterator
+    }.collect()
+  }
 
   /** One greedy left-to-right merge pass over a symbol array. Nested
     * `when` (lazy CaseWhen branches) keeps the `element_at` off empty
@@ -158,9 +225,9 @@ object Bpe {
     // per-round stages on the session's full shuffle width would be pure
     // task-scheduling overhead — one partition per 64k words, capped at
     // the session width
-    val parts = math.max(1L, math.min(
-      spark.sessionState.conf.numShufflePartitions.toLong,
-      words.count() / 65536L + 1L)).toInt
+    val width = spark.sessionState.conf.numShufflePartitions
+    val parts = math.max(1L,
+      math.min(width.toLong, words.count() / 65536L + 1L)).toInt
     words = words.repartition(parts).localCheckpoint(true)
     // the symbol UNIVERSE is driver-sized by construction — the initial
     // alphabet plus one new symbol per merge — so the batch rule's
@@ -173,10 +240,14 @@ object Bpe {
     var rounds = 0
     var exhausted = false
     while (done < numMerges && !exhausted) {
-      val cand = pairCounts(words)
-        .orderBy(col("freq").desc, col("lhs"), col("rhs"))
-        .limit(maxBatch + 1).collect() // bounded rows per round
-        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // one partition ⇒ the pair count is that task's local map: one
+      // narrow job per round instead of an exchange + extra query stages
+      val cand =
+        if (parts == 1) topPairsSinglePartition(words, maxBatch + 1)
+        else pairCounts(words, parts, width)
+          .orderBy(col("freq").desc, col("lhs"), col("rhs"))
+          .limit(maxBatch + 1).collect() // bounded rows per round
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
       if (cand.isEmpty) exhausted = true
       else {
         rounds += 1
@@ -214,13 +285,20 @@ object Bpe {
         }
         // the whole batch travels as ONE broadcast single-row map —
         // constant plan shape across rounds (the changing-literal codegen
-        // lesson); checkpoint truncates the per-round lineage
-        val bdf = spark.createDataFrame(batch.map { case (l, r, _) =>
-            (l, r)
-          }).toDF("_l", "_r")
-          .agg(map_from_arrays(
-            collect_list(pairKey(col("_l"), col("_r"))),
-            collect_list(concat(col("_l"), col("_r")))).as("_m"))
+        // lesson). The key/value ARRAYS are built on the driver (the
+        // batch is driver data already), so the broadcast side is a bare
+        // LocalRelation projection: its build collects driver-locally and
+        // submits NO Spark job — an aggregated broadcast side costs a
+        // two-stage job EVERY round (measured ~40% of round latency).
+        // Driver key construction must mirror [[pairKey]]: Spark's
+        // length() counts codepoints, not UTF-16 units
+        val bdf = spark.createDataFrame(Seq((
+            batch.map { case (l, r, _) =>
+              s"${l.codePointCount(0, l.length)}:$l$r"
+            },
+            batch.map { case (l, r, _) => l + r }
+          ))).toDF("_ks", "_vs")
+          .select(map_from_arrays(col("_ks"), col("_vs")).as("_m"))
         // LAZY checkpoint: the merge application materializes inside the
         // NEXT round's argmax job instead of a job of its own — one Spark
         // job per driver round, half the round latency of an eager pin;

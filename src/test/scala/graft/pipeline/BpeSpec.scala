@@ -134,6 +134,29 @@ class BpeSpec extends SparkSpec {
       "batched deep train diverges from the sequential merge sequence")
   }
 
+  test("single-partition argmax fast path equals the groupBy path, " +
+    "unicode byte order included") {
+    // symbols beyond the BMP (surrogate pairs) pin the UTF-8 byte order:
+    // Scala's default String ordering would sort these differently
+    val words = Seq(("za", 5L), ("zb", 5L), ("zé", 5L),
+      ("z😀x", 5L), ("abab", 3L), ("baba", 3L), ("aaaa", 7L))
+      .toDF("word", "cnt")
+      .withColumn("syms", filter(split($"word", ""), c => c =!= ""))
+    val fast = Bpe.topPairsSinglePartition(words.repartition(1), 50).toSeq
+    val viaGroupBy = words.repartition(5)
+      .select($"cnt", $"syms",
+        explode(when(size($"syms") >= 2, sequence(lit(1), size($"syms") - 1))
+          .otherwise(array().cast("array<int>"))).as("i"))
+      .select(element_at($"syms", $"i").as("lhs"),
+        element_at($"syms", $"i" + 1).as("rhs"), $"cnt")
+      .groupBy($"lhs", $"rhs").agg(sum($"cnt").as("freq"))
+      .orderBy($"freq".desc, $"lhs", $"rhs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSeq
+    assert(fast == viaGroupBy,
+      s"argmax paths diverge:\nfast    =$fast\ngroupBy =$viaGroupBy")
+  }
+
   test("trained vocab round-trips: symbols concatenate back to the word") {
     val model = graft.queries.PipelineQueries.bpeShared(spark, sfTiny)
     val bad = model.vocab
