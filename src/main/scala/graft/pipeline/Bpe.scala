@@ -103,17 +103,11 @@ object Bpe {
     * units and diverges beyond the BMP. */
   private[pipeline] val pairOrdering: Ordering[(String, String, Long)] =
     new Ordering[(String, String, Long)] {
-      private def cmpUtf8(a: String, b: String): Int = {
-        val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-        var i = 0
-        while (i < x.length && i < y.length) {
-          val c = (x(i) & 0xff) - (y(i) & 0xff)
-          if (c != 0) return c
-          i += 1
-        }
-        x.length - y.length
-      }
+      // Spark's OWN string comparator — the fast path cannot drift from
+      // the groupBy path's sort even if Spark's collation details move
+      private def cmpUtf8(a: String, b: String): Int =
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
       def compare(p: (String, String, Long), q: (String, String, Long)): Int = {
         val f = java.lang.Long.compare(q._3, p._3) // freq DESC
         if (f != 0) f

@@ -1113,11 +1113,15 @@ object PipelineQueries {
   def q33BpeBudgetFill(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
+    // pinned: read twice (the budget aggregate AND budgetFill's sorted
+    // scan) — unpinned, each action would re-run the corpus-dominant
+    // explode + vocab join
     val counts = graft.pipeline.Bpe
       .encodeTokenCounts(docs, bpeShared(spark, d))
       .select($"doc_id",
         ($"n_words".cast("double") / $"n_bpe_tokens").as("q"),
         $"n_bpe_tokens")
+      .localCheckpoint(true)
     val budget = counts.agg(sum($"n_bpe_tokens")).head().getLong(0) / 2
     graft.pipeline.Packing
       .budgetFill(counts, "doc_id", "n_bpe_tokens", "q", budget)

@@ -381,18 +381,28 @@ object EventStreams {
     * `horizon` of event time after their original are no longer
     * reported (the boilerplate-recurrence horizon assumption); within
     * the horizon the pair set still equals the batch operator's.
-    * Without `tsCol` (the bounded gate corpus) nothing expires. */
+    * Without `tsCol` (the bounded gate corpus) nothing expires.
+    *
+    * State-format note: the per-member state tuple gained an event-time
+    * slot when the horizon landed — a checkpoint written by the earlier
+    * two-field build cannot be restored by this one; restart horizonless
+    * queries from a fresh checkpoint after upgrading. */
   def nearDupPairsStream(docs: DataFrame, w: Int = 5, numHashes: Int = 128,
       rowsPerBand: Int = 2, threshold: Double = 0.8,
       tsCol: Option[String] = None, horizon: String = "1 hour"): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // the horizon machinery needs a WATERMARK, which only a streaming
+    // plan carries — a batch replay with tsCol set must run untimed (and
+    // reading getCurrentWatermarkMs in batch mode throws), so every
+    // horizon-path decision keys off this one flag
+    val useHorizon = tsCol.isDefined && docs.isStreaming
     val src = tsCol match {
-      case Some(tc) if docs.isStreaming => docs.withWatermark(tc, horizon)
+      case Some(tc) if useHorizon => docs.withWatermark(tc, horizon)
       case _ => docs
     }
     val timeoutConf =
-      if (tsCol.isDefined) GroupStateTimeout.EventTimeTimeout()
+      if (useHorizon) GroupStateTimeout.EventTimeTimeout()
       else GroupStateTimeout.NoTimeout()
     graft.pipeline.Dedup.wordBandRows(src, w, numHashes, rowsPerBand,
         tsCol = tsCol)
@@ -407,14 +417,14 @@ object EventStreams {
           // a member is live while the watermark has not passed its event
           // time; with withWatermark(horizon) that means it expires once
           // events more than `horizon` newer have been seen
-          val wmMs = if (tsCol.isDefined) state.getCurrentWatermarkMs()
+          val wmMs = if (useHorizon) state.getCurrentWatermarkMs()
             else Long.MinValue
           def live(ms: Seq[(Long, Long, Array[Long])]) =
             ms.filter(_._2 >= wmMs)
           // reset the expiry clock past the newest live member (clamped
           // past the watermark — the funnelStream late-group lesson)
           def armTimeout(ms: Seq[(Long, Long, Array[Long])]): Unit =
-            if (tsCol.isDefined && ms.nonEmpty)
+            if (useHorizon && ms.nonEmpty)
               state.setTimeoutTimestamp(
                 math.max(ms.map(_._2).max, wmMs + 1L), horizon)
           if (state.hasTimedOut) {

@@ -10,20 +10,32 @@ import org.apache.spark.sql.DataFrame
   * [[graft.graph.GraphStore.save]] idiom, extracted: unlike the
   * localCheckpoint-pin + `mode("overwrite")` alternative it neither
   * materializes the whole surviving table in executor block storage nor
-  * leaves a truncated table behind when the writer dies mid-overwrite
-  * (a kill before the swap leaves the old table untouched; the stage
-  * dir is junk to sweep, not corruption). */
+  * leaves a truncated table behind when the writer dies mid-overwrite:
+  * a kill before the swap leaves the old table untouched, a kill inside
+  * the two-rename swap leaves it recoverable in the `.old-<uuid>` aside
+  * dir, and every rename result is CHECKED (Hadoop FileSystems report
+  * most failures by returning false, not throwing). */
 object StageSwap {
 
   def rewrite(df: DataFrame, dir: String): Unit = {
     val target = new Path(dir)
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    val stage = new Path(target.getParent,
-      s".stage-${java.util.UUID.randomUUID()}")
+    val tag = java.util.UUID.randomUUID()
+    val stage = new Path(target.getParent, s".stage-$tag")
     df.write.mode("overwrite").parquet(stage.toString)
-    fs.delete(target, true)
-    fs.rename(stage, target)
+    // swap via a retained aside dir, and check EVERY rename result —
+    // Hadoop FileSystems report most failures by returning false, and a
+    // silent false after the old table was dropped would lose the index.
+    // A crash between the two renames leaves the data recoverable in
+    // `.old-<uuid>`; a crash anywhere else leaves the live table intact.
+    val old = new Path(target.getParent, s".old-$tag")
+    if (fs.exists(target))
+      require(fs.rename(target, old), s"could not set aside $target")
+    require(fs.rename(stage, target),
+      s"could not promote staged rewrite into $target " +
+        s"(previous table retained at $old)")
+    fs.delete(old, true)
     ()
   }
 }
