@@ -190,17 +190,26 @@ object Bpe {
     * collects the top `maxBatch + 1` pairs and applies, in ONE fused
     * pass, the maximal argmax-order prefix that is (a) pairwise
     * symbol-disjoint, (b) concat-collision-free (no batch member's merged
-    * string equals an existing symbol or another member's symbols), and
-    * (c) strictly above the first excluded pair's frequency. That prefix
-    * is provably the exact sequential merge sequence: applying an
-    * accepted pair cannot change the count of any other accepted pair
-    * (every destroyed pair occurrence contains one of its symbols, every
-    * created pair contains its merged symbol — which, collision-free, is
-    * NEW), and every pair outside the batch — preexisting, decreased, or
-    * newly created (bounded by some symbol-sharing pair's old count,
-    * which ranks at or past the stop pair) — stays strictly below every
-    * accepted frequency, so each sequential argmax picks the batch
-    * members in order. Spec-pinned: `maxBatch = 1` reproduces the same
+    * string equals an existing symbol or another member's symbols),
+    * (c) strictly above the first excluded pair's frequency, and
+    * (d) closed by any SELF-pair member (l == r) — nothing may follow
+    * one. That prefix is provably the exact sequential merge sequence:
+    * applying an accepted pair cannot change the count of any other
+    * accepted pair (every destroyed pair occurrence contains one of its
+    * symbols, every created pair contains its merged symbol — which,
+    * collision-free, is NEW), and every pair outside the batch —
+    * preexisting, decreased, or newly created — stays strictly below
+    * every accepted frequency, so each sequential argmax picks the batch
+    * members in order. The created-pair bound is where (d) earns its
+    * keep: a non-self member's created pairs are bounded by an old pair
+    * SHARING one of its symbols (e.g. (x,lr) by (x,l)), which is distinct
+    * from every batch member and therefore ranks at or past the stop
+    * pair; but a self-pair's created pairs — (lr,l), (l,lr), (lr,lr),
+    * from runs of three-plus l's — derive from occurrences of the
+    * self-pair ITSELF and are bounded only by its own frequency, so any
+    * member after it could be out-argmaxed by them (measured divergence
+    * on 'aaa'×10 + 'xy'×3 before the close rule). Spec-pinned:
+    * `maxBatch = 1` reproduces the same
     * merge list on the gate corpus and on a crafted tie/collision-heavy
     * corpus. A 32k-vocab production train thus runs in
     * ~numMerges/avgBatch driver rounds instead of numMerges, and every
@@ -247,17 +256,28 @@ object Bpe {
         rounds += 1
         val touched = scala.collection.mutable.HashSet.empty[String]
         val accepted = Seq.newBuilder[(String, String, Long)]
-        var nAcc = 0
         var stopFreq = -1L // sentinel: no stop pair seen
+        var closed = false // a SELF-pair closes the batch (see below)
         var i = 0
-        while (i < cand.length && stopFreq < 0L) {
+        while (i < cand.length && stopFreq < 0L && !closed) {
           val (l, r, f) = cand(i)
           val cat = l + r
           if (touched(l) || touched(r) || touched(cat) || symbols(cat))
             stopFreq = f
           else {
-            accepted += ((l, r, f)); nAcc += 1
+            accepted += ((l, r, f))
             touched += l; touched += r; touched += cat
+            // a self-pair (l == r) must be the batch's LAST member: the
+            // pairs ITS application creates — (lr,l), (l,lr), (lr,lr),
+            // from runs of three-plus l's — derive from occurrences of
+            // the pair itself, so they are bounded by its OWN frequency,
+            // not by anything ranked past the batch; a later member could
+            // be out-argmaxed by them. The strict above-stop filter still
+            // applies against the next candidate.
+            if (l == r) {
+              closed = true
+              if (i + 1 < cand.length) stopFreq = cand(i + 1)._3
+            }
           }
           i += 1
         }

@@ -421,12 +421,15 @@ object EventStreams {
             else Long.MinValue
           def live(ms: Seq[(Long, Long, Array[Long])]) =
             ms.filter(_._2 >= wmMs)
-          // reset the expiry clock past the newest live member (clamped
-          // past the watermark — the funnelStream late-group lesson)
+          // garbage-collect the group the moment the watermark passes its
+          // newest member's event time — exactly when live() empties
+          // (funnelStream's `+horizon` idiom would hold the dead member
+          // list for a second full horizon); clamped past the watermark,
+          // the funnelStream late-group lesson
           def armTimeout(ms: Seq[(Long, Long, Array[Long])]): Unit =
             if (useHorizon && ms.nonEmpty)
               state.setTimeoutTimestamp(
-                math.max(ms.map(_._2).max, wmMs + 1L), horizon)
+                math.max(ms.map(_._2).max + 1L, wmMs + 1L))
           if (state.hasTimedOut) {
             val kept = live(state.getOption.getOrElse(Seq.empty))
             if (kept.isEmpty) state.remove()

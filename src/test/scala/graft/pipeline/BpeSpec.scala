@@ -134,6 +134,22 @@ class BpeSpec extends SparkSpec {
       "batched deep train diverges from the sequential merge sequence")
   }
 
+  test("a self-pair closes the batch: runs of repeated symbols cannot " +
+    "out-argmax a later member (the (a,a)->(aa,a) trap)") {
+    // merging (a,a) over 'aaa' creates (aa,a) with freq 10 — bounded by
+    // the SELF-pair's own frequency, so it must beat (x,y,3) at rank 2;
+    // an unclosed batch would have emitted (x,y) second (measured
+    // divergence before the close rule)
+    val docs = Seq((1L, Seq.fill(10)("aaa").mkString(" ") + " " +
+      Seq.fill(3)("xy").mkString(" "))).toDF("doc_id", "text")
+    val bat = Bpe.train(docs, numMerges = 3, maxBatch = 64)
+    val seq_ = Bpe.train(docs, numMerges = 3, maxBatch = 1)
+    assert(bat.merges == seq_.merges,
+      s"self-pair batch divergence:\n${bat.merges}\nvs\n${seq_.merges}")
+    assert(bat.merges.map(m => (m.lhs, m.rhs, m.freq)).take(2) ==
+      Seq(("a", "a", 20L), ("aa", "a", 10L)))
+  }
+
   test("single-partition argmax fast path equals the groupBy path, " +
     "unicode byte order included") {
     // symbols beyond the BMP (surrogate pairs) pin the UTF-8 byte order:
