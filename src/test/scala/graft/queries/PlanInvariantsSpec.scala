@@ -111,6 +111,33 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("no registered query windows UNPARTITIONED over an unbounded " +
+    "input (single-task global sort)") {
+    // `...over(orderBy(...))` with no partition key moves the whole input
+    // onto ONE task — the q32 round-9 failure mode, generalized: global
+    // rank/cumsum needs must route through Packing's two-pass distributed
+    // scans (globalRankDesc / groupRankAsc / budgetFill). The one LEGAL
+    // unpartitioned-window shape is ranking an already-LIMITed top-k
+    // frame (q28/t15's final rnk over <= k rows) — exempted by requiring
+    // a Limit somewhere below the window. Checked on the OPTIMIZED
+    // LOGICAL plan: the physical tree hides inside AdaptiveSparkPlanExec,
+    // which TreeNode traversal does not descend into.
+    import org.apache.spark.sql.catalyst.plans.logical
+    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = graft.SparkEntry.queries(name)(spark, sfTiny)
+        .queryExecution.optimizedPlan
+      val offenders = plan.collect {
+        case w: logical.Window if w.partitionSpec.isEmpty &&
+            !w.child.exists(_.isInstanceOf[logical.GlobalLimit]) => w
+        case w: logical.WindowGroupLimit if w.partitionSpec.isEmpty &&
+            !w.child.exists(_.isInstanceOf[logical.GlobalLimit]) => w
+      }
+      assert(offenders.isEmpty,
+        s"$name windows unpartitioned over an unbounded input:\n" +
+          offenders.mkString("\n"))
+    }
+  }
+
   test("q32 ranks languages with the distributed two-pass scan, not a window") {
     // row_number().over(partitionBy(lang)) serial-sorts each whole
     // language on ONE task (en alone is ~44% of this corpus), and the
@@ -126,6 +153,16 @@ class PlanInvariantsSpec extends SparkSpec {
     // compiles to an object scan + SerializeFromObject)
     assert(p.contains("Scan[obj") || p.contains("ExistingRDD"),
       "q32 lost the two-pass distributed rank scan")
+  }
+
+  test("d18 splices through a broadcast join — the corpus never shuffles " +
+    "to be cleaned") {
+    // the per-doc span lists are LimitProbe-guarded onto the broadcast
+    // side; losing that (guard regression, hint dropped) re-shuffles the
+    // whole corpus on the id for the left join
+    val p = plan("d18_span_removal")
+    assert(p.contains("BroadcastHashJoin"),
+      s"d18 lost its broadcast splice join:\n$p")
   }
 
   test("q01 scan is column-pruned and q02 filter reaches the parquet scan") {
