@@ -117,8 +117,12 @@ object Packing {
     * over a corpus that is a single-core sort of the corpus's biggest
     * slice. Here the data range-partitions on (group, id) — a group
     * spans many partitions — per-partition per-group counts come to the
-    * driver (bounded: partitions × groups), and a second pass assigns
-    * running ranks from the per-(partition, group) offsets. Rank is
+    * driver (bounded: partitions × groups — built for LOW-cardinality
+    * group keys like languages or sources; a millions-of-groups rank,
+    * e.g. per-domain, wants the plain partitioned window instead, where
+    * the group count itself supplies the parallelism), and a second pass
+    * assigns running ranks from the per-(partition, group) offsets. Rank
+    * is
     * 1-based, a pure function of the data on any cluster shape (the
     * (group, id) key is unique because ids are). Returns (g, id, rk). */
   def groupRankAsc(df: DataFrame, groupCol: String,

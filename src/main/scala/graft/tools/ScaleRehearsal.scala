@@ -314,6 +314,15 @@ object ScaleRehearsal {
         f"merges=${m.merges.size} driverRounds=${m.driverRounds} " +
         f"perMerge=${secs / m.merges.size}%.3fs")
     }
+    // per-language rank (the q32 shape): groupRankAsc's two-pass scan
+    // must scale with ROWS ACROSS ALL CORES — the window form it
+    // replaced serial-sorts each whole language on one task, so its
+    // per-row cost would grow with the biggest language's share
+    time(s"q32 per-language two-pass rank x$k") {
+      graft.pipeline.Packing
+        .groupRankAsc(docs.select(col("lang"), col("doc_id")),
+          "lang", "doc_id").count()
+    }
     // NB classifier: counting-trained — one explode + two partial-agg
     // shuffles, so train+score must scale with corpus tokens (the same
     // family as t01/t05), never with label or feature cardinality
