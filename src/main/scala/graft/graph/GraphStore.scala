@@ -86,10 +86,22 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
       .sortWithinPartitions(col("type"), col("src"))
       .write.partitionBy("type")
       .mode(SaveMode.Overwrite).parquet(stagedEdges.toString)
-    fs.delete(nodesDir(name), true)
-    fs.delete(edgesDir(name), true)
-    fs.rename(stagedNodes, nodesDir(name))
-    fs.rename(stagedEdges, edgesDir(name))
+    // checked aside-swap per table (the util.StageSwap posture): Hadoop
+    // FileSystems report most rename failures by returning FALSE — the
+    // old delete-then-unchecked-rename would silently lose the graph on
+    // one. The asides live INSIDE the stage dir, so the final cleanup
+    // sweeps them; a kill between the two table swaps still leaves a
+    // mixed snapshot (the documented atomic-PER-TABLE contract), but
+    // never a missing or truncated one.
+    def swapIn(staged: Path, target: Path, aside: Path): Unit = {
+      if (fs.exists(target))
+        require(fs.rename(target, aside), s"could not set aside $target")
+      require(fs.rename(staged, target),
+        s"could not promote $staged into $target " +
+          s"(previous table retained at $aside)")
+    }
+    swapIn(stagedNodes, nodesDir(name), new Path(stage, "old-nodes"))
+    swapIn(stagedEdges, edgesDir(name), new Path(stage, "old-edges"))
     fs.delete(stage, true)
     // persist the ID high-water mark (see load) — monotone across deletes
     g.nextIdHint.foreach(h => setInfo(name, Map("next_id" -> h.toString)))

@@ -12,8 +12,8 @@ import org.apache.spark.sql.DataFrame
   * materializes the whole surviving table in executor block storage nor
   * leaves a truncated table behind when the writer dies mid-overwrite:
   * a kill before the swap leaves the old table untouched, a kill inside
-  * the two-rename swap leaves it recoverable in the `.old-<uuid>` aside
-  * dir, and every rename result is CHECKED (Hadoop FileSystems report
+  * the two-rename swap leaves it recoverable in the `.swap-<table>-old-<uuid>`
+  * aside dir, and every rename result is CHECKED (Hadoop FileSystems report
   * most failures by returning false, not throwing). */
 object StageSwap {
 
@@ -21,15 +21,28 @@ object StageSwap {
     val target = new Path(dir)
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
+    // sweep THIS table's orphans from earlier crashed/failed swaps (each
+    // is a full table copy, and every rewrite mints a fresh uuid) — the
+    // prefix scopes the sweep to this target, never a sibling table's
+    // in-flight rewrite under the same parent
+    val prefix = s".swap-${target.getName}-"
+    val siblings = try fs.listStatus(target.getParent) catch {
+      case _: java.io.FileNotFoundException => Array.empty[
+        org.apache.hadoop.fs.FileStatus]
+    }
+    siblings.iterator
+      .filter(_.getPath.getName.startsWith(prefix))
+      .foreach(s => fs.delete(s.getPath, true))
     val tag = java.util.UUID.randomUUID()
-    val stage = new Path(target.getParent, s".stage-$tag")
+    val stage = new Path(target.getParent, s"${prefix}stage-$tag")
     df.write.mode("overwrite").parquet(stage.toString)
     // swap via a retained aside dir, and check EVERY rename result —
     // Hadoop FileSystems report most failures by returning false, and a
     // silent false after the old table was dropped would lose the index.
     // A crash between the two renames leaves the data recoverable in
-    // `.old-<uuid>`; a crash anywhere else leaves the live table intact.
-    val old = new Path(target.getParent, s".old-$tag")
+    // the aside dir (and the next rewrite's sweep reclaims it); a crash
+    // anywhere else leaves the live table intact.
+    val old = new Path(target.getParent, s"${prefix}old-$tag")
     if (fs.exists(target))
       require(fs.rename(target, old), s"could not set aside $target")
     require(fs.rename(stage, target),

@@ -36,14 +36,60 @@ class PlanInvariantsSpec extends SparkSpec {
     graft.SparkEntry.queries(name)(spark, sfTiny)
       .queryExecution.executedPlan.toString
 
-  test("no registered query compiles to a cartesian product") {
+  test("no registered query compiles a cartesian product or windows " +
+    "unpartitioned over an unbounded input") {
+    // one pass over the whole registry (query construction is the
+    // expensive part — some gates run driver work to build their plans),
+    // checking BOTH whole-registry invariants:
+    // 1. no CartesianProduct / unexpected BroadcastNestedLoopJoin;
+    // 2. no `...over(orderBy(...))` with no partition key over an
+    //    UNBOUNDED input — that moves the whole input onto ONE task, the
+    //    q32 round-9 failure mode. Global rank/cumsum must route through
+    //    Packing's two-pass distributed scans. The one legal shape is
+    //    ranking an already-LIMITed top-k frame (t15): exempted only
+    //    when a GlobalLimit sits on the window's DIRECT child spine
+    //    (through row-preserving unary nodes — a limit buried on one
+    //    branch of a join below the window bounds nothing in general).
+    //    Checked on the OPTIMIZED LOGICAL plan: the physical tree hides
+    //    inside AdaptiveSparkPlanExec, which TreeNode traversal does not
+    //    descend into. Shapes bounded by reasoning the spine walk cannot
+    //    carry go on the explicit allowlist below (the bnljAllowed
+    //    pattern), each with its boundedness argument.
+    val unpartitionedWindowAllowed = Set(
+      // rank over (top-10 LIMIT frame) INNER equi-joined to the name
+      // table on its unique id: output <= 10 rows — the limit bounds the
+      // join through the key, which the structural walk cannot see
+      "q28_scored_autocomplete")
+    import org.apache.spark.sql.catalyst.plans.logical
+    @annotation.tailrec
+    def limitedSpine(p: logical.LogicalPlan): Boolean = p match {
+      case _: logical.GlobalLimit => true
+      case x: logical.Project => limitedSpine(x.child)
+      case x: logical.Filter => limitedSpine(x.child)
+      case x: logical.Sort => limitedSpine(x.child)
+      case x: logical.SubqueryAlias => limitedSpine(x.child)
+      case x: logical.LocalLimit => limitedSpine(x.child)
+      case _ => false
+    }
     graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val p = plan(name)
+      val qe = graft.SparkEntry.queries(name)(spark, sfTiny).queryExecution
+      val p = qe.executedPlan.toString
       assert(!p.contains("CartesianProduct"),
         s"$name compiled to a CartesianProduct")
       if (!bnljAllowed(name))
         assert(!p.contains("BroadcastNestedLoopJoin"),
           s"$name compiled to an unexpected BroadcastNestedLoopJoin")
+      val offenders =
+        if (unpartitionedWindowAllowed(name)) Nil
+        else qe.optimizedPlan.collect {
+          case w: logical.Window if w.partitionSpec.isEmpty &&
+              !limitedSpine(w.child) => w
+          case w: logical.WindowGroupLimit if w.partitionSpec.isEmpty &&
+              !limitedSpine(w.child) => w
+        }
+      assert(offenders.isEmpty,
+        s"$name windows unpartitioned over an unbounded input:\n" +
+          offenders.mkString("\n"))
     }
   }
 
@@ -108,33 +154,6 @@ class PlanInvariantsSpec extends SparkSpec {
     Seq("q09_window_topk", "t11_tfidf_topk", "q31_source_cap").foreach { name =>
       assert(plan(name).contains("WindowGroupLimit"),
         s"$name lost the partial window group-limit")
-    }
-  }
-
-  test("no registered query windows UNPARTITIONED over an unbounded " +
-    "input (single-task global sort)") {
-    // `...over(orderBy(...))` with no partition key moves the whole input
-    // onto ONE task — the q32 round-9 failure mode, generalized: global
-    // rank/cumsum needs must route through Packing's two-pass distributed
-    // scans (globalRankDesc / groupRankAsc / budgetFill). The one LEGAL
-    // unpartitioned-window shape is ranking an already-LIMITed top-k
-    // frame (q28/t15's final rnk over <= k rows) — exempted by requiring
-    // a Limit somewhere below the window. Checked on the OPTIMIZED
-    // LOGICAL plan: the physical tree hides inside AdaptiveSparkPlanExec,
-    // which TreeNode traversal does not descend into.
-    import org.apache.spark.sql.catalyst.plans.logical
-    graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val plan = graft.SparkEntry.queries(name)(spark, sfTiny)
-        .queryExecution.optimizedPlan
-      val offenders = plan.collect {
-        case w: logical.Window if w.partitionSpec.isEmpty &&
-            !w.child.exists(_.isInstanceOf[logical.GlobalLimit]) => w
-        case w: logical.WindowGroupLimit if w.partitionSpec.isEmpty &&
-            !w.child.exists(_.isInstanceOf[logical.GlobalLimit]) => w
-      }
-      assert(offenders.isEmpty,
-        s"$name windows unpartitioned over an unbounded input:\n" +
-          offenders.mkString("\n"))
     }
   }
 
