@@ -71,6 +71,16 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
     * ranges, same layout contract. */
   def save(name: String, g: PropertyGraph): Unit = {
     import org.apache.spark.sql.functions.col
+    // sweep stage dirs leaked by earlier crashed saves FIRST (each holds a
+    // full staged copy plus old-table asides, and a crash after staging
+    // would otherwise accumulate them forever — the util.StageSwap orphan
+    // sweep, scoped to this repo's dir). Safe under the documented
+    // single-writer-per-graph contract: no other save of THIS graph can
+    // have an in-flight stage dir here.
+    if (fs.exists(repoDir(name)))
+      fs.listStatus(repoDir(name)).iterator
+        .filter(_.getPath.getName.startsWith(".stage-"))
+        .foreach(s => fs.delete(s.getPath, true))
     val stage = new Path(repoDir(name), s".stage-${java.util.UUID.randomUUID()}")
     val stagedNodes = new Path(stage, "nodes")
     val stagedEdges = new Path(stage, "edges")

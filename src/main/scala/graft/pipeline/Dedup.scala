@@ -816,6 +816,7 @@ object Dedup {
     // parameters instead of trusting the caller to repeat them
     Seq((w, numHashes, rowsPerBand)).toDF("w", "num_hashes", "rows_per_band")
       .write.mode("overwrite").parquet(s"$dir/meta")
+    invalidateCoverage(dir)
   }
 
   def readBandIndex(spark: org.apache.spark.sql.SparkSession,
@@ -839,18 +840,45 @@ object Dedup {
     wordBandRows(docs, w, nh, rpb, idCol, textCol)
       .select(col("band"), col("bucket"), col("id"))
       .write.mode("append").parquet(s"$dir/bands")
+    invalidateCoverage(dir)
   }
+
+  /** Coverage checks already passed this session, keyed by
+    * (session, index dir, canonicalized corpus plan): the check is an
+    * eager index-wide distinct + anti-join, and re-running it on every
+    * probe CONSTRUCTION (even of a frame that is never executed) doubled
+    * d15's probe cost. A mutation of the index ([[writeBandIndex]] /
+    * [[appendBandIndex]]) invalidates the dir's entries — an append can
+    * mint new orphans that an earlier pass vouched against. */
+  private val coverageVouched = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, String), Unit]
+
+  private def invalidateCoverage(dir: String): Unit =
+    coverageVouched.keysIterator.filter(_._2 == dir)
+      .foreach(coverageVouched.remove)
 
   /** Probe a persisted band index with an increment: reads the stored
     * bands AND the stored banding parameters, so probe-time banding is
-    * BY CONSTRUCTION the scheme the index was built with. */
+    * BY CONSTRUCTION the scheme the index was built with.
+    *
+    * NOTE: with `checkCoverage` on, constructing the returned frame runs
+    * the coverage check's Spark job eagerly — once per (session, dir,
+    * corpus plan); later probes with the same corpus reuse the vouched
+    * result, and any write/append to `dir` re-arms the check. */
   def probeBandIndex(newDocs: DataFrame, corpus: DataFrame, dir: String,
       threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text", checkCoverage: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val (w, nh, rpb) = readBandMeta(spark, dir)
-    minhashAgainstIndex(newDocs, corpus, readBandIndex(spark, dir),
-      w, nh, rpb, threshold, idCol, textCol, checkCoverage)
+    val key = (spark, dir,
+      corpus.queryExecution.logical.canonicalized.toString)
+    val check = checkCoverage && !coverageVouched.contains(key)
+    val out = minhashAgainstIndex(newDocs, corpus, readBandIndex(spark, dir),
+      w, nh, rpb, threshold, idCol, textCol, check)
+    // the check runs eagerly inside the construction above — reaching
+    // this line means it PASSED; a failed check throws before the vouch
+    if (check) coverageVouched.put(key, ())
+    out
   }
 
   /** Increment-vs-corpus near-dup pairs against a STORED band index:

@@ -1095,7 +1095,13 @@ object PipelineQueries {
     * driver rounds, each vocabulary-sized. */
   def t20BpeDeepTrain(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    graft.pipeline.Bpe.mergeTable(spark, bpeDeepShared(spark, d))
+    val m = bpeDeepShared(spark, d)
+    // the batching win (driver rounds ≪ merges) rides along as a pinned
+    // column: the oracle expects [[BpeDeepDriverRounds]], so a regression
+    // that silently degrades the batch rule to sequential (85 rounds)
+    // fails the gate, not just a rehearsal printout
+    graft.pipeline.Bpe.mergeTable(spark, m)
+      .withColumn("driver_rounds", lit(m.driverRounds.toLong))
       .orderBy($"rank")
   }
 
@@ -1364,7 +1370,28 @@ object PipelineQueries {
   }
 
   private lazy val bpeTrainOracle: String = bpeTrainOracleOf(BpeRounds)
-  private lazy val bpeDeepTrainOracle: String = bpeTrainOracleOf(BpeDeepRounds)
+
+  /** Driver rounds the batched loop takes for the 85-merge deep train on
+    * the VERIFY corpus (sf0.01, where the driver's DuckDB gate runs) — a
+    * measured deterministic constant (the 31-word vocabulary leaves
+    * mostly singleton batches; sf0.1's absolute frequencies draw the
+    * strictly-above-stop boundaries differently, 78 rounds there —
+    * bench never value-checks). Wide-vocab batching is rehearsed in
+    * tools.ScaleRehearsal. Pinned in the t20 gate so a silent regression
+    * to sequential training (85 rounds) fails the oracle. */
+  private val BpeDeepDriverRounds = 74L
+
+  private lazy val bpeDeepTrainOracle: String =
+    s"""${bpeOracleChain(BpeDeepRounds)}
+       |SELECT rank, lhs, rhs, freq,
+       |  $BpeDeepDriverRounds::BIGINT AS driver_rounds
+       |FROM (
+       |${(1 to BpeDeepRounds).map { k =>
+            if (k == 1)
+              "SELECT 1::BIGINT AS rank, l AS lhs, r AS rhs, c AS freq FROM b1"
+            else s"SELECT $k::BIGINT, l, r, c FROM b$k"
+          }.mkString("\nUNION ALL ")}
+       |) ORDER BY rank""".stripMargin
 
   /** The t17/t18 shared tail: per-doc word + BPE-token counts under the
     * round-[[BpeRounds]] vocab. */

@@ -398,7 +398,15 @@ object EventStreams {
     // horizon-path decision keys off this one flag
     val useHorizon = tsCol.isDefined && docs.isStreaming
     val src = tsCol match {
-      case Some(tc) if useHorizon => docs.withWatermark(tc, horizon)
+      // a null event time has no place on the horizon path: it would
+      // enter the state with timestamp 0L, be silently pruned at the
+      // first nonzero watermark, and its future near-dups would be
+      // missed with no signal — exclude such rows UP FRONT, as a stated
+      // contract instead of a state-store accident (callers wanting
+      // null-ts rows deduped must supply a real timestamp or run
+      // horizonless)
+      case Some(tc) if useHorizon =>
+        docs.filter(col(tc).isNotNull).withWatermark(tc, horizon)
       case _ => docs
     }
     val timeoutConf =

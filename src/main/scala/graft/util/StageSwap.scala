@@ -14,7 +14,16 @@ import org.apache.spark.sql.DataFrame
   * a kill before the swap leaves the old table untouched, a kill inside
   * the two-rename swap leaves it recoverable in the `.swap-<table>-old-<uuid>`
   * aside dir, and every rename result is CHECKED (Hadoop FileSystems report
-  * most failures by returning false, not throwing). */
+  * most failures by returning false, not throwing).
+  *
+  * SINGLE WRITER PER TABLE, by contract: the orphan sweep reclaims every
+  * `.swap-<table>-*` sibling — including a CONCURRENT rewrite's in-flight
+  * stage and its crash-recovery aside for the same table — so two
+  * simultaneous rewrites of one table can destroy each other's staged
+  * data. This matches the engine-wide posture ([[graft.graph.GraphStore]]
+  * documents the same assumption, inherited from the reference's
+  * single-writer Flask server); coordinate externally (a lock file, a
+  * scheduler) before ever pointing two writers at one table. */
 object StageSwap {
 
   def rewrite(df: DataFrame, dir: String): Unit = {

@@ -107,7 +107,11 @@ class StreamingNearDupSpec extends SparkSpec {
     val schema = new StructType()
       .add("doc_id", LongType).add("ts", TimestampType)
       .add("text", StringType)
-    def drainOnce(): Unit = {
+    // returns the state store's TOTAL row count after the drain (one row
+    // per live (band, bucket) group) — the store-level witness that the
+    // horizon's timeout actually deletes expired members, not merely
+    // hides them from the pair output
+    def drainOnce(): Long = {
       val docs = spark.readStream.schema(schema).json(src.getAbsolutePath)
       val q = EventStreams
         .nearDupPairsStream(docs, tsCol = Some("ts"), horizon = "1 hour")
@@ -116,23 +120,56 @@ class StreamingNearDupSpec extends SparkSpec {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       try q.awaitTermination() finally q.stop()
+      q.lastProgress.stateOperators.map(_.numRowsTotal).sum
     }
+    // the banding is deterministic, so the EXPECTED live-group count for
+    // any doc set is the batch banding expression's distinct (band,
+    // bucket) count over exactly those docs
+    def expectedGroups(rows: (Long, String, String)*): Long =
+      graft.pipeline.Dedup.wordBandRows(
+          rows.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
+          5, 128, 2)
+        .select("band", "bucket").distinct().count()
     // drain 1: an in-horizon near-dup pair (1,2), 30 min apart
-    writeFile("a.json", Seq(
+    val a = Seq(
       (1L, "2026-01-01T10:00:00Z", tA),
-      (2L, "2026-01-01T10:30:00Z", nearDup(tA, "x1"))))
+      (2L, "2026-01-01T10:30:00Z", nearDup(tA, "x1")))
+    writeFile("a.json", a)
     drainOnce()
     // drain 2 (restart): a unique doc at 13:00 advances the watermark to
     // 12:00 — docs 1 and 2 fall behind the horizon
-    writeFile("b.json", Seq((4L, "2026-01-01T13:00:00Z", tB)))
-    drainOnce()
+    val b = Seq((4L, "2026-01-01T13:00:00Z", tB))
+    writeFile("b.json", b)
+    val rows2 = drainOnce()
+    // docs 1/2 leave the STORE within drain 2 already: AvailableNow runs
+    // a trailing no-data batch under the advanced watermark (12:00), so
+    // every alpha group's timeout (armed at 10:30:00.001) fires before
+    // the drain returns — the store ends the drain holding doc 4's
+    // groups only (measured 64 = doc 4's band count, vs 130 for the
+    // no-expiry union of docs 1/2/4)
+    assert(rows2 == expectedGroups(b: _*),
+      s"state rows after drain 2 = $rows2, expected doc 4's groups only " +
+        s"= ${expectedGroups(b: _*)} — expired members did not leave " +
+        "the state store")
+    assert(rows2 < expectedGroups(a ++ b: _*),
+      "state did not shrink below the no-expiry union after drain 2")
     // drain 3 (restart): 3 duplicates the EXPIRED alpha text (must NOT
     // pair — members 1/2 were pruned); 5 duplicates beta within the
     // horizon (must pair with 4)
-    writeFile("c.json", Seq(
+    val c = Seq(
       (3L, "2026-01-01T12:30:00Z", nearDup(tA, "x2")),
-      (5L, "2026-01-01T13:10:00Z", nearDup(tB, "x3"))))
-    drainOnce()
+      (5L, "2026-01-01T13:10:00Z", nearDup(tB, "x3")))
+    writeFile("c.json", c)
+    val rows3 = drainOnce()
+    // after drain 3 the store holds exactly the LIVE docs' groups (3, 4,
+    // 5 — all within the 12:10 end-watermark's horizon), strictly fewer
+    // than the no-expiry union of all five docs would hold
+    assert(rows3 == expectedGroups((b ++ c): _*),
+      s"state rows after drain 3 = $rows3, expected live groups of docs " +
+        s"3/4/5 = ${expectedGroups((b ++ c): _*)} — expired members did " +
+        "not leave the state store")
+    assert(rows3 < expectedGroups((a ++ b ++ c): _*),
+      "state did not shrink below the no-expiry union")
     val pairs = spark.read.parquet(sink)
       .as[(Long, Long, Double)].collect().toSet.map(
         (p: (Long, Long, Double)) => (p._1, p._2))
