@@ -1140,6 +1140,33 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** q34 — BALANCED shards over REAL BPE TOKENS (q27's serpentine deal
+    * recomposed on the t17 encode path, the q33/t18 pattern): per-doc BPE
+    * token counts under the t16 vocab (broadcast dictionary join) feed
+    * [[graft.pipeline.Packing.globalRankDesc]]'s two-pass distributed
+    * rank, and rank r deals to shard r%n on even passes, n-1-r%n on odd —
+    * so shard balance is measured in the unit the trainer actually pays
+    * (subword tokens), not whitespace words. Docs whose every word is
+    * out-of-vocabulary drop at the dictionary join on BOTH engines (the
+    * t17 contract). Oracle: the unrolled merge chain → per-doc counts →
+    * the q27 serpentine replay, all integers. */
+  def q34BpeShards(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val n = 8
+    val counts = graft.pipeline.Bpe
+      .encodeTokenCounts(Tables.documents(spark, d), bpeShared(spark, d))
+      .select($"doc_id", $"n_bpe_tokens")
+    val ranked = graft.pipeline.Packing
+      .globalRankDesc(counts, "doc_id", "n_bpe_tokens")
+      .select($"n", $"rank".as("r"))
+    val shard = when((($"r" / n).cast("long") % 2) === 0, pmod($"r", lit(n)))
+      .otherwise(lit(n - 1) - pmod($"r", lit(n)))
+    ranked.withColumn("shard", shard.cast("int"))
+      .groupBy($"shard")
+      .agg(count(lit(1)).as("n_docs"), sum($"n").as("bpe_token_sum"))
+      .orderBy($"shard")
+  }
+
   /** q31 — PER-SOURCE DOCUMENT CAP (the C4/RefinedWeb per-domain cap: no
     * single site may dominate the corpus): keep at most 15 docs per
     * source ranked by (token count DESC, doc_id), rolled up per source
@@ -1262,6 +1289,7 @@ object PipelineQueries {
     "d18_span_removal" -> (d18SpanRemoval _),
     "t20_bpe_deep_train" -> (t20BpeDeepTrain _),
     "q33_bpe_budget_fill" -> (q33BpeBudgetFill _),
+    "q34_bpe_shards" -> (q34BpeShards _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1683,6 +1711,21 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "t16_bpe_train" -> bpeTrainOracle,
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
+    "q34_bpe_shards" ->
+      // the t16 merge chain → per-doc BPE counts → q27's serpentine
+      // shard deal, balance measured in subword tokens
+      s"""${bpeOracleChain(BpeRounds)},
+         |$bpeDocCountsCte,
+         |r AS (
+         |  SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, doc_id) - 1 AS rk
+         |  FROM nb),
+         |s AS (
+         |  SELECT n, CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8
+         |                 ELSE 7 - (rk % 8) END AS shard
+         |  FROM r)
+         |SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+         |  CAST(SUM(n) AS BIGINT) AS bpe_token_sum
+         |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "q33_bpe_budget_fill" ->
       // the t16 merge chain → per-doc BPE counts → q24's cumulative
       // budget window, ranked by the compression ratio (one double
