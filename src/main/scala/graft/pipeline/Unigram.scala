@@ -1,0 +1,246 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Unigram-LM subword tokenizer (Kudo, ACL 2018 — the SentencePiece
+  * model family; the OTHER production tokenizer besides BPE): a seed
+  * vocabulary of frequent substrings is re-estimated by EM — each E-step
+  * segments every word into the most probable piece sequence under the
+  * current piece probabilities (a Viterbi pass), the M-step recounts
+  * piece usage — and pieces the model stops using are pruned.
+  *
+  * Re-expressed in the shape that survives 100 TB (the [[Bpe.train]]
+  * word-table trick):
+  *
+  *   1. ONE full-corpus shuffle builds the distinct-word table
+  *      ([[Bpe.wordCounts]]) — everything after is vocabulary-sized.
+  *   2. Seed counting is a bounded explode over the WORD table (≤
+  *      maxPieceLen substrings per character position) + one map-side-
+  *      partial groupBy; the top-`seedSize` cut is a bounded
+  *      `orderBy.limit` (never a full sort to the driver).
+  *   3. Each E-step is a MAP-SIDE Viterbi over the word table — integer
+  *      dynamic programming against a broadcast piece→score map, no
+  *      shuffle — followed by one vocabulary-sized groupBy (the M-step).
+  *      Per-word cost is O(len × maxPieceLen); the corpus is never
+  *      touched again.
+  *   4. The vocabulary itself is driver-sized BY CONSTRUCTION (≤ seedSize
+  *      + alphabet, the caller's budget — exactly the object SentencePiece
+  *      holds in memory), so collecting the M-step counts and broadcasting
+  *      the scores is bounded, not corpus-dependent.
+  *
+  * Exactness (the t13/q30 fixed-point conventions): piece scores are
+  * INTEGER micro-log-probs — `floor(1e6 × (ln cEff − ln T))` with
+  * `cEff = max(count, 1)` and `T = Σ cEff` — so after the two
+  * ulp-identical `ln`s of integer-valued doubles (t13-established across
+  * Spark and DuckDB) every Viterbi comparison, count, and EM round is
+  * exact integer arithmetic an independent engine replays bit-for-bit.
+  * `floor`, not `round`: floor never has the half-way ambiguity.
+  *
+  * Viterbi is HARD EM (the segmentation, not the lattice expectation,
+  * carries the counts): deterministic, SQL-replayable, and the standard
+  * practical simplification; the full forward-backward E-step changes
+  * the counts but not the dataflow shape. Ties break to the LONGER last
+  * piece at every DP cell (then recursively on the remaining prefix) —
+  * a total order, spec-pinned against an exhaustive-enumeration
+  * reference.
+  *
+  * Coverage: every single-character piece stays in the vocabulary
+  * forever (count floored to 1 in the score), so every word always has
+  * at least one segmentation — SentencePiece's required-character rule.
+  */
+object Unigram {
+
+  /** Trained model: `(piece, cnt, ulogp)` — the piece inventory, its
+    * final Viterbi usage count, and the integer micro-log-prob the final
+    * scores assign it. `words` is the training word table (re-derivable;
+    * kept so encode can reuse it). */
+  final case class Model(pieces: Seq[(String, Long, Long)],
+      maxPieceLen: Int)
+
+  /** Integer micro-log-prob scores from raw usage counts:
+    * `floor(1e6 × (ln max(c,1) − ln Σ max(c,1)))`. */
+  private[pipeline] def scores(counts: Seq[(String, Long)])
+      : Map[String, Long] = {
+    val t = counts.iterator.map { case (_, c) => math.max(c, 1L) }.sum
+    val lnT = math.log(t.toDouble)
+    counts.iterator.map { case (p, c) =>
+      p -> math.floor(1e6 * (math.log(math.max(c, 1L).toDouble) - lnT))
+        .toLong
+    }.toMap
+  }
+
+  /** Codepoint array of a word — Viterbi and substring enumeration run
+    * on CODEPOINTS (Spark's and DuckDB's string semantics), never UTF-16
+    * units, so beyond-BMP corpora segment identically on every engine. */
+  private def codepoints(w: String): Array[Int] = {
+    val out = new Array[Int](w.codePointCount(0, w.length))
+    var ci = 0; var i = 0
+    while (ci < w.length) {
+      val cp = w.codePointAt(ci)
+      out(i) = cp; i += 1; ci += Character.charCount(cp)
+    }
+    out
+  }
+
+  /** The best segmentation of one word under `sc`: maximal total score,
+    * ties to the longer LAST piece (then recursively on the prefix).
+    * Integer DP, O(len × maxPieceLen). Requires every single character
+    * to be scoreable (the coverage rule). */
+  private[pipeline] def viterbi(word: String, sc: collection.Map[String, Long],
+      maxPieceLen: Int): Seq[String] = {
+    val cps = codepoints(word)
+    val n = cps.length
+    val dpT = new Array[Long](n + 1)
+    val dpL = new Array[Int](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bestT = Long.MinValue
+      var bestL = 0
+      var l = 1
+      while (l <= maxPieceLen && l <= i) {
+        val piece = new String(cps, i - l, l)
+        sc.get(piece) match {
+          case Some(s) =>
+            val t = dpT(i - l) + s
+            // maximize (total, piece length): equal totals fall to the
+            // longer last piece — the documented tie-break
+            if (t > bestT || (t == bestT && l > bestL)) {
+              bestT = t; bestL = l
+            }
+          case None => ()
+        }
+        l += 1
+      }
+      require(bestL > 0,
+        s"word '$word' not coverable at position $i — a single-character " +
+          "piece left the vocabulary (coverage invariant broken)")
+      dpT(i) = bestT
+      dpL(i) = bestL
+      i += 1
+    }
+    var at = n
+    var acc = List.empty[String]
+    while (at > 0) {
+      val l = dpL(at)
+      acc = new String(cps, at - l, l) :: acc
+      at -= l
+    }
+    acc
+  }
+
+  /** Distributed E-step: Viterbi-segment every distinct word against the
+    * broadcast scores, emit (piece, word-count) pairs, and sum — the
+    * counts the M-step renormalizes. Map-side over the word table + one
+    * vocabulary-sized groupBy. */
+  private[pipeline] def viterbiCounts(words: DataFrame,
+      sc: Map[String, Long], maxPieceLen: Int): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(sc)
+    words.select(col("word"), col("cnt")).as[(String, Long)]
+      .flatMap { case (w, c) =>
+        viterbi(w, bc.value, maxPieceLen).map(p => (p, c))
+      }
+      .toDF("piece", "cnt")
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+  }
+
+  /** Seed piece counts: every substring of every word up to
+    * `maxPieceLen`, position-counted and frequency-weighted (the bounded
+    * analogue of SentencePiece's suffix-array seed) — all single
+    * characters, plus the top `seedSize` multi-character substrings by
+    * (count DESC, piece ASC in UTF-8 byte order, Spark's own string
+    * comparison). */
+  private[pipeline] def seedCounts(words: DataFrame, maxPieceLen: Int,
+      seedSize: Int): Seq[(String, Long)] = {
+    val sub = words
+      .select(col("cnt"),
+        explode(sequence(lit(1), length(col("word")))).as("i"),
+        col("word"))
+      .select(col("cnt"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("word")) - col("i") + 1)))
+          .as("l"),
+        col("word"))
+      .select(col("word").substr(col("i"), col("l")).as("piece"),
+        col("cnt"))
+      .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+    val singles = sub.filter(length(col("piece")) === 1)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val multis = sub.filter(length(col("piece")) > 1)
+      .orderBy(col("c").desc, col("piece"))
+      .limit(seedSize)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    (singles ++ multis).toSeq
+  }
+
+  /** Train `iters` hard-EM rounds over the corpus. Each round: scores
+    * from the current counts → distributed Viterbi recount → prune
+    * multi-character pieces the segmentation stopped using (single
+    * characters persist with their raw, possibly zero, count). */
+  def train(docs: DataFrame, iters: Int = 3, seedSize: Int = 512,
+      maxPieceLen: Int = 6, textCol: String = "text"): Model = {
+    require(iters >= 1, "need at least one EM round")
+    val words = Bpe.wordCounts(docs, textCol).localCheckpoint(true)
+    var counts = seedCounts(words, maxPieceLen, seedSize)
+    var it = 0
+    while (it < iters) {
+      val sc = scores(counts)
+      val recount = viterbiCounts(words, sc, maxPieceLen)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      counts = counts.flatMap { case (p, _) =>
+        val c = recount.getOrElse(p, 0L)
+        if (c > 0L || p.codePointCount(0, p.length) == 1) Some((p, c))
+        else None
+      }
+      it += 1
+    }
+    val sc = scores(counts)
+    // the word table's checkpoint blocks die with the train — the model
+    // is pure driver data (pieces + scores), nothing downstream reads
+    // the frame. RDD-level unpersist via plan-walk: localCheckpoint
+    // persistence is below the CacheManager, Dataset.unpersist misses it
+    try words.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    } catch { case _: Throwable => () }
+    Model(counts.map { case (p, c) => (p, c, sc(p)) }, maxPieceLen)
+  }
+
+  /** The trained vocabulary as a DataFrame `(piece, cnt, ulogp)` — the
+    * t21 gate shape. */
+  def vocabTable(spark: SparkSession, model: Model): DataFrame = {
+    import spark.implicits._
+    model.pieces.toDF("piece", "cnt", "ulogp")
+  }
+
+  /** Per-document unigram-LM token counts — the corpus-scale encode
+    * path, exactly [[Bpe.encodeTokenCounts]]'s dictionary-join idiom:
+    * Viterbi runs once per DISTINCT word (map-side, vocabulary-sized),
+    * and the corpus pays one explode + one broadcast equi-join on the
+    * word key. Words with no in-vocabulary character cannot occur
+    * (coverage rule keeps every seen character), so the dictionary
+    * covers the corpus by construction when encode ⊆ train corpus. */
+  def encodeTokenCounts(docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val sc = model.pieces.map { case (p, _, lp) => (p, lp) }.toMap
+    val bc = spark.sparkContext.broadcast(sc)
+    val maxLen = model.maxPieceLen
+    val dict = Bpe.wordCounts(docs, textCol)
+      .select(col("word")).as[String]
+      .map(w => (w, viterbi(w, bc.value, maxLen).length.toLong))
+      .toDF("word", "n_pieces")
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+    toks.join(broadcast(dict), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_um_tokens"))
+  }
+}

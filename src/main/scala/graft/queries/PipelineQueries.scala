@@ -115,6 +115,31 @@ object PipelineQueries {
       m
     })
 
+  /** EM rounds / seed size / max piece length for the unigram-LM gates
+    * (t21/t22): three full E/M rounds exercise seed → recount → prune →
+    * re-score interactions (pieces the Viterbi abandons in round 1 must
+    * stay gone; re-scored survivors shift later segmentations); 512
+    * multi-char seed pieces genuinely binds on this corpus (~700
+    * distinct substrings ≤ 6 chars), so the (count DESC, piece) seed cut
+    * is exercised too. */
+  private val UmIters = 3
+  private val UmSeedSize = 512
+  private val UmMaxPiece = 6
+
+  /** t21/t22 share one trained unigram model per (session, dir) — the
+    * model is pure driver data (piece/count/score triples), so unlike
+    * the BPE memo there is no Spark-side state for resetShared to free
+    * (train drops its own word-table checkpoint blocks). */
+  private val residentUnigram = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Unigram.Model]
+
+  private[graft] def unigramShared(spark: SparkSession, d: String)
+      : graft.pipeline.Unigram.Model =
+    residentUnigram.getOrElseUpdate((spark, d), {
+      graft.pipeline.Unigram.train(Tables.documents(spark, d),
+        UmIters, UmSeedSize, UmMaxPiece)
+    })
+
   private[graft] def bpeShared(spark: SparkSession, d: String)
       : graft.pipeline.Bpe.Model =
     residentBpe.getOrElseUpdate((spark, d), {
@@ -1140,6 +1165,35 @@ object PipelineQueries {
       .orderBy($"source")
   }
 
+  /** t21 — UNIGRAM-LM tokenizer training ([[graft.pipeline.Unigram
+    * .train]], the SentencePiece model family, Kudo ACL 2018): three
+    * hard-EM rounds over the corpus — substring seed, per-distinct-word
+    * Viterbi recount, zero-usage prune — emitting the final vocabulary
+    * (piece, Viterbi count, integer micro-log-prob). Everything after
+    * the two ulp-identical `ln`s is integer arithmetic, so the DuckDB
+    * oracle replays the WHOLE EM chain (seed CTE → per-round score map →
+    * recursive-CTE Viterbi DP with the same (total, piece-length)
+    * tie-break → backtrack → prune) and hash-matches exactly. */
+  def t21UnigramTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Unigram.vocabTable(spark, unigramShared(spark, d))
+      .orderBy($"piece")
+  }
+
+  /** t22 — unigram-LM corpus encoding by dictionary join: per document,
+    * the whitespace word count and the Viterbi piece count under the t21
+    * vocabulary. Same 100 TB shape as t17 — Viterbi runs once per
+    * DISTINCT word (map-side, vocabulary-sized); the corpus pays one
+    * explode + one broadcast equi-join. Oracle: the t21 chain plus one
+    * more Viterbi pass under the final scores, joined to the exploded
+    * corpus. */
+  def t22UnigramEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Unigram.encodeTokenCounts(
+        Tables.documents(spark, d), unigramShared(spark, d))
+      .orderBy($"doc_id")
+  }
+
   /** q34 — BALANCED shards over REAL BPE TOKENS (q27's serpentine deal
     * recomposed on the t17 encode path, the q33/t18 pattern): per-doc BPE
     * token counts under the t16 vocab (broadcast dictionary join) feed
@@ -1290,6 +1344,8 @@ object PipelineQueries {
     "t20_bpe_deep_train" -> (t20BpeDeepTrain _),
     "q33_bpe_budget_fill" -> (q33BpeBudgetFill _),
     "q34_bpe_shards" -> (q34BpeShards _),
+    "t21_unigram_train" -> (t21UnigramTrain _),
+    "t22_unigram_encode" -> (t22UnigramEncode _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1385,6 +1441,132 @@ object PipelineQueries {
     }
     "WITH RECURSIVE " + (w0 +: stages).mkString(",\n")
   }
+
+  /** The t21/t22 oracle's shared CTE chain: unigram-LM hard-EM unrolled
+    * to [[UmIters]] rounds. `uw` is the distinct-word table; `usub`/`uv0`
+    * the substring seed (all single chars + top-[[UmSeedSize]] multis by
+    * (count DESC, piece)). Per round k: `us_k` re-scores the surviving
+    * pieces (floor(1e6·(ln max(c,1) − ln Σ)), the engine's exact
+    * fixed-point), `um_k` packs them into ONE map row (lambdas cannot
+    * hold subqueries — the map rides in via CROSS JOIN, the established
+    * idiom), the recursive `uvit_k` runs the Viterbi DP left to right
+    * (candidates as (total, length) structs; list_sort's last element IS
+    * the engine's (total DESC, longer-piece) argmax), the recursive
+    * `ubt_k` backtracks the chosen pieces, `ucnt_k` recounts, and `uv_k`
+    * prunes multi-char pieces the segmentation abandoned while single
+    * chars persist (the coverage rule). `us_{iters+1}`/`um_{iters+1}`
+    * are the FINAL scores both gates read. */
+  private def unigramOracleChain(iters: Int): String = {
+    val base =
+      s"""uw AS MATERIALIZED (
+         |  SELECT word, COUNT(*)::BIGINT AS cnt
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+         |                                            '\\s+')) AS word
+         |        FROM documents WHERE text IS NOT NULL) t
+         |  WHERE word <> '' GROUP BY word),
+         |usub AS MATERIALIZED (
+         |  SELECT piece, SUM(cnt)::BIGINT AS c FROM (
+         |    SELECT substring(word, i, l) AS piece, cnt
+         |    FROM (SELECT word, cnt,
+         |            unnest(generate_series(1, length(word))) AS i
+         |          FROM uw) a
+         |    CROSS JOIN (SELECT unnest(generate_series(1, $UmMaxPiece))
+         |                  AS l) b
+         |    WHERE i + l - 1 <= length(word))
+         |  GROUP BY piece),
+         |uv0 AS MATERIALIZED (
+         |  SELECT piece, c FROM usub WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c FROM usub WHERE length(piece) > 1
+         |    ORDER BY c DESC, piece LIMIT $UmSeedSize))""".stripMargin
+    def scoreCtes(k: Int, from: String): String =
+      s"""us$k AS MATERIALIZED (
+         |  SELECT piece,
+         |    FLOOR(1e6 * (ln(GREATEST(c, 1)::DOUBLE) - ln(tt::DOUBLE)))
+         |      ::BIGINT AS lp
+         |  FROM $from CROSS JOIN
+         |    (SELECT SUM(GREATEST(c, 1))::BIGINT AS tt FROM $from) t),
+         |um$k AS MATERIALIZED (
+         |  SELECT MAP(list(piece ORDER BY piece),
+         |             list(lp ORDER BY piece)) AS m FROM us$k)""".stripMargin
+    def viterbiCtes(tag: String, mapCte: String): String =
+      s"""uvit$tag(word, cnt, i, dp) AS (
+         |  SELECT word, cnt, 0, [{'t': CAST(0 AS BIGINT), 'l': 0}] FROM uw
+         |  UNION ALL
+         |  SELECT word, cnt, i + 1,
+         |    dp || [list_sort(list_filter(
+         |      list_transform(generate_series(1, LEAST(i + 1, $UmMaxPiece)),
+         |        L -> {'t': dp[i + 2 - L].t +
+         |                   m[substring(word, i + 2 - L, L)][1],
+         |              'l': L}),
+         |      x -> x.t IS NOT NULL))[-1]]
+         |  FROM uvit$tag CROSS JOIN $mapCte WHERE i < length(word)),
+         |ubt$tag(word, cnt, dp, i, pieces) AS (
+         |  SELECT word, cnt, dp, i, CAST([] AS VARCHAR[])
+         |  FROM uvit$tag WHERE i = length(word)
+         |  UNION ALL
+         |  SELECT word, cnt, dp, i - dp[i + 1].l,
+         |    pieces || [substring(word, i - dp[i + 1].l + 1, dp[i + 1].l)]
+         |  FROM ubt$tag WHERE i > 0)""".stripMargin
+    val rounds = (1 to iters).map { k =>
+      s"""${scoreCtes(k, s"uv${k - 1}")},
+         |${viterbiCtes(k.toString, s"um$k")},
+         |ucnt$k AS MATERIALIZED (
+         |  SELECT piece, SUM(cnt)::BIGINT AS c
+         |  FROM (SELECT unnest(pieces) AS piece, cnt
+         |        FROM ubt$k WHERE i = 0)
+         |  GROUP BY piece),
+         |uv$k AS MATERIALIZED (
+         |  SELECT p.piece, COALESCE(c.c, 0)::BIGINT AS c
+         |  FROM (SELECT piece FROM uv${k - 1} WHERE length(piece) = 1) p
+         |  LEFT JOIN ucnt$k c USING (piece)
+         |  UNION ALL
+         |  SELECT p.piece, c.c
+         |  FROM (SELECT piece FROM uv${k - 1} WHERE length(piece) > 1) p
+         |  JOIN ucnt$k c USING (piece) WHERE c.c > 0)""".stripMargin
+    }
+    "WITH RECURSIVE " +
+      ((base +: rounds) :+ scoreCtes(iters + 1, s"uv$iters")).mkString(",\n")
+  }
+
+  private lazy val unigramTrainOracle: String =
+    s"""${unigramOracleChain(UmIters)}
+       |SELECT v.piece, v.c AS cnt, s.lp AS ulogp
+       |FROM uv$UmIters v JOIN us${UmIters + 1} s USING (piece)
+       |ORDER BY piece""".stripMargin
+
+  private lazy val unigramEncodeOracle: String =
+    s"""${unigramOracleChain(UmIters)},
+       |uvitE(word, cnt, i, dp) AS (
+       |  SELECT word, cnt, 0, [{'t': CAST(0 AS BIGINT), 'l': 0}] FROM uw
+       |  UNION ALL
+       |  SELECT word, cnt, i + 1,
+       |    dp || [list_sort(list_filter(
+       |      list_transform(generate_series(1, LEAST(i + 1, $UmMaxPiece)),
+       |        L -> {'t': dp[i + 2 - L].t +
+       |                   m[substring(word, i + 2 - L, L)][1],
+       |              'l': L}),
+       |      x -> x.t IS NOT NULL))[-1]]
+       |  FROM uvitE CROSS JOIN um${UmIters + 1} WHERE i < length(word)),
+       |ubtE(word, cnt, dp, i, pieces) AS (
+       |  SELECT word, cnt, dp, i, CAST([] AS VARCHAR[])
+       |  FROM uvitE WHERE i = length(word)
+       |  UNION ALL
+       |  SELECT word, cnt, dp, i - dp[i + 1].l,
+       |    pieces || [substring(word, i - dp[i + 1].l + 1, dp[i + 1].l)]
+       |  FROM ubtE WHERE i > 0),
+       |uwp AS MATERIALIZED (
+       |  SELECT word, len(pieces)::BIGINT AS np FROM ubtE WHERE i = 0),
+       |utok AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(w.np)::BIGINT AS n_um_tokens
+       |FROM (SELECT * FROM utok WHERE word <> '') t
+       |JOIN uwp w USING (word)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
   private def bpeTrainOracleOf(rounds: Int): String = {
     val rows = (1 to rounds).map { k =>
@@ -1711,6 +1893,8 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "t16_bpe_train" -> bpeTrainOracle,
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
+    "t21_unigram_train" -> unigramTrainOracle,
+    "t22_unigram_encode" -> unigramEncodeOracle,
     "q34_bpe_shards" ->
       // the t16 merge chain → per-doc BPE counts → q27's serpentine
       // shard deal, balance measured in subword tokens
