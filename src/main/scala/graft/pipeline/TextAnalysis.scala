@@ -373,6 +373,70 @@ object TextAnalysis {
           col("n_bigrams").cast("double"), 4).as("avg_logprob"))
   }
 
+  /** Per-document interpolated KNESER-NEY bigram log-probability (Chen &
+    * Goodman 1999's formulation of Kneser & Ney 1995) — the
+    * CCNet/KenLM-class perplexity filter [[bigramLmScore]]'s add-nothing
+    * MLE only approximates: absolute discount D on every seen bigram,
+    * with the reclaimed mass backed off to the CONTINUATION unigram
+    * (how many distinct left contexts a word follows — "francisco" is
+    * frequent but follows only "san", so its continuation probability is
+    * tiny and garbled text gets no credit for it):
+    *
+    *   P(w2|w1) = max(c(w1 w2) − D, 0)/c(w1·)
+    *            + (D · N1+(w1 ·)/c(w1·)) · (N1+(· w2)/N1+(· ·))
+    *
+    * Exactness (the t13 conventions, term for term): every count is an
+    * exact integer; the formula is evaluated in ONE fixed parenthesization
+    * (identical in the SQL oracle, and Java 17 FP is strict — no FMA
+    * contraction on either engine), so both engines take ln of the SAME
+    * double; the per-doc sum folds in position order
+    * (sort_array/list ORDER BY); the average rounds to 4 dp.
+    *
+    * Scale: one corpus explode into positioned bigrams (pinned — read by
+    * the count build and the probe side), one map-side-partial groupBy to
+    * the distinct-bigram table (pinned — read by the probe join and the
+    * three statistics), then vocabulary-sized aggregations; the corpus
+    * never joins anything bigger than its own bigram positions. Scoring
+    * the training corpus itself means every probed bigram is seen (c ≥ 1),
+    * the max() never binds, and no unseen-event branch is needed. */
+  def knBigramScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+    val bgx = base.select(col(idCol),
+        posexplode(graft.functions.WordNGrams.wordNGramsAll(col("toks"), 2)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+      // whitespace-split tokens → the space-joined gram splits back
+      // unambiguously (the bigramLmScore precedent)
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2", substring_index(col("gram"), " ", -1))
+      .localCheckpoint(true)
+    val bcnt = bgx.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // read 4×: probe, left stats, right stats, N
+    val left = bcnt.groupBy(col("w1"))
+      .agg(sum(col("cb")).as("cw1"), count(lit(1)).as("n1w1"))
+    val right = bcnt.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
+    val ntot = bcnt.agg(count(lit(1)).as("ntot"))
+    val p = greatest(col("cb").cast("double") - lit(discount), lit(0.0)) /
+        col("cw1").cast("double") +
+      ((lit(discount) * col("n1w1").cast("double")) /
+        col("cw1").cast("double")) *
+      (col("ncont").cast("double") / col("ntot").cast("double"))
+    val scored = bgx.join(bcnt, Seq("w1", "w2"))
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(broadcast(ntot))
+      .select(col(idCol), col("pos"), log(p).as("lp"))
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
+        count(lit(1)).as("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"),
+        round(aggregate(col("arr"), lit(0.0),
+            (acc, x) => acc + x.getField("lp")) /
+          col("n_bigrams").cast("double"), 4).as("avg_kn_logprob"))
+  }
+
   /** Character-level Shannon entropy per document (bits/char) — the
     * classic gibberish/boilerplate detector: natural prose sits ~3.5–4.5
     * bits, single-char spam near 0, uniform random base64 near 6. Uses

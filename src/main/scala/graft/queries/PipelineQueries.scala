@@ -1194,6 +1194,19 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t23 — interpolated KNESER-NEY bigram LM score
+    * ([[graft.pipeline.TextAnalysis.knBigramScore]], D = 0.75): the
+    * CCNet/KenLM-class perplexity filter t13's add-nothing MLE stands in
+    * for, with absolute discounting and continuation-unigram backoff.
+    * Full value oracle — the SQL replays discount + backoff arithmetic
+    * in the identical parenthesization and folds the per-doc sum in
+    * position order (the t13 conventions). */
+  def t23KnLmScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.TextAnalysis.knBigramScore(Tables.documents(spark, d))
+      .orderBy($"doc_id")
+  }
+
   /** q34 — BALANCED shards over REAL BPE TOKENS (q27's serpentine deal
     * recomposed on the t17 encode path, the q33/t18 pattern): per-doc BPE
     * token counts under the t16 vocab (broadcast dictionary join) feed
@@ -1346,6 +1359,7 @@ object PipelineQueries {
     "q34_bpe_shards" -> (q34BpeShards _),
     "t21_unigram_train" -> (t21UnigramTrain _),
     "t22_unigram_encode" -> (t22UnigramEncode _),
+    "t23_kn_lm_score" -> (t23KnLmScore _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1895,6 +1909,39 @@ object PipelineQueries {
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
     "t21_unigram_train" -> unigramTrainOracle,
     "t22_unigram_encode" -> unigramEncodeOracle,
+    "t23_kn_lm_score" ->
+      // the t13 chain with KN arithmetic: discount every seen bigram,
+      // back the reclaimed mass off to the continuation unigram; the
+      // ln's operand is built in the IDENTICAL parenthesization as the
+      // engine, and the per-doc fold runs in position order
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |bgx AS (
+        |  SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2
+        |  FROM (SELECT doc_id,
+        |          [struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1])
+        |           for i in generate_series(1, len(toks)-1)] AS pairs
+        |        FROM t) b, unnest(b.pairs) AS u(p)),
+        |bcnt AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bgx
+        |         GROUP BY w1, w2),
+        |lft AS (SELECT w1, SUM(cb)::BIGINT AS cw1, COUNT(*)::BIGINT AS n1w1
+        |        FROM bcnt GROUP BY w1),
+        |rgt AS (SELECT w2, COUNT(*)::BIGINT AS ncont FROM bcnt GROUP BY w2),
+        |nt AS (SELECT COUNT(*)::BIGINT AS ntot FROM bcnt),
+        |s AS (
+        |  SELECT x.doc_id, x.pos,
+        |    ln(GREATEST(b.cb::DOUBLE - 0.75, 0.0) / l.cw1::DOUBLE +
+        |       ((0.75 * l.n1w1::DOUBLE) / l.cw1::DOUBLE) *
+        |       (r.ncont::DOUBLE / nt.ntot::DOUBLE)) AS lp
+        |  FROM bgx x JOIN bcnt b ON x.w1 = b.w1 AND x.w2 = b.w2
+        |  JOIN lft l ON x.w1 = l.w1
+        |  JOIN rgt r ON x.w2 = r.w2
+        |  CROSS JOIN nt)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
+        |        / count(*), 4) AS avg_kn_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q34_bpe_shards" ->
       // the t16 merge chain → per-doc BPE counts → q27's serpentine
       // shard deal, balance measured in subword tokens

@@ -823,6 +823,31 @@ class PipelineSpec extends SparkSpec {
       (2L, 2L, r4(math.log(1.0 / 3) / 2))))
   }
 
+  test("Kneser-Ney bigram score: hand-computed discount + continuation " +
+    "backoff, fold-order exact") {
+    import spark.implicits._
+    // bigrams: (a,b):3 (b,a):1 (b,c):1; cw1: a=3 b=2; N1+(a·)=1 N1+(b·)=2;
+    // N1+(·a)=N1+(·b)=N1+(·c)=1; N1+(··)=3
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, null.asInstanceOf[String])) // dropped: no text
+      .toDF("doc_id", "text")
+    // the engine's exact parenthesization, replayed on doubles
+    def p(cb: Double, cw1: Double, n1w1: Double, nc: Double): Double =
+      math.max(cb - 0.75, 0.0) / cw1 + ((0.75 * n1w1) / cw1) * (nc / 3.0)
+    val pab = p(3, 3, 1, 1); val pba = p(1, 2, 2, 1); val pbc = p(1, 2, 2, 1)
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val got = TextAnalysis.knBigramScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, 3L, r4((math.log(pab) + math.log(pba) + math.log(pab)) / 3)),
+      (2L, 2L, r4((math.log(pab) + math.log(pbc)) / 2))))
+    // the discounted mass really went somewhere: every probability is
+    // strictly between the pure-MLE and zero, and P(b|a) dominates
+    assert(pab > pba && pab < 1.0 && pba > 0.0)
+  }
+
   test("chunk spans cover every token with exact overlap arithmetic") {
     import spark.implicits._
     val docs = Seq(

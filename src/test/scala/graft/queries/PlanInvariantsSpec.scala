@@ -30,7 +30,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "t15_bm25_topk", // 1-row (N, Σdl) corpus aggregate broadcast likewise
     "q28_scored_autocomplete", // 1-row corpus-count broadcast into postings
     "q13_sketch_stats", // 1-row sketch aggregate broadcast vs the scan
-    "q30_quality_classifier") // 1-row (Npos,Nneg) totals + bias broadcasts
+    "q30_quality_classifier", // 1-row (Npos,Nneg) totals + bias broadcasts
+    "t23_kn_lm_score") // 1-row distinct-bigram total broadcast into scores
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfTiny)
