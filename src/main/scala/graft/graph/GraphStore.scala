@@ -71,16 +71,6 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
     * ranges, same layout contract. */
   def save(name: String, g: PropertyGraph): Unit = {
     import org.apache.spark.sql.functions.col
-    // sweep stage dirs leaked by earlier crashed saves FIRST (each holds a
-    // full staged copy plus old-table asides, and a crash after staging
-    // would otherwise accumulate them forever — the util.StageSwap orphan
-    // sweep, scoped to this repo's dir). Safe under the documented
-    // single-writer-per-graph contract: no other save of THIS graph can
-    // have an in-flight stage dir here.
-    if (fs.exists(repoDir(name)))
-      fs.listStatus(repoDir(name)).iterator
-        .filter(_.getPath.getName.startsWith(".stage-"))
-        .foreach(s => fs.delete(s.getPath, true))
     val stage = new Path(repoDir(name), s".stage-${java.util.UUID.randomUUID()}")
     val stagedNodes = new Path(stage, "nodes")
     val stagedEdges = new Path(stage, "edges")
@@ -113,6 +103,17 @@ final class GraphStore(spark: SparkSession, val warehouse: String) {
     swapIn(stagedNodes, nodesDir(name), new Path(stage, "old-nodes"))
     swapIn(stagedEdges, edgesDir(name), new Path(stage, "old-edges"))
     fs.delete(stage, true)
+    // sweep stage dirs leaked by EARLIER crashed saves only now, after
+    // the new snapshot is live: a crashed save's stage dir may hold the
+    // graph's ONLY copy (its old-table asides, when the crash hit inside
+    // the two-rename swap) — sweeping before promotion would destroy the
+    // recovery copy and a subsequent failure would lose the graph. After
+    // a successful swap the live tables supersede every aside, so the
+    // sweep (scoped to this repo's dir, safe under the documented
+    // single-writer-per-graph contract) reclaims them without a window.
+    fs.listStatus(repoDir(name)).iterator
+      .filter(_.getPath.getName.startsWith(".stage-"))
+      .foreach(s => fs.delete(s.getPath, true))
     // persist the ID high-water mark (see load) — monotone across deletes
     g.nextIdHint.foreach(h => setInfo(name, Map("next_id" -> h.toString)))
   }

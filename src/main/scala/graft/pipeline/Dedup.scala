@@ -844,18 +844,57 @@ object Dedup {
   }
 
   /** Coverage checks already passed this session, keyed by
-    * (session, index dir, canonicalized corpus plan): the check is an
-    * eager index-wide distinct + anti-join, and re-running it on every
-    * probe CONSTRUCTION (even of a frame that is never executed) doubled
-    * d15's probe cost. A mutation of the index ([[writeBandIndex]] /
+    * (session, index dir, corpus fingerprint): the check is an eager
+    * index-wide distinct + anti-join, and re-running it on every probe
+    * CONSTRUCTION (even of a frame that is never executed) doubled d15's
+    * probe cost. A mutation of the index ([[writeBandIndex]] /
     * [[appendBandIndex]]) invalidates the dir's entries — an append can
-    * mint new orphans that an earlier pass vouched against. */
+    * mint new orphans that an earlier pass vouched against.
+    *
+    * The fingerprint is the canonicalized plan string PLUS every leaf
+    * source's identity (parquet root paths, local-relation data hash,
+    * RDD id): the plan string alone elides exactly the things that
+    * distinguish two same-schema corpora (LocalRelation rows,
+    * HadoopFsRelation paths), and keying on it would silently skip the
+    * check for a DIFFERENT corpus — the very miss the check exists to
+    * catch. Files appended to a fingerprinted path outside this session
+    * are not seen (the same session-scoped caveat as Spark's own file
+    * listing); index mutations through THIS object always re-arm. */
   private val coverageVouched = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, String), Unit]
 
-  private def invalidateCoverage(dir: String): Unit =
-    coverageVouched.keysIterator.filter(_._2 == dir)
+  private def corpusFingerprint(df: DataFrame): String = {
+    val sb = new StringBuilder
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case h: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation =>
+            sb.append(h.location.rootPaths.mkString(",")).append(';')
+          case other => sb.append(other.toString).append(';')
+        }
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        sb.append("local:").append(l.data.hashCode).append(';')
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        sb.append("rdd:").append(r.rdd.id).append(';')
+      case _ => ()
+    }
+    sb.append('|')
+      .append(df.queryExecution.logical.canonicalized.toString)
+    sb.toString
+  }
+
+  /** One canonical spelling per index dir, so a probe and an append that
+    * write the same physical directory differently (trailing slash,
+    * relative vs absolute) share one memo scope. */
+  private def normDir(dir: String): String =
+    new org.apache.hadoop.fs.Path(dir).toString
+
+  private def invalidateCoverage(dir: String): Unit = {
+    val d = normDir(dir)
+    coverageVouched.keysIterator.filter(_._2 == d)
       .foreach(coverageVouched.remove)
+  }
 
   /** Probe a persisted band index with an increment: reads the stored
     * bands AND the stored banding parameters, so probe-time banding is
@@ -870,8 +909,7 @@ object Dedup {
       textCol: String = "text", checkCoverage: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val (w, nh, rpb) = readBandMeta(spark, dir)
-    val key = (spark, dir,
-      corpus.queryExecution.logical.canonicalized.toString)
+    val key = (spark, normDir(dir), corpusFingerprint(corpus))
     val check = checkCoverage && !coverageVouched.contains(key)
     val out = minhashAgainstIndex(newDocs, corpus, readBandIndex(spark, dir),
       w, nh, rpb, threshold, idCol, textCol, check)

@@ -53,8 +53,9 @@ object Unigram {
 
   /** Trained model: `(piece, cnt, ulogp)` — the piece inventory, its
     * final Viterbi usage count, and the integer micro-log-prob the final
-    * scores assign it. `words` is the training word table (re-derivable;
-    * kept so encode can reuse it). */
+    * scores assign it. Pure driver data (vocabulary-sized by the
+    * caller's seed budget); [[encodeTokenCounts]] derives its own word
+    * table from whatever corpus it encodes. */
   final case class Model(pieces: Seq[(String, Long, Long)],
       maxPieceLen: Int)
 

@@ -19,8 +19,10 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val family = args.lift(1).getOrElse("all")
-    require(Set("pipeline", "graph", "all")(family),
-      s"unknown family '$family' (expected pipeline|graph|all)")
+    require(Set("pipeline", "graph", "bpewide", "all")(family),
+      s"unknown family '$family' (expected pipeline|graph|bpewide|all; " +
+        "bpewide is the production-merge-count BPE rehearsal and runs " +
+        "only when asked)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.util.Sessions.local(32)
 
@@ -52,14 +54,73 @@ object ScaleRehearsal {
     if (family == "graph" || family == "all") graphFamily(spark, sfDir, k)
     if (family == "pipeline" || family == "all")
       pipelineFamily(spark, sfDir, k, replicateDocs, replicateEmb)
+    if (family == "bpewide") bpeWideFamily(spark)
     spark.stop()
   }
 
-  private def time(label: String)(f: => Long): Unit = {
-    val t0 = System.nanoTime()
-    val rows = f
-    println(f"[rehearsal] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
+  /** Production-merge-count BPE rehearsal: the testdata vocabulary (31
+    * words) exhausts its pairs at 89 merges, so the t20 gate can only
+    * drive the batched loop to 85 — this family synthesizes a WIDE
+    * vocabulary (50k distinct pseudo-words, zipf-ish counts, deterministic
+    * LCG letters — no corpus read) and runs a 1,024-merge train at two
+    * corpus scales. The numbers that certify a 32k-vocab production
+    * train: driverRounds ≪ merges (the batched argmax-prefix actually
+    * batches at depth) and s/merge flat in corpus size (every round is
+    * vocabulary-sized after the one word-count shuffle). */
+  private def bpeWideFamily(spark: org.apache.spark.sql.SparkSession)
+      : Unit = {
+    import spark.implicits._
+    val W = 50000
+    def word(i: Long): String = {
+      // deterministic 8-letter word: one LCG step per letter, seeded by
+      // a Knuth-hashed id — flat-ish pair statistics, fully reproducible
+      var h = i * 2654435761L + 1234567L
+      val sb = new StringBuilder
+      var j = 0
+      while (j < 8) {
+        h = h * 6364136223846793005L + 1442695040888963407L
+        sb.append(('a' + ((h >>> 33) % 26)).toChar)
+        j += 1
+      }
+      sb.toString
+    }
+    // zipf-ish counts, one doc per DISTINCT word with the word repeated
+    // cnt(i) times — wordCounts explodes it back to the same table
+    val base = spark.range(W).as[Long].map { i =>
+      val cnt = math.min(1000L, W / (i + 1L) + 1L).toInt
+      (i, Array.fill(cnt)(word(i)).mkString(" "))
+    }.toDF("doc_id", "text").repartition(32).localCheckpoint(true)
+    val merges = 1024
+    Seq(1, 4).foreach { mult =>
+      val docs =
+        if (mult == 1) base
+        else base.crossJoin(spark.range(mult).toDF("rep"))
+          .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+            col("text"))
+          .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val m = graft.pipeline.Bpe.train(docs, merges)
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] bpewide train x$mult corpus ($W-word vocab): " +
+        f"$secs%.1fs merges=${m.merges.size} " +
+        f"driverRounds=${m.driverRounds} " +
+        f"avgBatch=${m.merges.size.toDouble / m.driverRounds}%.1f " +
+        f"perMerge=${secs / m.merges.size}%.4fs")
+    }
   }
+
+  /** SPARK_GRAFT_REHEARSAL_ONLY=<substring> runs only the rows whose
+    * label contains it — re-measuring one operator's curve at several
+    * scales without paying for the whole family. */
+  private val onlyRow = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY")
+
+  private def time(label: String)(f: => Long): Unit =
+    if (onlyRow.forall(label.contains)) {
+      val t0 = System.nanoTime()
+      val rows = f
+      println(
+        f"[rehearsal] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$rows")
+    }
 
   /** g07/g08-shaped mutation curves: bulk entity upsert (build + idempotent
     * re-add) and bulk file/entity/edge build + cascading delete, on k×
@@ -294,6 +355,29 @@ object ScaleRehearsal {
     time(s"d16 exact-substring spans x$k") {
       Dedup.exactSubstrSpans(docs, 40).count()
     }
+    // span REMOVAL (the d18 back half): the splice is one codegen'd fold
+    // linear in doc chars, the span side broadcasts under the LimitProbe
+    // guard — wall time must track corpus chars like d16's explode, never
+    // shuffle the corpus. The spans are pinned and MATERIALIZED outside
+    // the clock (an eager checkpoint charged to neither row) so both rows
+    // measure only the splice; forcing the count of changed docs
+    // evaluates every clean string.
+    val d18Labels = Seq(s"d18 span removal (broadcast splice) x$k",
+      s"d18 span removal (shuffled fallback) x$k")
+    if (d18Labels.exists(l => onlyRow.forall(l.contains))) {
+      val spans = Dedup.exactSubstrSpans(docs, 40).localCheckpoint(true)
+      time(d18Labels.head) {
+        Dedup.removeSpans(docs, spans)
+          .filter(length(col("clean")) < length(col("t"))).count()
+      }
+      // the same splice through the probe's SHUFFLED fallback (the path a
+      // span side too large to broadcast takes) — must stay in the same
+      // cost family: one equi-join on doc_id instead of the broadcast
+      time(d18Labels(1)) {
+        Dedup.removeSpans(docs, spans, broadcastDocLimit = 1L)
+          .filter(length(col("clean")) < length(col("t"))).count()
+      }
+    }
     // BPE training must be CORPUS-SIZE-FLAT after the one word-count
     // shuffle: the per-round pair work is vocabulary-sized, and the
     // replica-suffix tokens only add k distinct words to the vocab —
@@ -306,7 +390,7 @@ object ScaleRehearsal {
     // rounds than merges — the two numbers that make a 32k-vocab
     // production train viable (≈ numMerges/avgBatch vocabulary-sized
     // rounds, zero corpus passes after the word count)
-    locally {
+    if (onlyRow.forall(s"t20 BPE deep train x$k".contains)) {
       val t0 = System.nanoTime()
       val m = graft.pipeline.Bpe.train(docs, 85)
       val secs = (System.nanoTime() - t0) / 1e9
