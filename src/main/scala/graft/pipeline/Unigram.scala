@@ -217,6 +217,33 @@ object Unigram {
     model.pieces.toDF("piece", "cnt", "ulogp")
   }
 
+  /** Persist a trained model as parquet — the build-once / encode-many
+    * lifecycle, mirroring [[Bpe.writeModel]]: the piece table (piece,
+    * cnt, ulogp — kilobytes, broadcastable forever) plus a one-row meta
+    * table carrying maxPieceLen, WHICH IS PART OF THE MODEL (an encode
+    * under a different window would probe pieces the DP can never
+    * match). */
+  def writeModel(spark: SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    vocabTable(spark, model).write.mode("overwrite")
+      .parquet(s"$dir/pieces")
+    Seq(model.maxPieceLen).toDF("max_piece_len")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def readModel(spark: SparkSession, dir: String): Model = {
+    val maxLen = spark.read.parquet(s"$dir/meta")
+      .head().getAs[Int]("max_piece_len")
+    // piece order is not semantic (scores ride per row); sort for a
+    // deterministic in-memory layout anyway
+    val pieces = spark.read.parquet(s"$dir/pieces")
+      .orderBy(col("piece")).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("ulogp")))
+      .toSeq
+    Model(pieces, maxLen)
+  }
+
   /** Per-document unigram-LM token counts — the corpus-scale encode
     * path, exactly [[Bpe.encodeTokenCounts]]'s dictionary-join idiom:
     * Viterbi runs once per DISTINCT word (map-side, vocabulary-sized),

@@ -398,6 +398,13 @@ object ScaleRehearsal {
         f"merges=${m.merges.size} driverRounds=${m.driverRounds} " +
         f"perMerge=${secs / m.merges.size}%.3fs")
     }
+    // unigram-LM hard-EM (the t21 shape): after the one word-count
+    // shuffle every E-step is a map-side Viterbi over the WORD table +
+    // one vocabulary-sized groupBy — must be corpus-size-flat like the
+    // BPE rows (the replica suffixes add k distinct words to the vocab)
+    time(s"t21 unigram train (3 EM rounds) x$k") {
+      graft.pipeline.Unigram.train(docs, 3, 512, 6).pieces.size.toLong
+    }
     // per-language rank (the q32 shape): groupRankAsc's two-pass scan
     // must scale with ROWS ACROSS ALL CORES — the window form it
     // replaced serial-sorts each whole language on one task, so its

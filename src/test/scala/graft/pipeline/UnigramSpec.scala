@@ -199,6 +199,26 @@ class UnigramSpec extends SparkSpec {
     assert(aCnt == 0L, s"'a' should be unused once 'aa' wins, got $aCnt")
   }
 
+  test("model round-trips through parquet and the re-read model encodes " +
+    "identically (build-once / encode-many)") {
+    val texts = Seq("the quick brown fox", "the lazy dog")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val m = Unigram.train(docs, 2, 64, 4)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_unigram").toString
+    Unigram.writeModel(spark, m, dir)
+    val m2 = Unigram.readModel(spark, dir)
+    assert(m2.maxPieceLen == m.maxPieceLen)
+    assert(m2.pieces.toSet == m.pieces.toSet,
+      "piece/count/score triples changed across the parquet round trip")
+    val a = Unigram.encodeTokenCounts(docs, m)
+      .as[(Long, Long, Long)].collect().toSet
+    val b = Unigram.encodeTokenCounts(docs, m2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(a == b, "re-read model encodes differently")
+  }
+
   // ---- encode ----------------------------------------------------------
 
   test("encodeTokenCounts equals a per-doc reference recount") {
