@@ -816,7 +816,7 @@ object Dedup {
     // parameters instead of trusting the caller to repeat them
     Seq((w, numHashes, rowsPerBand)).toDF("w", "num_hashes", "rows_per_band")
       .write.mode("overwrite").parquet(s"$dir/meta")
-    invalidateCoverage(dir)
+    invalidateCoverage(spark, dir)
   }
 
   def readBandIndex(spark: org.apache.spark.sql.SparkSession,
@@ -840,7 +840,7 @@ object Dedup {
     wordBandRows(docs, w, nh, rpb, idCol, textCol)
       .select(col("band"), col("bucket"), col("id"))
       .write.mode("append").parquet(s"$dir/bands")
-    invalidateCoverage(dir)
+    invalidateCoverage(docs.sparkSession, dir)
   }
 
   /** Coverage checks already passed this session, keyed by
@@ -852,14 +852,20 @@ object Dedup {
     * mint new orphans that an earlier pass vouched against.
     *
     * The fingerprint is the canonicalized plan string PLUS every leaf
-    * source's identity (parquet root paths, local-relation data hash,
-    * RDD id): the plan string alone elides exactly the things that
-    * distinguish two same-schema corpora (LocalRelation rows,
-    * HadoopFsRelation paths), and keying on it would silently skip the
-    * check for a DIFFERENT corpus — the very miss the check exists to
-    * catch. Files appended to a fingerprinted path outside this session
-    * are not seen (the same session-scoped caveat as Spark's own file
-    * listing); index mutations through THIS object always re-arm. */
+    * source's identity (the parquet RELATION'S RESOLVED FILE LISTING +
+    * total size, local-relation data hash, RDD id): the plan string
+    * alone elides exactly the things that distinguish two same-schema
+    * corpora (LocalRelation rows, HadoopFsRelation paths), and keying on
+    * it would silently skip the check for a DIFFERENT corpus — the very
+    * miss the check exists to catch. Fingerprinting the file listing
+    * (not the root path) also re-arms after an in-place rewrite: a
+    * same-session overwrite mints new uniquely-named part files that a
+    * fresh read lists differently. Files mutated UNDER a still-held
+    * DataFrame (its FileIndex listing is stale too) are not seen — the
+    * same caveat as executing that frame at all. SINGLE WRITER per index
+    * dir, the engine-wide posture: a concurrent append racing a probe's
+    * check-then-vouch could re-vouch a pre-append verdict; coordinate
+    * externally before pointing two writers at one index. */
   private val coverageVouched = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, String), Unit]
 
@@ -870,7 +876,12 @@ object Dedup {
         lr.relation match {
           case h: org.apache.spark.sql.execution.datasources
               .HadoopFsRelation =>
-            sb.append(h.location.rootPaths.mkString(",")).append(';')
+            // the resolved FILE LISTING, not just the root path: an
+            // in-place same-session rewrite keeps the dir but mints new
+            // uniquely-named part files, so a fresh read of rewritten
+            // data fingerprints differently and re-arms the check
+            sb.append(h.location.inputFiles.mkString(","))
+              .append('#').append(h.location.sizeInBytes).append(';')
           case other => sb.append(other.toString).append(';')
         }
       case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
@@ -884,14 +895,21 @@ object Dedup {
     sb.toString
   }
 
-  /** One canonical spelling per index dir, so a probe and an append that
-    * write the same physical directory differently (trailing slash,
-    * relative vs absolute) share one memo scope. */
-  private def normDir(dir: String): String =
-    new org.apache.hadoop.fs.Path(dir).toString
+  /** One canonical spelling per index dir — FULLY QUALIFIED against the
+    * session's filesystem (scheme + authority + working-dir resolution),
+    * so a probe and an append that name the same physical directory
+    * differently (trailing slash, relative vs absolute, with or without
+    * `file:`) share one memo scope. */
+  private def normDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .makeQualified(p).toString
+  }
 
-  private def invalidateCoverage(dir: String): Unit = {
-    val d = normDir(dir)
+  private def invalidateCoverage(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    val d = normDir(spark, dir)
     coverageVouched.keysIterator.filter(_._2 == d)
       .foreach(coverageVouched.remove)
   }
@@ -909,7 +927,7 @@ object Dedup {
       textCol: String = "text", checkCoverage: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
     val (w, nh, rpb) = readBandMeta(spark, dir)
-    val key = (spark, normDir(dir), corpusFingerprint(corpus))
+    val key = (spark, normDir(spark, dir), corpusFingerprint(corpus))
     val check = checkCoverage && !coverageVouched.contains(key)
     val out = minhashAgainstIndex(newDocs, corpus, readBandIndex(spark, dir),
       w, nh, rpb, threshold, idCol, textCol, check)

@@ -155,6 +155,8 @@ object Unigram {
     * comparison). */
   private[pipeline] def seedCounts(words: DataFrame, maxPieceLen: Int,
       seedSize: Int): Seq[(String, Long)] = {
+    // pinned: the substring explode + groupBy (the heaviest pre-EM step)
+    // is read TWICE — the singles collect and the top-K multis collect
     val sub = words
       .select(col("cnt"),
         explode(sequence(lit(1), length(col("word")))).as("i"),
@@ -167,14 +169,26 @@ object Unigram {
       .select(col("word").substr(col("i"), col("l")).as("piece"),
         col("cnt"))
       .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
+      .localCheckpoint(true)
     val singles = sub.filter(length(col("piece")) === 1)
       .collect().map(r => (r.getString(0), r.getLong(1)))
     val multis = sub.filter(length(col("piece")) > 1)
       .orderBy(col("c").desc, col("piece"))
       .limit(seedSize)
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    dropCheckpoint(sub)
     (singles ++ multis).toSeq
   }
+
+  /** Free a localCheckpoint's RDD blocks now (Dataset.unpersist is
+    * CacheManager-level and misses RDD-level persistence — the
+    * established plan-walk idiom). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    try df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false): Unit
+      case _ => ()
+    } catch { case _: Throwable => () }
 
   /** Train `iters` hard-EM rounds over the corpus. Each round: scores
     * from the current counts → distributed Viterbi recount → prune
@@ -200,13 +214,8 @@ object Unigram {
     val sc = scores(counts)
     // the word table's checkpoint blocks die with the train — the model
     // is pure driver data (pieces + scores), nothing downstream reads
-    // the frame. RDD-level unpersist via plan-walk: localCheckpoint
-    // persistence is below the CacheManager, Dataset.unpersist misses it
-    try words.queryExecution.analyzed.foreach {
-      case r: org.apache.spark.sql.execution.LogicalRDD =>
-        r.rdd.unpersist(blocking = false): Unit
-      case _ => ()
-    } catch { case _: Throwable => () }
+    // the frame
+    dropCheckpoint(words)
     Model(counts.map { case (p, c) => (p, c, sc(p)) }, maxPieceLen)
   }
 

@@ -1602,7 +1602,14 @@ object PipelineQueries {
     * strictly-above-stop boundaries differently, 78 rounds there —
     * bench never value-checks). Wide-vocab batching is rehearsed in
     * tools.ScaleRehearsal. Pinned in the t20 gate so a silent regression
-    * to sequential training (85 rounds) fails the oracle. */
+    * to sequential training (85 rounds) fails the oracle.
+    *
+    * DELIBERATELY corpus-scoped: t20 is the registry's ONE oracle with a
+    * measured constant rather than a pure SQL replay (the batch rule —
+    * symbol-disjointness, collision closure, self-pair close — is driver
+    * logic SQL cannot replay), so running Verify against a different
+    * data dir fails THIS gate's driver_rounds column by design; re-pin
+    * the constant when the verify corpus moves. */
   private val BpeDeepDriverRounds = 74L
 
   private lazy val bpeDeepTrainOracle: String =
