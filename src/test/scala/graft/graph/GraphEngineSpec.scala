@@ -249,6 +249,30 @@ class GraphEngineSpec extends SparkSpec {
       s"type filter did not reach partition pruning:\n$scan")
   }
 
+  test("save reclaims a crashed save's leaked stage dir — but only " +
+    "AFTER the new snapshot is promoted") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-wh-stage")
+      .toString
+    val store = new GraphStore(spark, tmp)
+    val g = buildFixture()
+    store.save("repoS", g.graph)
+    // simulate an EARLIER save that crashed inside its swap: a leaked
+    // .stage-* dir whose aside holds table data (possibly the only copy)
+    val leaked = new java.io.File(tmp, "repoS/.stage-crashed-fake")
+    val aside = new java.io.File(leaked, "old-nodes")
+    aside.mkdirs()
+    java.nio.file.Files.write(
+      new java.io.File(aside, "recovery.parquet").toPath,
+      "fake".getBytes("UTF-8"))
+    // a successful save must sweep the leaked dir (the unbounded-copy
+    // accumulation advice)…
+    store.save("repoS", store.load("repoS"))
+    assert(!leaked.exists(),
+      "crashed save's stage dir not reclaimed by the next save")
+    // …and the graph it promoted is intact
+    assert(store.load("repoS").nodes.count() === g.graph.nodes.count())
+  }
+
   test("empty graph round-trips through the partitioned store") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-wh-empty").toString
     val store = new GraphStore(spark, tmp)

@@ -57,4 +57,30 @@ class BandIndexSpec extends SparkSpec {
       .as[(Long, Long, Double)].collect().toSeq
     assert(unchecked.isEmpty)
   }
+
+  test("a vouched coverage check re-arms when the index is appended — " +
+    "even through a different spelling of the same dir") {
+    def doc(tag: String): String = (0 until 40).map(j => s"$tag$j")
+      .mkString(" ")
+    val corpus = Seq((1L, doc("base")), (2L, doc("other")))
+      .toDF("doc_id", "text")
+    val batch = Seq((10L, doc("fresh"))).toDF("doc_id", "text")
+    val inc = Seq((20L, doc("fresh") + " tail")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_bands_memo").toString
+    Dedup.writeBandIndex(corpus, dir)
+    // first probe passes its coverage check and vouches (session memo)
+    Dedup.probeBandIndex(inc, corpus, dir).collect()
+    // admit a batch through a DIFFERENT spelling of the same physical
+    // dir (trailing slash): the qualified-path normalization must land
+    // the invalidation on the vouched entry
+    Dedup.appendBandIndex(batch, dir + "/")
+    // the same (corpus, dir) probe that was vouched a moment ago must
+    // now RE-CHECK and fail loud — a stale vouch would silently miss
+    // the appended batch's near-dups
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.probeBandIndex(inc, corpus, dir).collect()
+    }
+    assert(ex.getMessage.contains("absent from the corpus frame"))
+  }
 }
