@@ -437,6 +437,77 @@ object TextAnalysis {
           col("n_bigrams").cast("double"), 4).as("avg_kn_logprob"))
   }
 
+  /** Per-document interpolated Kneser-Ney TRIGRAM log-probability — the
+    * full recursive backoff chain [[knBigramScore]] shows one layer of
+    * (KenLM runs this recursion to order 5):
+    *
+    *   P(w3|w1 w2) = max(c(w1w2w3) − D, 0)/c(w1w2·)
+    *               + (D · N1+(w1w2·)/c(w1w2·)) · P₂(w3|w2)
+    *   P₂(w3|w2)   = max(N1+(· w2w3) − D, 0)/N1+(· w2 ·)
+    *               + (D · N1+(w2 ·)/N1+(· w2 ·)) · Pc(w3)
+    *   Pc(w3)      = N1+(· w3)/N1+(· ·)
+    *
+    * — the middle layer runs on CONTINUATION counts, not raw bigram
+    * counts (Chen & Goodman 1999's defining property of KN), and every
+    * statistic derives from ONE trigram-type table: N1+(·w2w3) = distinct
+    * predecessors of the bigram, N1+(·w2·) = distinct (w1,w3) pairs
+    * around w2, N1+(w2·) = distinct continuations of w2 among trigram
+    * types, N1+(·w3)/N1+(··) over the distinct continuation-bigram types.
+    *
+    * Exactness and scale exactly as [[knBigramScore]]: integer counts,
+    * one fixed parenthesization (inner P₂ built first, then nested — the
+    * SQL oracle nests identically), position-ordered fold, round 4 dp.
+    * The corpus explodes once into positioned trigrams; everything else
+    * is type-table-sized aggregation. Docs under 3 tokens drop (no
+    * trigram positions). */
+  def knTrigramScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+    val tgx = base.select(col(idCol),
+        posexplode(graft.functions.WordNGrams.wordNGramsAll(col("toks"), 3)))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("gram"))
+      .withColumn("w1", substring_index(col("gram"), " ", 1))
+      .withColumn("w2",
+        substring_index(substring_index(col("gram"), " ", 2), " ", -1))
+      .withColumn("w3", substring_index(col("gram"), " ", -1))
+      .localCheckpoint(true)
+    val t3 = tgx.groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("cb"))
+      .localCheckpoint(true) // read 5×: probe + the four statistics
+    val ctxT = t3.groupBy(col("w1"), col("w2"))
+      .agg(sum(col("cb")).as("ctx"), count(lit(1)).as("n1ctx"))
+    // rows of t3 are distinct TYPES, so count(*) counts distinct w1
+    val contT = t3.groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("contbg"))
+      .localCheckpoint(true) // read 3×: probe + mid stats + unigram
+    val midT = contT.groupBy(col("w2"))
+      .agg(sum(col("contbg")).as("midtot"), count(lit(1)).as("midn1"))
+    val contU = contT.groupBy(col("w3")).agg(count(lit(1)).as("cont"))
+    val ntot = contT.agg(count(lit(1)).as("ntot"))
+    val d = lit(discount)
+    val p2 = greatest(col("contbg").cast("double") - d, lit(0.0)) /
+        col("midtot").cast("double") +
+      ((d * col("midn1").cast("double")) / col("midtot").cast("double")) *
+      (col("cont").cast("double") / col("ntot").cast("double"))
+    val p3 = greatest(col("cb").cast("double") - d, lit(0.0)) /
+        col("ctx").cast("double") +
+      ((d * col("n1ctx").cast("double")) / col("ctx").cast("double")) * p2
+    val scored = tgx.join(t3, Seq("w1", "w2", "w3"))
+      .join(ctxT, Seq("w1", "w2")).join(contT, Seq("w2", "w3"))
+      .join(midT, "w2").join(contU, "w3")
+      .crossJoin(broadcast(ntot))
+      .select(col(idCol), col("pos"), log(p3).as("lp"))
+    scored.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
+        count(lit(1)).as("n_trigrams"))
+      .select(col(idCol), col("n_trigrams"),
+        round(aggregate(col("arr"), lit(0.0),
+            (acc, x) => acc + x.getField("lp")) /
+          col("n_trigrams").cast("double"), 4).as("avg_kn3_logprob"))
+  }
+
   /** Character-level Shannon entropy per document (bits/char) — the
     * classic gibberish/boilerplate detector: natural prose sits ~3.5–4.5
     * bits, single-char spam near 0, uniform random base64 near 6. Uses

@@ -1207,6 +1207,19 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t24 — interpolated Kneser-Ney TRIGRAM LM score
+    * ([[graft.pipeline.TextAnalysis.knTrigramScore]]): the full
+    * recursive backoff chain — discounted trigram over continuation-
+    * count bigram over continuation unigram, every statistic derived
+    * from one trigram-type table (Chen & Goodman's formulation; KenLM
+    * runs this recursion to order 5). Full value oracle with the
+    * identically-nested arithmetic and position-ordered fold. */
+  def t24Kn3LmScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.TextAnalysis.knTrigramScore(Tables.documents(spark, d))
+      .orderBy($"doc_id")
+  }
+
   /** q34 — BALANCED shards over REAL BPE TOKENS (q27's serpentine deal
     * recomposed on the t17 encode path, the q33/t18 pattern): per-doc BPE
     * token counts under the t16 vocab (broadcast dictionary join) feed
@@ -1360,6 +1373,7 @@ object PipelineQueries {
     "t21_unigram_train" -> (t21UnigramTrain _),
     "t22_unigram_encode" -> (t22UnigramEncode _),
     "t23_kn_lm_score" -> (t23KnLmScore _),
+    "t24_kn3_lm_score" -> (t24Kn3LmScore _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1930,12 +1944,14 @@ object PipelineQueries {
         |          [struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1])
         |           for i in generate_series(1, len(toks)-1)] AS pairs
         |        FROM t) b, unnest(b.pairs) AS u(p)),
-        |bcnt AS (SELECT w1, w2, count(*)::BIGINT AS cb FROM bgx
-        |         GROUP BY w1, w2),
-        |lft AS (SELECT w1, SUM(cb)::BIGINT AS cw1, COUNT(*)::BIGINT AS n1w1
+        |bcnt AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS cb
+        |         FROM bgx GROUP BY w1, w2),
+        |lft AS MATERIALIZED (SELECT w1, SUM(cb)::BIGINT AS cw1,
+        |          COUNT(*)::BIGINT AS n1w1
         |        FROM bcnt GROUP BY w1),
-        |rgt AS (SELECT w2, COUNT(*)::BIGINT AS ncont FROM bcnt GROUP BY w2),
-        |nt AS (SELECT COUNT(*)::BIGINT AS ntot FROM bcnt),
+        |rgt AS MATERIALIZED (SELECT w2, COUNT(*)::BIGINT AS ncont
+        |        FROM bcnt GROUP BY w2),
+        |nt AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS ntot FROM bcnt),
         |s AS (
         |  SELECT x.doc_id, x.pos,
         |    ln(GREATEST(b.cb::DOUBLE - 0.75, 0.0) / l.cw1::DOUBLE +
@@ -1948,6 +1964,54 @@ object PipelineQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
         |        / count(*), 4) AS avg_kn_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t24_kn3_lm_score" ->
+      // the t23 chain one order up: trigram positions → type table →
+      // context / continuation / mid-level / unigram statistics, the
+      // ln operand nested IDENTICALLY to the engine (inner P2 first).
+      // Every multiply-referenced CTE is MATERIALIZED: default inlining
+      // re-expands the chain (t3 ×3, contT ×4 — each expansion a fresh
+      // corpus explode) into a runaway plan, the established lesson
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |tgx AS MATERIALIZED (
+        |  SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2, p.w3 AS w3
+        |  FROM (SELECT doc_id,
+        |          [struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1],
+        |                       w3 := toks[i+2])
+        |           for i in generate_series(1, len(toks)-2)] AS pairs
+        |        FROM t) b, unnest(b.pairs) AS u(p)),
+        |t3 AS MATERIALIZED (SELECT w1, w2, w3, count(*)::BIGINT AS cb
+        |       FROM tgx GROUP BY w1, w2, w3),
+        |ctxT AS MATERIALIZED (SELECT w1, w2, SUM(cb)::BIGINT AS ctx,
+        |           COUNT(*)::BIGINT AS n1ctx
+        |         FROM t3 GROUP BY w1, w2),
+        |contT AS MATERIALIZED (SELECT w2, w3, COUNT(*)::BIGINT AS contbg
+        |          FROM t3 GROUP BY w2, w3),
+        |midT AS MATERIALIZED (SELECT w2, SUM(contbg)::BIGINT AS midtot,
+        |           COUNT(*)::BIGINT AS midn1
+        |         FROM contT GROUP BY w2),
+        |contU AS MATERIALIZED (SELECT w3, COUNT(*)::BIGINT AS cont
+        |          FROM contT GROUP BY w3),
+        |nt AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS ntot FROM contT),
+        |s AS (
+        |  SELECT x.doc_id, x.pos,
+        |    ln(GREATEST(b.cb::DOUBLE - 0.75, 0.0) / c.ctx::DOUBLE +
+        |       ((0.75 * c.n1ctx::DOUBLE) / c.ctx::DOUBLE) *
+        |       (GREATEST(g.contbg::DOUBLE - 0.75, 0.0) / m.midtot::DOUBLE +
+        |        ((0.75 * m.midn1::DOUBLE) / m.midtot::DOUBLE) *
+        |        (u.cont::DOUBLE / nt.ntot::DOUBLE))) AS lp
+        |  FROM tgx x
+        |  JOIN t3 b ON x.w1 = b.w1 AND x.w2 = b.w2 AND x.w3 = b.w3
+        |  JOIN ctxT c ON x.w1 = c.w1 AND x.w2 = c.w2
+        |  JOIN contT g ON x.w2 = g.w2 AND x.w3 = g.w3
+        |  JOIN midT m ON x.w2 = m.w2
+        |  JOIN contU u ON x.w3 = u.w3
+        |  CROSS JOIN nt)
+        |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
+        |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
+        |        / count(*), 4) AS avg_kn3_logprob
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q34_bpe_shards" ->
       // the t16 merge chain → per-doc BPE counts → q27's serpentine

@@ -848,6 +848,38 @@ class PipelineSpec extends SparkSpec {
     assert(pab > pba && pab < 1.0 && pba > 0.0)
   }
 
+  test("Kneser-Ney trigram score: hand-computed recursive backoff " +
+    "(trigram over continuation bigram over continuation unigram)") {
+    import spark.implicits._
+    // trigram types: abc:1 bca:2 cab:1 abd:1
+    // ctx(a,b)=2/n1=2  ctx(b,c)=2/n1=1  ctx(c,a)=1/n1=1
+    // cont(b,c)=1 cont(c,a)=1 cont(a,b)=1 cont(b,d)=1; ntot=4
+    // mid(b): tot=2 n1=2; mid(c): 1,1; mid(a): 1,1
+    // contU: a=1 b=1 c=1 d=1
+    val docs = Seq(
+      (1L, "a b c a b d"),
+      (2L, "b c a")).toDF("doc_id", "text")
+    def p2(contbg: Double, midtot: Double, midn1: Double,
+        cont: Double): Double =
+      math.max(contbg - 0.75, 0.0) / midtot +
+        ((0.75 * midn1) / midtot) * (cont / 4.0)
+    def p3(cb: Double, ctx: Double, n1ctx: Double, pp2: Double): Double =
+      math.max(cb - 0.75, 0.0) / ctx + ((0.75 * n1ctx) / ctx) * pp2
+    val pAbc = p3(1, 2, 2, p2(1, 2, 2, 1)) // trigram (a,b,c)
+    val pBca = p3(2, 2, 1, p2(1, 1, 1, 1))
+    val pCab = p3(1, 1, 1, p2(1, 1, 1, 1))
+    val pAbd = p3(1, 2, 2, p2(1, 2, 2, 1))
+    def r4(x: Double) = math.rint(x * 10000) / 10000
+    val got = TextAnalysis.knTrigramScore(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq(
+      (1L, 4L, r4((math.log(pAbc) + math.log(pBca) + math.log(pCab) +
+        math.log(pAbd)) / 4)),
+      (2L, 1L, r4(math.log(pBca)))))
+    // the seen-twice trigram (b,c,a) must dominate the once-seen ones
+    assert(pBca > pAbc && pBca > pCab)
+  }
+
   test("chunk spans cover every token with exact overlap arithmetic") {
     import spark.implicits._
     val docs = Seq(

@@ -31,7 +31,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q28_scored_autocomplete", // 1-row corpus-count broadcast into postings
     "q13_sketch_stats", // 1-row sketch aggregate broadcast vs the scan
     "q30_quality_classifier", // 1-row (Npos,Nneg) totals + bias broadcasts
-    "t23_kn_lm_score") // 1-row distinct-bigram total broadcast into scores
+    "t23_kn_lm_score", // 1-row distinct-bigram total broadcast into scores
+    "t24_kn3_lm_score") // 1-row continuation-type total broadcast likewise
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfTiny)
