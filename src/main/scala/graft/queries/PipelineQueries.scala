@@ -1220,6 +1220,39 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t25 — TOKENIZER FERTILITY evaluation (the per-language eval a
+    * pipeline runs when choosing a tokenizer — XLM-R reports exactly
+    * this table): both trained tokenizers encode the corpus, and per
+    * language the gate emits document, word, char and subword-token
+    * totals under the BPE (t16) and unigram (t21) vocabularies — the
+    * inputs to fertility (subwords/word) and compression (chars/token)
+    * ratios, kept as EXACT INTEGER sums so the gate hash-matches and any
+    * downstream ratio is one division away. Both encode paths are the
+    * broadcast dictionary join; docs align across the two count tables
+    * by construction (both drop only the no-nonempty-token docs).
+    * Oracle: the t16 merge chain AND the t21 EM chain replayed in one
+    * statement, joined per doc, rolled up per language. */
+  def t25TokenizerEval(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val bpe = graft.pipeline.Bpe
+      .encodeTokenCounts(docs, bpeShared(spark, d))
+    val um = graft.pipeline.Unigram
+      .encodeTokenCounts(docs, unigramShared(spark, d))
+      .select($"doc_id", $"n_um_tokens")
+    docs.filter($"text".isNotNull)
+      .select($"doc_id", $"lang",
+        length($"text").cast("long").as("n_chars"))
+      .join(bpe, "doc_id").join(um, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("words_sum"),
+        sum($"n_bpe_tokens").as("bpe_sum"),
+        sum($"n_um_tokens").as("um_sum"),
+        sum($"n_chars").as("chars_sum"))
+      .orderBy($"lang")
+  }
+
   /** q34 — BALANCED shards over REAL BPE TOKENS (q27's serpentine deal
     * recomposed on the t17 encode path, the q33/t18 pattern): per-doc BPE
     * token counts under the t16 vocab (broadcast dictionary join) feed
@@ -1374,6 +1407,7 @@ object PipelineQueries {
     "t22_unigram_encode" -> (t22UnigramEncode _),
     "t23_kn_lm_score" -> (t23KnLmScore _),
     "t24_kn3_lm_score" -> (t24Kn3LmScore _),
+    "t25_tokenizer_eval" -> (t25TokenizerEval _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1436,7 +1470,7 @@ object PipelineQueries {
     * of its own pair), and `w_k` keeps each word's fixpoint row. The
     * chosen pair is CROSS JOINed in (single row) because DuckDB lambdas
     * cannot hold subqueries. */
-  private def bpeOracleChain(rounds: Int): String = {
+  private def bpeOracleBody(rounds: Int): String = {
     val w0 =
       """w0 AS MATERIALIZED (
         |  SELECT word, COUNT(*)::BIGINT AS cnt,
@@ -1467,8 +1501,11 @@ object PipelineQueries {
          |  WHERE len(list_filter(generate_series(1, len(seq)-1),
          |    i -> seq[i] = l AND seq[i+1] = r)) = 0)""".stripMargin
     }
-    "WITH RECURSIVE " + (w0 +: stages).mkString(",\n")
+    (w0 +: stages).mkString(",\n")
   }
+
+  private def bpeOracleChain(rounds: Int): String =
+    "WITH RECURSIVE " + bpeOracleBody(rounds)
 
   /** The t21/t22 oracle's shared CTE chain: unigram-LM hard-EM unrolled
     * to [[UmIters]] rounds. `uw` is the distinct-word table; `usub`/`uv0`
@@ -1484,7 +1521,7 @@ object PipelineQueries {
     * prunes multi-char pieces the segmentation abandoned while single
     * chars persist (the coverage rule). `us_{iters+1}`/`um_{iters+1}`
     * are the FINAL scores both gates read. */
-  private def unigramOracleChain(iters: Int): String = {
+  private def unigramOracleBody(iters: Int): String = {
     val base =
       s"""uw AS MATERIALIZED (
          |  SELECT word, COUNT(*)::BIGINT AS cnt
@@ -1554,19 +1591,17 @@ object PipelineQueries {
          |  FROM (SELECT piece FROM uv${k - 1} WHERE length(piece) > 1) p
          |  JOIN ucnt$k c USING (piece) WHERE c.c > 0)""".stripMargin
     }
-    "WITH RECURSIVE " +
-      ((base +: rounds) :+ scoreCtes(iters + 1, s"uv$iters")).mkString(",\n")
+    ((base +: rounds) :+ scoreCtes(iters + 1, s"uv$iters")).mkString(",\n")
   }
 
-  private lazy val unigramTrainOracle: String =
-    s"""${unigramOracleChain(UmIters)}
-       |SELECT v.piece, v.c AS cnt, s.lp AS ulogp
-       |FROM uv$UmIters v JOIN us${UmIters + 1} s USING (piece)
-       |ORDER BY piece""".stripMargin
+  private def unigramOracleChain(iters: Int): String =
+    "WITH RECURSIVE " + unigramOracleBody(iters)
 
-  private lazy val unigramEncodeOracle: String =
-    s"""${unigramOracleChain(UmIters)},
-       |uvitE(word, cnt, i, dp) AS (
+  /** The final-scores Viterbi encode legs shared by the t22 oracle and
+    * the t25 rollup: one more DP pass under `um_{iters+1}`, per-word
+    * piece counts, the corpus explode, and the per-doc rollup `umnb`. */
+  private lazy val unigramEncodeCtes: String =
+    s"""uvitE(word, cnt, i, dp) AS (
        |  SELECT word, cnt, 0, [{'t': CAST(0 AS BIGINT), 'l': 0}] FROM uw
        |  UNION ALL
        |  SELECT word, cnt, i + 1,
@@ -1589,12 +1624,25 @@ object PipelineQueries {
        |utok AS (
        |  SELECT doc_id,
        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
-       |  FROM documents WHERE text IS NOT NULL)
-       |SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
-       |  SUM(w.np)::BIGINT AS n_um_tokens
-       |FROM (SELECT * FROM utok WHERE word <> '') t
-       |JOIN uwp w USING (word)
-       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+       |  FROM documents WHERE text IS NOT NULL),
+       |umnb AS MATERIALIZED (
+       |  SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
+       |    SUM(w.np)::BIGINT AS n_um
+       |  FROM (SELECT * FROM utok WHERE word <> '') t
+       |  JOIN uwp w USING (word)
+       |  GROUP BY t.doc_id)""".stripMargin
+
+  private lazy val unigramTrainOracle: String =
+    s"""${unigramOracleChain(UmIters)}
+       |SELECT v.piece, v.c AS cnt, s.lp AS ulogp
+       |FROM uv$UmIters v JOIN us${UmIters + 1} s USING (piece)
+       |ORDER BY piece""".stripMargin
+
+  private lazy val unigramEncodeOracle: String =
+    s"""${unigramOracleChain(UmIters)},
+       |$unigramEncodeCtes
+       |SELECT doc_id, n_words, n_um AS n_um_tokens
+       |FROM umnb ORDER BY doc_id""".stripMargin
 
   private def bpeTrainOracleOf(rounds: Int): String = {
     val rows = (1 to rounds).map { k =>
@@ -1930,6 +1978,24 @@ object PipelineQueries {
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
     "t21_unigram_train" -> unigramTrainOracle,
     "t22_unigram_encode" -> unigramEncodeOracle,
+    "t25_tokenizer_eval" ->
+      // BOTH tokenizer chains in one statement: the t16 unrolled merges
+      // (tok/nb per-doc BPE counts) + the t21 unrolled EM (umnb per-doc
+      // unigram counts), joined per doc, rolled up per language — all
+      // integer sums
+      s"""WITH RECURSIVE ${bpeOracleBody(BpeRounds)},
+         |$bpeDocCountsCte,
+         |${unigramOracleBody(UmIters)},
+         |$unigramEncodeCtes
+         |SELECT d.lang, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(nb.n_words)::BIGINT AS words_sum,
+         |  SUM(nb.n)::BIGINT AS bpe_sum,
+         |  SUM(u.n_um)::BIGINT AS um_sum,
+         |  SUM(length(d.text))::BIGINT AS chars_sum
+         |FROM documents d
+         |JOIN nb ON d.doc_id = nb.doc_id
+         |JOIN umnb u ON d.doc_id = u.doc_id
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "t23_kn_lm_score" ->
       // the t13 chain with KN arithmetic: discount every seen bigram,
       // back the reclaimed mass off to the continuation unigram; the
