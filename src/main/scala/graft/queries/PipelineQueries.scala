@@ -1253,6 +1253,34 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** t26 — BPE TOKENIZATION to actual token STREAMS (the last mile the
+    * count gates stop short of: training shards hold token sequences,
+    * not counts): per document, the full in-order subword sequence under
+    * the t16 vocab, pinned by md5 of the space-joined stream plus its
+    * length. The corpus-scale shape is one positioned explode + the
+    * broadcast dictionary join (word → its symbol array) + one per-doc
+    * ordered flatten — positions come from the RAW token array on both
+    * engines, so empty-split artifacts cannot shift alignment. Oracle:
+    * the unrolled merge chain's word table IS the symbol dictionary;
+    * the per-doc stream replays as flatten(list(seq ORDER BY pos)). */
+  def t26BpeTokenize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val model = bpeShared(spark, d)
+    val dict = model.vocab.select($"word", $"syms")
+    val toks = Tables.documents(spark, d).filter($"text".isNotNull)
+      .select($"doc_id",
+        posexplode(graft.pipeline.TextAnalysis.tokens($"text")))
+      .filter($"col" =!= "")
+      .join(broadcast(dict), $"col" === $"word")
+    toks.groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"pos", $"syms"))).as("arr"))
+      .select($"doc_id",
+        flatten(transform($"arr", x => x.getField("syms"))).as("stream"))
+      .select($"doc_id", size($"stream").cast("long").as("n_tokens"),
+        md5(array_join($"stream", " ")).as("tokens_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** q34 — BALANCED shards over REAL BPE TOKENS (q27's serpentine deal
     * recomposed on the t17 encode path, the q33/t18 pattern): per-doc BPE
     * token counts under the t16 vocab (broadcast dictionary join) feed
@@ -1408,6 +1436,7 @@ object PipelineQueries {
     "t23_kn_lm_score" -> (t23KnLmScore _),
     "t24_kn3_lm_score" -> (t24Kn3LmScore _),
     "t25_tokenizer_eval" -> (t25TokenizerEval _),
+    "t26_bpe_tokenize" -> (t26BpeTokenize _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1978,6 +2007,25 @@ object PipelineQueries {
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
     "t21_unigram_train" -> unigramTrainOracle,
     "t22_unigram_encode" -> unigramEncodeOracle,
+    "t26_bpe_tokenize" ->
+      // positions from the RAW split array (i over toks, empties
+      // filtered AFTER), each word joined to its round-20 symbol
+      // sequence, per-doc streams as flatten(list(seq ORDER BY pos))
+      s"""${bpeOracleChain(BpeRounds)},
+         |dtok AS (
+         |  SELECT doc_id, i AS pos, toks[i] AS word
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |          unnest(generate_series(1,
+         |            len(regexp_split_to_array(lower(trim(text)),
+         |                                      '\\s+')))) AS i
+         |        FROM documents WHERE text IS NOT NULL) t
+         |  WHERE toks[i] <> '')
+         |SELECT doc_id, SUM(len(seq))::BIGINT AS n_tokens,
+         |  md5(array_to_string(flatten(list(seq ORDER BY pos)), ' '))
+         |    AS tokens_md5
+         |FROM dtok JOIN w$BpeRounds w USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "t25_tokenizer_eval" ->
       // BOTH tokenizer chains in one statement: the t16 unrolled merges
       // (tok/nb per-doc BPE counts) + the t21 unrolled EM (umnb per-doc
