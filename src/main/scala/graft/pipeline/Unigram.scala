@@ -84,12 +84,11 @@ object Unigram {
     out
   }
 
-  /** The best segmentation of one word under `sc`: maximal total score,
-    * ties to the longer LAST piece (then recursively on the prefix).
-    * Integer DP, O(len × maxPieceLen). Requires every single character
-    * to be scoreable (the coverage rule). */
-  private[pipeline] def viterbi(word: String, sc: collection.Map[String, Long],
-      maxPieceLen: Int): Seq[String] = {
+  /** The Viterbi DP core: `(dpT, dpL)` forward tables for `word` under
+    * `sc`, with `exclude` (if non-null) treated as absent from the
+    * vocabulary — the leave-one-out probe [[prune]]'s loss needs. */
+  private def viterbiDp(word: String, sc: collection.Map[String, Long],
+      maxPieceLen: Int, exclude: String): (Array[Long], Array[Int]) = {
     val cps = codepoints(word)
     val n = cps.length
     val dpT = new Array[Long](n + 1)
@@ -101,7 +100,7 @@ object Unigram {
       var l = 1
       while (l <= maxPieceLen && l <= i) {
         val piece = new String(cps, i - l, l)
-        sc.get(piece) match {
+        if (piece != exclude) sc.get(piece) match {
           case Some(s) =>
             val t = dpT(i - l) + s
             // maximize (total, piece length): equal totals fall to the
@@ -120,7 +119,18 @@ object Unigram {
       dpL(i) = bestL
       i += 1
     }
-    var at = n
+    (dpT, dpL)
+  }
+
+  /** The best segmentation of one word under `sc`: maximal total score,
+    * ties to the longer LAST piece (then recursively on the prefix).
+    * Integer DP, O(len × maxPieceLen). Requires every single character
+    * to be scoreable (the coverage rule). */
+  private[pipeline] def viterbi(word: String, sc: collection.Map[String, Long],
+      maxPieceLen: Int): Seq[String] = {
+    val (_, dpL) = viterbiDp(word, sc, maxPieceLen, exclude = null)
+    val cps = codepoints(word)
+    var at = cps.length
     var acc = List.empty[String]
     while (at > 0) {
       val l = dpL(at)
@@ -128,6 +138,16 @@ object Unigram {
       at -= l
     }
     acc
+  }
+
+  /** Best-segmentation TOTAL of `word` with `exclude` removed from the
+    * vocabulary — the alternative-encoding score [[prune]]'s loss
+    * compares against. */
+  private[pipeline] def viterbiTotalExcluding(word: String,
+      sc: collection.Map[String, Long], maxPieceLen: Int,
+      exclude: String): Long = {
+    val (dpT, _) = viterbiDp(word, sc, maxPieceLen, exclude)
+    dpT(word.codePointCount(0, word.length))
   }
 
   /** Distributed E-step: Viterbi-segment every distinct word against the
@@ -224,6 +244,56 @@ object Unigram {
   def vocabTable(spark: SparkSession, model: Model): DataFrame = {
     import spark.implicits._
     model.pieces.toDF("piece", "cnt", "ulogp")
+  }
+
+  /** One SentencePiece SHRINK step (Kudo 2018 §3.2's pruning, the half
+    * of the algorithm [[train]] alone doesn't run): for every
+    * multi-character piece, the LOSS of removing it is its usage count ×
+    * (its own score − the best alternative segmentation of its own
+    * string with itself excluded) — a piece whose string re-encodes
+    * almost as well without it is cheap to drop. Keep the `targetMulti`
+    * highest-loss multi pieces (ties to the UTF-8-lesser piece) plus
+    * every single character (coverage), then ONE E-step re-estimates
+    * counts under the restricted vocabulary and zero-usage multis drop
+    * as in [[train]]. Repeating train→prune until the target size is
+    * the full SentencePiece loop.
+    *
+    * All arithmetic stays in the integer micro-log-prob domain, so the
+    * loss ranking and the re-estimated counts replay exactly in SQL.
+    * The leave-one-out pass runs on the DRIVER over [[Model.pieces]] —
+    * the vocabulary is driver-sized by construction (the caller's seed
+    * budget; SentencePiece holds the same object in memory) and each
+    * probe is one O(len × maxPieceLen) integer DP. */
+  def prune(docs: DataFrame, model: Model, targetMulti: Int,
+      textCol: String = "text"): Model = {
+    require(targetMulti >= 1, "need a positive multi-piece budget")
+    val sc = model.pieces.map { case (p, _, lp) => (p, lp) }.toMap
+    val maxLen = model.maxPieceLen
+    val (singles, multis) = model.pieces
+      .partition { case (p, _, _) => p.codePointCount(0, p.length) == 1 }
+    val kept = multis.map { case (p, cnt, lp) =>
+      val alt = viterbiTotalExcluding(p, sc, maxLen, exclude = p)
+      (p, cnt, cnt * (lp - alt))
+    }.sortWith { case ((p1, _, l1), (p2, _, l2)) =>
+      if (l1 != l2) l1 > l2
+      else org.apache.spark.unsafe.types.UTF8String.fromString(p1)
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(p2)) < 0
+    }.take(targetMulti)
+    val restricted = singles.map { case (p, c, _) => (p, c) } ++
+      kept.map { case (p, c, _) => (p, c) }
+    val sc2 = scores(restricted)
+    val words = Bpe.wordCounts(docs, textCol).localCheckpoint(true)
+    val recount = viterbiCounts(words, sc2, maxLen)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    dropCheckpoint(words)
+    val counts = restricted.flatMap { case (p, _) =>
+      val c = recount.getOrElse(p, 0L)
+      if (c > 0L || p.codePointCount(0, p.length) == 1) Some((p, c))
+      else None
+    }
+    val sc3 = scores(counts)
+    Model(counts.map { case (p, c) => (p, c, sc3(p)) }, maxLen)
   }
 
   /** Persist a trained model as parquet — the build-once / encode-many

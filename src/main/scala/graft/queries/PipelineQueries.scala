@@ -126,6 +126,11 @@ object PipelineQueries {
   private val UmSeedSize = 512
   private val UmMaxPiece = 6
 
+  /** Multi-piece budget for the t27 SentencePiece shrink step — about
+    * half the t21 end-state's multi pieces, so the leave-one-out loss
+    * ranking genuinely selects. */
+  private val UmPruneTarget = 12
+
   /** t21/t22 share one trained unigram model per (session, dir) — the
     * model is pure driver data (piece/count/score triples), so unlike
     * the BPE memo there is no Spark-side state for resetShared to free
@@ -1220,6 +1225,23 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t27 — SentencePiece PRUNING ([[graft.pipeline.Unigram.prune]], the
+    * shrink half of Kudo 2018's loop t21's EM alone doesn't run): every
+    * multi piece is loss-ranked by count × (own score − best
+    * leave-one-out re-encoding of its own string), the top
+    * [[UmPruneTarget]] survive with all singles, and one E-step
+    * re-estimates counts. Integer micro-log-prob arithmetic throughout,
+    * so the oracle replays the leave-one-out DP (the excluded piece can
+    * only match its own full span — a CASE inside the candidate lambda),
+    * the loss ranking, and the restricted E-step exactly. */
+  def t27UnigramPrune(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Unigram.vocabTable(spark,
+        graft.pipeline.Unigram.prune(Tables.documents(spark, d),
+          unigramShared(spark, d), UmPruneTarget))
+      .orderBy($"piece")
+  }
+
   /** t25 — TOKENIZER FERTILITY evaluation (the per-language eval a
     * pipeline runs when choosing a tokenizer — XLM-R reports exactly
     * this table): both trained tokenizers encode the corpus, and per
@@ -1437,6 +1459,7 @@ object PipelineQueries {
     "t24_kn3_lm_score" -> (t24Kn3LmScore _),
     "t25_tokenizer_eval" -> (t25TokenizerEval _),
     "t26_bpe_tokenize" -> (t26BpeTokenize _),
+    "t27_unigram_prune" -> (t27UnigramPrune _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -1574,63 +1597,32 @@ object PipelineQueries {
          |  SELECT piece, c FROM (
          |    SELECT piece, c FROM usub WHERE length(piece) > 1
          |    ORDER BY c DESC, piece LIMIT $UmSeedSize))""".stripMargin
-    def scoreCtes(k: Int, from: String): String =
-      s"""us$k AS MATERIALIZED (
-         |  SELECT piece,
-         |    FLOOR(1e6 * (ln(GREATEST(c, 1)::DOUBLE) - ln(tt::DOUBLE)))
-         |      ::BIGINT AS lp
-         |  FROM $from CROSS JOIN
-         |    (SELECT SUM(GREATEST(c, 1))::BIGINT AS tt FROM $from) t),
-         |um$k AS MATERIALIZED (
-         |  SELECT MAP(list(piece ORDER BY piece),
-         |             list(lp ORDER BY piece)) AS m FROM us$k)""".stripMargin
-    def viterbiCtes(tag: String, mapCte: String): String =
-      s"""uvit$tag(word, cnt, i, dp) AS (
-         |  SELECT word, cnt, 0, [{'t': CAST(0 AS BIGINT), 'l': 0}] FROM uw
-         |  UNION ALL
-         |  SELECT word, cnt, i + 1,
-         |    dp || [list_sort(list_filter(
-         |      list_transform(generate_series(1, LEAST(i + 1, $UmMaxPiece)),
-         |        L -> {'t': dp[i + 2 - L].t +
-         |                   m[substring(word, i + 2 - L, L)][1],
-         |              'l': L}),
-         |      x -> x.t IS NOT NULL))[-1]]
-         |  FROM uvit$tag CROSS JOIN $mapCte WHERE i < length(word)),
-         |ubt$tag(word, cnt, dp, i, pieces) AS (
-         |  SELECT word, cnt, dp, i, CAST([] AS VARCHAR[])
-         |  FROM uvit$tag WHERE i = length(word)
-         |  UNION ALL
-         |  SELECT word, cnt, dp, i - dp[i + 1].l,
-         |    pieces || [substring(word, i - dp[i + 1].l + 1, dp[i + 1].l)]
-         |  FROM ubt$tag WHERE i > 0)""".stripMargin
     val rounds = (1 to iters).map { k =>
-      s"""${scoreCtes(k, s"uv${k - 1}")},
-         |${viterbiCtes(k.toString, s"um$k")},
-         |ucnt$k AS MATERIALIZED (
-         |  SELECT piece, SUM(cnt)::BIGINT AS c
-         |  FROM (SELECT unnest(pieces) AS piece, cnt
-         |        FROM ubt$k WHERE i = 0)
-         |  GROUP BY piece),
-         |uv$k AS MATERIALIZED (
-         |  SELECT p.piece, COALESCE(c.c, 0)::BIGINT AS c
-         |  FROM (SELECT piece FROM uv${k - 1} WHERE length(piece) = 1) p
-         |  LEFT JOIN ucnt$k c USING (piece)
-         |  UNION ALL
-         |  SELECT p.piece, c.c
-         |  FROM (SELECT piece FROM uv${k - 1} WHERE length(piece) > 1) p
-         |  JOIN ucnt$k c USING (piece) WHERE c.c > 0)""".stripMargin
+      s"""${umScoreCtes(k.toString, s"uv${k - 1}")},
+         |${umViterbiCtes(k.toString, s"um$k")},
+         |${umRecountCtes(k.toString, s"uv${k - 1}")}""".stripMargin
     }
-    ((base +: rounds) :+ scoreCtes(iters + 1, s"uv$iters")).mkString(",\n")
+    ((base +: rounds) :+ umScoreCtes((iters + 1).toString, s"uv$iters"))
+      .mkString(",\n")
   }
 
-  private def unigramOracleChain(iters: Int): String =
-    "WITH RECURSIVE " + unigramOracleBody(iters)
+  /** Score + one-row score-map CTEs (`us<tag>`/`um<tag>`) from a piece
+    * count table. */
+  private def umScoreCtes(tag: String, from: String): String =
+    s"""us$tag AS MATERIALIZED (
+       |  SELECT piece,
+       |    FLOOR(1e6 * (ln(GREATEST(c, 1)::DOUBLE) - ln(tt::DOUBLE)))
+       |      ::BIGINT AS lp
+       |  FROM $from CROSS JOIN
+       |    (SELECT SUM(GREATEST(c, 1))::BIGINT AS tt FROM $from) t),
+       |um$tag AS MATERIALIZED (
+       |  SELECT MAP(list(piece ORDER BY piece),
+       |             list(lp ORDER BY piece)) AS m FROM us$tag)""".stripMargin
 
-  /** The final-scores Viterbi encode legs shared by the t22 oracle and
-    * the t25 rollup: one more DP pass under `um_{iters+1}`, per-word
-    * piece counts, the corpus explode, and the per-doc rollup `umnb`. */
-  private lazy val unigramEncodeCtes: String =
-    s"""uvitE(word, cnt, i, dp) AS (
+  /** Viterbi DP + backtrack CTEs (`uvit<tag>`/`ubt<tag>`) over the word
+    * table under a score map. */
+  private def umViterbiCtes(tag: String, mapCte: String): String =
+    s"""uvit$tag(word, cnt, i, dp) AS (
        |  SELECT word, cnt, 0, [{'t': CAST(0 AS BIGINT), 'l': 0}] FROM uw
        |  UNION ALL
        |  SELECT word, cnt, i + 1,
@@ -1640,14 +1632,41 @@ object PipelineQueries {
        |                   m[substring(word, i + 2 - L, L)][1],
        |              'l': L}),
        |      x -> x.t IS NOT NULL))[-1]]
-       |  FROM uvitE CROSS JOIN um${UmIters + 1} WHERE i < length(word)),
-       |ubtE(word, cnt, dp, i, pieces) AS (
+       |  FROM uvit$tag CROSS JOIN $mapCte WHERE i < length(word)),
+       |ubt$tag(word, cnt, dp, i, pieces) AS (
        |  SELECT word, cnt, dp, i, CAST([] AS VARCHAR[])
-       |  FROM uvitE WHERE i = length(word)
+       |  FROM uvit$tag WHERE i = length(word)
        |  UNION ALL
        |  SELECT word, cnt, dp, i - dp[i + 1].l,
        |    pieces || [substring(word, i - dp[i + 1].l + 1, dp[i + 1].l)]
-       |  FROM ubtE WHERE i > 0),
+       |  FROM ubt$tag WHERE i > 0)""".stripMargin
+
+  /** Recount + prune CTEs (`ucnt<tag>`/`uv<tag>`): piece usage from the
+    * backtracked segmentations, zero-usage multis dropped, singles kept
+    * with their raw count. */
+  private def umRecountCtes(tag: String, prevVocab: String): String =
+    s"""ucnt$tag AS MATERIALIZED (
+       |  SELECT piece, SUM(cnt)::BIGINT AS c
+       |  FROM (SELECT unnest(pieces) AS piece, cnt
+       |        FROM ubt$tag WHERE i = 0)
+       |  GROUP BY piece),
+       |uv$tag AS MATERIALIZED (
+       |  SELECT p.piece, COALESCE(c.c, 0)::BIGINT AS c
+       |  FROM (SELECT piece FROM $prevVocab WHERE length(piece) = 1) p
+       |  LEFT JOIN ucnt$tag c USING (piece)
+       |  UNION ALL
+       |  SELECT p.piece, c.c
+       |  FROM (SELECT piece FROM $prevVocab WHERE length(piece) > 1) p
+       |  JOIN ucnt$tag c USING (piece) WHERE c.c > 0)""".stripMargin
+
+  private def unigramOracleChain(iters: Int): String =
+    "WITH RECURSIVE " + unigramOracleBody(iters)
+
+  /** The final-scores Viterbi encode legs shared by the t22 oracle and
+    * the t25 rollup: one more DP pass under `um_{iters+1}`, per-word
+    * piece counts, the corpus explode, and the per-doc rollup `umnb`. */
+  private lazy val unigramEncodeCtes: String =
+    s"""${umViterbiCtes("E", s"um${UmIters + 1}")},
        |uwp AS MATERIALIZED (
        |  SELECT word, len(pieces)::BIGINT AS np FROM ubtE WHERE i = 0),
        |utok AS (
@@ -2007,6 +2026,46 @@ object PipelineQueries {
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
     "t21_unigram_train" -> unigramTrainOracle,
     "t22_unigram_encode" -> unigramEncodeOracle,
+    "t27_unigram_prune" ->
+      // the t21 chain, then: leave-one-out DP per multi piece (the
+      // excluded piece can only match its own full span — the CASE in
+      // the candidate lambda), loss ranking, restricted E-step, final
+      // scores
+      s"""${unigramOracleChain(UmIters)},
+         |pm AS MATERIALIZED (
+         |  SELECT v.piece AS word, v.c AS cnt, s.lp AS lp
+         |  FROM uv$UmIters v JOIN us${UmIters + 1} s USING (piece)
+         |  WHERE length(v.piece) > 1),
+         |pvit(word, cnt, lp, i, dp) AS (
+         |  SELECT word, cnt, lp, 0, [{'t': CAST(0 AS BIGINT), 'l': 0}]
+         |  FROM pm
+         |  UNION ALL
+         |  SELECT word, cnt, lp, i + 1,
+         |    dp || [list_sort(list_filter(
+         |      list_transform(generate_series(1, LEAST(i + 1, $UmMaxPiece)),
+         |        L -> {'t': dp[i + 2 - L].t +
+         |                   (CASE WHEN substring(word, i + 2 - L, L) = word
+         |                         THEN NULL
+         |                         ELSE m[substring(word, i + 2 - L, L)][1]
+         |                    END),
+         |              'l': L}),
+         |      x -> x.t IS NOT NULL))[-1]]
+         |  FROM pvit CROSS JOIN um${UmIters + 1} WHERE i < length(word)),
+         |keep AS MATERIALIZED (
+         |  SELECT word AS piece, cnt FROM (
+         |    SELECT word, cnt, cnt * (lp - dp[length(word) + 1].t) AS loss
+         |    FROM pvit WHERE i = length(word))
+         |  ORDER BY loss DESC, piece LIMIT $UmPruneTarget),
+         |rv AS MATERIALIZED (
+         |  SELECT piece, c FROM uv$UmIters WHERE length(piece) = 1
+         |  UNION ALL SELECT piece, cnt AS c FROM keep),
+         |${umScoreCtes("R", "rv")},
+         |${umViterbiCtes("R", "umR")},
+         |${umRecountCtes("R", "rv")},
+         |${umScoreCtes("F", "uvR")}
+         |SELECT v.piece, v.c AS cnt, s.lp AS ulogp
+         |FROM uvR v JOIN usF s USING (piece)
+         |ORDER BY piece""".stripMargin,
     "t26_bpe_tokenize" ->
       // positions from the RAW split array (i over toks, empties
       // filtered AFTER), each word joined to its round-20 symbol

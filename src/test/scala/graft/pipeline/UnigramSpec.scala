@@ -199,6 +199,52 @@ class UnigramSpec extends SparkSpec {
     assert(aCnt == 0L, s"'a' should be unused once 'aa' wins, got $aCnt")
   }
 
+  test("prune equals an exhaustive-reference shrink step: leave-one-out " +
+    "loss ranking + restricted E-step") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "the quick fox runs", "lazy lazy dog dog dog",
+      "quick brown quick brown", "over and over and over",
+      "foxes and dogs jump", "a b ab ba aab abab")
+    val docs = texts.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val iters = 2; val seed = 64; val maxLen = 4; val target = 5
+    val m = Unigram.train(docs, iters, seed, maxLen)
+    val pruned = Unigram.prune(docs, m, target)
+    // reference: exhaustive alternative-encoding loss (max total over
+    // ALL segmentations of the piece's own string without itself), the
+    // same keep rule, one reference E-step, zero-usage multi prune
+    val sc = m.pieces.map { case (p, _, lp) => (p, lp) }.toMap
+    val (singles, multis) = m.pieces.partition(p => cps(p._1).size == 1)
+    val kept = multis.map { case (p, cnt, lp) =>
+      val alt = allSegs(cps(p), sc - p, maxLen)
+        .map(_.map(sc).sum).max
+      (p, cnt, cnt * (lp - alt))
+    }.sortWith { case ((p1, _, l1), (p2, _, l2)) =>
+      if (l1 != l2) l1 > l2 else utf8Lt(p1, p2)
+    }.take(target)
+    val restricted = (singles.map(p => (p._1, p._2)) ++
+      kept.map(t => (t._1, t._2))).toMap
+    val sc2 = refScores(restricted)
+    val words = refWordCounts(texts)
+    val used = scala.collection.mutable.HashMap.empty[String, Long]
+    words.foreach { case (w, c) =>
+      refSegment(w, sc2, maxLen).foreach(p =>
+        used.update(p, used.getOrElse(p, 0L) + c))
+    }
+    val refCounts = restricted.flatMap { case (p, _) =>
+      val c = used.getOrElse(p, 0L)
+      if (c > 0L || cps(p).size == 1) Some((p, c)) else None
+    }
+    val refScored = refScores(refCounts)
+    assert(pruned.pieces.map { case (p, c, _) => (p, c) }.toMap == refCounts,
+      "pruned piece/count inventory diverges from the reference shrink")
+    assert(pruned.pieces.map { case (p, _, s) => (p, s) }.toMap == refScored)
+    // the budget binds and singles all survive
+    assert(pruned.pieces.count(p => cps(p._1).size > 1) <= target)
+    assert(singles.map(_._1).toSet.subsetOf(pruned.pieces.map(_._1).toSet))
+  }
+
   test("model round-trips through parquet and the re-read model encodes " +
     "identically (build-once / encode-many)") {
     val texts = Seq("the quick brown fox", "the lazy dog")
