@@ -351,6 +351,31 @@ object Bpe {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
 
+  /** Per-document BPE token STREAMS — the actual training-shard product
+    * ([[encodeTokenCounts]] stops at counts): each document's full
+    * in-order subword sequence under the trained vocab. Same 100 TB
+    * shape as the count path — one POSITIONED explode (positions from
+    * the raw token array, so empty-split artifacts cannot shift
+    * alignment), one broadcast equi-join from word to its symbol array,
+    * one per-doc ordered flatten. Words absent from the vocabulary drop
+    * (the [[encodeTokenCounts]] contract; OOV goes through
+    * [[encodeWord]]). */
+  def tokenStreams(docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dict = model.vocab.select(col("word"), col("syms"))
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(TextAnalysis.tokens(col(textCol))))
+      .filter(col("col") =!= "")
+      .join(broadcast(dict), col("col") === col("word"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("syms"))))
+        .as("arr"))
+      .select(col(idCol),
+        flatten(transform(col("arr"), x => x.getField("syms")))
+          .as("stream"))
+  }
+
   /** Persist a trained tokenizer as two parquet tables — the merge list
     * (rank, lhs, rhs, freq: KBs, broadcastable forever) and the encoded
     * vocabulary (word, cnt, syms: the corpus-scale encode dictionary) —

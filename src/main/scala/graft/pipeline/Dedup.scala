@@ -892,7 +892,13 @@ object Dedup {
     }
     sb.append('|')
       .append(df.queryExecution.logical.canonicalized.toString)
-    sb.toString
+    // digest, not the raw string: a 100 TB corpus resolves to 10⁴–10⁵
+    // part files, and the memo retains one key per (session, dir,
+    // corpus) for the session lifetime — same re-arm semantics, O(1)
+    // retained bytes per vouch
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(sb.toString.getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
   }
 
   /** One canonical spelling per index dir — FULLY QUALIFIED against the

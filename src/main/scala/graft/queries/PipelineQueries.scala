@@ -1287,17 +1287,8 @@ object PipelineQueries {
     * the per-doc stream replays as flatten(list(seq ORDER BY pos)). */
   def t26BpeTokenize(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val model = bpeShared(spark, d)
-    val dict = model.vocab.select($"word", $"syms")
-    val toks = Tables.documents(spark, d).filter($"text".isNotNull)
-      .select($"doc_id",
-        posexplode(graft.pipeline.TextAnalysis.tokens($"text")))
-      .filter($"col" =!= "")
-      .join(broadcast(dict), $"col" === $"word")
-    toks.groupBy($"doc_id")
-      .agg(sort_array(collect_list(struct($"pos", $"syms"))).as("arr"))
-      .select($"doc_id",
-        flatten(transform($"arr", x => x.getField("syms"))).as("stream"))
+    graft.pipeline.Bpe
+      .tokenStreams(Tables.documents(spark, d), bpeShared(spark, d))
       .select($"doc_id", size($"stream").cast("long").as("n_tokens"),
         md5(array_join($"stream", " ")).as("tokens_md5"))
       .orderBy($"doc_id")
@@ -2102,7 +2093,7 @@ object PipelineQueries {
          |FROM documents d
          |JOIN nb ON d.doc_id = nb.doc_id
          |JOIN umnb u ON d.doc_id = u.doc_id
-         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+         |GROUP BY d.lang ORDER BY d.lang NULLS FIRST""".stripMargin,
     "t23_kn_lm_score" ->
       // the t13 chain with KN arithmetic: discount every seen bigram,
       // back the reclaimed mass off to the continuation unigram; the

@@ -214,4 +214,30 @@ class BpeSpec extends SparkSpec {
     assert(mismatched.count() == 0,
       "per-word fold encoding diverges from the trained vocabulary")
   }
+
+  test("token streams are the in-order concatenation of each word's " +
+    "fold encoding, and their lengths equal the count path") {
+    val docs = Seq(
+      (1L, "ab ab cd"), (2L, "  cd  ab "), // whitespace artifacts
+      (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, 2)
+    val got = Bpe.tokenStreams(docs, model)
+      .as[(Long, Seq[String])].collect().toMap
+    // independent per-doc reference: fold-encode each word in order
+    def enc(ws: Seq[String]): Seq[String] = {
+      val byWord = docs.sparkSession.range(1)
+        .select(ws.map(w => Bpe.encodeWord(lit(w), model.merges)): _*)
+        .head()
+      ws.indices.flatMap(i => byWord.getSeq[String](i))
+    }
+    assert(got == Map(
+      1L -> enc(Seq("ab", "ab", "cd")),
+      2L -> enc(Seq("cd", "ab"))))
+    // the stream length IS the count path's token count per doc
+    val counts = Bpe.encodeTokenCounts(docs, model)
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, _, n) => (id, n) }.toMap
+    assert(got.map { case (id, s) => (id, s.size.toLong) } == counts)
+  }
 }
