@@ -1242,6 +1242,20 @@ object PipelineQueries {
       .orderBy($"piece")
   }
 
+  /** st12 — TOKENIZE AT INGEST ([[graft.streaming.EventStreams
+    * .tokenizeStream]]): the streaming twin of t17 — stateless per-row
+    * merge folds under the broadcast-able merge list, because an
+    * arrival stream has no distinct-word table to dictionary-join. The
+    * gate runs the batch leg (the plan is stream-legal: no state, no
+    * watermark) against t17's own oracle; StreamingSpec pins the real
+    * readStream run equal to the batch dictionary join. */
+  def st12StreamTokenize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.streaming.EventStreams.tokenizeStream(
+        Tables.documents(spark, d), bpeShared(spark, d).merges)
+      .orderBy($"doc_id")
+  }
+
   /** t25 — TOKENIZER FERTILITY evaluation (the per-language eval a
     * pipeline runs when choosing a tokenizer — XLM-R reports exactly
     * this table): both trained tokenizers encode the corpus, and per
@@ -1451,6 +1465,7 @@ object PipelineQueries {
     "t25_tokenizer_eval" -> (t25TokenizerEval _),
     "t26_bpe_tokenize" -> (t26BpeTokenize _),
     "t27_unigram_prune" -> (t27UnigramPrune _),
+    "st12_stream_tokenize" -> (st12StreamTokenize _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -2015,6 +2030,9 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "t16_bpe_train" -> bpeTrainOracle,
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
+    // the per-row fold equals the dictionary join exactly (spec-pinned),
+    // so the streaming twin shares t17's oracle verbatim
+    "st12_stream_tokenize" -> bpeEncodeOracle,
     "t21_unigram_train" -> unigramTrainOracle,
     "t22_unigram_encode" -> unigramEncodeOracle,
     "t27_unigram_prune" ->

@@ -342,6 +342,32 @@ object EventStreams {
       .toDF("doc_id")
   }
 
+  /** TOKENIZE AT INGEST (st12): per arriving document, the whitespace
+    * word count and the BPE token count under a trained model's merge
+    * list — completely STATELESS map-side work, so it runs identically
+    * as a streaming or batch plan with no watermark, state store, or
+    * output-mode concern. A stream has no distinct-word table to join
+    * (the batch path's dictionary trick needs the whole corpus), so each
+    * row pays the per-word merge fold ([[graft.pipeline.Bpe
+    * .encodeWord]], bounded by merges × word length) — the documented
+    * OOV/at-ingest path, spec-pinned equal to the batch dictionary join.
+    * At 100 TB the BATCH path re-tokenizes corpora; this is the shape
+    * for the arrival firehose, where per-row cost is the only cost. */
+  def tokenizeStream(docs: DataFrame,
+      merges: Seq[graft.pipeline.Bpe.Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(graft.pipeline.TextAnalysis.tokens(col(textCol)),
+          w => w =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col(idCol), size(col("ws")).cast("long").as("n_words"),
+        aggregate(
+          transform(col("ws"),
+            w => size(graft.pipeline.Bpe.encodeWord(w, merges))
+              .cast("long")),
+          lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+
   /** Streaming NEAR-dup detection at ingest (the st11 operator — the
     * streaming twin of the d04/d15 MinHash+LSH family): every arriving
     * document's 64 band buckets are routed to a `flatMapGroupsWithState`

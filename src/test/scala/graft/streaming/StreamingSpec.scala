@@ -161,6 +161,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming tokenize-at-ingest equals the batch dictionary join " +
+    "(real readStream run)") {
+    val batchDocs = Tables.documents(spark, sfTiny)
+    val model = graft.queries.PipelineQueries.bpeShared(spark, sfTiny)
+    val docs = spark.readStream
+      .schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfTiny)
+    val q = EventStreams.tokenizeStream(docs, model.merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("tok_ingest_smoke").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+        "SELECT doc_id, n_words, n_bpe_tokens FROM tok_ingest_smoke")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // the per-row merge-fold path must equal the batch vocabulary join
+    // exactly — same counts, same doc set
+    val batch = graft.pipeline.Bpe.encodeTokenCounts(batchDocs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream/batch tokenize diverge: only-stream=${streamed -- batch}, " +
+        s"only-batch=${batch -- streamed}")
+    assert(streamed.nonEmpty)
+  }
+
   test("content dedup stream is deterministic under adversarial arrival order") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
