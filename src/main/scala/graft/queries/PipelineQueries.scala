@@ -1242,6 +1242,29 @@ object PipelineQueries {
       .orderBy($"piece")
   }
 
+  /** q35 — the PRETRAINING DATA JOB end to end, in ONE declarative
+    * plan: Gopher quality filter (t19's rules) → BPE tokenization under
+    * the t16 vocab (broadcast dictionary join) → 256-token sequence
+    * packing (two-pass distributed prefix sum). Nothing here is new
+    * machinery — the point IS the composition: each stage is the
+    * already-oracled operator, Catalyst fuses the filter into the scan
+    * feeding the tokenizer join, and the oracle replays the full chain
+    * (rule arithmetic → unrolled merges → counts → cumulative window)
+    * in one statement. The capstone shape a 100 TB corpus actually
+    * runs nightly. */
+  def q35PipelinePack(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val kept = graft.pipeline.TextAnalysis.gopherRules(docs)
+      .filter($"r_pass_all")
+      .select($"doc_id", $"text")
+    val counts = graft.pipeline.Bpe
+      .encodeTokenCounts(kept, bpeShared(spark, d))
+    graft.pipeline.Packing
+      .packStats(counts, 256, "doc_id", "n_bpe_tokens")
+      .orderBy($"seq_id")
+  }
+
   /** st12 — TOKENIZE AT INGEST ([[graft.streaming.EventStreams
     * .tokenizeStream]]): the streaming twin of t17 — stateless per-row
     * merge folds under the broadcast-able merge list, because an
@@ -1466,6 +1489,7 @@ object PipelineQueries {
     "t26_bpe_tokenize" -> (t26BpeTokenize _),
     "t27_unigram_prune" -> (t27UnigramPrune _),
     "st12_stream_tokenize" -> (st12StreamTokenize _),
+    "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
@@ -2033,6 +2057,45 @@ object PipelineQueries {
     // the per-row fold equals the dictionary join exactly (spec-pinned),
     // so the streaming twin shares t17's oracle verbatim
     "st12_stream_tokenize" -> bpeEncodeOracle,
+    "q35_pipeline_pack" ->
+      // the whole nightly job replayed: Gopher rule arithmetic per doc
+      // (t19's integer cross-products) → the t16 merge chain's per-doc
+      // counts → the t08 cumulative window over the SURVIVORS only
+      s"""WITH RECURSIVE ${bpeOracleBody(BpeRounds)},
+         |$bpeDocCountsCte,
+         |gm AS (
+         |  SELECT doc_id, len(toks)::BIGINT AS n,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [length(t) for t in toks]::BIGINT[]),
+         |      (a, b) -> a + b) AS suml,
+         |    (len(regexp_extract_all(text, '#'))
+         |     + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))::BIGINT
+         |      AS sym,
+         |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
+         |      ::BIGINT AS alpha,
+         |    len(list_filter(toks, t -> t IN ('the','be','to','of','and',
+         |      'that','have','with')))::BIGINT AS stop
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |          text
+         |        FROM documents WHERE text IS NOT NULL) t),
+         |gp AS (
+         |  SELECT doc_id FROM gm
+         |  WHERE n BETWEEN 50 AND 100000
+         |    AND 3 * n <= suml AND suml <= 10 * n
+         |    AND 10 * sym <= n AND 5 * alpha >= 4 * n AND stop >= 2),
+         |fc AS (SELECT nb.doc_id, nb.n FROM nb JOIN gp USING (doc_id)),
+         |cw AS (
+         |  SELECT doc_id, n,
+         |    COALESCE(SUM(n) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+         |      AS s
+         |  FROM fc)
+         |SELECT seq_id, COUNT(*) AS n_docs FROM (
+         |  SELECT doc_id,
+         |    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_id
+         |  FROM cw WHERE n > 0) x
+         |GROUP BY seq_id ORDER BY seq_id""".stripMargin,
     "t21_unigram_train" -> unigramTrainOracle,
     "t22_unigram_encode" -> unigramEncodeOracle,
     "t27_unigram_prune" ->
