@@ -1265,20 +1265,6 @@ object PipelineQueries {
       .orderBy($"seq_id")
   }
 
-  /** st12 — TOKENIZE AT INGEST ([[graft.streaming.EventStreams
-    * .tokenizeStream]]): the streaming twin of t17 — stateless per-row
-    * merge folds under the broadcast-able merge list, because an
-    * arrival stream has no distinct-word table to dictionary-join. The
-    * gate runs the batch leg (the plan is stream-legal: no state, no
-    * watermark) against t17's own oracle; StreamingSpec pins the real
-    * readStream run equal to the batch dictionary join. */
-  def st12StreamTokenize(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    graft.streaming.EventStreams.tokenizeStream(
-        Tables.documents(spark, d), bpeShared(spark, d).merges)
-      .orderBy($"doc_id")
-  }
-
   /** t25 — TOKENIZER FERTILITY evaluation (the per-language eval a
     * pipeline runs when choosing a tokenizer — XLM-R reports exactly
     * this table): both trained tokenizers encode the corpus, and per
@@ -1488,7 +1474,6 @@ object PipelineQueries {
     "t25_tokenizer_eval" -> (t25TokenizerEval _),
     "t26_bpe_tokenize" -> (t26BpeTokenize _),
     "t27_unigram_prune" -> (t27UnigramPrune _),
-    "st12_stream_tokenize" -> (st12StreamTokenize _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -1778,26 +1763,64 @@ object PipelineQueries {
        |  JOIN w$BpeRounds w USING (word)
        |  GROUP BY t.doc_id)""".stripMargin
 
-  private lazy val bpeEncodeOracle: String =
+  // shared with StreamQueries: st12's fold path equals the dictionary
+  // join exactly on a self-trained corpus, so the streaming twin reuses
+  // this oracle verbatim
+  private[queries] lazy val bpeEncodeOracle: String =
     s"""${bpeOracleChain(BpeRounds)},
        |$bpeDocCountsCte
        |SELECT doc_id, n_words, n AS n_bpe_tokens
        |FROM nb ORDER BY doc_id""".stripMargin
 
-  private lazy val bpePackingOracle: String =
-    s"""${bpeOracleChain(BpeRounds)},
-       |$bpeDocCountsCte,
-       |c AS (
+  /** The 256-token packing replay shared by t18 and q35: cumulative
+    * window over `from`(doc_id, n), then the seq_id explode rollup. */
+  private def packingTailSql(from: String): String =
+    s"""cw AS (
        |  SELECT doc_id, n,
        |    COALESCE(SUM(n) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
        |      AS s
-       |  FROM nb)
+       |  FROM $from)
        |SELECT seq_id, COUNT(*) AS n_docs FROM (
        |  SELECT doc_id,
        |    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_id
-       |  FROM c WHERE n > 0) x
+       |  FROM cw WHERE n > 0) x
        |GROUP BY seq_id ORDER BY seq_id""".stripMargin
+
+  /** The Gopher metric arithmetic shared by t19 and q35 — one CTE
+    * computing the five integer rule inputs per `keyCol` (word count,
+    * summed word length, symbol count, alphabetic-word count, stop-word
+    * count). Factored so a rule tweak cannot update one gate's oracle
+    * and silently miss the other's. */
+  private def gopherMetricsCte(name: String, keyCol: String): String =
+    s"""$name AS (
+       |  SELECT $keyCol, len(toks)::BIGINT AS n,
+       |    list_reduce(list_prepend(0::BIGINT,
+       |      [length(t) for t in toks]::BIGINT[]),
+       |      (a, b) -> a + b) AS suml,
+       |    (len(regexp_extract_all(text, '#'))
+       |     + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))::BIGINT
+       |      AS sym,
+       |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT
+       |      AS alpha,
+       |    len(list_filter(toks, t -> t IN ('the','be','to','of','and',
+       |      'that','have','with')))::BIGINT AS stop
+       |  FROM (SELECT $keyCol,
+       |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+       |          text
+       |        FROM documents WHERE text IS NOT NULL) t)""".stripMargin
+
+  /** All five Gopher rules AND'd — q35's keep predicate; t19's r CTE
+    * spells the same five conjuncts individually (it reports per-rule
+    * violation counts). */
+  private val gopherPassSql: String =
+    "n BETWEEN 50 AND 100000 AND 3 * n <= suml AND suml <= 10 * n " +
+      "AND 10 * sym <= n AND 5 * alpha >= 4 * n AND stop >= 2"
+
+  private lazy val bpePackingOracle: String =
+    s"""${bpeOracleChain(BpeRounds)},
+       |$bpeDocCountsCte,
+       |${packingTailSql("nb")}""".stripMargin
 
   /** The d16/d18 shared CTE chain: normalized text → per-position
     * 40-char windows → duplicated keys → flagged positions → maximal
@@ -1896,24 +1919,10 @@ object PipelineQueries {
         |GROUP BY t.lang, t.n, t.target ORDER BY t.lang""".stripMargin,
     "t19_gopher_rules" ->
       // integer cross-product forms of every ratio rule (3n<=suml<=10n,
-      // 10*sym<=n, 5*alpha>=4n) — bit-exact on both engines
-      """WITH t AS (
-        |  SELECT source,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks, text
-        |  FROM documents WHERE text IS NOT NULL),
-        |m AS (
-        |  SELECT source, len(toks)::BIGINT AS n,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      [length(t) for t in toks]::BIGINT[]),
-        |      (a, b) -> a + b) AS suml,
-        |    (len(regexp_extract_all(text, '#'))
-        |     + len(regexp_extract_all(text, '(\.\.\.|…)')))::BIGINT
-        |      AS sym,
-        |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::BIGINT
-        |      AS alpha,
-        |    len(list_filter(toks, t -> t IN ('the','be','to','of','and',
-        |      'that','have','with')))::BIGINT AS stop
-        |  FROM t),
+      // 10*sym<=n, 5*alpha>=4n) — bit-exact on both engines; the metric
+      // arithmetic is the SHARED gopherMetricsCte (q35 filters on the
+      // same five rules)
+      s"""WITH ${gopherMetricsCte("m", "source")},
         |r AS (
         |  SELECT source,
         |    n BETWEEN 50 AND 100000 AS r_wc,
@@ -2054,48 +2063,16 @@ object PipelineQueries {
         |ORDER BY doc_id""".stripMargin,
     "t16_bpe_train" -> bpeTrainOracle,
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
-    // the per-row fold equals the dictionary join exactly (spec-pinned),
-    // so the streaming twin shares t17's oracle verbatim
-    "st12_stream_tokenize" -> bpeEncodeOracle,
     "q35_pipeline_pack" ->
-      // the whole nightly job replayed: Gopher rule arithmetic per doc
-      // (t19's integer cross-products) → the t16 merge chain's per-doc
-      // counts → the t08 cumulative window over the SURVIVORS only
+      // the whole nightly job replayed: the SHARED Gopher metric
+      // arithmetic per doc → the t16 merge chain's per-doc counts → the
+      // SHARED packing tail over the survivors only
       s"""WITH RECURSIVE ${bpeOracleBody(BpeRounds)},
          |$bpeDocCountsCte,
-         |gm AS (
-         |  SELECT doc_id, len(toks)::BIGINT AS n,
-         |    list_reduce(list_prepend(0::BIGINT,
-         |      [length(t) for t in toks]::BIGINT[]),
-         |      (a, b) -> a + b) AS suml,
-         |    (len(regexp_extract_all(text, '#'))
-         |     + len(regexp_extract_all(text, '(\\.\\.\\.|…)')))::BIGINT
-         |      AS sym,
-         |    len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))
-         |      ::BIGINT AS alpha,
-         |    len(list_filter(toks, t -> t IN ('the','be','to','of','and',
-         |      'that','have','with')))::BIGINT AS stop
-         |  FROM (SELECT doc_id,
-         |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
-         |          text
-         |        FROM documents WHERE text IS NOT NULL) t),
-         |gp AS (
-         |  SELECT doc_id FROM gm
-         |  WHERE n BETWEEN 50 AND 100000
-         |    AND 3 * n <= suml AND suml <= 10 * n
-         |    AND 10 * sym <= n AND 5 * alpha >= 4 * n AND stop >= 2),
+         |${gopherMetricsCte("gm", "doc_id")},
+         |gp AS (SELECT doc_id FROM gm WHERE $gopherPassSql),
          |fc AS (SELECT nb.doc_id, nb.n FROM nb JOIN gp USING (doc_id)),
-         |cw AS (
-         |  SELECT doc_id, n,
-         |    COALESCE(SUM(n) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
-         |      AS s
-         |  FROM fc)
-         |SELECT seq_id, COUNT(*) AS n_docs FROM (
-         |  SELECT doc_id,
-         |    unnest(generate_series(s // 256, (s + n - 1) // 256)) AS seq_id
-         |  FROM cw WHERE n > 0) x
-         |GROUP BY seq_id ORDER BY seq_id""".stripMargin,
+         |${packingTailSql("fc")}""".stripMargin,
     "t21_unigram_train" -> unigramTrainOracle,
     "t22_unigram_encode" -> unigramEncodeOracle,
     "t27_unigram_prune" ->

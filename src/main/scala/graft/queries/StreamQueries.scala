@@ -109,8 +109,23 @@ object StreamQueries {
       .minhashDedupWords(Tables.documents(spark, d), 5, 128, 2, 0.8)
       .orderBy(col("id_a"), col("id_b"))
 
+  /** st12 — TOKENIZE AT INGEST ([[EventStreams.tokenizeStream]]): the
+    * streaming twin of t17 — stateless per-row merge folds under the
+    * broadcast-able merge list, because an arrival stream has no
+    * distinct-word table to dictionary-join. The gate runs the batch leg
+    * (the plan is stream-legal: no state, no watermark) against t17's
+    * own oracle (the fold path equals the dictionary join on a
+    * self-trained corpus — see tokenizeStream's OOV contract);
+    * StreamingSpec pins the real readStream run equal to the batch
+    * dictionary join. */
+  def st12StreamTokenize(spark: SparkSession, d: String): DataFrame =
+    EventStreams.tokenizeStream(Tables.documents(spark, d),
+        PipelineQueries.bpeShared(spark, d).merges)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st11_near_dup" -> (st11NearDup _),
+    "st12_stream_tokenize" -> (st12StreamTokenize _),
     "st10_hourly_users" -> (st10HourlyUsers _),
     "st09_funnel" -> (st09Funnel _),
     "st08_sliding_agg" -> (st08SlidingAgg _),
@@ -123,6 +138,9 @@ object StreamQueries {
     "st06_content_dedup" -> (st06ContentDedup _))
 
   val oracle: Map[String, String] = Map(
+    // the per-row fold equals the dictionary join exactly on the
+    // self-trained gate corpus, so st12 shares t17's oracle verbatim
+    "st12_stream_tokenize" -> PipelineQueries.bpeEncodeOracle,
     "st11_near_dup" ->
       // brute all-pairs word-5-shingle jaccard (the d11 oracle) — the LSH
       // band index must recover the exact pair set at this threshold

@@ -349,10 +349,20 @@ object EventStreams {
     * output-mode concern. A stream has no distinct-word table to join
     * (the batch path's dictionary trick needs the whole corpus), so each
     * row pays the per-word merge fold ([[graft.pipeline.Bpe
-    * .encodeWord]], bounded by merges × word length) — the documented
-    * OOV/at-ingest path, spec-pinned equal to the batch dictionary join.
-    * At 100 TB the BATCH path re-tokenizes corpora; this is the shape
-    * for the arrival firehose, where per-row cost is the only cost. */
+    * .encodeWord]], bounded by merges × word length). At 100 TB the
+    * BATCH path re-tokenizes corpora; this is the shape for the arrival
+    * firehose, where per-row cost is the only cost.
+    *
+    * OOV CONTRACT — this operator implements FULL BPE semantics: a word
+    * absent from the training vocabulary still encodes (its characters
+    * plus whatever merges apply — exactly what production BPE does to
+    * novel arrivals), and `n_words` counts every whitespace word.
+    * [[graft.pipeline.Bpe.encodeTokenCounts]] instead DROPS words its
+    * trained dictionary has never seen (its documented train ⊇ encode
+    * contract), so the two paths are equal exactly when every arriving
+    * word was in the training corpus — the t17/st12 gate situation,
+    * spec-pinned — and on genuinely novel arrivals THIS path is the
+    * semantically complete one, not a divergence bug. */
   def tokenizeStream(docs: DataFrame,
       merges: Seq[graft.pipeline.Bpe.Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame =
