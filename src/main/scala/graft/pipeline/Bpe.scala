@@ -44,9 +44,18 @@ import org.apache.spark.sql.functions._
   * Encoding at corpus scale is NOT per-token fold math: applying the
   * learned merges in rank order to a word is deterministic per distinct
   * word, so the trained word table IS the encoding dictionary — encoding
-  * a corpus is one explode + one (broadcastable) equi-join on the word
-  * key ([[encodeTokenCounts]]). The per-word fold ([[encodeWord]]) exists
-  * for out-of-vocabulary words and as the spec's independent oracle.
+  * a corpus is one explode + one equi-join on the word key
+  * ([[encodeTokenCounts]]). The dictionary side broadcasts only under
+  * the [[graft.util.LimitProbe]] guard: on a web-scale corpus the
+  * distinct-word table is 10⁸–10⁹ rows and a forced broadcast hint is a
+  * driver OOM, so past the guard the join runs as a plain shuffled
+  * equi-join (the d16/d18 posture). Words the dictionary has never seen
+  * take the OOV leg: an anti-join (tail-sized, not corpus-sized) feeds
+  * [[encodeWordGreedy]], the merge-priority greedy encoder production
+  * BPE runs on novel words — so batch encoding is TOTAL and equals the
+  * streaming path ([[graft.streaming.EventStreams.tokenizeStream]]) on
+  * any corpus. The per-word rank-order fold ([[encodeWord]]) remains as
+  * the spec's independent oracle.
   */
 object Bpe {
 
@@ -334,19 +343,104 @@ object Bpe {
       .toDF("rank", "lhs", "rhs", "freq")
   }
 
-  /** Per-document BPE token counts by vocabulary join — the corpus-scale
-    * encode path: one explode, one equi-join against the (broadcastable)
-    * trained word table, one per-doc aggregation. Words absent from the
-    * vocabulary are dropped (train corpus ⊇ encode corpus holds for the
-    * gate; OOV encoding goes through [[encodeWord]]). */
+  /** Default row bound under which an encode dictionary may broadcast —
+    * ~2M word rows is comfortably inside executor/driver memory; past it
+    * the encode joins stay shuffled (the d18 bound). */
+  val DictBroadcastLimit = 2000000L
+
+  /** Broadcast `dict` only when the O(limit) [[graft.util.LimitProbe]]
+    * says it is small enough; otherwise return it unhinted so the join
+    * shuffles. A corpus- or vocab-derived dictionary must NEVER carry an
+    * unconditional broadcast hint — at web scale the distinct-word table
+    * is 10⁸–10⁹ rows and the forced hint is a driver OOM. */
+  private[pipeline] def guardedDict(dict: DataFrame, limit: Long): DataFrame =
+    if (graft.util.LimitProbe.atMost(dict, limit)) broadcast(dict) else dict
+
+  /** Merge-priority lookup for [[encodeWordGreedy]]: (lhs, rhs) → rank,
+    * lowest rank winning if a pair ever appears twice. Driver-sized (one
+    * entry per learned merge) — broadcast it once and encode forever. */
+  def rankMap(merges: Seq[Merge]): Map[(String, String), Int] = {
+    val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
+    merges.foreach { mg =>
+      if (!m.contains((mg.lhs, mg.rhs))) m.update((mg.lhs, mg.rhs), mg.rank)
+    }
+    m.toMap
+  }
+
+  /** The production BPE encoder (the HuggingFace/SentencePiece encode
+    * loop): repeatedly merge the LEFTMOST occurrence of the lowest-rank
+    * adjacent pair until no learned pair applies. Cost O(len²) map
+    * probes per word — independent of merge count, unlike the
+    * [[encodeWord]] fold whose PLAN is linear in merges (a 32k-merge
+    * expression chain would not survive Catalyst analysis).
+    *
+    * Equal to applying the merges in rank order ([[encodeWord]]): within
+    * one pair's occurrences, a merge (l,r)→lr can never create a new
+    * (l,r) adjacency (lr is strictly longer than both), and the pairs it
+    * does create involve the NEW symbol lr, whose merges were learned
+    * later and therefore rank higher — so the priority loop visits pairs
+    * in exactly rank order. The one theoretical exception is a vocabulary
+    * where a later merge's concatenation string-collides with an earlier
+    * pair's symbol (two merges spelling the same string); spec-pinned
+    * equal on the gate and wide-vocab models, where no collision exists.
+    * Splits on CODEPOINTS, matching the corpus split semantics. */
+  def encodeWordGreedy(word: String,
+      ranks: collection.Map[(String, String), Int]): Array[String] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+    var ci = 0
+    while (ci < word.length) {
+      val cp = word.codePointAt(ci)
+      buf += new String(Character.toChars(cp))
+      ci += Character.charCount(cp)
+    }
+    var more = buf.length >= 2
+    while (more) {
+      var bestRank = Int.MaxValue
+      var bestI = -1
+      var i = 0
+      while (i < buf.length - 1) {
+        ranks.get((buf(i), buf(i + 1))) match {
+          case Some(r) if r < bestRank => bestRank = r; bestI = i
+          case _ => ()
+        }
+        i += 1
+      }
+      if (bestI < 0) more = false
+      else {
+        buf(bestI) = buf(bestI) + buf(bestI + 1)
+        buf.remove(bestI + 1)
+        more = buf.length >= 2
+      }
+    }
+    buf.toArray
+  }
+
+  /** Per-document BPE token counts — the corpus-scale encode path: one
+    * explode, one equi-join against the trained word table (broadcast
+    * only under the [[graft.util.LimitProbe]] guard — see the object
+    * doc), one per-doc aggregation. Words the dictionary has never seen
+    * take the OOV leg: an anti-join (tail-sized) routes them through
+    * [[encodeWordGreedy]] against the broadcast merge ranks, so encoding
+    * is TOTAL — `n_words` counts every whitespace word and novel words
+    * contribute their greedy subword count, exactly the streaming path's
+    * ([[graft.streaming.EventStreams.tokenizeStream]]) semantics. */
   def encodeTokenCounts(docs: DataFrame, model: Model,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val dict = model.vocab
-      .select(col("word"), size(col("syms")).cast("long").as("n_sub"))
+      idCol: String = "doc_id", textCol: String = "text",
+      dictBroadcastLimit: Long = DictBroadcastLimit): DataFrame = {
+    val spark = docs.sparkSession
+    val dict = guardedDict(
+      model.vocab.select(col("word"),
+        size(col("syms")).cast("long").as("n_sub")),
+      dictBroadcastLimit)
+    val bc = spark.sparkContext.broadcast(rankMap(model.merges))
+    val oovLen = udf((w: String) => encodeWordGreedy(w, bc.value).length.toLong)
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
-    toks.join(broadcast(dict), "word")
+    val known = toks.join(dict, Seq("word")).select(col(idCol), col("n_sub"))
+    val unknown = toks.join(dict, Seq("word"), "left_anti")
+      .select(col(idCol), oovLen(col("word")).as("n_sub"))
+    known.unionAll(unknown)
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
@@ -356,18 +450,26 @@ object Bpe {
     * in-order subword sequence under the trained vocab. Same 100 TB
     * shape as the count path — one POSITIONED explode (positions from
     * the raw token array, so empty-split artifacts cannot shift
-    * alignment), one broadcast equi-join from word to its symbol array,
-    * one per-doc ordered flatten. Words absent from the vocabulary drop
-    * (the [[encodeTokenCounts]] contract; OOV goes through
-    * [[encodeWord]]). */
+    * alignment), one guarded equi-join from word to its symbol array,
+    * one per-doc ordered flatten. OOV words take the greedy anti-join
+    * leg, so the stream is total (the [[encodeTokenCounts]] contract). */
   def tokenStreams(docs: DataFrame, model: Model,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val dict = model.vocab.select(col("word"), col("syms"))
-    docs.filter(col(textCol).isNotNull)
+      idCol: String = "doc_id", textCol: String = "text",
+      dictBroadcastLimit: Long = DictBroadcastLimit): DataFrame = {
+    val spark = docs.sparkSession
+    val dict = guardedDict(model.vocab.select(col("word"), col("syms")),
+      dictBroadcastLimit)
+    val bc = spark.sparkContext.broadcast(rankMap(model.merges))
+    val oovSyms = udf((w: String) => encodeWordGreedy(w, bc.value).toSeq)
+    val pos = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))))
       .filter(col("col") =!= "")
-      .join(broadcast(dict), col("col") === col("word"))
+    val known = pos.join(dict, col("col") === col("word"))
+      .select(col(idCol), col("pos"), col("syms"))
+    val unknown = pos.join(dict, col("col") === col("word"), "left_anti")
+      .select(col(idCol), col("pos"), oovSyms(col("col")).as("syms"))
+    known.unionAll(unknown)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("pos"), col("syms"))))
         .as("arr"))
@@ -399,10 +501,12 @@ object Bpe {
   }
 
   /** Encode ONE word column by applying the merge list in rank order —
-    * the out-of-vocabulary path and the spec's independent oracle for the
-    * join path. A chain of `numMerges` interpreted folds per row: bounded
-    * by merge count × word length, fine for OOV tails, wrong for a whole
-    * corpus (use [[encodeTokenCounts]]). */
+    * the spec's independent oracle for both the join path and
+    * [[encodeWordGreedy]]. A chain of `numMerges` interpreted folds per
+    * row whose PLAN is linear in merge count: fine as a small-model
+    * reference, wrong for a whole corpus (use [[encodeTokenCounts]]) and
+    * wrong for a production-size vocabulary anywhere (a 32k-merge nested
+    * expression tree does not survive Catalyst — use the greedy kernel). */
   def encodeWord(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(filter(split(word, ""), c => c =!= "")) { (syms, m) =>
       applyMergeFold(syms, lit(m.lhs), lit(m.rhs))

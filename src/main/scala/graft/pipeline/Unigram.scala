@@ -48,8 +48,20 @@ import org.apache.spark.sql.functions._
   * Coverage: every single-character piece stays in the vocabulary
   * forever (count floored to 1 in the score), so every word always has
   * at least one segmentation — SentencePiece's required-character rule.
+  * Characters the model has NEVER seen (an encode corpus ⊄ train
+  * corpus) take the [[Unigram.UnkUlogp]] char-fallback — SentencePiece's
+  * `byte_fallback` in the character domain — so encoding is TOTAL on
+  * any input: an unseen character becomes its own piece at a fixed
+  * floor score instead of failing the job.
   */
 object Unigram {
+
+  /** Fixed score of an unknown-character fallback piece, in integer
+    * micro-log-prob: −100 in log space, far below any real piece (a
+    * trained score floors at −1e6·ln T ≈ −27.6e6 even at T = 10¹²), so
+    * the fallback never outbids a trained piece and, being a fixed
+    * constant, replays exactly in SQL (`CASE WHEN l = 1 THEN -1e8`). */
+  val UnkUlogp: Long = -100000000L
 
   /** Trained model: `(piece, cnt, ulogp)` — the piece inventory, its
     * final Viterbi usage count, and the integer micro-log-prob the final
@@ -100,7 +112,15 @@ object Unigram {
       var l = 1
       while (l <= maxPieceLen && l <= i) {
         val piece = new String(cps, i - l, l)
-        if (piece != exclude) sc.get(piece) match {
+        // l == 1 always yields a candidate: the trained score if the
+        // character is known, else the UnkUlogp char-fallback — so
+        // bestL ≥ 1 at every position BY CONSTRUCTION and encoding is
+        // total on any input (`exclude` is only ever a multi-char piece,
+        // the prune contract, so the fallback cannot mask an exclusion)
+        val s0 = if (piece == exclude) None else sc.get(piece)
+        val sv = if (s0.isDefined) s0
+          else if (l == 1) Some(UnkUlogp) else None
+        sv match {
           case Some(s) =>
             val t = dpT(i - l) + s
             // maximize (total, piece length): equal totals fall to the
@@ -112,9 +132,6 @@ object Unigram {
         }
         l += 1
       }
-      require(bestL > 0,
-        s"word '$word' not coverable at position $i — a single-character " +
-          "piece left the vocabulary (coverage invariant broken)")
       dpT(i) = bestT
       dpL(i) = bestL
       i += 1
@@ -124,8 +141,8 @@ object Unigram {
 
   /** The best segmentation of one word under `sc`: maximal total score,
     * ties to the longer LAST piece (then recursively on the prefix).
-    * Integer DP, O(len × maxPieceLen). Requires every single character
-    * to be scoreable (the coverage rule). */
+    * Integer DP, O(len × maxPieceLen). Total on any input: characters
+    * absent from `sc` segment as single-char pieces at [[UnkUlogp]]. */
   private[pipeline] def viterbi(word: String, sc: collection.Map[String, Long],
       maxPieceLen: Int): Seq[String] = {
     val (_, dpL) = viterbiDp(word, sc, maxPieceLen, exclude = null)
@@ -326,26 +343,38 @@ object Unigram {
   /** Per-document unigram-LM token counts — the corpus-scale encode
     * path, exactly [[Bpe.encodeTokenCounts]]'s dictionary-join idiom:
     * Viterbi runs once per DISTINCT word (map-side, vocabulary-sized),
-    * and the corpus pays one explode + one broadcast equi-join on the
-    * word key. Words with no in-vocabulary character cannot occur
-    * (coverage rule keeps every seen character), so the dictionary
-    * covers the corpus by construction when encode ⊆ train corpus. */
+    * and the corpus pays one explode + one equi-join on the word key.
+    * The dictionary derives from the ENCODE corpus itself, so it covers
+    * every word by construction — and since the Viterbi is total (the
+    * [[UnkUlogp]] char-fallback), so is encoding, even when the encode
+    * corpus holds characters the model never trained on. The dictionary
+    * side broadcasts only under the [[graft.util.LimitProbe]] guard: at
+    * web scale the distinct-word table is 10⁸–10⁹ rows and a forced
+    * broadcast hint is a driver OOM — past the guard the join runs
+    * shuffled (the d16/d18 posture).
+    *
+    * The guard probes the raw distinct-word frame (the cheap groupBy),
+    * not the Viterbi-mapped dictionary, so the per-word DP never runs
+    * twice. */
   def encodeTokenCounts(docs: DataFrame, model: Model,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text",
+      dictBroadcastLimit: Long = Bpe.DictBroadcastLimit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val sc = model.pieces.map { case (p, _, lp) => (p, lp) }.toMap
     val bc = spark.sparkContext.broadcast(sc)
     val maxLen = model.maxPieceLen
-    val dict = Bpe.wordCounts(docs, textCol)
-      .select(col("word")).as[String]
+    val words = Bpe.wordCounts(docs, textCol).select(col("word"))
+    val small = graft.util.LimitProbe.atMost(words, dictBroadcastLimit)
+    val dict0 = words.as[String]
       .map(w => (w, viterbi(w, bc.value, maxLen).length.toLong))
       .toDF("word", "n_pieces")
+    val dict = if (small) broadcast(dict0) else dict0
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
-    toks.join(broadcast(dict), "word")
+    toks.join(dict, "word")
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(col("n_pieces")).as("n_um_tokens"))

@@ -348,35 +348,46 @@ object EventStreams {
     * as a streaming or batch plan with no watermark, state store, or
     * output-mode concern. A stream has no distinct-word table to join
     * (the batch path's dictionary trick needs the whole corpus), so each
-    * row pays the per-word merge fold ([[graft.pipeline.Bpe
-    * .encodeWord]], bounded by merges × word length). At 100 TB the
-    * BATCH path re-tokenizes corpora; this is the shape for the arrival
-    * firehose, where per-row cost is the only cost.
+    * row pays per-word work — via [[graft.pipeline.Bpe
+    * .encodeWordGreedy]], the merge-PRIORITY greedy encoder: the rank
+    * map rides in one broadcast, per-word cost is O(len²) map probes
+    * independent of merge count, and the PLAN is constant-size (the
+    * rank-order fold it replaced compiled a merges-deep expression
+    * chain — a 32k-merge production vocabulary would not survive
+    * Catalyst analysis; rehearsed through the wide-vocab model in
+    * tools.ScaleRehearsal). At 100 TB the BATCH path re-tokenizes
+    * corpora; this is the shape for the arrival firehose, where per-row
+    * cost is the only cost.
     *
-    * OOV CONTRACT — this operator implements FULL BPE semantics: a word
-    * absent from the training vocabulary still encodes (its characters
-    * plus whatever merges apply — exactly what production BPE does to
-    * novel arrivals), and `n_words` counts every whitespace word.
-    * [[graft.pipeline.Bpe.encodeTokenCounts]] instead DROPS words its
-    * trained dictionary has never seen (its documented train ⊇ encode
-    * contract), so the two paths are equal exactly when every arriving
-    * word was in the training corpus — the t17/st12 gate situation,
-    * spec-pinned — and on genuinely novel arrivals THIS path is the
-    * semantically complete one, not a divergence bug. */
+    * OOV CONTRACT — full BPE semantics: a word absent from the training
+    * vocabulary still encodes (its characters plus whatever merges
+    * apply — exactly what production BPE does to novel arrivals), and
+    * `n_words` counts every whitespace word. [[graft.pipeline.Bpe
+    * .encodeTokenCounts]] implements the SAME total contract batch-side
+    * (dictionary join for known words, the same greedy kernel on the
+    * anti-join tail), so batch == stream on any corpus — spec-pinned on
+    * both in-vocab and planted-OOV corpora. */
   def tokenizeStream(docs: DataFrame,
       merges: Seq[graft.pipeline.Bpe.Merge],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext
+      .broadcast(graft.pipeline.Bpe.rankMap(merges))
+    val nTokens = udf { (ws: Seq[String]) =>
+      val ranks = bc.value
+      var t = 0L
+      ws.foreach(w =>
+        t += graft.pipeline.Bpe.encodeWordGreedy(w, ranks).length)
+      t
+    }
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         filter(graft.pipeline.TextAnalysis.tokens(col(textCol)),
           w => w =!= "").as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col(idCol), size(col("ws")).cast("long").as("n_words"),
-        aggregate(
-          transform(col("ws"),
-            w => size(graft.pipeline.Bpe.encodeWord(w, merges))
-              .cast("long")),
-          lit(0L), (a, x) => a + x).as("n_bpe_tokens"))
+        nTokens(col("ws")).as("n_bpe_tokens"))
+  }
 
   /** Streaming NEAR-dup detection at ingest (the st11 operator — the
     * streaming twin of the d04/d15 MinHash+LSH family): every arriving

@@ -240,4 +240,75 @@ class BpeSpec extends SparkSpec {
       .map { case (id, _, n) => (id, n) }.toMap
     assert(got.map { case (id, s) => (id, s.size.toLong) } == counts)
   }
+
+  test("greedy merge-priority encoder equals the rank-order fold on the " +
+    "gate model, in and out of vocabulary") {
+    val model = graft.queries.PipelineQueries.bpeShared(spark, sfTiny)
+    val ranks = Bpe.rankMap(model.merges)
+    val vocabWords = model.vocab.select($"word").as[String].collect().toSeq
+    // planted novel words: reversals, cross-word concatenations, unseen
+    // characters — the OOV shapes the greedy kernel must agree on
+    val novel = vocabWords.take(8).map(_.reverse) ++
+      vocabWords.take(8).zip(vocabWords.drop(1).take(8))
+        .map { case (a, b) => a + b } ++
+      Seq("zzzq", "qqq", "a")
+    val words = (vocabWords ++ novel).distinct.filter(_.nonEmpty)
+    val folded = spark.range(1)
+      .select(words.map(w => Bpe.encodeWord(lit(w), model.merges)): _*)
+      .head()
+    words.indices.foreach { i =>
+      assert(Bpe.encodeWordGreedy(words(i), ranks).toSeq ==
+        folded.getSeq[String](i),
+        s"greedy != rank-order fold on '${words(i)}'")
+    }
+  }
+
+  test("batch OOV leg: encodeTokenCounts is total and equals the " +
+    "streaming greedy path on planted novel words") {
+    val train = Seq((1L, "ab ab ab cd cd ee ab cd")).toDF("doc_id", "text")
+    val model = Bpe.train(train, 2)
+    val enc = Seq(
+      (1L, "ab cd"), // all known
+      (2L, "ba dcba ab"), // two novel words + one known
+      (3L, "xy"), // entirely unseen characters
+      (4L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val batch = Bpe.encodeTokenCounts(enc, model)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    val stream = graft.streaming.EventStreams.tokenizeStream(enc,
+        model.merges)
+      .orderBy($"doc_id").as[(Long, Long, Long)].collect().toSeq
+    assert(batch == stream, "batch encode diverges from the stream path")
+    // n_words counts EVERY whitespace word — the total contract
+    assert(batch.find(_._1 == 2L).get._2 == 3L)
+    // token streams carry the greedy OOV symbols in order too
+    val ranks = Bpe.rankMap(model.merges)
+    val streams = Bpe.tokenStreams(enc, model)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(streams(2L) ==
+      (Bpe.encodeWordGreedy("ba", ranks) ++
+        Bpe.encodeWordGreedy("dcba", ranks) ++
+        Bpe.encodeWordGreedy("ab", ranks)).toSeq)
+  }
+
+  test("encode dictionary broadcasts only under the LimitProbe guard; " +
+    "the forced shuffled fallback returns identical results") {
+    val docs = Seq((1L, "ab ab cd cd ee ab"), (2L, "cd ee ab ab"))
+      .toDF("doc_id", "text")
+    val model = Bpe.train(docs, 2)
+    val open = Bpe.encodeTokenCounts(docs, model)
+    val tripped = Bpe.encodeTokenCounts(docs, model, dictBroadcastLimit = 0)
+    assert(open.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "small dictionary lost its broadcast hint")
+    assert(!tripped.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "oversized dictionary is still force-broadcast")
+    assert(open.orderBy($"doc_id").collect().toSeq ==
+      tripped.orderBy($"doc_id").collect().toSeq,
+      "shuffled fallback diverges from the broadcast path")
+    val openS = Bpe.tokenStreams(docs, model)
+    val trippedS = Bpe.tokenStreams(docs, model, dictBroadcastLimit = 0)
+    assert(!trippedS.queryExecution.analyzed.toString.contains("ResolvedHint"))
+    assert(openS.orderBy($"doc_id").collect().toSeq ==
+      trippedS.orderBy($"doc_id").collect().toSeq,
+      "tokenStreams shuffled fallback diverges from the broadcast path")
+  }
 }

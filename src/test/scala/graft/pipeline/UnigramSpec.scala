@@ -176,11 +176,20 @@ class UnigramSpec extends SparkSpec {
       Seq(s"$x$x"))
   }
 
-  test("an uncoverable word fails loud (coverage invariant)") {
-    val e = intercept[IllegalArgumentException] {
-      Unigram.viterbi("abc", Map("a" -> -1L, "c" -> -1L), 6)
-    }
-    assert(e.getMessage.contains("coverage"))
+  test("an unknown character falls back to a single-char piece at " +
+      "UnkUlogp — encoding is total (SentencePiece byte_fallback, char " +
+      "domain)") {
+    // 'b' is absent from the vocabulary: it must segment as its own
+    // piece, and the neighbors still take their trained pieces
+    assert(Unigram.viterbi("abc", Map("a" -> -1L, "c" -> -1L), 6) ==
+      Seq("a", "b", "c"))
+    // the fallback never outbids a trained piece: 'ab' (-3) beats
+    // [a, b-fallback] (-1 + UnkUlogp) even though both cover
+    assert(Unigram.viterbi("ab", Map("a" -> -1L, "ab" -> -3L), 6) ==
+      Seq("ab"))
+    // an entirely-unknown word segments to all single chars
+    assert(Unigram.viterbi("xyz", Map("a" -> -1L), 6) ==
+      Seq("x", "y", "z"))
   }
 
   test("EM prunes abandoned multi-char pieces but never single chars") {
@@ -282,5 +291,39 @@ class UnigramSpec extends SparkSpec {
         toks.map(w => refSegment(w, sc, m.maxPieceLen).size.toLong).sum)
     }.toSet
     assert(got == want)
+  }
+
+  test("encode dictionary broadcasts only under the LimitProbe guard; " +
+    "the forced shuffled fallback returns identical results") {
+    val docs = Seq((1L, "the quick fox"), (2L, "quick quick dog"))
+      .toDF("doc_id", "text")
+    val m = Unigram.train(docs, 2, 32, 4)
+    val open = Unigram.encodeTokenCounts(docs, m)
+    val tripped = Unigram.encodeTokenCounts(docs, m, dictBroadcastLimit = 0)
+    assert(open.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "small dictionary lost its broadcast hint")
+    assert(!tripped.queryExecution.analyzed.toString.contains("ResolvedHint"),
+      "oversized dictionary is still force-broadcast")
+    assert(open.orderBy($"doc_id").collect().toSeq ==
+      tripped.orderBy($"doc_id").collect().toSeq,
+      "shuffled fallback diverges from the broadcast path")
+  }
+
+  test("encoding a corpus with characters the model never saw is total " +
+    "(char fallback), batch == per-word DP") {
+    val train = Seq((1L, "the fast fox the fox")).toDF("doc_id", "text")
+    val m = Unigram.train(docs = train, iters = 2, seedSize = 32,
+      maxPieceLen = 4)
+    val sc = m.pieces.map { case (p, _, s) => (p, s) }.toMap
+    // 'quiz' brings q/u/i/z — none in the train alphabet beyond t/h/e/...
+    val enc = Seq((1L, "the fox"), (2L, "quiz fox"), (3L, "zzz"))
+      .toDF("doc_id", "text")
+    val got = Unigram.encodeTokenCounts(enc, m)
+      .as[(Long, Long, Long)].collect().toSet
+    def n(w: String) = Unigram.viterbi(w, sc, m.maxPieceLen).size.toLong
+    assert(got == Set(
+      (1L, 2L, n("the") + n("fox")),
+      (2L, 2L, n("quiz") + n("fox")),
+      (3L, 1L, n("zzz"))))
   }
 }
