@@ -145,6 +145,21 @@ object PipelineQueries {
         UmIters, UmSeedSize, UmMaxPiece)
     })
 
+  /** t30's alphabet-gap model: trained ONLY on documents without the
+    * letter 'q', so encoding the full corpus exercises the char
+    * fallback. Same driver-data memo posture as [[unigramShared]]. */
+  private val residentUnigramNoQ = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Unigram.Model]
+
+  private[graft] def unigramNoQShared(spark: SparkSession, d: String)
+      : graft.pipeline.Unigram.Model =
+    residentUnigramNoQ.getOrElseUpdate((spark, d), {
+      graft.pipeline.Unigram.train(
+        Tables.documents(spark, d)
+          .filter(!lower(col("text")).contains("q")),
+        UmIters, UmSeedSize, UmMaxPiece)
+    })
+
   private[graft] def bpeShared(spark: SparkSession, d: String)
       : graft.pipeline.Bpe.Model =
     residentBpe.getOrElseUpdate((spark, d), {
@@ -1242,6 +1257,54 @@ object PipelineQueries {
       .orderBy($"piece")
   }
 
+  /** The planted-OOV encode corpus for t29: every documents row, plus —
+    * for the doc_id % 50 == 0 slice — a twin at doc_id + 1000000 with
+    * every word REVERSED. Reversed words are novel under the t16 vocab
+    * (except palindromes like 'a', deliberately kept: the known/OOV
+    * split must interleave within one document), so the twin rows
+    * exercise the anti-join greedy leg while the originals ride the
+    * dictionary join. */
+  private def oovCorpus(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text")).unionAll(
+      docs.filter(pmod(col("doc_id"), lit(50)) === 0)
+        .filter(col("text").isNotNull)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          array_join(
+            transform(graft.pipeline.TextAnalysis.tokens(col("text")),
+              w => reverse(w)), " ").as("text")))
+
+  /** t29 — BPE encoding with PLANTED OOV documents: the t16 model
+    * encodes a corpus holding word-reversed twins of a document slice,
+    * so the batch path's two legs both run — dictionary join for known
+    * words, the anti-join merge-priority greedy kernel
+    * ([[graft.pipeline.Bpe.encodeWordGreedy]]) for the novel tail — and
+    * `n_words` proves the total contract (every whitespace word counts,
+    * known or not). The oracle replays BOTH legs: the t16 merge chain →
+    * dictionary for known words, and a recursive-CTE greedy loop
+    * (lowest-rank adjacent pair first, leftmost on ties) for the OOV
+    * words. Batch == stream on this corpus is spec-pinned in BpeSpec. */
+  def t29BpeOovEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Bpe.encodeTokenCounts(
+        oovCorpus(Tables.documents(spark, d)), bpeShared(spark, d))
+      .orderBy($"doc_id")
+  }
+
+  /** t30 — unigram-LM encoding across an ALPHABET GAP: the model trains
+    * only on documents without the letter 'q' (115 of 500 at the verify
+    * SF — a 24-char alphabet), then encodes the FULL corpus, so every
+    * 'q' in the other 385 documents segments through the
+    * [[graft.pipeline.Unigram.UnkUlogp]] char-fallback (SentencePiece's
+    * byte_fallback in the char domain) instead of failing the job. The
+    * oracle replays the whole no-q EM chain plus one fallback-enabled
+    * Viterbi pass over the full-corpus word table. */
+  def t30UnigramOovEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Unigram.encodeTokenCounts(
+        Tables.documents(spark, d), unigramNoQShared(spark, d))
+      .orderBy($"doc_id")
+  }
+
   /** q35 — the PRETRAINING DATA JOB end to end, in ONE declarative
     * plan: Gopher quality filter (t19's rules) → BPE tokenization under
     * the t16 vocab (broadcast dictionary join) → 256-token sequence
@@ -1474,6 +1537,8 @@ object PipelineQueries {
     "t25_tokenizer_eval" -> (t25TokenizerEval _),
     "t26_bpe_tokenize" -> (t26BpeTokenize _),
     "t27_unigram_prune" -> (t27UnigramPrune _),
+    "t29_bpe_oov_encode" -> (t29BpeOovEncode _),
+    "t30_unigram_oov_encode" -> (t30UnigramOovEncode _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -1588,13 +1653,14 @@ object PipelineQueries {
     * prunes multi-char pieces the segmentation abandoned while single
     * chars persist (the coverage rule). `us_{iters+1}`/`um_{iters+1}`
     * are the FINAL scores both gates read. */
-  private def unigramOracleBody(iters: Int): String = {
+  private def unigramOracleBody(iters: Int,
+      trainWhere: String = "text IS NOT NULL"): String = {
     val base =
       s"""uw AS MATERIALIZED (
          |  SELECT word, COUNT(*)::BIGINT AS cnt
          |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
          |                                            '\\s+')) AS word
-         |        FROM documents WHERE text IS NOT NULL) t
+         |        FROM documents WHERE $trainWhere) t
          |  WHERE word <> '' GROUP BY word),
          |usub AS MATERIALIZED (
          |  SELECT piece, SUM(cnt)::BIGINT AS c FROM (
@@ -1635,16 +1701,27 @@ object PipelineQueries {
        |             list(lp ORDER BY piece)) AS m FROM us$tag)""".stripMargin
 
   /** Viterbi DP + backtrack CTEs (`uvit<tag>`/`ubt<tag>`) over the word
-    * table under a score map. */
-  private def umViterbiCtes(tag: String, mapCte: String): String =
+    * table `wordCte` under a score map. With `fallback` the candidate
+    * score coalesces an absent SINGLE-char probe to the engine's
+    * [[graft.pipeline.Unigram.UnkUlogp]] — the char-fallback leg t30
+    * replays; longer absent pieces still drop out via the NULL filter. */
+  private def umViterbiCtes(tag: String, mapCte: String,
+      wordCte: String = "uw", fallback: Boolean = false): String = {
+    val probe = s"m[substring(word, i + 2 - L, L)][1]"
+    val score =
+      if (fallback)
+        s"""COALESCE($probe,
+           |                   CASE WHEN L = 1 THEN (${graft.pipeline
+                .Unigram.UnkUlogp})::BIGINT END)""".stripMargin
+      else probe
     s"""uvit$tag(word, cnt, i, dp) AS (
-       |  SELECT word, cnt, 0, [{'t': CAST(0 AS BIGINT), 'l': 0}] FROM uw
+       |  SELECT word, cnt, 0, [{'t': CAST(0 AS BIGINT), 'l': 0}]
+       |  FROM $wordCte
        |  UNION ALL
        |  SELECT word, cnt, i + 1,
        |    dp || [list_sort(list_filter(
        |      list_transform(generate_series(1, LEAST(i + 1, $UmMaxPiece)),
-       |        L -> {'t': dp[i + 2 - L].t +
-       |                   m[substring(word, i + 2 - L, L)][1],
+       |        L -> {'t': dp[i + 2 - L].t + $score,
        |              'l': L}),
        |      x -> x.t IS NOT NULL))[-1]]
        |  FROM uvit$tag CROSS JOIN $mapCte WHERE i < length(word)),
@@ -1655,6 +1732,7 @@ object PipelineQueries {
        |  SELECT word, cnt, dp, i - dp[i + 1].l,
        |    pieces || [substring(word, i - dp[i + 1].l + 1, dp[i + 1].l)]
        |  FROM ubt$tag WHERE i > 0)""".stripMargin
+  }
 
   /** Recount + prune CTEs (`ucnt<tag>`/`uv<tag>`): piece usage from the
     * backtracked segmentations, zero-usage multis dropped, singles kept
@@ -1674,8 +1752,9 @@ object PipelineQueries {
        |  FROM (SELECT piece FROM $prevVocab WHERE length(piece) > 1) p
        |  JOIN ucnt$tag c USING (piece) WHERE c.c > 0)""".stripMargin
 
-  private def unigramOracleChain(iters: Int): String =
-    "WITH RECURSIVE " + unigramOracleBody(iters)
+  private def unigramOracleChain(iters: Int,
+      trainWhere: String = "text IS NOT NULL"): String =
+    "WITH RECURSIVE " + unigramOracleBody(iters, trainWhere)
 
   /** The final-scores Viterbi encode legs shared by the t22 oracle and
     * the t25 rollup: one more DP pass under `um_{iters+1}`, per-word
@@ -1771,6 +1850,97 @@ object PipelineQueries {
        |$bpeDocCountsCte
        |SELECT doc_id, n_words, n AS n_bpe_tokens
        |FROM nb ORDER BY doc_id""".stripMargin
+
+  /** The t29 oracle's OOV machinery: the learned merges packed into ONE
+    * rank-map row (length-prefixed pair key — the engine's pairKey
+    * convention; MIN(rank) mirrors rankMap's lowest-rank-wins), and a
+    * recursive greedy loop that merges the lowest-rank adjacent pair
+    * (leftmost on position ties — the struct sort's second field) until
+    * none applies: exactly [[graft.pipeline.Bpe.encodeWordGreedy]].
+    * Expects an `ow(word)` CTE of the distinct OOV words. */
+  private def bpeGreedyCtes(rounds: Int): String = {
+    val rankRows = (1 to rounds).map { k =>
+      if (k == 1) "SELECT 1 AS rank, l, r FROM b1"
+      else s"SELECT $k, l, r FROM b$k"
+    }.mkString("\n    UNION ALL ")
+    s"""mm AS MATERIALIZED (
+       |  SELECT MAP(list(k ORDER BY k), list(rk ORDER BY k)) AS m FROM (
+       |    SELECT length(l)::VARCHAR || ':' || l || r AS k,
+       |      MIN(rank) AS rk
+       |    FROM ($rankRows)
+       |    GROUP BY 1)),
+       |gre(word, seq, done) AS (
+       |  SELECT word, list_transform(generate_series(1, length(word)),
+       |                              i -> word[i]), FALSE
+       |  FROM ow
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN best IS NULL THEN seq
+       |         ELSE seq[1:best.i-1] ||
+       |              [seq[best.i] || seq[best.i+1]] || seq[best.i+2:] END,
+       |    best IS NULL
+       |  FROM (SELECT word, seq,
+       |          list_sort(list_filter(
+       |            list_transform(generate_series(1, len(seq)-1),
+       |              i -> {'r': m[length(seq[i])::VARCHAR || ':' ||
+       |                           seq[i] || seq[i+1]][1],
+       |                    'i': i}),
+       |            x -> x.r IS NOT NULL))[1] AS best
+       |        FROM gre CROSS JOIN mm WHERE NOT done))""".stripMargin
+  }
+
+  private lazy val bpeOovEncodeOracle: String =
+    s"""${bpeOracleChain(BpeRounds)},
+       |tok0 AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL),
+       |tw AS MATERIALIZED (
+       |  SELECT doc_id, word FROM tok0 WHERE word <> ''
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, reverse(word) FROM tok0
+       |  WHERE doc_id % 50 = 0 AND word <> ''),
+       |ow AS MATERIALIZED (
+       |  SELECT DISTINCT word FROM tw
+       |  WHERE word NOT IN (SELECT word FROM w$BpeRounds)),
+       |${bpeGreedyCtes(BpeRounds)},
+       |leg AS (
+       |  SELECT t.doc_id, len(w.seq)::BIGINT AS n_sub
+       |  FROM tw t JOIN w$BpeRounds w USING (word)
+       |  UNION ALL
+       |  SELECT t.doc_id, len(g.seq)::BIGINT
+       |  FROM tw t JOIN (SELECT word, seq FROM gre WHERE done) g
+       |    USING (word))
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(n_sub)::BIGINT AS n_bpe_tokens
+       |FROM leg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** t30's train predicate — the alphabet-gap corpus (no letter 'q'),
+    * mirrored exactly by the engine's `!lower(text).contains("q")`. */
+  private val NoQTrainWhere =
+    "text IS NOT NULL AND NOT contains(lower(text), 'q')"
+
+  private lazy val unigramOovEncodeOracle: String =
+    s"""${unigramOracleChain(UmIters, NoQTrainWhere)},
+       |uwAll AS MATERIALIZED (
+       |  SELECT word, COUNT(*)::BIGINT AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+       |                                            '\\s+')) AS word
+       |        FROM documents WHERE text IS NOT NULL) t
+       |  WHERE word <> '' GROUP BY word),
+       |${umViterbiCtes("F", s"um${UmIters + 1}", wordCte = "uwAll",
+            fallback = true)},
+       |uwpF AS MATERIALIZED (
+       |  SELECT word, len(pieces)::BIGINT AS np FROM ubtF WHERE i = 0),
+       |utokF AS (
+       |  SELECT doc_id,
+       |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |  FROM documents WHERE text IS NOT NULL)
+       |SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(w.np)::BIGINT AS n_um_tokens
+       |FROM (SELECT * FROM utokF WHERE word <> '') t
+       |JOIN uwpF w USING (word)
+       |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
 
   /** The 256-token packing replay shared by t18 and q35: cumulative
     * window over `from`(doc_id, n), then the seq_id explode rollup. */
@@ -2075,6 +2245,8 @@ object PipelineQueries {
          |${packingTailSql("fc")}""".stripMargin,
     "t21_unigram_train" -> unigramTrainOracle,
     "t22_unigram_encode" -> unigramEncodeOracle,
+    "t29_bpe_oov_encode" -> bpeOovEncodeOracle,
+    "t30_unigram_oov_encode" -> unigramOovEncodeOracle,
     "t27_unigram_prune" ->
       // the t21 chain, then: leave-one-out DP per multi piece (the
       // excluded piece can only match its own full span — the CASE in
