@@ -398,44 +398,14 @@ object TextAnalysis {
     * three statistics), then vocabulary-sized aggregations; the corpus
     * never joins anything bigger than its own bigram positions. Scoring
     * the training corpus itself means every probed bigram is seen (c ≥ 1),
-    * the max() never binds, and no unseen-event branch is needed. */
+    * the max() never binds, and no unseen-event branch is needed.
+    *
+    * Order 2 of [[knNGramScore]] — the generalized backoff-chain builder
+    * emits exactly this plan (spec-pinned value-identical). */
   def knBigramScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", discount: Double = 0.75): DataFrame = {
-    val base = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), tokens(col(textCol)).as("toks"))
-    val bgx = base.select(col(idCol),
-        posexplode(graft.functions.WordNGrams.wordNGramsAll(col("toks"), 2)))
-      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
-        col("col").as("gram"))
-      // whitespace-split tokens → the space-joined gram splits back
-      // unambiguously (the bigramLmScore precedent)
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .withColumn("w2", substring_index(col("gram"), " ", -1))
-      .localCheckpoint(true)
-    val bcnt = bgx.groupBy(col("w1"), col("w2"))
-      .agg(count(lit(1)).as("cb"))
-      .localCheckpoint(true) // read 4×: probe, left stats, right stats, N
-    val left = bcnt.groupBy(col("w1"))
-      .agg(sum(col("cb")).as("cw1"), count(lit(1)).as("n1w1"))
-    val right = bcnt.groupBy(col("w2")).agg(count(lit(1)).as("ncont"))
-    val ntot = bcnt.agg(count(lit(1)).as("ntot"))
-    val p = greatest(col("cb").cast("double") - lit(discount), lit(0.0)) /
-        col("cw1").cast("double") +
-      ((lit(discount) * col("n1w1").cast("double")) /
-        col("cw1").cast("double")) *
-      (col("ncont").cast("double") / col("ntot").cast("double"))
-    val scored = bgx.join(bcnt, Seq("w1", "w2"))
-      .join(left, "w1").join(right, "w2")
-      .crossJoin(broadcast(ntot))
-      .select(col(idCol), col("pos"), log(p).as("lp"))
-    scored.groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
-        count(lit(1)).as("n_bigrams"))
-      .select(col(idCol), col("n_bigrams"),
-        round(aggregate(col("arr"), lit(0.0),
-            (acc, x) => acc + x.getField("lp")) /
-          col("n_bigrams").cast("double"), 4).as("avg_kn_logprob"))
-  }
+      textCol: String = "text", discount: Double = 0.75): DataFrame =
+    knNGramScore(docs, 2, idCol, textCol, discount,
+      nCol = "n_bigrams", avgCol = "avg_kn_logprob")
 
   /** Per-document interpolated Kneser-Ney TRIGRAM log-probability — the
     * full recursive backoff chain [[knBigramScore]] shows one layer of
@@ -459,53 +429,108 @@ object TextAnalysis {
     * SQL oracle nests identically), position-ordered fold, round 4 dp.
     * The corpus explodes once into positioned trigrams; everything else
     * is type-table-sized aggregation. Docs under 3 tokens drop (no
-    * trigram positions). */
+    * trigram positions).
+    *
+    * Order 3 of [[knNGramScore]]. */
   def knTrigramScore(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", discount: Double = 0.75): DataFrame = {
+      textCol: String = "text", discount: Double = 0.75): DataFrame =
+    knNGramScore(docs, 3, idCol, textCol, discount,
+      nCol = "n_trigrams", avgCol = "avg_kn3_logprob")
+
+  /** Per-document interpolated Kneser-Ney log-probability at ANY order
+    * n ≥ 2 — the generalized backoff-chain builder [[knBigramScore]] and
+    * [[knTrigramScore]] are orders 2 and 3 of (KenLM, the cited
+    * production perplexity filter, runs order 5):
+    *
+    *   P_n(wₙ|w₁..wₙ₋₁) = max(c(w₁..wₙ) − D, 0)/c(w₁..wₙ₋₁·)
+    *                    + (D · N1+(w₁..wₙ₋₁·)/c(w₁..wₙ₋₁·)) · P_{n−1}
+    *   P_k(wₙ|ctx_k)    = max(C_k(ctx_k wₙ) − D, 0)/ΣC_k(ctx_k·)
+    *                    + (D · N1+(ctx_k·)/ΣC_k(ctx_k·)) · P_{k−1}
+    *   P_1(wₙ)          = C_1(wₙ)/|C_2 types|
+    *
+    * where every middle layer runs on CONTINUATION counts — C_k is the
+    * distinct-type count of C_{k+1} grouped on its last k words (Chen &
+    * Goodman 1999's defining property of KN), with C_n the raw n-gram
+    * counts, and the whole chain derives from the ONE n-gram-type table.
+    *
+    * The dataflow is order-independent in shape: one corpus explode into
+    * positioned n-grams (pinned — probe side + count build), one
+    * map-side-partial groupBy to the n-gram-type table (pinned), then a
+    * cascade of type-table-sized aggregations (each C_k pinned when read
+    * thrice: probe join, its mid stats, the next level down). The
+    * probability column folds from P₁ upward in the ONE fixed
+    * parenthesization the SQL oracle nests identically; per-doc sums run
+    * in position order; the average rounds to 4 dp — the t13 exactness
+    * conventions at every order. Docs under n tokens drop (no n-gram
+    * positions). */
+  def knNGramScore(docs: DataFrame, order: Int, idCol: String = "doc_id",
+      textCol: String = "text", discount: Double = 0.75,
+      nCol: String = "n_ngrams", avgCol: String = "avg_kn_logprob")
+      : DataFrame = {
+    require(order >= 2, "Kneser-Ney backoff needs order >= 2")
+    val n = order
+    def w(i: Int) = col(s"w$i")
+    def wKeys(from: Int, to: Int) = (from to to).map(i => s"w$i")
     val base = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), tokens(col(textCol)).as("toks"))
-    val tgx = base.select(col(idCol),
-        posexplode(graft.functions.WordNGrams.wordNGramsAll(col("toks"), 3)))
+    // whitespace-split tokens → the space-joined gram splits back
+    // unambiguously (the bigramLmScore precedent)
+    def wExpr(i: Int) =
+      if (i == 1) substring_index(col("gram"), " ", 1)
+      else if (i == n) substring_index(col("gram"), " ", -1)
+      else substring_index(substring_index(col("gram"), " ", i), " ", -1)
+    val ngx0 = base.select(col(idCol),
+        posexplode(graft.functions.WordNGrams.wordNGramsAll(col("toks"), n)))
       .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
         col("col").as("gram"))
-      .withColumn("w1", substring_index(col("gram"), " ", 1))
-      .withColumn("w2",
-        substring_index(substring_index(col("gram"), " ", 2), " ", -1))
-      .withColumn("w3", substring_index(col("gram"), " ", -1))
+    val ngx = (1 to n).foldLeft(ngx0)((df, i) =>
+        df.withColumn(s"w$i", wExpr(i)))
       .localCheckpoint(true)
-    val t3 = tgx.groupBy(col("w1"), col("w2"), col("w3"))
+    val tN = ngx.groupBy(wKeys(1, n).map(col): _*)
       .agg(count(lit(1)).as("cb"))
-      .localCheckpoint(true) // read 5×: probe + the four statistics
-    val ctxT = t3.groupBy(col("w1"), col("w2"))
+      .localCheckpoint(true) // read by the probe + every statistic below
+    val ctxT = tN.groupBy(wKeys(1, n - 1).map(col): _*)
       .agg(sum(col("cb")).as("ctx"), count(lit(1)).as("n1ctx"))
-    // rows of t3 are distinct TYPES, so count(*) counts distinct w1
-    val contT = t3.groupBy(col("w2"), col("w3"))
-      .agg(count(lit(1)).as("contbg"))
-      .localCheckpoint(true) // read 3×: probe + mid stats + unigram
-    val midT = contT.groupBy(col("w2"))
-      .agg(sum(col("contbg")).as("midtot"), count(lit(1)).as("midn1"))
-    val contU = contT.groupBy(col("w3")).agg(count(lit(1)).as("cont"))
-    val ntot = contT.agg(count(lit(1)).as("ntot"))
+    // continuation cascade: C_k = distinct-type count of C_{k+1} on its
+    // last k words (rows of each table are distinct TYPES, so count(*)
+    // counts distinct predecessors)
+    val contByK = scala.collection.mutable.Map[Int, DataFrame](n -> tN)
+    (n - 1).to(1, -1).foreach { k =>
+      val c = contByK(k + 1).groupBy(wKeys(n - k + 1, n).map(col): _*)
+        .agg(count(lit(1)).as(s"c$k"))
+      contByK(k) = if (k >= 2) c.localCheckpoint(true) else c
+    }
+    val midByK = (2 to (n - 1)).map { k =>
+      k -> contByK(k).groupBy(wKeys(n - k + 1, n - 1).map(col): _*)
+        .agg(sum(col(s"c$k")).as(s"tot$k"), count(lit(1)).as(s"n1_$k"))
+    }.toMap
+    val ntot = contByK(2).agg(count(lit(1)).as("ntot"))
     val d = lit(discount)
-    val p2 = greatest(col("contbg").cast("double") - d, lit(0.0)) /
-        col("midtot").cast("double") +
-      ((d * col("midn1").cast("double")) / col("midtot").cast("double")) *
-      (col("cont").cast("double") / col("ntot").cast("double"))
-    val p3 = greatest(col("cb").cast("double") - d, lit(0.0)) /
+    // P folds from the continuation unigram upward — ONE fixed
+    // parenthesization at every layer, the oracle's nesting
+    val p1 = col("c1").cast("double") / col("ntot").cast("double")
+    val pMid = (2 to (n - 1)).foldLeft(p1)((inner, k) =>
+      greatest(col(s"c$k").cast("double") - d, lit(0.0)) /
+          col(s"tot$k").cast("double") +
+        ((d * col(s"n1_$k").cast("double")) /
+          col(s"tot$k").cast("double")) * inner)
+    val pN = greatest(col("cb").cast("double") - d, lit(0.0)) /
         col("ctx").cast("double") +
-      ((d * col("n1ctx").cast("double")) / col("ctx").cast("double")) * p2
-    val scored = tgx.join(t3, Seq("w1", "w2", "w3"))
-      .join(ctxT, Seq("w1", "w2")).join(contT, Seq("w2", "w3"))
-      .join(midT, "w2").join(contU, "w3")
+      ((d * col("n1ctx").cast("double")) / col("ctx").cast("double")) * pMid
+    val joinedMid = (n - 1).to(2, -1).foldLeft(
+        ngx.join(tN, wKeys(1, n)).join(ctxT, wKeys(1, n - 1)))((df, k) =>
+      df.join(contByK(k), wKeys(n - k + 1, n))
+        .join(midByK(k), wKeys(n - k + 1, n - 1)))
+    val scored = joinedMid.join(contByK(1), Seq(s"w$n"))
       .crossJoin(broadcast(ntot))
-      .select(col(idCol), col("pos"), log(p3).as("lp"))
+      .select(col(idCol), col("pos"), log(pN).as("lp"))
     scored.groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("pos"), col("lp")))).as("arr"),
-        count(lit(1)).as("n_trigrams"))
-      .select(col(idCol), col("n_trigrams"),
+        count(lit(1)).as(nCol))
+      .select(col(idCol), col(nCol),
         round(aggregate(col("arr"), lit(0.0),
             (acc, x) => acc + x.getField("lp")) /
-          col("n_trigrams").cast("double"), 4).as("avg_kn3_logprob"))
+          col(nCol).cast("double"), 4).as(avgCol))
   }
 
   /** Character-level Shannon entropy per document (bits/char) — the

@@ -1240,6 +1240,21 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t28 — interpolated Kneser-Ney ORDER-4 LM score
+    * ([[graft.pipeline.TextAnalysis.knNGramScore]] at order 4): the
+    * generalized backoff-chain builder t23/t24 are orders 2/3 of, one
+    * layer from KenLM's production order 5 — discounted raw 4-grams over
+    * two continuation-count layers over the continuation unigram, every
+    * statistic cascading from ONE 4-gram-type table. Full value oracle
+    * with the identically-nested arithmetic, position-ordered fold,
+    * round 4 dp (MATERIALIZED CTEs — the t24 runaway-plan lesson). */
+  def t28Kn4LmScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.TextAnalysis.knNGramScore(Tables.documents(spark, d),
+        4, nCol = "n_4grams", avgCol = "avg_kn4_logprob")
+      .orderBy($"doc_id")
+  }
+
   /** t27 — SentencePiece PRUNING ([[graft.pipeline.Unigram.prune]], the
     * shrink half of Kudo 2018's loop t21's EM alone doesn't run): every
     * multi piece is loss-ranked by count × (own score − best
@@ -1537,6 +1552,7 @@ object PipelineQueries {
     "t25_tokenizer_eval" -> (t25TokenizerEval _),
     "t26_bpe_tokenize" -> (t26BpeTokenize _),
     "t27_unigram_prune" -> (t27UnigramPrune _),
+    "t28_kn4_lm_score" -> (t28Kn4LmScore _),
     "t29_bpe_oov_encode" -> (t29BpeOovEncode _),
     "t30_unigram_oov_encode" -> (t30UnigramOovEncode _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
@@ -2406,6 +2422,64 @@ object PipelineQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_trigrams,
         |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
         |        / count(*), 4) AS avg_kn3_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t28_kn4_lm_score" ->
+      // the t24 chain one more order up: 4-gram positions → type table →
+      // context stats → two continuation layers (c3/m3, c2/m2) → the
+      // continuation unigram, the ln operand nested IDENTICALLY to the
+      // engine's fold-from-P1-upward. Every multiply-referenced CTE
+      // MATERIALIZED (the t24 runaway-plan lesson).
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |qgx AS MATERIALIZED (
+        |  SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2,
+        |    p.w3 AS w3, p.w4 AS w4
+        |  FROM (SELECT doc_id,
+        |          [struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1],
+        |                       w3 := toks[i+2], w4 := toks[i+3])
+        |           for i in generate_series(1, len(toks)-3)] AS pairs
+        |        FROM t) b, unnest(b.pairs) AS u(p)),
+        |t4 AS MATERIALIZED (SELECT w1, w2, w3, w4, count(*)::BIGINT AS cb
+        |       FROM qgx GROUP BY w1, w2, w3, w4),
+        |ctxT AS MATERIALIZED (SELECT w1, w2, w3, SUM(cb)::BIGINT AS ctx,
+        |           COUNT(*)::BIGINT AS n1ctx
+        |         FROM t4 GROUP BY w1, w2, w3),
+        |c3 AS MATERIALIZED (SELECT w2, w3, w4, COUNT(*)::BIGINT AS c3
+        |       FROM t4 GROUP BY w2, w3, w4),
+        |m3 AS MATERIALIZED (SELECT w2, w3, SUM(c3)::BIGINT AS tot3,
+        |         COUNT(*)::BIGINT AS n1_3
+        |       FROM c3 GROUP BY w2, w3),
+        |c2 AS MATERIALIZED (SELECT w3, w4, COUNT(*)::BIGINT AS c2
+        |       FROM c3 GROUP BY w3, w4),
+        |m2 AS MATERIALIZED (SELECT w3, SUM(c2)::BIGINT AS tot2,
+        |         COUNT(*)::BIGINT AS n1_2
+        |       FROM c2 GROUP BY w3),
+        |c1 AS MATERIALIZED (SELECT w4, COUNT(*)::BIGINT AS c1
+        |       FROM c2 GROUP BY w4),
+        |nt AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS ntot FROM c2),
+        |s AS (
+        |  SELECT x.doc_id, x.pos,
+        |    ln(GREATEST(b.cb::DOUBLE - 0.75, 0.0) / c.ctx::DOUBLE +
+        |       ((0.75 * c.n1ctx::DOUBLE) / c.ctx::DOUBLE) *
+        |       (GREATEST(g3.c3::DOUBLE - 0.75, 0.0) / k3.tot3::DOUBLE +
+        |        ((0.75 * k3.n1_3::DOUBLE) / k3.tot3::DOUBLE) *
+        |        (GREATEST(g2.c2::DOUBLE - 0.75, 0.0) / k2.tot2::DOUBLE +
+        |         ((0.75 * k2.n1_2::DOUBLE) / k2.tot2::DOUBLE) *
+        |         (u.c1::DOUBLE / nt.ntot::DOUBLE)))) AS lp
+        |  FROM qgx x
+        |  JOIN t4 b ON x.w1 = b.w1 AND x.w2 = b.w2 AND x.w3 = b.w3
+        |    AND x.w4 = b.w4
+        |  JOIN ctxT c ON x.w1 = c.w1 AND x.w2 = c.w2 AND x.w3 = c.w3
+        |  JOIN c3 g3 ON x.w2 = g3.w2 AND x.w3 = g3.w3 AND x.w4 = g3.w4
+        |  JOIN m3 k3 ON x.w2 = k3.w2 AND x.w3 = k3.w3
+        |  JOIN c2 g2 ON x.w3 = g2.w3 AND x.w4 = g2.w4
+        |  JOIN m2 k2 ON x.w3 = k2.w3
+        |  JOIN c1 u ON x.w4 = u.w4
+        |  CROSS JOIN nt)
+        |SELECT doc_id, count(*)::BIGINT AS n_4grams,
+        |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
+        |        / count(*), 4) AS avg_kn4_logprob
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q34_bpe_shards" ->
       // the t16 merge chain → per-doc BPE counts → q27's serpentine

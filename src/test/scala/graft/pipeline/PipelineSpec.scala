@@ -880,6 +880,57 @@ class PipelineSpec extends SparkSpec {
     assert(pBca > pAbc && pBca > pCab)
   }
 
+  test("Kneser-Ney order-4 score: generalized backoff chain matches a " +
+    "driver-side reference at every layer") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c a b c d a"), (2L, "b c a b c"),
+      (3L, "c d a b"))
+    val docs = corpus.toDF("doc_id", "text")
+    val n = 4
+    val D = 0.75
+    // independent reference: the same continuation cascade and the same
+    // fixed parenthesization, over plain Scala maps
+    val toks = corpus.map { case (id, t) =>
+      id -> t.toLowerCase.trim.split("\\s+").toVector }
+    val grams = toks.flatMap { case (id, ts) =>
+      ts.sliding(n).filter(_.size == n).zipWithIndex
+        .map { case (g, i) => (id, i + 1, g.toVector) } }
+    val tN = grams.groupBy(_._3).map { case (g, xs) => g -> xs.size.toLong }
+    val contByK = scala.collection.mutable
+      .Map[Int, Map[Vector[String], Long]](n -> tN)
+    (n - 1).to(1, -1).foreach { k =>
+      contByK(k) = contByK(k + 1).keys.toSeq.groupBy(_.takeRight(k))
+        .map { case (key, ks) => key -> ks.size.toLong }
+    }
+    val ctx = tN.toSeq.groupBy(_._1.take(n - 1))
+      .map { case (key, xs) => key -> (xs.map(_._2).sum, xs.size.toLong) }
+    val mids = (2 to n - 1).map { k =>
+      k -> contByK(k).toSeq.groupBy(_._1.take(k - 1))
+        .map { case (key, xs) => key -> (xs.map(_._2).sum, xs.size.toLong) }
+    }.toMap
+    val ntot = contByK(2).size.toLong
+    def p(g: Vector[String]): Double = {
+      var acc = contByK(1)(Vector(g.last)).toDouble / ntot
+      (2 to n - 1).foreach { k =>
+        val ck = contByK(k)(g.takeRight(k)).toDouble
+        val (tot, n1) = mids(k)(g.takeRight(k).take(k - 1))
+        acc = math.max(ck - D, 0.0) / tot + ((D * n1) / tot) * acc
+      }
+      val (ct, n1c) = ctx(g.take(n - 1))
+      math.max(tN(g).toDouble - D, 0.0) / ct + ((D * n1c) / ct) * acc
+    }
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = grams.groupBy(_._1).map { case (id, xs) =>
+      val lps = xs.sortBy(_._2).map(x => math.log(p(x._3)))
+      (id, lps.size.toLong, r4(lps.foldLeft(0.0)(_ + _) / lps.size))
+    }
+    val got = TextAnalysis.knNGramScore(docs, 4,
+        nCol = "n_4grams", avgCol = "avg_kn4_logprob")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq.sortBy(_._1) === want.toSeq.sortBy(_._1))
+  }
+
   test("chunk spans cover every token with exact overlap arithmetic") {
     import spark.implicits._
     val docs = Seq(

@@ -32,7 +32,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q13_sketch_stats", // 1-row sketch aggregate broadcast vs the scan
     "q30_quality_classifier", // 1-row (Npos,Nneg) totals + bias broadcasts
     "t23_kn_lm_score", // 1-row distinct-bigram total broadcast into scores
-    "t24_kn3_lm_score") // 1-row continuation-type total broadcast likewise
+    "t24_kn3_lm_score", // 1-row continuation-type total broadcast likewise
+    "t28_kn4_lm_score") // same 1-row total, order-4 chain
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfTiny)
