@@ -1320,6 +1320,22 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t31 — unigram encode through the PERSISTED-MODEL lifecycle (the
+    * s07/s10 build-once / encode-many pattern on the tokenizer side):
+    * write the t21 model with [[graft.pipeline.Unigram.writeModel]],
+    * read it back, and encode the corpus from the RE-READ model — a
+    * lossy parquet round trip (scores, counts, or the maxPieceLen meta)
+    * would flip segmentations and fail the t22 oracle this gate shares
+    * verbatim. */
+  def t31UnigramModelIo(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("graft_um_model")
+    graft.pipeline.Unigram.writeModel(spark, unigramShared(spark, d), dir)
+    val m2 = graft.pipeline.Unigram.readModel(spark, dir)
+    graft.pipeline.Unigram.encodeTokenCounts(Tables.documents(spark, d), m2)
+      .orderBy($"doc_id")
+  }
+
   /** q35 — the PRETRAINING DATA JOB end to end, in ONE declarative
     * plan: Gopher quality filter (t19's rules) → BPE tokenization under
     * the t16 vocab (broadcast dictionary join) → 256-token sequence
@@ -1555,6 +1571,7 @@ object PipelineQueries {
     "t28_kn4_lm_score" -> (t28Kn4LmScore _),
     "t29_bpe_oov_encode" -> (t29BpeOovEncode _),
     "t30_unigram_oov_encode" -> (t30UnigramOovEncode _),
+    "t31_unigram_model_io" -> (t31UnigramModelIo _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2263,6 +2280,9 @@ object PipelineQueries {
     "t22_unigram_encode" -> unigramEncodeOracle,
     "t29_bpe_oov_encode" -> bpeOovEncodeOracle,
     "t30_unigram_oov_encode" -> unigramOovEncodeOracle,
+    // the persisted-model round trip must reproduce t22's encode exactly,
+    // so t31 shares its oracle verbatim (the st12/t17 precedent)
+    "t31_unigram_model_io" -> unigramEncodeOracle,
     "t27_unigram_prune" ->
       // the t21 chain, then: leave-one-out DP per multi piece (the
       // excluded piece can only match its own full span — the CASE in
