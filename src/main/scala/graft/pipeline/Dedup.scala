@@ -869,6 +869,16 @@ object Dedup {
   private val coverageVouched = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, String), Unit]
 
+  /** Evict vouches whose SparkSession has STOPPED — the memo is
+    * process-lifetime and strongly holds its sessions as key parts, so
+    * a long-lived multi-session JVM would otherwise retain every dead
+    * session's entries forever. Swept on each probe access: O(entries)
+    * isStopped flag reads, no Spark work. */
+  private def sweepStoppedVouches(): Unit =
+    coverageVouched.keysIterator
+      .filter(_._1.sparkContext.isStopped)
+      .foreach(coverageVouched.remove)
+
   private def corpusFingerprint(df: DataFrame): String = {
     val sb = new StringBuilder
     df.queryExecution.analyzed.foreach {
@@ -932,6 +942,7 @@ object Dedup {
       threshold: Double = 0.8, idCol: String = "doc_id",
       textCol: String = "text", checkCoverage: Boolean = true): DataFrame = {
     val spark = newDocs.sparkSession
+    sweepStoppedVouches()
     val (w, nh, rpb) = readBandMeta(spark, dir)
     val key = (spark, normDir(spark, dir), corpusFingerprint(corpus))
     val check = checkCoverage && !coverageVouched.contains(key)

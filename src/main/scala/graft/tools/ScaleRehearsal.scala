@@ -91,21 +91,61 @@ object ScaleRehearsal {
       (i, Array.fill(cnt)(word(i)).mkString(" "))
     }.toDF("doc_id", "text").repartition(32).localCheckpoint(true)
     val merges = 1024
+    def replicated(mult: Int): DataFrame =
+      if (mult == 1) base
+      else base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          col("text"))
+        .repartition(32).localCheckpoint(true)
+    var wideModel: graft.pipeline.Bpe.Model = null
     Seq(1, 4).foreach { mult =>
-      val docs =
-        if (mult == 1) base
-        else base.crossJoin(spark.range(mult).toDF("rep"))
-          .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
-            col("text"))
-          .repartition(32).localCheckpoint(true)
+      val docs = replicated(mult)
       val t0 = System.nanoTime()
       val m = graft.pipeline.Bpe.train(docs, merges)
+      if (mult == 1) wideModel = m
       val secs = (System.nanoTime() - t0) / 1e9
       println(f"[rehearsal] bpewide train x$mult corpus ($W-word vocab): " +
         f"$secs%.1fs merges=${m.merges.size} " +
         f"driverRounds=${m.driverRounds} " +
         f"avgBatch=${m.merges.size.toDouble / m.driverRounds}%.1f " +
         f"perMerge=${secs / m.merges.size}%.4fs")
+    }
+    // the ENCODE surface at production merge count: tokenizeStream's
+    // greedy kernel has a constant-size plan and per-word cost
+    // independent of merges, so the 1,024-merge model must stream-encode
+    // in the same cost family as a 20-merge one (the per-merge fold
+    // chain it replaced could not even pass Catalyst analysis at this
+    // depth). x1 vs x4 pins corpus-linearity.
+    Seq(1, 4).foreach { mult =>
+      val docs = replicated(mult)
+      val t0 = System.nanoTime()
+      val toks = graft.streaming.EventStreams
+        .tokenizeStream(docs, wideModel.merges)
+        .agg(org.apache.spark.sql.functions.sum(col("n_bpe_tokens")))
+        .head().getLong(0)
+      println(f"[rehearsal] bpewide tokenizeStream x$mult " +
+        f"(1024-merge model): ${(System.nanoTime() - t0) / 1e9}%.1fs " +
+        f"bpeTokens=$toks")
+    }
+    // unigram-LM at WIDE vocabulary (the t21 rehearsal varies corpus
+    // size only; here the VOCAB-sized steps grow): seedSize 8192 over
+    // the 50k-word corpus — per-EM-round cost and the driver-side
+    // leave-one-out prune must stay interactive, and x4 corpus must not
+    // move the per-round cost (every E-step is word-table-sized)
+    Seq(1, 4).foreach { mult =>
+      val docs = replicated(mult)
+      val iters = 3
+      val t0 = System.nanoTime()
+      val um = graft.pipeline.Unigram.train(docs, iters,
+        seedSize = 8192, maxPieceLen = 6)
+      val tTrain = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val pruned = graft.pipeline.Unigram.prune(docs, um, 4096)
+      val tPrune = (System.nanoTime() - t1) / 1e9
+      println(f"[rehearsal] bpewide unigram x$mult (seed 8192): " +
+        f"train $tTrain%.1fs (${tTrain / iters}%.1fs/round, " +
+        f"${um.pieces.size} pieces) " +
+        f"prune->4096 $tPrune%.1fs (${pruned.pieces.size} pieces)")
     }
   }
 
@@ -384,6 +424,24 @@ object ScaleRehearsal {
     // the curve that makes distributed BPE viable at 100 TB
     time(s"t16 BPE train (20 merges) x$k corpus") {
       graft.pipeline.Bpe.train(docs, 20).vocab.count()
+    }
+    // encode dictionary-join family: the guarded broadcast path and the
+    // FORCED shuffled fallback (the path a 10⁸–10⁹-row web-scale
+    // distinct-word table takes — the probe limit 0 trips the guard
+    // without a probe job) must sit in the same corpus-token-linear cost
+    // family: one explode + one equi-join either way, the corpus never
+    // collects anywhere
+    val t17Labels = Seq(s"t17 encode (broadcast dict) x$k",
+      s"t17 encode (forced shuffled-fallback dict) x$k")
+    if (t17Labels.exists(l => onlyRow.forall(l.contains))) {
+      val encModel = graft.pipeline.Bpe.train(docs, 20)
+      time(t17Labels.head) {
+        graft.pipeline.Bpe.encodeTokenCounts(docs, encModel).count()
+      }
+      time(t17Labels(1)) {
+        graft.pipeline.Bpe.encodeTokenCounts(docs, encModel,
+          dictBroadcastLimit = 0L).count()
+      }
     }
     // DEEP batched train (the t20 shape): total time / merges must stay
     // flat in corpus size, and the batched driver loop must need FEWER
