@@ -484,7 +484,8 @@ object Bpe {
     * the build-once / encode-many lifecycle, mirroring
     * [[Similarity.writePqIndex]]: train on one corpus snapshot, encode
     * every later batch from any session against the frozen vocab (OOV
-    * words route through [[encodeWord]] with the re-read merges). */
+    * words route through [[encodeWordGreedy]] under the re-read merges'
+    * rank map — the total-encode contract survives the round trip). */
   def writeModel(spark: SparkSession, model: Model, dir: String): Unit = {
     mergeTable(spark, model).write.mode("overwrite")
       .parquet(s"$dir/merges")

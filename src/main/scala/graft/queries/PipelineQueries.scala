@@ -1443,9 +1443,10 @@ object PipelineQueries {
     * [[graft.pipeline.Packing.globalRankDesc]]'s two-pass distributed
     * rank, and rank r deals to shard r%n on even passes, n-1-r%n on odd —
     * so shard balance is measured in the unit the trainer actually pays
-    * (subword tokens), not whitespace words. Docs whose every word is
-    * out-of-vocabulary drop at the dictionary join on BOTH engines (the
-    * t17 contract). Oracle: the unrolled merge chain → per-doc counts →
+    * (subword tokens), not whitespace words (the gate corpus is fully
+    * in-vocabulary, so the total-encode OOV leg contributes nothing and
+    * both engines count identically). Oracle: the unrolled merge chain
+    * → per-doc counts →
     * the q27 serpentine replay, all integers. */
   def q34BpeShards(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._

@@ -110,14 +110,15 @@ object StreamQueries {
       .orderBy(col("id_a"), col("id_b"))
 
   /** st12 — TOKENIZE AT INGEST ([[EventStreams.tokenizeStream]]): the
-    * streaming twin of t17 — stateless per-row merge folds under the
-    * broadcast-able merge list, because an arrival stream has no
+    * streaming twin of t17 — stateless per-row merge-priority greedy
+    * encoding under one broadcast rank map (constant-size plan, cost
+    * independent of merge count), because an arrival stream has no
     * distinct-word table to dictionary-join. The gate runs the batch leg
     * (the plan is stream-legal: no state, no watermark) against t17's
-    * own oracle (the fold path equals the dictionary join on a
-    * self-trained corpus — see tokenizeStream's OOV contract);
-    * StreamingSpec pins the real readStream run equal to the batch
-    * dictionary join. */
+    * own oracle (the greedy kernel equals the dictionary join on a
+    * self-trained corpus — spec-pinned, as is batch == stream on
+    * planted-OOV corpora); StreamingSpec pins the real readStream run
+    * equal to the batch dictionary join. */
   def st12StreamTokenize(spark: SparkSession, d: String): DataFrame =
     EventStreams.tokenizeStream(Tables.documents(spark, d),
         PipelineQueries.bpeShared(spark, d).merges)
@@ -138,8 +139,8 @@ object StreamQueries {
     "st06_content_dedup" -> (st06ContentDedup _))
 
   val oracle: Map[String, String] = Map(
-    // the per-row fold equals the dictionary join exactly on the
-    // self-trained gate corpus, so st12 shares t17's oracle verbatim
+    // the per-row greedy kernel equals the dictionary join exactly on
+    // the self-trained gate corpus, so st12 shares t17's oracle verbatim
     "st12_stream_tokenize" -> PipelineQueries.bpeEncodeOracle,
     "st11_near_dup" ->
       // brute all-pairs word-5-shingle jaccard (the d11 oracle) — the LSH

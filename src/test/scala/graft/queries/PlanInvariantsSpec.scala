@@ -247,6 +247,16 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("t17's encode dictionary rides broadcast joins under the guard — " +
+    "both the known-word inner leg and the OOV anti leg") {
+    val p = plan("t17_bpe_encode")
+    assert(p.contains("BroadcastHashJoin"),
+      s"t17 lost its guarded dictionary broadcast:\n$p")
+    assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
+      s"t17's OOV anti-join is not broadcast at gate scale:\n$p")
+  }
+
   test("path expander broadcasts the frontier only under the size guard") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
