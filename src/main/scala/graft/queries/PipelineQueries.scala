@@ -1362,6 +1362,22 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t32 — BPE encode through the PERSISTED-MODEL lifecycle (t31's twin
+    * on the BPE side): write the t16 model with
+    * [[graft.pipeline.Bpe.writeModel]], read it back, and encode from
+    * the RE-READ model against t17's oracle verbatim — the merge list
+    * (feeding the OOV greedy leg's rank map) and the encoded vocabulary
+    * (the dictionary join side) must both survive the parquet round
+    * trip exactly. */
+  def t32BpeModelIo(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = graft.util.Scratch.dir("graft_bpe_model")
+    graft.pipeline.Bpe.writeModel(spark, bpeShared(spark, d), dir)
+    val m2 = graft.pipeline.Bpe.readModel(spark, dir)
+    graft.pipeline.Bpe.encodeTokenCounts(Tables.documents(spark, d), m2)
+      .orderBy($"doc_id")
+  }
+
   /** q35 — the PRETRAINING DATA JOB end to end, in ONE declarative
     * plan: Gopher quality filter (t19's rules) → BPE tokenization under
     * the t16 vocab (broadcast dictionary join) → 256-token sequence
@@ -1599,6 +1615,7 @@ object PipelineQueries {
     "t29_bpe_oov_encode" -> (t29BpeOovEncode _),
     "t30_unigram_oov_encode" -> (t30UnigramOovEncode _),
     "t31_unigram_model_io" -> (t31UnigramModelIo _),
+    "t32_bpe_model_io" -> (t32BpeModelIo _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2311,9 +2328,10 @@ object PipelineQueries {
     "t22_unigram_encode" -> unigramEncodeOracle,
     "t29_bpe_oov_encode" -> bpeOovEncodeOracle,
     "t30_unigram_oov_encode" -> unigramOovEncodeOracle,
-    // the persisted-model round trip must reproduce t22's encode exactly,
-    // so t31 shares its oracle verbatim (the st12/t17 precedent)
+    // the persisted-model round trips must reproduce t22's/t17's encode
+    // exactly, so t31/t32 share those oracles verbatim (the st12 precedent)
     "t31_unigram_model_io" -> unigramEncodeOracle,
+    "t32_bpe_model_io" -> bpeEncodeOracle,
     "t27_unigram_prune" ->
       // the t21 chain, then: leave-one-out DP per multi piece (the
       // excluded piece can only match its own full span — the CASE in

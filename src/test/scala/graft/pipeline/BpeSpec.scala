@@ -263,6 +263,59 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("greedy encoder equals the rank-order fold on randomized trained " +
+    "models over arbitrary probe words (collision-free vocabularies)") {
+    val rnd = new scala.util.Random(12345)
+    // driver-side rank-order fold: one greedy left-to-right
+    // non-overlapping pass per merge, in rank order — encodeWord's
+    // semantics without a Spark plan
+    def foldEncode(w: String, merges: Seq[(String, String)])
+        : Vector[String] = {
+      var syms = w.map(_.toString).toVector
+      merges.foreach { case (l, r) =>
+        val out = Vector.newBuilder[String]
+        var last: Option[String] = None
+        syms.foreach { x =>
+          if (last.contains(l) && x == r) { out += (l + r); last = None }
+          else { last.foreach(out += _); last = Some(x) }
+        }
+        last.foreach(out += _)
+        syms = out.result()
+      }
+      syms
+    }
+    val alpha = "abc"
+    var cases = 0
+    while (cases < 40) {
+      val wc = (0 until 5 + rnd.nextInt(8)).map { _ =>
+        (Seq.fill(1 + rnd.nextInt(7))(alpha(rnd.nextInt(3))).mkString,
+          1L + rnd.nextInt(9))
+      }.groupBy(_._1).map { case (w, xs) => w -> xs.map(_._2).sum }
+      val (merges, _) = referenceTrain(wc, 6)
+      // skip vocabularies where a merge's concatenation string-collides
+      // with an existing symbol — the one case where priority order and
+      // rank order may legitimately diverge (documented on
+      // encodeWordGreedy); real trained vocabularies are collision-free
+      val symbols =
+        scala.collection.mutable.HashSet[String]() ++ alpha.map(_.toString)
+      val collision = merges.exists { case (l, r, _) =>
+        val dup = symbols(l + r); symbols += (l + r); dup
+      }
+      if (!collision && merges.nonEmpty) {
+        cases += 1
+        val ranks = merges.zipWithIndex
+          .map { case ((l, r, _), i) => ((l, r), i + 1) }.toMap
+        (0 until 12).foreach { _ =>
+          val w = Seq.fill(1 + rnd.nextInt(8))(alpha(rnd.nextInt(3)))
+            .mkString // arbitrary, usually out-of-vocabulary
+          assert(Bpe.encodeWordGreedy(w, ranks).toVector ==
+            foldEncode(w, merges.map(m => (m._1, m._2))),
+            s"greedy != fold on '$w' under merges $merges")
+        }
+      }
+    }
+  }
+
   test("batch OOV leg: encodeTokenCounts is total and equals the " +
     "streaming greedy path on planted novel words") {
     val train = Seq((1L, "ab ab ab cd cd ee ab cd")).toDF("doc_id", "text")

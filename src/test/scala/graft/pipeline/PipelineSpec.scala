@@ -880,13 +880,16 @@ class PipelineSpec extends SparkSpec {
     assert(pBca > pAbc && pBca > pCab)
   }
 
-  test("Kneser-Ney order-4 score: generalized backoff chain matches a " +
-    "driver-side reference at every layer") {
+  test("Kneser-Ney order-4 and order-5 scores: generalized backoff " +
+    "chain matches a driver-side reference at every layer") {
+    Seq(4, 5).foreach(knOrderAgainstReference)
+  }
+
+  private def knOrderAgainstReference(n: Int): Unit = {
     import spark.implicits._
-    val corpus = Seq((1L, "a b c a b c d a"), (2L, "b c a b c"),
-      (3L, "c d a b"))
+    val corpus = Seq((1L, "a b c a b c d a b c"), (2L, "b c a b c d"),
+      (3L, "c d a b c"))
     val docs = corpus.toDF("doc_id", "text")
-    val n = 4
     val D = 0.75
     // independent reference: the same continuation cascade and the same
     // fixed parenthesization, over plain Scala maps
@@ -925,10 +928,11 @@ class PipelineSpec extends SparkSpec {
       val lps = xs.sortBy(_._2).map(x => math.log(p(x._3)))
       (id, lps.size.toLong, r4(lps.foldLeft(0.0)(_ + _) / lps.size))
     }
-    val got = TextAnalysis.knNGramScore(docs, 4,
-        nCol = "n_4grams", avgCol = "avg_kn4_logprob")
+    val got = TextAnalysis.knNGramScore(docs, n,
+        nCol = s"n_${n}grams", avgCol = s"avg_kn${n}_logprob")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
-    assert(got.toSeq.sortBy(_._1) === want.toSeq.sortBy(_._1))
+    assert(got.toSeq.sortBy(_._1) === want.toSeq.sortBy(_._1),
+      s"order-$n chain diverges from the reference")
   }
 
   test("chunk spans cover every token with exact overlap arithmetic") {
