@@ -50,12 +50,14 @@ import org.apache.spark.sql.functions._
   * distinct-word table is 10⁸–10⁹ rows and a forced broadcast hint is a
   * driver OOM, so past the guard the join runs as a plain shuffled
   * equi-join (the d16/d18 posture). Words the dictionary has never seen
-  * take the OOV leg: an anti-join (tail-sized, not corpus-sized) feeds
-  * [[encodeWordGreedy]], the merge-priority greedy encoder production
-  * BPE runs on novel words — so batch encoding is TOTAL and equals the
-  * streaming path ([[graft.streaming.EventStreams.tokenizeStream]]) on
-  * any corpus. The per-word rank-order fold ([[encodeWord]]) remains as
-  * the spec's independent oracle.
+  * take the OOV leg inside the SAME left-outer join: unmatched rows
+  * fall through a lazy CaseWhen into [[encodeWordGreedy]], the
+  * merge-priority greedy encoder production BPE runs on novel words —
+  * tail-sized work in a single corpus pass — so batch encoding is TOTAL
+  * and equals the streaming path
+  * ([[graft.streaming.EventStreams.tokenizeStream]]) on any corpus. The
+  * per-word rank-order fold ([[encodeWord]]) remains as the spec's
+  * independent oracle.
   */
 object Bpe {
 
@@ -362,7 +364,10 @@ object Bpe {
   def rankMap(merges: Seq[Merge]): Map[(String, String), Int] = {
     val m = scala.collection.mutable.HashMap.empty[(String, String), Int]
     merges.foreach { mg =>
-      if (!m.contains((mg.lhs, mg.rhs))) m.update((mg.lhs, mg.rhs), mg.rank)
+      val k = (mg.lhs, mg.rhs)
+      // true MIN over ranks (not first-seen), so the contract holds for
+      // any list order — mirrors the t29 oracle's MIN(rank)
+      if (m.get(k).forall(_ > mg.rank)) m.update(k, mg.rank)
     }
     m.toMap
   }
@@ -416,13 +421,16 @@ object Bpe {
   }
 
   /** Per-document BPE token counts — the corpus-scale encode path: one
-    * explode, one equi-join against the trained word table (broadcast
-    * only under the [[graft.util.LimitProbe]] guard — see the object
-    * doc), one per-doc aggregation. Words the dictionary has never seen
-    * take the OOV leg: an anti-join (tail-sized) routes them through
-    * [[encodeWordGreedy]] against the broadcast merge ranks, so encoding
-    * is TOTAL — `n_words` counts every whitespace word and novel words
-    * contribute their greedy subword count, exactly the streaming path's
+    * explode, ONE left-outer equi-join against the trained word table
+    * (broadcast only under the [[graft.util.LimitProbe]] guard — see the
+    * object doc), one per-doc aggregation. Words the dictionary has
+    * never seen take the OOV leg IN the same join: the unmatched rows'
+    * null dictionary count falls through a lazy CaseWhen into
+    * [[encodeWordGreedy]] against the broadcast merge ranks (the greedy
+    * kernel runs ONLY on the OOV tail — CaseWhen branches are lazy per
+    * row), so encoding is TOTAL in a single corpus pass — `n_words`
+    * counts every whitespace word and novel words contribute their
+    * greedy subword count, exactly the streaming path's
     * ([[graft.streaming.EventStreams.tokenizeStream]]) semantics. */
   def encodeTokenCounts(docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text",
@@ -437,10 +445,10 @@ object Bpe {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
-    val known = toks.join(dict, Seq("word")).select(col(idCol), col("n_sub"))
-    val unknown = toks.join(dict, Seq("word"), "left_anti")
-      .select(col(idCol), oovLen(col("word")).as("n_sub"))
-    known.unionAll(unknown)
+    toks.join(dict, Seq("word"), "left_outer")
+      .select(col(idCol),
+        when(col("n_sub").isNotNull, col("n_sub"))
+          .otherwise(oovLen(col("word"))).as("n_sub"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
   }
@@ -450,9 +458,10 @@ object Bpe {
     * in-order subword sequence under the trained vocab. Same 100 TB
     * shape as the count path — one POSITIONED explode (positions from
     * the raw token array, so empty-split artifacts cannot shift
-    * alignment), one guarded equi-join from word to its symbol array,
-    * one per-doc ordered flatten. OOV words take the greedy anti-join
-    * leg, so the stream is total (the [[encodeTokenCounts]] contract). */
+    * alignment), ONE guarded left-outer equi-join from word to its
+    * symbol array (unmatched rows fall through a lazy CaseWhen into the
+    * greedy kernel — the OOV tail only), one per-doc ordered flatten;
+    * the stream is total (the [[encodeTokenCounts]] contract). */
   def tokenStreams(docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text",
       dictBroadcastLimit: Long = DictBroadcastLimit): DataFrame = {
@@ -465,11 +474,10 @@ object Bpe {
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))))
       .filter(col("col") =!= "")
-    val known = pos.join(dict, col("col") === col("word"))
-      .select(col(idCol), col("pos"), col("syms"))
-    val unknown = pos.join(dict, col("col") === col("word"), "left_anti")
-      .select(col(idCol), col("pos"), oovSyms(col("col")).as("syms"))
-    known.unionAll(unknown)
+    pos.join(dict, col("col") === col("word"), "left_outer")
+      .select(col(idCol), col("pos"),
+        when(col("syms").isNotNull, col("syms"))
+          .otherwise(oovSyms(col("col"))).as("syms"))
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("pos"), col("syms"))))
         .as("arr"))

@@ -50,9 +50,12 @@ import org.apache.spark.sql.functions._
   * at least one segmentation — SentencePiece's required-character rule.
   * Characters the model has NEVER seen (an encode corpus ⊄ train
   * corpus) take the [[Unigram.UnkUlogp]] char-fallback — SentencePiece's
-  * `byte_fallback` in the character domain — so encoding is TOTAL on
+  * `byte_fallback` in the character domain — so ENCODING is total on
   * any input: an unseen character becomes its own piece at a fixed
-  * floor score instead of failing the job.
+  * floor score instead of failing the job. The TRAIN/PRUNE side keeps
+  * the loud coverage invariant (fallback off): a single-char piece
+  * wrongly dropped by a future EM change fails immediately instead of
+  * silently re-scoring its corpus occurrences at the floor.
   */
 object Unigram {
 
@@ -98,9 +101,16 @@ object Unigram {
 
   /** The Viterbi DP core: `(dpT, dpL)` forward tables for `word` under
     * `sc`, with `exclude` (if non-null) treated as absent from the
-    * vocabulary — the leave-one-out probe [[prune]]'s loss needs. */
+    * vocabulary — the leave-one-out probe [[prune]]'s loss needs.
+    *
+    * `fallback` selects the coverage posture: the TRAIN/PRUNE side runs
+    * with it off, so a coverage regression (a single-char piece wrongly
+    * dropped by EM) still fails LOUD instead of silently skewing counts
+    * at the floor score; the ENCODE side runs with it on, making
+    * segmentation total on any input. */
   private def viterbiDp(word: String, sc: collection.Map[String, Long],
-      maxPieceLen: Int, exclude: String): (Array[Long], Array[Int]) = {
+      maxPieceLen: Int, exclude: String, fallback: Boolean)
+      : (Array[Long], Array[Int]) = {
     val cps = codepoints(word)
     val n = cps.length
     val dpT = new Array[Long](n + 1)
@@ -112,14 +122,14 @@ object Unigram {
       var l = 1
       while (l <= maxPieceLen && l <= i) {
         val piece = new String(cps, i - l, l)
-        // l == 1 always yields a candidate: the trained score if the
-        // character is known, else the UnkUlogp char-fallback — so
-        // bestL ≥ 1 at every position BY CONSTRUCTION and encoding is
-        // total on any input (`exclude` is only ever a multi-char piece,
-        // the prune contract, so the fallback cannot mask an exclusion)
+        // with fallback, l == 1 always yields a candidate: the trained
+        // score if the character is known, else the UnkUlogp
+        // char-fallback — so bestL ≥ 1 at every position BY CONSTRUCTION
+        // (`exclude` is only ever a multi-char piece, the prune
+        // contract, so the fallback cannot mask an exclusion)
         val s0 = if (piece == exclude) None else sc.get(piece)
         val sv = if (s0.isDefined) s0
-          else if (l == 1) Some(UnkUlogp) else None
+          else if (fallback && l == 1) Some(UnkUlogp) else None
         sv match {
           case Some(s) =>
             val t = dpT(i - l) + s
@@ -132,6 +142,9 @@ object Unigram {
         }
         l += 1
       }
+      require(bestL > 0,
+        s"word '$word' not coverable at position $i — a single-character " +
+          "piece left the vocabulary (coverage invariant broken)")
       dpT(i) = bestT
       dpL(i) = bestL
       i += 1
@@ -141,11 +154,13 @@ object Unigram {
 
   /** The best segmentation of one word under `sc`: maximal total score,
     * ties to the longer LAST piece (then recursively on the prefix).
-    * Integer DP, O(len × maxPieceLen). Total on any input: characters
-    * absent from `sc` segment as single-char pieces at [[UnkUlogp]]. */
+    * Integer DP, O(len × maxPieceLen). With `fallback` (the encode
+    * posture) segmentation is total on any input: characters absent
+    * from `sc` segment as single-char pieces at [[UnkUlogp]]; without
+    * it (the train/prune posture) an uncovered character fails loud. */
   private[pipeline] def viterbi(word: String, sc: collection.Map[String, Long],
-      maxPieceLen: Int): Seq[String] = {
-    val (_, dpL) = viterbiDp(word, sc, maxPieceLen, exclude = null)
+      maxPieceLen: Int, fallback: Boolean = false): Seq[String] = {
+    val (_, dpL) = viterbiDp(word, sc, maxPieceLen, exclude = null, fallback)
     val cps = codepoints(word)
     var at = cps.length
     var acc = List.empty[String]
@@ -163,7 +178,8 @@ object Unigram {
   private[pipeline] def viterbiTotalExcluding(word: String,
       sc: collection.Map[String, Long], maxPieceLen: Int,
       exclude: String): Long = {
-    val (dpT, _) = viterbiDp(word, sc, maxPieceLen, exclude)
+    val (dpT, _) = viterbiDp(word, sc, maxPieceLen, exclude,
+      fallback = false)
     dpT(word.codePointCount(0, word.length))
   }
 
@@ -353,9 +369,11 @@ object Unigram {
     * broadcast hint is a driver OOM — past the guard the join runs
     * shuffled (the d16/d18 posture).
     *
-    * The guard probes the raw distinct-word frame (the cheap groupBy),
-    * not the Viterbi-mapped dictionary, so the per-word DP never runs
-    * twice. */
+    * The distinct-word frame is localCheckpoint-pinned so the corpus is
+    * scanned ONCE: the guard probe and the Viterbi dictionary both read
+    * the checkpointed blocks (vocabulary-sized — the right trade against
+    * a second full corpus pass; the ContextCleaner frees the blocks once
+    * the returned frame is unreferenced). */
   def encodeTokenCounts(docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text",
       dictBroadcastLimit: Long = Bpe.DictBroadcastLimit): DataFrame = {
@@ -365,9 +383,11 @@ object Unigram {
     val bc = spark.sparkContext.broadcast(sc)
     val maxLen = model.maxPieceLen
     val words = Bpe.wordCounts(docs, textCol).select(col("word"))
+      .localCheckpoint(true)
     val small = graft.util.LimitProbe.atMost(words, dictBroadcastLimit)
     val dict0 = words.as[String]
-      .map(w => (w, viterbi(w, bc.value, maxLen).length.toLong))
+      .map(w => (w, viterbi(w, bc.value, maxLen, fallback = true)
+        .length.toLong))
       .toDF("word", "n_pieces")
     val dict = if (small) broadcast(dict0) else dict0
     val toks = docs.filter(col(textCol).isNotNull)

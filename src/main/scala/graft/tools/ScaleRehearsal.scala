@@ -97,9 +97,13 @@ object ScaleRehearsal {
         .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
           col("text"))
         .repartition(32).localCheckpoint(true)
+    // built ONCE and shared by all three x1/x4 row families below — a
+    // per-loop rebuild would checkpoint three abandoned copies of the
+    // 4x corpus and pin their blocks for the rest of the run
+    val corpusBy = Map(1 -> base, 4 -> replicated(4))
     var wideModel: graft.pipeline.Bpe.Model = null
     Seq(1, 4).foreach { mult =>
-      val docs = replicated(mult)
+      val docs = corpusBy(mult)
       val t0 = System.nanoTime()
       val m = graft.pipeline.Bpe.train(docs, merges)
       if (mult == 1) wideModel = m
@@ -117,7 +121,7 @@ object ScaleRehearsal {
     // chain it replaced could not even pass Catalyst analysis at this
     // depth). x1 vs x4 pins corpus-linearity.
     Seq(1, 4).foreach { mult =>
-      val docs = replicated(mult)
+      val docs = corpusBy(mult)
       val t0 = System.nanoTime()
       val toks = graft.streaming.EventStreams
         .tokenizeStream(docs, wideModel.merges)
@@ -133,7 +137,7 @@ object ScaleRehearsal {
     // leave-one-out prune must stay interactive, and x4 corpus must not
     // move the per-round cost (every E-step is word-table-sized)
     Seq(1, 4).foreach { mult =>
-      val docs = replicated(mult)
+      val docs = corpusBy(mult)
       val iters = 3
       val t0 = System.nanoTime()
       val um = graft.pipeline.Unigram.train(docs, iters,

@@ -177,19 +177,25 @@ class UnigramSpec extends SparkSpec {
   }
 
   test("an unknown character falls back to a single-char piece at " +
-      "UnkUlogp — encoding is total (SentencePiece byte_fallback, char " +
-      "domain)") {
+      "UnkUlogp on the encode posture; the train posture still fails " +
+      "loud (coverage invariant)") {
     // 'b' is absent from the vocabulary: it must segment as its own
     // piece, and the neighbors still take their trained pieces
-    assert(Unigram.viterbi("abc", Map("a" -> -1L, "c" -> -1L), 6) ==
-      Seq("a", "b", "c"))
+    assert(Unigram.viterbi("abc", Map("a" -> -1L, "c" -> -1L), 6,
+      fallback = true) == Seq("a", "b", "c"))
     // the fallback never outbids a trained piece: 'ab' (-3) beats
     // [a, b-fallback] (-1 + UnkUlogp) even though both cover
-    assert(Unigram.viterbi("ab", Map("a" -> -1L, "ab" -> -3L), 6) ==
-      Seq("ab"))
+    assert(Unigram.viterbi("ab", Map("a" -> -1L, "ab" -> -3L), 6,
+      fallback = true) == Seq("ab"))
     // an entirely-unknown word segments to all single chars
-    assert(Unigram.viterbi("xyz", Map("a" -> -1L), 6) ==
-      Seq("x", "y", "z"))
+    assert(Unigram.viterbi("xyz", Map("a" -> -1L), 6,
+      fallback = true) == Seq("x", "y", "z"))
+    // train/prune posture (fallback off): an uncoverable word is a
+    // coverage-invariant violation and must raise, not absorb
+    val e = intercept[IllegalArgumentException] {
+      Unigram.viterbi("abc", Map("a" -> -1L, "c" -> -1L), 6)
+    }
+    assert(e.getMessage.contains("coverage"))
   }
 
   test("EM prunes abandoned multi-char pieces but never single chars") {
@@ -320,7 +326,8 @@ class UnigramSpec extends SparkSpec {
       .toDF("doc_id", "text")
     val got = Unigram.encodeTokenCounts(enc, m)
       .as[(Long, Long, Long)].collect().toSet
-    def n(w: String) = Unigram.viterbi(w, sc, m.maxPieceLen).size.toLong
+    def n(w: String) = Unigram.viterbi(w, sc, m.maxPieceLen,
+      fallback = true).size.toLong
     assert(got == Set(
       (1L, 2L, n("the") + n("fox")),
       (2L, 2L, n("quiz") + n("fox")),

@@ -247,14 +247,17 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
-  test("t17's encode dictionary rides broadcast joins under the guard — " +
-    "both the known-word inner leg and the OOV anti leg") {
+  test("t17's encode dictionary rides ONE guarded broadcast left-outer " +
+    "join — a single corpus pass carrying both the known-word hit and " +
+    "the OOV fall-through") {
     val p = plan("t17_bpe_encode")
-    assert(p.contains("BroadcastHashJoin"),
-      s"t17 lost its guarded dictionary broadcast:\n$p")
     assert(p.linesIterator.exists(l =>
-        l.contains("BroadcastHashJoin") && l.contains("LeftAnti")),
-      s"t17's OOV anti-join is not broadcast at gate scale:\n$p")
+        l.contains("BroadcastHashJoin") && l.contains("LeftOuter")),
+      s"t17 lost its guarded left-outer dictionary broadcast:\n$p")
+    // exactly one dictionary join: the union-of-two-legs shape scanned
+    // the exploded corpus twice
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1,
+      s"t17 encode joins the corpus more than once:\n$p")
   }
 
   test("path expander broadcasts the frontier only under the size guard") {
