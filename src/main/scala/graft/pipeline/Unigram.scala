@@ -188,13 +188,14 @@ object Unigram {
     * counts the M-step renormalizes. Map-side over the word table + one
     * vocabulary-sized groupBy. */
   private[pipeline] def viterbiCounts(words: DataFrame,
-      sc: Map[String, Long], maxPieceLen: Int): DataFrame = {
+      sc: Map[String, Long], maxPieceLen: Int,
+      fallback: Boolean = false): DataFrame = {
     val spark = words.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(sc)
     words.select(col("word"), col("cnt")).as[(String, Long)]
       .flatMap { case (w, c) =>
-        viterbi(w, bc.value, maxPieceLen).map(p => (p, c))
+        viterbi(w, bc.value, maxPieceLen, fallback).map(p => (p, c))
       }
       .toDF("piece", "cnt")
       .groupBy(col("piece")).agg(sum(col("cnt")).as("c"))
@@ -296,7 +297,16 @@ object Unigram {
     * The leave-one-out pass runs on the DRIVER over [[Model.pieces]] —
     * the vocabulary is driver-sized by construction (the caller's seed
     * budget; SentencePiece holds the same object in memory) and each
-    * probe is one O(len × maxPieceLen) integer DP. */
+    * probe is one O(len × maxPieceLen) integer DP.
+    *
+    * The corpus is CALLER-SUPPLIED (usually, but not necessarily, the
+    * train corpus), so the restricted E-step runs with the char
+    * fallback ON: a character the model never trained on segments at
+    * [[UnkUlogp]] instead of aborting the job, and — not being in the
+    * restricted inventory — contributes nothing to the re-estimated
+    * model. [[train]]'s own E-steps stay fallback-off (its corpus IS
+    * the alphabet source, so an uncovered character there means the EM
+    * loop itself broke the coverage rule and must fail loud). */
   def prune(docs: DataFrame, model: Model, targetMulti: Int,
       textCol: String = "text"): Model = {
     require(targetMulti >= 1, "need a positive multi-piece budget")
@@ -317,7 +327,7 @@ object Unigram {
       kept.map { case (p, c, _) => (p, c) }
     val sc2 = scores(restricted)
     val words = Bpe.wordCounts(docs, textCol).localCheckpoint(true)
-    val recount = viterbiCounts(words, sc2, maxLen)
+    val recount = viterbiCounts(words, sc2, maxLen, fallback = true)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     dropCheckpoint(words)
     val counts = restricted.flatMap { case (p, _) =>

@@ -1303,7 +1303,7 @@ object PipelineQueries {
     * every word REVERSED. Reversed words are novel under the t16 vocab
     * (except palindromes like 'a', deliberately kept: the known/OOV
     * split must interleave within one document), so the twin rows
-    * exercise the anti-join greedy leg while the originals ride the
+    * exercise the OOV greedy fall-through while the originals ride the
     * dictionary join. */
   private def oovCorpus(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("text")).unionAll(
@@ -1316,9 +1316,10 @@ object PipelineQueries {
 
   /** t29 — BPE encoding with PLANTED OOV documents: the t16 model
     * encodes a corpus holding word-reversed twins of a document slice,
-    * so the batch path's two legs both run — dictionary join for known
-    * words, the anti-join merge-priority greedy kernel
-    * ([[graft.pipeline.Bpe.encodeWordGreedy]]) for the novel tail — and
+    * so the batch path's two legs both run — the dictionary hit for
+    * known words, the left-outer fall-through into the merge-priority
+    * greedy kernel ([[graft.pipeline.Bpe.encodeWordGreedy]]) for the
+    * novel tail — and
     * `n_words` proves the total contract (every whitespace word counts,
     * known or not). The oracle replays BOTH legs: the t16 merge chain →
     * dictionary for known words, and a recursive-CTE greedy loop

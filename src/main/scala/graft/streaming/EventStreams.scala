@@ -364,9 +364,9 @@ object EventStreams {
     * apply — exactly what production BPE does to novel arrivals), and
     * `n_words` counts every whitespace word. [[graft.pipeline.Bpe
     * .encodeTokenCounts]] implements the SAME total contract batch-side
-    * (dictionary join for known words, the same greedy kernel on the
-    * anti-join tail), so batch == stream on any corpus — spec-pinned on
-    * both in-vocab and planted-OOV corpora. */
+    * (one left-outer dictionary join whose unmatched rows fall through
+    * to the same greedy kernel), so batch == stream on any corpus —
+    * spec-pinned on both in-vocab and planted-OOV corpora. */
   def tokenizeStream(docs: DataFrame,
       merges: Seq[graft.pipeline.Bpe.Merge],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {

@@ -299,6 +299,21 @@ class UnigramSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("prune over a corpus with characters outside the model alphabet " +
+    "completes (encode-posture E-step) and never adopts the novel chars") {
+    val train = Seq((1L, "aa aa aa ab ab b")).toDF("doc_id", "text")
+    val m = Unigram.train(train, 2, 16, 2)
+    // the prune corpus smuggles in 'z' — absent from the model alphabet;
+    // before the posture split this aborted the job, before round 12 it
+    // silently worked: the contract is it WORKS and 'z' stays out
+    val pruneCorpus = Seq((1L, "aa aa ab zz za b")).toDF("doc_id", "text")
+    val pruned = Unigram.prune(pruneCorpus, m, 1)
+    val pieces = pruned.pieces.map(_._1).toSet
+    assert(!pieces.exists(_.contains("z")),
+      s"novel char leaked into the pruned model: $pieces")
+    assert(pieces.contains("a") && pieces.contains("b"))
+  }
+
   test("encode dictionary broadcasts only under the LimitProbe guard; " +
     "the forced shuffled fallback returns identical results") {
     val docs = Seq((1L, "the quick fox"), (2L, "quick quick dog"))
