@@ -1281,6 +1281,18 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t33 — interpolated Kneser-Ney ORDER-5 LM score: KenLM's production
+    * order, straight from the same generalized chain builder as
+    * t23/t24/t28 — three continuation-count layers under the raw
+    * 5-grams. Same exactness conventions; oracle = the t28 chain plus
+    * one more MATERIALIZED continuation layer. */
+  def t33Kn5LmScore(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.TextAnalysis.knNGramScore(Tables.documents(spark, d),
+        5, nCol = "n_5grams", avgCol = "avg_kn5_logprob")
+      .orderBy($"doc_id")
+  }
+
   /** t27 — SentencePiece PRUNING ([[graft.pipeline.Unigram.prune]], the
     * shrink half of Kudo 2018's loop t21's EM alone doesn't run): every
     * multi piece is loss-ranked by count × (own score − best
@@ -1613,6 +1625,7 @@ object PipelineQueries {
     "t26_bpe_tokenize" -> (t26BpeTokenize _),
     "t27_unigram_prune" -> (t27UnigramPrune _),
     "t28_kn4_lm_score" -> (t28Kn4LmScore _),
+    "t33_kn5_lm_score" -> (t33Kn5LmScore _),
     "t29_bpe_oov_encode" -> (t29BpeOovEncode _),
     "t30_unigram_oov_encode" -> (t30UnigramOovEncode _),
     "t31_unigram_model_io" -> (t31UnigramModelIo _),
@@ -2550,6 +2563,75 @@ object PipelineQueries {
         |SELECT doc_id, count(*)::BIGINT AS n_4grams,
         |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
         |        / count(*), 4) AS avg_kn4_logprob
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t33_kn5_lm_score" ->
+      // the t28 chain at KenLM's order 5: one more continuation layer
+      // (c4/m4), identically-nested ln operand, MATERIALIZED throughout
+      """WITH t AS MATERIALIZED (
+        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL),
+        |pgx AS MATERIALIZED (
+        |  SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2,
+        |    p.w3 AS w3, p.w4 AS w4, p.w5 AS w5
+        |  FROM (SELECT doc_id,
+        |          [struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1],
+        |                       w3 := toks[i+2], w4 := toks[i+3],
+        |                       w5 := toks[i+4])
+        |           for i in generate_series(1, len(toks)-4)] AS pairs
+        |        FROM t) b, unnest(b.pairs) AS u(p)),
+        |t5 AS MATERIALIZED (
+        |  SELECT w1, w2, w3, w4, w5, count(*)::BIGINT AS cb
+        |  FROM pgx GROUP BY w1, w2, w3, w4, w5),
+        |ctxT AS MATERIALIZED (
+        |  SELECT w1, w2, w3, w4, SUM(cb)::BIGINT AS ctx,
+        |    COUNT(*)::BIGINT AS n1ctx
+        |  FROM t5 GROUP BY w1, w2, w3, w4),
+        |c4 AS MATERIALIZED (SELECT w2, w3, w4, w5, COUNT(*)::BIGINT AS c4
+        |       FROM t5 GROUP BY w2, w3, w4, w5),
+        |m4 AS MATERIALIZED (SELECT w2, w3, w4, SUM(c4)::BIGINT AS tot4,
+        |         COUNT(*)::BIGINT AS n1_4
+        |       FROM c4 GROUP BY w2, w3, w4),
+        |c3 AS MATERIALIZED (SELECT w3, w4, w5, COUNT(*)::BIGINT AS c3
+        |       FROM c4 GROUP BY w3, w4, w5),
+        |m3 AS MATERIALIZED (SELECT w3, w4, SUM(c3)::BIGINT AS tot3,
+        |         COUNT(*)::BIGINT AS n1_3
+        |       FROM c3 GROUP BY w3, w4),
+        |c2 AS MATERIALIZED (SELECT w4, w5, COUNT(*)::BIGINT AS c2
+        |       FROM c3 GROUP BY w4, w5),
+        |m2 AS MATERIALIZED (SELECT w4, SUM(c2)::BIGINT AS tot2,
+        |         COUNT(*)::BIGINT AS n1_2
+        |       FROM c2 GROUP BY w4),
+        |c1 AS MATERIALIZED (SELECT w5, COUNT(*)::BIGINT AS c1
+        |       FROM c2 GROUP BY w5),
+        |nt AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS ntot FROM c2),
+        |s AS (
+        |  SELECT x.doc_id, x.pos,
+        |    ln(GREATEST(b.cb::DOUBLE - 0.75, 0.0) / c.ctx::DOUBLE +
+        |       ((0.75 * c.n1ctx::DOUBLE) / c.ctx::DOUBLE) *
+        |       (GREATEST(g4.c4::DOUBLE - 0.75, 0.0) / k4.tot4::DOUBLE +
+        |        ((0.75 * k4.n1_4::DOUBLE) / k4.tot4::DOUBLE) *
+        |        (GREATEST(g3.c3::DOUBLE - 0.75, 0.0) / k3.tot3::DOUBLE +
+        |         ((0.75 * k3.n1_3::DOUBLE) / k3.tot3::DOUBLE) *
+        |         (GREATEST(g2.c2::DOUBLE - 0.75, 0.0) / k2.tot2::DOUBLE +
+        |          ((0.75 * k2.n1_2::DOUBLE) / k2.tot2::DOUBLE) *
+        |          (u.c1::DOUBLE / nt.ntot::DOUBLE))))) AS lp
+        |  FROM pgx x
+        |  JOIN t5 b ON x.w1 = b.w1 AND x.w2 = b.w2 AND x.w3 = b.w3
+        |    AND x.w4 = b.w4 AND x.w5 = b.w5
+        |  JOIN ctxT c ON x.w1 = c.w1 AND x.w2 = c.w2 AND x.w3 = c.w3
+        |    AND x.w4 = c.w4
+        |  JOIN c4 g4 ON x.w2 = g4.w2 AND x.w3 = g4.w3 AND x.w4 = g4.w4
+        |    AND x.w5 = g4.w5
+        |  JOIN m4 k4 ON x.w2 = k4.w2 AND x.w3 = k4.w3 AND x.w4 = k4.w4
+        |  JOIN c3 g3 ON x.w3 = g3.w3 AND x.w4 = g3.w4 AND x.w5 = g3.w5
+        |  JOIN m3 k3 ON x.w3 = k3.w3 AND x.w4 = k3.w4
+        |  JOIN c2 g2 ON x.w4 = g2.w4 AND x.w5 = g2.w5
+        |  JOIN m2 k2 ON x.w4 = k2.w4
+        |  JOIN c1 u ON x.w5 = u.w5
+        |  CROSS JOIN nt)
+        |SELECT doc_id, count(*)::BIGINT AS n_5grams,
+        |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
+        |        / count(*), 4) AS avg_kn5_logprob
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q34_bpe_shards" ->
       // the t16 merge chain → per-doc BPE counts → q27's serpentine

@@ -33,7 +33,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q30_quality_classifier", // 1-row (Npos,Nneg) totals + bias broadcasts
     "t23_kn_lm_score", // 1-row distinct-bigram total broadcast into scores
     "t24_kn3_lm_score", // 1-row continuation-type total broadcast likewise
-    "t28_kn4_lm_score") // same 1-row total, order-4 chain
+    "t28_kn4_lm_score", // same 1-row total, order-4 chain
+    "t33_kn5_lm_score") // same 1-row total, order-5 chain
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfTiny)

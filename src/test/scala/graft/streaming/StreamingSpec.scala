@@ -186,6 +186,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("tokenizeStream's plan is constant in merge count: a 32k-merge " +
+    "production model analyzes and runs (the fold chain could not)") {
+    import spark.implicits._
+    // 32k synthetic merges that never apply — the point is PLAN size:
+    // the rank map rides one broadcast, the plan holds one UDF call
+    val merges = (1 to 32768).map(i =>
+      graft.pipeline.Bpe.Merge(i, s"x$i", s"y$i", 1L))
+    val docs = Seq((1L, "ab cd"), (2L, "e")).toDF("doc_id", "text")
+    val out = EventStreams.tokenizeStream(docs, merges)
+    val got = out.as[(Long, Long, Long)].collect().toSet
+    // no merge applies: every word stays character-split
+    assert(got == Set((1L, 2L, 4L), (2L, 1L, 1L)))
+    // and a real model at the same plan shape still merges
+    val m2 = Seq(graft.pipeline.Bpe.Merge(1, "a", "b", 9L))
+    assert(EventStreams.tokenizeStream(docs, m2)
+      .as[(Long, Long, Long)].collect().toSet ==
+      Set((1L, 2L, 3L), (2L, 1L, 1L)))
+  }
+
   test("content dedup stream is deterministic under adversarial arrival order") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
