@@ -138,6 +138,43 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
 
+  /** Email / phone / IPv4 patterns of [[piiScrub]] — deliberately inside
+    * the regex dialect Java (Spark codegen) and RE2 (the DuckDB oracle)
+    * agree on: character classes, bounded intervals, word boundaries; no
+    * lookaround, no backreferences. */
+  private[pipeline] val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private[pipeline] val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private[pipeline] val PiiIpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
+
+  /** PII scrub — the C4/RefinedWeb-family cleanup stage (Raffel et al.
+    * 2020 §2.2's line filters; Penedo et al. 2023 §G run exactly this
+    * class of regex redaction before training): per document, the match
+    * counts for email / NANP-phone / IPv4 patterns and the md5 of the
+    * REDACTED text (matches replaced by `<EMAIL>`/`<PHONE>`/`<IP>`, in
+    * that fixed order — email first so its digit runs can never be
+    * re-matched as phone/IP fragments). Counts are exact integers and
+    * the redacted string is md5-pinned, so the oracle replays the whole
+    * scrub byte-for-byte.
+    *
+    * Scale: pure map-side codegen'd regexp work — no shuffle, no join;
+    * the scan feeds `regexp_count`/`regexp_replace` inside whole-stage
+    * codegen and the per-doc rollup is the projection itself. */
+  def piiScrub(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val clean = regexp_replace(
+      regexp_replace(
+        regexp_replace(t, PiiEmailRe, "<EMAIL>"),
+        PiiPhoneRe, "<PHONE>"),
+      PiiIpRe, "<IP>")
+    docs.filter(t.isNotNull)
+      .select(col(idCol),
+        regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_emails"),
+        regexp_count(t, lit(PiiPhoneRe)).cast("long").as("n_phones"),
+        regexp_count(t, lit(PiiIpRe)).cast("long").as("n_ips"),
+        md5(clean).as("clean_md5"))
+  }
+
   /** Repetition stats (the Gopher repetitive-content filter, Rae et al.
     * 2021 §A1.1): per document, the total n-gram occurrence count and the
     * occurrence count of the MOST FREQUENT n-gram — a doc whose top 2-gram

@@ -1359,6 +1359,36 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** The planted-PII corpus for d19: the synthetic documents hold no
+    * addresses, so the scrub would be vacuous on them — deterministic
+    * email+IP tails ride the doc_id % 7 == 0 slice and a phone tail the
+    * % 11 == 0 slice (doc_id 0 carries all three — the multi-kind
+    * interaction row), replayed verbatim by the oracle's CASE concat. */
+  private def piiCorpus(docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+          .otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(11)) === 0,
+          lit(" call 555-867-5309 now")).otherwise(lit("")))
+        .as("text"))
+
+  /** d19 — PII SCRUB ([[graft.pipeline.TextAnalysis.piiScrub]], the
+    * C4/RefinedWeb regex-redaction stage): per document the email /
+    * phone / IPv4 match counts and the md5 of the redacted text, over
+    * the planted-PII corpus. Pure map-side codegen'd regexp work; the
+    * oracle replays the plant and the scrub in the shared
+    * Java-and-RE2-agreeing regex dialect. */
+  def d19PiiScrub(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.TextAnalysis
+      .piiScrub(piiCorpus(Tables.documents(spark, d)))
+      .orderBy($"doc_id")
+  }
+
   /** t31 — unigram encode through the PERSISTED-MODEL lifecycle (the
     * s07/s10 build-once / encode-many pattern on the tokenizer side):
     * write the t21 model with [[graft.pipeline.Unigram.writeModel]],
@@ -1626,6 +1656,7 @@ object PipelineQueries {
     "t27_unigram_prune" -> (t27UnigramPrune _),
     "t28_kn4_lm_score" -> (t28Kn4LmScore _),
     "t33_kn5_lm_score" -> (t33Kn5LmScore _),
+    "d19_pii_scrub" -> (d19PiiScrub _),
     "t29_bpe_oov_encode" -> (t29BpeOovEncode _),
     "t30_unigram_oov_encode" -> (t30UnigramOovEncode _),
     "t31_unigram_model_io" -> (t31UnigramModelIo _),
@@ -2564,6 +2595,33 @@ object PipelineQueries {
         |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
         |        / count(*), 4) AS avg_kn4_logprob
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d19_pii_scrub" ->
+      // the planted corpus (CASE concat mirrors piiCorpus) through the
+      // same three patterns: counts via regexp_extract_all, redaction
+      // via chained global regexp_replace in the engine's fixed order
+      // (email -> phone -> IP)
+      """WITH pc AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN ' contact user' || doc_id::VARCHAR ||
+        |              '@example.com from 10.0.' ||
+        |              (doc_id % 256)::VARCHAR || '.1'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 now'
+        |         ELSE '' END AS text
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(text,
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b'))::BIGINT AS n_ips,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS clean_md5
+        |FROM pc ORDER BY doc_id""".stripMargin,
     "t33_kn5_lm_score" ->
       // the t28 chain at KenLM's order 5: one more continuation layer
       // (c4/m4), identically-nested ln operand, MATERIALIZED throughout

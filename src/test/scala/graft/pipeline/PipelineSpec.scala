@@ -935,6 +935,29 @@ class PipelineSpec extends SparkSpec {
       s"order-$n chain diverges from the reference")
   }
 
+  test("PII scrub: counts and redaction with hand-known values, fixed " +
+    "replacement order (email before phone before IP)") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "reach a.b@c.io or user7@example.com now"), // 2 emails
+      (2L, "call 555-867-5309 from 10.0.36.1"), // 1 phone + 1 ip
+      (3L, "clean text only"),
+      (4L, "1.2.3.4.5 edge"), // leftmost-first: matches 1.2.3.4
+      (5L, null.asInstanceOf[String])) // dropped
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.piiScrub(docs).orderBy($"doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4)))
+    def h(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    assert(got.toSeq === Seq(
+      (1L, 2L, 0L, 0L, h("reach <EMAIL> or <EMAIL> now")),
+      (2L, 0L, 1L, 1L, h("call <PHONE> from <IP>")),
+      (3L, 0L, 0L, 0L, h("clean text only")),
+      (4L, 0L, 0L, 1L, h("<IP>.5 edge"))))
+  }
+
   test("chunk spans cover every token with exact overlap arithmetic") {
     import spark.implicits._
     val docs = Seq(
