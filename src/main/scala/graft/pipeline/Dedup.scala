@@ -1039,6 +1039,23 @@ object Dedup {
     * banding expression is byte-identical to [[minhashBandVerify]]'s, so
     * a band-index consumer sees exactly the batch operator's candidate
     * buckets. */
+  /** Per-document hashed DISTINCT word-gram sets `(id, ghash)` — the
+    * verify-side input of the lean two-stage stream
+    * ([[graft.streaming.EventStreams.nearDupPairsStreamLean]]). Must stay
+    * in LOCKSTEP with [[wordBandRows]]'s gram/ghash derivation (same
+    * length guard, same n-gram kernel, same xxhash64) — a spec pins the
+    * two ghash columns equal per id; a drift would break the lean
+    * stream's exact-verify-equals-batch contract. */
+  def wordGramHashes(docs: DataFrame, w: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs.filter(length(col(textCol)) >= 2 * w - 1)
+      .select(col(idCol).as("id"),
+        TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
+          .as("grams"))
+      .filter(size(col("grams")) > 0)
+      .select(col("id"),
+        transform(col("grams"), g => xxhash64(g)).as("ghash"))
+
   def wordBandRows(docs: DataFrame, w: Int, numHashes: Int,
       rowsPerBand: Int, idCol: String = "doc_id",
       textCol: String = "text", tsCol: Option[String] = None): DataFrame = {

@@ -124,8 +124,26 @@ object StreamQueries {
         PipelineQueries.bpeShared(spark, d).merges)
       .orderBy(col("doc_id"))
 
+  /** st13 — LEAN two-stage streaming near-dup
+    * ([[EventStreams.nearDupPairsStreamLean]]): the 100 TB shape of
+    * st11's band index — member-ID-only band state, candidates verified
+    * by two stream-stream gram joins (2× verify data vs the one-stage
+    * operator's 64×). The gate runs the batch leg of the SAME plan
+    * (flatMapGroupsWithState + joins are batch-legal), dedups the
+    * per-bucket duplicate emissions (the documented consumer-side
+    * posture), and shares st11's brute all-pairs oracle — candidate
+    * recall and exact-verify arithmetic must both survive the
+    * two-stage split. StreamingNearDupSpec pins the real readStream
+    * run equal to the batch operator and the band state rows to the
+    * group count. */
+  def st13NearDupLean(spark: SparkSession, d: String): DataFrame =
+    EventStreams.nearDupPairsStreamLean(Tables.documents(spark, d))
+      .distinct()
+      .orderBy(col("id_a"), col("id_b"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st11_near_dup" -> (st11NearDup _),
+    "st13_near_dup_lean" -> (st13NearDupLean _),
     "st12_stream_tokenize" -> (st12StreamTokenize _),
     "st10_hourly_users" -> (st10HourlyUsers _),
     "st09_funnel" -> (st09Funnel _),
@@ -138,14 +156,11 @@ object StreamQueries {
     "st05_asof_join" -> (st05AsofJoin _),
     "st06_content_dedup" -> (st06ContentDedup _))
 
-  val oracle: Map[String, String] = Map(
-    // the per-row greedy kernel equals the dictionary join exactly on
-    // the self-trained gate corpus, so st12 shares t17's oracle verbatim
-    "st12_stream_tokenize" -> PipelineQueries.bpeEncodeOracle,
-    "st11_near_dup" ->
-      // brute all-pairs word-5-shingle jaccard (the d11 oracle) — the LSH
-      // band index must recover the exact pair set at this threshold
-      """WITH g AS (
+  // brute all-pairs word-5-shingle jaccard (the d11 oracle) — any LSH
+  // band-index variant (one-stage st11, lean two-stage st13) must
+  // recover the exact pair set and verify values at this threshold
+  private val NearDupOracle: String =
+    """WITH g AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+4], ' ')
         |                   for i in generate_series(1, len(toks) - 4)]) AS grams
@@ -158,7 +173,17 @@ object StreamQueries {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin,
+        |ORDER BY id_a, id_b""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    // the per-row greedy kernel equals the dictionary join exactly on
+    // the self-trained gate corpus, so st12 shares t17's oracle verbatim
+    "st12_stream_tokenize" -> PipelineQueries.bpeEncodeOracle,
+    // the lean two-stage split must recover the SAME pair set and the
+    // same exact-verify values as the one-stage operator, so st13
+    // shares st11's brute all-pairs oracle (declared below on st11)
+    "st13_near_dup_lean" -> NearDupOracle,
+    "st11_near_dup" -> NearDupOracle,
     "st10_hourly_users" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
         |  COUNT(DISTINCT user_id) AS n_users

@@ -521,6 +521,100 @@ object EventStreams {
       .toDF("id_a", "id_b", "jac")
   }
 
+  /** Streaming near-dup detection in the LEAN two-stage shape — the
+    * 100 TB variant of [[nearDupPairsStream]], whose one-stage band
+    * index carries every document's whole hashed gram set once PER BAND
+    * (a numBands-fold — 64× here — duplication of verify data in the
+    * state store and its checkpoint stream; its own scaladoc names this
+    * trade). Here the stages split exactly as that doc prescribes:
+    *
+    *   1. BAND INDEX (`flatMapGroupsWithState` keyed on (band, bucket)):
+    *      state is the member ID LIST ONLY — no gram sets anywhere near
+    *      it — and each arrival emits candidate `(id_a, id_b)` pairs
+    *      against the existing members. Per-doc state cost drops from
+    *      numBands × gramset to numBands × 8 bytes.
+    *   2. VERIFY (two built-in stream-stream equi-joins): the per-doc
+    *      distinct hashed gram sets ([[graft.pipeline.Dedup
+    *      .wordGramHashes]] — a STATELESS map over the arrivals, one row
+    *      per doc) join onto the candidate pairs on each side, and the
+    *      exact Jaccard (`|a∩b| / (|a|+|b|−|a∩b|)`, the batch operator's
+    *      arithmetic in the same operation order) filters at the
+    *      threshold. Each join buffers the gram table once — 2× total
+    *      verify data, vs 64× — and the candidate side it buffers is
+    *      id-pair-sized.
+    *
+    * Same emission contract as the one-stage operator: a pair sharing
+    * several buckets emits one identical tuple per bucket — sinks dedup
+    * with `distinct` (the documented consumer-side posture). The pair
+    * SET equals [[graft.pipeline.Dedup.minhashDedupWords]] over
+    * everything ingested (spec-pinned through a real readStream run).
+    *
+    * State bound: this variant runs horizonless (the bounded-corpus gate
+    * shape). The production bound is the standard one for stream-stream
+    * joins — watermark both sides and add a time-interval predicate to
+    * the join condition — plus the band stage's event-time timeout,
+    * exactly [[nearDupPairsStream]]'s horizon machinery; the lean shape
+    * changes which operator holds the data, not how it expires. */
+  def nearDupPairsStreamLean(docs: DataFrame, w: Int = 5,
+      numHashes: Int = 128, rowsPerBand: Int = 2,
+      threshold: Double = 0.8): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val cands = graft.pipeline.Dedup
+      .wordBandRows(docs, w, numHashes, rowsPerBand)
+      .select(col("band"), col("bucket"), col("id"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[Long], (Long, Long)](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_, rows, state) =>
+          // in-batch id order: the earlier id is the "corpus" side,
+          // exactly as the one-stage operator processes arrivals
+          var members = state.getOption.getOrElse(Seq.empty)
+          val out = Seq.newBuilder[(Long, Long)]
+          rows.toSeq.sortBy(_._3).foreach { r =>
+            members.foreach { m =>
+              if (m != r._3)
+                out += ((math.min(m, r._3), math.max(m, r._3)))
+            }
+            if (!members.contains(r._3)) members = members :+ r._3
+          }
+          state.update(members)
+          out.result().iterator
+      }
+      .toDF("id_a", "id_b")
+    val grams = graft.pipeline.Dedup.wordGramHashes(docs, w)
+    val ga = grams.select(col("id").as("gid_a"), col("ghash").as("gh_a"))
+    val gb = grams.select(col("id").as("gid_b"), col("ghash").as("gh_b"))
+    cands
+      .join(ga, col("id_a") === col("gid_a"))
+      .join(gb, col("id_b") === col("gid_b"))
+      // Dedup.jaccard over the HASHED sets — same expression tree, same
+      // value as the batch verify's string-gram Jaccard up to the 2⁻⁶⁴
+      // collision bound (the st11 convention)
+      .select(col("id_a"), col("id_b"),
+        graft.pipeline.Dedup.jaccard(col("gh_a"), col("gh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
+  /** Run [[nearDupPairsStreamLean]] over the documents parquet as a real
+    * streaming query (append-mode memory sink). */
+  def runNearDupLeanStream(spark: SparkSession, sfDir: String,
+      queryName: String): StreamingQuery = {
+    val batchDf = Tables.documents(spark, sfDir)
+    val docs = spark.readStream
+      .schema(batchDf.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfDir)
+    nearDupPairsStreamLean(docs)
+      .writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run [[nearDupPairsStream]] over the documents parquet as a real
     * streaming query (append-mode memory sink). */
   def runNearDupStream(spark: SparkSession, sfDir: String,

@@ -26,6 +26,46 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(streamed.nonEmpty, "fixture produced no near-dup pairs")
   }
 
+  test("LEAN two-stage stream == batch on the documents table, and the " +
+    "band stage's state is member-ids-only (lean), not gram sets") {
+    val q = EventStreams.runNearDupLeanStream(spark, sfTiny, "st13_mem")
+    try q.awaitTermination() finally q.stop()
+    val streamed = spark.table("st13_mem")
+      .as[(Long, Long, Double)].collect().toSet // consumer-side distinct
+    val batch = batchPairs(graft.util.Tables.documents(spark, sfTiny))
+    assert(streamed == batch,
+      s"lean stream/batch pair sets diverge: only-stream=" +
+        s"${streamed -- batch}, only-batch=${batch -- streamed}")
+    assert(streamed.nonEmpty, "fixture produced no near-dup pairs")
+    // state shape: the flatMapGroupsWithState (band index) holds exactly
+    // one row per non-empty (band, bucket) group — the lean claim; the
+    // verify data lives in the two join operators instead
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+    val expectedGroups = graft.pipeline.Dedup
+      .wordBandRows(docs, 5, 128, 2)
+      .select(col("band"), col("bucket")).distinct().count()
+    val ops = q.lastProgress.stateOperators
+    val fmgws = ops.filter(_.operatorName.contains("flatMapGroupsWithState"))
+    assert(fmgws.map(_.numRowsTotal).sum == expectedGroups,
+      s"band-index state rows != (band,bucket) group count: " +
+        s"${fmgws.map(_.numRowsTotal).toSeq} vs $expectedGroups")
+    // and the join operators are present (the verify hops)
+    assert(ops.count(_.operatorName.contains("symmetricHashJoin")) == 2,
+      s"expected two stream-stream verify joins, got: " +
+        s"${ops.map(_.operatorName).toSeq}")
+  }
+
+  test("lean per-doc gram sets stay in lockstep with the band rows' " +
+    "ghash derivation") {
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+    val a = graft.pipeline.Dedup.wordGramHashes(docs, 5)
+      .as[(Long, Seq[Long])].collect().toMap
+    val b = graft.pipeline.Dedup.wordBandRows(docs, 5, 128, 2)
+      .select(col("id"), col("ghash")).distinct()
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(a == b, "wordGramHashes drifted from wordBandRows' ghash")
+  }
+
   test("band-index state survives a checkpointed restart: cross-restart " +
     "pairs emit exactly once") {
     import org.apache.spark.sql.types.{LongType, StringType, StructType}
