@@ -1039,20 +1039,28 @@ object Dedup {
     * banding expression is byte-identical to [[minhashBandVerify]]'s, so
     * a band-index consumer sees exactly the batch operator's candidate
     * buckets. */
-  /** Per-document hashed DISTINCT word-gram sets `(id, ghash)` — the
-    * verify-side input of the lean two-stage stream
-    * ([[graft.streaming.EventStreams.nearDupPairsStreamLean]]). Must stay
-    * in LOCKSTEP with [[wordBandRows]]'s gram/ghash derivation (same
-    * length guard, same n-gram kernel, same xxhash64) — a spec pins the
-    * two ghash columns equal per id; a drift would break the lean
-    * stream's exact-verify-equals-batch contract. */
-  def wordGramHashes(docs: DataFrame, w: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
+  /** The ONE per-document word-gram derivation (length guard → tokens →
+    * distinct n-grams → non-empty filter) every streaming near-dup
+    * consumer builds on — [[wordBandRows]] adds the signature/banding on
+    * top, [[wordGramHashes]] just hashes — so the lean stream's
+    * exact-verify-equals-batch contract holds structurally, not by two
+    * copies staying byte-identical. */
+  private def gramRows(docs: DataFrame, w: Int, idCol: String,
+      textCol: String, ts: Column): DataFrame =
     docs.filter(length(col(textCol)) >= 2 * w - 1)
-      .select(col(idCol).as("id"),
+      .select(col(idCol).as("id"), ts.as("ts_evt"),
         TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
           .as("grams"))
       .filter(size(col("grams")) > 0)
+
+  /** Per-document hashed DISTINCT word-gram sets `(id, ghash)` — the
+    * verify-side input of the lean two-stage stream
+    * ([[graft.streaming.EventStreams.nearDupPairsStreamLean]]); same
+    * [[gramRows]] fragment as [[wordBandRows]] (spec-pinned equal ghash
+    * per id as a belt-and-braces regression tripwire). */
+  def wordGramHashes(docs: DataFrame, w: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    gramRows(docs, w, idCol, textCol, lit(null).cast("timestamp"))
       .select(col("id"),
         transform(col("grams"), g => xxhash64(g)).as("ghash"))
 
@@ -1066,11 +1074,7 @@ object Dedup {
     // members at its horizon — wrapping it (unix_micros etc.) would strip
     // the watermark metadata the event-time timeout is validated against
     val ts = tsCol.map(col).getOrElse(lit(null).cast("timestamp"))
-    docs.filter(length(col(textCol)) >= 2 * w - 1)
-      .select(col(idCol).as("id"), ts.as("ts_evt"),
-        TextAnalysis.wordNGrams(TextAnalysis.tokens(col(textCol)), w)
-          .as("grams"))
-      .filter(size(col("grams")) > 0)
+    gramRows(docs, w, idCol, textCol, ts)
       .withColumn("sig",
         graft.functions.MinHashSignature.minhashSig(col("grams"), numHashes))
       .withColumn("ghash", transform(col("grams"), g => xxhash64(g)))

@@ -152,9 +152,14 @@ object TextAnalysis {
     * counts for email / NANP-phone / IPv4 patterns and the md5 of the
     * REDACTED text (matches replaced by `<EMAIL>`/`<PHONE>`/`<IP>`, in
     * that fixed order — email first so its digit runs can never be
-    * re-matched as phone/IP fragments). Counts are exact integers and
-    * the redacted string is md5-pinned, so the oracle replays the whole
-    * scrub byte-for-byte.
+    * re-matched as phone/IP fragments). Each count is taken on the text
+    * AS THE CORRESPONDING REPLACE SEES IT (phones counted after email
+    * redaction, IPs after phone redaction), so `n_*` equals the number
+    * of placeholders actually present in the redacted text — a phone
+    * number inside an email's local part counts as email only, never
+    * double. Counts are exact integers and the redacted string is
+    * md5-pinned, so the oracle replays the whole staged scrub
+    * byte-for-byte.
     *
     * Scale: pure map-side codegen'd regexp work — no shuffle, no join;
     * the scan feeds `regexp_count`/`regexp_replace` inside whole-stage
@@ -162,16 +167,15 @@ object TextAnalysis {
   def piiScrub(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val clean = regexp_replace(
-      regexp_replace(
-        regexp_replace(t, PiiEmailRe, "<EMAIL>"),
-        PiiPhoneRe, "<PHONE>"),
-      PiiIpRe, "<IP>")
+    val afterEmail = regexp_replace(t, PiiEmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PiiPhoneRe, "<PHONE>")
+    val clean = regexp_replace(afterPhone, PiiIpRe, "<IP>")
     docs.filter(t.isNotNull)
       .select(col(idCol),
         regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_emails"),
-        regexp_count(t, lit(PiiPhoneRe)).cast("long").as("n_phones"),
-        regexp_count(t, lit(PiiIpRe)).cast("long").as("n_ips"),
+        regexp_count(afterEmail, lit(PiiPhoneRe)).cast("long")
+          .as("n_phones"),
+        regexp_count(afterPhone, lit(PiiIpRe)).cast("long").as("n_ips"),
         md5(clean).as("clean_md5"))
   }
 

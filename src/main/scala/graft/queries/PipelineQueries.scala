@@ -2609,19 +2609,28 @@ object PipelineQueries {
         |         ELSE '' END ||
         |    CASE WHEN doc_id % 11 = 0 THEN ' call 555-867-5309 now'
         |         ELSE '' END AS text
-        |  FROM documents WHERE text IS NOT NULL)
+        |  FROM documents WHERE text IS NOT NULL),
+        |st AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')
+        |      AS after_email
+        |  FROM pc),
+        |st2 AS (
+        |  SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email,
+        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS after_phone
+        |  FROM st)
         |SELECT doc_id,
         |  len(regexp_extract_all(text,
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
-        |  len(regexp_extract_all(text,
+        |  len(regexp_extract_all(after_email,
         |    '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
-        |  len(regexp_extract_all(text,
+        |  len(regexp_extract_all(after_phone,
         |    '\b\d{1,3}(\.\d{1,3}){3}\b'))::BIGINT AS n_ips,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
-        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |  md5(regexp_replace(after_phone,
         |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS clean_md5
-        |FROM pc ORDER BY doc_id""".stripMargin,
+        |FROM st2 ORDER BY doc_id""".stripMargin,
     "t33_kn5_lm_score" ->
       // the t28 chain at KenLM's order 5: one more continuation layer
       // (c4/m4), identically-nested ln operand, MATERIALIZED throughout

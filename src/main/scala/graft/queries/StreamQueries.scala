@@ -127,18 +127,17 @@ object StreamQueries {
   /** st13 — LEAN two-stage streaming near-dup
     * ([[EventStreams.nearDupPairsStreamLean]]): the 100 TB shape of
     * st11's band index — member-ID-only band state, candidates verified
-    * by two stream-stream gram joins (2× verify data vs the one-stage
-    * operator's 64×). The gate runs the batch leg of the SAME plan
-    * (flatMapGroupsWithState + joins are batch-legal), dedups the
-    * per-bucket duplicate emissions (the documented consumer-side
-    * posture), and shares st11's brute all-pairs oracle — candidate
-    * recall and exact-verify arithmetic must both survive the
-    * two-stage split. StreamingNearDupSpec pins the real readStream
-    * run equal to the batch operator and the band state rows to the
-    * group count. */
+    * by two stream-stream gram joins after an id-pair candidate dedup
+    * (2× verify data vs the one-stage operator's 64×; exactly-once
+    * emission per pair). The gate runs the batch leg of the SAME plan
+    * (flatMapGroupsWithState + dedup + joins are all batch-legal) and
+    * shares st11's brute all-pairs oracle — candidate recall and
+    * exact-verify arithmetic must both survive the two-stage split.
+    * StreamingNearDupSpec pins the real readStream run equal to the
+    * batch operator, the band state rows to the group count, and the
+    * whole three-store state through a checkpointed restart. */
   def st13NearDupLean(spark: SparkSession, d: String): DataFrame =
     EventStreams.nearDupPairsStreamLean(Tables.documents(spark, d))
-      .distinct()
       .orderBy(col("id_a"), col("id_b"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -533,21 +533,28 @@ object EventStreams {
     *      it — and each arrival emits candidate `(id_a, id_b)` pairs
     *      against the existing members. Per-doc state cost drops from
     *      numBands × gramset to numBands × 8 bytes.
-    *   2. VERIFY (two built-in stream-stream equi-joins): the per-doc
+    *   2. CANDIDATE DEDUP (streaming `dropDuplicates` on the id pair):
+    *      a pair colliding in many buckets emits once per bucket from
+    *      the band stage — up to numBands identical tuples for a true
+    *      duplicate — and each copy surviving to the verify joins would
+    *      buffer its own gram-set attachment in join state (on dup-heavy
+    *      data that inverts the lean win). The id-pair-sized dedup state
+    *      caps the verify joins at ONE row per candidate pair.
+    *   3. VERIFY (two built-in stream-stream equi-joins): the per-doc
     *      distinct hashed gram sets ([[graft.pipeline.Dedup
     *      .wordGramHashes]] — a STATELESS map over the arrivals, one row
-    *      per doc) join onto the candidate pairs on each side, and the
-    *      exact Jaccard (`|a∩b| / (|a|+|b|−|a∩b|)`, the batch operator's
-    *      arithmetic in the same operation order) filters at the
-    *      threshold. Each join buffers the gram table once — 2× total
-    *      verify data, vs 64× — and the candidate side it buffers is
-    *      id-pair-sized.
+    *      per doc) join onto the deduped candidate pairs on each side,
+    *      and the exact Jaccard (`|a∩b| / (|a|+|b|−|a∩b|)`, the batch
+    *      operator's arithmetic in the same operation order) filters at
+    *      the threshold. Each join buffers the gram table once — 2×
+    *      total verify data, vs 64× — and the candidate side it buffers
+    *      is one id-pair row per pair.
     *
-    * Same emission contract as the one-stage operator: a pair sharing
-    * several buckets emits one identical tuple per bucket — sinks dedup
-    * with `distinct` (the documented consumer-side posture). The pair
-    * SET equals [[graft.pipeline.Dedup.minhashDedupWords]] over
-    * everything ingested (spec-pinned through a real readStream run).
+    * Emission contract: each verified pair emits EXACTLY ONCE (the
+    * candidate dedup subsumes the one-stage operator's consumer-side
+    * `distinct` posture). The pair SET equals
+    * [[graft.pipeline.Dedup.minhashDedupWords]] over everything
+    * ingested (spec-pinned through a real readStream run).
     *
     * State bound: this variant runs horizonless (the bounded-corpus gate
     * shape). The production bound is the standard one for stream-stream
@@ -583,6 +590,10 @@ object EventStreams {
           out.result().iterator
       }
       .toDF("id_a", "id_b")
+      // one row per candidate pair reaches the verify joins (stage 2 of
+      // the scaladoc); horizonless like the rest of this variant — the
+      // production bound is the same watermark that bounds the joins
+      .dropDuplicates("id_a", "id_b")
     val grams = graft.pipeline.Dedup.wordGramHashes(docs, w)
     val ga = grams.select(col("id").as("gid_a"), col("ghash").as("gh_a"))
     val gb = grams.select(col("id").as("gid_b"), col("ghash").as("gh_b"))

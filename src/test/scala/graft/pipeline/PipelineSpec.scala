@@ -943,7 +943,10 @@ class PipelineSpec extends SparkSpec {
       (2L, "call 555-867-5309 from 10.0.36.1"), // 1 phone + 1 ip
       (3L, "clean text only"),
       (4L, "1.2.3.4.5 edge"), // leftmost-first: matches 1.2.3.4
-      (5L, null.asInstanceOf[String])) // dropped
+      (5L, null.asInstanceOf[String]), // dropped
+      // staged counting: the phone-shaped local part is swallowed by the
+      // email redaction, so it must NOT also count as a phone
+      (6L, "ping 555-867-5309@mail.com"))
       .toDF("doc_id", "text")
     val got = TextAnalysis.piiScrub(docs).orderBy($"doc_id")
       .collect()
@@ -955,7 +958,8 @@ class PipelineSpec extends SparkSpec {
       (1L, 2L, 0L, 0L, h("reach <EMAIL> or <EMAIL> now")),
       (2L, 0L, 1L, 1L, h("call <PHONE> from <IP>")),
       (3L, 0L, 0L, 0L, h("clean text only")),
-      (4L, 0L, 0L, 1L, h("<IP>.5 edge"))))
+      (4L, 0L, 0L, 1L, h("<IP>.5 edge")),
+      (6L, 1L, 0L, 0L, h("ping <EMAIL>"))))
   }
 
   test("chunk spans cover every token with exact overlap arithmetic") {
