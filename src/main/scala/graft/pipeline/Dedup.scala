@@ -1057,12 +1057,18 @@ object Dedup {
     * verify-side input of the lean two-stage stream
     * ([[graft.streaming.EventStreams.nearDupPairsStreamLean]]); same
     * [[gramRows]] fragment as [[wordBandRows]] (spec-pinned equal ghash
-    * per id as a belt-and-braces regression tripwire). */
+    * per id as a belt-and-braces regression tripwire). With `tsCol` the
+    * event-time column rides along UNWRAPPED as `ts_evt` (the
+    * [[wordBandRows]] convention) so the horizon-bounded verify joins
+    * can watermark and expire gram state. */
   def wordGramHashes(docs: DataFrame, w: Int, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame =
-    gramRows(docs, w, idCol, textCol, lit(null).cast("timestamp"))
-      .select(col("id"),
+      textCol: String = "text", tsCol: Option[String] = None): DataFrame = {
+    val ts = tsCol.map(col).getOrElse(lit(null).cast("timestamp"))
+    val hashed = gramRows(docs, w, idCol, textCol, ts)
+      .select(col("id"), col("ts_evt"),
         transform(col("grams"), g => xxhash64(g)).as("ghash"))
+    if (tsCol.isDefined) hashed else hashed.drop("ts_evt")
+  }
 
   def wordBandRows(docs: DataFrame, w: Int, numHashes: Int,
       rowsPerBand: Int, idCol: String = "doc_id",

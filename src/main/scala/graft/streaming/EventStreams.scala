@@ -608,6 +608,134 @@ object EventStreams {
       .filter(col("jac") >= threshold)
   }
 
+  /** Millisecond value of a `"N unit"` interval string (the watermark
+    * grammar subset the streaming surface uses) — the band stage needs
+    * the horizon as plain event-time arithmetic. */
+  private def intervalMs(s: String): Long = {
+    val parts = s.trim.toLowerCase.split("\\s+")
+    require(parts.length == 2, s"expected 'N unit', got '$s'")
+    val unit = parts(1).stripSuffix("s") match {
+      case "millisecond" => 1L
+      case "second" => 1000L
+      case "minute" => 60000L
+      case "hour" => 3600000L
+      case "day" => 86400000L
+      case other => throw new IllegalArgumentException(
+        s"unsupported interval unit '$other' in '$s'")
+    }
+    parts(0).toLong * unit
+  }
+
+  /** HORIZON-BOUNDED lean near-dup, query 1 of 2 — the band-index
+    * CANDIDATE stream: member-ID-only state per (band, bucket) with the
+    * same event-time expiry as [[nearDupPairsStream]]'s horizon path,
+    * emitting `(id_a, id_b, evt)` candidates where `evt` is the pair's
+    * LATER event time and both members sit within `horizon` of each
+    * other IN EVENT TIME (an explicit emission bound, strictly cleaner
+    * than the watermark-lag rule alone: it guarantees every emitted
+    * candidate's gram rows fall inside the verify query's join window,
+    * so the split can never silently drop a band-emitted pair).
+    *
+    * WHY TWO QUERIES: chaining event-time stateful operators after
+    * `flatMapGroupsWithState` in one query trips Spark's global-
+    * watermark correctness check — the band stage can emit rows older
+    * than the advancing watermark, which downstream stateful operators
+    * would silently discard as late (measured; the checker names exactly
+    * this). The sound production topology is the classic one: this
+    * query writes candidates to a sink (a topic, a table), and
+    * [[nearDupVerifyStream]] runs as its OWN query with its own
+    * watermark lineage over that sink plus the document stream. Both
+    * queries' state is bounded: band members expire at the horizon
+    * here, dedup/join state expires at the horizon there. */
+  def nearDupCandidatesStream(docs: DataFrame, w: Int = 5,
+      numHashes: Int = 128, rowsPerBand: Int = 2, tsCol: String = "ts",
+      horizon: String = "1 hour"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val horizonMs = intervalMs(horizon)
+    val useHorizon = docs.isStreaming
+    val src =
+      if (useHorizon)
+        docs.filter(col(tsCol).isNotNull).withWatermark(tsCol, horizon)
+      else docs.filter(col(tsCol).isNotNull)
+    val timeoutConf =
+      if (useHorizon) GroupStateTimeout.EventTimeTimeout()
+      else GroupStateTimeout.NoTimeout()
+    graft.pipeline.Dedup
+      .wordBandRows(src, w, numHashes, rowsPerBand, tsCol = Some(tsCol))
+      .select(col("band"), col("bucket"), col("id"), col("ts_evt"))
+      .as[(Int, Long, Long, java.sql.Timestamp)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Seq[(Long, Long)],
+          (Long, Long, java.sql.Timestamp)](
+          OutputMode.Append(), timeoutConf) {
+        (_, rows, state) =>
+          val wmMs = if (useHorizon) state.getCurrentWatermarkMs()
+            else Long.MinValue
+          def live(ms: Seq[(Long, Long)]) = ms.filter(_._2 >= wmMs)
+          def armTimeout(ms: Seq[(Long, Long)]): Unit =
+            if (useHorizon && ms.nonEmpty)
+              state.setTimeoutTimestamp(
+                math.max(ms.map(_._2).max + 1L, wmMs + 1L))
+          if (state.hasTimedOut) {
+            val kept = live(state.getOption.getOrElse(Seq.empty))
+            if (kept.isEmpty) state.remove()
+            else { state.update(kept); armTimeout(kept) }
+            Iterator.empty
+          } else {
+            var members = live(state.getOption.getOrElse(Seq.empty))
+            val out = Seq.newBuilder[(Long, Long, java.sql.Timestamp)]
+            rows.toSeq.sortBy(_._3).foreach { r =>
+              val tMs = r._4.getTime
+              members.foreach { case (mid, mts) =>
+                if (mid != r._3 && math.abs(tMs - mts) <= horizonMs)
+                  out += ((math.min(mid, r._3), math.max(mid, r._3),
+                    new java.sql.Timestamp(math.max(mts, tMs))))
+              }
+              if (!members.exists(_._1 == r._3))
+                members = members :+ ((r._3, tMs))
+            }
+            state.update(members)
+            armTimeout(members)
+            out.result().iterator
+          }
+      }
+      .toDF("id_a", "id_b", "evt")
+  }
+
+  /** HORIZON-BOUNDED lean near-dup, query 2 of 2 — the VERIFY stream
+    * over [[nearDupCandidatesStream]]'s sink plus the document stream:
+    * watermark + `dropDuplicatesWithinWatermark` cap the verify work at
+    * one row per candidate pair, then two TIME-INTERVAL stream-stream
+    * joins (`evt − horizon ≤ gram.ts ≤ evt` — the bound query 1's
+    * emission rule guarantees satisfiable) attach the per-doc gram sets
+    * and the exact Jaccard filters at the threshold. Every state store
+    * here expires at the horizon: the dedup by its watermark, each join
+    * by the interval condition — the fully BOUNDED version of
+    * [[nearDupPairsStreamLean]]'s horizonless shape. */
+  def nearDupVerifyStream(cands: DataFrame, docs: DataFrame, w: Int = 5,
+      threshold: Double = 0.8, tsCol: String = "ts",
+      horizon: String = "1 hour"): DataFrame = {
+    val c = cands.withWatermark("evt", horizon)
+      .dropDuplicatesWithinWatermark("id_a", "id_b")
+    val g = graft.pipeline.Dedup.wordGramHashes(
+      docs.filter(col(tsCol).isNotNull), w, tsCol = Some(tsCol))
+    val ga = g.select(col("id").as("gid_a"), col("ts_evt").as("gevt_a"),
+        col("ghash").as("gh_a"))
+      .withWatermark("gevt_a", horizon)
+    val gb = g.select(col("id").as("gid_b"), col("ts_evt").as("gevt_b"),
+        col("ghash").as("gh_b"))
+      .withWatermark("gevt_b", horizon)
+    val win = expr(s"INTERVAL $horizon")
+    c.join(ga, col("id_a") === col("gid_a") &&
+        col("gevt_a") >= col("evt") - win && col("gevt_a") <= col("evt"))
+      .join(gb, col("id_b") === col("gid_b") &&
+        col("gevt_b") >= col("evt") - win && col("gevt_b") <= col("evt"))
+      .select(col("id_a"), col("id_b"),
+        graft.pipeline.Dedup.jaccard(col("gh_a"), col("gh_b")).as("jac"))
+      .filter(col("jac") >= threshold)
+  }
+
   /** Run [[nearDupPairsStreamLean]] over the documents parquet as a real
     * streaming query (append-mode memory sink). */
   def runNearDupLeanStream(spark: SparkSession, sfDir: String,

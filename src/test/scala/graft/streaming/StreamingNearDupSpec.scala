@@ -182,6 +182,98 @@ class StreamingNearDupSpec extends SparkSpec {
       "cross-restart near-dup pair lost — band index state did not survive")
   }
 
+  test("horizon-bounded TWO-QUERY lean topology: candidates sink feeds " +
+    "the verify query, every state store expires, in-horizon pairs emit") {
+    import org.apache.spark.sql.types.{LongType, StringType, StructType,
+      TimestampType}
+    val base = java.nio.file.Files.createTempDirectory("graft_st13_ttl")
+      .toFile
+    val src = new java.io.File(base, "src"); src.mkdirs()
+    val candDir = new java.io.File(base, "cand"); candDir.mkdirs()
+    val candCkpt = new java.io.File(base, "cand_ckpt").getAbsolutePath
+    val sink = new java.io.File(base, "sink").getAbsolutePath
+    val verCkpt = new java.io.File(base, "ver_ckpt").getAbsolutePath
+    def text(tag: String): String =
+      (0 until 50).map(j => s"$tag$j").mkString(" ")
+    val tA = text("alpha"); val tB = text("beta")
+    def writeFile(name: String, rows: Seq[(Long, String, String)]): Unit =
+      java.nio.file.Files.write(new java.io.File(src, name).toPath,
+        rows.map { case (id, ts, t) =>
+          s"""{"doc_id":$id,"ts":"$ts","text":"$t"}"""
+        }.mkString("\n").getBytes("UTF-8"))
+    val schema = new StructType()
+      .add("doc_id", LongType).add("ts", TimestampType)
+      .add("text", StringType)
+    val candSchema = new StructType()
+      .add("id_a", LongType).add("id_b", LongType)
+      .add("evt", TimestampType)
+    // query 1: band candidates src -> candDir; query 2: candDir + src ->
+    // verified pairs. Each drain runs both queries in order (the sink
+    // IS the handoff — the topology's whole point).
+    def drainOnce(): (Long, Long) = {
+      val docs1 = spark.readStream.schema(schema).json(src.getAbsolutePath)
+      val q1 = EventStreams
+        .nearDupCandidatesStream(docs1, horizon = "1 hour")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", candDir.getAbsolutePath)
+        .option("checkpointLocation", candCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q1.awaitTermination() finally q1.stop()
+      val cands = spark.readStream.schema(candSchema)
+        .parquet(candDir.getAbsolutePath)
+      val docs2 = spark.readStream.schema(schema).json(src.getAbsolutePath)
+      val q2 = EventStreams
+        .nearDupVerifyStream(cands, docs2, horizon = "1 hour")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", verCkpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q2.awaitTermination() finally q2.stop()
+      (q1.lastProgress.stateOperators.map(_.numRowsTotal).sum,
+        q2.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+    }
+    // the st11 horizon scenario: (1,2) in horizon; 4 advances the
+    // watermark past 1/2; 3 duplicates the EXPIRED alpha (no pair);
+    // 5 duplicates beta in horizon (pairs with 4)
+    writeFile("a.json", Seq(
+      (1L, "2026-01-01T10:00:00Z", tA),
+      (2L, "2026-01-01T10:30:00Z", s"$tA x1")))
+    drainOnce()
+    writeFile("b.json", Seq((4L, "2026-01-01T13:00:00Z", tB)))
+    val (band2, _) = drainOnce()
+    // band state after drain 2 = doc 4's groups only — and each row is a
+    // MEMBER-ID entry, the lean claim, carried into the horizon shape
+    def groupsOf(rows: (Long, String, String)*): Long =
+      graft.pipeline.Dedup.wordBandRows(
+          rows.map { case (id, _, t) => (id, t) }.toDF("doc_id", "text"),
+          5, 128, 2)
+        .select("band", "bucket").distinct().count()
+    assert(band2 == groupsOf((4L, "", tB)),
+      s"band state after drain 2 = $band2, want doc 4's groups only")
+    writeFile("c.json", Seq(
+      (3L, "2026-01-01T12:30:00Z", s"$tA x2"),
+      (5L, "2026-01-01T13:10:00Z", s"$tB x3")))
+    val (band3, ver3) = drainOnce()
+    assert(band3 == groupsOf((3L, "", s"$tA x2"), (4L, "", tB),
+        (5L, "", s"$tB x3")),
+      s"band state after drain 3 = $band3, want live docs 3/4/5 only")
+    // the verify query's state is horizon-bounded too: after drain 3 the
+    // expired docs' gram rows (1, 2) have left the join stores — the
+    // total sits strictly below what all five docs' gram rows in both
+    // joins plus the candidates would hold
+    assert(ver3 < 2 * 5 + 3,
+      s"verify-query state after drain 3 = $ver3 — expired gram rows " +
+        "did not leave the join state")
+    val pairs = spark.read.parquet(sink)
+      .as[(Long, Long, Double)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (4L, 5L)),
+      s"two-query horizon semantics off — got ${pairs.toSeq}")
+    // exactly-once per pair through the dedup (no per-bucket duplicates)
+    assert(pairs.length == pairs.toSet.size,
+      s"verify query emitted duplicates: ${pairs.toSeq}")
+  }
+
   test("horizon-bounded band index expires old members across restarts; " +
     "in-horizon pairs still emit") {
     import org.apache.spark.sql.types.{LongType, StringType, StructType,
