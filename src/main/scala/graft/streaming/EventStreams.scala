@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 import graft.util.Tables
 
@@ -471,27 +471,20 @@ object EventStreams {
         (_, rows, state) =>
           // a member is live while the watermark has not passed its event
           // time; with withWatermark(horizon) that means it expires once
-          // events more than `horizon` newer have been seen
+          // events more than `horizon` newer have been seen. The expiry
+          // machinery (live prune, watermark-clamped timeout arming,
+          // group GC on empty) is the shared band-index state machine —
+          // see liveMembers/armHorizonTimeout/onGroupTimeout above.
           val wmMs = if (useHorizon) state.getCurrentWatermarkMs()
             else Long.MinValue
-          def live(ms: Seq[(Long, Long, Array[Long])]) =
-            ms.filter(_._2 >= wmMs)
-          // garbage-collect the group the moment the watermark passes its
-          // newest member's event time — exactly when live() empties
-          // (funnelStream's `+horizon` idiom would hold the dead member
-          // list for a second full horizon); clamped past the watermark,
-          // the funnelStream late-group lesson
-          def armTimeout(ms: Seq[(Long, Long, Array[Long])]): Unit =
-            if (useHorizon && ms.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(ms.map(_._2).max + 1L, wmMs + 1L))
+          type M = (Long, Long, Array[Long])
           if (state.hasTimedOut) {
-            val kept = live(state.getOption.getOrElse(Seq.empty))
-            if (kept.isEmpty) state.remove()
-            else { state.update(kept); armTimeout(kept) }
+            onGroupTimeout[M](state, wmMs, _._2, useHorizon)
             Iterator.empty
           } else {
-            var members = live(state.getOption.getOrElse(Seq.empty))
+            var members = liveMembers(
+              state.getOption.getOrElse(Seq.empty[M]), wmMs,
+              (m: M) => m._2)
             val out = Seq.newBuilder[(Long, Long, Double)]
             // in-batch id order: within one micro-batch the earlier id is
             // the "corpus" side, exactly as a row-at-a-time ingest would
@@ -514,7 +507,7 @@ object EventStreams {
                 ((r._3, if (r._5 == null) 0L else r._5.getTime, g))
             }
             state.update(members)
-            armTimeout(members)
+            armHorizonTimeout[M](state, members, wmMs, _._2, useHorizon)
             out.result().iterator
           }
       }
@@ -594,36 +587,95 @@ object EventStreams {
       // the scaladoc); horizonless like the rest of this variant — the
       // production bound is the same watermark that bounds the joins
       .dropDuplicates("id_a", "id_b")
-    val grams = graft.pipeline.Dedup.wordGramHashes(docs, w)
-    val ga = grams.select(col("id").as("gid_a"), col("ghash").as("gh_a"))
-    val gb = grams.select(col("id").as("gid_b"), col("ghash").as("gh_b"))
+    verifyStage(cands, docs, w, threshold, tsCol = None, horizon = "")
+  }
+
+  /** The lean topology's shared VERIFY stage: attach each candidate
+    * side's per-doc hashed gram set and exact-Jaccard filter at
+    * `threshold` — [[graft.pipeline.Dedup.jaccard]] over the HASHED
+    * sets, same expression tree and value as the batch verify's
+    * string-gram Jaccard up to the 2⁻⁶⁴ collision bound (the st11
+    * convention). With `tsCol` the gram sides are watermarked and the
+    * joins carry the time-interval predicate
+    * (evt − horizon ≤ gram ts ≤ evt) — the horizon-bounded form; ONE
+    * copy of the join+Jaccard dataflow, so the
+    * exact-verify-equals-batch property cannot drift between the
+    * horizonless and horizon variants. */
+  private def verifyStage(cands: DataFrame, docs: DataFrame, w: Int,
+      threshold: Double, tsCol: Option[String],
+      horizon: String): DataFrame = {
+    val g = graft.pipeline.Dedup.wordGramHashes(
+      tsCol.map(tc => docs.filter(col(tc).isNotNull)).getOrElse(docs),
+      w, tsCol = tsCol)
+    def side(sfx: String): DataFrame = {
+      val cols = Seq(col("id").as(s"gid_$sfx")) ++
+        tsCol.map(_ => col("ts_evt").as(s"gevt_$sfx")).toSeq :+
+        col("ghash").as(s"gh_$sfx")
+      val base = g.select(cols: _*)
+      if (tsCol.isDefined) base.withWatermark(s"gevt_$sfx", horizon)
+      else base
+    }
+    def cond(sfx: String) = {
+      val eq = col(s"id_$sfx") === col(s"gid_$sfx")
+      if (tsCol.isDefined) {
+        val win = expr(s"INTERVAL $horizon")
+        eq && col(s"gevt_$sfx") >= col("evt") - win &&
+          col(s"gevt_$sfx") <= col("evt")
+      } else eq
+    }
     cands
-      .join(ga, col("id_a") === col("gid_a"))
-      .join(gb, col("id_b") === col("gid_b"))
-      // Dedup.jaccard over the HASHED sets — same expression tree, same
-      // value as the batch verify's string-gram Jaccard up to the 2⁻⁶⁴
-      // collision bound (the st11 convention)
+      .join(side("a"), cond("a"))
+      .join(side("b"), cond("b"))
       .select(col("id_a"), col("id_b"),
         graft.pipeline.Dedup.jaccard(col("gh_a"), col("gh_b")).as("jac"))
       .filter(col("jac") >= threshold)
   }
 
-  /** Millisecond value of a `"N unit"` interval string (the watermark
-    * grammar subset the streaming surface uses) — the band stage needs
-    * the horizon as plain event-time arithmetic. */
-  private def intervalMs(s: String): Long = {
-    val parts = s.trim.toLowerCase.split("\\s+")
-    require(parts.length == 2, s"expected 'N unit', got '$s'")
-    val unit = parts(1).stripSuffix("s") match {
-      case "millisecond" => 1L
-      case "second" => 1000L
-      case "minute" => 60000L
-      case "hour" => 3600000L
-      case "day" => 86400000L
-      case other => throw new IllegalArgumentException(
-        s"unsupported interval unit '$other' in '$s'")
+  /** The horizon-expiry state machine shared by every band-index
+    * `flatMapGroupsWithState` (the one-stage st11 operator and the lean
+    * topology's candidate stage), parameterized on how a member exposes
+    * its event-time millis. A member is live while the watermark has
+    * not passed its event time; the group's timeout is armed just past
+    * its newest member, CLAMPED past the watermark (the funnelStream
+    * late-group lesson — an unclamped arm on an already-passed
+    * timestamp would never fire); a fully-expired group removes its
+    * state on timeout. ONE copy of the clamp/prune logic, so a future
+    * expiry fix cannot silently miss a variant. */
+  private def liveMembers[T](ms: Seq[T], wmMs: Long,
+      tsOf: T => Long): Seq[T] =
+    ms.filter(tsOf(_) >= wmMs)
+
+  private def armHorizonTimeout[T](state: GroupState[Seq[T]], ms: Seq[T],
+      wmMs: Long, tsOf: T => Long, useHorizon: Boolean): Unit =
+    if (useHorizon && ms.nonEmpty)
+      state.setTimeoutTimestamp(
+        math.max(ms.map(tsOf).max + 1L, wmMs + 1L))
+
+  /** The `hasTimedOut` branch: prune expired members, drop the group's
+    * state entirely once empty, re-arm otherwise. */
+  private def onGroupTimeout[T](state: GroupState[Seq[T]], wmMs: Long,
+      tsOf: T => Long, useHorizon: Boolean): Unit = {
+    val kept = liveMembers(state.getOption.getOrElse(Seq.empty), wmMs, tsOf)
+    if (kept.isEmpty) state.remove()
+    else {
+      state.update(kept)
+      armHorizonTimeout(state, kept, wmMs, tsOf, useHorizon)
     }
-    parts(0).toLong * unit
+  }
+
+  /** Millisecond value of an interval string, parsed by SPARK'S OWN
+    * interval grammar (the same parser `withWatermark` and `INTERVAL`
+    * expressions use) — the band stage needs the horizon as plain
+    * event-time arithmetic, and the two queries of the lean topology
+    * must agree on what a legal horizon is by construction. Calendar
+    * months have no fixed millisecond value and are rejected. */
+  private def intervalMs(s: String): Long = {
+    val iv = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+    require(iv.months == 0,
+      s"calendar-month horizons are not supported: '$s'")
+    iv.days * 86400000L + iv.microseconds / 1000L
   }
 
   /** HORIZON-BOUNDED lean near-dup, query 1 of 2 — the band-index
@@ -672,18 +724,13 @@ object EventStreams {
         (_, rows, state) =>
           val wmMs = if (useHorizon) state.getCurrentWatermarkMs()
             else Long.MinValue
-          def live(ms: Seq[(Long, Long)]) = ms.filter(_._2 >= wmMs)
-          def armTimeout(ms: Seq[(Long, Long)]): Unit =
-            if (useHorizon && ms.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(ms.map(_._2).max + 1L, wmMs + 1L))
           if (state.hasTimedOut) {
-            val kept = live(state.getOption.getOrElse(Seq.empty))
-            if (kept.isEmpty) state.remove()
-            else { state.update(kept); armTimeout(kept) }
+            onGroupTimeout[(Long, Long)](state, wmMs, _._2, useHorizon)
             Iterator.empty
           } else {
-            var members = live(state.getOption.getOrElse(Seq.empty))
+            var members = liveMembers(
+              state.getOption.getOrElse(Seq.empty[(Long, Long)]),
+              wmMs, (m: (Long, Long)) => m._2)
             val out = Seq.newBuilder[(Long, Long, java.sql.Timestamp)]
             rows.toSeq.sortBy(_._3).foreach { r =>
               val tMs = r._4.getTime
@@ -692,11 +739,21 @@ object EventStreams {
                   out += ((math.min(mid, r._3), math.max(mid, r._3),
                     new java.sql.Timestamp(math.max(mts, tMs))))
               }
-              if (!members.exists(_._1 == r._3))
-                members = members :+ ((r._3, tMs))
+              // a re-ingested doc (topic replay) REFRESHES its member's
+              // event time, so its horizon extends from the latest
+              // sighting — the one-stage operator gets this by appending
+              // a fresh timestamped entry; one max-ts entry is the lean
+              // equivalent
+              members =
+                if (members.exists(_._1 == r._3))
+                  members.map { case m @ (mid, mts) =>
+                    if (mid == r._3) (mid, math.max(mts, tMs)) else m
+                  }
+                else members :+ ((r._3, tMs))
             }
             state.update(members)
-            armTimeout(members)
+            armHorizonTimeout[(Long, Long)](state, members, wmMs, _._2,
+              useHorizon)
             out.result().iterator
           }
       }
@@ -718,22 +775,8 @@ object EventStreams {
       horizon: String = "1 hour"): DataFrame = {
     val c = cands.withWatermark("evt", horizon)
       .dropDuplicatesWithinWatermark("id_a", "id_b")
-    val g = graft.pipeline.Dedup.wordGramHashes(
-      docs.filter(col(tsCol).isNotNull), w, tsCol = Some(tsCol))
-    val ga = g.select(col("id").as("gid_a"), col("ts_evt").as("gevt_a"),
-        col("ghash").as("gh_a"))
-      .withWatermark("gevt_a", horizon)
-    val gb = g.select(col("id").as("gid_b"), col("ts_evt").as("gevt_b"),
-        col("ghash").as("gh_b"))
-      .withWatermark("gevt_b", horizon)
-    val win = expr(s"INTERVAL $horizon")
-    c.join(ga, col("id_a") === col("gid_a") &&
-        col("gevt_a") >= col("evt") - win && col("gevt_a") <= col("evt"))
-      .join(gb, col("id_b") === col("gid_b") &&
-        col("gevt_b") >= col("evt") - win && col("gevt_b") <= col("evt"))
-      .select(col("id_a"), col("id_b"),
-        graft.pipeline.Dedup.jaccard(col("gh_a"), col("gh_b")).as("jac"))
-      .filter(col("jac") >= threshold)
+    verifyStage(c, docs, w, threshold, tsCol = Some(tsCol),
+      horizon = horizon)
   }
 
   /** Run [[nearDupPairsStreamLean]] over the documents parquet as a real

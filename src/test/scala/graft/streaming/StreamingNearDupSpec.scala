@@ -210,7 +210,7 @@ class StreamingNearDupSpec extends SparkSpec {
     // query 1: band candidates src -> candDir; query 2: candDir + src ->
     // verified pairs. Each drain runs both queries in order (the sink
     // IS the handoff — the topology's whole point).
-    def drainOnce(): (Long, Long) = {
+    def drainOnce(): (Long, Seq[(String, Long)]) = {
       val docs1 = spark.readStream.schema(schema).json(src.getAbsolutePath)
       val q1 = EventStreams
         .nearDupCandidatesStream(docs1, horizon = "1 hour")
@@ -231,7 +231,8 @@ class StreamingNearDupSpec extends SparkSpec {
         .start()
       try q2.awaitTermination() finally q2.stop()
       (q1.lastProgress.stateOperators.map(_.numRowsTotal).sum,
-        q2.lastProgress.stateOperators.map(_.numRowsTotal).sum)
+        q2.lastProgress.stateOperators
+          .map(o => (o.operatorName, o.numRowsTotal)).toSeq)
     }
     // the st11 horizon scenario: (1,2) in horizon; 4 advances the
     // watermark past 1/2; 3 duplicates the EXPIRED alpha (no pair);
@@ -258,13 +259,27 @@ class StreamingNearDupSpec extends SparkSpec {
     assert(band3 == groupsOf((3L, "", s"$tA x2"), (4L, "", tB),
         (5L, "", s"$tB x3")),
       s"band state after drain 3 = $band3, want live docs 3/4/5 only")
-    // the verify query's state is horizon-bounded too: after drain 3 the
-    // expired docs' gram rows (1, 2) have left the join stores — the
-    // total sits strictly below what all five docs' gram rows in both
-    // joins plus the candidates would hold
-    assert(ver3 < 2 * 5 + 3,
-      s"verify-query state after drain 3 = $ver3 — expired gram rows " +
-        "did not leave the join state")
+    // the verify query's state is horizon-bounded STORE BY STORE after
+    // drain 3 (watermark 12:10): the dedup holds only the live candidate
+    // (4,5)@13:10 — (1,2)@10:30 expired — and each join store holds at
+    // most the live docs' gram rows (3/4/5) plus that one live candidate
+    // row; the expired docs' (1, 2) gram rows have left both joins
+    val dedupRows = ver3.filter(_._1.contains("dedupe")).map(_._2).sum
+    assert(dedupRows == 1,
+      s"dedup store after drain 3 holds $dedupRows rows, want the one " +
+        s"live candidate only (ops: $ver3)")
+    val joinRows = ver3.filter(_._1.contains("symmetricHashJoin")).map(_._2)
+    assert(joinRows.length == 2, s"expected two join stores, got $ver3")
+    // fully evicted = 3 live gram rows + 1 live candidate; interval-join
+    // eviction can lag one batch on one side (measured: 5 then 4), so
+    // allow +1 — still strictly below the no-expiry 13 (2×5 grams + 3
+    // candidates), which is what a leak would approach
+    joinRows.foreach(r => assert(r > 0 && r <= 3 + 1 + 1,
+      s"a join store holds $r rows after drain 3 — expired gram rows " +
+        s"did not leave (ops: $ver3)"))
+    assert(joinRows.sum + dedupRows < 13,
+      s"verify-query total state ${joinRows.sum + dedupRows} is not " +
+        s"below the no-expiry bound (ops: $ver3)")
     val pairs = spark.read.parquet(sink)
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (4L, 5L)),
