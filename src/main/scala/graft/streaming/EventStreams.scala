@@ -414,10 +414,12 @@ object EventStreams {
     * each entry carries the document's WHOLE hashed gram set — a
     * numBands-fold (64× here) duplication of per-doc verify data in the
     * state store and its checkpoint stream. That is the price of exact
-    * in-state verification in ONE stateful stage; the 100 TB shape
-    * splits it in two (the band index emits candidate id pairs only,
-    * and a second keyed state — one gram set per doc — verifies),
-    * trading a stage for 1× state.
+    * in-state verification in ONE stateful stage; the 100 TB shape is
+    * IMPLEMENTED as [[nearDupPairsStreamLean]] (horizonless: member-ID
+    * band state + candidate dedup + two gram joins) and, with the
+    * horizon, as the [[nearDupCandidatesStream]] →
+    * [[nearDupVerifyStream]] two-query topology — trading a stage (and
+    * a sink handoff) for 2× verify data instead of 64×.
     *
     * State bound: pass `tsCol` to expire band-index members at the
     * dedup horizon, exactly like [[funnelStream]]'s event-time timeout —

@@ -353,6 +353,13 @@ object ScaleRehearsal {
     time(s"d11 exact word-jaccard pairs x$k") {
       Dedup.jaccardPairsWords(docs, 5, 0.8).count()
     }
+    // the lean two-stage near-dup's batch leg (st13): band candidates
+    // from id-only groups, pair dedup, two gram joins — must sit in the
+    // d10 cost family (output-linear in the near-dup density, never
+    // corpus-quadratic), since the same plan is the streaming topology
+    time(s"st13 lean two-stage near-dup (batch leg) x$k") {
+      graft.streaming.EventStreams.nearDupPairsStreamLean(docs).count()
+    }
     // CDC: map-side kernel + one hash groupBy — must track corpus bytes.
     // The suffix perturbation leaves every replica's chunk prefix shared,
     // so the duplicate-chunk table is ~base-corpus-sized at any k.
