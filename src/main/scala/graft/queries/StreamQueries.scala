@@ -140,9 +140,30 @@ object StreamQueries {
     EventStreams.nearDupPairsStreamLean(Tables.documents(spark, d))
       .orderBy(col("id_a"), col("id_b"))
 
+  /** st14 — the HORIZON-BOUNDED two-query topology's batch leg
+    * ([[EventStreams.nearDupCandidatesStream]] →
+    * [[EventStreams.nearDupVerifyStream]]) over synthetic event times
+    * (doc_id minutes on a fixed epoch): near-dup pairs report ONLY when
+    * the two documents sit within one hour of each other in event time
+    * — the band stage's explicit emission bound, exactly replayable as
+    * `|Δdoc_id| ≤ 60` on the brute all-pairs oracle. 6 of st11's 25
+    * pairs survive the horizon at the verify SF, so the gate genuinely
+    * selects; the streaming semantics (watermarks, per-store expiry,
+    * the sink handoff) are spec-driven in StreamingNearDupSpec. */
+  def st14HorizonNearDup(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d)
+      .withColumn("ts",
+        timestamp_seconds(lit(1767225600L) + col("doc_id") * 60))
+    val cands = EventStreams.nearDupCandidatesStream(docs,
+      horizon = "1 hour")
+    EventStreams.nearDupVerifyStream(cands, docs, horizon = "1 hour")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st11_near_dup" -> (st11NearDup _),
     "st13_near_dup_lean" -> (st13NearDupLean _),
+    "st14_horizon_near_dup" -> (st14HorizonNearDup _),
     "st12_stream_tokenize" -> (st12StreamTokenize _),
     "st10_hourly_users" -> (st10HourlyUsers _),
     "st09_funnel" -> (st09Funnel _),
@@ -156,15 +177,16 @@ object StreamQueries {
     "st06_content_dedup" -> (st06ContentDedup _))
 
   // brute all-pairs word-5-shingle jaccard (the d11 oracle) — any LSH
-  // band-index variant (one-stage st11, lean two-stage st13) must
-  // recover the exact pair set and verify values at this threshold
-  private val NearDupOracle: String =
-    """WITH g AS (
+  // band-index variant (one-stage st11, lean two-stage st13, the
+  // horizon-bounded st14 with its extra time predicate) must recover
+  // the exact pair set and verify values at this threshold
+  private def nearDupOracleWhere(extra: String): String =
+    s"""WITH g AS (
         |  SELECT doc_id,
         |    list_distinct([array_to_string(toks[i:i+4], ' ')
         |                   for i in generate_series(1, len(toks) - 4)]) AS grams
         |  FROM (SELECT doc_id,
-        |          regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
         |        FROM documents WHERE text IS NOT NULL))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  len(list_intersect(a.grams, b.grams))::DOUBLE
@@ -172,7 +194,10 @@ object StreamQueries {
         |FROM g a JOIN g b ON a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.grams, b.grams))::DOUBLE
         |    / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.8
+        |  $extra
         |ORDER BY id_a, id_b""".stripMargin
+
+  private val NearDupOracle: String = nearDupOracleWhere("")
 
   val oracle: Map[String, String] = Map(
     // the per-row greedy kernel equals the dictionary join exactly on
@@ -182,6 +207,11 @@ object StreamQueries {
     // same exact-verify values as the one-stage operator, so st13
     // shares st11's brute all-pairs oracle (declared below on st11)
     "st13_near_dup_lean" -> NearDupOracle,
+    // synthetic event time = doc_id minutes, horizon 1 hour — the band
+    // stage's |t_a - t_b| <= horizon emission bound is exactly a
+    // doc_id-distance predicate on the brute pairs
+    "st14_horizon_near_dup" ->
+      nearDupOracleWhere("AND abs(a.doc_id - b.doc_id) <= 60"),
     "st11_near_dup" -> NearDupOracle,
     "st10_hourly_users" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,

@@ -775,8 +775,15 @@ object EventStreams {
   def nearDupVerifyStream(cands: DataFrame, docs: DataFrame, w: Int = 5,
       threshold: Double = 0.8, tsCol: String = "ts",
       horizon: String = "1 hour"): DataFrame = {
-    val c = cands.withWatermark("evt", horizon)
-      .dropDuplicatesWithinWatermark("id_a", "id_b")
+    // batch/stream unification (the module's posture): the watermark
+    // dedup exists only in streaming — a batch replay dedups plainly
+    // (dropDuplicatesWithinWatermark throws on batch frames), and
+    // verifyStage's withWatermark is a documented no-op in batch
+    val c =
+      if (cands.isStreaming)
+        cands.withWatermark("evt", horizon)
+          .dropDuplicatesWithinWatermark("id_a", "id_b")
+      else cands.dropDuplicates("id_a", "id_b")
     verifyStage(c, docs, w, threshold, tsCol = Some(tsCol),
       horizon = horizon)
   }
