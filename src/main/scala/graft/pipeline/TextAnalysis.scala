@@ -138,28 +138,21 @@ object TextAnalysis {
         sequence(lit(1), size(toks) - (n - 1)),
         i => array_join(slice(toks, i, lit(n)), " ")))
 
-  /** Email / phone / IPv4 patterns of [[piiScrub]] — deliberately inside
-    * the regex dialect Java (Spark codegen) and RE2 (the DuckDB oracle)
-    * agree on: character classes, bounded intervals, word boundaries; no
-    * lookaround, no backreferences. */
-  private[pipeline] val PiiEmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private[pipeline] val PiiPhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
-  private[pipeline] val PiiIpRe = "\\b\\d{1,3}(\\.\\d{1,3}){3}\\b"
-
   /** PII scrub — the C4/RefinedWeb-family cleanup stage (Raffel et al.
     * 2020 §2.2's line filters; Penedo et al. 2023 §G run exactly this
     * class of regex redaction before training): per document, the match
     * counts for email / NANP-phone / IPv4 patterns and the md5 of the
-    * REDACTED text (matches replaced by `<EMAIL>`/`<PHONE>`/`<IP>`, in
-    * that fixed order — email first so its digit runs can never be
-    * re-matched as phone/IP fragments). Each count is taken on the text
-    * AS THE CORRESPONDING REPLACE SEES IT (phones counted after email
-    * redaction, IPs after phone redaction), so `n_*` equals the number
-    * of placeholders actually present in the redacted text — a phone
-    * number inside an email's local part counts as email only, never
-    * double. Counts are exact integers and the redacted string is
-    * md5-pinned, so the oracle replays the whole staged scrub
-    * byte-for-byte.
+    * REDACTED text — the SAME canonical patterns ([[EmailRe]] /
+    * [[PhoneRe]] / [[Ipv4Re]]) and replacement order as [[redactPii]],
+    * whose output the final string equals exactly (spec-pinned), so the
+    * scrub's audit counts and the t10 per-source rollup can never drift
+    * apart. Each count is taken on the text AS THE CORRESPONDING REPLACE
+    * SEES IT (phones counted after email redaction, IPs after phone
+    * redaction), so `n_*` equals the number of placeholders actually
+    * present in the redacted text — a phone number inside an email's
+    * local part counts as email only, never double. Counts are exact
+    * integers and the redacted string is md5-pinned, so the oracle
+    * replays the whole staged scrub byte-for-byte.
     *
     * Scale: pure map-side codegen'd regexp work — no shuffle, no join;
     * the scan feeds `regexp_count`/`regexp_replace` inside whole-stage
@@ -167,15 +160,15 @@ object TextAnalysis {
   def piiScrub(docs: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val afterEmail = regexp_replace(t, PiiEmailRe, "<EMAIL>")
-    val afterPhone = regexp_replace(afterEmail, PiiPhoneRe, "<PHONE>")
-    val clean = regexp_replace(afterPhone, PiiIpRe, "<IP>")
+    val afterEmail = regexp_replace(t, EmailRe, "[EMAIL]")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "[PHONE]")
+    val clean = regexp_replace(afterPhone, Ipv4Re, "[IP]")
     docs.filter(t.isNotNull)
       .select(col(idCol),
-        regexp_count(t, lit(PiiEmailRe)).cast("long").as("n_emails"),
-        regexp_count(afterEmail, lit(PiiPhoneRe)).cast("long")
+        regexp_count(t, lit(EmailRe)).cast("long").as("n_emails"),
+        regexp_count(afterEmail, lit(PhoneRe)).cast("long")
           .as("n_phones"),
-        regexp_count(afterPhone, lit(PiiIpRe)).cast("long").as("n_ips"),
+        regexp_count(afterPhone, lit(Ipv4Re)).cast("long").as("n_ips"),
         md5(clean).as("clean_md5"))
   }
 

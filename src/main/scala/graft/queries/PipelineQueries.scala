@@ -1379,9 +1379,10 @@ object PipelineQueries {
   /** d19 — PII SCRUB ([[graft.pipeline.TextAnalysis.piiScrub]], the
     * C4/RefinedWeb regex-redaction stage): per document the email /
     * phone / IPv4 match counts and the md5 of the redacted text, over
-    * the planted-PII corpus. Pure map-side codegen'd regexp work; the
-    * oracle replays the plant and the scrub in the shared
-    * Java-and-RE2-agreeing regex dialect. */
+    * the planted-PII corpus — the same canonical patterns and redaction
+    * tokens as t10's per-source audit (one pattern set engine-wide).
+    * Pure map-side codegen'd regexp work; the oracle replays the plant
+    * and the staged scrub in the shared Java-and-RE2-agreeing dialect. */
   def d19PiiScrub(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     graft.pipeline.TextAnalysis
@@ -2613,23 +2614,25 @@ object PipelineQueries {
         |st AS (
         |  SELECT doc_id, text,
         |    regexp_replace(text,
-        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')
-        |      AS after_email
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+        |      '[EMAIL]', 'g') AS after_email
         |  FROM pc),
         |st2 AS (
         |  SELECT doc_id, text, after_email,
         |    regexp_replace(after_email,
-        |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS after_phone
+        |      '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g')
+        |      AS after_phone
         |  FROM st)
         |SELECT doc_id,
         |  len(regexp_extract_all(text,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}'))::BIGINT AS n_emails,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT
+        |    AS n_emails,
         |  len(regexp_extract_all(after_email,
-        |    '\b\d{3}-\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |    '\b\d{3}[-.]\d{3}[-.]\d{4}\b'))::BIGINT AS n_phones,
         |  len(regexp_extract_all(after_phone,
-        |    '\b\d{1,3}(\.\d{1,3}){3}\b'))::BIGINT AS n_ips,
+        |    '\b\d{1,3}(?:\.\d{1,3}){3}\b'))::BIGINT AS n_ips,
         |  md5(regexp_replace(after_phone,
-        |    '\b\d{1,3}(\.\d{1,3}){3}\b', '<IP>', 'g')) AS clean_md5
+        |    '\b\d{1,3}(?:\.\d{1,3}){3}\b', '[IP]', 'g')) AS clean_md5
         |FROM st2 ORDER BY doc_id""".stripMargin,
     "t33_kn5_lm_score" ->
       // the t28 chain at KenLM's order 5: one more continuation layer

@@ -955,11 +955,19 @@ class PipelineSpec extends SparkSpec {
     def h(s: String) = java.security.MessageDigest.getInstance("MD5")
       .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
     assert(got.toSeq === Seq(
-      (1L, 2L, 0L, 0L, h("reach <EMAIL> or <EMAIL> now")),
-      (2L, 0L, 1L, 1L, h("call <PHONE> from <IP>")),
+      (1L, 2L, 0L, 0L, h("reach [EMAIL] or [EMAIL] now")),
+      (2L, 0L, 1L, 1L, h("call [PHONE] from [IP]")),
       (3L, 0L, 0L, 0L, h("clean text only")),
-      (4L, 0L, 0L, 1L, h("<IP>.5 edge")),
-      (6L, 1L, 0L, 0L, h("ping <EMAIL>"))))
+      (4L, 0L, 0L, 1L, h("[IP].5 edge")),
+      (6L, 1L, 0L, 0L, h("ping [EMAIL]"))))
+    // ONE pattern set engine-wide: the scrub's redacted string equals
+    // redactPii's output exactly (same patterns, same order, same tokens)
+    val drift = docs.filter($"text".isNotNull)
+      .select($"doc_id", md5(TextAnalysis.redactPii($"text")).as("m"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    got.foreach { case (id, _, _, _, m) =>
+      assert(drift(id) == m, s"piiScrub diverges from redactPii on $id")
+    }
   }
 
   test("chunk spans cover every token with exact overlap arithmetic") {
