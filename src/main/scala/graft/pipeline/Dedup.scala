@@ -1027,18 +1027,6 @@ object Dedup {
       .select(col("new_id"), col("corpus_id"), col("jac"))
   }
 
-  /** The banded-MinHash front half of [[minhashDedupWords]] exposed as a
-    * row stream — (id, ghash, band, bucket), one row per (doc, band) —
-    * for consumers that maintain the band index THEMSELVES, specifically
-    * the st11 streaming ingest dedup ([[graft.streaming.EventStreams
-    * .nearDupPairsStream]]): no localCheckpoint, no spread repartition,
-    * no driver-side anything, so the plan is legal under Structured
-    * Streaming. Grams ride as 8-byte xxhash64 values (`ghash`) so the
-    * per-bucket state stores longs, not strings — hashed-gram Jaccard
-    * equals string-gram Jaccard up to a 2⁻⁶⁴ in-pair collision. The
-    * banding expression is byte-identical to [[minhashBandVerify]]'s, so
-    * a band-index consumer sees exactly the batch operator's candidate
-    * buckets. */
   /** The ONE per-document word-gram derivation (length guard → tokens →
     * distinct n-grams → non-empty filter) every streaming near-dup
     * consumer builds on — [[wordBandRows]] adds the signature/banding on
@@ -1070,6 +1058,18 @@ object Dedup {
     if (tsCol.isDefined) hashed else hashed.drop("ts_evt")
   }
 
+  /** The banded-MinHash front half of [[minhashDedupWords]] exposed as a
+    * row stream — (id, ghash, band, bucket), one row per (doc, band) —
+    * for consumers that maintain the band index THEMSELVES, specifically
+    * the st11 streaming ingest dedup ([[graft.streaming.EventStreams
+    * .nearDupPairsStream]]): no localCheckpoint, no spread repartition,
+    * no driver-side anything, so the plan is legal under Structured
+    * Streaming. Grams ride as 8-byte xxhash64 values (`ghash`) so the
+    * per-bucket state stores longs, not strings — hashed-gram Jaccard
+    * equals string-gram Jaccard up to a 2⁻⁶⁴ in-pair collision. The
+    * banding expression is byte-identical to [[minhashBandVerify]]'s, so
+    * a band-index consumer sees exactly the batch operator's candidate
+    * buckets. */
   def wordBandRows(docs: DataFrame, w: Int, numHashes: Int,
       rowsPerBand: Int, idCol: String = "doc_id",
       textCol: String = "text", tsCol: Option[String] = None): DataFrame = {

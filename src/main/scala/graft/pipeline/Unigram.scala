@@ -52,10 +52,14 @@ import org.apache.spark.sql.functions._
   * corpus) take the [[Unigram.UnkUlogp]] char-fallback — SentencePiece's
   * `byte_fallback` in the character domain — so ENCODING is total on
   * any input: an unseen character becomes its own piece at a fixed
-  * floor score instead of failing the job. The TRAIN/PRUNE side keeps
-  * the loud coverage invariant (fallback off): a single-char piece
-  * wrongly dropped by a future EM change fails immediately instead of
-  * silently re-scoring its corpus occurrences at the floor.
+  * floor score instead of failing the job. [[Unigram.train]]'s own
+  * E-steps keep the loud coverage invariant (fallback off): a
+  * single-char piece wrongly dropped by a future EM change fails
+  * immediately instead of silently re-scoring its corpus occurrences at
+  * the floor. [[Unigram.prune]]'s restricted E-step runs on the ENCODE
+  * posture (fallback on) because its corpus is caller-supplied and may
+  * legitimately hold characters outside the model alphabet — see its
+  * scaladoc.
   */
 object Unigram {
 

@@ -1940,8 +1940,18 @@ object PipelineQueries {
     * `SPARK_GRAFT_T20_DRIVER_ROUNDS` env override (sf0.01 → 74,
     * sf0.1 → 78 — both measured; the default stays the verify SF). */
   private val BpeDeepDriverRounds: Long =
-    sys.env.get("SPARK_GRAFT_T20_DRIVER_ROUNDS").map(_.toLong)
-      .getOrElse(74L)
+    sys.env.get("SPARK_GRAFT_T20_DRIVER_ROUNDS") match {
+      case Some(v) =>
+        // a clear, knob-naming failure: a bare toLong here would surface
+        // a typo'd value as ExceptionInInitializerError on EVERY gate in
+        // the registry with no hint of the cause
+        val t = v.trim
+        require(t.nonEmpty && t.forall(_.isDigit),
+          s"SPARK_GRAFT_T20_DRIVER_ROUNDS must be a positive integer " +
+            s"(t20's measured driver-round pin), got '$v'")
+        t.toLong
+      case None => 74L
+    }
 
   private lazy val bpeDeepTrainOracle: String =
     s"""${bpeOracleChain(BpeDeepRounds)}

@@ -545,11 +545,14 @@ object EventStreams {
     *      total verify data, vs 64× — and the candidate side it buffers
     *      is one id-pair row per pair.
     *
-    * Emission contract: each verified pair emits EXACTLY ONCE (the
-    * candidate dedup subsumes the one-stage operator's consumer-side
-    * `distinct` posture). The pair SET equals
-    * [[graft.pipeline.Dedup.minhashDedupWords]] over everything
-    * ingested (spec-pinned through a real readStream run).
+    * Emission contract: each verified pair emits EXACTLY ONCE — the
+    * candidate dedup caps the pair rows and a doc-id dedup on the gram
+    * sides caps replayed arrivals (topic replays of a doc attach one
+    * gram row, first version wins within the stream) — subsuming the
+    * one-stage operator's consumer-side `distinct` posture. The pair
+    * SET equals [[graft.pipeline.Dedup.minhashDedupWords]] over
+    * everything ingested (spec-pinned through a real readStream run,
+    * including a replayed arrival).
     *
     * State bound: this variant runs horizonless (the bounded-corpus gate
     * shape). The production bound is the standard one for stream-stream
@@ -614,8 +617,17 @@ object EventStreams {
         tsCol.map(_ => col("ts_evt").as(s"gevt_$sfx")).toSeq :+
         col("ghash").as(s"gh_$sfx")
       val base = g.select(cols: _*)
-      if (tsCol.isDefined) base.withWatermark(s"gevt_$sfx", horizon)
-      else base
+      val wm =
+        if (tsCol.isDefined) base.withWatermark(s"gevt_$sfx", horizon)
+        else base
+      // ONE gram row per doc (per horizon, on the horizon path): a
+      // re-ingested arrival (topic replay) would otherwise attach twice
+      // and double-emit the verified pair, breaking the exactly-once
+      // contract; the dedup state is doc-id-sized. Batch replays dedup
+      // plainly (dropDuplicatesWithinWatermark is streaming-only).
+      if (tsCol.isDefined && wm.isStreaming)
+        wm.dropDuplicatesWithinWatermark(s"gid_$sfx")
+      else wm.dropDuplicates(s"gid_$sfx")
     }
     def cond(sfx: String) = {
       val eq = col(s"id_$sfx") === col(s"gid_$sfx")

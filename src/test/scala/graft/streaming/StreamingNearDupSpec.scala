@@ -99,8 +99,11 @@ class StreamingNearDupSpec extends SparkSpec {
     // drain 2 (restart): (3,5) straddles the boundary — candidate
     // generation needs the recovered band ids AND the verify joins need
     // doc 3's gram row, which arrived only before the restart (the join
-    // state must have buffered it); (6,7) is in-batch after restart
+    // state must have buffered it); (6,7) is in-batch after restart; doc
+    // 1 is REPLAYED verbatim (topic replay) — its extra gram row must
+    // not re-emit pair (1,2): the gram-side dedup caps it
     writeFile("b.json", Seq(
+      (1L, tA),
       (5L, s"$tB x2"),
       (6L, text("delta")), (7L, s"${text("delta")} x3"),
       (8L, text("epsi"))))
@@ -260,14 +263,15 @@ class StreamingNearDupSpec extends SparkSpec {
         (5L, "", s"$tB x3")),
       s"band state after drain 3 = $band3, want live docs 3/4/5 only")
     // the verify query's state is horizon-bounded STORE BY STORE after
-    // drain 3 (watermark 12:10): the dedup holds only the live candidate
-    // (4,5)@13:10 — (1,2)@10:30 expired — and each join store holds at
-    // most the live docs' gram rows (3/4/5) plus that one live candidate
-    // row; the expired docs' (1, 2) gram rows have left both joins
-    val dedupRows = ver3.filter(_._1.contains("dedupe")).map(_._2).sum
-    assert(dedupRows == 1,
-      s"dedup store after drain 3 holds $dedupRows rows, want the one " +
-        s"live candidate only (ops: $ver3)")
+    // drain 3 (watermark 12:10): the candidate dedup holds only the live
+    // candidate (4,5)@13:10 — (1,2)@10:30 expired — the two gram-side
+    // dedups hold the three live docs' (3/4/5) id keys each, and each
+    // join store holds at most those gram rows plus the one live
+    // candidate; the expired docs' (1, 2) entries have left every store
+    val dedupRows = ver3.filter(_._1.contains("dedupe")).map(_._2)
+    assert(dedupRows.sorted == Seq(1L, 3L, 3L),
+      s"dedup stores after drain 3 hold $dedupRows, want the one live " +
+        s"candidate + the two live-doc gram keys (ops: $ver3)")
     val joinRows = ver3.filter(_._1.contains("symmetricHashJoin")).map(_._2)
     assert(joinRows.length == 2, s"expected two join stores, got $ver3")
     // fully evicted = 3 live gram rows + 1 live candidate; interval-join
@@ -277,9 +281,9 @@ class StreamingNearDupSpec extends SparkSpec {
     joinRows.foreach(r => assert(r > 0 && r <= 3 + 1 + 1,
       s"a join store holds $r rows after drain 3 — expired gram rows " +
         s"did not leave (ops: $ver3)"))
-    assert(joinRows.sum + dedupRows < 13,
-      s"verify-query total state ${joinRows.sum + dedupRows} is not " +
-        s"below the no-expiry bound (ops: $ver3)")
+    assert(joinRows.sum + dedupRows.sum < 13 + 2 * 5,
+      s"verify-query total state ${joinRows.sum + dedupRows.sum} is " +
+        s"not below the no-expiry bound (ops: $ver3)")
     val pairs = spark.read.parquet(sink)
       .as[(Long, Long, Double)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (4L, 5L)),
