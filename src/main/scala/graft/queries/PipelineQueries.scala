@@ -1422,6 +1422,54 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q36 — WARC corpus ingest through the native DataSource V2 connector
+    * ([[graft.sources.warc.WarcDataSource]], `format("warc")` — the
+    * web-crawl interchange format a pretraining pipeline's ingest starts
+    * from): the gate renders the documents table into two .warc segment
+    * files (split by doc parity — two input partitions — plus a
+    * `warcinfo` header record the pushed `record_type = 'response'`
+    * filter must drop inside the reader), reads them back through the
+    * connector, and emits per-document byte length and payload md5 —
+    * the oracle recomputes both straight from the documents table, so a
+    * parse that mis-splits a record (payload extent is Content-Length-
+    * driven, never delimiter-scanned) hash-fails. The FIXTURE writer is
+    * driver-side by design (test-input construction, the GitHistory
+    * precedent); the CONNECTOR is the operator under test and reads on
+    * executors. */
+  def q36WarcIngest(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter($"text".isNotNull)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = graft.util.Scratch.dir("graft_warc")
+    def fileBytes(part: Int): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      if (part == 0)
+        bos.write(graft.sources.warc.Warc.renderRecord("warcinfo",
+          "<urn:uuid:graft-warcinfo>", "", "2026-01-01T00:00:00Z",
+          "software: graft".getBytes("UTF-8")))
+      docs.filter(_._1 % 2 == part).foreach { case (id, text) =>
+        bos.write(graft.sources.warc.Warc.renderRecord("response",
+          s"<urn:uuid:graft-$id>", s"http://corpus/doc/$id",
+          "2026-01-01T00:00:00Z", text.getBytes("UTF-8")))
+      }
+      bos.toByteArray
+    }
+    Seq(0, 1).foreach { part =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"segment-$part.warc"),
+        fileBytes(part))
+    }
+    spark.read.format("warc").load(dir)
+      .filter($"record_type" === "response")
+      .select(
+        regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        $"content_length".as("n_bytes"),
+        md5($"payload").as("payload_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** q35 — the PRETRAINING DATA JOB end to end, in ONE declarative
     * plan: Gopher quality filter (t19's rules) → BPE tokenization under
     * the t16 vocab (broadcast dictionary join) → 256-token sequence
@@ -1662,6 +1710,7 @@ object PipelineQueries {
     "t30_unigram_oov_encode" -> (t30UnigramOovEncode _),
     "t31_unigram_model_io" -> (t31UnigramModelIo _),
     "t32_bpe_model_io" -> (t32BpeModelIo _),
+    "q36_warc_ingest" -> (q36WarcIngest _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2388,6 +2437,13 @@ object PipelineQueries {
     // exactly, so t31/t32 share those oracles verbatim (the st12 precedent)
     "t31_unigram_model_io" -> unigramEncodeOracle,
     "t32_bpe_model_io" -> bpeEncodeOracle,
+    "q36_warc_ingest" ->
+      // the connector must reproduce, per document, exactly the bytes
+      // the renderer framed: UTF-8 byte length and payload md5
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "t27_unigram_prune" ->
       // the t21 chain, then: leave-one-out DP per multi piece (the
       // excluded piece can only match its own full span — the CASE in

@@ -1,0 +1,125 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.sources.warc.Warc
+
+/** DataSource V2 WARC connector: length-driven record framing (a payload
+  * holding the literal `WARC/1.0` bytes must not resplit), losslessness vs
+  * the pure parser, one partition per segment file, column pruning and
+  * record_type/target_uri filter pushdown reaching the scan. */
+class WarcSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // segment 1: a warcinfo header record, a response whose PAYLOAD embeds
+  // a fake record header (the delimiter-scan trap — only Content-Length
+  // framing survives it), and an empty-payload response
+  private val seg1: Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(Warc.renderRecord("warcinfo", "<urn:uuid:info>", "",
+      "2026-01-01T00:00:00Z", "software: graft".getBytes("UTF-8")))
+    bos.write(Warc.renderRecord("response", "<urn:uuid:r1>",
+      "http://x/1", "2026-01-01T00:00:01Z",
+      "before\r\nWARC/1.0\r\nWARC-Type: fake\r\nafter".getBytes("UTF-8")))
+    bos.write(Warc.renderRecord("response", "<urn:uuid:r2>",
+      "http://x/2", "2026-01-01T00:00:02Z", Array.empty[Byte]))
+    bos.toByteArray
+  }
+  // segment 2: one response with a beyond-BMP payload (byte length !=
+  // codepoint count) and lowercase header names (case-insensitive spec)
+  private val seg2: Array[Byte] = {
+    val canonical = Warc.renderRecord("response", "<urn:uuid:r3>",
+      "http://x/3", "2026-01-01T00:00:03Z", "p𝕏q".getBytes("UTF-8"))
+    new String(canonical, "ISO-8859-1")
+      .replace("WARC-Type:", "warc-type:")
+      .replace("Content-Length:", "content-length:")
+      .getBytes("ISO-8859-1") // byte-preserving round trip for the payload
+  }
+
+  private lazy val dir = {
+    val d = Files.createTempDirectory("warc_src_spec")
+    Files.write(d.resolve("seg1.warc"), seg1)
+    Files.write(d.resolve("seg2.warc"), seg2)
+    d.toAbsolutePath.toString
+  }
+
+  private def read() = spark.read.format("warc").load(dir)
+
+  test("reads every record with Content-Length framing — an embedded " +
+    "fake record header in a payload does not resplit") {
+    val rows = read().orderBy("record_id").collect()
+    assert(rows.length === 4)
+    val r1 = rows.find(_.getAs[String]("record_id") == "<urn:uuid:r1>").get
+    assert(new String(r1.getAs[Array[Byte]]("payload"), "UTF-8") ===
+      "before\r\nWARC/1.0\r\nWARC-Type: fake\r\nafter")
+    val r2 = rows.find(_.getAs[String]("record_id") == "<urn:uuid:r2>").get
+    assert(r2.getAs[Long]("content_length") === 0L)
+    assert(r2.getAs[Array[Byte]]("payload").length === 0)
+    // lowercase headers parse (case-insensitive per ISO 28500), and the
+    // byte length is UTF-8 octets, not codepoints
+    val r3 = rows.find(_.getAs[String]("record_id") == "<urn:uuid:r3>").get
+    assert(r3.getAs[String]("record_type") === "response")
+    assert(r3.getAs[Long]("content_length") ===
+      "p𝕏q".getBytes("UTF-8").length.toLong)
+    assert(new String(r3.getAs[Array[Byte]]("payload"), "UTF-8") === "p𝕏q")
+    val info = rows.find(_.getAs[String]("record_type") == "warcinfo").get
+    assert(info.getAs[String]("target_uri") === "")
+  }
+
+  test("round-trips the pure parser: connector rows == Warc.parse on " +
+    "each segment's bytes") {
+    val parsed = (Warc.parse(seg1) ++ Warc.parse(seg2))
+      .map(r => (r.recordId, r.recordType, r.targetUri, r.contentLength,
+        r.payload.toSeq)).toSet
+    val viaConnector = read().collect()
+      .map(r => (r.getAs[String]("record_id"), r.getAs[String]("record_type"),
+        r.getAs[String]("target_uri"), r.getAs[Long]("content_length"),
+        r.getAs[Array[Byte]]("payload").toSeq)).toSet
+    assert(viaConnector === parsed)
+  }
+
+  test("plans one partition per segment file") {
+    assert(read().rdd.getNumPartitions === 2)
+  }
+
+  test("column pruning reaches the scan's readSchema — payload bytes " +
+    "never cross the scan boundary for a metadata query") {
+    val df = read().select("target_uri", "content_length")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case s: DataSourceV2ScanRelation => s.scan
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.readSchema().fieldNames.toSet ===
+      Set("target_uri", "content_length"))
+  }
+
+  test("record_type= / target_uri= equality filters are pushed into " +
+    "the reader") {
+    val df = read().filter(col("record_type") === "response")
+    val scans = df.queryExecution.optimizedPlan.collect {
+      case s: DataSourceV2ScanRelation => s.scan
+    }
+    assert(scans.head.description()
+      .contains("""EqualTo(record_type,response)"""))
+    assert(df.count() === 3L)
+    assert(read().filter(col("target_uri") === "http://x/2").count() === 1L)
+  }
+
+  test("q36's connector read reproduces the rendered corpus exactly on " +
+    "sf0.001") {
+    val got = graft.queries.PipelineQueries.q36WarcIngest(spark, sfTiny)
+      .as[(Long, Long, String)].collect().toSeq
+    val want = graft.util.Tables.documents(spark, sfTiny)
+      .filter($"text".isNotNull)
+      .select($"doc_id",
+        octet_length($"text").cast("long").as("n"),
+        md5($"text").as("m"))
+      .orderBy($"doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got === want)
+  }
+}
