@@ -1470,6 +1470,49 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q37 — WARC ingest from `.warc.gz` RECORD-LEVEL GZIP MEMBERS, the
+    * packaging Common Crawl actually ships (q36's twin over the
+    * compressed form): every record — including a warcinfo header the
+    * pushed `record_type = 'response'` filter must drop INSIDE the
+    * reader — is rendered as its own RFC 1952 gzip member and the
+    * members are concatenated per segment file, so the gate exercises
+    * the JDK multi-member decode path plus filter-time payload
+    * skipping under compression. Same oracle as q36: the decompressed,
+    * re-framed payloads must reproduce the documents table's bytes and
+    * md5 exactly. */
+  def q37WarcGzip(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter($"text".isNotNull)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = graft.util.Scratch.dir("graft_warcgz")
+    Seq(0, 1).foreach { part =>
+      val bos = new java.io.ByteArrayOutputStream()
+      if (part == 0)
+        bos.write(graft.sources.warc.Warc.gzipMember(
+          graft.sources.warc.Warc.renderRecord("warcinfo",
+            "<urn:uuid:graft-warcinfo>", "", "2026-01-01T00:00:00Z",
+            "software: graft".getBytes("UTF-8"))))
+      docs.filter(_._1 % 2 == part).foreach { case (id, text) =>
+        bos.write(graft.sources.warc.Warc.gzipMember(
+          graft.sources.warc.Warc.renderRecord("response",
+            s"<urn:uuid:graft-$id>", s"http://corpus/doc/$id",
+            "2026-01-01T00:00:00Z", text.getBytes("UTF-8"))))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"segment-$part.warc.gz"),
+        bos.toByteArray)
+    }
+    spark.read.format("warc").load(dir)
+      .filter($"record_type" === "response")
+      .select(
+        regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        $"content_length".as("n_bytes"),
+        md5($"payload").as("payload_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** q35 — the PRETRAINING DATA JOB end to end, in ONE declarative
     * plan: Gopher quality filter (t19's rules) → BPE tokenization under
     * the t16 vocab (broadcast dictionary join) → 256-token sequence
@@ -1711,6 +1754,7 @@ object PipelineQueries {
     "t31_unigram_model_io" -> (t31UnigramModelIo _),
     "t32_bpe_model_io" -> (t32BpeModelIo _),
     "q36_warc_ingest" -> (q36WarcIngest _),
+    "q37_warc_gzip" -> (q37WarcGzip _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -1995,10 +2039,14 @@ object PipelineQueries {
         // a typo'd value as ExceptionInInitializerError on EVERY gate in
         // the registry with no hint of the cause
         val t = v.trim
-        require(t.nonEmpty && t.forall(_.isDigit),
+        // digits alone don't save us: a 20-digit value (or '0') would
+        // still detonate the static initializer — bound, parse via Try,
+        // and require strictly positive, all under the knob-naming message
+        val parsed = if (t.nonEmpty && t.length <= 18 && t.forall(_.isDigit))
+          scala.util.Try(t.toLong).toOption else None
+        parsed.filter(_ > 0L).getOrElse(throw new IllegalArgumentException(
           s"SPARK_GRAFT_T20_DRIVER_ROUNDS must be a positive integer " +
-            s"(t20's measured driver-round pin), got '$v'")
-        t.toLong
+            s"(t20's measured driver-round pin), got '$v'"))
       case None => 74L
     }
 
@@ -2440,6 +2488,13 @@ object PipelineQueries {
     "q36_warc_ingest" ->
       // the connector must reproduce, per document, exactly the bytes
       // the renderer framed: UTF-8 byte length and payload md5
+      """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
+        |  md5(text) AS payload_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
+    "q37_warc_gzip" ->
+      // the gzip-member decode must reproduce exactly what the
+      // uncompressed framing does — q36's oracle verbatim
       """SELECT doc_id, strlen(text)::BIGINT AS n_bytes,
         |  md5(text) AS payload_md5
         |FROM documents WHERE text IS NOT NULL

@@ -18,80 +18,168 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Pure WARC record machinery (ISO 28500, the WARC/1.x web-crawl
   * interchange format every pretraining corpus ingest starts from —
-  * Common Crawl ships it): a length-driven parser over raw record bytes
-  * and the matching renderer the gate/spec fixtures build files with.
+  * Common Crawl ships it): an INCREMENTAL length-driven record iterator
+  * over a raw byte stream, and the matching renderer the gate/spec
+  * fixtures build files with.
   *
-  * Subset: uncompressed .warc member streams (record-level gzip is the
-  * documented extension point — each gzip member is one record, so a
-  * splitter would wrap the SAME byte parser per member); headers are
-  * case-insensitive per the spec; payload extent comes from
-  * Content-Length ALONE, never from scanning for delimiters — a payload
-  * containing the literal bytes `WARC/1.0` must not resplit (spec-pinned).
-  */
+  * Subset: uncompressed `.warc` streams and `.warc.gz` record-level gzip
+  * members (the Common Crawl packaging — each member is one record, so
+  * the decompressed concatenation is exactly one uncompressed WARC
+  * stream; trailing garbage after the last well-formed member is ignored,
+  * the JDK multi-member contract); headers are case-insensitive per the
+  * spec and folded continuation lines (leading SP/HT) extend the previous
+  * header's value joined by one space — a folded Content-Length therefore
+  * fails its numeric parse LOUDLY rather than mis-framing; payload extent
+  * comes from Content-Length ALONE, never from scanning for delimiters —
+  * a payload containing the literal bytes `WARC/1.0` must not resplit
+  * (spec-pinned).
+  *
+  * Scale posture: [[Warc.records]] never holds more than ONE record's
+  * payload, and only materializes a payload when the caller wants the
+  * bytes AND its header predicate keeps the record — otherwise the
+  * payload extent is `skip()`ped, so a metadata-only or filtered read of
+  * a 1 GB segment allocates header strings only (peak heap is one
+  * record's payload, not 2× the file). Payloads past ~2 GiB can still be
+  * SKIPPED (the extent is a long); only materialization is int-bounded,
+  * and it fails loudly. */
 object Warc {
 
   final case class WarcRecord(recordType: String, recordId: String,
       targetUri: String, warcDate: String, contentLength: Long,
       payload: Array[Byte])
 
-  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  /** Test instrumentation: total payload bytes MATERIALIZED (copied into
+    * heap arrays) by [[records]] since JVM start. The pruning/pushdown
+    * specs assert a metadata-only or filtered-out read leaves this
+    * untouched — the "never allocates payload copies" claim, measured. */
+  val payloadBytesCopied = new java.util.concurrent.atomic.AtomicLong(0L)
 
-  /** Parse one file's bytes into records. Header lines are CRLF per the
-    * spec (bare LF tolerated); unknown headers are legal and skipped;
-    * blank lines between records (the two record-terminating CRLFs) are
-    * consumed structurally. */
-  def parse(bytes: Array[Byte]): Seq[WarcRecord] = {
-    val out = Seq.newBuilder[WarcRecord]
-    var i = 0
-    def readLine(): String = {
-      val start = i
-      while (i < bytes.length && bytes(i) != '\n') i += 1
-      val end = if (i > start && bytes(i - 1) == '\r') i - 1 else i
-      val s = new String(bytes, start, end - start, Utf8)
-      if (i < bytes.length) i += 1 // consume the \n
-      s
-    }
-    var done = false
-    while (!done) {
-      // consume inter-record blank lines; stop cleanly at EOF
-      var line = ""
-      var sawContent = false
-      while (!sawContent && i < bytes.length) {
-        line = readLine()
-        sawContent = line.nonEmpty
+  private val Utf8 = java.nio.charset.StandardCharsets.UTF_8
+  private val NoPayload = Array.emptyByteArray
+
+  /** Parse one full byte array into records (fixture/spec convenience —
+    * the production path is the streaming [[records]] this delegates to). */
+  def parse(bytes: Array[Byte]): Seq[WarcRecord] =
+    records(new java.io.ByteArrayInputStream(bytes)).toSeq
+
+  /** Lazy record iterator over an uncompressed WARC byte stream. Header
+    * lines are CRLF per the spec (bare LF tolerated); unknown headers are
+    * legal and skipped; blank lines between records (the two
+    * record-terminating CRLFs) are consumed structurally.
+    *
+    * `keep` sees a HEADERS-ONLY record (payload == empty) after the
+    * header block and before any payload byte is touched — a false
+    * answer, or `wantPayload = false`, skips the payload extent instead
+    * of copying it. The caller owns closing the stream. */
+  def records(in: java.io.InputStream, wantPayload: Boolean = true,
+      keep: WarcRecord => Boolean = _ => true): Iterator[WarcRecord] =
+    new Iterator[WarcRecord] {
+      private var nextRec: WarcRecord = _
+      private var eof = false
+
+      override def hasNext: Boolean = {
+        if (nextRec == null && !eof) advance()
+        nextRec != null
       }
-      if (!sawContent) done = true
-      else {
-        require(line.startsWith("WARC/"),
-          s"not a WARC record version line: '$line'")
-        var rt = ""; var rid = ""; var uri = ""; var date = ""
-        var len = -1L
-        var h = readLine()
-        while (h.nonEmpty) {
-          val idx = h.indexOf(':')
-          require(idx > 0, s"malformed WARC header line: '$h'")
-          h.substring(0, idx).trim.toLowerCase match {
-            case "warc-type" => rt = h.substring(idx + 1).trim
-            case "warc-record-id" => rid = h.substring(idx + 1).trim
-            case "warc-target-uri" => uri = h.substring(idx + 1).trim
-            case "warc-date" => date = h.substring(idx + 1).trim
-            case "content-length" => len = h.substring(idx + 1).trim.toLong
-            case _ => () // unknown headers are legal per the spec
+      override def next(): WarcRecord = {
+        if (!hasNext) throw new NoSuchElementException("WARC stream at EOF")
+        val r = nextRec; nextRec = null; r
+      }
+
+      // one line, CR stripped; None at EOF-before-any-byte
+      private def readLine(): Option[String] = {
+        var b = in.read()
+        if (b < 0) return None
+        val bos = new java.io.ByteArrayOutputStream(96)
+        while (b >= 0 && b != '\n') { bos.write(b); b = in.read() }
+        val raw = bos.toByteArray
+        val end =
+          if (raw.nonEmpty && raw(raw.length - 1) == '\r') raw.length - 1
+          else raw.length
+        Some(new String(raw, 0, end, Utf8))
+      }
+
+      private def skipFully(n: Long): Unit = {
+        var left = n
+        while (left > 0) {
+          val s = in.skip(left)
+          if (s > 0) left -= s
+          else {
+            // skip() may legally return 0 (gzip wrappers do) — fall back
+            // to a one-byte read so truncation still surfaces loudly
+            require(in.read() >= 0,
+              s"truncated WARC payload: $left of $n bytes missing")
+            left -= 1
           }
-          h = readLine()
         }
-        require(len >= 0, "WARC record missing Content-Length")
-        require(i + len <= bytes.length,
-          s"truncated WARC payload: need $len bytes at offset $i of " +
-            s"${bytes.length}")
-        val payload =
-          java.util.Arrays.copyOfRange(bytes, i, i + len.toInt)
-        i += len.toInt
-        out += WarcRecord(rt, rid, uri, date, len, payload)
+      }
+
+      private def readFully(n: Int): Array[Byte] = {
+        val buf = new Array[Byte](n)
+        var off = 0
+        while (off < n) {
+          val r = in.read(buf, off, n - off)
+          require(r >= 0, s"truncated WARC payload: need $n bytes, got $off")
+          off += r
+        }
+        buf
+      }
+
+      private def advance(): Unit = {
+        while (nextRec == null && !eof) {
+          // consume inter-record blank lines; stop cleanly at EOF
+          var line: Option[String] = Some("")
+          while (line.exists(_.isEmpty)) line = readLine()
+          line match {
+            case None => eof = true
+            case Some(v) =>
+              require(v.startsWith("WARC/"),
+                s"not a WARC record version line: '$v'")
+              val hdrs = scala.collection.mutable.Map.empty[String, String]
+              var lastKey: String = null
+              var h = readLine().getOrElse(throw new IllegalArgumentException(
+                "truncated WARC header block: EOF inside headers"))
+              while (h.nonEmpty) {
+                if (h.charAt(0) == ' ' || h.charAt(0) == '\t') {
+                  // ISO 28500 folded continuation: extends the previous
+                  // header's value, joined by one space
+                  require(lastKey != null,
+                    s"WARC continuation line with no preceding header: '$h'")
+                  hdrs(lastKey) = hdrs(lastKey) + " " + h.trim
+                } else {
+                  val idx = h.indexOf(':')
+                  require(idx > 0, s"malformed WARC header line: '$h'")
+                  lastKey = h.substring(0, idx).trim.toLowerCase
+                  hdrs(lastKey) = h.substring(idx + 1).trim
+                }
+                h = readLine().getOrElse(throw new IllegalArgumentException(
+                  "truncated WARC header block: EOF inside headers"))
+              }
+              val len = hdrs.get("content-length") match {
+                case Some(s) => s.toLong // folded/garbled value fails loudly
+                case None => throw new IllegalArgumentException(
+                  "WARC record missing Content-Length")
+              }
+              require(len >= 0, s"negative WARC Content-Length: $len")
+              val hdrRec = WarcRecord(
+                hdrs.getOrElse("warc-type", ""),
+                hdrs.getOrElse("warc-record-id", ""),
+                hdrs.getOrElse("warc-target-uri", ""),
+                hdrs.getOrElse("warc-date", ""), len, NoPayload)
+              if (!keep(hdrRec)) skipFully(len)
+              else if (!wantPayload) { skipFully(len); nextRec = hdrRec }
+              else {
+                require(len <= Int.MaxValue - 8L,
+                  s"WARC payload of $len bytes exceeds the materialization " +
+                    "bound; prune the payload column or filter the record " +
+                    "so the reader skips it instead")
+                payloadBytesCopied.addAndGet(len)
+                nextRec = hdrRec.copy(payload = readFully(len.toInt))
+              }
+          }
+        }
       }
     }
-    out.result()
-  }
 
   /** Render one record in canonical CRLF form — the fixture writer the
     * gate and spec share, so the parser is exercised against exactly the
@@ -115,6 +203,19 @@ object Warc {
     outBytes(hb.length + payload.length + 3) = '\n'
     outBytes
   }
+
+  /** One record-level gzip member (RFC 1952) wrapping `recordBytes` — the
+    * Common Crawl `.warc.gz` packaging a conforming writer emits: a
+    * `.warc.gz` segment is the plain concatenation of one member per
+    * record, so members are both the random-access split boundary and
+    * individually `gunzip`-able. */
+  def gzipMember(recordBytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream(recordBytes.length / 2 + 64)
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(recordBytes)
+    gz.close()
+    bos.toByteArray
+  }
 }
 
 /** DataSource V2 connector for WARC files:
@@ -123,21 +224,27 @@ object Warc {
   * [[graft.sources.lcov.LcovDataSource]] posture, record-format swapped).
   *
   * Spark-first shape, mirroring the lcov connector:
-  *  - planning: one [[InputPartition]] per .warc file — a crawl drop of
-  *    thousands of segment files parses with full cluster parallelism and
-  *    the driver only LISTS the directory;
+  *  - planning: one [[InputPartition]] per `.warc`/`.warc.gz` file — a
+  *    crawl drop of thousands of segment files parses with full cluster
+  *    parallelism and the driver only LISTS the directory (non-recursive;
+  *    `_`- and `.`-prefixed names are skipped, Spark's own FileIndex
+  *    hidden-file convention);
   *  - column pruning ([[SupportsPushDownRequiredColumns]]): a query
-  *    reading only (target_uri, content_length) never materializes the
-  *    payload bytes across the scan boundary;
+  *    reading only (target_uri, content_length) never materializes
+  *    payload bytes AT ALL — the reader `skip()`s each payload extent
+  *    (instrumented: [[Warc.payloadBytesCopied]]);
   *  - filter pushdown ([[SupportsPushDownFilters]]): `record_type = x` /
   *    `target_uri = y` equality filters drop records inside the reader
-  *    (real WARC interleaves warcinfo/request/response/metadata records —
-  *    the standard corpus read keeps `response` only).
+  *    BEFORE the payload is read (real WARC interleaves warcinfo/request/
+  *    response/metadata records — the standard corpus read keeps
+  *    `response` only, and the dropped records' payloads are skipped,
+  *    never copied).
   *
   * Size posture: one partition per FILE — Common Crawl caps segment files
-  * around 1 GB for exactly this reason; if a file exceeded the partition
-  * budget, record-level gzip members (the standard packaging) are the
-  * split boundary, documented on [[Warc]]. */
+  * around 1 GB for exactly this reason; the reader streams records one at
+  * a time, so peak heap per task is ONE record's payload (zero when the
+  * payload column is pruned), not the segment size. `.warc.gz` files are
+  * record-level gzip members decoded as one concatenated stream. */
 class WarcDataSource extends TableProvider
     with org.apache.spark.sql.sources.DataSourceRegister {
 
@@ -227,7 +334,11 @@ class WarcScan(paths: Seq[String], required: StructType,
       val status = fs.getFileStatus(root)
       if (status.isDirectory)
         fs.listStatus(root).toSeq.filter(_.isFile)
-          .filterNot(_.getPath.getName.startsWith("_"))
+          // Spark's FileIndex hidden-file convention: skip both _ and .
+          .filterNot { f =>
+            val n = f.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
       else Seq(status)
     }
     files.sortBy(_.getPath.toString)
@@ -253,26 +364,29 @@ class WarcReaderFactory(required: StructType, pushed: Array[Filter],
       required, pushed, conf)
 }
 
-/** Reads ONE .warc file, parses with [[Warc.parse]], applies the pushed
-  * equality filters, projects the pruned columns. */
+/** Streams ONE `.warc`/`.warc.gz` file through [[Warc.records]]: pushed
+  * equality filters are applied on the HEADERS-ONLY view so dropped
+  * records' payloads are skipped, payload bytes are only materialized
+  * when the `payload` column survived pruning, and at most one record is
+  * resident at a time. */
 class WarcPartitionReader(file: String, required: StructType,
     pushed: Array[Filter],
     conf: org.apache.spark.util.SerializableConfiguration)
     extends PartitionReader[InternalRow] {
 
-  private val records: Iterator[Warc.WarcRecord] = {
+  private val in: java.io.InputStream = {
     val p = new Path(file)
     val fs = p.getFileSystem(conf.value)
-    val in = fs.open(p)
-    val bytes = try {
-      val bos = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](64 * 1024)
-      var n = in.read(buf)
-      while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
-      bos.toByteArray
-    } finally in.close()
-    Warc.parse(bytes).iterator.filter(keep)
+    val raw = new java.io.BufferedInputStream(fs.open(p), 1 << 16)
+    if (file.endsWith(".gz"))
+      // concatenated record-level gzip members decode as one stream —
+      // the JDK inflater consumes members back to back
+      new java.util.zip.GZIPInputStream(raw, 1 << 16)
+    else raw
   }
+
+  private val records: Iterator[Warc.WarcRecord] =
+    Warc.records(in, required.fieldNames.contains("payload"), keep)
 
   private def keep(r: Warc.WarcRecord): Boolean = pushed.forall {
     case EqualTo("record_type", v: String) => r.recordType == v
@@ -300,5 +414,5 @@ class WarcPartitionReader(file: String, required: StructType,
     new GenericInternalRow(values.toArray[Any])
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = in.close()
 }

@@ -783,7 +783,17 @@ object EventStreams {
     * and the exact Jaccard filters at the threshold. Every state store
     * here expires at the horizon: the dedup by its watermark, each join
     * by the interval condition — the fully BOUNDED version of
-    * [[nearDupPairsStreamLean]]'s horizonless shape. */
+    * [[nearDupPairsStreamLean]]'s horizonless shape.
+    *
+    * Emission contract: ONCE PER HORIZON, not exactly-once — the
+    * watermark dedup only suppresses re-emissions INSIDE its window, so
+    * a pair that re-collides after its first emission ages out (e.g. a
+    * doc replay refreshing band-member timestamps) emits again. That is
+    * the price of bounded state; consumers needing global uniqueness
+    * keep a downstream `dropDuplicates` posture (the st14 gate's batch
+    * leg does exactly that). The horizonless
+    * [[nearDupPairsStreamLean]] IS exactly-once, at unbounded pair-set
+    * state. */
   def nearDupVerifyStream(cands: DataFrame, docs: DataFrame, w: Int = 5,
       threshold: Double = 0.8, tsCol: String = "ts",
       horizon: String = "1 hour"): DataFrame = {

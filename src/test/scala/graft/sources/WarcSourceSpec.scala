@@ -109,6 +109,64 @@ class WarcSourceSpec extends SparkSpec {
     assert(read().filter(col("target_uri") === "http://x/2").count() === 1L)
   }
 
+  test("folded continuation lines (ISO 28500) extend the previous " +
+    "header's value; hidden and _-prefixed files are skipped") {
+    val d = Files.createTempDirectory("warc_fold_spec")
+    val canonical = Warc.renderRecord("response", "<urn:uuid:f1>",
+      "http://x/folded", "2026-01-01T00:00:04Z", "pay".getBytes("UTF-8"))
+    val folded = new String(canonical, "ISO-8859-1")
+      .replace("WARC-Target-URI: http://x/folded\r\n",
+        "WARC-Target-URI: http://x/\r\n\tfolded\r\n")
+      .getBytes("ISO-8859-1")
+    Files.write(d.resolve("seg.warc"), folded)
+    // hidden-file convention: neither may be parsed (both are garbage)
+    Files.write(d.resolve(".seg.warc.swp"), "not a warc".getBytes("UTF-8"))
+    Files.write(d.resolve("_SUCCESS"), Array.empty[Byte])
+    val rows = spark.read.format("warc").load(d.toAbsolutePath.toString)
+      .collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[String]("target_uri") === "http://x/ folded")
+    assert(new String(rows.head.getAs[Array[Byte]]("payload"), "UTF-8")
+      === "pay")
+  }
+
+  test(".warc.gz record-level gzip members read identically to the " +
+    "uncompressed stream") {
+    val d = Files.createTempDirectory("warc_gz_spec")
+    // one member per record of seg1 — the Common Crawl packaging
+    val bos = new java.io.ByteArrayOutputStream()
+    Warc.parse(seg1).foreach { r =>
+      bos.write(Warc.gzipMember(Warc.renderRecord(
+        r.recordType, r.recordId, r.targetUri, r.warcDate, r.payload)))
+    }
+    Files.write(d.resolve("seg1.warc.gz"), bos.toByteArray)
+    val viaGz = spark.read.format("warc")
+      .load(d.toAbsolutePath.toString).collect()
+      .map(r => (r.getAs[String]("record_id"), r.getAs[Long]("content_length"),
+        r.getAs[Array[Byte]]("payload").toSeq)).toSet
+    val want = Warc.parse(seg1)
+      .map(r => (r.recordId, r.contentLength, r.payload.toSeq)).toSet
+    assert(viaGz === want)
+  }
+
+  test("a metadata-only query and a filtered-out record materialize ZERO " +
+    "payload bytes — the reader skips the extent") {
+    val before = Warc.payloadBytesCopied.get()
+    // pruned payload: no copies at all
+    val n = read().select("record_id", "content_length").count()
+    assert(n === 4L)
+    assert(Warc.payloadBytesCopied.get() === before)
+    // pushed filter drops warcinfo BEFORE its payload is read: only the
+    // three response payloads are copied
+    val responses = read().filter(col("record_type") === "response")
+      .select("payload").collect()
+    val copied = Warc.payloadBytesCopied.get() - before
+    val expected = Warc.parse(seg1).++(Warc.parse(seg2))
+      .filter(_.recordType == "response").map(_.contentLength).sum
+    assert(copied === expected)
+    assert(responses.length === 3)
+  }
+
   test("q36's connector read reproduces the rendered corpus exactly on " +
     "sf0.001") {
     val got = graft.queries.PipelineQueries.q36WarcIngest(spark, sfTiny)
@@ -121,5 +179,13 @@ class WarcSourceSpec extends SparkSpec {
       .orderBy($"doc_id")
       .as[(Long, Long, String)].collect().toSeq
     assert(got === want)
+  }
+
+  test("q37's gzip-member read == q36's uncompressed read on sf0.001") {
+    val gz = graft.queries.PipelineQueries.q37WarcGzip(spark, sfTiny)
+      .as[(Long, Long, String)].collect().toSeq
+    val plain = graft.queries.PipelineQueries.q36WarcIngest(spark, sfTiny)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(gz === plain)
   }
 }
