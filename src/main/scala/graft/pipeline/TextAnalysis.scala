@@ -302,6 +302,68 @@ object TextAnalysis {
         PhoneRe, "[PHONE]"),
       Ipv4Re, "[IP]")
 
+  /** HTML→text extraction rules — the trafilatura/jusText-class stage
+    * between a WARC `response` payload and a `documents.text` column;
+    * every C4/RefinedWeb-family pipeline runs one (Raffel et al. 2020
+    * §2.2 extract Common Crawl's WET text; RefinedWeb §3.2 re-extracts
+    * from WARC). A DETERMINISTIC, SQL-replayable rule set rather than an
+    * HTML5 tree parser (documented subset: no CDATA, no numeric
+    * character references, entity decode limited to the named set below,
+    * and tag recognition is regex-scoped — `>` inside an attribute value
+    * splits the tag early), restricted to RE2-compatible constructs so
+    * the Java-regex Spark side and the DuckDB oracle match identically:
+    *
+    *  1. comments `<!-- … -->` drop (lazy span, `(?s)`);
+    *  2. `<script>`/`<style>` elements drop WITH their content (a script
+    *     body holding a literal `</div>` must not leak text);
+    *  3. block-level open/close tags become a newline (the paragraph
+    *     structure every quality filter keys on);
+    *  4. every remaining tag drops;
+    *  5. named entities decode AFTER tag removal (so `&lt;p&gt;` becomes
+    *     the literal text `<p>`, never a tag): lt gt quot apos #39
+    *     nbsp(→space), and amp LAST (double-escape correct);
+    *  6. whitespace normalizes: horizontal runs → one space, runs of
+    *     newlines (with surrounding spaces) → one newline, ends trimmed.
+    */
+  val HtmlCommentRe = "(?s)<!--.*?-->"
+  val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script>"
+  val HtmlStyleRe = "(?is)<style\\b[^>]*>.*?</style>"
+  val HtmlBlockTagRe = "(?is)</?(?:p|div|br|hr|li|ul|ol|h[1-6]|tr|td|th|" +
+    "table|blockquote|pre|section|article|header|footer|title)\\b[^>]*>"
+  val HtmlAnyTagRe = "(?s)<[^>]*>"
+  /** (search, replace) pairs of step 5, IN ORDER (amp last). */
+  val HtmlEntities: Seq[(String, String)] = Seq(
+    "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&apos;" -> "'",
+    "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+  val HtmlHspaceRe = "[ \\t\\x0B\\f\\r]+"
+  val HtmlNewlineRunRe = "(?: ?\\n ?)+"
+  val HtmlTrimRe = "^\\s+|\\s+$"
+
+  /** The extraction chain as one codegen'd Column — pure map-side
+    * regexp/replace work, zero shuffle: the canonical 100 TB payload→text
+    * pass (the [[redactPii]] posture). Entity replaces are LITERAL
+    * (`replace`, not regex), so no escaping hazards. */
+  def htmlToText(html: Column): Column = {
+    val noComment = regexp_replace(html, HtmlCommentRe, "")
+    val noScript = regexp_replace(noComment, HtmlScriptRe, "")
+    val noStyle = regexp_replace(noScript, HtmlStyleRe, "")
+    val blocks = regexp_replace(noStyle, HtmlBlockTagRe, "\n")
+    val noTags = regexp_replace(blocks, HtmlAnyTagRe, "")
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (s, r)) =>
+      replace(c, lit(s), lit(r))
+    }
+    val hspace = regexp_replace(decoded, HtmlHspaceRe, " ")
+    val nlruns = regexp_replace(hspace, HtmlNewlineRunRe, "\n")
+    regexp_replace(nlruns, HtmlTrimRe, "")
+  }
+
+  /** [[htmlToText]] as a whole-corpus operator: (id, html) → (id, text),
+    * the column shape `documents` downstream stages expect. */
+  def htmlExtract(docs: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html"): DataFrame =
+    docs.filter(col(htmlCol).isNotNull)
+      .select(col(idCol), htmlToText(col(htmlCol)).as("text"))
+
   /** Per-document top-k tokens by tf·idf (idf = ln(N/df), the classic
     * smoothing-free form; score rounded to 4 dp so the value — and the
     * (score, token) ranking — is reproducible across engines; the nearest

@@ -1376,6 +1376,33 @@ object PipelineQueries {
           lit(" call 555-867-5309 now")).otherwise(lit("")))
         .as("text"))
 
+  /** The HTML-wrapped corpus for t34/q38: every document's text —
+    * entity-escaped, so round-tripping exercises the decode rules —
+    * planted inside deterministic page chrome that exercises every
+    * extraction rule: a comment holding tag text that must not leak, a
+    * style block whose `#fff` would corrupt Gopher symbol counts if it
+    * leaked, a script whose body holds a literal `</div>` and an
+    * unbracketed `<` (the delimiter traps), block tags (title/h1/p/div)
+    * that must become newlines, and chrome entities (`&amp;` decodes,
+    * `&copy;` is outside the documented named set and stays literal).
+    * Single-line chrome: the only newlines in the extract come from the
+    * block-tag rule, so the expected shape is fully pinned. */
+  private def htmlCorpus(docs: DataFrame): DataFrame = {
+    val esc = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), "&", "&amp;"), "<", "&lt;"), ">", "&gt;")
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      concat(
+        lit("<html><!-- nav <p>skip</p> --><head><title>Doc "),
+        col("doc_id").cast("string"),
+        lit("</title><style type=\"text/css\">body { color: #fff }" +
+          "</style><script>var s = \"</div>\"; if (1 < 2) { go(); }" +
+          "</script></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1><p>"), esc,
+        lit("</p><div class=\"footer\">&copy; corpus &amp; co</div>" +
+          "</body></html>")).as("html"))
+  }
+
   /** d19 — PII SCRUB ([[graft.pipeline.TextAnalysis.piiScrub]], the
     * C4/RefinedWeb regex-redaction stage): per document the email /
     * phone / IPv4 match counts and the md5 of the redacted text, over
@@ -1387,6 +1414,25 @@ object PipelineQueries {
     import spark.implicits._
     graft.pipeline.TextAnalysis
       .piiScrub(piiCorpus(Tables.documents(spark, d)))
+      .orderBy($"doc_id")
+  }
+
+  /** t34 — HTML→TEXT EXTRACTION ([[graft.pipeline.TextAnalysis
+    * .htmlToText]], the trafilatura/jusText-class stage between a WARC
+    * response payload and `documents.text`): the documents table wrapped
+    * in [[htmlCorpus]]'s rule-exercising page chrome, extracted back,
+    * reported as per-doc char count + md5 — the oracle replays the WRAP
+    * and the full extraction chain (comment/script/style strip, block
+    * tags → newlines, tag removal, staged entity decode, whitespace
+    * normalization) in the shared Java-and-RE2-agreeing dialect, so a
+    * single leaked style byte or a mis-ordered entity decode hash-fails
+    * every row. Pure map-side codegen'd regexp work. */
+  def t34HtmlExtract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.TextAnalysis
+      .htmlExtract(htmlCorpus(Tables.documents(spark, d)))
+      .select($"doc_id", length($"text").cast("long").as("n_chars"),
+        md5($"text").as("text_md5"))
       .orderBy($"doc_id")
   }
 
@@ -1755,6 +1801,7 @@ object PipelineQueries {
     "t32_bpe_model_io" -> (t32BpeModelIo _),
     "q36_warc_ingest" -> (q36WarcIngest _),
     "q37_warc_gzip" -> (q37WarcGzip _),
+    "t34_html_extract" -> (t34HtmlExtract _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2214,6 +2261,43 @@ object PipelineQueries {
        |          text
        |        FROM documents WHERE text IS NOT NULL) t)""".stripMargin
 
+  /** [[graft.pipeline.TextAnalysis.htmlToText]]'s rule chain replayed in
+    * DuckDB around `expr` — the PATTERNS ARE THE ENGINE'S OWN CONSTANTS
+    * (interpolated from TextAnalysis, the d19 one-pattern-set-engine-wide
+    * posture), so the two sides cannot drift; `chr(10)` spells the
+    * newline a standard SQL string literal cannot. */
+  private def htmlExtractSql(expr: String): String = {
+    import graft.pipeline.TextAnalysis._
+    val noComment = s"regexp_replace($expr, '$HtmlCommentRe', '', 'g')"
+    val noScript = s"regexp_replace($noComment, '$HtmlScriptRe', '', 'g')"
+    val noStyle = s"regexp_replace($noScript, '$HtmlStyleRe', '', 'g')"
+    val blocks =
+      s"regexp_replace($noStyle, '$HtmlBlockTagRe', chr(10), 'g')"
+    val noTags = s"regexp_replace($blocks, '$HtmlAnyTagRe', '', 'g')"
+    val decoded = HtmlEntities.foldLeft(noTags) { case (c, (s, r)) =>
+      s"replace($c, '$s', '${r.replace("'", "''")}')"
+    }
+    val hspace = s"regexp_replace($decoded, '$HtmlHspaceRe', ' ', 'g')"
+    val nlruns = s"regexp_replace($hspace, '$HtmlNewlineRunRe', chr(10), 'g')"
+    s"regexp_replace($nlruns, '$HtmlTrimRe', '', 'g')"
+  }
+
+  /** [[htmlCorpus]]'s wrap + the extraction chain as CTEs hc/ext — t34
+    * verifies ext directly; q38 feeds the downstream pipeline from it. */
+  private lazy val htmlExtCtes: String =
+    s"""hc AS (
+       |  SELECT doc_id, '<html><!-- nav <p>skip</p> --><head><title>Doc ' ||
+       |    doc_id::VARCHAR ||
+       |    '</title><style type="text/css">body { color: #fff }</style><script>var s = "</div>"; if (1 < 2) { go(); }</script></head><body><h1>Doc ' ||
+       |    doc_id::VARCHAR || '</h1><p>' ||
+       |    replace(replace(replace(text, '&', '&amp;'),
+       |            '<', '&lt;'), '>', '&gt;') ||
+       |    '</p><div class="footer">&copy; corpus &amp; co</div></body></html>'
+       |    AS html
+       |  FROM documents WHERE text IS NOT NULL),
+       |ext AS (SELECT doc_id, ${htmlExtractSql("html")} AS text FROM hc)"""
+      .stripMargin
+
   /** All five Gopher rules AND'd — q35's keep predicate; t19's r CTE
     * spells the same five conjuncts individually (it reports per-rule
     * violation counts). */
@@ -2499,6 +2583,13 @@ object PipelineQueries {
         |  md5(text) AS payload_md5
         |FROM documents WHERE text IS NOT NULL
         |ORDER BY doc_id""".stripMargin,
+    "t34_html_extract" ->
+      // wrap + full extraction chain replayed (patterns interpolated
+      // from the engine's own constants)
+      s"""WITH $htmlExtCtes
+         |SELECT doc_id, length(text)::BIGINT AS n_chars,
+         |  md5(text) AS text_md5
+         |FROM ext ORDER BY doc_id""".stripMargin,
     "t27_unigram_prune" ->
       // the t21 chain, then: leave-one-out DP per multi piece (the
       // excluded piece can only match its own full span — the CASE in

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Goldens for [[TextAnalysis.htmlToText]] — the deterministic rule set
+  * between a WARC response payload and `documents.text`. Each golden pins
+  * one rule family: comment/script/style content must not leak, block
+  * tags become newlines, entity decode runs AFTER tag removal and in the
+  * documented order, whitespace normalizes, and the documented-subset
+  * behaviors (numeric refs, attribute `>`) are what the scaladoc says. */
+class HtmlExtractSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def extract(html: String): String =
+    Seq(html).toDF("html")
+      .select(TextAnalysis.htmlToText(col("html")).as("t"))
+      .as[String].head()
+
+  test("basic page: block tags → newlines, inline tags drop, ends trim") {
+    assert(extract("<html><body><h1>Title</h1><p>Hello <b>bold</b> " +
+      "world</p><div>tail</div></body></html>") ===
+      "Title\nHello bold world\ntail")
+  }
+
+  test("script and style bodies never leak — including a literal </div> " +
+    "and an unbracketed < inside script") {
+    assert(extract("<p>a</p><script>var s = \"</div>\"; if (1 < 2) " +
+      "{ go(); }</script><p>b</p>") === "a\nb")
+    assert(extract("<style>p { color: #fff }</style><p>x</p>") === "x")
+    // case-insensitive per the rule set
+    assert(extract("<SCRIPT>leak()</SCRIPT><P>y</P>") === "y")
+  }
+
+  test("comments drop, even when they hold tag text") {
+    assert(extract("<!-- nav <p>skip</p> --><p>kept</p>") === "kept")
+    assert(extract("a <!-- multi\nline\ncomment --> b") === "a b")
+  }
+
+  test("entities decode AFTER tag removal (escaped markup is text, " +
+    "never a tag) and amp decodes last") {
+    assert(extract("<p>&lt;script&gt;not code&lt;/script&gt;</p>") ===
+      "<script>not code</script>")
+    // double-escape: &amp;lt; is the TEXT '&lt;', not a '<'
+    assert(extract("<p>&amp;lt;</p>") === "&lt;")
+    assert(extract("<p>a&nbsp;b &quot;c&quot; &#39;d&apos;</p>") ===
+      "a b \"c\" 'd'")
+    // outside the documented named set: left verbatim
+    assert(extract("<p>&copy; &#169;</p>") === "&copy; &#169;")
+  }
+
+  test("nested and attribute-heavy blocks: one newline per tag edge, " +
+    "runs collapse") {
+    assert(extract("<div class=\"a\"><ul><li>one</li><li>two</li></ul>" +
+      "</div>") === "one\ntwo")
+    assert(extract("<p>a</p>\n\n  \n<p>b</p>") === "a\nb")
+    assert(extract("line1<br/>line2<hr>line3") === "line1\nline2\nline3")
+  }
+
+  test("malformed markup degrades per the documented subset") {
+    // unclosed tag at EOF: no '>' → the '<' run survives as text
+    assert(extract("<p>ok</p><p unclosed") === "ok\n<p unclosed")
+    // '>' inside an attribute value splits the tag early (regex-scoped
+    // recognition): the remainder 'b">' is text
+    assert(extract("<p title=\"a > b\">x</p>") === "b\">x")
+    // stray close tags are just tags
+    assert(extract("</p></div>text") === "text")
+  }
+
+  test("whitespace: horizontal runs → one space, CRLF and tabs fold, " +
+    "newline runs → one newline") {
+    assert(extract("<p>a\t\tb</p>") === "a b")
+    // a source newline is a block separator in this rule set (the CR
+    // folds to space, the LF survives the newline-run rule)
+    assert(extract("<p>a\r\nb</p>") === "a\nb")
+    assert(extract("  <p>  a  </p>  ") === "a")
+  }
+
+  test("htmlExtract over the t34 corpus: every extract carries the " +
+    "chrome shape and the de-escaped text") {
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+      .filter($"text".isNotNull)
+    val got = graft.queries.PipelineQueries.t34HtmlExtract(spark, sfTiny)
+    assert(got.count() === docs.count())
+    // spot-check one doc end to end: heading twice, text, footer
+    val d0 = docs.orderBy($"doc_id").select($"doc_id", $"text")
+      .as[(Long, String)].head()
+    val ext = TextAnalysis
+      .htmlExtract(Seq((d0._1, s"<h1>Doc ${d0._1}</h1><p>${d0._2
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      }</p>")).toDF("doc_id", "html"))
+      .as[(Long, String)].head()
+    assert(ext._2.startsWith(s"Doc ${d0._1}\n"))
+  }
+}
