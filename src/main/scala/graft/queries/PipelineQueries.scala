@@ -1559,6 +1559,79 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q38's tokenizer: trained on the EXTRACTED corpus (the model must
+    * see what extraction produced — chrome headings and footer tokens
+    * included — exactly as a real crawl-fed train does), memoized per
+    * (session, dir) like [[bpeShared]]. Content-identical to training
+    * through the connector read: q36/q37 pin the payload round trip
+    * byte-for-byte, so the direct path avoids re-rendering fixtures. */
+  private val residentBpeHtml = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Bpe.Model]
+
+  private[graft] def bpeHtmlShared(spark: SparkSession, d: String)
+      : graft.pipeline.Bpe.Model = {
+    sweepStoppedSessions()
+    residentBpeHtml.getOrElseUpdate((spark, d), {
+      val ext = graft.pipeline.TextAnalysis
+        .htmlExtract(htmlCorpus(Tables.documents(spark, d)))
+      val m = graft.pipeline.Bpe.train(ext, BpeRounds)
+      require(m.merges.size == BpeRounds,
+        s"extracted corpus at $d exhausted pairs after ${m.merges.size} " +
+          s"of $BpeRounds merges — lower BpeRounds or widen the corpus")
+      m
+    })
+  }
+
+  /** q38 — the CRAWL-FED pretraining job end to end, in ONE declarative
+    * plan (q35's capstone with the INGEST seam made real): `.warc.gz`
+    * segments through the native connector (pushdown drops warcinfo
+    * before its payload is read) → [[graft.pipeline.TextAnalysis
+    * .htmlToText]] on the response payloads → Gopher quality filter →
+    * BPE tokenization under a vocab TRAINED ON THE EXTRACTED corpus →
+    * 256-token sequence packing. The oracle replays the ENTIRE chain —
+    * wrap, extraction, merge training on the extracted text, per-doc
+    * counts, rule arithmetic, cumulative window — so a one-byte
+    * extraction drift reshapes the merge table and fails every packed
+    * row. This is the nightly 100 TB shape: connector scan feeding the
+    * pipeline, not a round-trip demo. */
+  def q38WarcPipeline(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val pages = htmlCorpus(Tables.documents(spark, d))
+      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = graft.util.Scratch.dir("graft_warc_pipe")
+    Seq(0, 1).foreach { part =>
+      val bos = new java.io.ByteArrayOutputStream()
+      if (part == 0)
+        bos.write(graft.sources.warc.Warc.gzipMember(
+          graft.sources.warc.Warc.renderRecord("warcinfo",
+            "<urn:uuid:graft-warcinfo>", "", "2026-01-01T00:00:00Z",
+            "software: graft".getBytes("UTF-8"))))
+      pages.filter(_._1 % 2 == part).foreach { case (id, html) =>
+        bos.write(graft.sources.warc.Warc.gzipMember(
+          graft.sources.warc.Warc.renderRecord("response",
+            s"<urn:uuid:graft-$id>", s"http://corpus/doc/$id",
+            "2026-01-01T00:00:00Z", html.getBytes("UTF-8"))))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"segment-$part.warc.gz"),
+        bos.toByteArray)
+    }
+    val docs = spark.read.format("warc").load(dir)
+      .filter($"record_type" === "response")
+      .select(
+        regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        graft.pipeline.TextAnalysis.htmlToText($"payload".cast("string"))
+          .as("text"))
+    val kept = graft.pipeline.TextAnalysis.gopherRules(docs)
+      .filter($"r_pass_all").select($"doc_id", $"text")
+    val counts = graft.pipeline.Bpe
+      .encodeTokenCounts(kept, bpeHtmlShared(spark, d))
+    graft.pipeline.Packing
+      .packStats(counts, 256, "doc_id", "n_bpe_tokens")
+      .orderBy($"seq_id")
+  }
+
   /** q35 — the PRETRAINING DATA JOB end to end, in ONE declarative
     * plan: Gopher quality filter (t19's rules) → BPE tokenization under
     * the t16 vocab (broadcast dictionary join) → 256-token sequence
@@ -1802,6 +1875,7 @@ object PipelineQueries {
     "q36_warc_ingest" -> (q36WarcIngest _),
     "q37_warc_gzip" -> (q37WarcGzip _),
     "t34_html_extract" -> (t34HtmlExtract _),
+    "q38_warc_pipeline" -> (q38WarcPipeline _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -1865,16 +1939,17 @@ object PipelineQueries {
     * of its own pair), and `w_k` keeps each word's fixpoint row. The
     * chosen pair is CROSS JOINed in (single row) because DuckDB lambdas
     * cannot hold subqueries. */
-  private def bpeOracleBody(rounds: Int): String = {
+  private def bpeOracleBody(rounds: Int,
+      src: String = "documents"): String = {
     val w0 =
-      """w0 AS MATERIALIZED (
-        |  SELECT word, COUNT(*)::BIGINT AS cnt,
-        |    list_transform(generate_series(1, length(word)),
-        |                   i -> word[i]) AS seq
-        |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
-        |                                            '\s+')) AS word
-        |        FROM documents WHERE text IS NOT NULL) t
-        |  WHERE word <> '' GROUP BY word)""".stripMargin
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, COUNT(*)::BIGINT AS cnt,
+         |    list_transform(generate_series(1, length(word)),
+         |                   i -> word[i]) AS seq
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+         |                                            '\\s+')) AS word
+         |        FROM $src WHERE text IS NOT NULL) t
+         |  WHERE word <> '' GROUP BY word)""".stripMargin
     val stages = (1 to rounds).map { k =>
       s"""p$k AS MATERIALIZED (
          |  SELECT seq[i] AS l, seq[i+1] AS r, SUM(cnt)::BIGINT AS c
@@ -2111,11 +2186,13 @@ object PipelineQueries {
 
   /** The t17/t18 shared tail: per-doc word + BPE-token counts under the
     * round-[[BpeRounds]] vocab. */
-  private lazy val bpeDocCountsCte: String =
+  private lazy val bpeDocCountsCte: String = bpeDocCountsCteFrom("documents")
+
+  private def bpeDocCountsCteFrom(src: String): String =
     s"""tok AS (
        |  SELECT doc_id,
        |    unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM $src WHERE text IS NOT NULL),
        |nb AS (
        |  SELECT t.doc_id, COUNT(*)::BIGINT AS n_words,
        |    SUM(len(w.seq))::BIGINT AS n
@@ -2243,7 +2320,8 @@ object PipelineQueries {
     * summed word length, symbol count, alphabetic-word count, stop-word
     * count). Factored so a rule tweak cannot update one gate's oracle
     * and silently miss the other's. */
-  private def gopherMetricsCte(name: String, keyCol: String): String =
+  private def gopherMetricsCte(name: String, keyCol: String,
+      src: String = "documents"): String =
     s"""$name AS (
        |  SELECT $keyCol, len(toks)::BIGINT AS n,
        |    list_reduce(list_prepend(0::BIGINT,
@@ -2259,7 +2337,7 @@ object PipelineQueries {
        |  FROM (SELECT $keyCol,
        |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
        |          text
-       |        FROM documents WHERE text IS NOT NULL) t)""".stripMargin
+       |        FROM $src WHERE text IS NOT NULL) t)""".stripMargin
 
   /** [[graft.pipeline.TextAnalysis.htmlToText]]'s rule chain replayed in
     * DuckDB around `expr` — the PATTERNS ARE THE ENGINE'S OWN CONSTANTS
@@ -2590,6 +2668,18 @@ object PipelineQueries {
          |SELECT doc_id, length(text)::BIGINT AS n_chars,
          |  md5(text) AS text_md5
          |FROM ext ORDER BY doc_id""".stripMargin,
+    "q38_warc_pipeline" ->
+      // the crawl-fed nightly job replayed end to end: wrap + extract
+      // (ext), the t16 merge chain TRAINED ON ext, per-doc counts on
+      // ext, the SHARED Gopher arithmetic on ext, the SHARED packing
+      // tail over the survivors
+      s"""WITH RECURSIVE $htmlExtCtes,
+         |${bpeOracleBody(BpeRounds, "ext")},
+         |${bpeDocCountsCteFrom("ext")},
+         |${gopherMetricsCte("gm", "doc_id", "ext")},
+         |gp AS (SELECT doc_id FROM gm WHERE $gopherPassSql),
+         |fc AS (SELECT nb.doc_id, nb.n FROM nb JOIN gp USING (doc_id)),
+         |${packingTailSql("fc")}""".stripMargin,
     "t27_unigram_prune" ->
       // the t21 chain, then: leave-one-out DP per multi piece (the
       // excluded piece can only match its own full span — the CASE in
