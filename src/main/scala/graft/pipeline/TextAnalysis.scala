@@ -552,8 +552,11 @@ object TextAnalysis {
     * The dataflow is order-independent in shape: one corpus explode into
     * positioned n-grams (pinned — probe side + count build), one
     * map-side-partial groupBy to the n-gram-type table (pinned), then a
-    * cascade of type-table-sized aggregations (each C_k pinned when read
-    * thrice: probe join, its mid stats, the next level down). The
+    * cascade of type-table-sized aggregations (each C_k pinned — probe
+    * join, its mid stats, the next level down; the vocab-sized C_1 feeds
+    * the LimitProbe-guarded broadcast of the score join). The occurrence
+    * checkpoint carries only (id, pos, w_1..w_n) — the redundant
+    * space-joined gram is dropped before materialization. The
     * probability column folds from P₁ upward in the ONE fixed
     * parenthesization the SQL oracle nests identically; per-doc sums run
     * in position order; the average rounds to 4 dp — the t13 exactness
@@ -581,6 +584,11 @@ object TextAnalysis {
         col("col").as("gram"))
     val ngx = (1 to n).foldLeft(ngx0)((df, i) =>
         df.withColumn(s"w$i", wExpr(i)))
+      // the space-joined gram is REDUNDANT once split into word columns
+      // — dropping it before the eager checkpoint cuts the occurrence
+      // table's materialized bytes by ~half (at corpus scale the
+      // checkpoint volume is the dominant cost of this operator)
+      .drop("gram")
       .localCheckpoint(true)
     val tN = ngx.groupBy(wKeys(1, n).map(col): _*)
       .agg(count(lit(1)).as("cb"))
@@ -594,7 +602,10 @@ object TextAnalysis {
     (n - 1).to(1, -1).foreach { k =>
       val c = contByK(k + 1).groupBy(wKeys(n - k + 1, n).map(col): _*)
         .agg(count(lit(1)).as(s"c$k"))
-      contByK(k) = if (k >= 2) c.localCheckpoint(true) else c
+      // every level is read at least twice (k >= 2: probe join + mid
+      // stats + next level; k = 1: the broadcast-guard probe + the
+      // score join), so pin them all
+      contByK(k) = c.localCheckpoint(true)
     }
     val midByK = (2 to (n - 1)).map { k =>
       k -> contByK(k).groupBy(wKeys(n - k + 1, n - 1).map(col): _*)
@@ -617,7 +628,14 @@ object TextAnalysis {
         ngx.join(tN, wKeys(1, n)).join(ctxT, wKeys(1, n - 1)))((df, k) =>
       df.join(contByK(k), wKeys(n - k + 1, n))
         .join(midByK(k), wKeys(n - k + 1, n - 1)))
-    val scored = joinedMid.join(contByK(1), Seq(s"w$n"))
+    // the continuation-unigram table is VOCAB-sized and its probe side
+    // (every n-gram occurrence, keyed by the single word w_n) is
+    // maximally stop-word-skewed — exactly the dictionary-join shape, so
+    // it rides the engine's LimitProbe-guarded broadcast (map-side when
+    // the vocab fits, shuffled with AQE skew handling past the bound)
+    // rather than an unhinted shuffle
+    val scored = joinedMid.join(
+        Bpe.guardedDict(contByK(1), Bpe.DictBroadcastLimit), Seq(s"w$n"))
       .crossJoin(broadcast(ntot))
       .select(col(idCol), col("pos"), log(pN).as("lp"))
     scored.groupBy(col(idCol))

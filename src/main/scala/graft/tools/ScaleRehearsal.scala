@@ -342,6 +342,15 @@ object ScaleRehearsal {
     time(s"t13 bigram-LM score x$k") {
       TextAnalysis.bigramLmScore(docs).count()
     }
+    // order-5 Kneser-Ney (t33): the checkpoint-heaviest operator — the
+    // occurrence table (id, pos, w1..w5) plus the statistic cascade all
+    // pin to executor disk, so this row is the corpus-LINEARITY proof
+    // for the eager-materialization posture (the replica suffix token
+    // widens the type tables too, the realistic direction)
+    time(s"t33 order-5 KN score x$k") {
+      TextAnalysis.knNGramScore(docs, 5, nCol = "n_5grams",
+        avgCol = "avg_kn5_logprob").count()
+    }
     // adversarial near-dup density: every original doc gains k-1 suffix-
     // perturbed variants, so near-dup clusters of size ~k stress the band
     // join's candidate generation and the component contraction at once
