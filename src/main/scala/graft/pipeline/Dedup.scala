@@ -33,6 +33,82 @@ object Dedup {
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
       .drop("_key")
 
+  /** URL canonicalization — the C4-family crawl-preprocessing rule set
+    * (Raffel et al. 2020 §2.2 dedup at the URL level before content
+    * dedup; every crawl pipeline canonicalizes first or misses the
+    * http/https + tracking-param aliases). DETERMINISTIC documented
+    * subset, RE2-compatible so the DuckDB oracle replays it: fragment
+    * strip → scheme+authority lowercase (path case is significant and
+    * kept) → `www.` strip → default-`:443` strip → `utm_*`
+    * tracking-param strip (mid-query, then leading, then the orphaned
+    * `?`) → ONE trailing-slash strip. No percent-decoding, no IDN, no
+    * public-suffix list (offline; [[urlDomain]] approximates registrable
+    * domains as the last two labels — documented deviation). */
+  val UrlFragmentRe = "(?s)#.*"
+  val UrlHeadRe = "^[^:/?#]+://[^/?#]*"
+  val UrlPort443Re = "^([a-z]+://[^/?#:]*):443([/?#]|$)"
+  val UrlUtmMidRe = "&utm_[a-z]+=[^&#]*"
+  val UrlUtmLeadRe = "\\?utm_[a-z]+=[^&#]*&?"
+  val UrlTrailQRe = "\\?$"
+  val UrlTrailSlashRe = "/$"
+  val UrlHostRe = "^[a-z]+://([^/?#]+)"
+  val UrlDomainRe = "[^.]+\\.[^.]+$"
+
+  /** The canonicalization chain as one codegen'd Column — pure map-side
+    * string work, zero shuffle. */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, UrlFragmentRe, "")
+    val head = regexp_extract(noFrag, UrlHeadRe, 0)
+    val lowered = concat(lower(head),
+      noFrag.substr(length(head) + 1, length(noFrag)))
+    val noWww = replace(lowered, lit("://www."), lit("://"))
+    val noPort = regexp_replace(noWww, UrlPort443Re, "$1$2")
+    val noUtmMid = regexp_replace(noPort, UrlUtmMidRe, "")
+    val noUtmLead = regexp_replace(noUtmMid, UrlUtmLeadRe, "?")
+    val noTrailQ = regexp_replace(noUtmLead, UrlTrailQRe, "")
+    regexp_replace(noTrailQ, UrlTrailSlashRe, "")
+  }
+
+  /** Authority of a canonical URL (post-[[canonicalUrl]]: lowercased,
+    * www-stripped). */
+  def urlHost(canon: Column): Column = regexp_extract(canon, UrlHostRe, 1)
+
+  /** Registrable-domain approximation: the host's last two labels. */
+  def urlDomain(host: Column): Column =
+    regexp_extract(host, UrlDomainRe, 0)
+
+  /** URL-level dedup + domain blocklist — the C4 preprocessing pass that
+    * runs BEFORE any content dedup: canonicalize, drop blocklisted
+    * domains, keep the smallest id per canonical URL. Returns one row
+    * per input doc with its `decision`: `blocked` (domain on the list),
+    * `kept` (the canonical URL's keeper), or `dup`.
+    *
+    * Scale: canonicalization is map-side; the blocklist (a curated list,
+    * ~10⁵–10⁶ domains at worst) joins via the LimitProbe-guarded
+    * broadcast; keep-first is [[exactDedup]]'s hash-groupBy idiom on the
+    * canonical URL plus one equi-join back on the same key — two
+    * shuffles on the same key total, no windows, no all-pairs. Blocked
+    * docs are excluded BEFORE the keeper groupBy, so a blocked keeper
+    * never shadows a clean duplicate. */
+  def urlDedupDecisions(docs: DataFrame, blocklist: DataFrame,
+      idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
+    val canon = docs.select(col(idCol),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+      .withColumn("domain", urlDomain(urlHost(col("canonical_url"))))
+    val marked = canon.join(
+      Bpe.guardedDict(blocklist.select(col("domain"))
+        .withColumn("_blocked", lit(true)), Bpe.DictBroadcastLimit),
+      Seq("domain"), "left_outer")
+    val keepers = marked.filter(col("_blocked").isNull)
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("_keep_id"))
+    marked.join(keepers, Seq("canonical_url"), "left_outer")
+      .select(col(idCol), col("canonical_url"),
+        when(col("_blocked").isNotNull, "blocked")
+          .when(col(idCol) === col("_keep_id"), "kept")
+          .otherwise("dup").as("decision"))
+  }
+
   /** Character n-gram shingle set (1-based positions — mirrors SQL
     * substring semantics so DuckDB oracles agree). Fused native kernel;
     * [[ngramsViaTransform]] is the composable formulation it must match

@@ -1559,6 +1559,52 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** The synthetic URL corpus for d20: no URL column exists in the
+    * documents table, so deterministic variants ride doc_id — five alias
+    * forms (plain, cased+www, `:443`+trailing slash, pure-utm query,
+    * mixed query+fragment) over a (host = id%7, page = id%50) grid, so
+    * ids 350 apart canonicalize to the SAME URL (the keep-first
+    * pressure) and every canonicalization rule is load-bearing. Replayed
+    * verbatim by the oracle's CASE concat. */
+  private def urlCorpus(docs: DataFrame): DataFrame = {
+    val h = pmod(col("doc_id"), lit(7)).cast("string")
+    val p = pmod(col("doc_id"), lit(50)).cast("string")
+    docs.filter(col("text").isNotNull).select(col("doc_id"),
+      when(pmod(col("doc_id"), lit(5)) === 0,
+        concat(lit("https://site"), h, lit(".com/page/"), p))
+      .when(pmod(col("doc_id"), lit(5)) === 1,
+        concat(lit("HTTPS://WWW.SITE"), h, lit(".COM/page/"), p))
+      .when(pmod(col("doc_id"), lit(5)) === 2,
+        concat(lit("https://site"), h, lit(".com:443/page/"), p, lit("/")))
+      .when(pmod(col("doc_id"), lit(5)) === 3,
+        concat(lit("https://site"), h, lit(".com/page/"), p,
+          lit("?utm_source=x&utm_campaign=y")))
+      .otherwise(
+        concat(lit("https://site"), h, lit(".com/page/"), p,
+          lit("?id=7&utm_medium=z#frag")))
+      .as("url"))
+  }
+
+  /** d20 — URL-LEVEL DEDUP + DOMAIN BLOCKLIST
+    * ([[graft.pipeline.Dedup.urlDedupDecisions]], the C4 preprocessing
+    * pass upstream of all content dedup): canonicalize the synthetic
+    * alias corpus, drop two blocklisted domains, keep-first per
+    * canonical URL, and report the SELECTION — per decision, the doc
+    * count and the doc-id sum (an id-sum pins exactly WHICH docs landed
+    * in each class, not just how many). The oracle replays corpus
+    * construction, the full canonicalization chain, the blocklist and
+    * the keeper window in SQL. */
+  def d20UrlDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = Seq("site3.com", "site5.com").toDF("domain")
+    graft.pipeline.Dedup
+      .urlDedupDecisions(urlCorpus(Tables.documents(spark, d)), blocklist)
+      .groupBy($"decision")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_doc_id"))
+      .orderBy($"decision")
+  }
+
   /** q38's tokenizer: trained on the EXTRACTED corpus (the model must
     * see what extraction produced — chrome headings and footer tokens
     * included — exactly as a real crawl-fed train does), memoized per
@@ -1876,6 +1922,7 @@ object PipelineQueries {
     "q37_warc_gzip" -> (q37WarcGzip _),
     "t34_html_extract" -> (t34HtmlExtract _),
     "q38_warc_pipeline" -> (q38WarcPipeline _),
+    "d20_url_dedup" -> (d20UrlDedup _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2668,6 +2715,59 @@ object PipelineQueries {
          |SELECT doc_id, length(text)::BIGINT AS n_chars,
          |  md5(text) AS text_md5
          |FROM ext ORDER BY doc_id""".stripMargin,
+    "d20_url_dedup" -> {
+      import graft.pipeline.Dedup._
+      // corpus CASE mirrors urlCorpus; the canonicalization chain uses
+      // the ENGINE'S OWN pattern constants (the t34 posture) — only the
+      // backref syntax is dialect-local (\1 here, $1 in Spark)
+      s"""WITH uc AS (
+         |  SELECT doc_id, CASE doc_id % 5
+         |    WHEN 0 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+         |      '.com/page/' || (doc_id % 50)::VARCHAR
+         |    WHEN 1 THEN 'HTTPS://WWW.SITE' || (doc_id % 7)::VARCHAR ||
+         |      '.COM/page/' || (doc_id % 50)::VARCHAR
+         |    WHEN 2 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+         |      '.com:443/page/' || (doc_id % 50)::VARCHAR || '/'
+         |    WHEN 3 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+         |      '.com/page/' || (doc_id % 50)::VARCHAR ||
+         |      '?utm_source=x&utm_campaign=y'
+         |    ELSE 'https://site' || (doc_id % 7)::VARCHAR ||
+         |      '.com/page/' || (doc_id % 50)::VARCHAR ||
+         |      '?id=7&utm_medium=z#frag'
+         |    END AS url
+         |  FROM documents WHERE text IS NOT NULL),
+         |c0 AS (SELECT doc_id,
+         |  regexp_replace(url, '$UrlFragmentRe', '', 'g') AS u FROM uc),
+         |c1 AS (SELECT doc_id,
+         |  lower(regexp_extract(u, '$UrlHeadRe')) ||
+         |    substr(u, length(regexp_extract(u, '$UrlHeadRe')) + 1) AS u
+         |  FROM c0),
+         |c2 AS (SELECT doc_id, replace(u, '://www.', '://') AS u FROM c1),
+         |c3 AS (SELECT doc_id,
+         |  regexp_replace(u, '$UrlPort443Re', '\\1\\2', 'g') AS u FROM c2),
+         |c4 AS (SELECT doc_id,
+         |  regexp_replace(u, '$UrlUtmMidRe', '', 'g') AS u FROM c3),
+         |c5 AS (SELECT doc_id,
+         |  regexp_replace(u, '$UrlUtmLeadRe', '?', 'g') AS u FROM c4),
+         |c6 AS (SELECT doc_id,
+         |  regexp_replace(regexp_replace(u, '$UrlTrailQRe', '', 'g'),
+         |    '$UrlTrailSlashRe', '', 'g') AS canon FROM c5),
+         |dm AS (SELECT doc_id, canon,
+         |  regexp_extract(regexp_extract(canon, '$UrlHostRe', 1),
+         |    '$UrlDomainRe') AS domain FROM c6),
+         |mk AS (SELECT doc_id, canon,
+         |  domain IN ('site3.com', 'site5.com') AS blocked FROM dm),
+         |kp AS (SELECT canon, MIN(doc_id) AS keep_id FROM mk
+         |  WHERE NOT blocked GROUP BY canon),
+         |dec AS (SELECT mk.doc_id,
+         |  CASE WHEN blocked THEN 'blocked'
+         |       WHEN mk.doc_id = kp.keep_id THEN 'kept'
+         |       ELSE 'dup' END AS decision
+         |  FROM mk LEFT JOIN kp USING (canon))
+         |SELECT decision, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(doc_id)::BIGINT AS sum_doc_id
+         |FROM dec GROUP BY decision ORDER BY decision""".stripMargin
+    },
     "q38_warc_pipeline" ->
       // the crawl-fed nightly job replayed end to end: wrap + extract
       // (ext), the t16 merge chain TRAINED ON ext, per-doc counts on

@@ -1,0 +1,82 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Goldens for [[Dedup.canonicalUrl]] / [[Dedup.urlDedupDecisions]] — the
+  * C4-family URL preprocessing pass. */
+class UrlDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def canon(u: String): String =
+    Seq(u).toDF("u").select(Dedup.canonicalUrl(col("u")).as("c"))
+      .as[String].head()
+
+  test("canonicalization rules, one golden per rule") {
+    assert(canon("https://site1.com/page/2") === "https://site1.com/page/2")
+    // scheme+host lowercase, path case KEPT; www strip
+    assert(canon("HTTPS://WWW.Site1.COM/Page/2") ===
+      "https://site1.com/Page/2")
+    // default port + trailing slash
+    assert(canon("https://site1.com:443/page/2/") ===
+      "https://site1.com/page/2")
+    // :8443 is NOT the default port; only one trailing slash strips
+    assert(canon("https://site1.com:8443/a//") ===
+      "https://site1.com:8443/a/")
+    // fragment
+    assert(canon("https://a.com/x#sec-2") === "https://a.com/x")
+    // utm params: mid, lead, all, mixed-survivor
+    assert(canon("https://a.com/x?id=1&utm_source=t") ===
+      "https://a.com/x?id=1")
+    assert(canon("https://a.com/x?utm_source=t&id=1") ===
+      "https://a.com/x?id=1")
+    assert(canon("https://a.com/x?utm_source=t&utm_medium=u") ===
+      "https://a.com/x")
+    assert(canon("https://a.com/x?utm_a=1&id=2&utm_b=3#f") ===
+      "https://a.com/x?id=2")
+    // a path that merely CONTAINS 'utm_' is not a tracking param
+    assert(canon("https://a.com/utm_guide") === "https://a.com/utm_guide")
+  }
+
+  test("decisions: blocklist before keep-first — a blocked keeper never " +
+    "shadows a clean duplicate") {
+    val docs = Seq(
+      (1L, "https://bad.com/x"), // blocked (would be x's keeper)
+      (2L, "HTTPS://WWW.OK.COM/x"), // kept (aliases 3)
+      (3L, "https://ok.com/x/"), // dup of 2
+      (4L, "https://sub.bad.com/y"), // blocked via registrable domain
+      (5L, "https://ok.com/z") // kept
+    ).toDF("doc_id", "url")
+    val block = Seq("bad.com").toDF("domain")
+    val got = Dedup.urlDedupDecisions(docs, block)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "blocked", 2L -> "kept", 3L -> "dup",
+      4L -> "blocked", 5L -> "kept"))
+  }
+
+  test("d20's selection on sf0.001 matches a driver-side replay") {
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+      .filter($"text".isNotNull).select($"doc_id")
+      .as[Long].collect().sorted
+    // replay: canonical key (h, p, variantClass) with variantClass
+    // separating the ?id=7 form; blocked at h in {3, 5}
+    case class K(h: Long, p: Long, v4: Boolean)
+    val byKey = docs.map(i => (K(i % 7, i % 50, i % 5 == 4), i))
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val want = docs.map { i =>
+      val k = K(i % 7, i % 50, i % 5 == 4)
+      val d = if (i % 7 == 3 || i % 7 == 5) "blocked"
+        else {
+          val keeper = docs.filter(j =>
+            K(j % 7, j % 50, j % 5 == 4) == k && j % 7 != 3 && j % 7 != 5).min
+          if (i == keeper) "kept" else "dup"
+        }
+      d
+    }.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val got = graft.queries.PipelineQueries.d20UrlDedup(spark, sfTiny)
+      .select($"decision", $"n_docs").as[(String, Long)].collect().toMap
+    assert(got === want)
+    assert(byKey.nonEmpty)
+  }
+}
