@@ -1528,27 +1528,7 @@ object PipelineQueries {
     * md5 exactly. */
   def q37WarcGzip(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, d).filter($"text".isNotNull)
-      .select($"doc_id", $"text").orderBy($"doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1)))
-    val dir = graft.util.Scratch.dir("graft_warcgz")
-    Seq(0, 1).foreach { part =>
-      val bos = new java.io.ByteArrayOutputStream()
-      if (part == 0)
-        bos.write(graft.sources.warc.Warc.gzipMember(
-          graft.sources.warc.Warc.renderRecord("warcinfo",
-            "<urn:uuid:graft-warcinfo>", "", "2026-01-01T00:00:00Z",
-            "software: graft".getBytes("UTF-8"))))
-      docs.filter(_._1 % 2 == part).foreach { case (id, text) =>
-        bos.write(graft.sources.warc.Warc.gzipMember(
-          graft.sources.warc.Warc.renderRecord("response",
-            s"<urn:uuid:graft-$id>", s"http://corpus/doc/$id",
-            "2026-01-01T00:00:00Z", text.getBytes("UTF-8"))))
-      }
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, s"segment-$part.warc.gz"),
-        bos.toByteArray)
-    }
+    val dir = warcGzFixture(spark, d)
     spark.read.format("warc").load(dir)
       .filter($"record_type" === "response")
       .select(
@@ -1603,6 +1583,37 @@ object PipelineQueries {
       .agg(count(lit(1)).as("n_docs"),
         sum($"doc_id").as("sum_doc_id"))
       .orderBy($"decision")
+  }
+
+  /** The `.warc.gz` fixture q37 and st15 share: the documents table as
+    * record-level gzip members over two segment files (split by doc
+    * parity), plus a warcinfo header member that pushdown must drop
+    * inside the reader. */
+  private[queries] def warcGzFixture(spark: SparkSession, d: String)
+      : String = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter($"text".isNotNull)
+      .select($"doc_id", $"text").orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val dir = graft.util.Scratch.dir("graft_warcgz")
+    Seq(0, 1).foreach { part =>
+      val bos = new java.io.ByteArrayOutputStream()
+      if (part == 0)
+        bos.write(graft.sources.warc.Warc.gzipMember(
+          graft.sources.warc.Warc.renderRecord("warcinfo",
+            "<urn:uuid:graft-warcinfo>", "", "2026-01-01T00:00:00Z",
+            "software: graft".getBytes("UTF-8"))))
+      docs.filter(_._1 % 2 == part).foreach { case (id, text) =>
+        bos.write(graft.sources.warc.Warc.gzipMember(
+          graft.sources.warc.Warc.renderRecord("response",
+            s"<urn:uuid:graft-$id>", s"http://corpus/doc/$id",
+            "2026-01-01T00:00:00Z", text.getBytes("UTF-8"))))
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(dir, s"segment-$part.warc.gz"),
+        bos.toByteArray)
+    }
+    dir
   }
 
   /** q38's tokenizer: trained on the EXTRACTED corpus (the model must

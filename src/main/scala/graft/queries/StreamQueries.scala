@@ -160,7 +160,31 @@ object StreamQueries {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** st15 — STREAMING WARC INGEST, batch leg: the documents table
+    * rendered as `.warc.gz` segments (the q37 fixture), read back through
+    * the connector, and keep-first deduplicated
+    * ([[EventStreams.contentKeepFirst]]) — the crawl-drop firehose shape.
+    * The streaming twin rides the connector's micro-batch source
+    * ([[graft.sources.warc.WarcMicroBatchStream]]) through
+    * [[EventStreams.warcCorpusDocStream]] →
+    * [[EventStreams.contentDedupStream]], spec-asserted equal across a
+    * segment drop AND a checkpoint restart (WarcStreamSpec). Shares
+    * st06's oracle verbatim: the connector round trip is byte-exact
+    * (q36/q37), so the dedup output cannot differ. */
+  def st15WarcIngestDedup(spark: SparkSession, d: String): DataFrame = {
+    val dir = PipelineQueries.warcGzFixture(spark, d)
+    EventStreams.contentKeepFirst(
+      spark.read.format("warc").load(dir)
+        .filter(col("record_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long")
+            .as("doc_id"),
+          col("payload").cast("string").as("text")))
+      .orderBy(col("keep_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st15_warc_ingest_dedup" -> (st15WarcIngestDedup _),
     "st11_near_dup" -> (st11NearDup _),
     "st13_near_dup_lean" -> (st13NearDupLean _),
     "st14_horizon_near_dup" -> (st14HorizonNearDup _),
@@ -264,6 +288,13 @@ object StreamQueries {
         |SELECT event_id AS purchase_id, view_id
         |FROM w WHERE isv = 0 ORDER BY 1""".stripMargin,
     "st06_content_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*)::BIGINT AS n_copies
+        |FROM documents
+        |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+        |ORDER BY keep_id""".stripMargin,
+    // the connector round trip is byte-exact (q36/q37 pin it), so the
+    // warc-fed keep-first must equal st06's documents-fed one verbatim
+    "st15_warc_ingest_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*)::BIGINT AS n_copies
         |FROM documents
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')

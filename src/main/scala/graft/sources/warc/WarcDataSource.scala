@@ -4,7 +4,7 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -284,13 +284,32 @@ object WarcDataSource {
     .add("warc_date", StringType) // WARC-Date, verbatim
     .add("content_length", LongType)
     .add("payload", BinaryType)
+
+  /** The one listing rule batch scan and micro-batch stream share:
+    * non-recursive, files only, `_`/`.`-prefixed names skipped (Spark's
+    * FileIndex hidden-file convention), sorted by full path. */
+  private[warc] def listSegments(paths: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): Seq[String] =
+    paths.flatMap { path =>
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      val status = fs.getFileStatus(root)
+      if (status.isDirectory)
+        fs.listStatus(root).toSeq.filter(_.isFile)
+          .filterNot { f =>
+            val n = f.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+      else Seq(status)
+    }.map(_.getPath.toString).sorted
 }
 
 class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcDataSource.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
 }
@@ -326,25 +345,10 @@ class WarcScan(paths: Seq[String], required: StructType,
       s"PushedFilters=${pushed.mkString("[", ",", "]")}, " +
       s"ReadSchema=${required.simpleString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val conf = SparkSession.active.sessionState.newHadoopConf()
-    val files: Seq[FileStatus] = paths.flatMap { path =>
-      val root = new Path(path)
-      val fs = root.getFileSystem(conf)
-      val status = fs.getFileStatus(root)
-      if (status.isDirectory)
-        fs.listStatus(root).toSeq.filter(_.isFile)
-          // Spark's FileIndex hidden-file convention: skip both _ and .
-          .filterNot { f =>
-            val n = f.getPath.getName
-            n.startsWith("_") || n.startsWith(".")
-          }
-      else Seq(status)
-    }
-    files.sortBy(_.getPath.toString)
-      .map(f => WarcInputPartition(f.getPath.toString): InputPartition)
-      .toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    WarcDataSource
+      .listSegments(paths, SparkSession.active.sessionState.newHadoopConf())
+      .map(f => WarcInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     // the session Hadoop conf ships to executors (the lcov lesson: a bare
@@ -352,6 +356,77 @@ class WarcScan(paths: Seq[String], required: StructType,
     new WarcReaderFactory(required, pushed,
       new org.apache.spark.util.SerializableConfiguration(
         SparkSession.active.sessionState.newHadoopConf()))
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(paths, required, pushed)
+}
+
+/** Streaming offset for the WARC drop-directory source: the SET of
+  * segment files already processed (JSON array in the checkpoint).
+  * Set-difference semantics make the source robust to arbitrary file
+  * NAMES — a late segment that sorts before already-seen ones is still
+  * picked up — at the cost of an offset that grows with the file count
+  * (the FileStreamSource seen-map trade-off; a production drop directory
+  * rotates segments out, which bounds it). Files must be immutable once
+  * dropped — the crawl-segment contract. */
+case class WarcSourceOffset(files: Seq[String])
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(files.toList))
+  }
+}
+
+object WarcSourceOffset {
+  def fromJson(j: String): WarcSourceOffset = {
+    import org.json4s.jackson.JsonMethods
+    import org.json4s.{JArray, JString}
+    JsonMethods.parse(j) match {
+      case JArray(vs) =>
+        WarcSourceOffset(vs.collect { case JString(s) => s })
+      case _ => throw new IllegalArgumentException(
+        s"unparseable warc stream offset: $j")
+    }
+  }
+}
+
+/** Micro-batch stream over a WARC segment drop directory — the crawl
+  * arrival firehose: each trigger lists the directory, plans ONE
+  * partition per not-yet-processed file (the batch scan's unit), and
+  * reuses the batch reader factory verbatim, so pruning/pushdown and the
+  * lazy record iterator hold in streaming exactly as in batch. */
+class WarcMicroBatchStream(paths: Seq[String], required: StructType,
+    pushed: Array[Filter])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  // driver-side conf resolved once at stream construction (planning runs
+  // on the driver; the serializable copy ships to executors)
+  private val conf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  override def initialOffset(): Offset = WarcSourceOffset(Seq.empty)
+
+  override def latestOffset(): Offset =
+    WarcSourceOffset(WarcDataSource.listSegments(paths, conf.value))
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcSourceOffset].files.toSet
+    end.asInstanceOf[WarcSourceOffset].files.filterNot(seen).sorted
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required, pushed, conf)
+
+  override def deserializeOffset(json: String): Offset =
+    WarcSourceOffset.fromJson(json)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class WarcInputPartition(file: String) extends InputPartition

@@ -315,6 +315,23 @@ object EventStreams {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Parsed document stream off a WARC segment drop directory through
+    * the native connector's micro-batch source
+    * ([[graft.sources.warc.WarcMicroBatchStream]] — each trigger picks up
+    * newly dropped segment files, one partition per file): keeps
+    * `response` records (pushed into the reader, so warcinfo/request
+    * payloads are skipped, never copied) and maps them to the (doc_id,
+    * text) shape the ingest-dedup stages consume. doc_id follows the
+    * corpus URI convention `…/doc/<id>` the fixture writers emit; a real
+    * crawl feed would key on WARC-Record-ID instead. */
+  def warcCorpusDocStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.format("warc").load(dir)
+      .filter(col("record_type") === "response")
+      .select(
+        regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("payload").cast("string").as("text"))
+
   /** Streaming leg of [[contentKeepFirst]]: earliest BATCH wins, ties
     * within a batch broken by min doc_id — `flatMapGroupsWithState` keyed
     * on the content fingerprint (one boolean of state per distinct document
