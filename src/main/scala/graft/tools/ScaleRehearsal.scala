@@ -19,10 +19,13 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val family = args.lift(1).getOrElse("all")
-    require(Set("pipeline", "graph", "bpewide", "all")(family),
-      s"unknown family '$family' (expected pipeline|graph|bpewide|all; " +
-        "bpewide is the production-merge-count BPE rehearsal and runs " +
-        "only when asked)")
+    require(
+      Set("pipeline", "graph", "bpewide", "warc", "horizon", "all")(family),
+      s"unknown family '$family' (expected pipeline|graph|bpewide|warc|" +
+        "horizon|all; bpewide is the production-merge-count BPE " +
+        "rehearsal, warc the big-segment memory-posture probe, horizon " +
+        "the st14 two-query state-ceiling probe — all three run only " +
+        "when asked)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.util.Sessions.local(32)
 
@@ -55,7 +58,149 @@ object ScaleRehearsal {
     if (family == "pipeline" || family == "all")
       pipelineFamily(spark, sfDir, k, replicateDocs, replicateEmb)
     if (family == "bpewide") bpeWideFamily(spark)
+    if (family == "warc") warcFamily(spark, k)
+    if (family == "horizon") horizonFamily(spark, sfDir, k)
     spark.stop()
+  }
+
+  /** st14 state-ceiling probe: the two-query horizon topology
+    * ([[graft.streaming.EventStreams.nearDupCandidatesStream]] → parquet
+    * sink → [[graft.streaming.EventStreams.nearDupVerifyStream]]) driven
+    * over k× DENSIFIED duplicates — every original doc gains k − 1
+    * near-dup replicas landing within seconds of it in event time, so
+    * within-horizon duplicate density grows k-fold while the corpus
+    * spans ~83 h of event time. The stream arrives in six time-ordered
+    * chunk drains, so the watermark advances BETWEEN drains and every
+    * store must expire; reported per store: the PEAK `numRowsTotal`
+    * across drains (the ceiling a 100 TB deploy provisions for — must
+    * track the k-fold WITHIN-HORIZON density, not the corpus size) and
+    * the final-drain value (the expiry trough — must stay at the
+    * last-horizon residue, proving nothing leaks). */
+  private def horizonFamily(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int): Unit = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    val src = java.nio.file.Files.createTempDirectory("hz_src").toString
+    val candDir = java.nio.file.Files.createTempDirectory("hz_cand").toString
+    val sink = java.nio.file.Files.createTempDirectory("hz_sink").toString
+    val ck1 = java.nio.file.Files.createTempDirectory("hz_ck1").toString
+    val ck2 = java.nio.file.Files.createTempDirectory("hz_ck2").toString
+    val epoch = java.time.Instant.parse("2026-01-01T00:00:00Z")
+      .getEpochSecond
+    // replicas of doc o land at o minutes + 5·rep seconds — k-fold
+    // near-dup density inside every horizon window
+    val base = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull)
+    val docs = base.crossJoin(spark.range(k).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        timestamp_seconds(lit(epoch) + pmod(col("doc_id"), lit(1000000L)) *
+          60L + col("rep") * 5L).as("ts"),
+        concat(col("text"), lit(" rep"), col("rep")).as("text"))
+      .localCheckpoint(true)
+    val maxId = base.agg(max(col("doc_id"))).head().getLong(0)
+    val chunks = 6
+    val schema = new StructType().add("doc_id", LongType)
+      .add("ts", TimestampType).add("text", StringType)
+    val peaks = scala.collection.mutable.Map.empty[String, Long]
+    var trough: Seq[(String, Long)] = Seq.empty
+    def record(ops: Seq[(String, Long)]): Unit = {
+      ops.foreach { case (nm, v) =>
+        peaks(nm) = math.max(peaks.getOrElse(nm, 0L), v)
+      }
+      trough = ops
+    }
+    (0 until chunks).foreach { c =>
+      val lo = maxId * c / chunks
+      val hi = if (c == chunks - 1) maxId + 1 else maxId * (c + 1) / chunks
+      // spark-side json writing handles text escaping; one part file
+      // per chunk keeps arrival time-ordered across drains
+      val tmp = java.nio.file.Files.createTempDirectory("hz_chunk").toString
+      docs.filter(pmod(col("doc_id"), lit(1000000L)).between(lo, hi - 1))
+        .select(to_json(struct(col("doc_id"), col("ts"), col("text"))))
+        .coalesce(1).write.mode("overwrite").text(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(src, f"chunk-$c%03d.json"))
+      val q1 = graft.streaming.EventStreams
+        .nearDupCandidatesStream(
+          spark.readStream.schema(schema).json(src), horizon = "1 hour")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", candDir).option("checkpointLocation", ck1)
+        .trigger(Trigger.AvailableNow()).start()
+      q1.awaitTermination()
+      val candSchema = new StructType().add("id_a", LongType)
+        .add("id_b", LongType).add("evt", TimestampType)
+      val q2 = graft.streaming.EventStreams
+        .nearDupVerifyStream(
+          spark.readStream.schema(candSchema).parquet(candDir),
+          spark.readStream.schema(schema).json(src), horizon = "1 hour")
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", sink).option("checkpointLocation", ck2)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination()
+      val ops =
+        q1.lastProgress.stateOperators.toSeq
+          .map(o => (s"q1:${o.operatorName}", o.numRowsTotal)) ++
+        q2.lastProgress.stateOperators.toSeq.zipWithIndex
+          .map { case (o, i) => (s"q2:${o.operatorName}#$i", o.numRowsTotal) }
+      record(ops)
+    }
+    val nPairs = spark.read.parquet(sink).count()
+    println(s"[rehearsal] st14 horizon topology x$k: $nPairs pairs over " +
+      s"$chunks time-ordered drains")
+    peaks.toSeq.sorted.foreach { case (nm, v) =>
+      val fin = trough.find(_._1 == nm).map(_._2).getOrElse(-1L)
+      println(s"[rehearsal]   store $nm: peak=$v finalDrain=$fin")
+    }
+  }
+
+  /** Big-segment memory posture for the WARC reader: build ONE synthetic
+    * segment of k × 128 MiB (2048·k records, 64 KiB payloads — the
+    * Common Crawl record-size class) and measure the three read shapes.
+    * The claim under test is not the wall time but the COPY VOLUME
+    * ([[graft.sources.warc.Warc.payloadBytesCopied]], exact in local
+    * mode): a metadata-only or filtered-out read must copy ZERO payload
+    * bytes regardless of segment size, and a full read copies exactly
+    * the payload sum — one record resident at a time, never 2× the
+    * file. */
+  private def warcFamily(spark: org.apache.spark.sql.SparkSession,
+      k: Int): Unit = {
+    import graft.sources.warc.Warc
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_big")
+    val recs = 2048 * k
+    val payload = Array.tabulate[Byte](64 * 1024)(i => (i % 251).toByte)
+    val out = new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(dir.resolve("big-0.warc")),
+      1 << 20)
+    (0 until recs).foreach { i =>
+      val rt = if (i % 8 == 0) "metadata" else "response"
+      out.write(Warc.renderRecord(rt, s"<urn:uuid:big-$i>",
+        s"http://corpus/doc/$i", "2026-01-01T00:00:00Z", payload))
+    }
+    out.close()
+    val sizeMb = java.nio.file.Files.size(dir.resolve("big-0.warc")) >> 20
+    println(s"[rehearsal] warc segment: $recs records, $sizeMb MiB")
+    def read() = spark.read.format("warc").load(dir.toString)
+    val before = Warc.payloadBytesCopied.get()
+    time(s"warc $sizeMb MiB metadata-only scan") {
+      read().select("record_id", "content_length").count()
+    }
+    println(s"[rehearsal]   payload bytes copied: " +
+      s"${Warc.payloadBytesCopied.get() - before} (must be 0)")
+    val beforeFull = Warc.payloadBytesCopied.get()
+    time(s"warc $sizeMb MiB full payload scan (md5)") {
+      // agg over md5(payload), NOT count(): a bare count prunes the
+      // payload column away and the row would measure nothing
+      read().filter(col("record_type") === "response")
+        .agg(count_distinct(md5(col("payload")))).head()
+      read().filter(col("record_type") === "response").count()
+    }
+    val copied = Warc.payloadBytesCopied.get() - beforeFull
+    val expected = (recs - recs / 8).toLong * 64 * 1024
+    println(s"[rehearsal]   payload bytes copied: $copied " +
+      s"(response payload sum: $expected; metadata records skipped)")
   }
 
   /** Production-merge-count BPE rehearsal: the testdata vocabulary (31
