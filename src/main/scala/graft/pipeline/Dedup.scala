@@ -46,12 +46,18 @@ object Dedup {
     * domains as the last two labels — documented deviation). */
   val UrlFragmentRe = "(?s)#.*"
   val UrlHeadRe = "^[^:/?#]+://[^/?#]*"
+  // ANCHORED to the head — an unanchored '://www.' replace would also
+  // rewrite URLs embedded in query-parameter VALUES and conflate two
+  // genuinely distinct documents into one canonical key
+  val UrlWwwRe = "^([a-z]+://)www\\."
   val UrlPort443Re = "^([a-z]+://[^/?#:]*):443([/?#]|$)"
   val UrlUtmMidRe = "&utm_[a-z]+=[^&#]*"
   val UrlUtmLeadRe = "\\?utm_[a-z]+=[^&#]*&?"
   val UrlTrailQRe = "\\?$"
   val UrlTrailSlashRe = "/$"
-  val UrlHostRe = "^[a-z]+://([^/?#]+)"
+  // host stops at ':' — the PORT is not part of the blocklist identity
+  // (blocked-at-443 but served-at-8080 is the classic blocklist escape)
+  val UrlHostRe = "^[a-z]+://([^/?#:]+)"
   val UrlDomainRe = "[^.]+\\.[^.]+$"
 
   /** The canonicalization chain as one codegen'd Column — pure map-side
@@ -61,7 +67,7 @@ object Dedup {
     val head = regexp_extract(noFrag, UrlHeadRe, 0)
     val lowered = concat(lower(head),
       noFrag.substr(length(head) + 1, length(noFrag)))
-    val noWww = replace(lowered, lit("://www."), lit("://"))
+    val noWww = regexp_replace(lowered, UrlWwwRe, "$1")
     val noPort = regexp_replace(noWww, UrlPort443Re, "$1$2")
     val noUtmMid = regexp_replace(noPort, UrlUtmMidRe, "")
     val noUtmLead = regexp_replace(noUtmMid, UrlUtmLeadRe, "?")
@@ -69,8 +75,9 @@ object Dedup {
     regexp_replace(noTrailQ, UrlTrailSlashRe, "")
   }
 
-  /** Authority of a canonical URL (post-[[canonicalUrl]]: lowercased,
-    * www-stripped). */
+  /** Host of a canonical URL (post-[[canonicalUrl]]: lowercased,
+    * www-stripped), WITHOUT any port — domain identity must not depend
+    * on where the server listens. */
   def urlHost(canon: Column): Column = regexp_extract(canon, UrlHostRe, 1)
 
   /** Registrable-domain approximation: the host's last two labels. */
@@ -96,7 +103,10 @@ object Dedup {
         canonicalUrl(col(urlCol)).as("canonical_url"))
       .withColumn("domain", urlDomain(urlHost(col("canonical_url"))))
     val marked = canon.join(
-      Bpe.guardedDict(blocklist.select(col("domain"))
+      // distinct: concatenated curated lists repeat entries, and a
+      // duplicated blocklist row would emit every blocked doc twice
+      // through the left join
+      Bpe.guardedDict(blocklist.select(col("domain")).distinct()
         .withColumn("_blocked", lit(true)), Bpe.DictBroadcastLimit),
       Seq("domain"), "left_outer")
     val keepers = marked.filter(col("_blocked").isNull)

@@ -313,9 +313,14 @@ object TextAnalysis {
     * splits the tag early), restricted to RE2-compatible constructs so
     * the Java-regex Spark side and the DuckDB oracle match identically:
     *
-    *  1. comments `<!-- … -->` drop (lazy span, `(?s)`);
-    *  2. `<script>`/`<style>` elements drop WITH their content (a script
-    *     body holding a literal `</div>` must not leak text);
+    *  1. `<script>`/`<style>` elements drop WITH their content, BEFORE
+    *     comments (a script body holding a literal `</div>` or an
+    *     unmatched `<!--` — the classic legacy-JS comment hack — must
+    *     not leak text or eat the document; the residual case is a
+    *     comment containing an OPEN script tag with its close outside,
+    *     where the script rule can overrun the comment — documented
+    *     subset);
+    *  2. comments `<!-- … -->` drop (lazy span, `(?s)`);
     *  3. block-level open/close tags become a newline (the paragraph
     *     structure every quality filter keys on);
     *  4. every remaining tag drops;
@@ -344,10 +349,10 @@ object TextAnalysis {
     * pass (the [[redactPii]] posture). Entity replaces are LITERAL
     * (`replace`, not regex), so no escaping hazards. */
   def htmlToText(html: Column): Column = {
-    val noComment = regexp_replace(html, HtmlCommentRe, "")
-    val noScript = regexp_replace(noComment, HtmlScriptRe, "")
+    val noScript = regexp_replace(html, HtmlScriptRe, "")
     val noStyle = regexp_replace(noScript, HtmlStyleRe, "")
-    val blocks = regexp_replace(noStyle, HtmlBlockTagRe, "\n")
+    val noComment = regexp_replace(noStyle, HtmlCommentRe, "")
+    val blocks = regexp_replace(noComment, HtmlBlockTagRe, "\n")
     val noTags = regexp_replace(blocks, HtmlAnyTagRe, "")
     val decoded = HtmlEntities.foldLeft(noTags) { case (c, (s, r)) =>
       replace(c, lit(s), lit(r))

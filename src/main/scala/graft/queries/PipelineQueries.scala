@@ -1585,16 +1585,12 @@ object PipelineQueries {
       .orderBy($"decision")
   }
 
-  /** The `.warc.gz` fixture q37 and st15 share: the documents table as
-    * record-level gzip members over two segment files (split by doc
-    * parity), plus a warcinfo header member that pushdown must drop
-    * inside the reader. */
-  private[queries] def warcGzFixture(spark: SparkSession, d: String)
-      : String = {
-    import spark.implicits._
-    val docs = Tables.documents(spark, d).filter($"text".isNotNull)
-      .select($"doc_id", $"text").orderBy($"doc_id")
-      .collect().map(r => (r.getLong(0), r.getString(1)))
+  /** Render (doc_id, content) pages as two `.warc.gz` segment files
+    * (record-level gzip members, split by doc parity) plus a warcinfo
+    * header member that pushdown must drop inside the reader — the ONE
+    * fixture writer q37/st15 (raw text) and q38 (html pages) share, so
+    * a framing change cannot desynchronize the gates. */
+  private def writeWarcGzSegments(pages: Array[(Long, String)]): String = {
     val dir = graft.util.Scratch.dir("graft_warcgz")
     Seq(0, 1).foreach { part =>
       val bos = new java.io.ByteArrayOutputStream()
@@ -1603,17 +1599,28 @@ object PipelineQueries {
           graft.sources.warc.Warc.renderRecord("warcinfo",
             "<urn:uuid:graft-warcinfo>", "", "2026-01-01T00:00:00Z",
             "software: graft".getBytes("UTF-8"))))
-      docs.filter(_._1 % 2 == part).foreach { case (id, text) =>
+      pages.filter(_._1 % 2 == part).foreach { case (id, content) =>
         bos.write(graft.sources.warc.Warc.gzipMember(
           graft.sources.warc.Warc.renderRecord("response",
             s"<urn:uuid:graft-$id>", s"http://corpus/doc/$id",
-            "2026-01-01T00:00:00Z", text.getBytes("UTF-8"))))
+            "2026-01-01T00:00:00Z", content.getBytes("UTF-8"))))
       }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, s"segment-$part.warc.gz"),
         bos.toByteArray)
     }
     dir
+  }
+
+  /** The `.warc.gz` fixture q37 and st15 share: the documents table
+    * through [[writeWarcGzSegments]]. */
+  private[queries] def warcGzFixture(spark: SparkSession, d: String)
+      : String = {
+    import spark.implicits._
+    writeWarcGzSegments(
+      Tables.documents(spark, d).filter($"text".isNotNull)
+        .select($"doc_id", $"text").orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))))
   }
 
   /** q38's tokenizer: trained on the EXTRACTED corpus (the model must
@@ -1653,26 +1660,9 @@ object PipelineQueries {
     * pipeline, not a round-trip demo. */
   def q38WarcPipeline(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val pages = htmlCorpus(Tables.documents(spark, d))
-      .orderBy($"doc_id").collect().map(r => (r.getLong(0), r.getString(1)))
-    val dir = graft.util.Scratch.dir("graft_warc_pipe")
-    Seq(0, 1).foreach { part =>
-      val bos = new java.io.ByteArrayOutputStream()
-      if (part == 0)
-        bos.write(graft.sources.warc.Warc.gzipMember(
-          graft.sources.warc.Warc.renderRecord("warcinfo",
-            "<urn:uuid:graft-warcinfo>", "", "2026-01-01T00:00:00Z",
-            "software: graft".getBytes("UTF-8"))))
-      pages.filter(_._1 % 2 == part).foreach { case (id, html) =>
-        bos.write(graft.sources.warc.Warc.gzipMember(
-          graft.sources.warc.Warc.renderRecord("response",
-            s"<urn:uuid:graft-$id>", s"http://corpus/doc/$id",
-            "2026-01-01T00:00:00Z", html.getBytes("UTF-8"))))
-      }
-      java.nio.file.Files.write(
-        java.nio.file.Paths.get(dir, s"segment-$part.warc.gz"),
-        bos.toByteArray)
-    }
+    val dir = writeWarcGzSegments(
+      htmlCorpus(Tables.documents(spark, d)).orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0), r.getString(1))))
     val docs = spark.read.format("warc").load(dir)
       .filter($"record_type" === "response")
       .select(
@@ -2404,11 +2394,11 @@ object PipelineQueries {
     * newline a standard SQL string literal cannot. */
   private def htmlExtractSql(expr: String): String = {
     import graft.pipeline.TextAnalysis._
-    val noComment = s"regexp_replace($expr, '$HtmlCommentRe', '', 'g')"
-    val noScript = s"regexp_replace($noComment, '$HtmlScriptRe', '', 'g')"
+    val noScript = s"regexp_replace($expr, '$HtmlScriptRe', '', 'g')"
     val noStyle = s"regexp_replace($noScript, '$HtmlStyleRe', '', 'g')"
+    val noComment = s"regexp_replace($noStyle, '$HtmlCommentRe', '', 'g')"
     val blocks =
-      s"regexp_replace($noStyle, '$HtmlBlockTagRe', chr(10), 'g')"
+      s"regexp_replace($noComment, '$HtmlBlockTagRe', chr(10), 'g')"
     val noTags = s"regexp_replace($blocks, '$HtmlAnyTagRe', '', 'g')"
     val decoded = HtmlEntities.foldLeft(noTags) { case (c, (s, r)) =>
       s"replace($c, '$s', '${r.replace("'", "''")}')"
@@ -2753,7 +2743,8 @@ object PipelineQueries {
          |  lower(regexp_extract(u, '$UrlHeadRe')) ||
          |    substr(u, length(regexp_extract(u, '$UrlHeadRe')) + 1) AS u
          |  FROM c0),
-         |c2 AS (SELECT doc_id, replace(u, '://www.', '://') AS u FROM c1),
+         |c2 AS (SELECT doc_id,
+         |  regexp_replace(u, '$UrlWwwRe', '\\1', 'g') AS u FROM c1),
          |c3 AS (SELECT doc_id,
          |  regexp_replace(u, '$UrlPort443Re', '\\1\\2', 'g') AS u FROM c2),
          |c4 AS (SELECT doc_id,

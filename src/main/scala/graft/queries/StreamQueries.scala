@@ -174,12 +174,7 @@ object StreamQueries {
   def st15WarcIngestDedup(spark: SparkSession, d: String): DataFrame = {
     val dir = PipelineQueries.warcGzFixture(spark, d)
     EventStreams.contentKeepFirst(
-      spark.read.format("warc").load(dir)
-        .filter(col("record_type") === "response")
-        .select(
-          regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long")
-            .as("doc_id"),
-          col("payload").cast("string").as("text")))
+        EventStreams.warcCorpusDocs(spark.read.format("warc").load(dir)))
       .orderBy(col("keep_id"))
   }
 
@@ -293,10 +288,13 @@ object StreamQueries {
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |ORDER BY keep_id""".stripMargin,
     // the connector round trip is byte-exact (q36/q37 pin it), so the
-    // warc-fed keep-first must equal st06's documents-fed one verbatim
+    // warc-fed keep-first must equal st06's documents-fed shape — with
+    // the fixture's NULL-text filter mirrored (the fixture renders only
+    // non-null texts; no nulls exist in today's testdata, but the oracle
+    // must not drift if a regeneration adds one)
     "st15_warc_ingest_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*)::BIGINT AS n_copies
-        |FROM documents
+        |FROM documents WHERE text IS NOT NULL
         |GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
         |ORDER BY keep_id""".stripMargin,
     "st07_nation_enrich" ->

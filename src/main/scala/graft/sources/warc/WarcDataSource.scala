@@ -115,10 +115,19 @@ object Warc {
       }
 
       private def readFully(n: Int): Array[Byte] = {
-        val buf = new Array[Byte](n)
+        // grow geometrically from a bounded seed instead of allocating
+        // the declared Content-Length up front: a corrupt record in a
+        // tiny file declaring a ~2 GiB extent must fail with the loud
+        // truncation message below, not an executor-killing allocation
+        var cap = math.min(n, 1 << 20)
+        var buf = new Array[Byte](cap)
         var off = 0
         while (off < n) {
-          val r = in.read(buf, off, n - off)
+          if (off == cap) {
+            cap = math.min(n.toLong, cap.toLong * 2).toInt
+            buf = java.util.Arrays.copyOf(buf, cap)
+          }
+          val r = in.read(buf, off, cap - off)
           require(r >= 0, s"truncated WARC payload: need $n bytes, got $off")
           off += r
         }
@@ -384,7 +393,9 @@ object WarcSourceOffset {
     import org.json4s.jackson.JsonMethods
     import org.json4s.{JArray, JString}
     JsonMethods.parse(j) match {
-      case JArray(vs) =>
+      case JArray(vs) if vs.forall(_.isInstanceOf[JString]) =>
+        // strictness matters: a collect that silently dropped a corrupt
+        // element would shrink the seen-file set and re-read segments
         WarcSourceOffset(vs.collect { case JString(s) => s })
       case _ => throw new IllegalArgumentException(
         s"unparseable warc stream offset: $j")

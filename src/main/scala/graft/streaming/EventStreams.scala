@@ -325,8 +325,12 @@ object EventStreams {
     * corpus URI convention `…/doc/<id>` the fixture writers emit; a real
     * crawl feed would key on WARC-Record-ID instead. */
   def warcCorpusDocStream(spark: SparkSession, dir: String): DataFrame =
-    spark.readStream.format("warc").load(dir)
-      .filter(col("record_type") === "response")
+    warcCorpusDocs(spark.readStream.format("warc").load(dir))
+
+  /** The response→(doc_id, text) projection [[warcCorpusDocStream]] and
+    * the batch gates share (one place for the corpus URI convention). */
+  def warcCorpusDocs(warcRows: DataFrame): DataFrame =
+    warcRows.filter(col("record_type") === "response")
       .select(
         regexp_extract(col("target_uri"), "doc/(\\d+)$", 1).cast("long")
           .as("doc_id"),

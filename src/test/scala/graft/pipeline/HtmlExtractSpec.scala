@@ -36,6 +36,13 @@ class HtmlExtractSpec extends SparkSpec {
   test("comments drop, even when they hold tag text") {
     assert(extract("<!-- nav <p>skip</p> --><p>kept</p>") === "kept")
     assert(extract("a <!-- multi\nline\ncomment --> b") === "a b")
+    // script strips BEFORE comments: an unmatched <!-- inside a script
+    // body (the legacy-JS comment hack) must not eat the document
+    assert(extract("<script>var s = \"<!--\";</script><p>hi</p>" +
+      "<!-- x -->") === "hi")
+    // a whole script element inside a comment is removed first, then
+    // the emptied comment drops — nothing leaks either way
+    assert(extract("<!-- <script>x</script> --><p>ok</p>") === "ok")
   }
 
   test("entities decode AFTER tag removal (escaped markup is text, " +

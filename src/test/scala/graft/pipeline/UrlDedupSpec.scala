@@ -37,6 +37,23 @@ class UrlDedupSpec extends SparkSpec {
       "https://a.com/x?id=2")
     // a path that merely CONTAINS 'utm_' is not a tracking param
     assert(canon("https://a.com/utm_guide") === "https://a.com/utm_guide")
+    // www strips at the HEAD only — a URL embedded in a query value is
+    // someone else's URL and must not be rewritten
+    assert(canon("https://a.com/r?to=https://www.b.com") ===
+      "https://a.com/r?to=https://www.b.com")
+  }
+
+  test("the blocklist sees the domain without any port, and duplicate " +
+    "blocklist rows do not multiply decisions") {
+    val docs = Seq(
+      (1L, "https://bad.com:8080/x"), // non-default port: still blocked
+      (2L, "https://ok.com:9090/y")
+    ).toDF("doc_id", "url")
+    val block = Seq("bad.com", "bad.com").toDF("domain") // duplicated
+    val got = Dedup.urlDedupDecisions(docs, block)
+      .select($"doc_id", $"decision").as[(Long, String)].collect()
+    assert(got.length === 2, s"one row per input doc, got ${got.toSeq}")
+    assert(got.toMap === Map(1L -> "blocked", 2L -> "kept"))
   }
 
   test("decisions: blocklist before keep-first — a blocked keeper never " +

@@ -78,7 +78,8 @@ class WarcStreamSpec extends SparkSpec {
       .st15WarcIngestDedup(spark, sfTiny)
       .as[(Long, Long)].collect().toSeq
     val direct = EventStreams.contentKeepFirst(
-        graft.util.Tables.documents(spark, sfTiny))
+        graft.util.Tables.documents(spark, sfTiny)
+          .filter($"text".isNotNull)) // mirror the fixture's filter
       .orderBy($"keep_id").as[(Long, Long)].collect().toSeq
     assert(viaWarc === direct)
   }
