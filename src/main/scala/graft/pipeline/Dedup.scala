@@ -55,9 +55,12 @@ object Dedup {
   val UrlUtmLeadRe = "\\?utm_[a-z]+=[^&#]*&?"
   val UrlTrailQRe = "\\?$"
   val UrlTrailSlashRe = "/$"
-  // host stops at ':' — the PORT is not part of the blocklist identity
-  // (blocked-at-443 but served-at-8080 is the classic blocklist escape)
-  val UrlHostRe = "^[a-z]+://([^/?#:]+)"
+  // host: skip optional userinfo@ and stop at ':' — neither credentials
+  // nor the PORT are part of the blocklist identity (blocked-at-443 but
+  // served-at-8080, or user:pass@bad.com, are the classic blocklist
+  // escapes). IPv6 literal hosts are outside the documented subset —
+  // domain blocklists are name-based.
+  val UrlHostRe = "^[a-z]+://(?:[^/?#@]*@)?([^/?#:]+)"
   val UrlDomainRe = "[^.]+\\.[^.]+$"
 
   /** The canonicalization chain as one codegen'd Column — pure map-side

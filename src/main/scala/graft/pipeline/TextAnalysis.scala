@@ -316,10 +316,14 @@ object TextAnalysis {
     *  1. `<script>`/`<style>` elements drop WITH their content, BEFORE
     *     comments (a script body holding a literal `</div>` or an
     *     unmatched `<!--` — the classic legacy-JS comment hack — must
-    *     not leak text or eat the document; the residual case is a
-    *     comment containing an OPEN script tag with its close outside,
-    *     where the script rule can overrun the comment — documented
-    *     subset);
+    *     not leak text or eat the document). No regex ORDER handles
+    *     every comment×script nesting: the residual cases, both
+    *     golden-pinned, are a comment containing an OPEN script tag
+    *     (the script rule overruns the comment — harmless, extra text
+    *     drops) and a script body containing a COMMENTED-OUT
+    *     `</script>` (the lazy match stops early and JS residue leaks
+    *     — the price of the common case above; a tree parser is the
+    *     documented non-goal);
     *  2. comments `<!-- … -->` drop (lazy span, `(?s)`);
     *  3. block-level open/close tags become a newline (the paragraph
     *     structure every quality filter keys on);

@@ -1663,13 +1663,12 @@ object PipelineQueries {
     val dir = writeWarcGzSegments(
       htmlCorpus(Tables.documents(spark, d)).orderBy($"doc_id")
         .collect().map(r => (r.getLong(0), r.getString(1))))
-    val docs = spark.read.format("warc").load(dir)
-      .filter($"record_type" === "response")
-      .select(
-        regexp_extract($"target_uri", "doc/(\\d+)$", 1).cast("long")
-          .as("doc_id"),
-        graft.pipeline.TextAnalysis.htmlToText($"payload".cast("string"))
-          .as("text"))
+    // the shared response→doc projection, then extraction on the page
+    // string (one home for the corpus URI convention — the st15 path)
+    val docs = graft.streaming.EventStreams
+      .warcCorpusDocs(spark.read.format("warc").load(dir))
+      .select($"doc_id",
+        graft.pipeline.TextAnalysis.htmlToText($"text").as("text"))
     val kept = graft.pipeline.TextAnalysis.gopherRules(docs)
       .filter($"r_pass_all").select($"doc_id", $"text")
     val counts = graft.pipeline.Bpe

@@ -168,9 +168,11 @@ object StreamQueries {
     * ([[graft.sources.warc.WarcMicroBatchStream]]) through
     * [[EventStreams.warcCorpusDocStream]] →
     * [[EventStreams.contentDedupStream]], spec-asserted equal across a
-    * segment drop AND a checkpoint restart (WarcStreamSpec). Shares
-    * st06's oracle verbatim: the connector round trip is byte-exact
-    * (q36/q37), so the dedup output cannot differ. */
+    * segment drop AND a checkpoint restart (WarcStreamSpec). The oracle
+    * is st06's SHAPE plus the fixture's `text IS NOT NULL` filter —
+    * deliberately NOT a shared constant: the two gates dedup different
+    * effective inputs the moment a testdata regeneration introduces a
+    * null text, so merging the strings would reintroduce that drift. */
   def st15WarcIngestDedup(spark: SparkSession, d: String): DataFrame = {
     val dir = PipelineQueries.warcGzFixture(spark, d)
     EventStreams.contentKeepFirst(

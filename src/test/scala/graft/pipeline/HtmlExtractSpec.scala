@@ -43,6 +43,11 @@ class HtmlExtractSpec extends SparkSpec {
     // a whole script element inside a comment is removed first, then
     // the emptied comment drops — nothing leaks either way
     assert(extract("<!-- <script>x</script> --><p>ok</p>") === "ok")
+    // the DOCUMENTED residual of script-first ordering: a commented-out
+    // </script> INSIDE a script body truncates the script match early
+    // and the tail leaks — pinned so a rule change shows up here
+    assert(extract("<script>a<!--</script>-->b</script><p>t</p>") ===
+      "-->b\nt")
   }
 
   test("entities decode AFTER tag removal (escaped markup is text, " +
