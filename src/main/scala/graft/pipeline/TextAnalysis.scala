@@ -373,6 +373,47 @@ object TextAnalysis {
     docs.filter(col(htmlCol).isNotNull)
       .select(col(idCol), htmlToText(col(htmlCol)).as("text"))
 
+  /** HTTP/1.x message helpers — the step BEFORE [[htmlToText]]: a WARC
+    * `response` record's payload is a full HTTP message (status line +
+    * headers + CRLFCRLF + body) per ISO 28500, not raw HTML — skipping
+    * this seam feeds status lines and headers into the text corpus.
+    * Deterministic, SQL-replayable subset: identity bodies only (no
+    * chunked-transfer or Content-Encoding decode — Common Crawl stores
+    * decoded bodies), charset assumed UTF-8, RFC 7230-deprecated header
+    * folding unsupported, and a message with NO blank-line separator is
+    * treated as all body (lenient — some crawlers store bare payloads).
+    * All pure map-side codegen'd string work. */
+  val HttpSepLit = "\r\n\r\n"
+  val HttpStatusRe = "^HTTP/1\\.[01] ([0-9]{3})"
+
+  /** Body of an HTTP message: everything after the first CRLFCRLF. */
+  def httpBody(msg: Column): Column = {
+    val idx = instr(msg, HttpSepLit)
+    when(idx > 0, msg.substr(idx + lit(4), length(msg))).otherwise(msg)
+  }
+
+  /** Header block (before the first CRLFCRLF; "" when absent) — header
+    * lookups search ONLY here, so a body line starting `content-type:`
+    * can never shadow a real header. */
+  def httpHeaders(msg: Column): Column = {
+    val idx = instr(msg, HttpSepLit)
+    when(idx > 0, msg.substr(lit(1), idx - 1)).otherwise(lit(""))
+  }
+
+  /** Case-insensitive header value ("" when absent). `name` must be a
+    * literal token ([A-Za-z0-9-]+) — it is embedded in a shared
+    * Java/RE2 pattern. */
+  def httpHeader(msg: Column, name: String): Column = {
+    require(name.matches("[A-Za-z0-9-]+"), s"not a header token: '$name'")
+    regexp_extract(httpHeaders(msg),
+      s"(?im)^$name:[ \\t]*([^\\r\\n]*)", 1)
+  }
+
+  /** Status code of the response line (null when the line is absent —
+    * the lenient bare-payload case). */
+  def httpStatus(msg: Column): Column =
+    nullif(regexp_extract(msg, HttpStatusRe, 1), lit("")).cast("long")
+
   /** Per-document top-k tokens by tf·idf (idf = ln(N/df), the classic
     * smoothing-free form; score rounded to 4 dp so the value — and the
     * (score, token) ranking — is reproducible across engines; the nearest

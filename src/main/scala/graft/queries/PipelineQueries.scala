@@ -1623,6 +1623,61 @@ object PipelineQueries {
         .collect().map(r => (r.getLong(0), r.getString(1))))
   }
 
+  /** q39 — HTTP RESPONSE EXTRACTION ([[graft.pipeline.TextAnalysis
+    * .httpBody]]/`httpHeader`/`httpStatus`, the seam BEFORE t34's
+    * html→text: a real WARC `response` payload is a full HTTP message,
+    * and skipping this step feeds status lines and headers into the
+    * training corpus): each html page is wrapped in an HTTP/1.1
+    * response (status line, Content-Type, a per-doc X-Graft-Rank
+    * header), shipped through `.warc.gz` + the connector, split back
+    * into status/header/body, and the body extracted to text — per doc
+    * the status, the parsed rank header, and the extracted text's
+    * length + md5. The oracle replays the HTTP wrap, the CRLFCRLF
+    * split, the header-block-scoped regex lookups, and the full t34
+    * extraction chain on the body. */
+  /** The HTTP/1.1 wrap q39 and q38 share (mirrored by [[httpWrapCtes]]):
+    * status line, Content-Type, a per-doc header, blank line, body. */
+  private def httpWrapPage(id: Long, html: String): String =
+    "HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=utf-8\r\n" +
+      s"X-Graft-Rank: ${id % 7}\r\n\r\n" + html
+
+  /** The SQL replay of [[httpWrapPage]] + the CRLFCRLF split, from hc:
+    * hm(msg) → sp(ix) → bd(msg, body, hdrs). */
+  private lazy val httpWrapCtes: String =
+    """hm AS (SELECT doc_id,
+      |  'HTTP/1.1 200 OK' || chr(13) || chr(10) ||
+      |  'Content-Type: text/html; charset=utf-8' || chr(13) || chr(10) ||
+      |  'X-Graft-Rank: ' || (doc_id % 7)::VARCHAR ||
+      |  chr(13) || chr(10) || chr(13) || chr(10) || html AS msg
+      |  FROM hc),
+      |sp AS (SELECT doc_id, msg,
+      |  strpos(msg, chr(13)||chr(10)||chr(13)||chr(10)) AS ix FROM hm),
+      |bd AS (SELECT doc_id, msg,
+      |  CASE WHEN ix > 0 THEN substr(msg, ix + 4) ELSE msg END AS body,
+      |  CASE WHEN ix > 0 THEN substr(msg, 1, ix - 1) ELSE '' END AS hdrs
+      |  FROM sp)""".stripMargin
+
+  def q39HttpExtract(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = writeWarcGzSegments(
+      htmlCorpus(Tables.documents(spark, d)).orderBy($"doc_id")
+        .collect().map(r => (r.getLong(0),
+          httpWrapPage(r.getLong(0), r.getString(1)))))
+    val T = graft.pipeline.TextAnalysis
+    graft.streaming.EventStreams
+      .warcCorpusDocs(spark.read.format("warc").load(dir))
+      .select($"doc_id",
+        T.httpStatus($"text").as("status"),
+        T.httpHeader($"text", "Content-Type").as("content_type"),
+        T.httpHeader($"text", "X-Graft-Rank").cast("long").as("rank"),
+        T.htmlToText(T.httpBody($"text")).as("text"))
+      .select($"doc_id", $"status", $"content_type", $"rank",
+        length($"text").cast("long").as("n_chars"),
+        md5($"text").as("text_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** q38's tokenizer: trained on the EXTRACTED corpus (the model must
     * see what extraction produced — chrome headings and footer tokens
     * included — exactly as a real crawl-fed train does), memoized per
@@ -1650,7 +1705,9 @@ object PipelineQueries {
     * plan (q35's capstone with the INGEST seam made real): `.warc.gz`
     * segments through the native connector (pushdown drops warcinfo
     * before its payload is read) → [[graft.pipeline.TextAnalysis
-    * .htmlToText]] on the response payloads → Gopher quality filter →
+    * .httpBody]] on the response payloads (a real crawl payload is a
+    * full HTTP message — the q39 seam) → [[graft.pipeline.TextAnalysis
+    * .htmlToText]] on the bodies → Gopher quality filter →
     * BPE tokenization under a vocab TRAINED ON THE EXTRACTED corpus →
     * 256-token sequence packing. The oracle replays the ENTIRE chain —
     * wrap, extraction, merge training on the extracted text, per-doc
@@ -1662,13 +1719,15 @@ object PipelineQueries {
     import spark.implicits._
     val dir = writeWarcGzSegments(
       htmlCorpus(Tables.documents(spark, d)).orderBy($"doc_id")
-        .collect().map(r => (r.getLong(0), r.getString(1))))
-    // the shared response→doc projection, then extraction on the page
-    // string (one home for the corpus URI convention — the st15 path)
+        .collect().map(r => (r.getLong(0),
+          httpWrapPage(r.getLong(0), r.getString(1)))))
+    // the shared response→doc projection (one home for the corpus URI
+    // convention — the st15 path), then the q39 HTTP-body split, then
+    // extraction on the page string — the REAL crawl payload shape
+    val T = graft.pipeline.TextAnalysis
     val docs = graft.streaming.EventStreams
       .warcCorpusDocs(spark.read.format("warc").load(dir))
-      .select($"doc_id",
-        graft.pipeline.TextAnalysis.htmlToText($"text").as("text"))
+      .select($"doc_id", T.htmlToText(T.httpBody($"text")).as("text"))
     val kept = graft.pipeline.TextAnalysis.gopherRules(docs)
       .filter($"r_pass_all").select($"doc_id", $"text")
     val counts = graft.pipeline.Bpe
@@ -1923,6 +1982,7 @@ object PipelineQueries {
     "t34_html_extract" -> (t34HtmlExtract _),
     "q38_warc_pipeline" -> (q38WarcPipeline _),
     "d20_url_dedup" -> (d20UrlDedup _),
+    "q39_http_extract" -> (q39HttpExtract _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2407,9 +2467,9 @@ object PipelineQueries {
     s"regexp_replace($nlruns, '$HtmlTrimRe', '', 'g')"
   }
 
-  /** [[htmlCorpus]]'s wrap + the extraction chain as CTEs hc/ext — t34
-    * verifies ext directly; q38 feeds the downstream pipeline from it. */
-  private lazy val htmlExtCtes: String =
+  /** [[htmlCorpus]]'s wrap as the hc CTE — shared by t34/q38 (via
+    * [[htmlExtCtes]]) and q39 (which wraps hc in an HTTP message). */
+  private lazy val htmlCorpusCte: String =
     s"""hc AS (
        |  SELECT doc_id, '<html><!-- nav <p>skip</p> --><head><title>Doc ' ||
        |    doc_id::VARCHAR ||
@@ -2419,7 +2479,12 @@ object PipelineQueries {
        |            '<', '&lt;'), '>', '&gt;') ||
        |    '</p><div class="footer">&copy; corpus &amp; co</div></body></html>'
        |    AS html
-       |  FROM documents WHERE text IS NOT NULL),
+       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+
+  /** hc + the extraction chain as CTE ext — t34 verifies ext directly;
+    * q38 feeds the downstream pipeline from it. */
+  private lazy val htmlExtCtes: String =
+    s"""$htmlCorpusCte,
        |ext AS (SELECT doc_id, ${htmlExtractSql("html")} AS text FROM hc)"""
       .stripMargin
 
@@ -2769,12 +2834,34 @@ object PipelineQueries {
          |  SUM(doc_id)::BIGINT AS sum_doc_id
          |FROM dec GROUP BY decision ORDER BY decision""".stripMargin
     },
+    "q39_http_extract" -> {
+      import graft.pipeline.TextAnalysis.HttpStatusRe
+      // HTTP wrap (chr(13)||chr(10) spells CRLF), CRLFCRLF split,
+      // header-block-scoped lookups, then the t34 chain on the body
+      s"""WITH $htmlCorpusCte,
+         |$httpWrapCtes,
+         |ex AS (SELECT doc_id,
+         |  regexp_extract(msg, '$HttpStatusRe', 1)::BIGINT AS status,
+         |  regexp_extract(hdrs,
+         |    '(?im)^Content-Type:[ \\t]*([^\\r\\n]*)', 1) AS content_type,
+         |  regexp_extract(hdrs,
+         |    '(?im)^X-Graft-Rank:[ \\t]*([^\\r\\n]*)', 1)::BIGINT AS rank,
+         |  ${htmlExtractSql("body")} AS text
+         |  FROM bd)
+         |SELECT doc_id, status, content_type, rank,
+         |  length(text)::BIGINT AS n_chars, md5(text) AS text_md5
+         |FROM ex ORDER BY doc_id""".stripMargin
+    },
     "q38_warc_pipeline" ->
-      // the crawl-fed nightly job replayed end to end: wrap + extract
-      // (ext), the t16 merge chain TRAINED ON ext, per-doc counts on
-      // ext, the SHARED Gopher arithmetic on ext, the SHARED packing
-      // tail over the survivors
-      s"""WITH RECURSIVE $htmlExtCtes,
+      // the crawl-fed nightly job replayed end to end: html wrap + HTTP
+      // wrap + CRLFCRLF split + extract (ext over the BODY), the t16
+      // merge chain TRAINED ON ext, per-doc counts on ext, the SHARED
+      // Gopher arithmetic on ext, the SHARED packing tail over the
+      // survivors
+      s"""WITH RECURSIVE $htmlCorpusCte,
+         |$httpWrapCtes,
+         |ext AS (SELECT doc_id, ${htmlExtractSql("body")} AS text
+         |  FROM bd),
          |${bpeOracleBody(BpeRounds, "ext")},
          |${bpeDocCountsCteFrom("ext")},
          |${gopherMetricsCte("gm", "doc_id", "ext")},

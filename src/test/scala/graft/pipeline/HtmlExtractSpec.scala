@@ -89,6 +89,32 @@ class HtmlExtractSpec extends SparkSpec {
     assert(extract("  <p>  a  </p>  ") === "a")
   }
 
+  test("HTTP message split: body after first CRLFCRLF, headers scoped, " +
+    "status parsed, bare payloads lenient") {
+    val msg = "HTTP/1.1 301 Moved\r\nLocation: /x\r\ncontent-type: " +
+      "text/plain\r\n\r\nbody\r\nContent-Type: fake\r\n\r\ntail"
+    val got = Seq(msg).toDF("m").select(
+        TextAnalysis.httpStatus(col("m")).as("st"),
+        TextAnalysis.httpHeader(col("m"), "Content-Type").as("ct"),
+        TextAnalysis.httpHeader(col("m"), "X-Missing").as("mi"),
+        TextAnalysis.httpBody(col("m")).as("b"))
+      .as[(Option[Long], String, String, String)].head()
+    assert(got._1 === Some(301L))
+    // case-insensitive, and the body's 'Content-Type: fake' line can
+    // never shadow a real header — lookups see the header block only
+    assert(got._2 === "text/plain")
+    assert(got._3 === "")
+    // the body keeps its own CRLFCRLF verbatim (split at FIRST only)
+    assert(got._4 === "body\r\nContent-Type: fake\r\n\r\ntail")
+    // no separator: all body, null status, empty headers
+    val bare = Seq("just html").toDF("m").select(
+        TextAnalysis.httpStatus(col("m")).as("st"),
+        TextAnalysis.httpBody(col("m")).as("b"),
+        TextAnalysis.httpHeaders(col("m")).as("h"))
+      .as[(Option[Long], String, String)].head()
+    assert(bare === ((None, "just html", "")))
+  }
+
   test("htmlExtract over the t34 corpus: every extract carries the " +
     "chrome shape and the de-escaped text") {
     val docs = graft.util.Tables.documents(spark, sfTiny)
