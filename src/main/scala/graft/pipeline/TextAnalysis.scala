@@ -414,6 +414,48 @@ object TextAnalysis {
   def httpStatus(msg: Column): Column =
     nullif(regexp_extract(msg, HttpStatusRe, 1), lit("")).cast("long")
 
+  /** Corpus-level LINE dedup — the RefinedWeb/C4 boilerplate-removal
+    * stage (Penedo et al. 2023 §3.2 drop lines duplicated across the
+    * corpus; Raffel et al. 2020 §2.2's line filters): split every
+    * document on newlines, count each exact line ACROSS THE CORPUS, and
+    * remove lines occurring more than `maxOccurrences` times — cookie
+    * banners, nav bars and footers repeat verbatim on every page of a
+    * site while real prose lines are near-unique. Returns one row per
+    * input document: kept/dropped line counts and the reassembled text
+    * (original line order; "" when everything was boilerplate).
+    *
+    * Scale: one explode, one map-side-partial line-count groupBy, and a
+    * join back on the line key. The DROPLIST (lines past the threshold)
+    * is the small side by construction — boilerplate is few distinct
+    * strings repeated often — so it rides the LimitProbe-guarded
+    * broadcast ([[graft.pipeline.Bpe.guardedDict]]) and the corpus is
+    * flagged map-side; past the bound the join shuffles on the line
+    * key. Trailing empty lines are REAL lines (split limit −1) and an
+    * empty line repeated corpus-wide is boilerplate like any other —
+    * symmetric with the SQL replay. */
+  def lineDedup(docs: DataFrame, maxOccurrences: Long = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val lines = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val droplist = lines.groupBy(col("line"))
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") > maxOccurrences)
+      .select(col("line"), lit(true).as("_dup"))
+    lines.join(Bpe.guardedDict(droplist, Bpe.DictBroadcastLimit),
+        Seq("line"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(when(col("_dup").isNull, 1)).as("n_kept"),
+        count(when(col("_dup").isNotNull, 1)).as("n_dropped"),
+        array_sort(collect_list(
+          when(col("_dup").isNull, struct(col("pos"), col("line")))))
+          .as("arr"))
+      .select(col(idCol), col("n_kept"), col("n_dropped"),
+        array_join(transform(col("arr"), x => x.getField("line")), "\n")
+          .as("clean"))
+  }
+
   /** Per-document top-k tokens by tf·idf (idf = ln(N/df), the classic
     * smoothing-free form; score rounded to 4 dp so the value — and the
     * (score, token) ranking — is reproducible across engines; the nearest

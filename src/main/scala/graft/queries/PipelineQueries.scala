@@ -1635,6 +1635,32 @@ object PipelineQueries {
     * length + md5. The oracle replays the HTTP wrap, the CRLFCRLF
     * split, the header-block-scoped regex lookups, and the full t34
     * extraction chain on the body. */
+  /** t35 — CORPUS-LEVEL LINE DEDUP ([[graft.pipeline.TextAnalysis
+    * .lineDedup]], the RefinedWeb/C4 boilerplate-removal stage): every
+    * document gains a corpus-wide header line, an even-doc-only banner
+    * (duplicated on 250 docs — still boilerplate), a per-doc UNIQUE
+    * marker line, and a corpus-wide footer around its original text;
+    * the operator must drop exactly the repeated lines (including any
+    * ORIGINAL text duplicated verbatim across docs) and keep the rest
+    * in order. Reported per doc: kept/dropped counts and the md5 of
+    * the reassembled text; the oracle replays plant, corpus-wide line
+    * counting, threshold, and ordered reassembly. */
+  def t35LineDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d).filter($"text".isNotNull)
+      .select($"doc_id", concat(
+        lit("SUBSCRIBE to our newsletter\n"),
+        when(pmod($"doc_id", lit(2)) === 0,
+          lit("Cookie banner: accept all\n")).otherwise(lit("")),
+        $"text",
+        concat(lit("\nunique doc marker "), $"doc_id".cast("string")),
+        lit("\n(c) corpus footer")).as("text"))
+    graft.pipeline.TextAnalysis.lineDedup(docs)
+      .select($"doc_id", $"n_kept", $"n_dropped",
+        md5($"clean").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** The HTTP/1.1 wrap q39 and q38 share (mirrored by [[httpWrapCtes]]):
     * status line, Content-Type, a per-doc header, blank line, body. */
   private def httpWrapPage(id: Long, html: String): String =
@@ -1983,6 +2009,7 @@ object PipelineQueries {
     "q38_warc_pipeline" -> (q38WarcPipeline _),
     "d20_url_dedup" -> (d20UrlDedup _),
     "q39_http_extract" -> (q39HttpExtract _),
+    "t35_line_dedup" -> (t35LineDedup _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2834,6 +2861,34 @@ object PipelineQueries {
          |  SUM(doc_id)::BIGINT AS sum_doc_id
          |FROM dec GROUP BY decision ORDER BY decision""".stripMargin
     },
+    "t35_line_dedup" ->
+      // plant (CASE concat mirrors t35's builder, chr(10) = newline),
+      // corpus-wide line counts, threshold > 1, ordered reassembly
+      // (COALESCE: a doc whose every line is boilerplate reassembles
+      // to '' like the engine's empty array-join, never NULL)
+      """WITH bp AS (
+        |  SELECT doc_id, 'SUBSCRIBE to our newsletter' || chr(10) ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN 'Cookie banner: accept all' || chr(10)
+        |         ELSE '' END ||
+        |    text ||
+        |    chr(10) || 'unique doc marker ' || doc_id::VARCHAR ||
+        |    chr(10) || '(c) corpus footer' AS text
+        |  FROM documents WHERE text IS NOT NULL),
+        |sl AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM bp),
+        |ln AS (SELECT doc_id,
+        |  unnest(generate_series(1, len(l))) AS pos, l FROM sl),
+        |l2 AS (SELECT doc_id, pos, l[pos] AS line FROM ln),
+        |ct AS (SELECT line, COUNT(*) AS n FROM l2 GROUP BY line),
+        |fl AS (SELECT doc_id, pos, l2.line, n > 1 AS dup
+        |  FROM l2 JOIN ct USING (line))
+        |SELECT doc_id,
+        |  (COUNT(*) FILTER (WHERE NOT dup))::BIGINT AS n_kept,
+        |  (COUNT(*) FILTER (WHERE dup))::BIGINT AS n_dropped,
+        |  md5(array_to_string(
+        |    COALESCE(list(line ORDER BY pos) FILTER (WHERE NOT dup), []),
+        |    chr(10))) AS clean_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q39_http_extract" -> {
       import graft.pipeline.TextAnalysis.HttpStatusRe
       // HTTP wrap (chr(13)||chr(10) spells CRLF), CRLFCRLF split,

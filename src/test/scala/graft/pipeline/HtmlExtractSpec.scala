@@ -115,6 +115,36 @@ class HtmlExtractSpec extends SparkSpec {
     assert(bare === ((None, "just html", "")))
   }
 
+  test("lineDedup: corpus-repeated lines drop, order survives, an " +
+    "all-boilerplate doc reassembles to the empty string") {
+    val docs = Seq(
+      (1L, "nav\nalpha\nfooter"),
+      (2L, "nav\nbeta\nfooter"),
+      (3L, "nav\nfooter"), // every line boilerplate → clean == ""
+      (4L, "gamma\n\ndelta\n"), // inner + trailing empties are lines
+      (5L, "epsilon\n\nzeta\n") // "" occurs 4x globally → boilerplate
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.lineDedup(docs)
+      .select($"doc_id", $"n_kept", $"n_dropped", $"clean")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((1L, 2L, "alpha")))
+    assert(got(2L) === ((1L, 2L, "beta")))
+    assert(got(3L) === ((0L, 2L, "")))
+    // the two "" lines per doc (inner + trailing) are corpus-repeated
+    assert(got(4L) === ((2L, 2L, "gamma\ndelta")))
+    assert(got(5L) === ((2L, 2L, "epsilon\nzeta")))
+    // threshold: a twice-occurring line drops at maxOccurrences = 1
+    // and survives at 2
+    val two = Seq((1L, "dup\nuniq1"), (2L, "dup\nuniq2"))
+      .toDF("doc_id", "text")
+    assert(TextAnalysis.lineDedup(two).filter($"doc_id" === 1L)
+      .select($"clean").as[String].head() === "uniq1")
+    assert(TextAnalysis.lineDedup(two, maxOccurrences = 2)
+      .filter($"doc_id" === 1L)
+      .select($"clean").as[String].head() === "dup\nuniq1")
+  }
+
   test("htmlExtract over the t34 corpus: every extract carries the " +
     "chrome shape and the de-escaped text") {
     val docs = graft.util.Tables.documents(spark, sfTiny)
