@@ -487,6 +487,14 @@ object ScaleRehearsal {
     time(s"t13 bigram-LM score x$k") {
       TextAnalysis.bigramLmScore(docs).count()
     }
+    // corpus-level line dedup (t35): one explode + a line-count groupBy
+    // + the droplist join back — must track corpus LINES; the replica
+    // suffix makes every original text line unique per replica while
+    // the planted banner repeats k·corpus-wide (the realistic mix)
+    time(s"t35 line dedup x$k") {
+      TextAnalysis.lineDedup(docs.select(col("doc_id"),
+        concat(lit("SUBSCRIBE banner\n"), col("text")).as("text"))).count()
+    }
     // order-5 Kneser-Ney (t33): the checkpoint-heaviest operator — the
     // occurrence table (id, pos, w1..w5) plus the statistic cascade all
     // pin to executor disk, so this row is the corpus-LINEARITY proof

@@ -181,6 +181,34 @@ class WarcSourceSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("q38's ingest front half (scan → http/html extract → gopher) " +
+    "keeps the response filter pushed and payload-only pruning — " +
+    "composition does not defeat pushdown") {
+    // the gate's own final frame hides the scan behind the packing
+    // prefix-sum's materialization, so assert on the composed front
+    // half — the part where extra projections could defeat pushdown
+    val T = graft.pipeline.TextAnalysis
+    val docs = graft.streaming.EventStreams
+      .warcCorpusDocs(read())
+      .select(col("doc_id"),
+        T.htmlToText(T.httpBody(col("text"))).as("text"))
+    val kept = T.gopherRules(docs).filter(col("r_pass_all"))
+    val scans = kept.queryExecution.optimizedPlan.collect {
+      case s: DataSourceV2ScanRelation
+          if s.scan.description().startsWith("WarcScan") => s.scan
+    }
+    assert(scans.nonEmpty, "no warc scan in the composed plan")
+    assert(scans.forall(_.description()
+      .contains("EqualTo(record_type,response)")),
+      s"pushdown lost in composition: ${scans.map(_.description())}")
+    // pruning: only the projected columns (plus record_type, which
+    // Spark keeps alongside its pushed filter) cross the scan — never
+    // the full 7-column schema
+    assert(scans.head.readSchema().fieldNames.toSet.subsetOf(
+      Set("record_type", "target_uri", "payload")),
+      s"pruning lost: ${scans.head.readSchema().fieldNames.toSeq}")
+  }
+
   test("q37's gzip-member read == q36's uncompressed read on sf0.001") {
     val gz = graft.queries.PipelineQueries.q37WarcGzip(spark, sfTiny)
       .as[(Long, Long, String)].collect().toSeq
