@@ -409,10 +409,15 @@ object TextAnalysis {
       s"(?im)^$name:[ \\t]*([^\\r\\n]*)", 1)
   }
 
-  /** Status code of the response line (null when the line is absent —
-    * the lenient bare-payload case). */
+  /** Status code of the response line, parsed from the HEADER BLOCK
+    * (null when there is none). Scoping to [[httpHeaders]] matters: a
+    * separator-less capture whose body text starts with a status line
+    * is all-body per [[httpBody]], and a status parsed from it would
+    * let `filter(status === 200)` admit raw header bytes into the text
+    * corpus — the exact leak this seam exists to prevent. */
   def httpStatus(msg: Column): Column =
-    nullif(regexp_extract(msg, HttpStatusRe, 1), lit("")).cast("long")
+    nullif(regexp_extract(httpHeaders(msg), HttpStatusRe, 1), lit(""))
+      .cast("long")
 
   /** Corpus-level LINE dedup — the RefinedWeb/C4 boilerplate-removal
     * stage (Penedo et al. 2023 §3.2 drop lines duplicated across the
@@ -442,6 +447,9 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > maxOccurrences)
       .select(col("line"), lit(true).as("_dup"))
+      // pinned: read by the broadcast-guard probe AND the join build —
+      // without it the corpus explode + line count re-run per reader
+      .localCheckpoint(true)
     lines.join(Bpe.guardedDict(droplist, Bpe.DictBroadcastLimit),
         Seq("line"), "left_outer")
       .groupBy(col(idCol))

@@ -2878,7 +2878,7 @@ object PipelineQueries {
         |sl AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM bp),
         |ln AS (SELECT doc_id,
         |  unnest(generate_series(1, len(l))) AS pos, l FROM sl),
-        |l2 AS (SELECT doc_id, pos, l[pos] AS line FROM ln),
+        |l2 AS MATERIALIZED (SELECT doc_id, pos, l[pos] AS line FROM ln),
         |ct AS (SELECT line, COUNT(*) AS n FROM l2 GROUP BY line),
         |fl AS (SELECT doc_id, pos, l2.line, n > 1 AS dup
         |  FROM l2 JOIN ct USING (line))
@@ -2896,7 +2896,7 @@ object PipelineQueries {
       s"""WITH $htmlCorpusCte,
          |$httpWrapCtes,
          |ex AS (SELECT doc_id,
-         |  regexp_extract(msg, '$HttpStatusRe', 1)::BIGINT AS status,
+         |  regexp_extract(hdrs, '$HttpStatusRe', 1)::BIGINT AS status,
          |  regexp_extract(hdrs,
          |    '(?im)^Content-Type:[ \\t]*([^\\r\\n]*)', 1) AS content_type,
          |  regexp_extract(hdrs,

@@ -113,6 +113,16 @@ class HtmlExtractSpec extends SparkSpec {
         TextAnalysis.httpHeaders(col("m")).as("h"))
       .as[(Option[Long], String, String)].head()
     assert(bare === ((None, "just html", "")))
+    // a separator-less capture STARTING with a status line is still
+    // all-body with a NULL status — a status parsed out of body text
+    // would let filter(status===200) admit raw header bytes
+    val trunc = Seq("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n<html>")
+      .toDF("m").select(
+        TextAnalysis.httpStatus(col("m")).as("st"),
+        TextAnalysis.httpBody(col("m")).as("b"))
+      .as[(Option[Long], String)].head()
+    assert(trunc._1 === None)
+    assert(trunc._2 === "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n<html>")
   }
 
   test("lineDedup: corpus-repeated lines drop, order survives, an " +
