@@ -93,7 +93,7 @@ object Bpe {
     * measured ~0.1 s of pure scheduling each round). Map-side combine is
     * worthless on a table that tiny; at real vocab scale `parts` hits the
     * session width and the plain groupBy keeps its partial aggregation. */
-  private def pairCounts(words: DataFrame, parts: Int,
+  private[pipeline] def pairCounts(words: DataFrame, parts: Int,
       sessionWidth: Int): DataFrame = {
     val pairs = words
       .select(col("cnt"), col("syms"),

@@ -184,6 +184,38 @@ object PipelineQueries {
     })
   }
 
+  /** Merge-round count for the WordPiece gates (t36/t37) — deep enough
+    * that merged tokens re-merge (multi-round interactions) and that the
+    * likelihood argmax genuinely diverges from BPE's frequency argmax on
+    * this corpus, small enough that the per-round unrolled oracle (symbol
+    * counts + pair scores + recursive replacement, one block per round)
+    * stays tractable and the no-q corpus never runs out of pairs. */
+  private val WpRounds = 12
+
+  /** t36/t37 share one trained WordPiece model per (session, dir), trained
+    * on the no-'q' document subset (the t30 alphabet-gap idiom): encoding
+    * the FULL corpus then exercises the `[UNK]` whole-word rule on every
+    * q-carrying word, so the encode gate pins both the greedy walk and the
+    * UNK leg. Pure driver data — nothing for resetShared to free. */
+  private val residentWordpiece = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Wordpiece.Model]
+
+  private[graft] def wordpieceShared(spark: SparkSession, d: String)
+      : graft.pipeline.Wordpiece.Model = {
+    sweepStoppedSessions()
+    residentWordpiece.getOrElseUpdate((spark, d), {
+      val m = graft.pipeline.Wordpiece.train(
+        Tables.documents(spark, d)
+          .filter(!lower(col("text")).contains("q")), WpRounds)
+      // fail FAST on early pair exhaustion — the unrolled oracle assumes
+      // a non-empty argmax every round (the bpeShared contract)
+      require(m.merges.size == WpRounds,
+        s"WordPiece corpus at $d exhausted pairs after ${m.merges.size} " +
+          s"of $WpRounds merges — lower WpRounds")
+      m
+    })
+  }
+
   private[graft] def bpeShared(spark: SparkSession, d: String)
       : graft.pipeline.Bpe.Model = {
     sweepStoppedSessions()
@@ -1293,6 +1325,42 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t36 — WORDPIECE tokenizer training ([[graft.pipeline.Wordpiece
+    * .train]], the BERT trainer: [[WpRounds]] likelihood-scored merge
+    * rounds over the no-'q' distinct-word table — see [[wordpieceShared]]
+    * for the subset rationale): the learned merge table (rank, lhs, rhs,
+    * pair frequency at merge time). Deterministic by the total argmax
+    * order (score DESC, lhs, rhs) — the score is ONE IEEE division of
+    * exact integer-valued doubles, identical in both engines — so the
+    * DuckDB oracle re-derives the IDENTICAL merges by unrolling all
+    * rounds: per round, symbol counts, position-counted pair frequencies,
+    * the scored argmax, and `##`-stripping merge application as repeated
+    * first-occurrence replacement (the t16 equivalence argument carries
+    * verbatim — only the merged VALUE differs). */
+  def t36WordpieceTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Wordpiece.mergeTable(spark, wordpieceShared(spark, d))
+      .orderBy($"rank")
+  }
+
+  /** t37 — WordPiece corpus encoding with the `[UNK]` whole-word rule
+    * ([[graft.pipeline.Wordpiece.encodeTokenCounts]]): the full corpus
+    * encoded under the no-q t36 model, so every q-carrying word exercises
+    * greedy-walk failure → single `[UNK]` token. Per doc: whitespace word
+    * count, WordPiece token count (UNK words contribute one), UNK-word
+    * count. The 100 TB shape: the greedy walk runs once per DISTINCT word
+    * under the broadcast driver-sized vocab; the corpus sees one guarded
+    * equi-join. Oracle: the t36 chain → vocabulary (alphabet + merges) as
+    * one MAP row → a recursive longest-match walk per distinct word
+    * (candidate lengths filtered through the map probe, list_sort's last
+    * element = the longest hit, no hit = UNK) → the corpus rollup. */
+  def t37WordpieceEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Wordpiece.encodeTokenCounts(
+        Tables.documents(spark, d), wordpieceShared(spark, d))
+      .orderBy($"doc_id")
+  }
+
   /** t27 — SentencePiece PRUNING ([[graft.pipeline.Unigram.prune]], the
     * shrink half of Kudo 2018's loop t21's EM alone doesn't run): every
     * multi piece is loss-ranked by count × (own score − best
@@ -2010,6 +2078,8 @@ object PipelineQueries {
     "d20_url_dedup" -> (d20UrlDedup _),
     "q39_http_extract" -> (q39HttpExtract _),
     "t35_line_dedup" -> (t35LineDedup _),
+    "t36_wordpiece_train" -> (t36WordpieceTrain _),
+    "t37_wordpiece_encode" -> (t37WordpieceEncode _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2257,6 +2327,132 @@ object PipelineQueries {
        |$unigramEncodeCtes
        |SELECT doc_id, n_words, n_um AS n_um_tokens
        |FROM umnb ORDER BY doc_id""".stripMargin
+
+  /** The t36/t37 oracle's WordPiece chain: [[WpRounds]] likelihood-scored
+    * merge rounds unrolled — the bpeOracleBody idiom plus one symbol-count
+    * CTE per round. `ww0` holds the `##`-prefixed initial symbol sequences
+    * of the no-q distinct words; per round k: `wsc_k` counts symbols,
+    * `wp_k` position-counts adjacent pairs, `wb_k` is the scored argmax
+    * (c/(cl·cr) as ONE IEEE double division — identical in Spark — with
+    * the (score DESC, l, r) tie order) carrying the merged spelling
+    * (`##` stripped off the rhs), the recursive `wm_k` applies it as
+    * repeated first-occurrence replacement (the t16 equivalence argument)
+    * and `ww_k` keeps the fixpoint rows. */
+  private def wordpieceOracleBody(rounds: Int): String = {
+    val ww0 =
+      s"""ww0 AS MATERIALIZED (
+         |  SELECT word, COUNT(*)::BIGINT AS cnt,
+         |    list_transform(generate_series(1, length(word)),
+         |      i -> CASE WHEN i = 1 THEN word[i]
+         |           ELSE '##' || word[i] END) AS seq
+         |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
+         |                                            '\\s+')) AS word
+         |        FROM documents
+         |        WHERE text IS NOT NULL
+         |          AND NOT contains(lower(text), 'q')) t
+         |  WHERE word <> '' GROUP BY word)""".stripMargin
+    val stages = (1 to rounds).map { k =>
+      s"""wsc$k AS MATERIALIZED (
+         |  SELECT s, SUM(cnt)::BIGINT AS c
+         |  FROM (SELECT unnest(seq) AS s, cnt FROM ww${k - 1})
+         |  GROUP BY s),
+         |wp$k AS MATERIALIZED (
+         |  SELECT seq[i] AS l, seq[i+1] AS r, SUM(cnt)::BIGINT AS c
+         |  FROM (SELECT cnt, seq,
+         |          unnest(generate_series(1, len(seq)-1)) AS i
+         |        FROM ww${k - 1})
+         |  GROUP BY 1, 2),
+         |wb$k AS MATERIALIZED (
+         |  SELECT l, r, c,
+         |    l || CASE WHEN starts_with(r, '##') THEN substring(r, 3)
+         |         ELSE r END AS mg
+         |  FROM (SELECT p.l, p.r, p.c,
+         |          p.c::DOUBLE / (a.c::DOUBLE * b.c::DOUBLE) AS sc
+         |        FROM wp$k p JOIN wsc$k a ON p.l = a.s
+         |        JOIN wsc$k b ON p.r = b.s
+         |        ORDER BY sc DESC, l, r LIMIT 1)),
+         |wm$k(word, cnt, seq) AS (
+         |  SELECT word, cnt, seq FROM ww${k - 1}
+         |  UNION ALL
+         |  SELECT word, cnt, seq[1:idx-1] || [mg] || seq[idx+2:]
+         |  FROM (SELECT wm$k.word, wm$k.cnt, wm$k.seq, wb$k.l, wb$k.r,
+         |          wb$k.mg,
+         |          COALESCE(list_filter(generate_series(1, len(seq)-1),
+         |            i -> seq[i] = l AND seq[i+1] = r)[1], 0) AS idx
+         |        FROM wm$k CROSS JOIN wb$k) WHERE idx > 0),
+         |ww$k AS MATERIALIZED (
+         |  SELECT word, cnt, seq FROM wm$k CROSS JOIN wb$k
+         |  WHERE len(list_filter(generate_series(1, len(seq)-1),
+         |    i -> seq[i] = l AND seq[i+1] = r)) = 0)""".stripMargin
+    }
+    (ww0 +: stages).mkString(",\n")
+  }
+
+  private lazy val wordpieceTrainOracle: String = {
+    val rows = (1 to WpRounds).map { k =>
+      if (k == 1)
+        s"SELECT 1::BIGINT AS rank, l AS lhs, r AS rhs, c AS freq FROM wb1"
+      else s"SELECT $k::BIGINT, l, r, c FROM wb$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE ${wordpieceOracleBody(WpRounds)}
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** t37's encode oracle: the t36 chain → vocabulary (every ww0 symbol +
+    * every merged token) packed into ONE map row (the um idiom) → a
+    * recursive greedy longest-match walk per distinct FULL-corpus word —
+    * candidate lengths through the map probe (`##`-prefixed off-initial),
+    * list_sort's last element = the longest hit, no hit (or a word past
+    * the engine's 100-codepoint bound) = one `[UNK]` token for the whole
+    * word — → the per-doc rollup. */
+  private lazy val wordpieceEncodeOracle: String = {
+    val vocabRows = (1 to WpRounds).map(k => s"SELECT mg FROM wb$k")
+      .mkString(" UNION ALL ")
+    s"""WITH RECURSIVE ${wordpieceOracleBody(WpRounds)},
+       |wpv AS MATERIALIZED (
+       |  SELECT DISTINCT s AS piece
+       |  FROM (SELECT unnest(seq) AS s FROM ww0)
+       |  UNION
+       |  SELECT mg FROM ($vocabRows)),
+       |wpm AS MATERIALIZED (
+       |  SELECT MAP(list(piece ORDER BY piece),
+       |             list(1 ORDER BY piece)) AS m FROM wpv),
+       |wax AS MATERIALIZED (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
+       |    FROM documents WHERE text IS NOT NULL) WHERE word <> ''),
+       |wwalk(word, pos, n, unk) AS (
+       |  SELECT word,
+       |    CASE WHEN length(word) > 100 THEN length(word) ELSE 0 END,
+       |    CASE WHEN length(word) > 100 THEN 1 ELSE 0 END::BIGINT,
+       |    length(word) > 100
+       |  FROM (SELECT DISTINCT word FROM wax)
+       |  UNION ALL
+       |  SELECT word,
+       |    CASE WHEN mx IS NULL THEN length(word) ELSE pos + mx END,
+       |    CASE WHEN mx IS NULL THEN 1::BIGINT ELSE n + 1 END,
+       |    mx IS NULL
+       |  FROM (SELECT word, pos, n,
+       |          list_sort(list_filter(list_transform(
+       |            generate_series(1, length(word) - pos),
+       |            L -> CASE WHEN m[CASE WHEN pos = 0
+       |                    THEN substring(word, pos + 1, L)
+       |                    ELSE '##' || substring(word, pos + 1, L) END][1]
+       |                  IS NOT NULL THEN L END),
+       |            x -> x IS NOT NULL))[-1] AS mx
+       |        FROM wwalk CROSS JOIN wpm
+       |        WHERE pos < length(word))),
+       |wtok AS MATERIALIZED (
+       |  SELECT word, n, unk FROM wwalk WHERE pos = length(word))
+       |SELECT a.doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(t.n)::BIGINT AS n_wp_tokens,
+       |  SUM(CASE WHEN t.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk_words
+       |FROM wax a JOIN wtok t USING (word)
+       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+  }
 
   private def bpeTrainOracleOf(rounds: Int): String = {
     val rows = (1 to rounds).map { k =>
@@ -2782,6 +2978,8 @@ object PipelineQueries {
     "t22_unigram_encode" -> unigramEncodeOracle,
     "t29_bpe_oov_encode" -> bpeOovEncodeOracle,
     "t30_unigram_oov_encode" -> unigramOovEncodeOracle,
+    "t36_wordpiece_train" -> wordpieceTrainOracle,
+    "t37_wordpiece_encode" -> wordpieceEncodeOracle,
     // the persisted-model round trips must reproduce t22's/t17's encode
     // exactly, so t31/t32 share those oracles verbatim (the st12 precedent)
     "t31_unigram_model_io" -> unigramEncodeOracle,

@@ -1,0 +1,166 @@
+package graft.pipeline
+
+import graft.SparkSpec
+
+/** WordPiece tokenizer: distributed likelihood-scored training vs a plain
+  * driver-side reference trainer, the greedy longest-match encode kernel,
+  * the `[UNK]` whole-word rule, and the corpus encode rollup. */
+class WordpieceSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain single-threaded WordPiece trainer (the HF `tokenizers` trainer
+    * semantics: merge the pair maximizing count/(count(l)·count(r)), ties
+    * on (lhs, rhs)) — the independent oracle the distributed trainer must
+    * match merge-for-merge. */
+  private def referenceTrain(wordCounts: Map[String, Long], numMerges: Int)
+      : (Seq[(String, String, Long)], Set[String]) = {
+    def initial(w: String): Vector[String] =
+      w.map(_.toString).toVector.zipWithIndex
+        .map { case (c, i) => if (i == 0) c else "##" + c }
+    var vocabWords: Map[String, (Long, Vector[String])] =
+      wordCounts.map { case (w, c) => w -> (c, initial(w)) }
+    val pieces = scala.collection.mutable.Set.empty[String]
+    vocabWords.values.foreach(_._2.foreach(pieces += _))
+    val merges = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < numMerges && !done) {
+      val pairs = scala.collection.mutable.Map.empty[(String, String), Long]
+      val syms = scala.collection.mutable.Map.empty[String, Long]
+      vocabWords.values.foreach { case (c, ss) =>
+        ss.foreach(s => syms(s) = syms.getOrElse(s, 0L) + c)
+        ss.sliding(2).foreach {
+          case Vector(a, b) => pairs((a, b)) = pairs.getOrElse((a, b), 0L) + c
+          case _ =>
+        }
+      }
+      if (pairs.isEmpty) done = true
+      else {
+        // argmax on the IEEE double score, ties broken (lhs, rhs) ASC —
+        // exactly the engine's (score DESC, lhs, rhs) total order
+        val ((l, r), c) = pairs.minBy { case ((a, b), n) =>
+          (-(n.toDouble / (syms(a).toDouble * syms(b).toDouble)), a, b)
+        }
+        merges += ((l, r, c))
+        val merged = l + (if (r.startsWith("##")) r.substring(2) else r)
+        pieces += merged
+        vocabWords = vocabWords.map { case (w, (cnt, ss)) =>
+          val out = Vector.newBuilder[String]
+          var last: Option[String] = None
+          ss.foreach { x =>
+            if (last.contains(l) && x == r) { out += merged; last = None }
+            else { last.foreach(out += _); last = Some(x) }
+          }
+          last.foreach(out += _)
+          w -> (cnt, out.result())
+        }
+        k += 1
+      }
+    }
+    (merges.result(), pieces.toSet)
+  }
+
+  /** Reference greedy longest-match segmentation. */
+  private def referenceEncode(w: String, vocab: Set[String])
+      : (Long, Boolean) = {
+    if (w.isEmpty) return (0L, false)
+    if (w.length > Wordpiece.MaxInputChars) return (1L, true)
+    var pos = 0
+    var n = 0L
+    while (pos < w.length) {
+      val hit = (w.length to (pos + 1) by -1)
+        .find(e => vocab.contains(
+          (if (pos == 0) "" else "##") + w.substring(pos, e)))
+      hit match {
+        case None => return (1L, true)
+        case Some(e) => n += 1; pos = e
+      }
+    }
+    (n, false)
+  }
+
+  private val corpus = Seq(
+    "hugs hug hugging pug pugs",
+    "hug hug hugs bug bugs bun",
+    "hugging pugs bun gun gunning",
+    "bug bun hug pug gun hugs")
+
+  private lazy val docs = corpus.zipWithIndex
+    .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+  test("distributed train matches the reference trainer merge-for-merge") {
+    val model = Wordpiece.train(docs, numMerges = 10)
+    val wc = corpus.flatMap(_.split("\\s+")).groupBy(identity)
+      .map { case (w, g) => w -> g.size.toLong }
+    val (refMerges, refVocab) = referenceTrain(wc, 10)
+    assert(model.merges.map(m => (m.lhs, m.rhs, m.freq)) == refMerges)
+    assert(model.vocab == refVocab)
+  }
+
+  test("likelihood argmax genuinely diverges from BPE's frequency argmax") {
+    // 'u' follows 'h'/'p'/'b' everywhere, so (##u,##g)-class pairs have
+    // the highest raw frequency, but rare symbols with near-exclusive
+    // attachment win the likelihood score — the two trainers must pick
+    // different first merges on this corpus or the gate is vacuous
+    val wp = Wordpiece.train(docs, numMerges = 1).merges.head
+    val bpe = Bpe.train(docs, numMerges = 1).merges.head
+    assert((wp.lhs, stripHash(wp.rhs)) != (bpe.lhs, bpe.rhs),
+      s"first merges coincide: $wp vs $bpe — pick a different corpus")
+  }
+
+  private def stripHash(s: String): String =
+    if (s.startsWith("##")) s.substring(2) else s
+
+  test("encode kernel: greedy longest match, ## continuations, UNK rule") {
+    val vocab = Set("h", "##u", "##g", "##gs", "hug", "hugg", "##ing",
+      "b", "##un")
+    // greedy is NOT backtracking: "hugg" wins at pos 0 (longer than
+    // "hug"), stranding "s" — "##s" is absent, so the whole word is UNK
+    // even though hug|##gs would have segmented it
+    assert(Wordpiece.encodeWord("huggs", vocab) == (1L, true))
+    assert(Wordpiece.encodeWord("hugging", vocab) == (2L, false)) // hugg|##ing
+    assert(Wordpiece.encodeWord("hug", vocab) == (1L, false))
+    assert(Wordpiece.encodeWord("bun", vocab) == (2L, false)) // b|##un
+    assert(Wordpiece.encodeWord("", vocab) == (0L, false))
+    // 'z' has no vocab entry → whole word is one [UNK]
+    assert(Wordpiece.encodeWord("buzz", vocab) == (1L, true))
+    // word-initial continuation forms don't leak: "ug" fails at pos 0
+    // even though ##u and ##g exist
+    assert(Wordpiece.encodeWord("ug", vocab) == (1L, true))
+    // the 100-codepoint bound: a segmentable-but-overlong word is [UNK]
+    val long = "h" + "u".repeat(120)
+    assert(Wordpiece.encodeWord(long, vocab + "##u") == (1L, true))
+  }
+
+  test("greedy kernel equals the reference encoder on every corpus word " +
+    "under the trained model, plus planted OOV") {
+    val model = Wordpiece.train(docs, numMerges = 10)
+    val words = corpus.flatMap(_.split("\\s+")).distinct ++
+      Seq("zebra", "gnu", "hugz", "snugging")
+    words.foreach { w =>
+      assert(Wordpiece.encodeWord(w, model.vocab) ==
+        referenceEncode(w, model.vocab), s"kernel drift on '$w'")
+    }
+  }
+
+  test("corpus encode rollup: totals and UNK counts per document") {
+    val model = Wordpiece.train(docs, numMerges = 10)
+    // doc 4 plants an unseen char ('z') and an unseen-initial word
+    val docsOov = docs.union(Seq((4L, "hug zzz hugs")).toDF("doc_id", "text"))
+    val out = Wordpiece.encodeTokenCounts(docsOov, model)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    val wc = (d: String) => d.split("\\s+").filter(_.nonEmpty)
+    corpus.zipWithIndex.foreach { case (t, i) =>
+      val ws = wc(t.toLowerCase)
+      val expTok = ws.map(w => referenceEncode(w, model.vocab)._1).sum
+      val expUnk = ws.count(w => referenceEncode(w, model.vocab)._2)
+      assert(out(i.toLong) == ((ws.length.toLong, expTok, expUnk.toLong)),
+        s"rollup drift on doc $i")
+    }
+    val (n4, t4, u4) = out(4L)
+    assert(n4 == 3L && u4 == 1L, "planted OOV doc must carry one UNK word")
+    assert(t4 == referenceEncode("hug", model.vocab)._1 + 1L +
+      referenceEncode("hugs", model.vocab)._1)
+  }
+}
