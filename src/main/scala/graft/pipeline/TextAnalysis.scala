@@ -747,6 +747,63 @@ object TextAnalysis {
           col(nCol).cast("double"), 4).as(avgCol))
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020 — the
+    * head/middle/tail split every LM-filtered crawl corpus runs): score
+    * each document with the KN bigram LM ([[knBigramScore]]), then cut
+    * each LANGUAGE's score distribution into `buckets` equal-count tiers —
+    * bucket 1 = head (highest avg log-prob = lowest perplexity). The tier
+    * assignment is NTILE over (avg_kn_logprob DESC, id ASC) — a total
+    * order (the rounded score is cross-engine exact per the t23
+    * conventions, ties broken by id), so the DuckDB oracle reproduces the
+    * exact membership. Unscored documents (null text / under two tokens)
+    * carry no perplexity and are not bucketed, the CCNet posture.
+    *
+    * Scale honesty: the per-language NTILE is a per-language TOTAL SORT —
+    * and a web crawl's language mix is maximally skewed (one language can
+    * be half the corpus), so this exact form tops out where one
+    * language's scored rows exceed a sort partition's comfort. The
+    * production path at crawl scale is the CCNet one: compute boundary
+    * tuples on a scored SAMPLE (or accept a frozen reference LM's known
+    * cutoffs) and assign map-side — [[assignPerplexityBuckets]], which is
+    * spec-pinned to reproduce this exact form when handed the exact
+    * boundaries. */
+  def perplexityBuckets(docs: DataFrame, buckets: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "need at least two perplexity tiers")
+    val scored = knBigramScore(docs, idCol, textCol)
+    val w = Window.partitionBy(col(langCol))
+      .orderBy(col("avg_kn_logprob").desc, col(idCol))
+    scored.join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .withColumn("bucket", ntile(buckets).over(w).cast("long"))
+  }
+
+  /** The crawl-scale twin of [[perplexityBuckets]]: assign tiers map-side
+    * under BROADCAST per-language boundary tuples — no window, no
+    * per-language sort, one narrow projection over the scored corpus.
+    * `cutoffs(lang)` holds the (score, id) tuple of the LAST row of each
+    * bucket 1..b−1 in (score DESC, id ASC) order; a row lands in bucket
+    * `1 + #{boundaries strictly before it in that order}`. Comparing the
+    * full tuple (not just the score) makes the assignment EXACT even
+    * across ties at a boundary — handed the exact boundaries this
+    * reproduces [[perplexityBuckets]] row-for-row (spec-pinned); handed
+    * sampled or frozen-reference cutoffs it is the production CCNet
+    * assignment. Boundary lists are languages × (buckets−1) — driver-sized
+    * by construction. */
+  def assignPerplexityBuckets(scored: DataFrame,
+      cutoffs: Map[String, Seq[(Double, Long)]],
+      idCol: String = "doc_id", langCol: String = "lang",
+      scoreCol: String = "avg_kn_logprob"): DataFrame = {
+    val bc = scored.sparkSession.sparkContext.broadcast(cutoffs)
+    val assign = udf((lang: String, score: Double, id: Long) =>
+      1L + bc.value.getOrElse(lang, Nil).count { case (s, i) =>
+        score < s || (score == s && id > i)
+      })
+    scored.withColumn("bucket",
+      assign(col(langCol), col(scoreCol), col(idCol)))
+  }
+
   /** Character-level Shannon entropy per document (bits/char) — the
     * classic gibberish/boilerplate detector: natural prose sits ~3.5–4.5
     * bits, single-char spam near 0, uniform random base64 near 6. Uses

@@ -1325,6 +1325,26 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t38 — CCNet perplexity bucketing ([[graft.pipeline.TextAnalysis
+    * .perplexityBuckets]], Wenzek et al. 2020: the head/middle/tail LM
+    * filter every crawl corpus runs): per (language, tier), document
+    * count, doc_id sum (pins exact tier MEMBERSHIP — the d20
+    * selection-verifying idiom) and bigram sum. Tier = NTILE(3) within
+    * language over (avg KN-bigram log-prob DESC, doc_id) — a cross-engine
+    * total order (rounded score per the t23 conventions). The map-side
+    * production twin ([[graft.pipeline.TextAnalysis
+    * .assignPerplexityBuckets]]) is spec-pinned to reproduce this exact
+    * form under the exact boundary tuples. */
+  def t38PerplexityBuckets(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.TextAnalysis.perplexityBuckets(
+        Tables.documents(spark, d), 3)
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"),
+        sum($"n_bigrams").as("bigram_sum"))
+      .orderBy($"lang", $"bucket")
+  }
+
   /** t36 — WORDPIECE tokenizer training ([[graft.pipeline.Wordpiece
     * .train]], the BERT trainer: [[WpRounds]] likelihood-scored merge
     * rounds over the no-'q' distinct-word table — see [[wordpieceShared]]
@@ -2080,6 +2100,7 @@ object PipelineQueries {
     "t35_line_dedup" -> (t35LineDedup _),
     "t36_wordpiece_train" -> (t36WordpieceTrain _),
     "t37_wordpiece_encode" -> (t37WordpieceEncode _),
+    "t38_perplexity_buckets" -> (t38PerplexityBuckets _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2327,6 +2348,37 @@ object PipelineQueries {
        |$unigramEncodeCtes
        |SELECT doc_id, n_words, n_um AS n_um_tokens
        |FROM umnb ORDER BY doc_id""".stripMargin
+
+  /** The t23 KN-bigram chain through the per-position log-probs `s` —
+    * shared by the t23 score oracle and t38's perplexity-bucket oracle
+    * (each adds its own rollup tail). */
+  private lazy val knBigramChainSql: String =
+    """t AS (
+      |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents WHERE text IS NOT NULL),
+      |bgx AS (
+      |  SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2
+      |  FROM (SELECT doc_id,
+      |          [struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1])
+      |           for i in generate_series(1, len(toks)-1)] AS pairs
+      |        FROM t) b, unnest(b.pairs) AS u(p)),
+      |bcnt AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS cb
+      |         FROM bgx GROUP BY w1, w2),
+      |lft AS MATERIALIZED (SELECT w1, SUM(cb)::BIGINT AS cw1,
+      |          COUNT(*)::BIGINT AS n1w1
+      |        FROM bcnt GROUP BY w1),
+      |rgt AS MATERIALIZED (SELECT w2, COUNT(*)::BIGINT AS ncont
+      |        FROM bcnt GROUP BY w2),
+      |nt AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS ntot FROM bcnt),
+      |s AS (
+      |  SELECT x.doc_id, x.pos,
+      |    ln(GREATEST(b.cb::DOUBLE - 0.75, 0.0) / l.cw1::DOUBLE +
+      |       ((0.75 * l.n1w1::DOUBLE) / l.cw1::DOUBLE) *
+      |       (r.ncont::DOUBLE / nt.ntot::DOUBLE)) AS lp
+      |  FROM bgx x JOIN bcnt b ON x.w1 = b.w1 AND x.w2 = b.w2
+      |  JOIN lft l ON x.w1 = l.w1
+      |  JOIN rgt r ON x.w2 = r.w2
+      |  CROSS JOIN nt)""".stripMargin
 
   /** The t36/t37 oracle's WordPiece chain: [[WpRounds]] likelihood-scored
     * merge rounds unrolled — the bpeOracleBody idiom plus one symbol-count
@@ -3203,36 +3255,32 @@ object PipelineQueries {
       // back the reclaimed mass off to the continuation unigram; the
       // ln's operand is built in the IDENTICAL parenthesization as the
       // engine, and the per-doc fold runs in position order
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |  FROM documents WHERE text IS NOT NULL),
-        |bgx AS (
-        |  SELECT doc_id, p.pos AS pos, p.w1 AS w1, p.w2 AS w2
-        |  FROM (SELECT doc_id,
-        |          [struct_pack(pos := i, w1 := toks[i], w2 := toks[i+1])
-        |           for i in generate_series(1, len(toks)-1)] AS pairs
-        |        FROM t) b, unnest(b.pairs) AS u(p)),
-        |bcnt AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS cb
-        |         FROM bgx GROUP BY w1, w2),
-        |lft AS MATERIALIZED (SELECT w1, SUM(cb)::BIGINT AS cw1,
-        |          COUNT(*)::BIGINT AS n1w1
-        |        FROM bcnt GROUP BY w1),
-        |rgt AS MATERIALIZED (SELECT w2, COUNT(*)::BIGINT AS ncont
-        |        FROM bcnt GROUP BY w2),
-        |nt AS MATERIALIZED (SELECT COUNT(*)::BIGINT AS ntot FROM bcnt),
-        |s AS (
-        |  SELECT x.doc_id, x.pos,
-        |    ln(GREATEST(b.cb::DOUBLE - 0.75, 0.0) / l.cw1::DOUBLE +
-        |       ((0.75 * l.n1w1::DOUBLE) / l.cw1::DOUBLE) *
-        |       (r.ncont::DOUBLE / nt.ntot::DOUBLE)) AS lp
-        |  FROM bgx x JOIN bcnt b ON x.w1 = b.w1 AND x.w2 = b.w2
-        |  JOIN lft l ON x.w1 = l.w1
-        |  JOIN rgt r ON x.w2 = r.w2
-        |  CROSS JOIN nt)
+      s"""WITH $knBigramChainSql
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
         |        / count(*), 4) AS avg_kn_logprob
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t38_perplexity_buckets" ->
+      // the t23 chain rolled to per-doc scores, then NTILE within each
+      // language over (score DESC, doc_id) — the same total order as the
+      // engine's window; id sums pin exact tier MEMBERSHIP per decision
+      // (the d20 selection-verifying idiom)
+      s"""WITH $knBigramChainSql,
+        |sc AS MATERIALIZED (
+        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |    round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
+        |          / count(*), 4) AS avg
+        |  FROM s GROUP BY doc_id),
+        |bk AS (
+        |  SELECT d.lang, sc.doc_id, sc.n_bigrams,
+        |    NTILE(3) OVER (PARTITION BY d.lang
+        |                   ORDER BY sc.avg DESC, sc.doc_id)::BIGINT AS bucket
+        |  FROM sc JOIN documents d USING (doc_id))
+        |SELECT lang, bucket, COUNT(*)::BIGINT AS n_docs,
+        |  SUM(doc_id)::BIGINT AS id_sum,
+        |  SUM(n_bigrams)::BIGINT AS bigram_sum
+        |FROM bk GROUP BY lang, bucket
+        |ORDER BY lang NULLS FIRST, bucket""".stripMargin,
     "t24_kn3_lm_score" ->
       // the t23 chain one order up: trigram positions → type table →
       // context / continuation / mid-level / unigram statistics, the
