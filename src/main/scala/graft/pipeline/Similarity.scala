@@ -85,6 +85,78 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("cos"))
   }
 
+  /** FAISS-style SQ8 scalar quantization, train step: per-dimension
+    * (min, max) over the corpus — the uniform quantizer's range. Exact
+    * and order-independent (min/max carry no float-sum drift), so unlike
+    * the k-means quantizers the whole SQ8 family is full-value
+    * oracle-checkable. One posexplode + one dims-bounded groupBy; the
+    * result is dims-sized driver data (the codebook of SQ). */
+  def sq8Train(corpus: DataFrame, vecCol: String = "embedding")
+      : (Array[Double], Array[Double]) = {
+    val st = corpus
+      .select(posexplode(col(vecCol).cast("array<double>")).as(Seq("i", "x")))
+      .groupBy(col("i")).agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+      .orderBy(col("i")).collect()
+    (st.map(_.getDouble(1)), st.map(_.getDouble(2)))
+  }
+
+  /** SQ8 encode: one byte per dimension,
+    * `code_i = clamp(round((v_i − mn_i) / (mx_i − mn_i) · 255), 0, 255)`
+    * (a constant-range dim encodes 0). Pure map-side — the compressed
+    * corpus is 4× smaller than float32, which is the point of SQ at
+    * scale: the top-k scan below reads codes, not vectors. The clamp only
+    * binds for out-of-training-range batch vectors. */
+  def sq8Encode(corpus: DataFrame, mn: Array[Double], mx: Array[Double],
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mnL = array(mn.map(lit): _*)
+    val mxL = array(mx.map(lit): _*)
+    corpus.select(col(idCol).as("nid"),
+      transform(sequence(lit(1), lit(mn.length)), i => {
+        val m = element_at(mnL, i)
+        val x = element_at(mxL, i)
+        val v = element_at(col(vecCol).cast("array<double>"), i)
+        when(x === m, lit(0)).otherwise(
+          least(lit(255), greatest(lit(0),
+            round((v - m) / (x - m) * lit(255.0)).cast("int"))))
+      }).as("codes"))
+  }
+
+  /** SQ8 asymmetric top-k: raw query floats against DECODED corpus codes
+    * (`dec_i = mn_i + (code_i · (mx_i − mn_i)) / 255`), squared-L2, rank
+    * (dist ASC, nid). The s01 shape — broadcast queries, the code table
+    * scans once (guarded spread), per-query window top-k — but the scan
+    * side is the 4×-compressed codes. The decode+distance fold runs in
+    * ascending dim order (one `aggregate`, codegen'd), the exact
+    * parenthesization the DuckDB oracle replays; ranking uses the rounded
+    * distance (the s01 rounded-cos convention). At production scale the
+    * per-query decode arithmetic would fold into a 256-entry-per-dim LUT
+    * (the FAISS trick) — same output, table lookup instead of FMA. */
+  def sq8TopK(queries: DataFrame, codes: DataFrame,
+      mn: Array[Double], mx: Array[Double], k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val mnL = array(mn.map(lit): _*)
+    val mxL = array(mx.map(lit): _*)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast("array<double>").as("qvec"))
+    val dist = aggregate(sequence(lit(1), lit(mn.length)), lit(0.0),
+      (acc, i) => {
+        val m = element_at(mnL, i)
+        val x = element_at(mxL, i)
+        val dec = m +
+          (element_at(col("codes"), i).cast("double") * (x - m)) / lit(255.0)
+        val diff = element_at(col("qvec"), i) - dec
+        acc + diff * diff
+      })
+    val scored = graft.util.Spread(codes).crossJoin(broadcast(q))
+      .filter(col("qid") =!= col("nid"))
+      .withColumn("dist", round(dist, 4))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("dist"), col("nid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("dist"))
+  }
+
   /** IVF-style ANN: partition the corpus into cells (here: the `label`
     * column as the coarse quantizer — at scale this is k-means), compute
     * cell centroids, probe the `nprobe` nearest cells per query, brute-force

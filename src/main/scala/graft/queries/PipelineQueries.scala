@@ -750,6 +750,24 @@ object PipelineQueries {
       .orderBy($"qid", $"rank")
   }
 
+  /** s12 — SQ8 scalar-quantized top-k ([[Similarity.sq8Train]]/
+    * [[Similarity.sq8Encode]]/[[Similarity.sq8TopK]], the FAISS
+    * ScalarQuantizer family next to the PQ gates): per-dim min/max train,
+    * byte codes, asymmetric squared-L2 over DECODED codes. Unlike the
+    * k-means-backed s02/s03/s07–s09 (contract oracles), SQ8 is
+    * deterministic end to end — min/max carry no float-sum drift and the
+    * decode+distance fold is index-ordered — so this is a FULL-VALUE
+    * oracle: the same quantize/decode arithmetic replayed in SQL, rank on
+    * (rounded dist ASC, nid). */
+  def s12Sq8Topk(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val emb = Tables.embeddings(spark, d)
+    val (mn, mx) = Similarity.sq8Train(emb)
+    val codes = Similarity.sq8Encode(emb, mn, mx)
+    Similarity.sq8TopK(emb.filter($"vec_id" < 8), codes, mn, mx, 5)
+      .orderBy($"qid", $"rank")
+  }
+
   /** Integer-invariant contract over an ANN result (t04 style): the ANN
     * top-k itself is not SQL-derivable (cell assignment rests on
     * engine-private hashes / order-dependent centroid float sums), but its
@@ -2151,7 +2169,8 @@ object PipelineQueries {
     "t04_fingerprints" -> (t04Fingerprints _),
     "s01_topk_cosine" -> (s01TopkCosine _),
     "s02_ivf_topk" -> (s02IvfTopk _),
-    "s03_ivf_kmeans" -> (s03IvfKmeans _))
+    "s03_ivf_kmeans" -> (s03IvfKmeans _),
+    "s12_sq8_topk" -> (s12Sq8Topk _))
 
   /** The t16/t17 oracle's shared CTE chain: BPE training unrolled to
     * [[BpeRounds]] rounds (the g10/g13 unrolling idiom). Per round k:
@@ -4346,6 +4365,42 @@ object PipelineQueries {
         |SELECT qid, rank, nid, cos FROM (
         |  SELECT qid, nid, cos, ROW_NUMBER() OVER (
         |    PARTITION BY qid ORDER BY cos DESC, nid) AS rank FROM s) t
+        |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
+    "s12_sq8_topk" ->
+      // the full SQ8 chain replayed: per-dim min/max (zipped unnest), byte
+      // codes with the clamp, the decode+squared-L2 fold in ascending dim
+      // order from a prepended 0.0 (the engine's aggregate order), rank on
+      // (rounded dist, nid)
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS vec FROM embeddings),
+        |st AS MATERIALIZED (
+        |  SELECT i, MIN(x) AS mn, MAX(x) AS mx
+        |  FROM (SELECT unnest(vec) AS x,
+        |          unnest(generate_series(1, len(vec))) AS i FROM v)
+        |  GROUP BY i),
+        |mnx AS MATERIALIZED (
+        |  SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+        |  FROM st),
+        |cd AS MATERIALIZED (
+        |  SELECT vec_id AS nid,
+        |    [CASE WHEN mx[i] = mn[i] THEN 0::BIGINT
+        |     ELSE LEAST(255::BIGINT, GREATEST(0::BIGINT,
+        |       round((vec[i] - mn[i]) / (mx[i] - mn[i]) * 255.0)::BIGINT))
+        |     END for i in generate_series(1, len(vec))] AS codes
+        |  FROM v CROSS JOIN mnx),
+        |s AS (
+        |  SELECT q.vec_id AS qid, c.nid,
+        |    round(list_reduce(list_prepend(0.0::DOUBLE,
+        |      [(q.vec[i] - (mn[i] + (c.codes[i]::DOUBLE * (mx[i] - mn[i]))
+        |                             / 255.0))
+        |       * (q.vec[i] - (mn[i] + (c.codes[i]::DOUBLE * (mx[i] - mn[i]))
+        |                               / 255.0))
+        |       for i in generate_series(1, len(q.vec))]),
+        |      (acc, x) -> acc + x), 4) AS dist
+        |  FROM v q CROSS JOIN mnx CROSS JOIN cd c
+        |  WHERE q.vec_id < 8 AND q.vec_id <> c.nid)
+        |SELECT qid, rank, nid, dist FROM (
+        |  SELECT qid, nid, dist, ROW_NUMBER() OVER (
+        |    PARTITION BY qid ORDER BY dist, nid) AS rank FROM s) t
         |WHERE rank <= 5 ORDER BY qid, rank""".stripMargin,
     "d13_cdc_dedup" ->
       // the same chunking end-to-end: base-257 mod-1000003 boundary hash
