@@ -156,19 +156,22 @@ object Bench {
     // With 70+ registered queries, full names push the line past the
     // 2000-char window (round-5 projection: 2029 chars — parse failure
     // again). The stdout map is keyed by the query-ID PREFIX (q18, g11,
-    // st07, … — unique by construction), full names + full precision stay
-    // in bench_full.json.
+    // st07, … — unique by construction) with ONE-decimal values (at 142
+    // gates two decimals sat at 1,777/2,000 chars — one decimal buys ~35
+    // more gates of headroom); full names + full precision stay in
+    // bench_full.json, which is committed and is the profiling surface.
+    def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
     val prefixOf = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
     val qs = results.map { case (k, v) =>
       val p = k.takeWhile(_ != '_')
       // duplicate-key JSON guard: fall back to the full name on collision
       val key = if (prefixOf(p).sizeIs == 1) p else k
-      "\"" + key + "\":" + f2(v) }
+      "\"" + key + "\":" + f1(v) }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","warmup_sec":${f2(warmup)},"queries":$qs,"queries_note":"keys are query-id prefixes; full names and precision in bench_full.json","sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","warmup_sec":${f2(warmup)},"queries":$qs,"queries_note":"prefix keys, 1dp; full data in bench_full.json","sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
     catch { case _: Throwable => }

@@ -1,0 +1,150 @@
+package graft.pipeline
+
+import org.apache.commons.compress.archivers.tar.{TarArchiveEntry,
+  TarArchiveInputStream, TarArchiveOutputStream}
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** WebDataset-style tar shards — the POSIX-tar training-data packaging
+  * (github.com/webdataset/webdataset) every large multimodal loader
+  * streams: one tar per shard, one SAMPLE per basename key, the sample's
+  * parts as consecutive entries `key.ext` (`000000000042.txt`,
+  * `000000000042.json`, `000000000042.jpg`, …). The whole point of the
+  * format is sequential IO — a training worker reads its shard front to
+  * back with zero seeks — so the writer's job is deterministic placement
+  * and ordering, and the reader's job is to stay INCREMENTAL (one entry
+  * resident at a time, the WARC-reader discipline).
+  *
+  * Placement is [[ShardWriter.shardExpr]]'s stable hash of the sample id:
+  * any rerun reproduces the identical shard membership, and within a
+  * shard samples are laid out in ascending id order with their parts
+  * adjacent (the grouping WebDataset loaders require). Tar bytes are
+  * reproducible — entry mtimes pinned to 0, extensions written in sorted
+  * order, POSIX long-name mode.
+  *
+  * Scale: one shuffle (`repartition` by shard), then each task streams
+  * its shards' tars straight to the Hadoop filesystem — no local staging,
+  * no whole-shard buffering, one sample resident per write step. Shards
+  * are the loader's unit of parallelism; pick `nShards` so a shard lands
+  * in the hundreds of MBs (the WebDataset deployment guidance).
+  */
+object Webdataset {
+
+  /** Default zero-padded sample key — wide enough for any int64 id to
+    * sort lexicographically in id order. */
+  val KeyFormat = "%020d"
+
+  /** Write one tar per shard under `outDir` (`shard-NNNNNN.tar`).
+    * `filesCol` maps extension → raw bytes for each sample; `idCol` is
+    * the stable sample id that drives shard placement and the key. A
+    * task may own several shards (hash placement), so tars roll on the
+    * shard boundary inside the sorted partition stream; two tasks never
+    * share a shard, so writes are conflict-free. */
+  def writeTarShards(df: DataFrame, outDir: String, nShards: Int,
+      idCol: String = "doc_id", filesCol: String = "files"): Unit = {
+    require(nShards >= 1, "need a positive shard count")
+    val spark = df.sparkSession
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val root = new Path(outDir)
+    val fs = root.getFileSystem(conf.value)
+    fs.delete(root, true) // overwrite semantics, the ShardWriter posture
+    fs.mkdirs(root)
+    ShardWriter.assignShards(df.select(col(idCol), col(filesCol)), nShards,
+        idCol)
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .foreachPartition { (it: Iterator[Row]) =>
+        var cur = -1
+        var tar: TarArchiveOutputStream = null
+        def close(): Unit = if (tar != null) {
+          tar.finish(); tar.close(); tar = null
+        }
+        val pfs = new Path(outDir).getFileSystem(conf.value)
+        try {
+          it.foreach { r =>
+            val id = r.getLong(0)
+            val files = r.getMap[String, Array[Byte]](1)
+            val shard = r.getInt(2)
+            if (shard != cur) {
+              close()
+              cur = shard
+              tar = new TarArchiveOutputStream(pfs.create(
+                new Path(outDir, f"shard-$cur%06d.tar"), true))
+              tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
+            }
+            val key = KeyFormat.format(id)
+            // sorted extensions: reproducible bytes AND the stable
+            // part order loaders group on
+            files.toSeq.sortBy(_._1).foreach { case (ext, bytes) =>
+              val e = new TarArchiveEntry(s"$key.$ext")
+              e.setSize(bytes.length.toLong)
+              e.setModTime(0L) // pinned: tar bytes are run-independent
+              tar.putArchiveEntry(e)
+              tar.write(bytes)
+              tar.closeArchiveEntry()
+            }
+          }
+        } finally close()
+      }
+  }
+
+  /** Read a shard directory back as one row per PART:
+    * (shard_file, key, ext, content). One input partition per tar; the
+    * tar streams incrementally off the filesystem (one entry's bytes
+    * resident at a time — never the shard). The extension is everything
+    * past the FIRST dot of the basename (the WebDataset rule, so
+    * `key.seg.json` parts keep their compound extension). */
+  def readTarShards(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val root = new Path(dir)
+    val fs = root.getFileSystem(conf.value)
+    val paths = fs.listStatus(root).map(_.getPath)
+      .filter(p => p.getName.endsWith(".tar") &&
+        !p.getName.startsWith(".") && !p.getName.startsWith("_"))
+      .map(_.toString).sorted.toSeq
+    val ds =
+      if (paths.isEmpty) spark.emptyDataset[String]
+      else spark.createDataset(paths)
+        .repartition(paths.length) // one tar per task
+    ds.mapPartitions { it =>
+      it.flatMap { p =>
+        val path = new Path(p)
+        val in = new TarArchiveInputStream(
+          path.getFileSystem(conf.value).open(path))
+        new Iterator[(String, String, String, Array[Byte])] {
+          private var entry: TarArchiveEntry = advance()
+          private def advance(): TarArchiveEntry = {
+            var e = in.getNextEntry
+            while (e != null && !e.isFile) e = in.getNextEntry
+            if (e == null) in.close()
+            e
+          }
+          def hasNext: Boolean = entry != null
+          def next(): (String, String, String, Array[Byte]) = {
+            val name = entry.getName
+            val sz = entry.getSize
+            require(sz <= Int.MaxValue, s"tar entry over 2 GiB: $name")
+            val buf = new Array[Byte](sz.toInt)
+            var off = 0
+            while (off < buf.length) {
+              val n = in.read(buf, off, buf.length - off)
+              require(n >= 0, s"truncated tar entry: $name")
+              off += n
+            }
+            val dot = name.indexOf('.')
+            val (key, ext) =
+              if (dot < 0) (name, "") else (name.substring(0, dot),
+                name.substring(dot + 1))
+            entry = advance()
+            (path.getName, key, ext, buf)
+          }
+        }
+      }
+    }.toDF("shard_file", "key", "ext", "content")
+  }
+}

@@ -127,14 +127,49 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
+  /** mm06 — WebDataset tar-shard ROUND TRIP
+    * ([[graft.pipeline.Webdataset]], the POSIX-tar packaging multimodal
+    * training loaders stream): every document becomes a two-part sample
+    * (`key.json` metadata + `key.txt` payload bytes), written as 8
+    * hash-placed tar shards and read back through the incremental tar
+    * reader. Per document: part count, payload byte length, payload md5 —
+    * the q36 byte-identity idiom, so a framing, placement, ordering, or
+    * truncation defect anywhere in the tar path breaks the hash. */
+  def mm06Webdataset(spark: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(spark, d).filter(col("text").isNotNull)
+    val samples = docs.select(col("doc_id"),
+      map(lit("txt"), encode(col("text"), "UTF-8"),
+        lit("json"),
+        encode(to_json(struct(col("lang"), col("source"))), "UTF-8"))
+        .as("files"))
+    val dir = java.nio.file.Files.createTempDirectory("wds_mm06").toString
+    graft.pipeline.Webdataset.writeTarShards(samples, dir, nShards = 8)
+    val back = graft.pipeline.Webdataset.readTarShards(spark, dir)
+    back.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_parts"),
+        max(when(col("ext") === "txt", col("content"))).as("txt"))
+      .select(col("key").cast("long").as("doc_id"), col("n_parts"),
+        length(col("txt")).cast("long").as("n_bytes"),
+        md5(col("txt")).as("text_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm05_wav_decode" -> (mm05WavDecode _),
     "mm01_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),
     "mm03_sample_assembly" -> (mm03SampleAssembly _),
-    "mm04_imageio_decode" -> (mm04ImageioDecode _))
+    "mm04_imageio_decode" -> (mm04ImageioDecode _),
+    "mm06_webdataset" -> (mm06Webdataset _))
 
   val oracle: Map[String, String] = Map(
+    "mm06_webdataset" ->
+      // the tar round trip must reproduce, per document, exactly the
+      // bytes the writer framed — plus both sample parts surviving
+      """SELECT doc_id, 2::BIGINT AS n_parts,
+        |  strlen(text)::BIGINT AS n_bytes, md5(text) AS text_md5
+        |FROM documents WHERE text IS NOT NULL
+        |ORDER BY doc_id""".stripMargin,
     "mm05_wav_decode" ->
       // replay of the synthesized waveforms from the arithmetic formula:
       // the Spark side must reproduce these exact integers THROUGH a real

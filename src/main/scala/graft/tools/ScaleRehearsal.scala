@@ -20,12 +20,14 @@ object ScaleRehearsal {
     val k = args.headOption.map(_.toInt).getOrElse(10)
     val family = args.lift(1).getOrElse("all")
     require(
-      Set("pipeline", "graph", "bpewide", "warc", "horizon", "all")(family),
+      Set("pipeline", "graph", "bpewide", "warc", "horizon", "wordpiece",
+        "tiers", "all")(family),
       s"unknown family '$family' (expected pipeline|graph|bpewide|warc|" +
-        "horizon|all; bpewide is the production-merge-count BPE " +
-        "rehearsal, warc the big-segment memory-posture probe, horizon " +
-        "the st14 two-query state-ceiling probe — all three run only " +
-        "when asked)")
+        "horizon|wordpiece|tiers|all; bpewide is the production-merge-" +
+        "count BPE rehearsal, warc the big-segment memory-posture probe, " +
+        "horizon the st14 two-query state-ceiling probe, wordpiece the " +
+        "sequential-train + encode curve, tiers the t38 window-vs-map-side " +
+        "probe — these run only when asked)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.util.Sessions.local(32)
 
@@ -60,6 +62,8 @@ object ScaleRehearsal {
     if (family == "bpewide") bpeWideFamily(spark)
     if (family == "warc") warcFamily(spark, k)
     if (family == "horizon") horizonFamily(spark, sfDir, k)
+    if (family == "wordpiece") wordpieceFamily(spark)
+    if (family == "tiers") tiersFamily(spark, sfDir, k, replicateDocs)
     spark.stop()
   }
 
@@ -212,13 +216,16 @@ object ScaleRehearsal {
     * train: driverRounds ≪ merges (the batched argmax-prefix actually
     * batches at depth) and s/merge flat in corpus size (every round is
     * vocabulary-sized after the one word-count shuffle). */
-  private def bpeWideFamily(spark: org.apache.spark.sql.SparkSession)
-      : Unit = {
+  /** The synthesized WIDE pseudo-vocabulary corpus shared by the bpewide
+    * and wordpiece families: `w` distinct deterministic 8-letter words
+    * (one LCG step per letter, seeded by a Knuth-hashed id — flat-ish
+    * pair statistics, fully reproducible), zipf-ish counts, one doc per
+    * DISTINCT word with the word repeated cnt(i) times — wordCounts
+    * explodes it back to the same table. */
+  private def wideCorpus(spark: org.apache.spark.sql.SparkSession,
+      w: Int): DataFrame = {
     import spark.implicits._
-    val W = 50000
     def word(i: Long): String = {
-      // deterministic 8-letter word: one LCG step per letter, seeded by
-      // a Knuth-hashed id — flat-ish pair statistics, fully reproducible
       var h = i * 2654435761L + 1234567L
       val sb = new StringBuilder
       var j = 0
@@ -229,12 +236,108 @@ object ScaleRehearsal {
       }
       sb.toString
     }
-    // zipf-ish counts, one doc per DISTINCT word with the word repeated
-    // cnt(i) times — wordCounts explodes it back to the same table
-    val base = spark.range(W).as[Long].map { i =>
-      val cnt = math.min(1000L, W / (i + 1L) + 1L).toInt
+    spark.range(w).as[Long].map { i =>
+      val cnt = math.min(1000L, w / (i + 1L) + 1L).toInt
       (i, Array.fill(cnt)(word(i)).mkString(" "))
     }.toDF("doc_id", "text").repartition(32).localCheckpoint(true)
+  }
+
+  /** WordPiece's scale curve: the trainer is SEQUENTIAL BY NECESSITY
+    * (the likelihood score makes the BPE batch rule unsound — see
+    * [[graft.pipeline.Wordpiece]]), so the number that matters is the
+    * per-merge cost staying corpus-FLAT (every round is
+    * vocabulary-sized after the one word-count shuffle) and the encode
+    * surface staying corpus-LINEAR (greedy walk once per distinct word,
+    * one guarded join back). 256 merges over the 50k-word wide corpus
+    * at 1×/4× replication. */
+  private def wordpieceFamily(spark: org.apache.spark.sql.SparkSession)
+      : Unit = {
+    val W = 50000
+    val base = wideCorpus(spark, W)
+    def replicated(mult: Int): DataFrame =
+      if (mult == 1) base
+      else base.crossJoin(spark.range(mult).toDF("rep"))
+        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+          col("text"))
+        .repartition(32).localCheckpoint(true)
+    val corpusBy = Map(1 -> base, 4 -> replicated(4))
+    val merges = 256
+    var model: graft.pipeline.Wordpiece.Model = null
+    Seq(1, 4).foreach { mult =>
+      val docs = corpusBy(mult)
+      val t0 = System.nanoTime()
+      val m = graft.pipeline.Wordpiece.train(docs, merges)
+      if (mult == 1) model = m
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] wordpiece train x$mult corpus ($W-word " +
+        f"vocab): $secs%.1fs merges=${m.merges.size} " +
+        f"perMerge=${secs / m.merges.size}%.4fs vocab=${m.vocab.size}")
+    }
+    Seq(1, 4).foreach { mult =>
+      val docs = corpusBy(mult)
+      val t0 = System.nanoTime()
+      val agg = graft.pipeline.Wordpiece.encodeTokenCounts(docs, model)
+        .agg(sum(col("n_wp_tokens")), sum(col("n_unk_words")))
+        .head()
+      println(f"[rehearsal] wordpiece encode x$mult: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs " +
+        f"wpTokens=${agg.getLong(0)} unkWords=${agg.getLong(1)}")
+    }
+  }
+
+  /** t38's window-vs-map-side probe: the exact per-language NTILE (one
+    * total sort per language — the documented skew ceiling) against
+    * [[graft.pipeline.TextAnalysis.assignPerplexityBuckets]] under the
+    * exact boundary tuples, at 1×/k×/3k× corpus replication. Scoring
+    * (the shared KN chain) is pinned OUTSIDE both clocks; the map-side
+    * leg includes its boundary computation (window on the LANG-COUNT-
+    * sized boundary source is not what production does — production
+    * boundaries come from a sample or a frozen LM — so the assign row
+    * reports assignment cost only, the honest comparison). */
+  private def tiersFamily(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int, replicateDocs: Int => DataFrame): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    Seq(1, k, 3 * k).foreach { mult =>
+      val docs = replicateDocs(mult)
+      val scored = graft.pipeline.TextAnalysis.knBigramScore(docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .localCheckpoint(true) // scoring cost excluded from both clocks
+      val n = scored.count()
+      val t0 = System.nanoTime()
+      val w = Window.partitionBy(col("lang"))
+        .orderBy(col("avg_kn_logprob").desc, col("doc_id"))
+      val exact = scored.withColumn("bucket",
+        ntile(3).over(w).cast("long"))
+      exact.agg(sum(col("bucket"))).head()
+      val tNtile = (System.nanoTime() - t0) / 1e9
+      // exact boundaries, driver-collected (languages × 2 tuples): the
+      // LAST row of each bucket in (score DESC, id ASC) order is the
+      // order-MAXIMAL (−score, id) tuple
+      val cutoffs = exact.filter(col("bucket") < 3)
+        .groupBy(col("lang"), col("bucket"))
+        .agg(max(struct((col("avg_kn_logprob") * -1).as("ns"),
+          col("doc_id").as("i"))).as("b"))
+        .select(col("lang"), col("bucket"),
+          (col("b").getField("ns") * -1).as("s"),
+          col("b").getField("i").as("i"))
+        .collect()
+        .groupBy(_.getString(0)).view
+        .mapValues(_.sortBy(_.getLong(1))
+          .map(r => (r.getDouble(2), r.getLong(3))).toSeq).toMap
+      val t1 = System.nanoTime()
+      graft.pipeline.TextAnalysis.assignPerplexityBuckets(scored, cutoffs)
+        .agg(sum(col("bucket"))).head()
+      val tAssign = (System.nanoTime() - t1) / 1e9
+      println(f"[rehearsal] tiers x$mult ($n scored docs): " +
+        f"ntile $tNtile%.2fs mapSideAssign $tAssign%.2fs")
+    }
+  }
+
+  private def bpeWideFamily(spark: org.apache.spark.sql.SparkSession)
+      : Unit = {
+    import spark.implicits._
+    val base = wideCorpus(spark, 50000)
+    val W = 50000
     val merges = 1024
     def replicated(mult: Int): DataFrame =
       if (mult == 1) base
