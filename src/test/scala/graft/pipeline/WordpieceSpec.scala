@@ -97,6 +97,17 @@ class WordpieceSpec extends SparkSpec {
     assert(model.vocab == refVocab)
   }
 
+  test("single-partition scored argmax equals the distributed chain " +
+    "merge-for-merge") {
+    // parts=1 rides topScoredPairSinglePartition; minParts=2 forces the
+    // DataFrame chain — both must produce the identical merge list,
+    // ties and score arithmetic included
+    val fast = Wordpiece.train(docs, numMerges = 10)
+    val dist = Wordpiece.train(docs, numMerges = 10, minParts = 2)
+    assert(fast.merges == dist.merges)
+    assert(fast.vocab == dist.vocab)
+  }
+
   test("likelihood argmax genuinely diverges from BPE's frequency argmax") {
     // 'u' follows 'h'/'p'/'b' everywhere, so (##u,##g)-class pairs have
     // the highest raw frequency, but rare symbols with near-exclusive
@@ -140,6 +151,21 @@ class WordpieceSpec extends SparkSpec {
     words.foreach { w =>
       assert(Wordpiece.encodeWord(w, model.vocab) ==
         referenceEncode(w, model.vocab), s"kernel drift on '$w'")
+    }
+  }
+
+  test("model IO round trip preserves merges, vocab, and every encode " +
+    "decision") {
+    val model = Wordpiece.train(docs, numMerges = 10)
+    val dir = java.nio.file.Files.createTempDirectory("wp_io").toString
+    Wordpiece.writeModel(spark, model, dir)
+    val back = Wordpiece.readModel(spark, dir)
+    assert(back.merges == model.merges)
+    assert(back.vocab == model.vocab)
+    val words = corpus.flatMap(_.split("\\s+")).distinct ++ Seq("zzz", "gnu")
+    words.foreach { w =>
+      assert(Wordpiece.encodeWord(w, back.vocab) ==
+        Wordpiece.encodeWord(w, model.vocab))
     }
   }
 

@@ -186,6 +186,37 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming WordPiece tokenize equals the batch guarded-join path " +
+    "(real readStream run, UNK leg live)") {
+    val batchDocs = Tables.documents(spark, sfTiny)
+    // the no-q model: every q-carrying word in the full corpus exercises
+    // the [UNK] whole-word rule through the STREAM
+    val model = graft.queries.PipelineQueries.wordpieceShared(spark, sfTiny)
+    val docs = spark.readStream
+      .schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfTiny)
+    val q = EventStreams.wordpieceTokenizeStream(docs, model.vocab)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("wp_ingest_smoke").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+        "SELECT doc_id, n_words, n_wp_tokens, n_unk_words " +
+          "FROM wp_ingest_smoke")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batch = graft.pipeline.Wordpiece.encodeTokenCounts(batchDocs, model)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamed == batch,
+      s"stream/batch wordpiece diverge: only-stream=${streamed -- batch}, " +
+        s"only-batch=${batch -- streamed}")
+    assert(streamed.exists(_._4 > 0), "no UNK word reached the stream — " +
+      "the no-q model should leave q-words unmatchable")
+  }
+
   test("tokenizeStream's plan is constant in merge count: a 32k-merge " +
     "production model analyzes and runs (the fold chain could not)") {
     import spark.implicits._
