@@ -31,6 +31,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "q28_scored_autocomplete", // 1-row corpus-count broadcast into postings
     "q13_sketch_stats", // 1-row sketch aggregate broadcast vs the scan
     "q30_quality_classifier", // 1-row (Npos,Nneg) totals + bias broadcasts
+    "s12_sq8_topk", // tiny broadcast query side over the code scan
+    "t38_perplexity_buckets", // t23's 1-row total under the shared chain
     "t23_kn_lm_score", // 1-row distinct-bigram total broadcast into scores
     "t24_kn3_lm_score", // 1-row continuation-type total broadcast likewise
     "t28_kn4_lm_score", // same 1-row total, order-4 chain
@@ -259,6 +261,19 @@ class PlanInvariantsSpec extends SparkSpec {
     // the exploded corpus twice
     assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1,
       s"t17 encode joins the corpus more than once:\n$p")
+  }
+
+  test("t37's WordPiece walk runs once per DISTINCT word behind ONE " +
+    "guarded broadcast join — the corpus is never walked per occurrence") {
+    val p = plan("t37_wordpiece_encode")
+    assert(p.linesIterator.exists(_.contains("BroadcastHashJoin")),
+      s"t37 lost its guarded word-table broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastHashJoin")) == 1,
+      s"t37 encode joins the corpus more than once:\n$p")
+    // the greedy-walk UDF sits above a distinct aggregate (the word
+    // table), not on the exploded corpus side
+    assert(p.contains("HashAggregate"),
+      s"t37's distinct-word aggregate disappeared:\n$p")
   }
 
   test("path expander broadcasts the frontier only under the size guard") {
