@@ -1,0 +1,78 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Mergeable frequency sketches — the count-min sketch (Cormode &
+  * Muthukrishnan 2005), the 100 TB answer to "how often does each of
+  * these keys occur" when a full distinct-key aggregation is too wide to
+  * keep: the sketch is a FIXED d×w counter grid regardless of corpus
+  * size, partial grids from any split of the data SUM into the grid of
+  * the whole (mergeability is the entire point — map-side partials,
+  * per-day sketches, per-source sketches all combine by addition), and a
+  * point estimate `min_j grid[j][h_j(key)]` never under-counts.
+  *
+  * Unlike the q13 sketches (engine-private HLL/KLL internals, contract
+  * oracle), every number here is deterministic and cross-engine exact:
+  * the row hashes are the repo's d13 polynomial family — fold the key's
+  * codepoints through `acc·base_j + c (mod 2³¹−1)` then mod the width —
+  * which DuckDB replays verbatim with `ord` + `list_reduce`, so the
+  * whole sketch (and every estimate) is full-value oracle-checkable. */
+object Sketches {
+
+  /** Counter-grid depth (independent hash rows) and width. d=4, w=1024
+    * bounds the over-count at ε ≈ e/w of the total mass per row with
+    * failure probability e^−d — and keeps the grid (≤4096 rows)
+    * broadcastable forever. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** One polynomial base per row — pairwise distinct, the d13/t04 hash
+    * family (257 and 131 are its established members). */
+  val RowBases: Seq[Long] = Seq(257L, 131L, 193L, 31L)
+  val HashPrime = 2147483647L // 2³¹−1, the d13 modulus
+
+  /** Row-`j` bucket of a string column: the codepoint fold mod the
+    * prime, mod the width. `split("")` + `ascii` walks codepoints (the
+    * established corpus split semantics); the fold is the exact shape
+    * DuckDB's `list_reduce` over `ord` replays. */
+  def cmsBucket(key: Column, j: Int): Column =
+    pmod(aggregate(filter(split(key, ""), c => c =!= ""),
+      lit(0L), (acc, c) =>
+        pmod(acc * lit(RowBases(j)) + ascii(c), lit(HashPrime))),
+      lit(CmsWidth.toLong))
+
+  /** Build the sketch of a corpus' word OCCURRENCES: one explode, one
+    * (row, bucket)-keyed aggregation whose state is capped at d×w
+    * counters per partition (map-side combine makes the shuffle
+    * d×w-bounded no matter the corpus). Returns the SPARSE grid
+    * (j, bucket, cnt) — absent buckets are zero. Grids over any
+    * partition of the corpus merge by summing `cnt` (spec-pinned). */
+  def cmsBuild(docs: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = docs.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+    toks.select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col("word"), j).as("bucket"))): _*))
+        .as("jb"))
+      .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point estimates for a set of keys: `min_j grid[j][h_j(key)]` — the
+    * grid (≤ d×w rows by construction) broadcasts unconditionally, the
+    * key side never shuffles. A key the corpus never produced can miss
+    * every bucket; COALESCE(…, 0) keeps the estimate total. */
+  def cmsEstimate(cms: DataFrame, keys: DataFrame,
+      keyCol: String = "word"): DataFrame = {
+    val probes = keys.select(col("*"),
+      explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"), cmsBucket(col(keyCol), j).as("bucket"))): _*))
+        .as("jb"))
+      .select(col("*"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
+      .drop("jb")
+    probes.join(broadcast(cms), Seq("j", "bucket"), "left_outer")
+      .groupBy(keys.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+  }
+}

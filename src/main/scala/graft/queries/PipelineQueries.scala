@@ -1363,6 +1363,29 @@ object PipelineQueries {
       .orderBy($"lang", $"bucket")
   }
 
+  /** q40 — count-min-sketch heavy-hitter estimates
+    * ([[graft.pipeline.Sketches]], Cormode & Muthukrishnan 2005): the
+    * d=4×w=1024 counter grid built over every word occurrence (a FIXED
+    * footprint no matter the corpus — the mergeable-sketch answer to
+    * frequency estimation at 100 TB), probed for the exact top-20 words;
+    * per word the exact count and the CMS estimate (structurally ≥ exact;
+    * equality on this corpus pins the hash arithmetic bucket-for-bucket).
+    * FULL-value oracle — the row hashes are the replayable d13 polynomial
+    * family, so DuckDB rebuilds the identical grid and estimates. */
+  def q40CmsHeavyHitters(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val cms = graft.pipeline.Sketches.cmsBuild(docs)
+    val toks = docs.filter($"text".isNotNull)
+      .select(explode(graft.pipeline.TextAnalysis.tokens($"text"))
+        .as("word"))
+      .filter($"word" =!= "")
+    val top = toks.groupBy($"word").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"word").limit(20)
+    graft.pipeline.Sketches.cmsEstimate(cms, top)
+      .orderBy($"exact_cnt".desc, $"word")
+  }
+
   /** t36 — WORDPIECE tokenizer training ([[graft.pipeline.Wordpiece
     * .train]], the BERT trainer: [[WpRounds]] likelihood-scored merge
     * rounds over the no-'q' distinct-word table — see [[wordpieceShared]]
@@ -2136,6 +2159,7 @@ object PipelineQueries {
     "t37_wordpiece_encode" -> (t37WordpieceEncode _),
     "t38_perplexity_buckets" -> (t38PerplexityBuckets _),
     "t39_wordpiece_model_io" -> (t39WordpieceModelIo _),
+    "q40_cms_heavy_hitters" -> (q40CmsHeavyHitters _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -3071,6 +3095,37 @@ object PipelineQueries {
     // the persisted-model round trip must reproduce t37's encode exactly
     // (the t31/t32 posture)
     "t39_wordpiece_model_io" -> wordpieceEncodeOracle,
+    "q40_cms_heavy_hitters" ->
+      // the full CMS replayed: per-row polynomial bucket (the d13 fold —
+      // ord codepoints through acc·base + c mod 2³¹−1, then mod width),
+      // the occurrence-weighted grid, the min-over-rows estimate
+      """WITH tok AS MATERIALIZED (
+        |  SELECT word FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |                                        '\s+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) WHERE word <> ''),
+        |bases(j, b) AS (VALUES (0, 257), (1, 131), (2, 193), (3, 31)),
+        |wh AS MATERIALIZED (
+        |  SELECT w.word, b.j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [ord(word[i])::BIGINT
+        |       for i in generate_series(1, length(word))]),
+        |      (acc, c) -> (acc * b.b + c) % 2147483647) % 1024 AS bucket
+        |  FROM (SELECT DISTINCT word FROM tok) w CROSS JOIN bases b),
+        |cms AS MATERIALIZED (
+        |  SELECT h.j, h.bucket, SUM(e.c)::BIGINT AS cnt
+        |  FROM (SELECT word, COUNT(*)::BIGINT AS c FROM tok
+        |        GROUP BY word) e
+        |  JOIN wh h USING (word)
+        |  GROUP BY h.j, h.bucket),
+        |top AS MATERIALIZED (
+        |  SELECT word, COUNT(*)::BIGINT AS exact_cnt FROM tok
+        |  GROUP BY word ORDER BY exact_cnt DESC, word LIMIT 20)
+        |SELECT t.word, t.exact_cnt, MIN(c.cnt)::BIGINT AS est_cnt
+        |FROM top t JOIN wh h USING (word)
+        |JOIN cms c ON c.j = h.j AND c.bucket = h.bucket
+        |GROUP BY t.word, t.exact_cnt
+        |ORDER BY exact_cnt DESC, word""".stripMargin,
     // the persisted-model round trips must reproduce t22's/t17's encode
     // exactly, so t31/t32 share those oracles verbatim (the st12 precedent)
     "t31_unigram_model_io" -> unigramEncodeOracle,

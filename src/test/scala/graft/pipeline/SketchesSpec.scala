@@ -1,0 +1,49 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Count-min sketch: over-count bound, mergeability (the point of the
+  * structure), grid footprint, and totality on unseen keys. */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sfTiny/documents.parquet")
+
+  test("estimates never under-count, and the grid footprint is bounded " +
+    "by d x w regardless of corpus size") {
+    val cms = Sketches.cmsBuild(docs).cache()
+    assert(cms.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+    val exact = docs.filter($"text".isNotNull)
+      .select(explode(TextAnalysis.tokens($"text")).as("word"))
+      .filter($"word" =!= "")
+      .groupBy($"word").agg(count(lit(1)).as("exact_cnt"))
+    val est = Sketches.cmsEstimate(cms, exact)
+      .as[(String, Long, Long)].collect()
+    assert(est.nonEmpty)
+    est.foreach { case (w, ex, e) =>
+      assert(e >= ex, s"CMS under-counted '$w': $e < $ex")
+    }
+    cms.unpersist()
+  }
+
+  test("sketches MERGE: per-half grids summed equal the whole-corpus grid") {
+    val whole = Sketches.cmsBuild(docs)
+      .as[(Int, Long, Long)].collect().toSet
+    val even = Sketches.cmsBuild(docs.filter($"doc_id" % 2 === 0))
+    val odd = Sketches.cmsBuild(docs.filter($"doc_id" % 2 =!= 0))
+    val merged = even.union(odd)
+      .groupBy($"j", $"bucket").agg(sum($"cnt").as("cnt"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("an unseen key estimates 0 on a sparse grid (COALESCE totality)") {
+    val tiny = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
+    val cms = Sketches.cmsBuild(tiny)
+    val est = Sketches.cmsEstimate(cms,
+        Seq("zzzz-not-in-corpus").toDF("word"))
+      .as[(String, Long)].head()
+    assert(est._2 == 0L)
+  }
+}
