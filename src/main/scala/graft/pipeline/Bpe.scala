@@ -112,13 +112,16 @@ object Bpe {
     * string legs compared on UTF-8 BYTES, exactly Spark's (and DuckDB's)
     * binary string order; Scala's default String ordering compares UTF-16
     * units and diverges beyond the BMP. */
+  /** Spark's OWN string comparator (UTF-8 bytes) — every driver-side
+    * fast path compares through this ONE helper so none can drift from
+    * the groupBy path's sort even if Spark's collation details move
+    * (shared with [[Wordpiece.topScoredPairSinglePartition]]). */
+  private[pipeline] def cmpUtf8(a: String, b: String): Int =
+    org.apache.spark.unsafe.types.UTF8String.fromString(a)
+      .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
   private[pipeline] val pairOrdering: Ordering[(String, String, Long)] =
     new Ordering[(String, String, Long)] {
-      // Spark's OWN string comparator — the fast path cannot drift from
-      // the groupBy path's sort even if Spark's collation details move
-      private def cmpUtf8(a: String, b: String): Int =
-        org.apache.spark.unsafe.types.UTF8String.fromString(a)
-          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
       def compare(p: (String, String, Long), q: (String, String, Long)): Int = {
         val f = java.lang.Long.compare(q._3, p._3) // freq DESC
         if (f != 0) f

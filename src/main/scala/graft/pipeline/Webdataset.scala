@@ -41,7 +41,13 @@ object Webdataset {
     * the stable sample id that drives shard placement and the key. A
     * task may own several shards (hash placement), so tars roll on the
     * shard boundary inside the sorted partition stream; two tasks never
-    * share a shard, so writes are conflict-free. */
+    * share a shard VALUE — but two ATTEMPTS of one task can overlap
+    * (speculation, zombie retries), so each attempt streams into
+    * `_tmp/shard-N.attempt-A.tar` and publishes by atomic rename on the
+    * shard boundary: the first attempt to rename wins whole-file, a
+    * loser just deletes its temp — a final path never holds interleaved
+    * bytes. The driver clears `_tmp` when the job returns (the `_`
+    * prefix keeps in-flight temps invisible to readers either way). */
   def writeTarShards(df: DataFrame, outDir: String, nShards: Int,
       idCol: String = "doc_id", filesCol: String = "files"): Unit = {
     require(nShards >= 1, "need a positive shard count")
@@ -57,22 +63,34 @@ object Webdataset {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .foreachPartition { (it: Iterator[Row]) =>
+        val attempt = Option(org.apache.spark.TaskContext.get())
+          .map(_.taskAttemptId()).getOrElse(0L)
         var cur = -1
         var tar: TarArchiveOutputStream = null
-        def close(): Unit = if (tar != null) {
-          tar.finish(); tar.close(); tar = null
-        }
+        var tmp: Path = null
         val pfs = new Path(outDir).getFileSystem(conf.value)
+        def publish(): Unit = if (tar != null) {
+          tar.finish(); tar.close(); tar = null
+          val dest = new Path(outDir, f"shard-$cur%06d.tar")
+          if (!pfs.rename(tmp, dest)) pfs.delete(tmp, false)
+          tmp = null
+        }
+        def abort(): Unit = if (tar != null) {
+          try tar.close() catch { case _: Throwable => () }
+          tar = null
+          if (tmp != null) { pfs.delete(tmp, false); tmp = null }
+        }
         try {
           it.foreach { r =>
             val id = r.getLong(0)
             val files = r.getMap[String, Array[Byte]](1)
             val shard = r.getInt(2)
             if (shard != cur) {
-              close()
+              publish()
               cur = shard
-              tar = new TarArchiveOutputStream(pfs.create(
-                new Path(outDir, f"shard-$cur%06d.tar"), true))
+              tmp = new Path(outDir,
+                f"_tmp/shard-$cur%06d.attempt-$attempt.tar")
+              tar = new TarArchiveOutputStream(pfs.create(tmp, true))
               tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
             }
             val key = KeyFormat.format(id)
@@ -81,14 +99,20 @@ object Webdataset {
             files.toSeq.sortBy(_._1).foreach { case (ext, bytes) =>
               val e = new TarArchiveEntry(s"$key.$ext")
               e.setSize(bytes.length.toLong)
-              e.setModTime(0L) // pinned: tar bytes are run-independent
+              e.setModTime(0L) // pinned — with ownership, below: the
+              e.setUserName("") // tar bytes must be RUN-independent,
+              e.setGroupName("") // and TarArchiveEntry otherwise embeds
+              e.setUserId(0) // the OS user.name in the ustar header
+              e.setGroupId(0)
               tar.putArchiveEntry(e)
               tar.write(bytes)
               tar.closeArchiveEntry()
             }
           }
-        } finally close()
+          publish()
+        } catch { case t: Throwable => abort(); throw t }
       }
+    fs.delete(new Path(root, "_tmp"), true)
   }
 
   /** Read a shard directory back as one row per PART:
@@ -116,6 +140,13 @@ object Webdataset {
         val path = new Path(p)
         val in = new TarArchiveInputStream(
           path.getFileSystem(conf.value).open(path))
+        // the stream must die with the TASK, not only with natural
+        // exhaustion — a truncated-entry require, a LIMIT, or a task
+        // kill abandons the iterator mid-archive and would otherwise
+        // leak the file handle until the executor runs out
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ =>
+            try in.close() catch { case _: Throwable => () }))
         new Iterator[(String, String, String, Array[Byte])] {
           private var entry: TarArchiveEntry = advance()
           private def advance(): TarArchiveEntry = {

@@ -88,9 +88,6 @@ object Wordpiece {
     val rdd = words.select(col("cnt"), col("syms")).rdd
     require(rdd.getNumPartitions == 1,
       "single-partition scored argmax on a multi-partition word table")
-    def cmpUtf8(a: String, b: String): Int =
-      org.apache.spark.unsafe.types.UTF8String.fromString(a)
-        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
     rdd.mapPartitions { it =>
       val pairs = scala.collection.mutable.HashMap
         .empty[(String, String), Long]
@@ -117,8 +114,8 @@ object Wordpiece {
           val wins =
             if (sc != bs) sc > bs
             else {
-              val cl = cmpUtf8(l, bl)
-              cl < 0 || (cl == 0 && cmpUtf8(r, br) < 0)
+              val cl = Bpe.cmpUtf8(l, bl)
+              cl < 0 || (cl == 0 && Bpe.cmpUtf8(r, br) < 0)
             }
           if (wins) { bl = l; br = r; bc = c; bs = sc }
         }

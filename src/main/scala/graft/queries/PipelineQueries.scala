@@ -49,6 +49,7 @@ object PipelineQueries {
       m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
     sweep(residentPairs); sweep(residentSpans); sweep(residentBpe)
     sweep(residentBpeDeep); sweep(residentUnigram); sweep(residentUnigramNoQ)
+    sweep(residentWordpiece)
   }
 
   /** Unpersist and forget every resident pair frame — callers that sweep

@@ -13,7 +13,8 @@ import graft.util.Tables
   * CURVE, not the absolute numbers: map-side ops should scale ~linearly,
   * banded LSH ops with output size, bulk graph builds with input size, and
   * nothing should fall off a quadratic cliff.
-  * Usage: sbt "runMain graft.tools.ScaleRehearsal [k] [pipeline|graph|all]"
+  * Usage: sbt "runMain graft.tools.ScaleRehearsal [k]
+  *   [pipeline|graph|bpewide|warc|horizon|wordpiece|tiers|all]"
   */
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
@@ -63,7 +64,7 @@ object ScaleRehearsal {
     if (family == "warc") warcFamily(spark, k)
     if (family == "horizon") horizonFamily(spark, sfDir, k)
     if (family == "wordpiece") wordpieceFamily(spark)
-    if (family == "tiers") tiersFamily(spark, sfDir, k, replicateDocs)
+    if (family == "tiers") tiersFamily(spark, k, replicateDocs)
     spark.stop()
   }
 
@@ -242,6 +243,17 @@ object ScaleRehearsal {
     }.toDF("doc_id", "text").repartition(32).localCheckpoint(true)
   }
 
+  /** k offset-id replicas of a (doc_id, text) frame — the ONE
+    * replication scheme both wide-corpus families measure (a per-family
+    * copy would let the two rehearsals silently drift apart). */
+  private def replicateWide(spark: org.apache.spark.sql.SparkSession,
+      base: DataFrame, mult: Int): DataFrame =
+    if (mult == 1) base
+    else base.crossJoin(spark.range(mult).toDF("rep"))
+      .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
+        col("text"))
+      .repartition(32).localCheckpoint(true)
+
   /** WordPiece's scale curve: the trainer is SEQUENTIAL BY NECESSITY
     * (the likelihood score makes the BPE batch rule unsound — see
     * [[graft.pipeline.Wordpiece]]), so the number that matters is the
@@ -254,13 +266,7 @@ object ScaleRehearsal {
       : Unit = {
     val W = 50000
     val base = wideCorpus(spark, W)
-    def replicated(mult: Int): DataFrame =
-      if (mult == 1) base
-      else base.crossJoin(spark.range(mult).toDF("rep"))
-        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
-          col("text"))
-        .repartition(32).localCheckpoint(true)
-    val corpusBy = Map(1 -> base, 4 -> replicated(4))
+    val corpusBy = Map(1 -> base, 4 -> replicateWide(spark, base, 4))
     val merges = 256
     var model: graft.pipeline.Wordpiece.Model = null
     Seq(1, 4).foreach { mult =>
@@ -295,7 +301,7 @@ object ScaleRehearsal {
     * boundaries come from a sample or a frozen LM — so the assign row
     * reports assignment cost only, the honest comparison). */
   private def tiersFamily(spark: org.apache.spark.sql.SparkSession,
-      sfDir: String, k: Int, replicateDocs: Int => DataFrame): Unit = {
+      k: Int, replicateDocs: Int => DataFrame): Unit = {
     import org.apache.spark.sql.expressions.Window
     Seq(1, k, 3 * k).foreach { mult =>
       val docs = replicateDocs(mult)
@@ -339,16 +345,10 @@ object ScaleRehearsal {
     val base = wideCorpus(spark, 50000)
     val W = 50000
     val merges = 1024
-    def replicated(mult: Int): DataFrame =
-      if (mult == 1) base
-      else base.crossJoin(spark.range(mult).toDF("rep"))
-        .select((col("doc_id") + col("rep") * 1000000L).as("doc_id"),
-          col("text"))
-        .repartition(32).localCheckpoint(true)
     // built ONCE and shared by all three x1/x4 row families below — a
     // per-loop rebuild would checkpoint three abandoned copies of the
     // 4x corpus and pin their blocks for the rest of the run
-    val corpusBy = Map(1 -> base, 4 -> replicated(4))
+    val corpusBy = Map(1 -> base, 4 -> replicateWide(spark, base, 4))
     var wideModel: graft.pipeline.Bpe.Model = null
     Seq(1, 4).foreach { mult =>
       val docs = corpusBy(mult)
