@@ -1965,6 +1965,42 @@ object PipelineQueries {
       .orderBy($"lang")
   }
 
+  /** t40 — tokenizer TRIO comparison (t25 extended with WordPiece —
+    * the XLM-R-style fertility table across ALL THREE families, the
+    * tokenizer-selection analysis a data team actually runs): per
+    * language, document/word totals and subword-token totals under the
+    * BPE (t16), unigram (t21) and WordPiece (t36, no-q) vocabularies
+    * plus the WordPiece UNK-word total (the no-q model makes the UNK
+    * column genuinely informative per language — 'q'-free languages
+    * score 0). All exact integer sums; every encode path is its gate's
+    * own distinct-word posture, and the three count tables align on the
+    * same no-nonempty-token doc filter. Oracle: the t16 merge chain, the
+    * t21 EM chain and the t36 scored-merge chain replayed in ONE
+    * statement, joined per doc, rolled up per language. */
+  def t40TokenizerTrio(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val bpe = graft.pipeline.Bpe
+      .encodeTokenCounts(docs, bpeShared(spark, d))
+    val um = graft.pipeline.Unigram
+      .encodeTokenCounts(docs, unigramShared(spark, d))
+      .select($"doc_id", $"n_um_tokens")
+    val wp = graft.pipeline.Wordpiece
+      .encodeTokenCounts(docs, wordpieceShared(spark, d))
+      .select($"doc_id", $"n_wp_tokens", $"n_unk_words")
+    docs.filter($"text".isNotNull)
+      .select($"doc_id", $"lang")
+      .join(bpe, "doc_id").join(um, "doc_id").join(wp, "doc_id")
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"n_words").as("words_sum"),
+        sum($"n_bpe_tokens").as("bpe_sum"),
+        sum($"n_um_tokens").as("um_sum"),
+        sum($"n_wp_tokens").as("wp_sum"),
+        sum($"n_unk_words").as("unk_sum"))
+      .orderBy($"lang")
+  }
+
   /** t26 — BPE TOKENIZATION to actual token STREAMS (the last mile the
     * count gates stop short of: training shards hold token sequences,
     * not counts): per document, the full in-order subword sequence under
@@ -2161,6 +2197,7 @@ object PipelineQueries {
     "t38_perplexity_buckets" -> (t38PerplexityBuckets _),
     "t39_wordpiece_model_io" -> (t39WordpieceModelIo _),
     "q40_cms_heavy_hitters" -> (q40CmsHeavyHitters _),
+    "t40_tokenizer_trio" -> (t40TokenizerTrio _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
@@ -2520,11 +2557,13 @@ object PipelineQueries {
     * list_sort's last element = the longest hit, no hit (or a word past
     * the engine's 100-codepoint bound) = one `[UNK]` token for the whole
     * word — → the per-doc rollup. */
-  private[queries] lazy val wordpieceEncodeOracle: String = {
+  /** The wordpiece ENCODE CTE block (vocab map → greedy walk → per-doc
+    * rollup `wpnb`) — shared by the t37/t39/st16 oracle and t40's trio
+    * rollup. */
+  private lazy val wordpieceEncodeCtes: String = {
     val vocabRows = (1 to WpRounds).map(k => s"SELECT mg FROM wb$k")
       .mkString(" UNION ALL ")
-    s"""WITH RECURSIVE ${wordpieceOracleBody(WpRounds)},
-       |wpv AS MATERIALIZED (
+    s"""wpv AS MATERIALIZED (
        |  SELECT DISTINCT s AS piece
        |  FROM (SELECT unnest(seq) AS s FROM ww0)
        |  UNION
@@ -2559,13 +2598,20 @@ object PipelineQueries {
        |        FROM wwalk CROSS JOIN wpm
        |        WHERE pos < length(word))),
        |wtok AS MATERIALIZED (
-       |  SELECT word, n, unk FROM wwalk WHERE pos = length(word))
-       |SELECT a.doc_id, COUNT(*)::BIGINT AS n_words,
-       |  SUM(t.n)::BIGINT AS n_wp_tokens,
-       |  SUM(CASE WHEN t.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk_words
-       |FROM wax a JOIN wtok t USING (word)
-       |GROUP BY a.doc_id ORDER BY a.doc_id""".stripMargin
+       |  SELECT word, n, unk FROM wwalk WHERE pos = length(word)),
+       |wpnb AS MATERIALIZED (
+       |  SELECT a.doc_id, COUNT(*)::BIGINT AS n_words,
+       |    SUM(t.n)::BIGINT AS n_wp_tokens,
+       |    SUM(CASE WHEN t.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk_words
+       |  FROM wax a JOIN wtok t USING (word)
+       |  GROUP BY a.doc_id)""".stripMargin
   }
+
+  private[queries] lazy val wordpieceEncodeOracle: String =
+    s"""WITH RECURSIVE ${wordpieceOracleBody(WpRounds)},
+       |$wordpieceEncodeCtes
+       |SELECT doc_id, n_words, n_wp_tokens, n_unk_words
+       |FROM wpnb ORDER BY doc_id""".stripMargin
 
   private def bpeTrainOracleOf(rounds: Int): String = {
     val rows = (1 to rounds).map { k =>
@@ -3344,6 +3390,28 @@ object PipelineQueries {
          |FROM documents d
          |JOIN nb ON d.doc_id = nb.doc_id
          |JOIN umnb u ON d.doc_id = u.doc_id
+         |GROUP BY d.lang ORDER BY d.lang NULLS FIRST""".stripMargin,
+    "t40_tokenizer_trio" ->
+      // ALL THREE tokenizer chains in one statement: the t16 unrolled
+      // merges (nb), the t21 unrolled EM (umnb) and the t36 unrolled
+      // scored merges + greedy walk (wpnb), joined per doc, rolled up
+      // per language — all integer sums
+      s"""WITH RECURSIVE ${bpeOracleBody(BpeRounds)},
+         |$bpeDocCountsCte,
+         |${unigramOracleBody(UmIters)},
+         |$unigramEncodeCtes,
+         |${wordpieceOracleBody(WpRounds)},
+         |$wordpieceEncodeCtes
+         |SELECT d.lang, COUNT(*)::BIGINT AS n_docs,
+         |  SUM(nb.n_words)::BIGINT AS words_sum,
+         |  SUM(nb.n)::BIGINT AS bpe_sum,
+         |  SUM(u.n_um)::BIGINT AS um_sum,
+         |  SUM(w.n_wp_tokens)::BIGINT AS wp_sum,
+         |  SUM(w.n_unk_words)::BIGINT AS unk_sum
+         |FROM documents d
+         |JOIN nb ON d.doc_id = nb.doc_id
+         |JOIN umnb u ON d.doc_id = u.doc_id
+         |JOIN wpnb w ON d.doc_id = w.doc_id
          |GROUP BY d.lang ORDER BY d.lang NULLS FIRST""".stripMargin,
     "t23_kn_lm_score" ->
       // the t13 chain with KN arithmetic: discount every seen bigram,
