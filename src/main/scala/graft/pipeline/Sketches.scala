@@ -47,7 +47,15 @@ object Sketches {
     * counters per partition (map-side combine makes the shuffle
     * d×w-bounded no matter the corpus). Returns the SPARSE grid
     * (j, bucket, cnt) — absent buckets are zero. Grids over any
-    * partition of the corpus merge by summing `cnt` (spec-pinned). */
+    * partition of the corpus merge by summing `cnt` (spec-pinned).
+    *
+    * STREAM-LEGAL, and unusually so: the same plan runs as a Structured
+    * Streaming aggregation whose state is the grid itself — the one
+    * stateful stream whose state CANNOT grow with the stream (≤ d×w
+    * counters, no watermark needed, nothing to expire). A sketch over
+    * an unbounded arrival firehose is exactly the production use;
+    * StreamingSpec pins the streamed grid equal to the batch grid over
+    * the union of all arrivals, across multiple micro-batches. */
   def cmsBuild(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = docs.filter(col(textCol).isNotNull)
       .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))

@@ -194,7 +194,21 @@ object StreamQueries {
         PipelineQueries.wordpieceShared(spark, d).vocab)
       .orderBy(col("doc_id"))
 
+  /** st17 — STREAMING count-min sketch ([[graft.pipeline.Sketches
+    * .cmsBuild]] run as a streaming aggregation): the full d×w grid, the
+    * one stateful stream whose state CANNOT grow with the stream (the
+    * grid IS the state — no watermark, nothing to expire; the sketch
+    * over an unbounded firehose is the production use of CMS). The gate
+    * runs the batch leg of the same plan; StreamingSpec pins a real
+    * multi-batch MemoryStream run's final grid equal to the batch grid
+    * over the union of arrivals. Oracle: the q40 grid CTE emitted whole,
+    * ordered by (j, bucket). */
+  def st17StreamCms(spark: SparkSession, d: String): DataFrame =
+    graft.pipeline.Sketches.cmsBuild(Tables.documents(spark, d))
+      .orderBy(col("j"), col("bucket"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "st17_stream_cms" -> (st17StreamCms _),
     "st16_stream_wordpiece" -> (st16StreamWordpiece _),
     "st15_warc_ingest_dedup" -> (st15WarcIngestDedup _),
     "st11_near_dup" -> (st11NearDup _),
@@ -242,6 +256,27 @@ object StreamQueries {
     // the per-row longest-match walk IS the batch kernel (same function,
     // no join), so st16 shares t37's oracle verbatim — UNK leg included
     "st16_stream_wordpiece" -> PipelineQueries.wordpieceEncodeOracle,
+    // the whole grid, replayed by the q40 hash CTEs (one statement,
+    // ordered by row and bucket)
+    "st17_stream_cms" ->
+      """WITH tok AS MATERIALIZED (
+        |  SELECT word FROM (
+        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+        |                                        '\s+')) AS word
+        |    FROM documents WHERE text IS NOT NULL) WHERE word <> ''),
+        |bases(j, b) AS (VALUES (0, 257), (1, 131), (2, 193), (3, 31)),
+        |wh AS MATERIALIZED (
+        |  SELECT w.word, b.j,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [ord(word[i])::BIGINT
+        |       for i in generate_series(1, length(word))]),
+        |      (acc, c) -> (acc * b.b + c) % 2147483647) % 1024 AS bucket
+        |  FROM (SELECT DISTINCT word FROM tok) w CROSS JOIN bases b)
+        |SELECT h.j::INT AS j, h.bucket, SUM(e.c)::BIGINT AS cnt
+        |FROM (SELECT word, COUNT(*)::BIGINT AS c FROM tok GROUP BY word) e
+        |JOIN wh h USING (word)
+        |GROUP BY h.j, h.bucket
+        |ORDER BY j, bucket""".stripMargin,
     // the lean two-stage split must recover the SAME pair set and the
     // same exact-verify values as the one-stage operator, so st13
     // shares st11's brute all-pairs oracle (declared below on st11)

@@ -236,6 +236,32 @@ class StreamingSpec extends SparkSpec {
       Set((1L, 2L, 3L), (2L, 1L, 1L)))
   }
 
+  test("streaming count-min sketch: the grid IS the state — a " +
+    "multi-batch stream's final grid equals batch over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = graft.pipeline.Sketches.cmsBuild(in.toDF.toDF("doc_id", "text"))
+      .writeStream.outputMode("complete").format("memory")
+      .queryName("cms_stream").start()
+    try {
+      in.addData((1L, "alpha beta alpha"), (2L, "beta gamma"))
+      q.processAllAvailable()
+      // counts must ACCUMULATE across micro-batches, not reset
+      in.addData((3L, "alpha delta epsilon zeta"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.sql("SELECT j, bucket, cnt FROM cms_stream")
+      .as[(Int, Long, Long)].collect().toSet
+    val batch = graft.pipeline.Sketches.cmsBuild(
+        Seq((1L, "alpha beta alpha"), (2L, "beta gamma"),
+          (3L, "alpha delta epsilon zeta")).toDF("doc_id", "text"))
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("content dedup stream is deterministic under adversarial arrival order") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
