@@ -2447,6 +2447,28 @@ object PipelineQueries {
        |SELECT doc_id, n_words, n_um AS n_um_tokens
        |FROM umnb ORDER BY doc_id""".stripMargin
 
+  /** The CMS hash chain (`tok` word occurrences, the four `bases`, the
+    * per-distinct-word row buckets `wh`) — shared by the q40
+    * heavy-hitter oracle and st17's whole-grid oracle, so a hash-family
+    * tweak cannot update one gate's replay and silently miss the
+    * other's (the d20 factoring discipline). Constants mirror
+    * [[graft.pipeline.Sketches]]: bases 257/131/193/31, modulus 2³¹−1,
+    * width 1024. */
+  private[queries] lazy val cmsChainSql: String =
+    """tok AS MATERIALIZED (
+      |  SELECT word FROM (
+      |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
+      |                                        '\s+')) AS word
+      |    FROM documents WHERE text IS NOT NULL) WHERE word <> ''),
+      |bases(j, b) AS (VALUES (0, 257), (1, 131), (2, 193), (3, 31)),
+      |wh AS MATERIALIZED (
+      |  SELECT w.word, b.j,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      [ord(word[i])::BIGINT
+      |       for i in generate_series(1, length(word))]),
+      |      (acc, c) -> (acc * b.b + c) % 2147483647) % 1024 AS bucket
+      |  FROM (SELECT DISTINCT word FROM tok) w CROSS JOIN bases b)""".stripMargin
+
   /** The t23 KN-bigram chain through the per-position log-probs `s` —
     * shared by the t23 score oracle and t38's perplexity-bucket oracle
     * (each adds its own rollup tail). */
@@ -3146,19 +3168,7 @@ object PipelineQueries {
       // the full CMS replayed: per-row polynomial bucket (the d13 fold —
       // ord codepoints through acc·base + c mod 2³¹−1, then mod width),
       // the occurrence-weighted grid, the min-over-rows estimate
-      """WITH tok AS MATERIALIZED (
-        |  SELECT word FROM (
-        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
-        |                                        '\s+')) AS word
-        |    FROM documents WHERE text IS NOT NULL) WHERE word <> ''),
-        |bases(j, b) AS (VALUES (0, 257), (1, 131), (2, 193), (3, 31)),
-        |wh AS MATERIALIZED (
-        |  SELECT w.word, b.j,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      [ord(word[i])::BIGINT
-        |       for i in generate_series(1, length(word))]),
-        |      (acc, c) -> (acc * b.b + c) % 2147483647) % 1024 AS bucket
-        |  FROM (SELECT DISTINCT word FROM tok) w CROSS JOIN bases b),
+      s"""WITH $cmsChainSql,
         |cms AS MATERIALIZED (
         |  SELECT h.j, h.bucket, SUM(e.c)::BIGINT AS cnt
         |  FROM (SELECT word, COUNT(*)::BIGINT AS c FROM tok

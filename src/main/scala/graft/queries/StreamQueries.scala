@@ -256,22 +256,10 @@ object StreamQueries {
     // the per-row longest-match walk IS the batch kernel (same function,
     // no join), so st16 shares t37's oracle verbatim — UNK leg included
     "st16_stream_wordpiece" -> PipelineQueries.wordpieceEncodeOracle,
-    // the whole grid, replayed by the q40 hash CTEs (one statement,
-    // ordered by row and bucket)
+    // the whole grid, replayed by the q40-shared hash chain (one
+    // statement, ordered by row and bucket)
     "st17_stream_cms" ->
-      """WITH tok AS MATERIALIZED (
-        |  SELECT word FROM (
-        |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
-        |                                        '\s+')) AS word
-        |    FROM documents WHERE text IS NOT NULL) WHERE word <> ''),
-        |bases(j, b) AS (VALUES (0, 257), (1, 131), (2, 193), (3, 31)),
-        |wh AS MATERIALIZED (
-        |  SELECT w.word, b.j,
-        |    list_reduce(list_prepend(0::BIGINT,
-        |      [ord(word[i])::BIGINT
-        |       for i in generate_series(1, length(word))]),
-        |      (acc, c) -> (acc * b.b + c) % 2147483647) % 1024 AS bucket
-        |  FROM (SELECT DISTINCT word FROM tok) w CROSS JOIN bases b)
+      s"""WITH ${PipelineQueries.cmsChainSql}
         |SELECT h.j::INT AS j, h.bucket, SUM(e.c)::BIGINT AS cnt
         |FROM (SELECT word, COUNT(*)::BIGINT AS c FROM tok GROUP BY word) e
         |JOIN wh h USING (word)
