@@ -1387,6 +1387,36 @@ object PipelineQueries {
       .orderBy($"exact_cnt".desc, $"word")
   }
 
+  /** t41 — the CCNet bucketing PRODUCTION PATH gated end-to-end: the
+    * map-side [[graft.pipeline.TextAnalysis.assignPerplexityBuckets]]
+    * twin (broadcast per-language boundary tuples, no window over the
+    * corpus) must reproduce t38's per-(lang, tier) rollup EXACTLY —
+    * oracle shared verbatim. Boundaries are derived in-gate from the
+    * exact NTILE form (the spec's max-(−score, id) tuple per bucket),
+    * which at production scale is the sampled/frozen-LM step; the
+    * ASSIGNMENT — the part that touches the whole corpus — is the thing
+    * under test, and it runs windowless. */
+  def t41PerplexityAssign(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val exact = graft.pipeline.TextAnalysis.perplexityBuckets(docs, 3)
+    val cutoffs = exact.filter($"bucket" < 3)
+      .groupBy($"lang", $"bucket")
+      .agg(max(struct(($"avg_kn_logprob" * -1).as("ns"),
+        $"doc_id".as("i"))).as("b"))
+      .select($"lang", $"bucket", ($"b.ns" * -1).as("s"), $"b.i".as("i"))
+      .collect()
+      .groupBy(_.getString(0)).view
+      .mapValues(_.sortBy(_.getLong(1))
+        .map(r => (r.getDouble(2), r.getLong(3))).toSeq).toMap
+    graft.pipeline.TextAnalysis.assignPerplexityBuckets(
+        exact.drop("bucket"), cutoffs)
+      .groupBy($"lang", $"bucket")
+      .agg(count(lit(1)).as("n_docs"), sum($"doc_id").as("id_sum"),
+        sum($"n_bigrams").as("bigram_sum"))
+      .orderBy($"lang", $"bucket")
+  }
+
   /** t36 — WORDPIECE tokenizer training ([[graft.pipeline.Wordpiece
     * .train]], the BERT trainer: [[WpRounds]] likelihood-scored merge
     * rounds over the no-'q' distinct-word table — see [[wordpieceShared]]
@@ -2195,6 +2225,7 @@ object PipelineQueries {
     "t36_wordpiece_train" -> (t36WordpieceTrain _),
     "t37_wordpiece_encode" -> (t37WordpieceEncode _),
     "t38_perplexity_buckets" -> (t38PerplexityBuckets _),
+    "t41_perplexity_assign" -> (t41PerplexityAssign _),
     "t39_wordpiece_model_io" -> (t39WordpieceModelIo _),
     "q40_cms_heavy_hitters" -> (q40CmsHeavyHitters _),
     "t40_tokenizer_trio" -> (t40TokenizerTrio _),
@@ -2446,6 +2477,30 @@ object PipelineQueries {
        |$unigramEncodeCtes
        |SELECT doc_id, n_words, n_um AS n_um_tokens
        |FROM umnb ORDER BY doc_id""".stripMargin
+
+  /** t38's oracle — the t23 chain rolled to per-doc scores, then NTILE
+    * within each language over (score DESC, doc_id), the same total
+    * order as the engine's window; id sums pin exact tier MEMBERSHIP
+    * per decision (the d20 selection-verifying idiom). Shared verbatim
+    * by t41, whose windowless map-side assignment must reproduce the
+    * identical membership. */
+  private lazy val perplexityBucketsOracle: String =
+    s"""WITH $knBigramChainSql,
+      |sc AS MATERIALIZED (
+      |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+      |    round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
+      |          / count(*), 4) AS avg
+      |  FROM s GROUP BY doc_id),
+      |bk AS (
+      |  SELECT d.lang, sc.doc_id, sc.n_bigrams,
+      |    NTILE(3) OVER (PARTITION BY d.lang
+      |                   ORDER BY sc.avg DESC, sc.doc_id)::BIGINT AS bucket
+      |  FROM sc JOIN documents d USING (doc_id))
+      |SELECT lang, bucket, COUNT(*)::BIGINT AS n_docs,
+      |  SUM(doc_id)::BIGINT AS id_sum,
+      |  SUM(n_bigrams)::BIGINT AS bigram_sum
+      |FROM bk GROUP BY lang, bucket
+      |ORDER BY lang NULLS FIRST, bucket""".stripMargin
 
   /** The CMS hash chain (`tok` word occurrences, the four `bases`, the
     * per-distinct-word row buckets `wh`) — shared by the q40
@@ -3433,27 +3488,10 @@ object PipelineQueries {
         |  round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
         |        / count(*), 4) AS avg_kn_logprob
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "t38_perplexity_buckets" ->
-      // the t23 chain rolled to per-doc scores, then NTILE within each
-      // language over (score DESC, doc_id) — the same total order as the
-      // engine's window; id sums pin exact tier MEMBERSHIP per decision
-      // (the d20 selection-verifying idiom)
-      s"""WITH $knBigramChainSql,
-        |sc AS MATERIALIZED (
-        |  SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |    round(list_reduce(list(lp ORDER BY pos), (acc, x) -> acc + x)
-        |          / count(*), 4) AS avg
-        |  FROM s GROUP BY doc_id),
-        |bk AS (
-        |  SELECT d.lang, sc.doc_id, sc.n_bigrams,
-        |    NTILE(3) OVER (PARTITION BY d.lang
-        |                   ORDER BY sc.avg DESC, sc.doc_id)::BIGINT AS bucket
-        |  FROM sc JOIN documents d USING (doc_id))
-        |SELECT lang, bucket, COUNT(*)::BIGINT AS n_docs,
-        |  SUM(doc_id)::BIGINT AS id_sum,
-        |  SUM(n_bigrams)::BIGINT AS bigram_sum
-        |FROM bk GROUP BY lang, bucket
-        |ORDER BY lang NULLS FIRST, bucket""".stripMargin,
+    "t38_perplexity_buckets" -> perplexityBucketsOracle,
+    // the map-side assignment under exact boundary tuples must land
+    // every doc in the same tier the window did — t38's oracle verbatim
+    "t41_perplexity_assign" -> perplexityBucketsOracle,
     "t24_kn3_lm_score" ->
       // the t23 chain one order up: trigram positions → type table →
       // context / continuation / mid-level / unigram statistics, the
