@@ -57,15 +57,22 @@ object Sketches {
     * StreamingSpec pins the streamed grid equal to the batch grid over
     * the union of all arrivals, across multiple micro-batches. */
   def cmsBuild(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val toks = docs.filter(col(textCol).isNotNull)
-      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
-      .filter(col("word") =!= "")
+    val toks = wordOccurrences(docs, textCol)
     toks.select(explode(array((0 until CmsDepth).map(j =>
         struct(lit(j).as("j"), cmsBucket(col("word"), j).as("bucket"))): _*))
         .as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
   }
+
+  /** One row per word OCCURRENCE of the corpus — the tokenization
+    * posture shared by the grid builder, the q40 gate's exact top-k and
+    * the spec, factored for the same reason the oracle side factors
+    * `cmsChainSql`: a posture change must not drift the copies apart. */
+  def wordOccurrences(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(explode(TextAnalysis.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
 
   /** Point estimates for a set of keys: `min_j grid[j][h_j(key)]` — the
     * grid (≤ d×w rows by construction) broadcasts unconditionally, the

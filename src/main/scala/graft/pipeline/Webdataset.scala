@@ -72,13 +72,28 @@ object Webdataset {
         def publish(): Unit = if (tar != null) {
           tar.finish(); tar.close(); tar = null
           val dest = new Path(outDir, f"shard-$cur%06d.tar")
-          if (!pfs.rename(tmp, dest)) pfs.delete(tmp, false)
+          if (!pfs.rename(tmp, dest)) {
+            // a false rename is only benign when ANOTHER attempt already
+            // published the shard — deleting our copy on any other
+            // failure (quota, lease, object-store semantics) would lose
+            // the shard SILENTLY while the job reports success
+            require(pfs.exists(dest),
+              s"shard publish failed and no winner exists: $tmp -> $dest")
+            pfs.delete(tmp, false)
+          }
           tmp = null
         }
-        def abort(): Unit = if (tar != null) {
-          try tar.close() catch { case _: Throwable => () }
-          tar = null
-          if (tmp != null) { pfs.delete(tmp, false); tmp = null }
+        def abort(): Unit = {
+          // tmp can outlive tar (publish nulls tar before the rename) —
+          // clean whichever is still live
+          if (tar != null) {
+            try tar.close() catch { case _: Throwable => () }
+            tar = null
+          }
+          if (tmp != null) {
+            try pfs.delete(tmp, false) catch { case _: Throwable => () }
+            tmp = null
+          }
         }
         try {
           it.foreach { r =>

@@ -1377,10 +1377,7 @@ object PipelineQueries {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
     val cms = graft.pipeline.Sketches.cmsBuild(docs)
-    val toks = docs.filter($"text".isNotNull)
-      .select(explode(graft.pipeline.TextAnalysis.tokens($"text"))
-        .as("word"))
-      .filter($"word" =!= "")
+    val toks = graft.pipeline.Sketches.wordOccurrences(docs)
     val top = toks.groupBy($"word").agg(count(lit(1)).as("exact_cnt"))
       .orderBy($"exact_cnt".desc, $"word").limit(20)
     graft.pipeline.Sketches.cmsEstimate(cms, top)
@@ -1399,7 +1396,10 @@ object PipelineQueries {
   def t41PerplexityAssign(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val docs = Tables.documents(spark, d)
+    // pinned ONCE: the cutoffs collect below and the assignment pass
+    // would otherwise each re-run the whole KN scoring chain + window
     val exact = graft.pipeline.TextAnalysis.perplexityBuckets(docs, 3)
+      .localCheckpoint(true)
     val cutoffs = exact.filter($"bucket" < 3)
       .groupBy($"lang", $"bucket")
       .agg(max(struct(($"avg_kn_logprob" * -1).as("ns"),

@@ -22,13 +22,14 @@ object ScaleRehearsal {
     val family = args.lift(1).getOrElse("all")
     require(
       Set("pipeline", "graph", "bpewide", "warc", "horizon", "wordpiece",
-        "tiers", "all")(family),
+        "tiers", "cms", "all")(family),
       s"unknown family '$family' (expected pipeline|graph|bpewide|warc|" +
-        "horizon|wordpiece|tiers|all; bpewide is the production-merge-" +
-        "count BPE rehearsal, warc the big-segment memory-posture probe, " +
-        "horizon the st14 two-query state-ceiling probe, wordpiece the " +
-        "sequential-train + encode curve, tiers the t38 window-vs-map-side " +
-        "probe — these run only when asked)")
+        "horizon|wordpiece|tiers|cms|all; bpewide is the production-" +
+        "merge-count BPE rehearsal, warc the big-segment memory-posture " +
+        "probe, horizon the st14 two-query state-ceiling probe, " +
+        "wordpiece the sequential-train + encode curve, tiers the t38 " +
+        "window-vs-map-side probe, cms the sketch grid/footprint curve " +
+        "— these run only when asked)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.util.Sessions.local(32)
 
@@ -65,6 +66,7 @@ object ScaleRehearsal {
     if (family == "horizon") horizonFamily(spark, sfDir, k)
     if (family == "wordpiece") wordpieceFamily(spark)
     if (family == "tiers") tiersFamily(spark, k, replicateDocs)
+    if (family == "cms") cmsFamily(spark, k, replicateDocs)
     spark.stop()
   }
 
@@ -336,6 +338,32 @@ object ScaleRehearsal {
       val tAssign = (System.nanoTime() - t1) / 1e9
       println(f"[rehearsal] tiers x$mult ($n scored docs): " +
         f"ntile $tNtile%.2fs mapSideAssign $tAssign%.2fs")
+    }
+  }
+
+  /** The CMS claim under replication: build cost tracks corpus
+    * occurrences (one scan + a grid-bounded shuffle) while the GRID —
+    * the state, the shuffle volume, the broadcast estimate side — stays
+    * ≤ d×w rows at every scale. Estimates over the exact top-20 ride
+    * the bounded broadcast at any corpus size. */
+  private def cmsFamily(spark: org.apache.spark.sql.SparkSession,
+      k: Int, replicateDocs: Int => DataFrame): Unit = {
+    Seq(1, k, 3 * k).foreach { mult =>
+      val docs = replicateDocs(mult)
+      val t0 = System.nanoTime()
+      val cms = graft.pipeline.Sketches.cmsBuild(docs)
+        .localCheckpoint(true)
+      val gridRows = cms.count()
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      val top = graft.pipeline.Sketches.wordOccurrences(docs)
+        .groupBy(col("word")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("word")).limit(20)
+      val t1 = System.nanoTime()
+      val over = graft.pipeline.Sketches.cmsEstimate(cms, top)
+        .agg(sum(col("est_cnt") - col("exact_cnt"))).head().getLong(0)
+      val tEst = (System.nanoTime() - t1) / 1e9
+      println(f"[rehearsal] cms x$mult: build $tBuild%.2fs " +
+        f"grid=$gridRows rows estimate $tEst%.2fs top20Overcount=$over")
     }
   }
 

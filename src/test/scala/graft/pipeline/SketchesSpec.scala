@@ -14,9 +14,7 @@ class SketchesSpec extends SparkSpec {
     "by d x w regardless of corpus size") {
     val cms = Sketches.cmsBuild(docs).cache()
     assert(cms.count() <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
-    val exact = docs.filter($"text".isNotNull)
-      .select(explode(TextAnalysis.tokens($"text")).as("word"))
-      .filter($"word" =!= "")
+    val exact = Sketches.wordOccurrences(docs)
       .groupBy($"word").agg(count(lit(1)).as("exact_cnt"))
     val est = Sketches.cmsEstimate(cms, exact)
       .as[(String, Long, Long)].collect()
