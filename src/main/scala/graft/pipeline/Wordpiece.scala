@@ -208,19 +208,28 @@ object Wordpiece {
       .toDF("rank", "lhs", "rhs", "freq")
   }
 
-  /** Greedy longest-match segmentation of one word: (token count, UNK?).
-    * Codepoint-correct — match boundaries never split a surrogate pair, so
-    * the walk agrees with the oracle's codepoint `substring`. An
-    * unmatchable position (or an over-[[MaxInputChars]] word) makes the
-    * whole word one `[UNK]` token, the HF rule. */
-  def encodeWord(word: String, vocab: Set[String]): (Long, Boolean) = {
-    if (word.isEmpty) (0L, false)
-    else if (word.codePointCount(0, word.length) > MaxInputChars) (1L, true)
+  /** The `[UNK]` sentinel (the HF convention). Trained pieces come from
+    * the lowercased corpus (merges of its characters), so no vocabulary
+    * piece — and no lowercase-split corpus word — can ever spell this
+    * uppercase string: a one-element `[UNK]` stream is unambiguously the
+    * unmatchable-word case. */
+  val UnkToken = "[UNK]"
+
+  /** Greedy longest-match segmentation of one word into its PIECE
+    * sequence (`##`-prefixed off-initial, as matched — the stream the
+    * training shard holds). Codepoint-correct — match boundaries never
+    * split a surrogate pair, so the walk agrees with the oracle's
+    * codepoint `substring`. An unmatchable position (or an
+    * over-[[MaxInputChars]] word) makes the whole word ONE [[UnkToken]],
+    * the HF rule. */
+  def encodeWordPieces(word: String, vocab: Set[String]): Array[String] = {
+    if (word.isEmpty) Array.empty
+    else if (word.codePointCount(0, word.length) > MaxInputChars)
+      Array(UnkToken)
     else {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
       var pos = 0
-      var n = 0L
-      var unk = false
-      while (pos < word.length && !unk) {
+      while (pos < word.length) {
         var end = word.length
         var found = -1
         while (end > pos && found < 0) {
@@ -229,10 +238,52 @@ object Wordpiece {
           if (vocab.contains(candPiece)) found = end
           else end = word.offsetByCodePoints(end, -1)
         }
-        if (found < 0) unk = true else { n += 1L; pos = found }
+        if (found < 0) return Array(UnkToken)
+        out += (if (pos == 0) word.substring(pos, found)
+          else "##" + word.substring(pos, found))
+        pos = found
       }
-      if (unk) (1L, true) else (n, false)
+      out.toArray
     }
+  }
+
+  /** (token count, UNK?) of one word — derived from the piece walk so
+    * the count path and the stream path can never drift. */
+  def encodeWord(word: String, vocab: Set[String]): (Long, Boolean) = {
+    if (word.isEmpty) (0L, false)
+    else {
+      val p = encodeWordPieces(word, vocab)
+      (p.length.toLong, p.length == 1 && p(0) == UnkToken)
+    }
+  }
+
+  /** Per-document WordPiece token STREAMS — the training-shard product
+    * ([[encodeTokenCounts]] stops at counts): each document's full
+    * in-order piece sequence under the trained vocab, `[UNK]` sentinels
+    * included. The [[Bpe.tokenStreams]] shape: one POSITIONED explode
+    * (positions from the raw token array so empty-split artifacts cannot
+    * shift alignment), the greedy walk once per DISTINCT word, one
+    * guarded equi-join back, one per-doc ordered flatten. */
+  def tokenStreams(docs: DataFrame, model: Model,
+      idCol: String = "doc_id", textCol: String = "text",
+      dictBroadcastLimit: Long = Bpe.DictBroadcastLimit): DataFrame = {
+    val spark = docs.sparkSession
+    val bc = spark.sparkContext.broadcast(model.vocab)
+    val piecesOf = udf((w: String) => encodeWordPieces(w, bc.value).toSeq)
+    val pos = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(TextAnalysis.tokens(col(textCol))))
+      .filter(col("col") =!= "")
+    val wordTable = Bpe.guardedDict(
+      pos.select(col("col").as("word")).distinct()
+        .select(col("word"), piecesOf(col("word")).as("pieces")),
+      dictBroadcastLimit)
+    pos.join(wordTable, col("col") === col("word"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col("pieces"))))
+        .as("arr"))
+      .select(col(idCol),
+        flatten(transform(col("arr"), x => x.getField("pieces")))
+          .as("stream"))
   }
 
   /** Persist a trained tokenizer as two parquet tables — the merge list

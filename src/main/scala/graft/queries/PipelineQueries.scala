@@ -1417,6 +1417,23 @@ object PipelineQueries {
       .orderBy($"lang", $"bucket")
   }
 
+  /** t42 — WordPiece TOKENIZATION to actual token STREAMS (the t26
+    * analogue for the third family; [[graft.pipeline.Wordpiece
+    * .tokenStreams]]): per document, the in-order piece-sequence length
+    * and an md5 of the space-joined stream under the no-q t36 model —
+    * `[UNK]` sentinels land IN the stream, so the hash pins the
+    * unmatchable-word rule, the `##` positional forms and the ordering
+    * all at once. Oracle: the walk CTE accumulates pieces; streams
+    * assemble as flatten(list(pieces ORDER BY pos)), the t26 idiom. */
+  def t42WordpieceTokenize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Wordpiece
+      .tokenStreams(Tables.documents(spark, d), wordpieceShared(spark, d))
+      .select($"doc_id", size($"stream").cast("long").as("n_tokens"),
+        md5(array_join($"stream", " ")).as("tokens_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** t36 — WORDPIECE tokenizer training ([[graft.pipeline.Wordpiece
     * .train]], the BERT trainer: [[WpRounds]] likelihood-scored merge
     * rounds over the no-'q' distinct-word table — see [[wordpieceShared]]
@@ -2227,6 +2244,7 @@ object PipelineQueries {
     "t38_perplexity_buckets" -> (t38PerplexityBuckets _),
     "t41_perplexity_assign" -> (t41PerplexityAssign _),
     "t39_wordpiece_model_io" -> (t39WordpieceModelIo _),
+    "t42_wordpiece_tokenize" -> (t42WordpieceTokenize _),
     "q40_cms_heavy_hitters" -> (q40CmsHeavyHitters _),
     "t40_tokenizer_trio" -> (t40TokenizerTrio _),
     "q35_pipeline_pack" -> (q35PipelinePack _),
@@ -2653,18 +2671,24 @@ object PipelineQueries {
        |    SELECT doc_id,
        |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+')) AS word
        |    FROM documents WHERE text IS NOT NULL) WHERE word <> ''),
-       |wwalk(word, pos, n, unk) AS (
+       |wwalk(word, pos, n, unk, pieces) AS (
        |  SELECT word,
        |    CASE WHEN length(word) > 100 THEN length(word) ELSE 0 END,
        |    CASE WHEN length(word) > 100 THEN 1 ELSE 0 END::BIGINT,
-       |    length(word) > 100
+       |    length(word) > 100,
+       |    CASE WHEN length(word) > 100 THEN ['[UNK]']
+       |    ELSE []::VARCHAR[] END
        |  FROM (SELECT DISTINCT word FROM wax)
        |  UNION ALL
        |  SELECT word,
        |    CASE WHEN mx IS NULL THEN length(word) ELSE pos + mx END,
        |    CASE WHEN mx IS NULL THEN 1::BIGINT ELSE n + 1 END,
-       |    mx IS NULL
-       |  FROM (SELECT word, pos, n,
+       |    mx IS NULL,
+       |    CASE WHEN mx IS NULL THEN ['[UNK]']
+       |    ELSE pieces || [CASE WHEN pos = 0
+       |      THEN substring(word, 1, mx)
+       |      ELSE '##' || substring(word, pos + 1, mx) END] END
+       |  FROM (SELECT word, pos, n, pieces,
        |          list_sort(list_filter(list_transform(
        |            generate_series(1, length(word) - pos),
        |            L -> CASE WHEN m[CASE WHEN pos = 0
@@ -2675,7 +2699,8 @@ object PipelineQueries {
        |        FROM wwalk CROSS JOIN wpm
        |        WHERE pos < length(word))),
        |wtok AS MATERIALIZED (
-       |  SELECT word, n, unk FROM wwalk WHERE pos = length(word)),
+       |  SELECT word, n, unk, pieces FROM wwalk
+       |  WHERE pos = length(word)),
        |wpnb AS MATERIALIZED (
        |  SELECT a.doc_id, COUNT(*)::BIGINT AS n_words,
        |    SUM(t.n)::BIGINT AS n_wp_tokens,
@@ -3219,6 +3244,26 @@ object PipelineQueries {
     // the persisted-model round trip must reproduce t37's encode exactly
     // (the t31/t32 posture)
     "t39_wordpiece_model_io" -> wordpieceEncodeOracle,
+    "t42_wordpiece_tokenize" ->
+      // positions from the RAW split array (the t26 convention); each
+      // word joined to its walked piece sequence, per-doc streams as
+      // flatten(list(pieces ORDER BY pos)) with [UNK] sentinels inline
+      s"""WITH RECURSIVE ${wordpieceOracleBody(WpRounds)},
+         |$wordpieceEncodeCtes,
+         |wdtok AS (
+         |  SELECT doc_id, i AS pos, toks[i] AS word
+         |  FROM (SELECT doc_id,
+         |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+         |          unnest(generate_series(1,
+         |            len(regexp_split_to_array(lower(trim(text)),
+         |                                      '\\s+')))) AS i
+         |        FROM documents WHERE text IS NOT NULL) t
+         |  WHERE toks[i] <> '')
+         |SELECT doc_id, SUM(len(t.pieces))::BIGINT AS n_tokens,
+         |  md5(array_to_string(flatten(list(t.pieces ORDER BY pos)), ' '))
+         |    AS tokens_md5
+         |FROM wdtok JOIN wtok t USING (word)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q40_cms_heavy_hitters" ->
       // the full CMS replayed: per-row polynomial bucket (the d13 fold —
       // ord codepoints through acc·base + c mod 2³¹−1, then mod width),

@@ -169,6 +169,61 @@ class WordpieceSpec extends SparkSpec {
     }
   }
 
+  test("kernel equals the reference encoder on 40 randomized " +
+    "vocabularies x 25 random probe words (the BPE property precedent)") {
+    // deterministic LCG — reproducible without Random's global state
+    var seed = 0x9E3779B97F4A7C15L
+    def nextInt(bound: Int): Int = {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (((seed >>> 33) % bound).toInt + bound) % bound
+    }
+    val alphabet = "abcdef"
+    def randWord(maxLen: Int): String =
+      (0 until (1 + nextInt(maxLen))).map(_ =>
+        alphabet(nextInt(alphabet.length))).mkString
+    (1 to 40).foreach { trial =>
+      // random vocab: all single-char forms for a SUBSET of the alphabet
+      // (so UNK genuinely fires), plus random multi-char pieces in both
+      // positional forms
+      val kept = alphabet.filter(_ => nextInt(4) > 0)
+      val vocab = scala.collection.mutable.Set.empty[String]
+      kept.foreach { c => vocab += c.toString; vocab += s"##$c" }
+      (0 until 12).foreach { _ =>
+        val p = randWord(4)
+        vocab += (if (nextInt(2) == 0) p else "##" + p)
+      }
+      val v = vocab.toSet
+      (1 to 25).foreach { _ =>
+        val w = randWord(8)
+        assert(Wordpiece.encodeWord(w, v) == referenceEncode(w, v),
+          s"trial $trial drift on '$w' under $v")
+      }
+    }
+  }
+
+  test("token streams: per-doc piece sequences equal a driver-side " +
+    "walk, [UNK] sentinels inline, counts never drift from streams") {
+    import org.apache.spark.sql.functions._
+    val model = Wordpiece.train(docs, numMerges = 10)
+    val docsOov = docs.union(Seq((4L, "hug zzz hugs")).toDF("doc_id", "text"))
+    val streams = Wordpiece.tokenStreams(docsOov, model)
+      .as[(Long, Seq[String])].collect().toMap
+    (corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) } :+
+      (4L, "hug zzz hugs")).foreach { case (id, text) =>
+      val exp = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .flatMap(w => Wordpiece.encodeWordPieces(w, model.vocab)).toSeq
+      assert(streams(id) == exp, s"stream drift on doc $id")
+    }
+    assert(streams(4L).contains(Wordpiece.UnkToken))
+    // the count path is DERIVED from the piece walk — pin it anyway
+    val counts = Wordpiece.encodeTokenCounts(docsOov, model)
+      .select(col("doc_id"), col("n_wp_tokens"))
+      .as[(Long, Long)].collect().toMap
+    streams.foreach { case (id, s) =>
+      assert(counts(id) == s.length.toLong, s"count/stream drift on $id")
+    }
+  }
+
   test("corpus encode rollup: totals and UNK counts per document") {
     val model = Wordpiece.train(docs, numMerges = 10)
     // doc 4 plants an unseen char ('z') and an unseen-initial word
