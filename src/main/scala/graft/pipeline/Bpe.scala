@@ -477,17 +477,28 @@ object Bpe {
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))))
       .filter(col("col") =!= "")
-    pos.join(dict, col("col") === col("word"), "left_outer")
-      .select(col(idCol), col("pos"),
-        when(col("syms").isNotNull, col("syms"))
-          .otherwise(oovSyms(col("col"))).as("syms"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("pos"), col("syms"))))
+    flattenOrdered(
+      pos.join(dict, col("col") === col("word"), "left_outer")
+        .select(col(idCol), col("pos"),
+          when(col("syms").isNotNull, col("syms"))
+            .otherwise(oovSyms(col("col"))).as("syms")),
+      idCol, "syms")
+  }
+
+  /** The ordered-flatten tail every tokenizer family's stream path
+    * shares — rows of (id, pos, seqCol: array<string>) to per-id
+    * in-order flattened `stream`. ONE copy of the idiom (used by this
+    * object's [[tokenStreams]] and [[Wordpiece.tokenStreams]]), so a
+    * sort_array edge-case fix cannot land in one family and miss
+    * another. */
+  private[pipeline] def flattenOrdered(rows: DataFrame, idCol: String,
+      seqCol: String): DataFrame =
+    rows.groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("pos"), col(seqCol))))
         .as("arr"))
       .select(col(idCol),
-        flatten(transform(col("arr"), x => x.getField("syms")))
+        flatten(transform(col("arr"), x => x.getField(seqCol)))
           .as("stream"))
-  }
 
   /** Persist a trained tokenizer as two parquet tables — the merge list
     * (rank, lhs, rhs, freq: KBs, broadcastable forever) and the encoded

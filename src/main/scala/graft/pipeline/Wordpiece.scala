@@ -248,13 +248,12 @@ object Wordpiece {
   }
 
   /** (token count, UNK?) of one word — derived from the piece walk so
-    * the count path and the stream path can never drift. */
+    * the count path and the stream path can never drift (the empty word
+    * falls out as (0, false) from the empty piece array — no second
+    * copy of that contract here). */
   def encodeWord(word: String, vocab: Set[String]): (Long, Boolean) = {
-    if (word.isEmpty) (0L, false)
-    else {
-      val p = encodeWordPieces(word, vocab)
-      (p.length.toLong, p.length == 1 && p(0) == UnkToken)
-    }
+    val p = encodeWordPieces(word, vocab)
+    (p.length.toLong, p.length == 1 && p(0) == UnkToken)
   }
 
   /** Per-document WordPiece token STREAMS — the training-shard product
@@ -277,13 +276,10 @@ object Wordpiece {
       pos.select(col("col").as("word")).distinct()
         .select(col("word"), piecesOf(col("word")).as("pieces")),
       dictBroadcastLimit)
-    pos.join(wordTable, col("col") === col("word"))
-      .groupBy(col(idCol))
-      .agg(sort_array(collect_list(struct(col("pos"), col("pieces"))))
-        .as("arr"))
-      .select(col(idCol),
-        flatten(transform(col("arr"), x => x.getField("pieces")))
-          .as("stream"))
+    Bpe.flattenOrdered(
+      pos.join(wordTable, col("col") === col("word"))
+        .select(col(idCol), col("pos"), col("pieces")),
+      idCol, "pieces")
   }
 
   /** Persist a trained tokenizer as two parquet tables — the merge list

@@ -2653,8 +2653,14 @@ object PipelineQueries {
     * the engine's 100-codepoint bound) = one `[UNK]` token for the whole
     * word — → the per-doc rollup. */
   /** The wordpiece ENCODE CTE block (vocab map → greedy walk → per-doc
-    * rollup `wpnb`) — shared by the t37/t39/st16 oracle and t40's trio
-    * rollup. */
+    * rollup `wpnb`) — shared by the t37/t39/st16 oracle, t40's trio
+    * rollup and t42's stream assembly. The walk accumulates the PIECE
+    * list even though the count-only consumers discard it — a
+    * deliberate call: the per-step list append is bounded by word
+    * length (≤ ~8 on every oracle corpus, and structurally by the
+    * longest corpus word), and ONE walk definition for all five gates
+    * outweighs that micro-cost — a walk tweak cannot land in the count
+    * replay and miss the stream replay. */
   private lazy val wordpieceEncodeCtes: String = {
     val vocabRows = (1 to WpRounds).map(k => s"SELECT mg FROM wb$k")
       .mkString(" UNION ALL ")

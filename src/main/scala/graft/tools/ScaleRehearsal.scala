@@ -291,6 +291,16 @@ object ScaleRehearsal {
         f"${(System.nanoTime() - t0) / 1e9}%.1fs " +
         f"wpTokens=${agg.getLong(0)} unkWords=${agg.getLong(1)}")
     }
+    // the STREAM surface (t42's shape): the per-doc ordered flatten is
+    // the heaviest per-doc step in the family — must stay corpus-linear
+    Seq(1, 4).foreach { mult =>
+      val docs = corpusBy(mult)
+      val t0 = System.nanoTime()
+      val n = graft.pipeline.Wordpiece.tokenStreams(docs, model)
+        .agg(sum(size(col("stream")))).head().getLong(0)
+      println(f"[rehearsal] wordpiece tokenStreams x$mult: " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs streamTokens=$n")
+    }
   }
 
   /** t38's window-vs-map-side probe: the exact per-language NTILE (one
