@@ -77,17 +77,28 @@ object Sketches {
   /** Point estimates for a set of keys: `min_j grid[j][h_j(key)]` — the
     * grid (≤ d×w rows by construction) broadcasts unconditionally, the
     * key side never shuffles. A key the corpus never produced can miss
-    * every bucket; COALESCE(…, 0) keeps the estimate total. */
+    * every bucket; COALESCE(…, 0) keeps the estimate total.
+    *
+    * The probe/grid plumbing columns live in a reserved `_cms_*`
+    * namespace so caller columns named `j`/`bucket`/`cnt` cannot collide
+    * with the join keys or be mis-grouped; `_cms_*` caller columns are
+    * rejected up front rather than silently shadowed. */
   def cmsEstimate(cms: DataFrame, keys: DataFrame,
       keyCol: String = "word"): DataFrame = {
+    require(!keys.columns.exists(_.startsWith("_cms_")),
+      "keys frame uses the reserved _cms_ column namespace")
+    val grid = cms.select(col("j").as("_cms_j"),
+      col("bucket").as("_cms_bucket"), col("cnt").as("_cms_cnt"))
     val probes = keys.select(col("*"),
       explode(array((0 until CmsDepth).map(j =>
-        struct(lit(j).as("j"), cmsBucket(col(keyCol), j).as("bucket"))): _*))
-        .as("jb"))
-      .select(col("*"), col("jb.j").as("j"), col("jb.bucket").as("bucket"))
-      .drop("jb")
-    probes.join(broadcast(cms), Seq("j", "bucket"), "left_outer")
+        struct(lit(j).as("_cms_j"),
+          cmsBucket(col(keyCol), j).as("_cms_bucket"))): _*))
+        .as("_cms_jb"))
+      .select(col("*"), col("_cms_jb._cms_j").as("_cms_j"),
+        col("_cms_jb._cms_bucket").as("_cms_bucket"))
+      .drop("_cms_jb")
+    probes.join(broadcast(grid), Seq("_cms_j", "_cms_bucket"), "left_outer")
       .groupBy(keys.columns.map(col): _*)
-      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_cnt"))
+      .agg(min(coalesce(col("_cms_cnt"), lit(0L))).as("est_cnt"))
   }
 }

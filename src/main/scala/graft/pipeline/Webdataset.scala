@@ -32,9 +32,18 @@ import org.apache.spark.util.SerializableConfiguration
   */
 object Webdataset {
 
-  /** Default zero-padded sample key — wide enough for any int64 id to
-    * sort lexicographically in id order. */
+  /** Default zero-padded sample key — wide enough for any NON-NEGATIVE
+    * int64 id to sort lexicographically in id order (a negative id would
+    * render as `-0…42` and break both the zero padding and the
+    * lexicographic-equals-id claim; [[writeTarShards]] rejects them). */
   val KeyFormat = "%020d"
+
+  /** Completeness marker written by the driver AFTER every shard has
+    * published — the standard Hadoop-output convention. A directory of
+    * valid-looking `shard-*.tar` files without it is a partial output
+    * from a failed job (per-shard publish is atomic, job-level
+    * completeness is not), and [[readTarShards]] refuses it by default. */
+  val SuccessMarker = "_SUCCESS"
 
   /** Write one tar per shard under `outDir` (`shard-NNNNNN.tar`).
     * `filesCol` maps extension → raw bytes for each sample; `idCol` is
@@ -52,6 +61,15 @@ object Webdataset {
       idCol: String = "doc_id", filesCol: String = "files"): Unit = {
     require(nShards >= 1, "need a positive shard count")
     val spark = df.sparkSession
+    // the [[KeyFormat]] contract: negative ids break zero-padded
+    // lexicographic ordering, so fail the JOB (one cheap scan) rather
+    // than ship shards whose in-tar order silently disagrees with id
+    // order. A million-shard corpus pays one aggregate over a column it
+    // is about to shuffle anyway.
+    val negatives = df.filter(col(idCol) < 0).limit(1).count()
+    require(negatives == 0L,
+      s"writeTarShards requires non-negative $idCol values " +
+        "(zero-padded keys must sort in id order)")
     val conf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val root = new Path(outDir)
@@ -128,6 +146,11 @@ object Webdataset {
         } catch { case t: Throwable => abort(); throw t }
       }
     fs.delete(new Path(root, "_tmp"), true)
+    // job-level completeness marker: per-shard publish is atomic but a
+    // job that dies partway leaves a directory of valid final tars with
+    // no way to tell partial from complete — the driver-side marker
+    // (written only after foreachPartition returns) closes that window
+    fs.create(new Path(root, SuccessMarker), true).close()
   }
 
   /** Read a shard directory back as one row per PART:
@@ -135,13 +158,22 @@ object Webdataset {
     * tar streams incrementally off the filesystem (one entry's bytes
     * resident at a time — never the shard). The extension is everything
     * past the FIRST dot of the basename (the WebDataset rule, so
-    * `key.seg.json` parts keep their compound extension). */
-  def readTarShards(spark: SparkSession, dir: String): DataFrame = {
+    * `key.seg.json` parts keep their compound extension); the basename
+    * is everything past the last '/', so externally-written tars with
+    * `./`- or directory-prefixed entry names still yield clean keys.
+    * `requireSuccess` (default on) demands the [[SuccessMarker]] so a
+    * partial output from a died writer job cannot be read as complete —
+    * pass false only for tars produced by other tools. */
+  def readTarShards(spark: SparkSession, dir: String,
+      requireSuccess: Boolean = true): DataFrame = {
     import spark.implicits._
     val conf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
+    require(!requireSuccess || fs.exists(new Path(root, SuccessMarker)),
+      s"$dir has no $SuccessMarker marker — the writer job did not " +
+        "complete (pass requireSuccess=false for externally-written tars)")
     val paths = fs.listStatus(root).map(_.getPath)
       .filter(p => p.getName.endsWith(".tar") &&
         !p.getName.startsWith(".") && !p.getName.startsWith("_"))
@@ -182,10 +214,14 @@ object Webdataset {
               require(n >= 0, s"truncated tar entry: $name")
               off += n
             }
-            val dot = name.indexOf('.')
+            // basename first (wild tars carry './' or nested dirs in
+            // entry names — a dot inside the directory part must not
+            // truncate the key), THEN the first-dot WebDataset split
+            val base = name.substring(name.lastIndexOf('/') + 1)
+            val dot = base.indexOf('.')
             val (key, ext) =
-              if (dot < 0) (name, "") else (name.substring(0, dot),
-                name.substring(dot + 1))
+              if (dot < 0) (base, "") else (base.substring(0, dot),
+                base.substring(dot + 1))
             entry = advance()
             (path.getName, key, ext, buf)
           }

@@ -8,14 +8,23 @@ import graft.SparkSpec
 class WordpieceSpec extends SparkSpec {
   import spark.implicits._
 
+  /** CODEPOINT split — the engine (Spark `split("")`) walks codepoints,
+    * so the reference must too or an astral-plane word would seed lone
+    * surrogates as symbols and hide real drift. */
+  private def codepoints(w: String): Vector[String] =
+    w.codePoints().toArray.toVector
+      .map(cp => new String(Character.toChars(cp)))
+
   /** Plain single-threaded WordPiece trainer (the HF `tokenizers` trainer
     * semantics: merge the pair maximizing count/(count(l)·count(r)), ties
-    * on (lhs, rhs)) — the independent oracle the distributed trainer must
-    * match merge-for-merge. */
+    * on (lhs, rhs) in UTF-8 byte order — the engine's `Bpe.cmpUtf8`, NOT
+    * Scala's UTF-16 String ordering, which disagrees on astral chars) —
+    * the independent oracle the distributed trainer must match
+    * merge-for-merge. */
   private def referenceTrain(wordCounts: Map[String, Long], numMerges: Int)
       : (Seq[(String, String, Long)], Set[String]) = {
     def initial(w: String): Vector[String] =
-      w.map(_.toString).toVector.zipWithIndex
+      codepoints(w).zipWithIndex
         .map { case (c, i) => if (i == 0) c else "##" + c }
     var vocabWords: Map[String, (Long, Vector[String])] =
       wordCounts.map { case (w, c) => w -> (c, initial(w)) }
@@ -36,11 +45,23 @@ class WordpieceSpec extends SparkSpec {
       }
       if (pairs.isEmpty) done = true
       else {
-        // argmax on the IEEE double score, ties broken (lhs, rhs) ASC —
-        // exactly the engine's (score DESC, lhs, rhs) total order
-        val ((l, r), c) = pairs.minBy { case ((a, b), n) =>
-          (-(n.toDouble / (syms(a).toDouble * syms(b).toDouble)), a, b)
+        // argmax on the IEEE double score, ties broken (lhs, rhs) ASC in
+        // UTF-8 byte order — exactly the engine's (score DESC, lhs, rhs)
+        // total order; an explicit fold because minBy can't carry cmpUtf8
+        var bl: String = null; var br: String = null
+        var bc = 0L; var bs = Double.NegativeInfinity
+        pairs.foreach { case ((a, b), n) =>
+          val sc = n.toDouble / (syms(a).toDouble * syms(b).toDouble)
+          val wins =
+            if (bl == null) true
+            else if (sc != bs) sc > bs
+            else {
+              val cl = Bpe.cmpUtf8(a, bl)
+              cl < 0 || (cl == 0 && Bpe.cmpUtf8(b, br) < 0)
+            }
+          if (wins) { bl = a; br = b; bc = n; bs = sc }
         }
+        val (l, r, c) = (bl, br, bc)
         merges += ((l, r, c))
         val merged = l + (if (r.startsWith("##")) r.substring(2) else r)
         pieces += merged
@@ -60,17 +81,21 @@ class WordpieceSpec extends SparkSpec {
     (merges.result(), pieces.toSet)
   }
 
-  /** Reference greedy longest-match segmentation. */
+  /** Reference greedy longest-match segmentation — positions and the
+    * [[Wordpiece.MaxInputChars]] bound in CODEPOINTS (the engine's
+    * contract), so astral-plane words exercise the same boundaries the
+    * engine's surrogate-safe walk does. */
   private def referenceEncode(w: String, vocab: Set[String])
       : (Long, Boolean) = {
     if (w.isEmpty) return (0L, false)
-    if (w.length > Wordpiece.MaxInputChars) return (1L, true)
+    val cps = codepoints(w)
+    if (cps.length > Wordpiece.MaxInputChars) return (1L, true)
     var pos = 0
     var n = 0L
-    while (pos < w.length) {
-      val hit = (w.length to (pos + 1) by -1)
+    while (pos < cps.length) {
+      val hit = (cps.length to (pos + 1) by -1)
         .find(e => vocab.contains(
-          (if (pos == 0) "" else "##") + w.substring(pos, e)))
+          (if (pos == 0) "" else "##") + cps.slice(pos, e).mkString))
       hit match {
         case None => return (1L, true)
         case Some(e) => n += 1; pos = e
@@ -79,11 +104,14 @@ class WordpieceSpec extends SparkSpec {
     (n, false)
   }
 
+  // the last line plants astral-plane words (𝄞 = U+1D11E, two UTF-16
+  // units): the trainer must split them into codepoint symbols (never
+  // lone surrogates) and the tie-break must stay UTF-8-ordered
   private val corpus = Seq(
     "hugs hug hugging pug pugs",
     "hug hug hugs bug bugs bun",
     "hugging pugs bun gun gunning",
-    "bug bun hug pug gun hugs")
+    "bug bun hug pug gun hugs 𝄞ug 𝄞ug 𝄞ugs")
 
   private lazy val docs = corpus.zipWithIndex
     .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
@@ -147,7 +175,7 @@ class WordpieceSpec extends SparkSpec {
     "under the trained model, plus planted OOV") {
     val model = Wordpiece.train(docs, numMerges = 10)
     val words = corpus.flatMap(_.split("\\s+")).distinct ++
-      Seq("zebra", "gnu", "hugz", "snugging")
+      Seq("zebra", "gnu", "hugz", "snugging", "𝄞hug", "hug𝄞", "𠀀𠀁")
     words.foreach { w =>
       assert(Wordpiece.encodeWord(w, model.vocab) ==
         referenceEncode(w, model.vocab), s"kernel drift on '$w'")
@@ -177,7 +205,9 @@ class WordpieceSpec extends SparkSpec {
       seed = seed * 6364136223846793005L + 1442695040888963407L
       (((seed >>> 33) % bound).toInt + bound) % bound
     }
-    val alphabet = "abcdef"
+    // one astral member (😀 = U+1F600) so every trial exercises
+    // surrogate-pair boundaries in both kernel and reference
+    val alphabet = Vector("a", "b", "c", "d", "😀", "f")
     def randWord(maxLen: Int): String =
       (0 until (1 + nextInt(maxLen))).map(_ =>
         alphabet(nextInt(alphabet.length))).mkString
@@ -187,7 +217,7 @@ class WordpieceSpec extends SparkSpec {
       // positional forms
       val kept = alphabet.filter(_ => nextInt(4) > 0)
       val vocab = scala.collection.mutable.Set.empty[String]
-      kept.foreach { c => vocab += c.toString; vocab += s"##$c" }
+      kept.foreach { c => vocab += c; vocab += s"##$c" }
       (0 until 12).foreach { _ =>
         val p = randWord(4)
         vocab += (if (nextInt(2) == 0) p else "##" + p)
