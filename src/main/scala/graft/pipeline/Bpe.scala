@@ -230,13 +230,25 @@ object Bpe {
     * round stays vocabulary-sized, never corpus-sized. */
   def train(docs: DataFrame, numMerges: Int,
       textCol: String = "text", maxBatch: Int = 64): Model = {
-    val spark = docs.sparkSession
+    // chars: split("", -1) appends one trailing empty string — drop it
+    trainWords(wordCounts(docs, textCol)
+        .withColumn("syms", filter(split(col("word"), ""), c => c =!= "")),
+      numMerges, maxBatch)
+  }
+
+  /** The symbolization-agnostic trainer body: `words0` is the distinct
+    * word table already carrying its INITIAL symbol sequence (`word`,
+    * `cnt`, `syms`) — codepoints for [[train]], hex byte pairs for
+    * [[ByteBpe.train]]. Everything below the symbolization (pair counts,
+    * batched argmax, merge application, checkpoint cadence) is identical
+    * between the two families by construction — one copy, so a batching
+    * fix cannot land char-side and miss the byte side. */
+  private[pipeline] def trainWords(words0: DataFrame, numMerges: Int,
+      maxBatch: Int): Model = {
+    val spark = words0.sparkSession
     require(numMerges >= 1, "need at least one merge")
     require(maxBatch >= 1, "need a positive merge batch bound")
-    // chars: split("", -1) appends one trailing empty string — drop it
-    var words = wordCounts(docs, textCol)
-      .withColumn("syms", filter(split(col("word"), ""), c => c =!= ""))
-      .localCheckpoint(true)
+    var words = words0.localCheckpoint(true)
     // vocabulary-proportional parallelism: the distinct-word table is
     // tiny next to the corpus (tens of rows here, ~10⁷ at web scale), so
     // per-round stages on the session's full shuffle width would be pure
@@ -401,6 +413,15 @@ object Bpe {
       buf += new String(Character.toChars(cp))
       ci += Character.charCount(cp)
     }
+    greedyMergeLoop(buf, ranks)
+  }
+
+  /** The rank-priority merge loop shared by [[encodeWordGreedy]] and
+    * [[ByteBpe.encodeWordGreedy]] — only the initial symbolization
+    * differs between the families. Mutates and drains `buf`. */
+  private[pipeline] def greedyMergeLoop(
+      buf: scala.collection.mutable.ArrayBuffer[String],
+      ranks: collection.Map[(String, String), Int]): Array[String] = {
     var more = buf.length >= 2
     while (more) {
       var bestRank = Int.MaxValue
@@ -437,14 +458,26 @@ object Bpe {
     * ([[graft.streaming.EventStreams.tokenizeStream]]) semantics. */
   def encodeTokenCounts(docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text",
-      dictBroadcastLimit: Long = DictBroadcastLimit): DataFrame = {
+      dictBroadcastLimit: Long = DictBroadcastLimit): DataFrame =
+    encodeTokenCountsWith(docs, model, idCol, textCol, dictBroadcastLimit,
+      encodeWordGreedy, "n_bpe_tokens")
+
+  /** The kernel-agnostic count-encode body shared with
+    * [[ByteBpe.encodeTokenCounts]] — the two families differ only in the
+    * OOV symbolization (codepoints vs UTF-8 bytes) and the output column
+    * name; the join shape, broadcast guard and totality contract are one
+    * copy. */
+  private[pipeline] def encodeTokenCountsWith(docs: DataFrame, model: Model,
+      idCol: String, textCol: String, dictBroadcastLimit: Long,
+      kernel: (String, collection.Map[(String, String), Int]) => Array[String],
+      outCol: String): DataFrame = {
     val spark = docs.sparkSession
     val dict = guardedDict(
       model.vocab.select(col("word"),
         size(col("syms")).cast("long").as("n_sub")),
       dictBroadcastLimit)
     val bc = spark.sparkContext.broadcast(rankMap(model.merges))
-    val oovLen = udf((w: String) => encodeWordGreedy(w, bc.value).length.toLong)
+    val oovLen = udf((w: String) => kernel(w, bc.value).length.toLong)
     val toks = docs.filter(col(textCol).isNotNull)
       .select(col(idCol), explode(TextAnalysis.tokens(col(textCol))).as("word"))
       .filter(col("word") =!= "")
@@ -453,7 +486,7 @@ object Bpe {
         when(col("n_sub").isNotNull, col("n_sub"))
           .otherwise(oovLen(col("word"))).as("n_sub"))
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe_tokens"))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as(outCol))
   }
 
   /** Per-document BPE token STREAMS — the actual training-shard product
@@ -467,12 +500,21 @@ object Bpe {
     * the stream is total (the [[encodeTokenCounts]] contract). */
   def tokenStreams(docs: DataFrame, model: Model,
       idCol: String = "doc_id", textCol: String = "text",
-      dictBroadcastLimit: Long = DictBroadcastLimit): DataFrame = {
+      dictBroadcastLimit: Long = DictBroadcastLimit): DataFrame =
+    tokenStreamsWith(docs, model, idCol, textCol, dictBroadcastLimit,
+      encodeWordGreedy)
+
+  /** Kernel-agnostic stream-encode body (the [[encodeTokenCountsWith]]
+    * factoring, stream side) shared with [[ByteBpe.tokenStreams]]. */
+  private[pipeline] def tokenStreamsWith(docs: DataFrame, model: Model,
+      idCol: String, textCol: String, dictBroadcastLimit: Long,
+      kernel: (String, collection.Map[(String, String), Int]) => Array[String])
+      : DataFrame = {
     val spark = docs.sparkSession
     val dict = guardedDict(model.vocab.select(col("word"), col("syms")),
       dictBroadcastLimit)
     val bc = spark.sparkContext.broadcast(rankMap(model.merges))
-    val oovSyms = udf((w: String) => encodeWordGreedy(w, bc.value).toSeq)
+    val oovSyms = udf((w: String) => kernel(w, bc.value).toSeq)
     val pos = docs.filter(col(textCol).isNotNull)
       .select(col(idCol),
         posexplode(TextAnalysis.tokens(col(textCol))))

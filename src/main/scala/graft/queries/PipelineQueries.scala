@@ -49,7 +49,7 @@ object PipelineQueries {
       m.keysIterator.filter(_._1.sparkContext.isStopped).foreach(m.remove)
     sweep(residentPairs); sweep(residentSpans); sweep(residentBpe)
     sweep(residentBpeDeep); sweep(residentUnigram); sweep(residentUnigramNoQ)
-    sweep(residentWordpiece)
+    sweep(residentWordpiece); sweep(residentByteBpe)
   }
 
   /** Unpersist and forget every resident pair frame — callers that sweep
@@ -82,6 +82,8 @@ object PipelineQueries {
     residentBpe.clear()
     residentBpeDeep.values.foreach(dropVocab)
     residentBpeDeep.clear()
+    residentByteBpe.values.foreach(dropVocab)
+    residentByteBpe.clear()
   }
 
   /** d16 (span statistics) and d18 (span application) are two gates over
@@ -229,6 +231,73 @@ object PipelineQueries {
       require(m.merges.size == BpeRounds,
         s"BPE corpus at $d exhausted pairs after ${m.merges.size} of " +
           s"$BpeRounds merges — lower BpeRounds or widen the corpus")
+      m
+    })
+  }
+
+  /** Merge depth for the byte-level BPE gates (t43/t44) — byte pairs are
+    * denser than char pairs (every multi-byte codepoint contributes
+    * intra-codepoint pairs), so t16's depth is safe here too. */
+  private val ByteBpeRounds = 20
+
+  /** Planted multi-script TRAIN rows for the byte-BPE corpus: the
+    * synthetic testdata is pure ASCII, where byte-level and char-level
+    * BPE coincide symbol-for-symbol — these rows (2-byte Latin-1/
+    * Cyrillic, 3-byte CJK, 4-byte astral emoji) force genuinely
+    * multi-byte merges so the gates exercise what makes the family
+    * distinct. All-lowercase by construction: the corpus tokenization
+    * lowercases, and keeping the planted text fixed under `lower` keeps
+    * the one cross-engine case-folding seam out of the gate. One shared
+    * constant drives BOTH the Spark frame and the oracle's UNION ALL
+    * literals, so the two sides cannot drift. */
+  private[graft] val byteTrainPlanted: Seq[(Long, String)] = Seq(
+    1000001L -> "привет мир привет мир привет",
+    1000002L -> "日本語 処理 日本語 処理 日本語",
+    1000003L -> "café naïve café naïve café",
+    1000004L -> "😀😀 😀ok 😀😀 données")
+
+  /** Planted OOV rows for t44 — scripts (Greek, Hangul, astral CJK-B and
+    * music notation) absent from the WHOLE training corpus, so every one
+    * of these words rides the greedy byte kernel's fall-through, and the
+    * gate proves the family's UNK-free totality: novel scripts encode as
+    * byte-granular tokens, never a failure. */
+  private[graft] val byteOovPlanted: Seq[(Long, String)] = Seq(
+    2000001L -> "αβγδ εζη αβγδ",
+    2000002L -> "한국어 형태소 한국어",
+    2000003L -> "𠀀𠀁 𝄞𝄢 mixedé😀")
+
+  private def plantedDf(spark: SparkSession,
+      rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def plantedSql(rows: Seq[(Long, String)]): String =
+    rows.map { case (id, t) =>
+      s"SELECT ${id}::BIGINT AS doc_id, '$t' AS text"
+    }.mkString("\n  UNION ALL ")
+
+  /** The byte-BPE TRAIN corpus: documents plus the multi-script rows. */
+  private def byteCorpus(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .unionAll(plantedDf(spark, byteTrainPlanted))
+
+  private val byteCorpusSql: String =
+    s"""(SELECT doc_id, text FROM documents
+       |  UNION ALL ${plantedSql(byteTrainPlanted)})""".stripMargin
+
+  private val residentByteBpe = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), graft.pipeline.Bpe.Model]
+
+  private[graft] def byteBpeShared(spark: SparkSession, d: String)
+      : graft.pipeline.Bpe.Model = {
+    sweepStoppedSessions()
+    residentByteBpe.getOrElseUpdate((spark, d), {
+      val m = graft.pipeline.ByteBpe
+        .train(byteCorpus(spark, d), ByteBpeRounds)
+      require(m.merges.size == ByteBpeRounds,
+        s"byte-BPE corpus at $d exhausted pairs after ${m.merges.size} " +
+          s"of $ByteBpeRounds merges — lower ByteBpeRounds")
       m
     })
   }
@@ -1132,6 +1201,37 @@ object PipelineQueries {
     import spark.implicits._
     graft.pipeline.Bpe.encodeTokenCounts(
         Tables.documents(spark, d), bpeShared(spark, d))
+      .orderBy($"doc_id")
+  }
+
+  /** t43 — BYTE-level BPE training ([[graft.pipeline.ByteBpe.train]],
+    * the GPT-2/tiktoken family: Sennrich BPE over UTF-8 bytes as
+    * uppercase hex-pair symbols) on documents plus the planted
+    * multi-script rows, so genuinely multi-byte merges participate. The
+    * oracle unrolls all [[ByteBpeRounds]] rounds over
+    * `regexp_extract_all(hex(encode(word)), '..')` — the byte chain is
+    * the t16 CTE machinery with the byte symbolization swapped in (one
+    * parameter, not a second copy). */
+  def t43ByteBpeTrain(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.Bpe.mergeTable(spark, byteBpeShared(spark, d))
+      .orderBy($"rank")
+  }
+
+  /** t44 — byte-BPE encoding with planted NOVEL-SCRIPT documents: the
+    * t43 model encodes the training corpus plus [[byteOovPlanted]]
+    * (Greek/Hangul/astral words training never saw), so both legs run —
+    * the guarded dictionary join for known words, the greedy byte kernel
+    * fall-through for the novel tail — and the gate proves the family's
+    * structural totality: NO UNK anywhere, a novel script costs
+    * byte-granular tokens. The oracle replays the byte train chain →
+    * dictionary for known words and the recursive greedy loop (lowest
+    * rank first, leftmost on ties) over byte symbols for the rest. */
+  def t44ByteBpeEncode(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.ByteBpe.encodeTokenCounts(
+        byteCorpus(spark, d).unionAll(plantedDf(spark, byteOovPlanted)),
+        byteBpeShared(spark, d))
       .orderBy($"doc_id")
   }
 
@@ -2250,6 +2350,8 @@ object PipelineQueries {
     "q35_pipeline_pack" -> (q35PipelinePack _),
     "t16_bpe_train" -> (t16BpeTrain _),
     "t17_bpe_encode" -> (t17BpeEncode _),
+    "t43_bytebpe_train" -> (t43ByteBpeTrain _),
+    "t44_bytebpe_encode" -> (t44ByteBpeEncode _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -2312,12 +2414,12 @@ object PipelineQueries {
     * chosen pair is CROSS JOINed in (single row) because DuckDB lambdas
     * cannot hold subqueries. */
   private def bpeOracleBody(rounds: Int,
-      src: String = "documents"): String = {
+      src: String = "documents",
+      seqExpr: String = CharSeqSql): String = {
     val w0 =
       s"""w0 AS MATERIALIZED (
          |  SELECT word, COUNT(*)::BIGINT AS cnt,
-         |    list_transform(generate_series(1, length(word)),
-         |                   i -> word[i]) AS seq
+         |    $seqExpr AS seq
          |  FROM (SELECT unnest(regexp_split_to_array(lower(trim(text)),
          |                                            '\\s+')) AS word
          |        FROM $src WHERE text IS NOT NULL) t
@@ -2348,6 +2450,19 @@ object PipelineQueries {
 
   private def bpeOracleChain(rounds: Int): String =
     "WITH RECURSIVE " + bpeOracleBody(rounds)
+
+  /** The char-level initial symbolization (codepoint list) — the default
+    * `seq` both [[bpeOracleBody]] and [[bpeGreedyCtes]] share. */
+  private val CharSeqSql =
+    "list_transform(generate_series(1, length(word)), i -> word[i])"
+
+  /** The BYTE-level initial symbolization — one uppercase hex pair per
+    * UTF-8 byte, DuckDB's exact replay of
+    * [[graft.pipeline.ByteBpe.byteSyms]] (`hex(encode(word))` matches
+    * Spark's `hex(encode(word,'UTF-8'))` byte for byte, verified on
+    * multi-script probes). */
+  private val ByteSeqSql =
+    "regexp_extract_all(hex(encode(word)), '..')"
 
   /** The t21/t22 oracle's shared CTE chain: unigram-LM hard-EM unrolled
     * to [[UmIters]] rounds. `uw` is the distinct-word table; `usub`/`uv0`
@@ -2813,7 +2928,8 @@ object PipelineQueries {
     * (leftmost on position ties — the struct sort's second field) until
     * none applies: exactly [[graft.pipeline.Bpe.encodeWordGreedy]].
     * Expects an `ow(word)` CTE of the distinct OOV words. */
-  private def bpeGreedyCtes(rounds: Int): String = {
+  private def bpeGreedyCtes(rounds: Int,
+      seqExpr: String = CharSeqSql): String = {
     val rankRows = (1 to rounds).map { k =>
       if (k == 1) "SELECT 1 AS rank, l, r FROM b1"
       else s"SELECT $k, l, r FROM b$k"
@@ -2825,8 +2941,7 @@ object PipelineQueries {
        |    FROM ($rankRows)
        |    GROUP BY 1)),
        |gre(word, seq, done) AS (
-       |  SELECT word, list_transform(generate_series(1, length(word)),
-       |                              i -> word[i]), FALSE
+       |  SELECT word, $seqExpr, FALSE
        |  FROM ow
        |  UNION ALL
        |  SELECT word,
@@ -2868,6 +2983,58 @@ object PipelineQueries {
        |    USING (word))
        |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
        |  SUM(n_sub)::BIGINT AS n_bpe_tokens
+       |FROM leg GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** The t44 encode corpus: the byte TRAIN corpus plus the novel-script
+    * rows. */
+  private val byteEncodeCorpusSql: String =
+    s"""(SELECT doc_id, text FROM $byteCorpusSql
+       |  UNION ALL ${plantedSql(byteOovPlanted)})""".stripMargin
+
+  /** t43's oracle: the t16 unrolled-train machinery over the BYTE
+    * symbolization and the planted-multi-script corpus — same CTE
+    * generator, two parameters swapped. Hex symbols are ASCII, so the
+    * argmax tie-break's binary string order is plain lexicographic hex
+    * order on both engines. */
+  private lazy val byteBpeTrainOracle: String = {
+    val rows = (1 to ByteBpeRounds).map { k =>
+      if (k == 1)
+        "SELECT 1::BIGINT AS rank, l AS lhs, r AS rhs, c AS freq FROM b1"
+      else s"SELECT $k::BIGINT, l, r, c FROM b$k"
+    }.mkString("\nUNION ALL ")
+    s"""WITH RECURSIVE ${
+        bpeOracleBody(ByteBpeRounds, byteCorpusSql, ByteSeqSql)}
+       |SELECT * FROM (
+       |$rows
+       |) ORDER BY rank""".stripMargin
+  }
+
+  /** t44's oracle — the t29 two-leg replay in the byte domain: the byte
+    * train chain feeds the dictionary leg, the greedy recursive loop
+    * (over byte symbols) the novel-script leg. */
+  private lazy val byteBpeOovEncodeOracle: String =
+    s"""WITH RECURSIVE ${
+        bpeOracleBody(ByteBpeRounds, byteCorpusSql, ByteSeqSql)},
+       |tw AS MATERIALIZED (
+       |  SELECT doc_id, word FROM (
+       |    SELECT doc_id,
+       |      unnest(regexp_split_to_array(lower(trim(text)), '\\s+'))
+       |        AS word
+       |    FROM $byteEncodeCorpusSql WHERE text IS NOT NULL)
+       |  WHERE word <> ''),
+       |ow AS MATERIALIZED (
+       |  SELECT DISTINCT word FROM tw
+       |  WHERE word NOT IN (SELECT word FROM w$ByteBpeRounds)),
+       |${bpeGreedyCtes(ByteBpeRounds, ByteSeqSql)},
+       |leg AS (
+       |  SELECT t.doc_id, len(w.seq)::BIGINT AS n_sub
+       |  FROM tw t JOIN w$ByteBpeRounds w USING (word)
+       |  UNION ALL
+       |  SELECT t.doc_id, len(g.seq)::BIGINT
+       |  FROM tw t JOIN (SELECT word, seq FROM gre WHERE done) g
+       |    USING (word))
+       |SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+       |  SUM(n_sub)::BIGINT AS n_bytebpe_tokens
        |FROM leg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** t30's train predicate — the alphabet-gap corpus (no letter 'q'),
@@ -3230,6 +3397,8 @@ object PipelineQueries {
         |  LEFT JOIN cleaned c ON d.doc_id = c.doc_id)
         |ORDER BY doc_id""".stripMargin,
     "t16_bpe_train" -> bpeTrainOracle,
+    "t43_bytebpe_train" -> byteBpeTrainOracle,
+    "t44_bytebpe_encode" -> byteBpeOovEncodeOracle,
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
     "q35_pipeline_pack" ->
       // the whole nightly job replayed: the SHARED Gopher metric
