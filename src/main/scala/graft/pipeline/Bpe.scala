@@ -116,7 +116,7 @@ object Bpe {
     * fast path compares through this ONE helper so none can drift from
     * the groupBy path's sort even if Spark's collation details move
     * (shared with [[Wordpiece.topScoredPairSinglePartition]]). */
-  private[pipeline] def cmpUtf8(a: String, b: String): Int =
+  private[graft] def cmpUtf8(a: String, b: String): Int =
     org.apache.spark.unsafe.types.UTF8String.fromString(a)
       .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
 

@@ -1235,6 +1235,52 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q41 — TOKEN-SHARD BINARY SINK round trip
+    * ([[graft.pipeline.TokenShards]], the Megatron `.bin`/`.idx` shape a
+    * training loader memory-maps): the t26 BPE token streams map to
+    * integer ids under the deterministic vocabulary numbering (symbols
+    * in UTF-8 byte order, 0-based — driver-sized by construction:
+    * alphabet + one symbol per merge, packed into ONE broadcast map
+    * row), are written as 8 hash-placed fixed-width binary shard pairs
+    * and read back through the seek-table reader. Per document: token
+    * count, id sum, md5 of the id sequence, and the shard the pair
+    * landed in — so a width, endianness, pointer, placement, ordering
+    * or truncation defect anywhere in the binary path breaks the hash.
+    * The oracle replays the merge chain → streams → the same sorted-rank
+    * numbering → the ShardWriter hash, never touching the files: the
+    * binary layout itself is pinned byte-level in TokenShardsSpec. */
+  def q41TokenShards(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val model = bpeShared(spark, d)
+    val streams = graft.pipeline.Bpe
+      .tokenStreams(Tables.documents(spark, d), model)
+    // vocabulary numbering: driver-sized symbol set, UTF-8-sorted
+    // (Bpe.cmpUtf8 — never Scala's UTF-16 String order), one broadcast
+    // single-row map (the Bpe.train constant-plan idiom)
+    val syms = model.vocab.select(explode($"syms").as("s")).distinct()
+      .as[String].collect()
+      .sortWith((a, b) => graft.pipeline.Bpe.cmpUtf8(a, b) < 0)
+    val mdf = spark.createDataFrame(Seq(
+        (syms.toSeq, syms.indices.map(_.toLong).toSeq)))
+      .toDF("_ks", "_vs")
+      .select(map_from_arrays($"_ks", $"_vs").as("_m"))
+    val withIds = streams.crossJoin(broadcast(mdf))
+      .select($"doc_id",
+        transform($"stream", s => element_at($"_m", s)).as("ids"))
+    val dir = graft.util.Scratch.dir("graft_token_shards")
+    graft.pipeline.TokenShards.write(withIds, dir, nShards = 8,
+      vocabSize = syms.length.toLong)
+    graft.pipeline.TokenShards.read(spark, dir)
+      .select($"doc_id",
+        regexp_extract($"shard_file", "shard-(\\d+)", 1).cast("long")
+          .as("shard"),
+        size($"ids").cast("long").as("n_tokens"),
+        aggregate($"ids", lit(0L), (a, x) => a + x).as("id_sum"),
+        md5(array_join(transform($"ids", x => x.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** d16 — exact-substring dedup ([[Dedup.exactSubstrSpans]], the Lee et
     * al. ACL'22 ExactSubstr removal operator, min duplicated length 40
     * chars): per document with any duplicated span, the maximal-span
@@ -2352,6 +2398,7 @@ object PipelineQueries {
     "t17_bpe_encode" -> (t17BpeEncode _),
     "t43_bytebpe_train" -> (t43ByteBpeTrain _),
     "t44_bytebpe_encode" -> (t44ByteBpeEncode _),
+    "q41_token_shards" -> (q41TokenShards _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -2895,6 +2942,20 @@ object PipelineQueries {
             else s"SELECT $k::BIGINT, l, r, c FROM b$k"
           }.mkString("\nUNION ALL ")}
        |) ORDER BY rank""".stripMargin
+
+  /** The positioned per-doc token CTE shared by t26 and q41 (streams
+    * need POSITIONS from the raw split array — i over toks, empties
+    * filtered after — so alignment survives empty-split artifacts). */
+  private val bpeDtokCte: String =
+    s"""dtok AS (
+       |  SELECT doc_id, i AS pos, toks[i] AS word
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+       |          unnest(generate_series(1,
+       |            len(regexp_split_to_array(lower(trim(text)),
+       |                                      '\\s+')))) AS i
+       |        FROM documents WHERE text IS NOT NULL) t
+       |  WHERE toks[i] <> '')""".stripMargin
 
   /** The t17/t18 shared tail: per-doc word + BPE-token counts under the
     * round-[[BpeRounds]] vocab. */
@@ -3644,20 +3705,40 @@ object PipelineQueries {
       // filtered AFTER), each word joined to its round-20 symbol
       // sequence, per-doc streams as flatten(list(seq ORDER BY pos))
       s"""${bpeOracleChain(BpeRounds)},
-         |dtok AS (
-         |  SELECT doc_id, i AS pos, toks[i] AS word
-         |  FROM (SELECT doc_id,
-         |          regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
-         |          unnest(generate_series(1,
-         |            len(regexp_split_to_array(lower(trim(text)),
-         |                                      '\\s+')))) AS i
-         |        FROM documents WHERE text IS NOT NULL) t
-         |  WHERE toks[i] <> '')
+         |$bpeDtokCte
          |SELECT doc_id, SUM(len(seq))::BIGINT AS n_tokens,
          |  md5(array_to_string(flatten(list(seq ORDER BY pos)), ' '))
          |    AS tokens_md5
          |FROM dtok JOIN w$BpeRounds w USING (word)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q41_token_shards" ->
+      // the t26 stream replay → sorted-rank vocabulary numbering (the
+      // one-row MAP idiom) → per-doc id rollups + the ShardWriter hash;
+      // the binary files themselves are byte-pinned in TokenShardsSpec,
+      // the oracle pins that the round trip preserved every id
+      s"""${bpeOracleChain(BpeRounds)},
+         |$bpeDtokCte,
+         |vmap AS MATERIALIZED (
+         |  SELECT MAP(list(s ORDER BY s), list(id ORDER BY s)) AS m
+         |  FROM (SELECT s, (ROW_NUMBER() OVER (ORDER BY s) - 1)::BIGINT
+         |            AS id
+         |        FROM (SELECT DISTINCT unnest(seq) AS s
+         |              FROM w$BpeRounds))),
+         |str AS (
+         |  SELECT doc_id, flatten(list(seq ORDER BY pos)) AS stream
+         |  FROM dtok JOIN w$BpeRounds w USING (word)
+         |  GROUP BY doc_id),
+         |tids AS (
+         |  SELECT doc_id, list_transform(stream, s -> m[s][1]) AS ids
+         |  FROM str CROSS JOIN vmap)
+         |SELECT doc_id,
+         |  ((doc_id * ${graft.pipeline.ShardWriter.HashMult})
+         |     % ${graft.pipeline.ShardWriter.HashPrime}) % 8 AS shard,
+         |  len(ids)::BIGINT AS n_tokens,
+         |  list_reduce(list_prepend(0::BIGINT, ids), (a, b) -> a + b)
+         |    AS id_sum,
+         |  md5(array_to_string(ids, ' ')) AS ids_md5
+         |FROM tids ORDER BY doc_id""".stripMargin,
     "t25_tokenizer_eval" ->
       // BOTH tokenizer chains in one statement: the t16 unrolled merges
       // (tok/nb per-doc BPE counts) + the t21 unrolled EM (umnb per-doc
