@@ -286,6 +286,42 @@ object PipelineQueries {
     s"""(SELECT doc_id, text FROM documents
        |  UNION ALL ${plantedSql(byteTrainPlanted)})""".stripMargin
 
+  /** Astral-plane planted rows for the POLYNOMIAL-HASH gate family
+    * (q40/t04/d13/t07 — the shared codepoint fold): the synthetic
+    * testdata is BMP-only, so a Spark-vs-DuckDB code-unit/codepoint
+    * divergence on astral chars would otherwise be invisible (t21
+    * proved that risk class real for the Viterbi path). Fifty identical
+    * docs so the planted content SURFACES in every top-k output: the
+    * astral word `😀𠀀` lands in q40's top-20 (1,000 occurrences), the
+    * shared windows put planted fingerprints above t07's top-100 cut
+    * (48 docs at the verify SF), and the identical chunks clear d13's
+    * n_copies ordering (max 37 before planting). All-lowercase; emoji
+    * U+1F600 (4-byte, surrogate pair), CJK-B U+20000/U+20001, musical
+    * U+1D11E. */
+  private[graft] val astralPlanted: Seq[(Long, String)] = {
+    val line = Seq.fill(20)("😀𠀀").mkString(" ") +
+      " 𝄞ok fast data value 𠀁"
+    (0 until 50).map(i => (3000001L + i) -> line)
+  }
+
+  /** The hash-family corpus: documents plus the astral rows — Spark
+    * frame and oracle subquery from ONE constant, the byteCorpus
+    * discipline. */
+  private def astralDocs(spark: SparkSession, d: String): DataFrame =
+    Tables.documents(spark, d).select(col("doc_id"), col("text"))
+      .unionAll(plantedDf(spark, astralPlanted))
+
+  private val astralDocsSql: String = {
+    // every planted row carries the same text by construction — the SQL
+    // side rides generate_series instead of 50 UNION ALL literals
+    require(astralPlanted.map(_._2).distinct.sizeIs == 1)
+    s"""(SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT (3000000 + i)::BIGINT AS doc_id,
+       |    '${astralPlanted.head._2}' AS text
+       |  FROM generate_series(1, ${astralPlanted.size}) s(i))""".stripMargin
+  }
+
   private val residentByteBpe = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), graft.pipeline.Bpe.Model]
 
@@ -415,8 +451,9 @@ object PipelineQueries {
     import spark.implicits._
     // non-null texts only: countDistinct skips a NULL norm but counts the
     // (non-null) xxhash64 of NULL, which would break the invariant — both
-    // sides of the oracle carry the same filter
-    Tables.documents(spark, d).filter($"text".isNotNull)
+    // sides of the oracle carry the same filter. Corpus = documents +
+    // the astral rows (the hash-family beyond-BMP posture).
+    astralDocs(spark, d).filter($"text".isNotNull)
       .select(TextAnalysis.fingerprint($"text").as("fp"),
         Dedup.normText($"text").as("norm"))
       .agg(count(lit(1)).as("n_docs"),
@@ -461,7 +498,7 @@ object PipelineQueries {
     * index shape. */
   def t07Winnowing(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Tables.documents(spark, d)
+    astralDocs(spark, d) // + astral rows: the hash-family posture
       .select($"doc_id",
         explode(TextAnalysis.winnowingFingerprints($"text")).as("fp"))
       .groupBy($"fp").agg(count(lit(1)).as("n_docs"))
@@ -769,7 +806,8 @@ object PipelineQueries {
     * value oracle. */
   def d13CdcDedup(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    Dedup.cdcDupChunks(Tables.documents(spark, d), 8, 64)
+    // + astral rows: the hash-family beyond-BMP posture
+    Dedup.cdcDupChunks(astralDocs(spark, d), 8, 64)
       .orderBy($"n_copies".desc, $"chunk_hash").limit(100)
   }
 
@@ -1521,7 +1559,10 @@ object PipelineQueries {
     * family, so DuckDB rebuilds the identical grid and estimates. */
   def q40CmsHeavyHitters(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, d)
+    // + astral rows: 1,000 planted `😀𠀀` occurrences put an astral
+    // word IN the probed top-20, so both the grid and the estimate leg
+    // hash beyond-BMP input on both engines
+    val docs = astralDocs(spark, d)
     val cms = graft.pipeline.Sketches.cmsBuild(docs)
     val toks = graft.pipeline.Sketches.wordOccurrences(docs)
     val top = toks.groupBy($"word").agg(count(lit(1)).as("exact_cnt"))
@@ -2689,12 +2730,12 @@ object PipelineQueries {
     * other's (the d20 factoring discipline). Constants mirror
     * [[graft.pipeline.Sketches]]: bases 257/131/193/31, modulus 2³¹−1,
     * width 1024. */
-  private[queries] lazy val cmsChainSql: String =
-    """tok AS MATERIALIZED (
+  private[queries] def cmsChainSqlFrom(src: String): String =
+    s"""tok AS MATERIALIZED (
       |  SELECT word FROM (
       |    SELECT unnest(regexp_split_to_array(lower(trim(text)),
-      |                                        '\s+')) AS word
-      |    FROM documents WHERE text IS NOT NULL) WHERE word <> ''),
+      |                                        '\\s+')) AS word
+      |    FROM $src WHERE text IS NOT NULL) WHERE word <> ''),
       |bases(j, b) AS (VALUES (0, 257), (1, 131), (2, 193), (3, 31)),
       |wh AS MATERIALIZED (
       |  SELECT w.word, b.j,
@@ -2703,6 +2744,9 @@ object PipelineQueries {
       |       for i in generate_series(1, length(word))]),
       |      (acc, c) -> (acc * b.b + c) % 2147483647) % 1024 AS bucket
       |  FROM (SELECT DISTINCT word FROM tok) w CROSS JOIN bases b)""".stripMargin
+
+  private[queries] lazy val cmsChainSql: String =
+    cmsChainSqlFrom("documents")
 
   /** The t23 KN-bigram chain through the per-position log-probs `s` —
     * shared by the t23 score oracle and t38's perplexity-bucket oracle
@@ -3504,7 +3548,7 @@ object PipelineQueries {
       // the full CMS replayed: per-row polynomial bucket (the d13 fold —
       // ord codepoints through acc·base + c mod 2³¹−1, then mod width),
       // the occurrence-weighted grid, the min-over-rows estimate
-      s"""WITH $cmsChainSql,
+      s"""WITH ${cmsChainSqlFrom(astralDocsSql)},
         |cms AS MATERIALIZED (
         |  SELECT h.j, h.bucket, SUM(e.c)::BIGINT AS cnt
         |  FROM (SELECT word, COUNT(*)::BIGINT AS c FROM tok
@@ -4549,8 +4593,8 @@ object PipelineQueries {
       // first element, unlike Spark's aggregate(zero, ...))
       // n = length of the LOWERED text: lowercasing can change codepoint
       // count (e.g. U+0130), and the kernel hashes the lowered string
-      """WITH d AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
-        |           FROM documents),
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
+        |           FROM $astralDocsSql),
         |cs AS (SELECT doc_id, n,
         |  [ord(substring(t, i, 1)) for i in generate_series(1, n)] AS codes
         |  FROM d),
@@ -4625,11 +4669,11 @@ object PipelineQueries {
     "t04_fingerprints" ->
       // the fingerprint side is Spark-hash-specific, but its INVARIANT is
       // exact: distinct fingerprints == distinct normalized texts → 1
-      """SELECT COUNT(*) AS n_docs,
-        |  COUNT(DISTINCT regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+      s"""SELECT COUNT(*) AS n_docs,
+        |  COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
         |    AS n_norm_texts,
         |  CAST(1 AS BIGINT) AS fp_integrity
-        |FROM documents WHERE text IS NOT NULL""".stripMargin,
+        |FROM $astralDocsSql WHERE text IS NOT NULL""".stripMargin,
     "t03_lang_id" ->
       // mirror of TextAnalysis.langIdOf: per-language stopword hit counts,
       // winner = max hits with lexicographically-greatest language tiebreak
@@ -4902,8 +4946,8 @@ object PipelineQueries {
       // polynomial identity hash per chunk (h1 base-257 mod 2^31-1,
       // h2 base-131 mod 1e9+7, packed h1*1000000007+h2 — all folds stay
       // in BIGINT). list_reduce folds from a prepended 0 (t07 convention)
-      """WITH d AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
-        |           FROM documents WHERE text IS NOT NULL),
+      s"""WITH d AS (SELECT doc_id, lower(text) AS t, length(lower(text)) AS n
+        |           FROM $astralDocsSql WHERE text IS NOT NULL),
         |cs AS (SELECT doc_id, n,
         |  [ord(substring(t, i, 1)) for i in generate_series(1, n)] AS codes
         |  FROM d WHERE n > 0),
