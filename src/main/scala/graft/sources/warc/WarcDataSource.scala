@@ -375,10 +375,20 @@ class WarcScan(paths: Seq[String], required: StructType,
   * segment files already processed (JSON array in the checkpoint).
   * Set-difference semantics make the source robust to arbitrary file
   * NAMES — a late segment that sorts before already-seen ones is still
-  * picked up — at the cost of an offset that grows with the file count
-  * (the FileStreamSource seen-map trade-off; a production drop directory
-  * rotates segments out, which bounds it). Files must be immutable once
-  * dropped — the crawl-segment contract. */
+  * picked up.
+  *
+  * The offset SELF-COMPACTS under rotation: [[WarcMicroBatchStream
+  * .latestOffset]] returns the CURRENT listing, so a processed segment
+  * deleted from the drop directory leaves the committed offset at the
+  * next trigger (an offset change with no new files commits as an empty
+  * micro-batch) — the checkpointed array is bounded by the LIVE
+  * directory size, never the all-time processed-file count
+  * (WarcStreamSpec's rotation/restart case pins both halves). The
+  * contracts that buy this: files are immutable once dropped (the
+  * crawl-segment convention), and a rotated-out NAME must not be reused
+  * — a same-named re-arrival after compaction is a new file and gets
+  * reprocessed. A never-rotating directory still grows the offset with
+  * the file count — inherent to set-difference over a live set. */
 case class WarcSourceOffset(files: Seq[String])
     extends org.apache.spark.sql.connector.read.streaming.Offset {
   override def json(): String = {

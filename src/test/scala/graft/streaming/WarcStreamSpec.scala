@@ -72,6 +72,50 @@ class WarcStreamSpec extends SparkSpec {
     assert(after2.toSet === Set(1L, 2L, 4L))
   }
 
+  test("offset COMPACTS on segment rotation: a processed file deleted " +
+    "from the drop directory leaves the checkpointed offset, new " +
+    "segments still arrive exactly once") {
+    val dir = Files.createTempDirectory("warc_rot").toString
+    val ckpt = Files.createTempDirectory("warc_rot_ckpt").toString
+    val out = Files.createTempDirectory("warc_rot_out").toString
+    writeSegment(dir, "seg-001.warc.gz", Seq(1L -> "alpha", 2L -> "beta"))
+
+    def runOnce(): Unit = {
+      val q = EventStreams
+        .contentDedupStream(EventStreams.warcCorpusDocStream(spark, dir))
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out).as[Long].collect().toSet === Set(1L, 2L))
+
+    // rotate: the processed segment leaves the directory while the
+    // stream is DOWN; a new segment arrives
+    Files.delete(Paths.get(dir, "seg-001.warc.gz"))
+    writeSegment(dir, "seg-002.warc.gz", Seq(3L -> "gamma"))
+    runOnce()
+    assert(spark.read.parquet(out).as[Long].collect().toSet ===
+      Set(1L, 2L, 3L), "rotation must not re-deliver or drop")
+
+    // the compaction assertion: the NEWEST committed offset is the
+    // current listing — the rotated-out segment's name is GONE from the
+    // checkpoint, so the offset is bounded by the live directory size,
+    // not by the all-time processed-file count
+    val offsetsDir = new java.io.File(ckpt, "offsets")
+    val newest = offsetsDir.listFiles()
+      .filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    val body = new String(Files.readAllBytes(newest.toPath), "UTF-8")
+    assert(body.contains("seg-002.warc.gz"),
+      "newest offset must carry the live segment")
+    assert(!body.contains("seg-001.warc.gz"),
+      "newest offset must have compacted the rotated-out segment")
+  }
+
   test("st15's batch leg through the connector equals contentKeepFirst " +
     "on the raw table (sf0.001)") {
     val viaWarc = graft.queries.StreamQueries
