@@ -440,9 +440,7 @@ object TextAnalysis {
     * symmetric with the SQL replay. */
   def lineDedup(docs: DataFrame, maxOccurrences: Long = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val lines = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol),
-        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val lines = explodeLines(docs, idCol, textCol)
     val droplist = lines.groupBy(col("line"))
       .agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") > maxOccurrences)
@@ -450,6 +448,23 @@ object TextAnalysis {
       // pinned: read by the broadcast-guard probe AND the join build —
       // without it the corpus explode + line count re-run per reader
       .localCheckpoint(true)
+    lineDedupTail(lines, droplist, idCol)
+  }
+
+  /** One row per (doc, position, line) — the explode both the recompute
+    * and the persisted-index paths share. */
+  private def explodeLines(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+
+  /** The shared rollup: join the boilerplate droplist (guarded
+    * broadcast), count kept/dropped, reassemble the clean text in line
+    * order — one copy so the recompute ([[lineDedup]]) and index
+    * ([[lineDedupAgainstIndex]]) paths cannot drift. */
+  private def lineDedupTail(lines: DataFrame, droplist: DataFrame,
+      idCol: String): DataFrame =
     lines.join(Bpe.guardedDict(droplist, Bpe.DictBroadcastLimit),
         Seq("line"), "left_outer")
       .groupBy(col(idCol))
@@ -462,6 +477,59 @@ object TextAnalysis {
       .select(col(idCol), col("n_kept"), col("n_dropped"),
         array_join(transform(col("arr"), x => x.getField("line")), "\n")
           .as("clean"))
+
+  /** Persist a corpus's LINE-OCCURRENCE INDEX — (line, n_occ) parquet
+    * plus the threshold in a meta row — the stored side of daily-crawl
+    * boilerplate removal (the d17 build-once/probe-many lifecycle, line
+    * domain): yesterday's corpus line counts persist; today's increment
+    * probes and appends without the corpus ever re-exploding. The
+    * threshold lives IN the index (the band-index meta discipline) so a
+    * probe cannot silently apply a different cutoff than the build. */
+  def writeLineIndex(docs: DataFrame, dir: String,
+      maxOccurrences: Long = 1, idCol: String = "doc_id",
+      textCol: String = "text"): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    explodeLines(docs, idCol, textCol)
+      .groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
+      .write.mode("overwrite").parquet(s"$dir/lines")
+    Seq(maxOccurrences).toDF("max_occurrences")
+      .write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  /** Admit an increment: append its line counts as NEW rows — the index
+    * is append-only partial counts, summed per line at probe time (a
+    * map-side-combined aggregation over index rows, never the corpus);
+    * rewrite via [[writeLineIndex]] on the unioned corpus to compact. */
+  def appendLineIndex(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    explodeLines(docs, idCol, textCol)
+      .groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
+      .write.mode("append").parquet(s"$dir/lines")
+
+  def readLineIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(s"$dir/lines")
+
+  /** Line-dedup an increment against a persisted index: a line drops
+    * when its stored count PLUS its increment count clears the index's
+    * threshold — exactly [[lineDedup]] over (indexed corpus ∪ increment)
+    * restricted to increment docs (spec-pinned identical). The stored
+    * side contributes one aggregated equi-join on the line key; the
+    * corpus never re-explodes. */
+  def lineDedupAgainstIndex(newDocs: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val maxOcc = spark.read.parquet(s"$dir/meta").head()
+      .getAs[Long]("max_occurrences")
+    val lines = explodeLines(newDocs, idCol, textCol)
+    val incr = lines.groupBy(col("line")).agg(count(lit(1)).as("n_new"))
+    val stored = readLineIndex(spark, dir)
+      .groupBy(col("line")).agg(sum(col("n_occ")).as("n_old"))
+    val droplist = incr.join(stored, Seq("line"), "left_outer")
+      .filter(col("n_new") + coalesce(col("n_old"), lit(0L)) > maxOcc)
+      .select(col("line"), lit(true).as("_dup"))
+      .localCheckpoint(true) // the lineDedup pin, same two readers
+    lineDedupTail(lines, droplist, idCol)
   }
 
   /** Per-document top-k tokens by tf·idf (idf = ln(N/df), the classic

@@ -2025,9 +2025,10 @@ object PipelineQueries {
     * in order. Reported per doc: kept/dropped counts and the md5 of
     * the reassembled text; the oracle replays plant, corpus-wide line
     * counting, threshold, and ordered reassembly. */
-  def t35LineDedup(spark: SparkSession, d: String): DataFrame = {
+  /** The boilerplate-planted corpus t35 and d21 share. */
+  private def lineDedupCorpus(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
-    val docs = Tables.documents(spark, d).filter($"text".isNotNull)
+    Tables.documents(spark, d).filter($"text".isNotNull)
       .select($"doc_id", concat(
         lit("SUBSCRIBE to our newsletter\n"),
         when(pmod($"doc_id", lit(2)) === 0,
@@ -2035,7 +2036,34 @@ object PipelineQueries {
         $"text",
         concat(lit("\nunique doc marker "), $"doc_id".cast("string")),
         lit("\n(c) corpus footer")).as("text"))
-    graft.pipeline.TextAnalysis.lineDedup(docs)
+  }
+
+  def t35LineDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    graft.pipeline.TextAnalysis.lineDedup(lineDedupCorpus(spark, d))
+      .select($"doc_id", $"n_kept", $"n_dropped",
+        md5($"clean").as("clean_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** d21 — line dedup against a PERSISTED line-occurrence index
+    * ([[graft.pipeline.TextAnalysis.writeLineIndex]] /
+    * [[lineDedupAgainstIndex]] — the daily-crawl boilerplate-removal
+    * shape d17 established for bands): the t35 corpus splits into a
+    * stored side (doc_id % 17 ≠ 0, line counts written once) and an
+    * increment (doc_id % 17 = 0) that probes the re-read index; a line
+    * drops when stored + increment occurrences exceed the index's
+    * threshold — exactly the t35 recompute over the WHOLE corpus,
+    * restricted to increment docs, so the oracle is the t35 replay with
+    * a doc filter on the output tail only (line counts stay global). */
+  def d21LineIndexDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = lineDedupCorpus(spark, d)
+    val dir = graft.util.Scratch.dir("graft_line_idx")
+    graft.pipeline.TextAnalysis.writeLineIndex(
+      docs.filter($"doc_id" % 17 =!= 0), dir)
+    graft.pipeline.TextAnalysis.lineDedupAgainstIndex(
+        docs.filter($"doc_id" % 17 === 0), dir)
       .select($"doc_id", $"n_kept", $"n_dropped",
         md5($"clean").as("clean_md5"))
       .orderBy($"doc_id")
@@ -2426,6 +2454,7 @@ object PipelineQueries {
     "d20_url_dedup" -> (d20UrlDedup _),
     "q39_http_extract" -> (q39HttpExtract _),
     "t35_line_dedup" -> (t35LineDedup _),
+    "d21_line_index_dedup" -> (d21LineIndexDedup _),
     "t36_wordpiece_train" -> (t36WordpieceTrain _),
     "t37_wordpiece_encode" -> (t37WordpieceEncode _),
     "t38_perplexity_buckets" -> (t38PerplexityBuckets _),
@@ -3142,6 +3171,38 @@ object PipelineQueries {
        |  SUM(n_sub)::BIGINT AS n_bytebpe_tokens
        |FROM leg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The t35/d21 shared line-dedup replay: plant (CASE concat mirrors
+    * [[lineDedupCorpus]], chr(10) = newline), CORPUS-WIDE line counts,
+    * threshold > 1, ordered reassembly (COALESCE: a doc whose every line
+    * is boilerplate reassembles to '' like the engine's empty
+    * array-join, never NULL). `docWhere` filters the OUTPUT tail only —
+    * d21's index semantics are global counts, increment-restricted
+    * rollup. */
+  private def lineDedupOracle(docWhere: String): String =
+    s"""WITH bp AS (
+       |  SELECT doc_id, 'SUBSCRIBE to our newsletter' || chr(10) ||
+       |    CASE WHEN doc_id % 2 = 0
+       |         THEN 'Cookie banner: accept all' || chr(10)
+       |         ELSE '' END ||
+       |    text ||
+       |    chr(10) || 'unique doc marker ' || doc_id::VARCHAR ||
+       |    chr(10) || '(c) corpus footer' AS text
+       |  FROM documents WHERE text IS NOT NULL),
+       |sl AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM bp),
+       |ln AS (SELECT doc_id,
+       |  unnest(generate_series(1, len(l))) AS pos, l FROM sl),
+       |l2 AS MATERIALIZED (SELECT doc_id, pos, l[pos] AS line FROM ln),
+       |ct AS (SELECT line, COUNT(*) AS n FROM l2 GROUP BY line),
+       |fl AS (SELECT doc_id, pos, l2.line, n > 1 AS dup
+       |  FROM l2 JOIN ct USING (line))
+       |SELECT doc_id,
+       |  (COUNT(*) FILTER (WHERE NOT dup))::BIGINT AS n_kept,
+       |  (COUNT(*) FILTER (WHERE dup))::BIGINT AS n_dropped,
+       |  md5(array_to_string(
+       |    COALESCE(list(line ORDER BY pos) FILTER (WHERE NOT dup), []),
+       |    chr(10))) AS clean_md5
+       |FROM fl $docWhere GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** t30's train predicate — the alphabet-gap corpus (no letter 'q'),
     * mirrored exactly by the engine's `!lower(text).contains("q")`. */
   private val NoQTrainWhere =
@@ -3642,34 +3703,11 @@ object PipelineQueries {
          |  SUM(doc_id)::BIGINT AS sum_doc_id
          |FROM dec GROUP BY decision ORDER BY decision""".stripMargin
     },
-    "t35_line_dedup" ->
-      // plant (CASE concat mirrors t35's builder, chr(10) = newline),
-      // corpus-wide line counts, threshold > 1, ordered reassembly
-      // (COALESCE: a doc whose every line is boilerplate reassembles
-      // to '' like the engine's empty array-join, never NULL)
-      """WITH bp AS (
-        |  SELECT doc_id, 'SUBSCRIBE to our newsletter' || chr(10) ||
-        |    CASE WHEN doc_id % 2 = 0
-        |         THEN 'Cookie banner: accept all' || chr(10)
-        |         ELSE '' END ||
-        |    text ||
-        |    chr(10) || 'unique doc marker ' || doc_id::VARCHAR ||
-        |    chr(10) || '(c) corpus footer' AS text
-        |  FROM documents WHERE text IS NOT NULL),
-        |sl AS (SELECT doc_id, string_split(text, chr(10)) AS l FROM bp),
-        |ln AS (SELECT doc_id,
-        |  unnest(generate_series(1, len(l))) AS pos, l FROM sl),
-        |l2 AS MATERIALIZED (SELECT doc_id, pos, l[pos] AS line FROM ln),
-        |ct AS (SELECT line, COUNT(*) AS n FROM l2 GROUP BY line),
-        |fl AS (SELECT doc_id, pos, l2.line, n > 1 AS dup
-        |  FROM l2 JOIN ct USING (line))
-        |SELECT doc_id,
-        |  (COUNT(*) FILTER (WHERE NOT dup))::BIGINT AS n_kept,
-        |  (COUNT(*) FILTER (WHERE dup))::BIGINT AS n_dropped,
-        |  md5(array_to_string(
-        |    COALESCE(list(line ORDER BY pos) FILTER (WHERE NOT dup), []),
-        |    chr(10))) AS clean_md5
-        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "t35_line_dedup" -> lineDedupOracle(""),
+    // the index path IS the t35 recompute restricted to the increment:
+    // line counts stay GLOBAL (stored + increment — the index stores the
+    // corpus side), only the output tail filters to increment docs
+    "d21_line_index_dedup" -> lineDedupOracle("WHERE doc_id % 17 = 0"),
     "q39_http_extract" -> {
       import graft.pipeline.TextAnalysis.HttpStatusRe
       // HTTP wrap (chr(13)||chr(10) spells CRLF), CRLFCRLF split,

@@ -155,6 +155,53 @@ class HtmlExtractSpec extends SparkSpec {
       .select($"clean").as[String].head() === "dup\nuniq1")
   }
 
+  test("persisted line index: probe equals the full recompute on the " +
+    "increment; append extends the stored counts; threshold rides the " +
+    "index meta") {
+    val corpus = Seq(
+      (1L, "nav\nalpha\nfooter"),
+      (2L, "nav\nbeta\nfooter"),
+      (3L, "solo\nlines\nonly")).toDF("doc_id", "text")
+    val incr = Seq(
+      (10L, "nav\nnew text\nfooter"), // nav/footer stored-dup
+      (11L, "fresh\nfresh"), // increment-internal dup (2 > 1)
+      (12L, "solo\nunique tail") // dup only via stored count
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("line_idx").toString
+    TextAnalysis.writeLineIndex(corpus, dir)
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_id", $"n_kept", $"n_dropped", $"clean")
+        .as[(Long, Long, Long, String)].collect().sortBy(_._1).toSeq
+    val viaIndex = collect(TextAnalysis.lineDedupAgainstIndex(incr, dir))
+    val recompute = collect(
+      TextAnalysis.lineDedup(corpus.unionAll(incr))
+        .filter($"doc_id" >= 10L))
+    assert(viaIndex === recompute, "index path must equal the recompute")
+    assert(viaIndex.find(_._1 == 11L).get._3 === 2L,
+      "increment-internal duplicates must drop without any stored hit")
+    assert(viaIndex.find(_._1 == 12L).get._4 === "unique tail",
+      "a stored single occurrence + one increment occurrence must drop")
+
+    // append admits the first increment; a second increment now sees
+    // stored counts covering corpus + increment 1
+    TextAnalysis.appendLineIndex(incr, dir)
+    val incr2 = Seq((20L, "new text\nbrand new")).toDF("doc_id", "text")
+    val via2 = collect(TextAnalysis.lineDedupAgainstIndex(incr2, dir))
+    val re2 = collect(
+      TextAnalysis.lineDedup(corpus.unionAll(incr).unionAll(incr2))
+        .filter($"doc_id" === 20L))
+    assert(via2 === re2, "post-append probe must equal the recompute")
+    assert(via2.head._4 === "brand new",
+      "'new text' is stored once + arrives once -> boilerplate")
+
+    // the threshold is the INDEX'S, not the probe's: build at 2
+    val dir2 = java.nio.file.Files.createTempDirectory("line_idx2").toString
+    TextAnalysis.writeLineIndex(corpus, dir2, maxOccurrences = 2)
+    val loose = collect(TextAnalysis.lineDedupAgainstIndex(incr, dir2))
+    assert(loose.find(_._1 == 12L).get._4 === "solo\nunique tail",
+      "at threshold 2 a second 'solo' occurrence survives")
+  }
+
   test("htmlExtract over the t34 corpus: every extract carries the " +
     "chrome shape and the de-escaped text") {
     val docs = graft.util.Tables.documents(spark, sfTiny)
