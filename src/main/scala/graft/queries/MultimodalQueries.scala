@@ -154,8 +154,58 @@ object MultimodalQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** mm07 — the MULTIMODAL CRAWL CAPSTONE (the LAION shape, q38's
+    * multimodal leg): one `.warc.gz` archive holds HTTP-wrapped html
+    * pages AND their images as raw-png `resource` records; ONE plan
+    * reads the connector, splits the page leg (HTTP body → t34
+    * extraction → caption), routes the image leg by record type, joins
+    * caption+image per doc, packs two-part WebDataset samples into 4
+    * hash-placed tar shards, reads them back, and DECODES the png parts
+    * on executors. Per sample: shard, part count, caption md5 and the
+    * decoded pixel stats — so a defect anywhere in connector framing,
+    * HTTP split, extraction, tar round trip or image decode breaks the
+    * hash. Oracle: the q39/t34 replay for captions, the pixel FORMULA
+    * for stats (PNG is lossless), the ShardWriter hash for placement. */
+  def mm07CrawlWebdataset(spark: SparkSession, d: String): DataFrame = {
+    val T = graft.pipeline.TextAnalysis
+    val dir = PipelineQueries.mm07Fixture(spark, d)
+    val rows = spark.read.format("warc").load(dir)
+    val caps = graft.streaming.EventStreams.warcCorpusDocs(rows)
+      .select(col("doc_id"),
+        T.htmlToText(T.httpBody(col("text"))).as("caption"))
+    val imgs = rows.filter(col("record_type") === "resource")
+      .select(regexp_extract(col("target_uri"), "img/(\\d+)$", 1)
+        .cast("long").as("doc_id"), col("payload"))
+    val samples = caps.join(imgs, "doc_id")
+      .select(col("doc_id"),
+        map(lit("png"), col("payload"),
+          lit("txt"), encode(col("caption"), "UTF-8")).as("files"))
+    val out = graft.util.Scratch.dir("graft_wds_crawl")
+    graft.pipeline.Webdataset.writeTarShards(samples, out, nShards = 4)
+    val back = graft.pipeline.Webdataset.readTarShards(spark, out)
+    val stats = udf((b: Array[Byte]) => {
+      val (w, h, px) = Multimodal.ImageIoCodec.decodeGray(b)
+      var s = 0L; px.foreach(s += _)
+      (w.toLong, h.toLong, s)
+    })
+    back.groupBy(col("shard_file"), col("key"))
+      .agg(count(lit(1)).as("n_parts"),
+        max(when(col("ext") === "txt", col("content"))).as("txt"),
+        max(when(col("ext") === "png", col("content"))).as("png"))
+      .select(col("key").cast("long").as("doc_id"),
+        regexp_extract(col("shard_file"), "shard-(\\d+)", 1).cast("long")
+          .as("shard"),
+        col("n_parts"), md5(col("txt")).as("caption_md5"),
+        stats(col("png")).as("st"))
+      .select(col("doc_id"), col("shard"), col("n_parts"),
+        col("caption_md5"), col("st._1").as("width"),
+        col("st._2").as("height"), col("st._3").as("px_sum"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm05_wav_decode" -> (mm05WavDecode _),
+    "mm07_crawl_webdataset" -> (mm07CrawlWebdataset _),
     "mm01_features" -> (mm01Features _),
     "mm02_frame_sample" -> (mm02FrameSample _),
     "mm03_sample_assembly" -> (mm03SampleAssembly _),
@@ -163,6 +213,7 @@ object MultimodalQueries {
     "mm06_webdataset" -> (mm06Webdataset _))
 
   val oracle: Map[String, String] = Map(
+    "mm07_crawl_webdataset" -> PipelineQueries.mm07OracleSql,
     "mm06_webdataset" ->
       // the tar round trip must reproduce, per document, exactly the
       // bytes the writer framed — plus both sample parts surviving

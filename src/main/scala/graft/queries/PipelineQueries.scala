@@ -1970,7 +1970,17 @@ object PipelineQueries {
     * header member that pushdown must drop inside the reader — the ONE
     * fixture writer q37/st15 (raw text) and q38 (html pages) share, so
     * a framing change cannot desynchronize the gates. */
-  private def writeWarcGzSegments(pages: Array[(Long, String)]): String = {
+  private def writeWarcGzSegments(pages: Array[(Long, String)]): String =
+    writeWarcGzRecords(pages.map { case (id, content) =>
+      (id, "response", s"http://corpus/doc/$id",
+        content.getBytes("UTF-8"))
+    })
+
+  /** The raw form: arbitrary (id, WARC-Type, uri, payload bytes)
+    * records — mm07's page+image crawl archive rides this; the
+    * text-page gates go through [[writeWarcGzSegments]]. */
+  private def writeWarcGzRecords(
+      records: Array[(Long, String, String, Array[Byte])]): String = {
     val dir = graft.util.Scratch.dir("graft_warcgz")
     Seq(0, 1).foreach { part =>
       val bos = new java.io.ByteArrayOutputStream()
@@ -1979,11 +1989,12 @@ object PipelineQueries {
           graft.sources.warc.Warc.renderRecord("warcinfo",
             "<urn:uuid:graft-warcinfo>", "", "2026-01-01T00:00:00Z",
             "software: graft".getBytes("UTF-8"))))
-      pages.filter(_._1 % 2 == part).foreach { case (id, content) =>
-        bos.write(graft.sources.warc.Warc.gzipMember(
-          graft.sources.warc.Warc.renderRecord("response",
-            s"<urn:uuid:graft-$id>", s"http://corpus/doc/$id",
-            "2026-01-01T00:00:00Z", content.getBytes("UTF-8"))))
+      records.filter(_._1 % 2 == part).foreach {
+        case (id, rtype, uri, payload) =>
+          bos.write(graft.sources.warc.Warc.gzipMember(
+            graft.sources.warc.Warc.renderRecord(rtype,
+              s"<urn:uuid:graft-$id>", uri,
+              "2026-01-01T00:00:00Z", payload)))
       }
       java.nio.file.Files.write(
         java.nio.file.Paths.get(dir, s"segment-$part.warc.gz"),
@@ -1991,6 +2002,52 @@ object PipelineQueries {
     }
     dir
   }
+
+  /** The mm07 crawl fixture: per doc_id < 64, an HTTP-wrapped html page
+    * (`response`, the q38/q39 shape) PLUS the page's image as a raw-png
+    * `resource` record at `http://corpus/img/<id>` — the page+image
+    * archive a LAION-style caption/image crawl works from (resource =
+    * raw content per ISO 28500; the HTTP-split seam is exercised on the
+    * page leg, where the body is text). Image pixels are the mm04
+    * formula — deterministic, PNG is lossless, so the oracle replays
+    * decoded stats arithmetically. */
+  private[queries] def mm07Fixture(spark: SparkSession, d: String): String = {
+    import spark.implicits._
+    val pages = htmlCorpus(
+        Tables.documents(spark, d).filter($"doc_id" < 64))
+      .orderBy($"doc_id").collect()
+      .map(r => (r.getLong(0), "response",
+        s"http://corpus/doc/${r.getLong(0)}",
+        httpWrapPage(r.getLong(0), r.getString(1)).getBytes("UTF-8")))
+    val imgs = pages.map(_._1).map { id =>
+      val px = Array.tabulate(256)(i =>
+        (((id * 31 + i.toLong * 7) % 256) + 256).toInt % 256)
+      (id, "resource", s"http://corpus/img/$id",
+        graft.pipeline.Multimodal.ImageIoCodec.encodeGrayPng(px, 16, 16))
+    }
+    writeWarcGzRecords(pages ++ imgs)
+  }
+
+  /** mm07's oracle: the page leg replayed through hc (doc_id < 64) +
+    * HTTP wrap + CRLFCRLF split + the t34 extraction chain; the image
+    * leg from the pixel FORMULA (PNG is lossless); placement from the
+    * ShardWriter hash. */
+  private[queries] lazy val mm07OracleSql: String =
+    s"""WITH ${htmlCorpusCteWhere("AND doc_id < 64")},
+       |$httpWrapCtes,
+       |cap AS (SELECT doc_id, ${htmlExtractSql("body")} AS caption
+       |        FROM bd)
+       |SELECT doc_id,
+       |  ((doc_id * ${graft.pipeline.ShardWriter.HashMult})
+       |     % ${graft.pipeline.ShardWriter.HashPrime}) % 4 AS shard,
+       |  2::BIGINT AS n_parts,
+       |  md5(caption) AS caption_md5,
+       |  16::BIGINT AS width, 16::BIGINT AS height,
+       |  list_reduce(list_prepend(0::BIGINT,
+       |    [(doc_id * 31 + i * 7) % 256
+       |     for i in generate_series(0, 255)]),
+       |    (a, b) -> a + b) AS px_sum
+       |FROM cap ORDER BY doc_id""".stripMargin
 
   /** The `.warc.gz` fixture q37 and st15 share: the documents table
     * through [[writeWarcGzSegments]]. */
@@ -3292,7 +3349,7 @@ object PipelineQueries {
 
   /** [[htmlCorpus]]'s wrap as the hc CTE — shared by t34/q38 (via
     * [[htmlExtCtes]]) and q39 (which wraps hc in an HTTP message). */
-  private lazy val htmlCorpusCte: String =
+  private def htmlCorpusCteWhere(extra: String): String =
     s"""hc AS (
        |  SELECT doc_id, '<html><!-- nav <p>skip</p> --><head><title>Doc ' ||
        |    doc_id::VARCHAR ||
@@ -3302,7 +3359,9 @@ object PipelineQueries {
        |            '<', '&lt;'), '>', '&gt;') ||
        |    '</p><div class="footer">&copy; corpus &amp; co</div></body></html>'
        |    AS html
-       |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+       |  FROM documents WHERE text IS NOT NULL $extra)""".stripMargin
+
+  private lazy val htmlCorpusCte: String = htmlCorpusCteWhere("")
 
   /** hc + the extraction chain as CTE ext — t34 verifies ext directly;
     * q38 feeds the downstream pipeline from it. */
