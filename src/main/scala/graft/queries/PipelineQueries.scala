@@ -1265,11 +1265,16 @@ object PipelineQueries {
     * byte-granular tokens. The oracle replays the byte train chain →
     * dictionary for known words and the recursive greedy loop (lowest
     * rank first, leftmost on ties) over byte symbols for the rest. */
+  /** The t44/st18 encode corpus: the byte TRAIN corpus plus the
+    * novel-script OOV rows. */
+  private[graft] def byteEncodeCorpus(spark: SparkSession,
+      d: String): DataFrame =
+    byteCorpus(spark, d).unionAll(plantedDf(spark, byteOovPlanted))
+
   def t44ByteBpeEncode(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     graft.pipeline.ByteBpe.encodeTokenCounts(
-        byteCorpus(spark, d).unionAll(plantedDf(spark, byteOovPlanted)),
-        byteBpeShared(spark, d))
+        byteEncodeCorpus(spark, d), byteBpeShared(spark, d))
       .orderBy($"doc_id")
   }
 
@@ -3203,7 +3208,7 @@ object PipelineQueries {
   /** t44's oracle — the t29 two-leg replay in the byte domain: the byte
     * train chain feeds the dictionary leg, the greedy recursive loop
     * (over byte symbols) the novel-script leg. */
-  private lazy val byteBpeOovEncodeOracle: String =
+  private[queries] lazy val byteBpeOovEncodeOracle: String =
     s"""WITH RECURSIVE ${
         bpeOracleBody(ByteBpeRounds, byteCorpusSql, ByteSeqSql)},
        |tw AS MATERIALIZED (

@@ -207,8 +207,26 @@ object StreamQueries {
     graft.pipeline.Sketches.cmsBuild(Tables.documents(spark, d))
       .orderBy(col("j"), col("bucket"))
 
+  /** st18 — BYTE-BPE tokenize at ingest
+    * ([[EventStreams.byteTokenizeStream]]): the GPT-2 family's st12 —
+    * stateless per-row greedy encoding over UTF-8 byte symbols under
+    * one broadcast rank map. The stream is TOTAL BY CONSTRUCTION (no
+    * UNK machinery exists in this family — a novel script costs
+    * byte-granular tokens), so the gate runs the batch leg over the
+    * FULL t44 corpus, planted novel-script docs included, against t44's
+    * oracle verbatim (greedy == dictionary on the self-trained part is
+    * the ByteBpeSpec-pinned rank-order equivalence; the OOV tail is the
+    * greedy replay both ways); StreamingSpec pins the real readStream
+    * run equal to the batch guarded-join path. */
+  def st18StreamByteBpe(spark: SparkSession, d: String): DataFrame =
+    EventStreams.byteTokenizeStream(
+        PipelineQueries.byteEncodeCorpus(spark, d),
+        PipelineQueries.byteBpeShared(spark, d).merges)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st17_stream_cms" -> (st17StreamCms _),
+    "st18_stream_bytebpe" -> (st18StreamByteBpe _),
     "st16_stream_wordpiece" -> (st16StreamWordpiece _),
     "st15_warc_ingest_dedup" -> (st15WarcIngestDedup _),
     "st11_near_dup" -> (st11NearDup _),
@@ -256,6 +274,9 @@ object StreamQueries {
     // the per-row longest-match walk IS the batch kernel (same function,
     // no join), so st16 shares t37's oracle verbatim — UNK leg included
     "st16_stream_wordpiece" -> PipelineQueries.wordpieceEncodeOracle,
+    // total byte-level encode == the t44 two-leg replay on the same
+    // corpus (the st12/st16 shared-oracle precedent)
+    "st18_stream_bytebpe" -> PipelineQueries.byteBpeOovEncodeOracle,
     // the whole grid, replayed by the q40-shared hash chain (one
     // statement, ordered by row and bucket)
     "st17_stream_cms" ->

@@ -390,15 +390,37 @@ object EventStreams {
     * spec-pinned on both in-vocab and planted-OOV corpora. */
   def tokenizeStream(docs: DataFrame,
       merges: Seq[graft.pipeline.Bpe.Merge],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokenizeStreamWith(docs, merges,
+      graft.pipeline.Bpe.encodeWordGreedy, "n_bpe_tokens", idCol, textCol)
+
+  /** BYTE-level tokenize-at-ingest — [[tokenizeStream]]'s twin for the
+    * GPT-2 family: the same stateless per-row shape with the byte
+    * greedy kernel ([[graft.pipeline.ByteBpe.encodeWordGreedy]]), which
+    * is TOTAL on any script with no UNK machinery — the arrival stream
+    * that suddenly grows a novel script degrades to byte-granular
+    * tokens instead of routing through fallbacks. */
+  def byteTokenizeStream(docs: DataFrame,
+      merges: Seq[graft.pipeline.Bpe.Merge],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    tokenizeStreamWith(docs, merges,
+      graft.pipeline.ByteBpe.encodeWordGreedy, "n_bytebpe_tokens",
+      idCol, textCol)
+
+  /** The kernel-agnostic tokenize-at-ingest body the char and byte BPE
+    * twins share (the Bpe.encodeTokenCountsWith factoring, stream
+    * side). */
+  private def tokenizeStreamWith(docs: DataFrame,
+      merges: Seq[graft.pipeline.Bpe.Merge],
+      kernel: (String, collection.Map[(String, String), Int]) => Array[String],
+      outCol: String, idCol: String, textCol: String): DataFrame = {
     val spark = docs.sparkSession
     val bc = spark.sparkContext
       .broadcast(graft.pipeline.Bpe.rankMap(merges))
     val nTokens = udf { (ws: Seq[String]) =>
       val ranks = bc.value
       var t = 0L
-      ws.foreach(w =>
-        t += graft.pipeline.Bpe.encodeWordGreedy(w, ranks).length)
+      ws.foreach(w => t += kernel(w, ranks).length)
       t
     }
     docs.filter(col(textCol).isNotNull)
@@ -407,7 +429,7 @@ object EventStreams {
           w => w =!= "").as("ws"))
       .filter(size(col("ws")) > 0)
       .select(col(idCol), size(col("ws")).cast("long").as("n_words"),
-        nTokens(col("ws")).as("n_bpe_tokens"))
+        nTokens(col("ws")).as(outCol))
   }
 
   /** WordPiece tokenize-at-ingest — the [[tokenizeStream]] twin for the

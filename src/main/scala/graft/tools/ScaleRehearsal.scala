@@ -22,14 +22,19 @@ object ScaleRehearsal {
     val family = args.lift(1).getOrElse("all")
     require(
       Set("pipeline", "graph", "bpewide", "warc", "horizon", "wordpiece",
-        "tiers", "cms", "all")(family),
+        "tiers", "cms", "bytebpe", "tokenshards", "lineidx", "wpdepth",
+        "all")(family),
       s"unknown family '$family' (expected pipeline|graph|bpewide|warc|" +
-        "horizon|wordpiece|tiers|cms|all; bpewide is the production-" +
+        "horizon|wordpiece|tiers|cms|bytebpe|tokenshards|lineidx|" +
+        "wpdepth|all; bpewide is the production-" +
         "merge-count BPE rehearsal, warc the big-segment memory-posture " +
         "probe, horizon the st14 two-query state-ceiling probe, " +
         "wordpiece the sequential-train + encode curve, tiers the t38 " +
-        "window-vs-map-side probe, cms the sketch grid/footprint curve " +
-        "— these run only when asked)")
+        "window-vs-map-side probe, cms the sketch grid/footprint curve, " +
+        "bytebpe the byte-level trainer/encode curve, tokenshards the " +
+        "binary-sink throughput curve, lineidx the persisted line-index " +
+        "probe curve, wpdepth the WordPiece per-merge-cost-vs-depth " +
+        "ladder — these run only when asked)")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = graft.util.Sessions.local(32)
 
@@ -67,7 +72,142 @@ object ScaleRehearsal {
     if (family == "wordpiece") wordpieceFamily(spark)
     if (family == "tiers") tiersFamily(spark, k, replicateDocs)
     if (family == "cms") cmsFamily(spark, k, replicateDocs)
+    if (family == "bytebpe") byteBpeFamily(spark)
+    if (family == "tokenshards") tokenShardsFamily(spark, k)
+    if (family == "lineidx") lineIndexFamily(spark, sfDir, k, replicateDocs)
+    if (family == "wpdepth") wordpieceDepthFamily(spark)
     spark.stop()
+  }
+
+  /** Byte-level BPE at production-ish merge count: the batched trainer
+    * over the BYTE symbolization of the 50k-word wide corpus (2,048
+    * merges — byte sequences are denser in pairs, so batching must keep
+    * driver rounds << merges exactly as char-side), and the total
+    * encode surface at 1×/4× (corpus-LINEAR: once per distinct word
+    * under the guarded dictionary, byte greedy kernel on the tail). */
+  private def byteBpeFamily(spark: org.apache.spark.sql.SparkSession)
+      : Unit = {
+    val base = wideCorpus(spark, 50000)
+    val corpusBy = Map(1 -> base, 4 -> replicateWide(spark, base, 4))
+    // 1,024 merges — the bpewide precedent. Byte symbols start from a
+    // ~26-member hex-pair alphabet, so early rounds are heavily
+    // symbol-colliding (small batches); the interesting number is the
+    // batching RECOVERY as the symbol universe widens, not a deeper
+    // ladder of singleton rounds (a 2,048-merge probe measured ~27 min
+    // of driver rounds on this VM for no additional signal).
+    val merges = 1024
+    var model: graft.pipeline.Bpe.Model = null
+    Seq(1, 4).foreach { mult =>
+      val docs = corpusBy(mult)
+      val t0 = System.nanoTime()
+      val m = graft.pipeline.ByteBpe.train(docs, merges)
+      if (mult == 1) model = m
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[rehearsal] bytebpe train x$mult corpus (50k-word " +
+        f"vocab): $secs%.1fs merges=${m.merges.size} " +
+        f"driverRounds=${m.driverRounds} " +
+        f"avgBatch=${m.merges.size.toDouble / m.driverRounds}%.1f " +
+        f"perMerge=${secs / m.merges.size}%.4fs")
+    }
+    Seq(1, 4).foreach { mult =>
+      val docs = corpusBy(mult)
+      val t0 = System.nanoTime()
+      val toks = graft.pipeline.ByteBpe.encodeTokenCounts(docs, model)
+        .agg(sum(col("n_bytebpe_tokens"))).head().getLong(0)
+      println(f"[rehearsal] bytebpe encode x$mult ($merges-merge model): " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1fs byteTokens=$toks")
+    }
+  }
+
+  /** Token-shard binary sink throughput: (doc_id, 512 synthetic ids)
+    * frames at 1×/4×/k× document count, written as 16 bin/idx pairs and
+    * read back with a full-ids aggregation — write and read must stay
+    * corpus-LINEAR (one shuffle + streaming writes; one task per shard
+    * pair on read), and the idx stays ~1–2%% of the bin bytes (the
+    * documented in-memory-index posture). */
+  private def tokenShardsFamily(spark: org.apache.spark.sql.SparkSession,
+      k: Int): Unit = {
+    val baseDocs = 20000L
+    Seq(1, 4, k).distinct.foreach { mult =>
+      val df = spark.range(baseDocs * mult).toDF("doc_id")
+        .select(col("doc_id"),
+          transform(sequence(lit(0), lit(511)),
+            i => pmod(col("doc_id") * 31 + i.cast("long") * 17,
+              lit(60000L))).as("ids"))
+        .repartition(32).localCheckpoint(true)
+      val dir = graft.util.Scratch.dir("rehearsal_ts")
+      val t0 = System.nanoTime()
+      graft.pipeline.TokenShards.write(df, dir, nShards = 16,
+        vocabSize = 60000L)
+      val tw = (System.nanoTime() - t0) / 1e9
+      val files = new java.io.File(dir).listFiles()
+      val binB = files.filter(_.getName.endsWith(".bin")).map(_.length).sum
+      val idxB = files.filter(_.getName.endsWith(".idx")).map(_.length).sum
+      val t1 = System.nanoTime()
+      val n = graft.pipeline.TokenShards.read(spark, dir)
+        .agg(sum(size(col("ids")))).head().getLong(0)
+      val tr = (System.nanoTime() - t1) / 1e9
+      println(f"[rehearsal] tokenshards x$mult (${baseDocs * mult} docs, " +
+        f"${binB / 1e6}%.1f MB bin, idx/bin=${idxB.toDouble / binB}%.3f): " +
+        f"write $tw%.1fs read $tr%.1fs tokens=$n")
+    }
+  }
+
+  /** Persisted line-index curve: the index side grows k-fold (replicated
+    * corpus with the t35-style boilerplate plant), the INCREMENT stays
+    * fixed — probe cost must track the index's distinct-line aggregation
+    * (sublinear in corpus rows; the corpus never re-explodes at probe
+    * time), write cost corpus-linear. */
+  private def lineIndexFamily(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int,
+      replicateDocs: Int => DataFrame): Unit = {
+    def plant(docs: DataFrame): DataFrame =
+      docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), concat(
+          lit("SUBSCRIBE to our newsletter\n"), col("text"),
+          lit("\n(c) corpus footer")).as("text"))
+    val incr = plant(Tables.documents(spark, sfDir))
+      .limit(200).localCheckpoint(true)
+    Seq(1, 4, k).distinct.foreach { mult =>
+      val corpus = plant(replicateDocs(mult))
+      val dir = graft.util.Scratch.dir("rehearsal_lineidx")
+      val t0 = System.nanoTime()
+      graft.pipeline.TextAnalysis.writeLineIndex(corpus, dir)
+      val tw = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val dropped = graft.pipeline.TextAnalysis
+        .lineDedupAgainstIndex(incr, dir)
+        .agg(sum(col("n_dropped"))).head().getLong(0)
+      val tp = (System.nanoTime() - t1) / 1e9
+      println(f"[rehearsal] lineidx x$mult: build $tw%.1fs " +
+        f"probe(200-doc incr) $tp%.1fs dropped=$dropped")
+    }
+  }
+
+  /** WordPiece per-merge cost vs DEPTH (the one tokenizer-trio number
+    * round 13 left extrapolated): the proven-sequential trainer at 256 /
+    * 1,024 / 2,048 merges on the 50k-word wide corpus. Per-merge cost
+    * must stay at the measured floor as depth grows (every round is
+    * vocabulary-sized; nothing accumulates), which makes the 30k-merge
+    * BERT-vocab wall-time a measured-slope product — printed explicitly
+    * as the projection it is (a literal 30k run is ~7 h of driver rounds
+    * on this VM; the ladder IS the honest measurement of the quantity
+    * that determines it). */
+  private def wordpieceDepthFamily(
+      spark: org.apache.spark.sql.SparkSession): Unit = {
+    val base = wideCorpus(spark, 50000)
+    var last = 0.0
+    Seq(256, 1024, 2048).foreach { merges =>
+      val t0 = System.nanoTime()
+      val m = graft.pipeline.Wordpiece.train(base, merges)
+      val secs = (System.nanoTime() - t0) / 1e9
+      last = secs / m.merges.size
+      println(f"[rehearsal] wpdepth merges=$merges: $secs%.1fs " +
+        f"perMerge=$last%.4fs vocab=${m.vocab.size}")
+    }
+    println(f"[rehearsal] wpdepth projection: 30k merges x " +
+      f"$last%.4fs/merge = ${30000 * last / 3600}%.1f h " +
+      "(sequential-by-necessity; see Wordpiece scaladoc)")
   }
 
   /** st14 state-ceiling probe: the two-query horizon topology

@@ -186,6 +186,29 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming byte-BPE tokenize equals the batch guarded-join path " +
+    "(real readStream run, multi-byte scripts live)") {
+    val batchDocs = Tables.documents(spark, sfTiny)
+    val model = graft.queries.PipelineQueries.byteBpeShared(spark, sfTiny)
+    val docs = spark.readStream
+      .schema(batchDocs.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(sfTiny)
+    val q = EventStreams.byteTokenizeStream(docs, model.merges)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("bb_ingest_smoke").start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.sql(
+        "SELECT doc_id, n_words, n_bytebpe_tokens FROM bb_ingest_smoke")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = graft.pipeline.ByteBpe.encodeTokenCounts(batchDocs, model)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch,
+      s"stream/batch byte tokenize diverge: " +
+        s"only-stream=${streamed -- batch}, only-batch=${batch -- streamed}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming WordPiece tokenize equals the batch guarded-join path " +
     "(real readStream run, UNK leg live)") {
     val batchDocs = Tables.documents(spark, sfTiny)
