@@ -70,9 +70,6 @@ object TokenShards {
     val fs = root.getFileSystem(conf.value)
     fs.delete(root, true)
     fs.mkdirs(root)
-    val negatives = df.filter(col(idCol) < 0).limit(1).count()
-    require(negatives == 0L,
-      s"token shards require non-negative $idCol values")
     ShardWriter.assignShards(df.select(col(idCol), col(tokensCol)), nShards,
         idCol)
       .repartition(col("shard"))
@@ -130,6 +127,12 @@ object TokenShards {
         try {
           it.foreach { r =>
             val id = r.getLong(0)
+            // checked IN the write task (not a driver pre-pass: the
+            // no-negatives common case would pay one full extra corpus
+            // scan) — a violation still fails the job loudly before any
+            // final file publishes
+            require(id >= 0L,
+              s"token shards require non-negative $idCol values: $id")
             val ids = r.getSeq[Long](1)
             val shard = r.getInt(2)
             if (shard != cur) {

@@ -61,15 +61,6 @@ object Webdataset {
       idCol: String = "doc_id", filesCol: String = "files"): Unit = {
     require(nShards >= 1, "need a positive shard count")
     val spark = df.sparkSession
-    // the [[KeyFormat]] contract: negative ids break zero-padded
-    // lexicographic ordering, so fail the JOB (one cheap scan) rather
-    // than ship shards whose in-tar order silently disagrees with id
-    // order. A million-shard corpus pays one aggregate over a column it
-    // is about to shuffle anyway.
-    val negatives = df.filter(col(idCol) < 0).limit(1).count()
-    require(negatives == 0L,
-      s"writeTarShards requires non-negative $idCol values " +
-        "(zero-padded keys must sort in id order)")
     val conf = new SerializableConfiguration(
       spark.sessionState.newHadoopConf())
     val root = new Path(outDir)
@@ -116,6 +107,14 @@ object Webdataset {
         try {
           it.foreach { r =>
             val id = r.getLong(0)
+            // the [[KeyFormat]] contract, checked IN the write task (a
+            // driver pre-pass would cost the no-negatives common case a
+            // full extra corpus scan): negative ids break zero-padded
+            // lexicographic key ordering — fail the job loudly before
+            // any final tar publishes
+            require(id >= 0L,
+              s"writeTarShards requires non-negative sample ids: $id " +
+                "(zero-padded keys must sort in id order)")
             val files = r.getMap[String, Array[Byte]](1)
             val shard = r.getInt(2)
             if (shard != cur) {

@@ -99,7 +99,8 @@ class TokenShardsSpec extends SparkSpec {
   test("failure contracts: negative id, out-of-width token, missing " +
     "_SUCCESS") {
     val dir = java.nio.file.Files.createTempDirectory("ts_fail").toString
-    intercept[IllegalArgumentException] {
+    // task-side check -> surfaces as the job failure
+    intercept[org.apache.spark.SparkException] {
       TokenShards.write(Seq((-1L, Seq(1L))).toDF("doc_id", "ids"), dir, 2,
         vocabSize = 100L)
     }
