@@ -171,4 +171,40 @@ object Packing {
           expr(s"(tok_start + n - 1) div $contextLen"))).as("seq_id"))
       .groupBy(col("seq_id")).agg(count(lit(1)).as("n_docs"))
   }
+
+  /** Concat-and-chop over the ACTUAL token ids ([[packStats]] stops at
+    * per-sequence doc counts): documents' id streams concatenate in
+    * ascending doc-id order and chop into `seqLen`-token training
+    * sequences — the materialization step between a tokenizer's streams
+    * and the binary shards a trainer memory-maps (sequence `k` =
+    * global token positions `[k·seqLen, (k+1)·seqLen)`; a document can
+    * span a boundary; the final sequence may be partial — the trainer's
+    * drop-last decision belongs to the caller, so it is emitted).
+    *
+    * Scale: the global order arrives via [[tokenOffsets]]' two-pass
+    * distributed prefix sum over token COUNTS (never a single-task
+    * window), offsets join back doc-count-sized, global positions are
+    * map-side arithmetic on one posexplode, and the one shuffle groups
+    * by `seq_id` with per-group state bounded at `seqLen` ids. The
+    * input is lazily checkpointed — the offset pass and the pack pass
+    * would otherwise each recompute the upstream tokenization. */
+  def packTokenIds(docs: DataFrame, seqLen: Int, idCol: String = "doc_id",
+      idsCol: String = "ids"): DataFrame = {
+    require(seqLen >= 1, "need a positive sequence length")
+    val pinned = docs
+      .select(col(idCol).cast("long").as("id"), col(idsCol).as("_ids"))
+      .localCheckpoint(false)
+    val offs = tokenOffsets(
+      pinned.select(col("id"), size(col("_ids")).cast("long").as("n")),
+      "id", "n")
+    pinned.join(offs.select(col("id"), col("tok_start")), "id")
+      .select(col("tok_start"), posexplode(col("_ids")).as(Seq("p", "tok")))
+      .select((col("tok_start") + col("p")).as("gpos"), col("tok"))
+      .withColumn("seq_id", expr(s"gpos div $seqLen"))
+      .groupBy(col("seq_id"))
+      .agg(sort_array(collect_list(struct(col("gpos"), col("tok"))))
+        .as("arr"))
+      .select(col("seq_id"),
+        transform(col("arr"), x => x.getField("tok")).as("ids"))
+  }
 }

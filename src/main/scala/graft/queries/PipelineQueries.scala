@@ -1292,14 +1292,18 @@ object PipelineQueries {
     * The oracle replays the merge chain → streams → the same sorted-rank
     * numbering → the ShardWriter hash, never touching the files: the
     * binary layout itself is pinned byte-level in TokenShardsSpec. */
-  def q41TokenShards(spark: SparkSession, d: String): DataFrame = {
+  /** The t26 BPE streams mapped to integer ids under the deterministic
+    * vocabulary numbering (driver-sized symbol set, UTF-8-sorted via
+    * Bpe.cmpUtf8 — never Scala's UTF-16 String order — as one broadcast
+    * single-row map, the Bpe.train constant-plan idiom) — shared by q41
+    * (per-doc shards) and q42 (packed sequences). Returns the
+    * (doc_id, ids) frame and the vocabulary size. */
+  private def bpeIdStreams(spark: SparkSession, d: String)
+      : (DataFrame, Long) = {
     import spark.implicits._
     val model = bpeShared(spark, d)
     val streams = graft.pipeline.Bpe
       .tokenStreams(Tables.documents(spark, d), model)
-    // vocabulary numbering: driver-sized symbol set, UTF-8-sorted
-    // (Bpe.cmpUtf8 — never Scala's UTF-16 String order), one broadcast
-    // single-row map (the Bpe.train constant-plan idiom)
     val syms = model.vocab.select(explode($"syms").as("s")).distinct()
       .as[String].collect()
       .sortWith((a, b) => graft.pipeline.Bpe.cmpUtf8(a, b) < 0)
@@ -1307,12 +1311,18 @@ object PipelineQueries {
         (syms.toSeq, syms.indices.map(_.toLong).toSeq)))
       .toDF("_ks", "_vs")
       .select(map_from_arrays($"_ks", $"_vs").as("_m"))
-    val withIds = streams.crossJoin(broadcast(mdf))
+    (streams.crossJoin(broadcast(mdf))
       .select($"doc_id",
-        transform($"stream", s => element_at($"_m", s)).as("ids"))
+        transform($"stream", s => element_at($"_m", s)).as("ids")),
+      syms.length.toLong)
+  }
+
+  def q41TokenShards(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (withIds, vocabSize) = bpeIdStreams(spark, d)
     val dir = graft.util.Scratch.dir("graft_token_shards")
     graft.pipeline.TokenShards.write(withIds, dir, nShards = 8,
-      vocabSize = syms.length.toLong)
+      vocabSize = vocabSize)
     graft.pipeline.TokenShards.read(spark, dir)
       .select($"doc_id",
         regexp_extract($"shard_file", "shard-(\\d+)", 1).cast("long")
@@ -1322,6 +1332,32 @@ object PipelineQueries {
         md5(array_join(transform($"ids", x => x.cast("string")), " "))
           .as("ids_md5"))
       .orderBy($"doc_id")
+  }
+
+  /** q42 — PACKED-SEQUENCE binary shards, the step between q41 and a
+    * training loader: the same id streams concat-and-chop into 512-token
+    * sequences ([[graft.pipeline.Packing.packTokenIds]] — the two-pass
+    * distributed prefix sum orders the corpus, never a single-task
+    * window), the SEQUENCES write as 4 bin/idx shard pairs keyed by
+    * seq_id and read back. Per sequence: token count (512 except the
+    * final partial), id sum, id-sequence md5 — the oracle replays
+    * stream → numbering → cumulative offsets → chop entirely in SQL, so
+    * a drift anywhere in offset arithmetic, boundary-spanning docs, or
+    * the binary round trip breaks the hash. */
+  def q42PackedShards(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (withIds, vocabSize) = bpeIdStreams(spark, d)
+    val seqs = graft.pipeline.Packing.packTokenIds(withIds, 512)
+    val dir = graft.util.Scratch.dir("graft_packed_shards")
+    graft.pipeline.TokenShards.write(seqs, dir, nShards = 4,
+      vocabSize = vocabSize, idCol = "seq_id", tokensCol = "ids")
+    graft.pipeline.TokenShards.read(spark, dir)
+      .select($"doc_id".as("seq_id"),
+        size($"ids").cast("long").as("n_tokens"),
+        aggregate($"ids", lit(0L), (a, x) => a + x).as("id_sum"),
+        md5(array_join(transform($"ids", x => x.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy($"seq_id")
   }
 
   /** d16 — exact-substring dedup ([[Dedup.exactSubstrSpans]], the Lee et
@@ -2531,6 +2567,7 @@ object PipelineQueries {
     "t43_bytebpe_train" -> (t43ByteBpeTrain _),
     "t44_bytebpe_encode" -> (t44ByteBpeEncode _),
     "q41_token_shards" -> (q41TokenShards _),
+    "q42_packed_shards" -> (q42PackedShards _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -3091,6 +3128,26 @@ object PipelineQueries {
        |                                      '\\s+')))) AS i
        |        FROM documents WHERE text IS NOT NULL) t
        |  WHERE toks[i] <> '')""".stripMargin
+
+  /** The q41/q42 shared id-stream replay: the t16 chain, positioned
+    * tokens, the sorted-rank vocabulary numbering as ONE map row, and
+    * `tids(doc_id, ids)` — per-doc integer id streams. */
+  private lazy val bpeIdStreamCtes: String =
+    s"""${bpeOracleChain(BpeRounds)},
+       |$bpeDtokCte,
+       |vmap AS MATERIALIZED (
+       |  SELECT MAP(list(s ORDER BY s), list(id ORDER BY s)) AS m
+       |  FROM (SELECT s, (ROW_NUMBER() OVER (ORDER BY s) - 1)::BIGINT
+       |            AS id
+       |        FROM (SELECT DISTINCT unnest(seq) AS s
+       |              FROM w$BpeRounds))),
+       |str AS (
+       |  SELECT doc_id, flatten(list(seq ORDER BY pos)) AS stream
+       |  FROM dtok JOIN w$BpeRounds w USING (word)
+       |  GROUP BY doc_id),
+       |tids AS MATERIALIZED (
+       |  SELECT doc_id, list_transform(stream, s -> m[s][1]) AS ids
+       |  FROM str CROSS JOIN vmap)""".stripMargin
 
   /** The t17/t18 shared tail: per-doc word + BPE-token counts under the
     * round-[[BpeRounds]] vocab. */
@@ -3862,21 +3919,7 @@ object PipelineQueries {
       // one-row MAP idiom) → per-doc id rollups + the ShardWriter hash;
       // the binary files themselves are byte-pinned in TokenShardsSpec,
       // the oracle pins that the round trip preserved every id
-      s"""${bpeOracleChain(BpeRounds)},
-         |$bpeDtokCte,
-         |vmap AS MATERIALIZED (
-         |  SELECT MAP(list(s ORDER BY s), list(id ORDER BY s)) AS m
-         |  FROM (SELECT s, (ROW_NUMBER() OVER (ORDER BY s) - 1)::BIGINT
-         |            AS id
-         |        FROM (SELECT DISTINCT unnest(seq) AS s
-         |              FROM w$BpeRounds))),
-         |str AS (
-         |  SELECT doc_id, flatten(list(seq ORDER BY pos)) AS stream
-         |  FROM dtok JOIN w$BpeRounds w USING (word)
-         |  GROUP BY doc_id),
-         |tids AS (
-         |  SELECT doc_id, list_transform(stream, s -> m[s][1]) AS ids
-         |  FROM str CROSS JOIN vmap)
+      s"""$bpeIdStreamCtes
          |SELECT doc_id,
          |  ((doc_id * ${graft.pipeline.ShardWriter.HashMult})
          |     % ${graft.pipeline.ShardWriter.HashPrime}) % 8 AS shard,
@@ -3885,6 +3928,29 @@ object PipelineQueries {
          |    AS id_sum,
          |  md5(array_to_string(ids, ' ')) AS ids_md5
          |FROM tids ORDER BY doc_id""".stripMargin,
+    "q42_packed_shards" ->
+      // the SAME id streams → the packingTailSql-style cumulative
+      // offset window (an ORACLE may use the single-task window the
+      // engine's two-pass scan replaces) → global token positions →
+      // 512-chop → per-sequence rollups; a drift in offset arithmetic,
+      // boundary-spanning docs, or the seq-keyed binary round trip
+      // breaks the hash
+      s"""$bpeIdStreamCtes,
+         |poff AS (
+         |  SELECT doc_id, ids,
+         |    COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS s
+         |  FROM tids),
+         |ptok AS (
+         |  SELECT (s + i - 1) AS gpos, ids[i] AS tok
+         |  FROM (SELECT doc_id, ids, s,
+         |          unnest(generate_series(1, len(ids))) AS i
+         |        FROM poff))
+         |SELECT gpos // 512 AS seq_id, COUNT(*)::BIGINT AS n_tokens,
+         |  SUM(tok)::BIGINT AS id_sum,
+         |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
+         |FROM ptok GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "t25_tokenizer_eval" ->
       // BOTH tokenizer chains in one statement: the t16 unrolled merges
       // (tok/nb per-doc BPE counts) + the t21 unrolled EM (umnb per-doc

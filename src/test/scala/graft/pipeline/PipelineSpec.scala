@@ -256,6 +256,29 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("duplicate"))
   }
 
+  test("packTokenIds: concat-and-chop equals the driver-side reference, " +
+    "boundary-spanning docs included, partitioning-independent") {
+    import spark.implicits._
+    // ids per doc sized so docs SPAN sequence boundaries at L=5:
+    // doc1 [0,3), doc2 [3,10), doc3 [10,12) -> seqs [0,5) [5,10) [10,12)
+    val docs = Seq(
+      (1L, Seq(10L, 11L, 12L)),
+      (2L, (20L until 27L).toSeq),
+      (3L, Seq(30L, 31L))).toDF("doc_id", "ids")
+    val exp = (Seq(10L, 11L, 12L) ++ (20L until 27L) ++ Seq(30L, 31L))
+      .grouped(5).toSeq
+    Seq(1, 7).foreach { parts =>
+      val got = graft.pipeline.Packing
+        .packTokenIds(docs.repartition(parts), 5)
+        .as[(Long, Seq[Long])].collect().sortBy(_._1)
+      assert(got.map(_._1).toSeq == exp.indices.map(_.toLong),
+        s"seq ids at parts=$parts")
+      assert(got.map(_._2).toSeq == exp, s"chop drift at parts=$parts")
+    }
+    // the final partial sequence is emitted, not dropped
+    assert(exp.last.size == 2)
+  }
+
   test("incremental minhash finds exactly the cross-split exact pairs") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sfTiny)
