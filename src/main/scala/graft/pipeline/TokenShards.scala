@@ -68,8 +68,7 @@ object TokenShards {
       spark.sessionState.newHadoopConf())
     val root = new Path(outDir)
     val fs = root.getFileSystem(conf.value)
-    fs.delete(root, true)
-    fs.mkdirs(root)
+    ShardFiles.prepare(fs, root)
     ShardWriter.assignShards(df.select(col(idCol), col(tokensCol)), nShards,
         idCol)
       .repartition(col("shard"))
@@ -79,6 +78,7 @@ object TokenShards {
           .map(_.taskAttemptId()).getOrElse(0L)
         val pfs = new Path(outDir).getFileSystem(conf.value)
         var cur = -1
+        var prevId = -1L
         var bin: org.apache.hadoop.fs.FSDataOutputStream = null
         var binTmp: Path = null
         var pointer = 0L
@@ -89,8 +89,8 @@ object TokenShards {
         var docs = 0L
         def publish(): Unit = if (bin != null) {
           bin.close(); bin = null
-          val idxTmp = new Path(outDir,
-            f"_tmp/shard-$cur%06d.attempt-$attempt.idx")
+          val idxTmp = ShardFiles.attemptTmp(outDir,
+            f"shard-$cur%06d.idx", attempt)
           val out = pfs.create(idxTmp, true)
           out.write(Magic)
           out.write(le(16).putInt(Version).putInt(width)
@@ -100,18 +100,10 @@ object TokenShards {
           // publish .bin first, .idx second: readers key off .idx files,
           // so a half-published pair is invisible (and _SUCCESS gates
           // completeness anyway)
-          val binDest = new Path(outDir, f"shard-$cur%06d.bin")
-          val idxDest = new Path(outDir, f"shard-$cur%06d.idx")
-          if (!pfs.rename(binTmp, binDest)) {
-            require(pfs.exists(binDest),
-              s"shard publish failed and no winner exists: $binTmp")
-            pfs.delete(binTmp, false)
-          }
-          if (!pfs.rename(idxTmp, idxDest)) {
-            require(pfs.exists(idxDest),
-              s"shard publish failed and no winner exists: $idxTmp")
-            pfs.delete(idxTmp, false)
-          }
+          ShardFiles.publish(pfs, binTmp,
+            new Path(outDir, f"shard-$cur%06d.bin"))
+          ShardFiles.publish(pfs, idxTmp,
+            new Path(outDir, f"shard-$cur%06d.idx"))
           binTmp = null; idx = null
         }
         def abort(): Unit = {
@@ -127,10 +119,12 @@ object TokenShards {
         try {
           it.foreach { r =>
             val id = r.getLong(0)
-            // checked IN the write task (not a driver pre-pass: the
-            // no-negatives common case would pay one full extra corpus
-            // scan) — a violation still fails the job loudly before any
-            // final file publishes
+            // id contract checked IN the write task (a driver pre-pass
+            // would cost the valid-input common case a full extra corpus
+            // scan). A violation fails THIS task before its current
+            // shard publishes; shards other tasks already published keep
+            // their final names — job-level completeness is the
+            // _SUCCESS marker's job, which a failed job never stamps.
             require(id >= 0L,
               s"token shards require non-negative $idCol values: $id")
             val ids = r.getSeq[Long](1)
@@ -138,13 +132,30 @@ object TokenShards {
             if (shard != cur) {
               publish()
               cur = shard
-              binTmp = new Path(outDir,
-                f"_tmp/shard-$cur%06d.attempt-$attempt.bin")
+              prevId = -1L
+              binTmp = ShardFiles.attemptTmp(outDir,
+                f"shard-$cur%06d.bin", attempt)
               bin = pfs.create(binTmp, true)
               idx = new java.io.ByteArrayOutputStream()
               pointer = 0L
               docs = 0L
             }
+            // duplicate ids would tie the (shard, id) sort key, and
+            // Spark's sort is not stable over shuffle-fetch order — the
+            // bytes would differ run to run, breaking both the
+            // reproducibility contract and the idx strictly-ascending
+            // invariant. Equal ids land adjacent in one shard, so the
+            // check is free here (the tokenOffsets discipline).
+            require(id > prevId,
+              s"duplicate $idCol value $id — shard bytes would be " +
+                "partition-order-dependent; deduplicate first")
+            prevId = id
+            // one document's encoded ids are buffered whole (the read
+            // side mirrors this) — bound it LOUDLY instead of letting
+            // Int arithmetic wrap negative at ~2 GiB
+            require(ids.length <= Int.MaxValue / width,
+              s"document $id holds ${ids.length} tokens — over the " +
+                s"2 GiB single-document buffer bound at width $width")
             val buf = le(ids.length * width)
             ids.foreach { t =>
               require(t >= 0L && t <= maxId,
@@ -160,8 +171,7 @@ object TokenShards {
           publish()
         } catch { case t: Throwable => abort(); throw t }
       }
-    fs.delete(new Path(root, "_tmp"), true)
-    fs.create(new Path(root, Webdataset.SuccessMarker), true).close()
+    ShardFiles.finish(fs, root)
   }
 
   /** Read a shard directory back as (shard_file, doc_id, ids) — one
@@ -176,14 +186,9 @@ object TokenShards {
       spark.sessionState.newHadoopConf())
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
-    require(!requireSuccess ||
-        fs.exists(new Path(root, Webdataset.SuccessMarker)),
-      s"$dir has no ${Webdataset.SuccessMarker} marker — the writer job " +
-        "did not complete")
-    val paths = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".idx") &&
-        !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-      .map(_.toString).sorted.toSeq
+    ShardFiles.checkSuccess(fs, root, requireSuccess,
+      "externally-written shard pairs")
+    val paths = ShardFiles.listShards(fs, root, ".idx")
     val ds =
       if (paths.isEmpty) spark.emptyDataset[String]
       else spark.createDataset(paths).repartition(paths.length)

@@ -42,8 +42,9 @@ object Webdataset {
     * published — the standard Hadoop-output convention. A directory of
     * valid-looking `shard-*.tar` files without it is a partial output
     * from a failed job (per-shard publish is atomic, job-level
-    * completeness is not), and [[readTarShards]] refuses it by default. */
-  val SuccessMarker = "_SUCCESS"
+    * completeness is not — [[ShardFiles]] spells the whole contract),
+    * and [[readTarShards]] refuses it by default. */
+  val SuccessMarker: String = ShardFiles.SuccessMarker
 
   /** Write one tar per shard under `outDir` (`shard-NNNNNN.tar`).
     * `filesCol` maps extension → raw bytes for each sample; `idCol` is
@@ -65,8 +66,7 @@ object Webdataset {
       spark.sessionState.newHadoopConf())
     val root = new Path(outDir)
     val fs = root.getFileSystem(conf.value)
-    fs.delete(root, true) // overwrite semantics, the ShardWriter posture
-    fs.mkdirs(root)
+    ShardFiles.prepare(fs, root) // overwrite semantics
     ShardWriter.assignShards(df.select(col(idCol), col(filesCol)), nShards,
         idCol)
       .repartition(col("shard"))
@@ -75,21 +75,14 @@ object Webdataset {
         val attempt = Option(org.apache.spark.TaskContext.get())
           .map(_.taskAttemptId()).getOrElse(0L)
         var cur = -1
+        var prevId = -1L
         var tar: TarArchiveOutputStream = null
         var tmp: Path = null
         val pfs = new Path(outDir).getFileSystem(conf.value)
         def publish(): Unit = if (tar != null) {
           tar.finish(); tar.close(); tar = null
-          val dest = new Path(outDir, f"shard-$cur%06d.tar")
-          if (!pfs.rename(tmp, dest)) {
-            // a false rename is only benign when ANOTHER attempt already
-            // published the shard — deleting our copy on any other
-            // failure (quota, lease, object-store semantics) would lose
-            // the shard SILENTLY while the job reports success
-            require(pfs.exists(dest),
-              s"shard publish failed and no winner exists: $tmp -> $dest")
-            pfs.delete(tmp, false)
-          }
+          ShardFiles.publish(pfs, tmp,
+            new Path(outDir, f"shard-$cur%06d.tar"))
           tmp = null
         }
         def abort(): Unit = {
@@ -110,8 +103,9 @@ object Webdataset {
             // the [[KeyFormat]] contract, checked IN the write task (a
             // driver pre-pass would cost the no-negatives common case a
             // full extra corpus scan): negative ids break zero-padded
-            // lexicographic key ordering — fail the job loudly before
-            // any final tar publishes
+            // lexicographic key ordering. A violation fails THIS task
+            // before its current shard publishes; already-published
+            // shards keep their names — completeness is _SUCCESS's job.
             require(id >= 0L,
               s"writeTarShards requires non-negative sample ids: $id " +
                 "(zero-padded keys must sort in id order)")
@@ -120,11 +114,20 @@ object Webdataset {
             if (shard != cur) {
               publish()
               cur = shard
-              tmp = new Path(outDir,
-                f"_tmp/shard-$cur%06d.attempt-$attempt.tar")
+              prevId = -1L
+              tmp = ShardFiles.attemptTmp(outDir,
+                f"shard-$cur%06d.tar", attempt)
               tar = new TarArchiveOutputStream(pfs.create(tmp, true))
               tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
             }
+            // duplicate ids tie the sort key and Spark's sort is not
+            // stable over shuffle-fetch order — the tar bytes would be
+            // run-dependent; equal ids are adjacent in one shard, so
+            // this is free (the TokenShards/tokenOffsets discipline)
+            require(id > prevId,
+              s"duplicate sample id $id — tar bytes would be " +
+                "partition-order-dependent; deduplicate first")
+            prevId = id
             val key = KeyFormat.format(id)
             // sorted extensions: reproducible bytes AND the stable
             // part order loaders group on
@@ -144,12 +147,9 @@ object Webdataset {
           publish()
         } catch { case t: Throwable => abort(); throw t }
       }
-    fs.delete(new Path(root, "_tmp"), true)
-    // job-level completeness marker: per-shard publish is atomic but a
-    // job that dies partway leaves a directory of valid final tars with
-    // no way to tell partial from complete — the driver-side marker
-    // (written only after foreachPartition returns) closes that window
-    fs.create(new Path(root, SuccessMarker), true).close()
+    // temp sweep + the job-level completeness marker (written only
+    // after foreachPartition returns — see [[ShardFiles]])
+    ShardFiles.finish(fs, root)
   }
 
   /** Read a shard directory back as one row per PART:
@@ -170,13 +170,9 @@ object Webdataset {
       spark.sessionState.newHadoopConf())
     val root = new Path(dir)
     val fs = root.getFileSystem(conf.value)
-    require(!requireSuccess || fs.exists(new Path(root, SuccessMarker)),
-      s"$dir has no $SuccessMarker marker — the writer job did not " +
-        "complete (pass requireSuccess=false for externally-written tars)")
-    val paths = fs.listStatus(root).map(_.getPath)
-      .filter(p => p.getName.endsWith(".tar") &&
-        !p.getName.startsWith(".") && !p.getName.startsWith("_"))
-      .map(_.toString).sorted.toSeq
+    ShardFiles.checkSuccess(fs, root, requireSuccess,
+      "externally-written tars")
+    val paths = ShardFiles.listShards(fs, root, ".tar")
     val ds =
       if (paths.isEmpty) spark.emptyDataset[String]
       else spark.createDataset(paths)

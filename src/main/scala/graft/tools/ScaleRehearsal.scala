@@ -80,11 +80,11 @@ object ScaleRehearsal {
   }
 
   /** Byte-level BPE at production-ish merge count: the batched trainer
-    * over the BYTE symbolization of the 50k-word wide corpus (2,048
-    * merges — byte sequences are denser in pairs, so batching must keep
-    * driver rounds << merges exactly as char-side), and the total
-    * encode surface at 1×/4× (corpus-LINEAR: once per distinct word
-    * under the guarded dictionary, byte greedy kernel on the tail). */
+    * over the BYTE symbolization of the 50k-word wide corpus (1,024
+    * merges, the bpewide precedent — see the inline depth note), and
+    * the total encode surface at 1×/4× (corpus-LINEAR: once per
+    * distinct word under the guarded dictionary, byte greedy kernel on
+    * the tail). */
   private def byteBpeFamily(spark: org.apache.spark.sql.SparkSession)
       : Unit = {
     val base = wideCorpus(spark, 50000)
@@ -150,6 +150,15 @@ object ScaleRehearsal {
       println(f"[rehearsal] tokenshards x$mult (${baseDocs * mult} docs, " +
         f"${binB / 1e6}%.1f MB bin, idx/bin=${idxB.toDouble / binB}%.3f): " +
         f"write $tw%.1fs read $tr%.1fs tokens=$n")
+      // the q42 concat-and-chop over the same id frames: the two-pass
+      // prefix sum + one seq_id shuffle must stay corpus-LINEAR, and the
+      // sequence count must equal ceil(tokens/512) exactly
+      val t2 = System.nanoTime()
+      val seqs = graft.pipeline.Packing.packTokenIds(df, 512)
+      val nSeq = seqs.count()
+      val tp = (System.nanoTime() - t2) / 1e9
+      println(f"[rehearsal] packids x$mult (${baseDocs * mult} docs -> " +
+        f"$nSeq seqs, expect ${(n + 511) / 512}): pack $tp%.1fs")
     }
   }
 

@@ -108,6 +108,15 @@ class TokenShardsSpec extends SparkSpec {
       TokenShards.write(Seq((1L, Seq(70000L))).toDF("doc_id", "ids"), dir, 2,
         vocabSize = 100L) // width 2 but id over 65535
     }
+    // duplicate ids: the (shard, id) sort key would tie and the bytes
+    // become shuffle-order-dependent — rejected in-task
+    val dup = intercept[org.apache.spark.SparkException] {
+      TokenShards.write(
+        Seq((7L, Seq(1L)), (7L, Seq(2L))).toDF("doc_id", "ids"),
+        java.nio.file.Files.createTempDirectory("ts_dup").toString, 2,
+        vocabSize = 100L)
+    }
+    assert(dup.getMessage.contains("duplicate"))
     val ok = java.nio.file.Files.createTempDirectory("ts_ok").toString
     TokenShards.write(sampleDf(10, 50L), ok, 2, vocabSize = 50L)
     java.nio.file.Files.delete(java.nio.file.Paths.get(ok, "_SUCCESS"))
