@@ -7,7 +7,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * fixes had to be hand-applied to both sinks — exactly the drift class
   * the repo's one-copy discipline exists to prevent):
   *
-  *   - each task ATTEMPT streams into `_tmp/<name>.attempt-<A>.<ext>`
+  *   - each task ATTEMPT streams into `_tmp/<name>.attempt-<A>` (where
+  *     `<name>` carries its extension, e.g. `shard-000003.idx`)
   *     and publishes by atomic rename on the shard boundary; the first
   *     attempt to rename wins whole-file, a loser deletes its temp —
   *     but ONLY after proving a winner exists (a false rename for any
@@ -36,6 +37,21 @@ private[pipeline] object ShardFiles {
 
   def attemptTmp(outDir: String, name: String, attempt: Long): Path =
     new Path(outDir, s"_tmp/$name.attempt-$attempt")
+
+  /** The id contract both sinks enforce IN the write task (a driver
+    * pre-pass would cost the valid-input common case a full extra
+    * corpus scan): non-negative (zero-padded keys / the idx invariant)
+    * and strictly ascending within a shard — duplicate ids tie the
+    * (shard, id) sort key, and Spark's sort is not stable over
+    * shuffle-fetch order, so the output bytes would differ run to run.
+    * Equal ids land adjacent after the sort, so the check is free.
+    * `prevId` is the previous id in THIS shard (-1 at a shard open). */
+  def checkAscendingId(id: Long, prevId: Long, what: String): Unit = {
+    require(id >= 0L, s"$what requires non-negative sample ids: $id")
+    require(id > prevId,
+      s"duplicate sample id $id — $what bytes would be " +
+        "partition-order-dependent; deduplicate first")
+  }
 
   /** Publish one finished temp file to its final name: atomic rename,
     * first attempt wins; a losing rename is benign ONLY when a winner

@@ -119,14 +119,6 @@ object TokenShards {
         try {
           it.foreach { r =>
             val id = r.getLong(0)
-            // id contract checked IN the write task (a driver pre-pass
-            // would cost the valid-input common case a full extra corpus
-            // scan). A violation fails THIS task before its current
-            // shard publishes; shards other tasks already published keep
-            // their final names — job-level completeness is the
-            // _SUCCESS marker's job, which a failed job never stamps.
-            require(id >= 0L,
-              s"token shards require non-negative $idCol values: $id")
             val ids = r.getSeq[Long](1)
             val shard = r.getInt(2)
             if (shard != cur) {
@@ -140,15 +132,10 @@ object TokenShards {
               pointer = 0L
               docs = 0L
             }
-            // duplicate ids would tie the (shard, id) sort key, and
-            // Spark's sort is not stable over shuffle-fetch order — the
-            // bytes would differ run to run, breaking both the
-            // reproducibility contract and the idx strictly-ascending
-            // invariant. Equal ids land adjacent in one shard, so the
-            // check is free here (the tokenOffsets discipline).
-            require(id > prevId,
-              s"duplicate $idCol value $id — shard bytes would be " +
-                "partition-order-dependent; deduplicate first")
+            // the shared id contract (see [[ShardFiles]]): a violation
+            // fails THIS task before its current shard publishes;
+            // job-level completeness stays the _SUCCESS marker's job
+            ShardFiles.checkAscendingId(id, prevId, "token shards")
             prevId = id
             // one document's encoded ids are buffered whole (the read
             // side mirrors this) — bound it LOUDLY instead of letting

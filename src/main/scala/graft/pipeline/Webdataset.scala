@@ -100,15 +100,6 @@ object Webdataset {
         try {
           it.foreach { r =>
             val id = r.getLong(0)
-            // the [[KeyFormat]] contract, checked IN the write task (a
-            // driver pre-pass would cost the no-negatives common case a
-            // full extra corpus scan): negative ids break zero-padded
-            // lexicographic key ordering. A violation fails THIS task
-            // before its current shard publishes; already-published
-            // shards keep their names — completeness is _SUCCESS's job.
-            require(id >= 0L,
-              s"writeTarShards requires non-negative sample ids: $id " +
-                "(zero-padded keys must sort in id order)")
             val files = r.getMap[String, Array[Byte]](1)
             val shard = r.getInt(2)
             if (shard != cur) {
@@ -120,13 +111,11 @@ object Webdataset {
               tar = new TarArchiveOutputStream(pfs.create(tmp, true))
               tar.setLongFileMode(TarArchiveOutputStream.LONGFILE_POSIX)
             }
-            // duplicate ids tie the sort key and Spark's sort is not
-            // stable over shuffle-fetch order — the tar bytes would be
-            // run-dependent; equal ids are adjacent in one shard, so
-            // this is free (the TokenShards/tokenOffsets discipline)
-            require(id > prevId,
-              s"duplicate sample id $id — tar bytes would be " +
-                "partition-order-dependent; deduplicate first")
+            // the shared id contract (see [[ShardFiles]] — negatives
+            // additionally break [[KeyFormat]]'s zero-padded ordering):
+            // a violation fails THIS task before its current shard
+            // publishes; completeness stays the _SUCCESS marker's job
+            ShardFiles.checkAscendingId(id, prevId, "tar shards")
             prevId = id
             val key = KeyFormat.format(id)
             // sorted extensions: reproducible bytes AND the stable
@@ -155,11 +144,11 @@ object Webdataset {
   /** Read a shard directory back as one row per PART:
     * (shard_file, key, ext, content). One input partition per tar; the
     * tar streams incrementally off the filesystem (one entry's bytes
-    * resident at a time — never the shard). The extension is everything
-    * past the FIRST dot of the basename (the WebDataset rule, so
-    * `key.seg.json` parts keep their compound extension); the basename
-    * is everything past the last '/', so externally-written tars with
-    * `./`- or directory-prefixed entry names still yield clean keys.
+    * resident at a time — never the shard). Key/extension follow the
+    * WebDataset `base_plus_ext` rule: split at the first dot AFTER the
+    * last '/', directory prefix kept in the KEY (class-per-directory
+    * tars keep `train/0001` distinct from `val/0001`; `key.seg.json`
+    * parts keep their compound extension); a leading `./` is stripped.
     * `requireSuccess` (default on) demands the [[SuccessMarker]] so a
     * partial output from a died writer job cannot be read as complete —
     * pass false only for tars produced by other tools. */
@@ -209,14 +198,18 @@ object Webdataset {
               require(n >= 0, s"truncated tar entry: $name")
               off += n
             }
-            // basename first (wild tars carry './' or nested dirs in
-            // entry names — a dot inside the directory part must not
-            // truncate the key), THEN the first-dot WebDataset split
-            val base = name.substring(name.lastIndexOf('/') + 1)
-            val dot = base.indexOf('.')
+            // the WebDataset base_plus_ext rule: split at the FIRST dot
+            // AFTER the last '/', keeping the directory prefix IN the
+            // key — a dot inside the directory part must not truncate
+            // the key, and class-per-directory tars ('train/0001.jpg'
+            // vs 'val/0001.jpg') must not collide on '0001'. A leading
+            // './' alone is stripped (the tar-writer artifact, not a
+            // distinguishing directory).
+            val norm = if (name.startsWith("./")) name.substring(2) else name
+            val dot = norm.indexOf('.', norm.lastIndexOf('/') + 1)
             val (key, ext) =
-              if (dot < 0) (base, "") else (base.substring(0, dot),
-                base.substring(dot + 1))
+              if (dot < 0) (norm, "") else (norm.substring(0, dot),
+                norm.substring(dot + 1))
             entry = advance()
             (path.getName, key, ext, buf)
           }

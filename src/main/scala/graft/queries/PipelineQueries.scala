@@ -2032,9 +2032,12 @@ object PipelineQueries {
             "software: graft".getBytes("UTF-8"))))
       records.filter(_._1 % 2 == part).foreach {
         case (id, rtype, uri, payload) =>
+          // record id carries the TYPE: mm07 writes a response AND a
+          // resource per doc, and ISO 28500 requires WARC-Record-ID to
+          // be globally unique — a bare graft-$id would collide
           bos.write(graft.sources.warc.Warc.gzipMember(
             graft.sources.warc.Warc.renderRecord(rtype,
-              s"<urn:uuid:graft-$id>", uri,
+              s"<urn:uuid:graft-$rtype-$id>", uri,
               "2026-01-01T00:00:00Z", payload)))
       }
       java.nio.file.Files.write(

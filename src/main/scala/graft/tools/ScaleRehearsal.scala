@@ -175,8 +175,12 @@ object ScaleRehearsal {
         .select(col("doc_id"), concat(
           lit("SUBSCRIBE to our newsletter\n"), col("text"),
           lit("\n(c) corpus footer")).as("text"))
+    // doc_id range, not limit(): an unordered limit picks whichever
+    // rows the scan yields first, making dropped-count drift across
+    // runs/boots — the cross-round curve comparison needs a pinned
+    // increment
     val incr = plant(Tables.documents(spark, sfDir))
-      .limit(200).localCheckpoint(true)
+      .filter(col("doc_id") < 200).localCheckpoint(true)
     Seq(1, 4, k).distinct.foreach { mult =>
       val corpus = plant(replicateDocs(mult))
       val dir = graft.util.Scratch.dir("rehearsal_lineidx")

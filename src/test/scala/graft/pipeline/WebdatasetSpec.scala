@@ -79,6 +79,29 @@ class WebdatasetSpec extends SparkSpec {
     }
   }
 
+  test("externally-written tars: base_plus_ext keys keep directory " +
+    "prefixes, strip './', and compound extensions survive") {
+    import org.apache.commons.compress.archivers.tar.{TarArchiveEntry,
+      TarArchiveOutputStream}
+    val dir = tmp()
+    val out = new TarArchiveOutputStream(
+      new java.io.FileOutputStream(new java.io.File(dir, "wild.tar")))
+    Seq("train/0001.jpg", "val/0001.jpg", "./0002.txt",
+      "dir.v2/0003.seg.json").foreach { name =>
+      val bytes = name.getBytes("UTF-8")
+      val e = new TarArchiveEntry(name)
+      e.setSize(bytes.length.toLong)
+      out.putArchiveEntry(e); out.write(bytes); out.closeArchiveEntry()
+    }
+    out.finish(); out.close()
+    val got = Webdataset.readTarShards(spark, dir, requireSuccess = false)
+      .select($"key", $"ext").as[(String, String)].collect().toSet
+    // class-per-directory samples must NOT collide on the basename; a
+    // dotted directory must not truncate the key
+    assert(got === Set(("train/0001", "jpg"), ("val/0001", "jpg"),
+      ("0002", "txt"), ("dir.v2/0003", "seg.json")))
+  }
+
   test("tar bytes are reproducible across reruns") {
     val d1 = tmp(); val d2 = tmp()
     Webdataset.writeTarShards(sampleDf(25), d1, nShards = 3)
