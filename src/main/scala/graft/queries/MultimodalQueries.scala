@@ -184,6 +184,10 @@ object MultimodalQueries {
     graft.pipeline.Webdataset.writeTarShards(samples, out, nShards = 4)
     val back = graft.pipeline.Webdataset.readTarShards(spark, out)
     val stats = udf((b: Array[Byte]) => {
+      // a null here means the sample came back without its png part —
+      // fail diagnosably instead of an opaque NPE inside the decoder
+      require(b != null, "mm07 sample is missing its png part " +
+        "(tar writer defect or a hand-built archive)")
       val (w, h, px) = Multimodal.ImageIoCodec.decodeGray(b)
       var s = 0L; px.foreach(s += _)
       (w.toLong, h.toLong, s)

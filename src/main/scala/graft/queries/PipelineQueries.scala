@@ -274,7 +274,13 @@ object PipelineQueries {
 
   private def plantedSql(rows: Seq[(Long, String)]): String =
     rows.map { case (id, t) =>
-      s"SELECT ${id}::BIGINT AS doc_id, '$t' AS text"
+      // the result is embedded in stripMargin templates and a
+      // single-quoted DuckDB literal: a '|' would be eaten by
+      // stripMargin, an unescaped quote would break every oracle built
+      // from this — escape the quote, reject the pipe
+      require(!t.contains("|"),
+        s"planted text '$t' would break stripMargin oracle templates")
+      s"SELECT ${id}::BIGINT AS doc_id, '${t.replace("'", "''")}' AS text"
     }.mkString("\n  UNION ALL ")
 
   /** The byte-BPE TRAIN corpus: documents plus the multi-script rows. */

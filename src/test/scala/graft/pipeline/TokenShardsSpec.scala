@@ -96,6 +96,163 @@ class TokenShardsSpec extends SparkSpec {
     assert(digest(d1) == digest(d2), "shard bytes must be run-independent")
   }
 
+  test("Megatron strict mode writes the public MMIDIDX layout " +
+    "byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("ts_mm").toString
+    val df = sampleDf(40, 900L)
+    TokenShards.write(df, dir, nShards = 2, vocabSize = 900L,
+      format = TokenShards.Megatron)
+    val exp = df.as[(Long, Seq[Long])].collect().toMap
+    val root = new java.io.File(dir)
+    val idxFiles = root.listFiles().filter(_.getName.endsWith(".idx"))
+      .sortBy(_.getName)
+    assert(idxFiles.nonEmpty)
+    idxFiles.foreach { f =>
+      val raw = java.nio.file.Files.readAllBytes(f.toPath)
+      val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      // header: 9-byte magic, int64 version 1, dtype-code byte,
+      // int64 sequence count, int64 doc-index count
+      val magic = new Array[Byte](9); buf.get(magic)
+      assert(magic.sameElements(
+        "MMIDIDX".getBytes("US-ASCII") ++ Array[Byte](0, 0)))
+      assert(buf.getLong == 1L, "MMIDIDX version must be int64 1")
+      assert(buf.get() == 8.toByte, "vocab 900 -> uint16 -> dtype code 8")
+      val n = buf.getLong
+      assert(buf.getLong == n + 1, "doc_idx length must be n+1")
+      assert(raw.length == 34 + 4 * n + 8 * n + 8 * (n + 1),
+        "exact MMIDIDX extent: header + sizes + pointers + doc_idx")
+      // sizes (int32), then pointers (int64) = cumsum(sizes)*itemsize,
+      // then doc_idx = 0..n
+      val sizes = (0L until n).map(_ => buf.getInt)
+      var expPtr = 0L
+      sizes.foreach { s =>
+        assert(buf.getLong == expPtr, "pointers must be the byte cumsum")
+        expPtr += s.toLong * 2
+      }
+      (0L to n).foreach(d => assert(buf.getLong == d, "doc_idx = 0..n"))
+      val bin = new java.io.File(root,
+        f.getName.stripSuffix(".idx") + ".bin")
+      assert(bin.length() == expPtr)
+    }
+    // reads return POSITIONAL ids (the layout stores none): positions
+    // within each shard ascend 0..k and the id streams match the input
+    // docs in ascending doc-id order per shard
+    val back = TokenShards.read(spark, dir)
+      .select($"shard_file", $"doc_id", $"ids")
+      .as[(String, Long, Seq[Long])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expByShard = exp.toSeq.sortBy(_._1).groupBy { case (id, _) =>
+      f"shard-${(id * ShardWriter.HashMult % ShardWriter.HashPrime) % 2}%06d.bin"
+    }
+    back.foreach { case (f, rows) =>
+      assert(rows.map(_._2).toSeq == rows.indices.map(_.toLong).toSeq)
+      assert(rows.map(_._3).toSeq == expByShard(f).map(_._2).toSeq,
+        s"positional streams must match ascending-id input order in $f")
+    }
+  }
+
+  test("boundary sidecar round-trips spans and pins the GRAFTDOC layout") {
+    val dir = java.nio.file.Files.createTempDirectory("ts_doc").toString
+    // three sequences with hand-built spans (tiling, like the packer's)
+    val rows = Seq(
+      (0L, Seq(1L, 2L, 3L, 4L), Seq((10L, 0, 2), (11L, 2, 2))),
+      (1L, Seq(5L, 6L), Seq((11L, 0, 1), (12L, 1, 1))),
+      (2L, Seq(7L, 8L, 9L), Seq((13L, 0, 3))))
+    val df = rows.toDF("doc_id", "ids", "segs")
+      .select($"doc_id", $"ids", expr(
+        "transform(segs, s -> struct(s._1 as doc_id, " +
+          "s._2 as start, s._3 as len))").as("segs"))
+    TokenShards.write(df, dir, nShards = 2, vocabSize = 100L,
+      segsCol = Some("segs"))
+    val back = TokenShards.read(spark, dir, boundaries = true)
+      .select($"doc_id", $"ids",
+        expr("transform(segs, s -> struct(s.doc_id, s.start, s.len))"))
+      .as[(Long, Seq[Long], Seq[(Long, Int, Int)])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    rows.foreach { case (id, ids, segs) =>
+      assert(back(id) == ((ids, segs)), s"sidecar drift for sequence $id")
+    }
+    // byte-layout pin: magic, version, count, pointer region, records
+    new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".doc")).foreach { f =>
+        val raw = java.nio.file.Files.readAllBytes(f.toPath)
+        val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val magic = new Array[Byte](8); buf.get(magic)
+        assert(new String(magic, "US-ASCII") == "GRAFTDOC")
+        assert(buf.getInt == TokenShards.DocVersion)
+        val n = buf.getLong
+        val ptrs = (0L until n).map(_ => buf.getLong)
+        var off = 0L
+        (0L until n).foreach { k =>
+          assert(ptrs(k.toInt) == off, "doc pointers must be contiguous")
+          val nSegs = buf.getInt
+          (0 until nSegs).foreach { _ =>
+            buf.getLong; buf.getInt; buf.getInt
+          }
+          off += 4L + 16L * nSegs
+        }
+        assert(raw.length == 20 + 8 * n + off, "exact GRAFTDOC extent")
+      }
+    // malformed spans fail the job loudly
+    intercept[org.apache.spark.SparkException] {
+      val bad = Seq((0L, Seq(1L, 2L), Seq((9L, 1, 5)))) // out of bounds
+        .toDF("doc_id", "ids", "segs")
+        .select($"doc_id", $"ids", expr(
+          "transform(segs, s -> struct(s._1 as doc_id, " +
+            "s._2 as start, s._3 as len))").as("segs"))
+      TokenShards.write(bad,
+        java.nio.file.Files.createTempDirectory("ts_badseg").toString,
+        1, vocabSize = 100L, segsCol = Some("segs"))
+    }
+  }
+
+  test("split reads cover each shard exactly once at any splitsPerShard") {
+    val dir = java.nio.file.Files.createTempDirectory("ts_split").toString
+    val df = sampleDf(70, 400L)
+    TokenShards.write(df, dir, nShards = 2, vocabSize = 400L)
+    val exp = df.as[(Long, Seq[Long])].collect().toMap
+    Seq(1, 3, 8, 100).foreach { k =>
+      val back = TokenShards.read(spark, dir, splitsPerShard = k)
+        .select($"doc_id", $"ids").as[(Long, Seq[Long])]
+        .collect()
+      assert(back.length == exp.size, s"row count drift at $k splits")
+      assert(back.toMap == exp, s"split-read drift at $k splits")
+    }
+  }
+
+  test("reader validates counts and pointers against the bin extent") {
+    val dir = java.nio.file.Files.createTempDirectory("ts_corrupt").toString
+    TokenShards.write(sampleDf(10, 50L), dir, 1, vocabSize = 50L)
+    val idx = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".idx")).head
+    val raw = java.nio.file.Files.readAllBytes(idx.toPath)
+    // corrupt the first record's token count to a huge value
+    val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    buf.putInt(24 + 16, Int.MaxValue)
+    java.nio.file.Files.write(idx.toPath, raw)
+    val e = intercept[org.apache.spark.SparkException] {
+      TokenShards.read(spark, dir).count()
+    }
+    assert(e.getMessage.contains("corrupt") ||
+      Option(e.getCause).exists(_.getMessage.contains("corrupt")))
+  }
+
+  test("prepare refuses to wipe a directory that is not shard output") {
+    val dir = java.nio.file.Files.createTempDirectory("ts_guard")
+    java.nio.file.Files.write(dir.resolve("precious.txt"),
+      "not shard output".getBytes("UTF-8"))
+    intercept[IllegalArgumentException] {
+      TokenShards.write(sampleDf(5, 50L), dir.toString, 1, vocabSize = 50L)
+    }
+    assert(java.nio.file.Files.exists(dir.resolve("precious.txt")),
+      "the guard must leave the foreign directory untouched")
+    // a prior shard output IS overwritable
+    val ok = java.nio.file.Files.createTempDirectory("ts_guard_ok").toString
+    TokenShards.write(sampleDf(5, 50L), ok, 1, vocabSize = 50L)
+    TokenShards.write(sampleDf(7, 50L), ok, 1, vocabSize = 50L)
+    assert(TokenShards.read(spark, ok).count() == 7)
+  }
+
   test("failure contracts: negative id, out-of-width token, missing " +
     "_SUCCESS") {
     val dir = java.nio.file.Files.createTempDirectory("ts_fail").toString
