@@ -197,6 +197,11 @@ object Packing {
     val offs = tokenOffsets(
       pinned.select(col("id"), size(col("_ids")).cast("long").as("n")),
       "id", "n")
+    packIdsFromOffsets(pinned, offs, seqLen)
+  }
+
+  private def packIdsFromOffsets(pinned: DataFrame, offs: DataFrame,
+      seqLen: Int): DataFrame =
     pinned.join(offs.select(col("id"), col("tok_start")), "id")
       .select(col("tok_start"), posexplode(col("_ids")).as(Seq("p", "tok")))
       .select((col("tok_start") + col("p")).as("gpos"), col("tok"))
@@ -206,5 +211,50 @@ object Packing {
         .as("arr"))
       .select(col("seq_id"),
         transform(col("arr"), x => x.getField("tok")).as("ids"))
+
+  /** [[packTokenIds]] PLUS the document-boundary metadata a training
+    * loader needs to reset attention masks and position ids across
+    * document boundaries: per sequence, `segs` —
+    * array<struct<doc_id, start, len>> of the source-document spans
+    * inside that sequence, ascending by `start` and tiling the sequence
+    * exactly (a doc that spans a chop boundary contributes one clipped
+    * span per sequence it touches). Without these spans a packed
+    * artifact trains with cross-document attention bleed — this is the
+    * difference between "shaped like training data" and training data.
+    *
+    * Scale: the spans come from the [[tokenOffsets]] frame alone —
+    * doc-count-sized arithmetic (one explode per touched sequence, one
+    * seq_id shuffle whose groups are bounded by docs-per-sequence) —
+    * the token stream is never re-exploded for metadata; the offsets
+    * frame is pinned once and feeds both the id pack and the spans. */
+  def packTokenIdsWithBoundaries(docs: DataFrame, seqLen: Int,
+      idCol: String = "doc_id", idsCol: String = "ids"): DataFrame = {
+    require(seqLen >= 1, "need a positive sequence length")
+    val pinned = docs
+      .select(col(idCol).cast("long").as("id"), col(idsCol).as("_ids"))
+      .localCheckpoint(false)
+    val offs = tokenOffsets(
+      pinned.select(col("id"), size(col("_ids")).cast("long").as("n")),
+      "id", "n")
+      .localCheckpoint(false) // feeds BOTH the id pack and the spans
+    val L = lit(seqLen.toLong)
+    val segs = offs.filter(col("n") > 0)
+      .select(col("id"), col("tok_start"), col("n"),
+        explode(sequence(expr(s"tok_start div $seqLen"),
+          expr(s"(tok_start + n - 1) div $seqLen"))).as("seq_id"))
+      .select(col("seq_id"), struct(
+          greatest(col("tok_start") - col("seq_id") * L, lit(0L))
+            .cast("int").as("start"),
+          col("id").as("doc_id"),
+          (least(col("tok_start") + col("n"), (col("seq_id") + 1) * L)
+            - greatest(col("tok_start"), col("seq_id") * L))
+            .cast("int").as("len")).as("sg"))
+      .groupBy(col("seq_id"))
+      .agg(sort_array(collect_list(col("sg"))).as("arr"))
+      .select(col("seq_id"), transform(col("arr"),
+        x => struct(x.getField("doc_id").as("doc_id"),
+          x.getField("start").as("start"),
+          x.getField("len").as("len"))).as("segs"))
+    packIdsFromOffsets(pinned, offs, seqLen).join(segs, "seq_id")
   }
 }

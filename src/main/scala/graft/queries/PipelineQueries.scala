@@ -1366,6 +1366,70 @@ object PipelineQueries {
       .orderBy($"seq_id")
   }
 
+  /** q43 — packed sequences WITH DOCUMENT-BOUNDARY METADATA
+    * ([[graft.pipeline.Packing.packTokenIdsWithBoundaries]] + the
+    * GRAFTDOC sidecar): the q42 chop also emits per-sequence source-
+    * document spans (doc_id, start, len — what a loader needs to reset
+    * attention/positions across boundaries instead of attending through
+    * them), threads them through the `.doc` sidecar channel of the
+    * binary sink, and reads them back. Per sequence: token count, id
+    * md5, span count and an md5 over the `doc:start:len` span encoding —
+    * so a drift in clip arithmetic, span ordering, sidecar bytes or the
+    * pointer-region seek breaks the hash. The oracle replays chop AND
+    * span clipping in SQL; the sidecar byte layout is pinned in
+    * TokenShardsSpec. */
+  def q43PackedBoundaries(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (withIds, vocabSize) = bpeIdStreams(spark, d)
+    val seqs = graft.pipeline.Packing
+      .packTokenIdsWithBoundaries(withIds, 512)
+    val dir = graft.util.Scratch.dir("graft_packed_bounds")
+    graft.pipeline.TokenShards.write(seqs, dir, nShards = 4,
+      vocabSize = vocabSize, idCol = "seq_id", tokensCol = "ids",
+      segsCol = Some("segs"))
+    graft.pipeline.TokenShards.read(spark, dir, boundaries = true)
+      .select($"doc_id".as("seq_id"),
+        size($"ids").cast("long").as("n_tokens"),
+        md5(array_join(transform($"ids", x => x.cast("string")), " "))
+          .as("ids_md5"),
+        size($"segs").cast("long").as("n_docs"),
+        md5(array_join(transform($"segs", s => concat_ws(":",
+          s.getField("doc_id").cast("string"),
+          s.getField("start").cast("string"),
+          s.getField("len").cast("string"))), " ")).as("segs_md5"))
+      .orderBy($"seq_id")
+  }
+
+  /** q44 — MEGATRON-EXACT binary shards
+    * ([[graft.pipeline.TokenShards.Megatron]], the public Megatron-LM
+    * `indexed_dataset.py` MMIDIDX layout a real Megatron/GPT-NeoX
+    * loader mmaps unmodified): the q41 id streams write in strict mode
+    * (no doc_id column — identity is POSITIONAL) and read back through
+    * the split reader (2 splits per shard, exercising seek-table range
+    * reads through the oracle-checked path). Per sample: shard, its
+    * position within the shard, token count, id sum, id md5 — the
+    * oracle replays placement (ShardWriter hash) and position
+    * (ascending doc-id rank within shard); the exact header/sizes/
+    * pointers/doc_idx bytes are pinned in TokenShardsSpec. */
+  def q44MegatronShards(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (withIds, vocabSize) = bpeIdStreams(spark, d)
+    val dir = graft.util.Scratch.dir("graft_megatron_shards")
+    graft.pipeline.TokenShards.write(withIds, dir, nShards = 4,
+      vocabSize = vocabSize,
+      format = graft.pipeline.TokenShards.Megatron)
+    graft.pipeline.TokenShards.read(spark, dir, splitsPerShard = 2)
+      .select(
+        regexp_extract($"shard_file", "shard-(\\d+)", 1).cast("long")
+          .as("shard"),
+        $"doc_id".as("pos"),
+        size($"ids").cast("long").as("n_tokens"),
+        aggregate($"ids", lit(0L), (a, x) => a + x).as("id_sum"),
+        md5(array_join(transform($"ids", x => x.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy($"shard", $"pos")
+  }
+
   /** d16 — exact-substring dedup ([[Dedup.exactSubstrSpans]], the Lee et
     * al. ACL'22 ExactSubstr removal operator, min duplicated length 40
     * chars): per document with any duplicated span, the maximal-span
@@ -2577,6 +2641,8 @@ object PipelineQueries {
     "t44_bytebpe_encode" -> (t44ByteBpeEncode _),
     "q41_token_shards" -> (q41TokenShards _),
     "q42_packed_shards" -> (q42PackedShards _),
+    "q43_packed_boundaries" -> (q43PackedBoundaries _),
+    "q44_megatron_shards" -> (q44MegatronShards _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -3960,6 +4026,64 @@ object PipelineQueries {
          |  SUM(tok)::BIGINT AS id_sum,
          |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
          |FROM ptok GROUP BY 1 ORDER BY seq_id""".stripMargin,
+    "q43_packed_boundaries" ->
+      // the q42 chop replay PLUS the span clip: each doc's global token
+      // interval [s, s+n) intersected with every 512-token sequence it
+      // touches — start/len clipped into sequence coordinates, ordered
+      // by start; a drift in clip arithmetic, ordering, or the sidecar
+      // round trip breaks segs_md5
+      s"""$bpeIdStreamCtes,
+         |poff AS (
+         |  SELECT doc_id, ids,
+         |    COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS s
+         |  FROM tids),
+         |ptok AS (
+         |  SELECT (s + i - 1) AS gpos, ids[i] AS tok
+         |  FROM (SELECT doc_id, ids, s,
+         |          unnest(generate_series(1, len(ids))) AS i
+         |        FROM poff)),
+         |seqt AS (
+         |  SELECT gpos // 512 AS seq_id, COUNT(*)::BIGINT AS n_tokens,
+         |    md5(array_to_string(list(tok ORDER BY gpos), ' '))
+         |      AS ids_md5
+         |  FROM ptok GROUP BY 1),
+         |segs AS (
+         |  SELECT (s // 512 + j - 1) AS seq_id, doc_id,
+         |    GREATEST(s - (s // 512 + j - 1) * 512, 0) AS st,
+         |    LEAST(s + n, (s // 512 + j) * 512)
+         |      - GREATEST(s, (s // 512 + j - 1) * 512) AS ln
+         |  FROM (SELECT doc_id, s, len(ids) AS n,
+         |          unnest(generate_series(1,
+         |            ((s + len(ids) - 1) // 512) - (s // 512) + 1)) AS j
+         |        FROM poff WHERE len(ids) > 0)),
+         |segt AS (
+         |  SELECT seq_id, COUNT(*)::BIGINT AS n_docs,
+         |    md5(array_to_string(list(
+         |      doc_id::VARCHAR || ':' || st::VARCHAR || ':'
+         |        || ln::VARCHAR ORDER BY st), ' ')) AS segs_md5
+         |  FROM segs GROUP BY seq_id)
+         |SELECT seq_id, n_tokens, ids_md5, n_docs, segs_md5
+         |FROM seqt JOIN segt USING (seq_id) ORDER BY seq_id""".stripMargin,
+    "q44_megatron_shards" ->
+      // the q41 stream replay -> the ShardWriter hash for placement ->
+      // POSITIONAL identity (ascending doc-id rank within shard, the
+      // strict layout stores no ids); the exact MMIDIDX bytes are
+      // pinned in TokenShardsSpec
+      s"""$bpeIdStreamCtes
+         |SELECT
+         |  ((doc_id * ${graft.pipeline.ShardWriter.HashMult})
+         |     % ${graft.pipeline.ShardWriter.HashPrime}) % 4 AS shard,
+         |  (ROW_NUMBER() OVER (PARTITION BY
+         |      ((doc_id * ${graft.pipeline.ShardWriter.HashMult})
+         |         % ${graft.pipeline.ShardWriter.HashPrime}) % 4
+         |      ORDER BY doc_id) - 1)::BIGINT AS pos,
+         |  len(ids)::BIGINT AS n_tokens,
+         |  list_reduce(list_prepend(0::BIGINT, ids), (a, b) -> a + b)
+         |    AS id_sum,
+         |  md5(array_to_string(ids, ' ')) AS ids_md5
+         |FROM tids ORDER BY shard, pos""".stripMargin,
     "t25_tokenizer_eval" ->
       // BOTH tokenizer chains in one statement: the t16 unrolled merges
       // (tok/nb per-doc BPE counts) + the t21 unrolled EM (umnb per-doc

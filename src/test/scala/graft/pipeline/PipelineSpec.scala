@@ -279,6 +279,42 @@ class PipelineSpec extends SparkSpec {
     assert(exp.last.size == 2)
   }
 
+  test("packTokenIdsWithBoundaries: spans tile every sequence exactly " +
+    "and carry clipped doc intervals") {
+    import spark.implicits._
+    // same fixture as packTokenIds: doc1 [0,3), doc2 [3,10), doc3
+    // [10,12) at L=5 -> seq0: (1,0,3)(2,3,2); seq1: (2,0,5);
+    // seq2: (2,0,0)? no — doc2 ends at 10 exactly, so seq2: (3,0,2)
+    val docs = Seq(
+      (1L, Seq(10L, 11L, 12L)),
+      (2L, (20L until 27L).toSeq),
+      (3L, Seq(30L, 31L))).toDF("doc_id", "ids")
+    Seq(1, 7).foreach { parts =>
+      val got = graft.pipeline.Packing
+        .packTokenIdsWithBoundaries(docs.repartition(parts), 5)
+        .select($"seq_id", $"ids",
+          expr("transform(segs, s -> struct(s.doc_id, s.start, s.len))"))
+        .as[(Long, Seq[Long], Seq[(Long, Int, Int)])]
+        .collect().sortBy(_._1)
+      assert(got.map(g => (g._1, g._3)).toSeq == Seq(
+        (0L, Seq((1L, 0, 3), (2L, 3, 2))),
+        (1L, Seq((2L, 0, 5))),
+        (2L, Seq((3L, 0, 2)))), s"span drift at parts=$parts")
+      // ids identical to the span-free packer; spans tile the sequence
+      val plain = graft.pipeline.Packing.packTokenIds(docs, 5)
+        .as[(Long, Seq[Long])].collect().toMap
+      got.foreach { case (sid, ids, segs) =>
+        assert(ids == plain(sid))
+        var pos = 0
+        segs.foreach { case (_, st, ln) =>
+          assert(st == pos, s"gap before span at $st in seq $sid")
+          pos = st + ln
+        }
+        assert(pos == ids.size, s"spans must tile sequence $sid")
+      }
+    }
+  }
+
   test("incremental minhash finds exactly the cross-split exact pairs") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sfTiny)
