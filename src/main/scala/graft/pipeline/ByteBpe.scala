@@ -102,6 +102,18 @@ object ByteBpe {
     Bpe.tokenStreamsWith(docs, model, idCol, textCol, dictBroadcastLimit,
       encodeWordGreedy)
 
+  /** EXACT detokenization of a byte-BPE token stream — byte-level BPE's
+    * defining property (char-level BPE cannot promise it: an OOV
+    * character has no symbol; here every symbol IS hex-encoded bytes):
+    * concatenate the stream's hex symbols, unhex, decode UTF-8. One
+    * codegen'd expression, the algebraic inverse of [[byteSyms]] ∘
+    * merges — `decodeStream(tokenStreams(x)) == x`'s pretokenized
+    * normal form (whitespace pretokenization drops separators, so the
+    * reconstruction is the in-order word concatenation; a production
+    * separator-preserving pretokenizer would make it the identity). */
+  def decodeStream(stream: Column): Column =
+    decode(unhex(concat_ws("", stream)), "UTF-8")
+
   /** Model IO — the [[Bpe.writeModel]]/[[Bpe.readModel]] parquet pair
     * applies unchanged (merges and vocab are plain string tables either
     * way); thin aliases so call sites read family-correctly. */

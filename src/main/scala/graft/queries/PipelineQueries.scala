@@ -1284,6 +1284,30 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** t45 — BYTE-BPE DETOKENIZE round trip
+    * ([[graft.pipeline.ByteBpe.decodeStream]]): every document of the
+    * t44 corpus — the novel-script planted rows included — encodes to a
+    * token stream and decodes back; per doc the reconstruction's UTF-8
+    * byte length and md5. The oracle is the pretokenized normal form
+    * computed DIRECTLY from the raw text (in-order concatenation of the
+    * nonempty lowercased words — whitespace pretokenization drops
+    * separators by construction), never touching the tokenizer: any
+    * silent symbolization drift between the train and encode kernels,
+    * a lossy merge, or a hex/unhex defect breaks the hash. Closes the
+    * loop t44 opened — encode totality (t44) plus exact invertibility
+    * (here) is the full byte-level-BPE contract. */
+  def t45ByteBpeDetokenize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val streams = graft.pipeline.ByteBpe.tokenStreams(
+      byteEncodeCorpus(spark, d), byteBpeShared(spark, d))
+    streams.select($"doc_id",
+        graft.pipeline.ByteBpe.decodeStream($"stream").as("decoded"))
+      .select($"doc_id",
+        length(encode($"decoded", "UTF-8")).cast("long").as("n_bytes"),
+        md5($"decoded").as("decoded_md5"))
+      .orderBy($"doc_id")
+  }
+
   /** q41 — TOKEN-SHARD BINARY SINK round trip
     * ([[graft.pipeline.TokenShards]], the Megatron `.bin`/`.idx` shape a
     * training loader memory-maps): the t26 BPE token streams map to
@@ -2639,6 +2663,7 @@ object PipelineQueries {
     "t17_bpe_encode" -> (t17BpeEncode _),
     "t43_bytebpe_train" -> (t43ByteBpeTrain _),
     "t44_bytebpe_encode" -> (t44ByteBpeEncode _),
+    "t45_bytebpe_detokenize" -> (t45ByteBpeDetokenize _),
     "q41_token_shards" -> (q41TokenShards _),
     "q42_packed_shards" -> (q42PackedShards _),
     "q43_packed_boundaries" -> (q43PackedBoundaries _),
@@ -3761,6 +3786,20 @@ object PipelineQueries {
     "t16_bpe_train" -> bpeTrainOracle,
     "t43_bytebpe_train" -> byteBpeTrainOracle,
     "t44_bytebpe_encode" -> byteBpeOovEncodeOracle,
+    "t45_bytebpe_detokenize" ->
+      // the round trip's expected value is the pretokenized normal form
+      // of the INPUT — the oracle never runs the tokenizer, so it can
+      // only agree with the engine if encode∘decode is exactly lossless
+      s"""WITH ww AS (
+         |  SELECT doc_id,
+         |    list_filter(regexp_split_to_array(lower(trim(text)),
+         |      '\\s+'), w -> w <> '') AS ws
+         |  FROM $byteEncodeCorpusSql WHERE text IS NOT NULL)
+         |SELECT doc_id,
+         |  octet_length(encode(array_to_string(ws, '')))::BIGINT
+         |    AS n_bytes,
+         |  md5(array_to_string(ws, '')) AS decoded_md5
+         |FROM ww WHERE len(ws) > 0 ORDER BY doc_id""".stripMargin,
     "t20_bpe_deep_train" -> bpeDeepTrainOracle,
     "q35_pipeline_pack" ->
       // the whole nightly job replayed: the SHARED Gopher metric

@@ -151,6 +151,25 @@ class ByteBpeSpec extends SparkSpec {
     assert(out2 == out)
   }
 
+  test("decodeStream inverts the stream exactly on every script, " +
+    "OOV docs included") {
+    val model = ByteBpe.train(docs, numMerges = 15)
+    // encode docs training never saw (pure-OOV scripts) plus the corpus
+    val docsOov = (corpus ++ Seq("한국어 형태소", "𠀀𠀁 𝄞 mixedé😀"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val decoded = ByteBpe.tokenStreams(docsOov, model)
+      .select(col("doc_id"), ByteBpe.decodeStream(col("stream")))
+      .as[(Long, String)].collect().toMap
+    (corpus ++ Seq("한국어 형태소", "𠀀𠀁 𝄞 mixedé😀")).zipWithIndex
+      .foreach { case (t, i) =>
+        val normal = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .mkString("")
+        assert(decoded(i.toLong) == normal,
+          s"detokenize drift on doc $i: '${decoded(i.toLong)}'")
+      }
+  }
+
   test("token streams concatenate per doc in order and agree with the " +
     "count path") {
     val model = ByteBpe.train(docs, numMerges = 15)
