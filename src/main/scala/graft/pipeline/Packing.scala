@@ -257,4 +257,107 @@ object Packing {
           x.getField("len").as("len"))).as("segs"))
     packIdsFromOffsets(pinned, offs, seqLen).join(segs, "seq_id")
   }
+
+  /** The "fewer truncations" pre-pass (Ding et al. 2024's best-fit
+    * packing setup): only documents LONGER than the bin capacity are
+    * ever split — into capacity-sized pieces — everything else stays
+    * whole. Returns (id, chunk, len), chunk 0-based; pure map-side
+    * explode, no shuffle. */
+  def chopToCapacity(docs: DataFrame, capacity: Int,
+      idCol: String = "doc_id", nCol: String = "n_tokens"): DataFrame = {
+    require(capacity >= 1, "need a positive bin capacity")
+    docs.select(col(idCol).cast("long").as("id"),
+        col(nCol).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("id"), col("n"),
+        explode(sequence(lit(0L), expr(s"(n - 1) div $capacity")))
+          .as("chunk"))
+      .select(col("id"), col("chunk"),
+        least(col("n") - col("chunk") * capacity, lit(capacity.toLong))
+          .as("len"))
+  }
+
+  /** Truncation-minimizing document packing: whole documents (pieces)
+    * into fixed-capacity bins, docs never split — the complement of
+    * [[packTokenIds]]'s concat-and-chop (zero waste, ~1 split per
+    * sequence boundary) on the other end of the waste/split trade-off
+    * (zero splits, some per-bin waste).
+    *
+    * The algorithm is NEXT-FIT-DECREASING, and deliberately so: its bin
+    * choice for the r-th piece of a length run is a CLOSED FORM of
+    * (run, r) given the length histogram — first-fit-decreasing's
+    * backfill of earlier bins' leftover gaps needs sequential state
+    * over the whole bin list, which neither distributes nor replays as
+    * a deterministic function of the ranked prefix. NFD trades a
+    * bounded amount of extra waste for that determinism (it is the
+    * distributed-replayable member of the decreasing family).
+    *
+    * Scale: the only driver-side object is the LENGTH HISTOGRAM —
+    * bounded by `capacity` distinct values regardless of corpus size
+    * (the vocab-collect precedent); the per-length plan broadcasts;
+    * ranks within each length run come from [[groupRankAsc]]'s two-pass
+    * distributed scan (≤ `capacity` groups — exactly its documented
+    * low-cardinality design point); assignment is one broadcast join +
+    * integer arithmetic. Requires unique (id, chunk) keys and piece
+    * lengths in [1, capacity] ([[chopToCapacity]] guarantees both).
+    * Returns (id, chunk, len, bin), bins 0-based and dense. */
+  def binPackPieces(pieces: DataFrame, capacity: Int): DataFrame = {
+    require(capacity >= 1, "need a positive bin capacity")
+    val spark = pieces.sparkSession
+    import spark.implicits._
+    val p = pieces.select(col("id").cast("long").as("id"),
+        col("chunk").cast("long").as("chunk"),
+        col("len").cast("long").as("len"))
+      .localCheckpoint(false) // feeds histogram, rank AND the join back
+    val bounds = p.agg(max(col("chunk")).as("mc"), max(col("id")).as("mi"),
+      min(col("len")).as("ml"), max(col("len")).as("xl")).head()
+    if (!bounds.isNullAt(0)) {
+      require(bounds.getLong(2) >= 1L && bounds.getLong(3) <= capacity,
+        s"piece lengths must lie in [1, $capacity] — chop oversized " +
+          "docs first (chopToCapacity)")
+      require(bounds.getLong(0) < (1L << 20) &&
+          bounds.getLong(1) <= (Long.MaxValue >> 21),
+        "composite (id, chunk) rank key needs chunk < 2^20 and id < 2^43")
+    }
+    // the length histogram: ≤ `capacity` rows by the bound above
+    val hist = p.groupBy(col("len")).agg(count(lit(1)).as("k"))
+      .as[(Long, Long)].collect().sortBy(-_._1)
+    // the NFD plan, one row per length run: pieces ranked r (1-based,
+    // by (id, chunk) within the run) land in first_bin while r <=
+    // in_first (the open bin's remainder), then fill fresh bins
+    // per_bin at a time — the exact recursion the SQL oracle replays
+    var curBin = 0L
+    var rem = capacity.toLong
+    val plan = hist.map { case (l, k) =>
+      val f = math.min(k, rem / l)
+      val rest = k - f
+      val perBin = capacity.toLong / l
+      val row = (l, curBin, f, curBin + 1L, perBin)
+      if (rest > 0) {
+        val nBins = (rest + perBin - 1) / perBin
+        curBin += nBins
+        rem = capacity.toLong - (rest - (nBins - 1) * perBin) * l
+      } else rem -= f * l
+      row
+    }
+    val planDf = broadcast(spark.createDataset(plan.toSeq)
+      .toDF("len", "first_bin", "in_first", "next_bin", "per_bin"))
+    val withPid = p.withColumn("pid",
+      col("id") * lit(1L << 20) + col("chunk"))
+    val ranked = groupRankAsc(
+        withPid.select(col("len").as("g"), col("pid")), "g", "pid")
+      .select(col("id").as("pid"), col("rk"))
+    withPid.join(ranked, "pid")
+      .join(planDf, "len")
+      .select(col("id"), col("chunk"), col("len"),
+        when(col("rk") <= col("in_first"), col("first_bin"))
+          .otherwise(expr("next_bin + (rk - in_first - 1) div per_bin"))
+          .as("bin"))
+  }
+
+  /** [[chopToCapacity]] + [[binPackPieces]]: the full
+    * truncation-minimizing packer over (id, token count) rows. */
+  def binPackDocs(docs: DataFrame, capacity: Int,
+      idCol: String = "doc_id", nCol: String = "n_tokens"): DataFrame =
+    binPackPieces(chopToCapacity(docs, capacity, idCol, nCol), capacity)
 }

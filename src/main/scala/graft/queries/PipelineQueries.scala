@@ -1454,6 +1454,35 @@ object PipelineQueries {
       .orderBy($"shard", $"pos")
   }
 
+  /** q45 — TRUNCATION-MINIMIZING DOCUMENT PACKING
+    * ([[graft.pipeline.Packing.binPackDocs]], the "fewer truncations"
+    * alternative to q42's concat-and-chop): whole documents first-fit
+    * into 256-token bins in next-fit-decreasing order — docs are never
+    * split (only docs over capacity pre-chop into capacity-sized
+    * pieces), trading bounded per-bin waste for zero mid-document
+    * truncation. Per bin: piece count, fill, waste, id sum (pins exact
+    * membership) and the count of chopped pieces. The oracle replays
+    * the length histogram, the single-open-bin NFD recursion (one
+    * recursive-CTE step per DISTINCT length), the within-run rank and
+    * the closed-form bin choice entirely in SQL — a drift anywhere in
+    * the plan arithmetic or the rank order breaks the id sums. */
+  def q45BinPacking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val T = graft.pipeline.TextAnalysis
+    val docs = Tables.documents(spark, d).filter($"text".isNotNull)
+      .select($"doc_id",
+        size(filter(T.tokens($"text"), w => w =!= ""))
+          .cast("long").as("n_tokens"))
+    graft.pipeline.Packing.binPackDocs(docs, 256)
+      .groupBy($"bin")
+      .agg(count(lit(1)).as("n_pieces"),
+        sum($"len").as("fill"),
+        (lit(256L) - sum($"len")).as("waste"),
+        sum($"id").as("id_sum"),
+        sum(when($"chunk" > 0, 1L).otherwise(0L)).as("n_chopped"))
+      .orderBy($"bin")
+  }
+
   /** d16 — exact-substring dedup ([[Dedup.exactSubstrSpans]], the Lee et
     * al. ACL'22 ExactSubstr removal operator, min duplicated length 40
     * chars): per document with any duplicated span, the maximal-span
@@ -2668,6 +2697,7 @@ object PipelineQueries {
     "q42_packed_shards" -> (q42PackedShards _),
     "q43_packed_boundaries" -> (q43PackedBoundaries _),
     "q44_megatron_shards" -> (q44MegatronShards _),
+    "q45_bin_packing" -> (q45BinPacking _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -4123,6 +4153,66 @@ object PipelineQueries {
          |    AS id_sum,
          |  md5(array_to_string(ids, ' ')) AS ids_md5
          |FROM tids ORDER BY shard, pos""".stripMargin,
+    "q45_bin_packing" ->
+      // the NFD replay: histogram -> the single-open-bin recursion (one
+      // step per DISTINCT length, state = (open bin, remainder); an
+      // ORACLE may run it as a driver-shaped recursive CTE — the engine
+      // computes the same plan from the driver-sized histogram) -> the
+      // within-run ROW_NUMBER (oracle-side single-task window; the
+      // engine uses the grouped two-pass scan) -> the closed-form bin
+      s"""WITH RECURSIVE tok AS (
+         |  SELECT doc_id, len(list_filter(
+         |      regexp_split_to_array(lower(trim(text)), '\\s+'),
+         |      w -> w <> ''))::BIGINT AS n
+         |  FROM documents WHERE text IS NOT NULL),
+         |pieces AS (
+         |  SELECT doc_id AS id, j - 1 AS chunk,
+         |    LEAST(n - (j - 1) * 256, 256) AS len
+         |  FROM (SELECT doc_id, n,
+         |          unnest(generate_series(1, ((n - 1) // 256) + 1)) AS j
+         |        FROM tok WHERE n > 0)),
+         |hist AS (SELECT len, COUNT(*)::BIGINT AS k
+         |         FROM pieces GROUP BY len),
+         |runs AS MATERIALIZED (
+         |  SELECT len, k, ROW_NUMBER() OVER (ORDER BY len DESC) AS i
+         |  FROM hist),
+         |st(i, len, f, firstbin, nextbin, perbin, curbin, rem) AS (
+         |  SELECT 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT,
+         |    0::BIGINT, 1::BIGINT, 0::BIGINT, 256::BIGINT
+         |  UNION ALL
+         |  SELECT i, len, f, firstbin, nextbin, perbin,
+         |    CASE WHEN rest = 0 THEN firstbin
+         |         ELSE firstbin + nbins END,
+         |    CASE WHEN rest = 0 THEN rem0 - f * len
+         |         ELSE 256 - (rest - (nbins - 1) * perbin) * len END
+         |  FROM (
+         |    SELECT *, CASE WHEN rest = 0 THEN 0::BIGINT
+         |      ELSE (rest + perbin - 1) // perbin END AS nbins
+         |    FROM (
+         |      SELECT r.i AS i, r.len AS len,
+         |        LEAST(r.k, st.rem // r.len) AS f,
+         |        r.k - LEAST(r.k, st.rem // r.len) AS rest,
+         |        st.curbin AS firstbin, st.curbin + 1 AS nextbin,
+         |        256 // r.len AS perbin, st.rem AS rem0
+         |      FROM st JOIN runs r ON r.i = st.i + 1))),
+         |ranked AS (
+         |  SELECT id, chunk, len,
+         |    ROW_NUMBER() OVER (PARTITION BY len ORDER BY id, chunk)
+         |      AS rk
+         |  FROM pieces),
+         |asg AS (
+         |  SELECT a.id, a.chunk, a.len,
+         |    CASE WHEN a.rk <= s.f THEN s.firstbin
+         |         ELSE s.nextbin + (a.rk - s.f - 1) // s.perbin END
+         |      AS bin
+         |  FROM ranked a JOIN st s ON s.len = a.len AND s.i > 0)
+         |SELECT bin, COUNT(*)::BIGINT AS n_pieces,
+         |  SUM(len)::BIGINT AS fill,
+         |  (256 - SUM(len))::BIGINT AS waste,
+         |  SUM(id)::BIGINT AS id_sum,
+         |  SUM(CASE WHEN chunk > 0 THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_chopped
+         |FROM asg GROUP BY bin ORDER BY bin""".stripMargin,
     "t25_tokenizer_eval" ->
       // BOTH tokenizer chains in one statement: the t16 unrolled merges
       // (tok/nb per-doc BPE counts) + the t21 unrolled EM (umnb per-doc

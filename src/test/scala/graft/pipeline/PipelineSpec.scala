@@ -315,6 +315,46 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("binPackDocs equals the sequential next-fit-decreasing reference, " +
+    "never splits sub-capacity docs, and is partitioning-independent") {
+    import spark.implicits._
+    val C = 50
+    // lengths exercise every plan branch: a doc over capacity (chops),
+    // exact fits, a run spilling the open bin into fresh bins, tiny
+    // tails landing in a leftover remainder
+    val lens = Seq(1L -> 120L, 2L -> 50L, 3L -> 30L, 4L -> 30L, 5L -> 30L,
+      6L -> 20L, 7L -> 20L, 8L -> 14L, 9L -> 7L, 10L -> 7L, 11L -> 3L)
+    // sequential reference: chop > C, sort by (len desc, id, chunk),
+    // one open bin, close it when the next piece does not fit
+    val pieces = lens.flatMap { case (id, n) =>
+      (0L to (n - 1) / C).map(c => (id, c, math.min(n - c * C, C)))
+    }
+    var bin = 0L; var rem = C.toLong
+    val ref = pieces.sortBy { case (id, c, l) => (-l, id, c) }
+      .map { case (id, c, l) =>
+        if (l <= rem) { rem -= l; (id, c) -> bin }
+        else { bin += 1; rem = C.toLong - l; (id, c) -> bin }
+      }.toMap
+    Seq(1, 7).foreach { parts =>
+      val got = graft.pipeline.Packing
+        .binPackDocs(lens.toDF("doc_id", "n_tokens").repartition(parts), C)
+        .as[(Long, Long, Long, Long)].collect()
+      assert(got.map(r => (r._1, r._2) -> r._4).toMap == ref,
+        s"NFD drift at parts=$parts")
+      // never split below capacity; fills bounded by capacity
+      assert(got.filter(_._1 != 1L).forall(_._2 == 0L))
+      got.groupBy(_._4).foreach { case (b, ps) =>
+        assert(ps.map(_._3).sum <= C, s"bin $b overfilled")
+      }
+    }
+    // out-of-range pieces are rejected loudly
+    val err = intercept[IllegalArgumentException] {
+      graft.pipeline.Packing.binPackPieces(
+        Seq((1L, 0L, 99L)).toDF("id", "chunk", "len"), 50)
+    }
+    assert(err.getMessage.contains("chop"))
+  }
+
   test("incremental minhash finds exactly the cross-split exact pairs") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sfTiny)
