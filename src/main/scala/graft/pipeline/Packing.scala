@@ -360,4 +360,39 @@ object Packing {
   def binPackDocs(docs: DataFrame, capacity: Int,
       idCol: String = "doc_id", nCol: String = "n_tokens"): DataFrame =
     binPackPieces(chopToCapacity(docs, capacity, idCol, nCol), capacity)
+
+  /** Deterministic seeded EPOCH SHUFFLE — the Megatron `shuffle_idx`
+    * artifact: a loader-consumable permutation of the training
+    * sequences, reproducible from (data, seed) alone so every data-
+    * parallel rank materializes the identical epoch order. Returns
+    * (pos, id): `pos` is the sample's 0-based position in the shuffled
+    * epoch.
+    *
+    * The permutation key is md5(seed:id) — ASCII hex, where Spark's
+    * UTF-8 binary string order, any engine's byte order and plain
+    * lexicographic order all agree (ties, were a collision ever to
+    * happen, break on id). Rank is the [[globalRankDesc]] two-pass
+    * distributed scan on (key, id) — never a single-task window; same
+    * seed → same bytes on any cluster shape. */
+  def epochShuffle(df: DataFrame, seed: Long,
+      idCol: String = "id"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(
+        md5(concat(lit(seed.toString), lit(":"),
+          col(idCol).cast("long").cast("string"))).as("h"),
+        col(idCol).cast("long").as("id"))
+      .repartitionByRange(col("h"), col("id"))
+      .sortWithinPartitions(col("h"), col("id"))
+      .localCheckpoint(true)
+    val ds = keyed.as[(String, Long)]
+    val partCounts = ds
+      .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
+    val offsets = partCounts.scanLeft(0L)(_ + _)
+    val rdd = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var r = offsets(pi)
+      it.map { case (_, id) => val my = r; r += 1; (my, id) }
+    }
+    spark.createDataFrame(rdd).toDF("pos", "id")
+  }
 }

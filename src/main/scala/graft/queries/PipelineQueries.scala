@@ -1483,6 +1483,37 @@ object PipelineQueries {
       .orderBy($"bin")
   }
 
+  /** q46 — EPOCH SHUFFLE INDEX ([[graft.pipeline.Packing.epochShuffle]],
+    * the Megatron `shuffle_idx` artifact): the q42 sequence ids (count
+    * = ceil(total BPE tokens / 512)) permute under the seeded md5 rank,
+    * persist as a hash-sharded parquet table (the loader hand-off) and
+    * read back; per 64-position block: sequence count, id sum and the
+    * md5 of the ids in position order — the full permutation pinned
+    * block by block. The oracle replays token totals, the md5 rank and
+    * the block rollup in SQL; reproducibility (same seed → same bytes,
+    * any partitioning) is spec-pinned. */
+  def q46EpochShuffle(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (withIds, _) = bpeIdStreams(spark, d)
+    val total = withIds.agg(sum(size($"ids")).cast("long")).head.getLong(0)
+    val seqs = spark.range((total + 511L) / 512L).toDF("seq_id")
+    val perm = graft.pipeline.Packing.epochShuffle(seqs, seed = 42L,
+      idCol = "seq_id")
+    val dir = graft.util.Scratch.dir("graft_epoch_shuffle")
+    graft.pipeline.ShardWriter.writeParquet(perm, dir, nShards = 4,
+      idCol = "pos")
+    spark.read.parquet(dir)
+      .select(expr("pos div 64").as("block"), $"pos", $"id")
+      .groupBy($"block")
+      .agg(count(lit(1)).as("n"),
+        sum($"id").as("id_sum"),
+        sort_array(collect_list(struct($"pos", $"id"))).as("arr"))
+      .select($"block", $"n", $"id_sum",
+        md5(array_join(transform($"arr",
+          x => x.getField("id").cast("string")), " ")).as("ids_md5"))
+      .orderBy($"block")
+  }
+
   /** d16 — exact-substring dedup ([[Dedup.exactSubstrSpans]], the Lee et
     * al. ACL'22 ExactSubstr removal operator, min duplicated length 40
     * chars): per document with any duplicated span, the maximal-span
@@ -2698,6 +2729,7 @@ object PipelineQueries {
     "q43_packed_boundaries" -> (q43PackedBoundaries _),
     "q44_megatron_shards" -> (q44MegatronShards _),
     "q45_bin_packing" -> (q45BinPacking _),
+    "q46_epoch_shuffle" -> (q46EpochShuffle _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -4213,6 +4245,29 @@ object PipelineQueries {
          |  SUM(CASE WHEN chunk > 0 THEN 1 ELSE 0 END)::BIGINT
          |    AS n_chopped
          |FROM asg GROUP BY bin ORDER BY bin""".stripMargin,
+    "q46_epoch_shuffle" ->
+      // total BPE tokens from the t17 per-doc counts -> the sequence-id
+      // range -> the seeded md5 rank (ASCII hex: every engine's string
+      // order agrees; an ORACLE may rank via the single-task window the
+      // engine's two-pass scan replaces) -> 64-position block rollups
+      s"""${bpeOracleChain(BpeRounds)},
+         |$bpeDocCountsCte,
+         |tot AS (SELECT SUM(n)::BIGINT AS t FROM nb),
+         |seqs AS (
+         |  SELECT unnest(generate_series(0, ((t + 511) // 512) - 1))
+         |    AS seq_id
+         |  FROM tot),
+         |perm AS (
+         |  SELECT seq_id,
+         |    (ROW_NUMBER() OVER (ORDER BY
+         |      md5('42:' || seq_id::VARCHAR), seq_id) - 1)::BIGINT
+         |      AS pos
+         |  FROM seqs)
+         |SELECT pos // 64 AS block, COUNT(*)::BIGINT AS n,
+         |  SUM(seq_id)::BIGINT AS id_sum,
+         |  md5(array_to_string(list(seq_id ORDER BY pos), ' '))
+         |    AS ids_md5
+         |FROM perm GROUP BY 1 ORDER BY block""".stripMargin,
     "t25_tokenizer_eval" ->
       // BOTH tokenizer chains in one statement: the t16 unrolled merges
       // (tok/nb per-doc BPE counts) + the t21 unrolled EM (umnb per-doc

@@ -355,6 +355,23 @@ class PipelineSpec extends SparkSpec {
     assert(err.getMessage.contains("chop"))
   }
 
+  test("epochShuffle: a true permutation, identical bytes from " +
+    "(data, seed) on any partitioning, seed-sensitive") {
+    import spark.implicits._
+    val ids = (0L until 500L).toSeq
+    def run(seed: Long, parts: Int) = graft.pipeline.Packing
+      .epochShuffle(spark.range(500).toDF("id").repartition(parts), seed)
+      .as[(Long, Long)].collect().sortBy(_._1)
+    val a = run(42L, 1)
+    assert(a.map(_._1).toSeq == ids, "positions must be dense 0..n-1")
+    assert(a.map(_._2).sorted.toSeq == ids, "must be a permutation")
+    assert(a.map(_._2).toSeq != ids, "must actually shuffle")
+    assert(run(42L, 7).toSeq == a.toSeq,
+      "same seed must give identical order on any partitioning")
+    assert(run(43L, 1).map(_._2).toSeq != a.map(_._2).toSeq,
+      "a different seed must give a different order")
+  }
+
   test("incremental minhash finds exactly the cross-split exact pairs") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sfTiny)
