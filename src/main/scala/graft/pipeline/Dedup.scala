@@ -102,16 +102,7 @@ object Dedup {
     * never shadows a clean duplicate. */
   def urlDedupDecisions(docs: DataFrame, blocklist: DataFrame,
       idCol: String = "doc_id", urlCol: String = "url"): DataFrame = {
-    val canon = docs.select(col(idCol),
-        canonicalUrl(col(urlCol)).as("canonical_url"))
-      .withColumn("domain", urlDomain(urlHost(col("canonical_url"))))
-    val marked = canon.join(
-      // distinct: concatenated curated lists repeat entries, and a
-      // duplicated blocklist row would emit every blocked doc twice
-      // through the left join
-      Bpe.guardedDict(blocklist.select(col("domain")).distinct()
-        .withColumn("_blocked", lit(true)), Bpe.DictBroadcastLimit),
-      Seq("domain"), "left_outer")
+    val marked = markBlockedUrls(docs, blocklist, idCol, urlCol)
     val keepers = marked.filter(col("_blocked").isNull)
       .groupBy(col("canonical_url"))
       .agg(min(col(idCol)).as("_keep_id"))
@@ -119,6 +110,88 @@ object Dedup {
       .select(col(idCol), col("canonical_url"),
         when(col("_blocked").isNotNull, "blocked")
           .when(col(idCol) === col("_keep_id"), "kept")
+          .otherwise("dup").as("decision"))
+  }
+
+  /** The ONE copy of canonicalize + blocklist-mark the recompute
+    * ([[urlDedupDecisions]]) and index ([[writeUrlIndex]] /
+    * [[urlDedupAgainstIndex]]) paths share — so a canonicalization or
+    * blocklist-semantics tweak cannot land in one and miss the other. */
+  private def markBlockedUrls(docs: DataFrame, blocklist: DataFrame,
+      idCol: String, urlCol: String): DataFrame =
+    docs.select(col(idCol),
+        canonicalUrl(col(urlCol)).as("canonical_url"))
+      .withColumn("domain", urlDomain(urlHost(col("canonical_url"))))
+      .join(
+        // distinct: concatenated curated lists repeat entries, and a
+        // duplicated blocklist row would emit every blocked doc twice
+        // through the left join
+        Bpe.guardedDict(blocklist.select(col("domain")).distinct()
+          .withColumn("_blocked", lit(true)), Bpe.DictBroadcastLimit),
+        Seq("domain"), "left_outer")
+
+  /** One snapshot's contribution to the canonical-URL keeper index:
+    * post-blocklist canonical URLs with their minimal doc id. */
+  private def urlIndexRows(docs: DataFrame, blocklist: DataFrame,
+      idCol: String, urlCol: String): DataFrame =
+    markBlockedUrls(docs, blocklist, idCol, urlCol)
+      .filter(col("_blocked").isNull)
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("keep_id"))
+
+  /** Persist a corpus's CANONICAL-URL KEEPER INDEX — (canonical_url,
+    * keep_id) parquet — the d17/d21 build-once/probe-many lifecycle in
+    * the URL domain (the daily-crawl shape: yesterday's canonical URLs
+    * persist, today's increment probes and appends without the stored
+    * corpus ever re-canonicalizing). The blocklist applies at BUILD for
+    * stored docs (a blocked doc must never become a stored keeper) and
+    * at probe for increment docs; callers must probe with the same
+    * list they built with — the index stores post-blocklist URLs. */
+  def writeUrlIndex(docs: DataFrame, blocklist: DataFrame, dir: String,
+      idCol: String = "doc_id", urlCol: String = "url"): Unit =
+    urlIndexRows(docs, blocklist, idCol, urlCol)
+      .write.mode("overwrite").parquet(s"$dir/urls")
+
+  /** Admit an increment: append its keeper rows as NEW rows — the index
+    * is append-only partial minima, re-minimized per URL at probe time
+    * (a map-side-combined aggregation over index rows, never the
+    * corpus); rewrite via [[writeUrlIndex]] on the unioned corpus to
+    * compact. */
+  def appendUrlIndex(docs: DataFrame, blocklist: DataFrame, dir: String,
+      idCol: String = "doc_id", urlCol: String = "url"): Unit =
+    urlIndexRows(docs, blocklist, idCol, urlCol)
+      .write.mode("append").parquet(s"$dir/urls")
+
+  def readUrlIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = spark.read.parquet(s"$dir/urls")
+
+  /** URL-dedup an increment against a persisted index: decisions equal
+    * [[urlDedupDecisions]] over (indexed corpus ∪ increment) restricted
+    * to increment docs (spec-pinned identical) — keep-first is the
+    * GLOBAL minimal id across the stored partial minima and the
+    * increment, so a stored keeper shadows today's recrawl of the same
+    * URL, and an increment doc with a smaller id than a stored one
+    * takes the keeper slot exactly as a recompute would. The stored
+    * side contributes one aggregated equi-join on the canonical-URL
+    * key; the stored corpus never re-canonicalizes. */
+  def urlDedupAgainstIndex(newDocs: DataFrame, blocklist: DataFrame,
+      dir: String, idCol: String = "doc_id",
+      urlCol: String = "url"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val marked = markBlockedUrls(newDocs, blocklist, idCol, urlCol)
+    val stored = readUrlIndex(spark, dir)
+      .groupBy(col("canonical_url"))
+      .agg(min(col("keep_id")).as("_old_id"))
+    val newKeep = marked.filter(col("_blocked").isNull)
+      .groupBy(col("canonical_url"))
+      .agg(min(col(idCol)).as("_new_id"))
+    marked.join(newKeep, Seq("canonical_url"), "left_outer")
+      .join(stored, Seq("canonical_url"), "left_outer")
+      .select(col(idCol), col("canonical_url"),
+        when(col("_blocked").isNotNull, "blocked")
+          .when(col(idCol) === least(
+            coalesce(col("_old_id"), lit(Long.MaxValue)),
+            col("_new_id")), "kept")
           .otherwise("dup").as("decision"))
   }
 

@@ -2160,6 +2160,32 @@ object PipelineQueries {
       .orderBy($"decision")
   }
 
+  /** d22 — URL dedup against a PERSISTED canonical-URL keeper index
+    * ([[graft.pipeline.Dedup.writeUrlIndex]] /
+    * [[urlDedupAgainstIndex]] — d21's build-once/probe-many lifecycle
+    * in d20's URL domain, the daily-crawl shape): the d20 alias corpus
+    * splits into a stored side (doc_id % 17 ≠ 0, keeper minima written
+    * once) and an increment (doc_id % 17 = 0) that probes the re-read
+    * index; an increment doc is kept only when it holds the GLOBAL
+    * minimal id for its canonical URL — exactly the d20 recompute over
+    * the whole corpus, restricted to increment docs, so the oracle is
+    * the d20 replay with a doc filter on the decision tail only (the
+    * keeper window stays global). */
+  def d22UrlIndexDedup(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = Seq("site3.com", "site5.com").toDF("domain")
+    val corpus = urlCorpus(Tables.documents(spark, d))
+    val dir = graft.util.Scratch.dir("graft_url_idx")
+    graft.pipeline.Dedup.writeUrlIndex(
+      corpus.filter($"doc_id" % 17 =!= 0), blocklist, dir)
+    graft.pipeline.Dedup.urlDedupAgainstIndex(
+        corpus.filter($"doc_id" % 17 === 0), blocklist, dir)
+      .groupBy($"decision")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_doc_id"))
+      .orderBy($"decision")
+  }
+
   /** Render (doc_id, content) pages as two `.warc.gz` segment files
     * (record-level gzip members, split by doc parity) plus a warcinfo
     * header member that pushdown must drop inside the reader — the ONE
@@ -2707,6 +2733,7 @@ object PipelineQueries {
     "t34_html_extract" -> (t34HtmlExtract _),
     "q38_warc_pipeline" -> (q38WarcPipeline _),
     "d20_url_dedup" -> (d20UrlDedup _),
+    "d22_url_index_dedup" -> (d22UrlIndexDedup _),
     "q39_http_extract" -> (q39HttpExtract _),
     "t35_line_dedup" -> (t35LineDedup _),
     "d21_line_index_dedup" -> (d21LineIndexDedup _),
@@ -3452,6 +3479,65 @@ object PipelineQueries {
        |  SUM(n_sub)::BIGINT AS n_bytebpe_tokens
        |FROM leg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The d20/d22 shared URL-dedup replay: corpus CASE mirrors
+    * [[urlCorpus]]; the canonicalization chain uses the ENGINE'S OWN
+    * pattern constants (the t34 posture) — only the backref syntax is
+    * dialect-local (\1 here, $1 in Spark). `docWhere` filters the
+    * DECISION tail only — d22's index semantics are a global keeper
+    * window (stored partial minima ∪ increment), increment-restricted
+    * decisions. */
+  private def urlDedupOracle(docWhere: String): String = {
+    import graft.pipeline.Dedup._
+    s"""WITH uc AS (
+       |  SELECT doc_id, CASE doc_id % 5
+       |    WHEN 0 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+       |      '.com/page/' || (doc_id % 50)::VARCHAR
+       |    WHEN 1 THEN 'HTTPS://WWW.SITE' || (doc_id % 7)::VARCHAR ||
+       |      '.COM/page/' || (doc_id % 50)::VARCHAR
+       |    WHEN 2 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+       |      '.com:443/page/' || (doc_id % 50)::VARCHAR || '/'
+       |    WHEN 3 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
+       |      '.com/page/' || (doc_id % 50)::VARCHAR ||
+       |      '?utm_source=x&utm_campaign=y'
+       |    ELSE 'https://site' || (doc_id % 7)::VARCHAR ||
+       |      '.com/page/' || (doc_id % 50)::VARCHAR ||
+       |      '?id=7&utm_medium=z#frag'
+       |    END AS url
+       |  FROM documents WHERE text IS NOT NULL),
+       |c0 AS (SELECT doc_id,
+       |  regexp_replace(url, '$UrlFragmentRe', '', 'g') AS u FROM uc),
+       |c1 AS (SELECT doc_id,
+       |  lower(regexp_extract(u, '$UrlHeadRe')) ||
+       |    substr(u, length(regexp_extract(u, '$UrlHeadRe')) + 1) AS u
+       |  FROM c0),
+       |c2 AS (SELECT doc_id,
+       |  regexp_replace(u, '$UrlWwwRe', '\\1', 'g') AS u FROM c1),
+       |c3 AS (SELECT doc_id,
+       |  regexp_replace(u, '$UrlPort443Re', '\\1\\2', 'g') AS u FROM c2),
+       |c4 AS (SELECT doc_id,
+       |  regexp_replace(u, '$UrlUtmMidRe', '', 'g') AS u FROM c3),
+       |c5 AS (SELECT doc_id,
+       |  regexp_replace(u, '$UrlUtmLeadRe', '?', 'g') AS u FROM c4),
+       |c6 AS (SELECT doc_id,
+       |  regexp_replace(regexp_replace(u, '$UrlTrailQRe', '', 'g'),
+       |    '$UrlTrailSlashRe', '', 'g') AS canon FROM c5),
+       |dm AS (SELECT doc_id, canon,
+       |  regexp_extract(regexp_extract(canon, '$UrlHostRe', 1),
+       |    '$UrlDomainRe') AS domain FROM c6),
+       |mk AS (SELECT doc_id, canon,
+       |  domain IN ('site3.com', 'site5.com') AS blocked FROM dm),
+       |kp AS (SELECT canon, MIN(doc_id) AS keep_id FROM mk
+       |  WHERE NOT blocked GROUP BY canon),
+       |dec AS (SELECT mk.doc_id,
+       |  CASE WHEN blocked THEN 'blocked'
+       |       WHEN mk.doc_id = kp.keep_id THEN 'kept'
+       |       ELSE 'dup' END AS decision
+       |  FROM mk LEFT JOIN kp USING (canon) $docWhere)
+       |SELECT decision, COUNT(*)::BIGINT AS n_docs,
+       |  SUM(doc_id)::BIGINT AS sum_doc_id
+       |FROM dec GROUP BY decision ORDER BY decision""".stripMargin
+  }
+
   /** The t35/d21 shared line-dedup replay: plant (CASE concat mirrors
     * [[lineDedupCorpus]], chr(10) = newline), CORPUS-WIDE line counts,
     * threshold > 1, ordered reassembly (COALESCE: a doc whose every line
@@ -3946,60 +4032,13 @@ object PipelineQueries {
          |SELECT doc_id, length(text)::BIGINT AS n_chars,
          |  md5(text) AS text_md5
          |FROM ext ORDER BY doc_id""".stripMargin,
-    "d20_url_dedup" -> {
-      import graft.pipeline.Dedup._
-      // corpus CASE mirrors urlCorpus; the canonicalization chain uses
-      // the ENGINE'S OWN pattern constants (the t34 posture) — only the
-      // backref syntax is dialect-local (\1 here, $1 in Spark)
-      s"""WITH uc AS (
-         |  SELECT doc_id, CASE doc_id % 5
-         |    WHEN 0 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
-         |      '.com/page/' || (doc_id % 50)::VARCHAR
-         |    WHEN 1 THEN 'HTTPS://WWW.SITE' || (doc_id % 7)::VARCHAR ||
-         |      '.COM/page/' || (doc_id % 50)::VARCHAR
-         |    WHEN 2 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
-         |      '.com:443/page/' || (doc_id % 50)::VARCHAR || '/'
-         |    WHEN 3 THEN 'https://site' || (doc_id % 7)::VARCHAR ||
-         |      '.com/page/' || (doc_id % 50)::VARCHAR ||
-         |      '?utm_source=x&utm_campaign=y'
-         |    ELSE 'https://site' || (doc_id % 7)::VARCHAR ||
-         |      '.com/page/' || (doc_id % 50)::VARCHAR ||
-         |      '?id=7&utm_medium=z#frag'
-         |    END AS url
-         |  FROM documents WHERE text IS NOT NULL),
-         |c0 AS (SELECT doc_id,
-         |  regexp_replace(url, '$UrlFragmentRe', '', 'g') AS u FROM uc),
-         |c1 AS (SELECT doc_id,
-         |  lower(regexp_extract(u, '$UrlHeadRe')) ||
-         |    substr(u, length(regexp_extract(u, '$UrlHeadRe')) + 1) AS u
-         |  FROM c0),
-         |c2 AS (SELECT doc_id,
-         |  regexp_replace(u, '$UrlWwwRe', '\\1', 'g') AS u FROM c1),
-         |c3 AS (SELECT doc_id,
-         |  regexp_replace(u, '$UrlPort443Re', '\\1\\2', 'g') AS u FROM c2),
-         |c4 AS (SELECT doc_id,
-         |  regexp_replace(u, '$UrlUtmMidRe', '', 'g') AS u FROM c3),
-         |c5 AS (SELECT doc_id,
-         |  regexp_replace(u, '$UrlUtmLeadRe', '?', 'g') AS u FROM c4),
-         |c6 AS (SELECT doc_id,
-         |  regexp_replace(regexp_replace(u, '$UrlTrailQRe', '', 'g'),
-         |    '$UrlTrailSlashRe', '', 'g') AS canon FROM c5),
-         |dm AS (SELECT doc_id, canon,
-         |  regexp_extract(regexp_extract(canon, '$UrlHostRe', 1),
-         |    '$UrlDomainRe') AS domain FROM c6),
-         |mk AS (SELECT doc_id, canon,
-         |  domain IN ('site3.com', 'site5.com') AS blocked FROM dm),
-         |kp AS (SELECT canon, MIN(doc_id) AS keep_id FROM mk
-         |  WHERE NOT blocked GROUP BY canon),
-         |dec AS (SELECT mk.doc_id,
-         |  CASE WHEN blocked THEN 'blocked'
-         |       WHEN mk.doc_id = kp.keep_id THEN 'kept'
-         |       ELSE 'dup' END AS decision
-         |  FROM mk LEFT JOIN kp USING (canon))
-         |SELECT decision, COUNT(*)::BIGINT AS n_docs,
-         |  SUM(doc_id)::BIGINT AS sum_doc_id
-         |FROM dec GROUP BY decision ORDER BY decision""".stripMargin
-    },
+    "d20_url_dedup" -> urlDedupOracle(""),
+    // the index path IS the d20 recompute restricted to the increment:
+    // the keeper window stays GLOBAL (stored partial minima ∪ increment
+    // — the index stores the corpus side), only the decision tail
+    // filters to increment docs
+    "d22_url_index_dedup" ->
+      urlDedupOracle("WHERE mk.doc_id % 17 = 0"),
     "t35_line_dedup" -> lineDedupOracle(""),
     // the index path IS the t35 recompute restricted to the increment:
     // line counts stay GLOBAL (stored + increment — the index stores the

@@ -72,6 +72,51 @@ class UrlDedupSpec extends SparkSpec {
       4L -> "blocked", 5L -> "kept"))
   }
 
+  test("persisted URL index: probe decisions equal the recompute over " +
+    "(stored ∪ increment) restricted to increment docs") {
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+      .filter($"text".isNotNull).select($"doc_id",
+        concat(lit("https://site"), ($"doc_id" % 7).cast("string"),
+          lit(".com/p/"), ($"doc_id" % 23).cast("string")).as("url"))
+    val block = Seq("site3.com").toDF("domain")
+    val stored = docs.filter($"doc_id" % 17 =!= 0)
+    val incr = docs.filter($"doc_id" % 17 === 0)
+    val dir = java.nio.file.Files.createTempDirectory("url_idx").toString
+    Dedup.writeUrlIndex(stored, block, dir)
+    val viaIndex = Dedup.urlDedupAgainstIndex(incr, block, dir)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    val recompute = Dedup.urlDedupDecisions(docs, block)
+      .filter($"doc_id" % 17 === 0)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(viaIndex === recompute, "index probe must equal the recompute")
+    // an increment id SMALLER than every stored id for its URL takes
+    // the keeper slot exactly as a recompute would
+    val d2 = java.nio.file.Files.createTempDirectory("url_idx2").toString
+    Dedup.writeUrlIndex(
+      Seq((10L, "https://ok.com/x")).toDF("doc_id", "url"), block, d2)
+    val g2 = Dedup.urlDedupAgainstIndex(
+        Seq((3L, "https://ok.com/x"), (12L, "https://ok.com/x"))
+          .toDF("doc_id", "url"), block, d2)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    assert(g2 === Map(3L -> "kept", 12L -> "dup"))
+  }
+
+  test("persisted URL index: appended increments are visible to the " +
+    "next probe") {
+    val block = Seq("nope.com").toDF("domain")
+    val dir = java.nio.file.Files.createTempDirectory("url_idx3").toString
+    Dedup.writeUrlIndex(
+      Seq((1L, "https://a.com/x")).toDF("doc_id", "url"), block, dir)
+    Dedup.appendUrlIndex(
+      Seq((2L, "https://b.com/y")).toDF("doc_id", "url"), block, dir)
+    val got = Dedup.urlDedupAgainstIndex(
+        Seq((5L, "https://b.com/y"), (6L, "https://c.com/z"))
+          .toDF("doc_id", "url"), block, dir)
+      .select($"doc_id", $"decision").as[(Long, String)].collect().toMap
+    // 5 collides with the APPENDED url -> dup; 6 is novel -> kept
+    assert(got === Map(5L -> "dup", 6L -> "kept"))
+  }
+
   test("d20's selection on sf0.001 matches a driver-side replay") {
     val docs = graft.util.Tables.documents(spark, sfTiny)
       .filter($"text".isNotNull).select($"doc_id")
