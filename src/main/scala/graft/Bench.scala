@@ -118,6 +118,23 @@ object Bench {
     // three GC+drain rounds empty the cleaner queue before timing starts
     (1 to 3).foreach { _ => System.gc(); Thread.sleep(700) }
     val warmup = (System.nanoTime() - w0) / 1e9
+    // Host-condition SENTINEL: a fixed pure-JVM integer workload (2e8
+    // FNV-style folds, zero allocation, zero Spark state) timed after
+    // the settle and before the sweep. Both round-14 measurement
+    // incidents were host noise with a diffuse every-gate signature; a
+    // reader comparing two runs discounts the noisy one mechanically
+    // when its cal differs (>1.5x the settled ~0.2-0.4 s baseline =
+    // contended host) instead of arguing from per-gate narratives.
+    val cal = {
+      var acc = 1469598103934665603L
+      var i = 0
+      val t0 = System.nanoTime()
+      while (i < 200000000) { acc = (acc ^ i) * 1099511628211L; i += 1 }
+      val dt = (System.nanoTime() - t0) / 1e9
+      // sink the accumulator so the loop cannot be dead-code-eliminated
+      if (acc == 42L) System.err.println("cal sentinel collision")
+      dt
+    }
     // deterministic name order: Map iteration order shifts whenever a query
     // is added, silently moving queries into/out of the cold early slots
     // (per-query JIT of generated code is 2-6 s on this VM) — sorted order
@@ -175,9 +192,9 @@ object Bench {
     // warmup_sec and the prefix-key note moved to bench_full.json in round
     // 14 — at 155 gates the line sat at 1,745/2,000 chars and this buys
     // ~90 chars (~9 more gates of headroom) without losing any data.
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","cal":${f2(cal)},"queries":$qs,"sf":"$sfDir"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"queries_note":"stdout uses prefix keys at 1dp; this file is full-name full-precision","queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"cal_sec":$cal,"queries_note":"stdout uses prefix keys at 1dp; this file is full-name full-precision","queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
     catch { case _: Throwable => }
     println(line)
     spark.stop()

@@ -23,10 +23,12 @@ object ScaleRehearsal {
     require(
       Set("pipeline", "graph", "bpewide", "warc", "horizon", "wordpiece",
         "tiers", "cms", "bytebpe", "tokenshards", "lineidx", "wpdepth",
-        "all")(family),
+        "packing15", "urlidx", "all")(family),
       s"unknown family '$family' (expected pipeline|graph|bpewide|warc|" +
         "horizon|wordpiece|tiers|cms|bytebpe|tokenshards|lineidx|" +
-        "wpdepth|all; bpewide is the production-" +
+        "wpdepth|packing15|urlidx|all; packing15 the boundary/megatron/" +
+        "split-read/binpack/shuffle curves, urlidx the persisted " +
+        "URL-index probe curve, bpewide is the production-" +
         "merge-count BPE rehearsal, warc the big-segment memory-posture " +
         "probe, horizon the st14 two-query state-ceiling probe, " +
         "wordpiece the sequential-train + encode curve, tiers the t38 " +
@@ -76,6 +78,8 @@ object ScaleRehearsal {
     if (family == "tokenshards") tokenShardsFamily(spark, k)
     if (family == "lineidx") lineIndexFamily(spark, sfDir, k, replicateDocs)
     if (family == "wpdepth") wordpieceDepthFamily(spark)
+    if (family == "packing15") packing15Family(spark, k)
+    if (family == "urlidx") urlIndexFamily(spark, k)
     spark.stop()
   }
 
@@ -159,6 +163,141 @@ object ScaleRehearsal {
       val tp = (System.nanoTime() - t2) / 1e9
       println(f"[rehearsal] packids x$mult (${baseDocs * mult} docs -> " +
         f"$nSeq seqs, expect ${(n + 511) / 512}): pack $tp%.1fs")
+    }
+  }
+
+  /** Round-15 packing-surface curves, one synthetic id frame feeding
+    * four rows per scale point:
+    *  - boundpack: packTokenIdsWithBoundaries + the GRAFTDOC sidecar
+    *    write + boundary read-back — must stay corpus-linear and the
+    *    spans must tile (checked, not just timed);
+    *  - megatron: the strict-MMIDIDX write + read — same linearity as
+    *    the GRAFTIDX rows in [[tokenShardsFamily]];
+    *  - splitread: read wall-time at splitsPerShard 1 vs 8 on a FIXED
+    *    4-shard directory — the round-14 watch item: parallelism must
+    *    come from the seek table, not the shard count;
+    *  - binpack + shuffleidx: histogram-NFD and the seeded permutation,
+    *    both corpus-linear with driver state bounded (histogram ≤
+    *    capacity rows; no driver sort anywhere). */
+  private def packing15Family(spark: org.apache.spark.sql.SparkSession,
+      k: Int): Unit = {
+    val baseDocs = 20000L
+    Seq(1, 4, k).distinct.foreach { mult =>
+      val nDocs = baseDocs * mult
+      // variable doc lengths (32..543 tokens) so sequences span docs
+      val df = spark.range(nDocs).toDF("doc_id")
+        .select(col("doc_id"),
+          transform(sequence(lit(0),
+              pmod(col("doc_id") * 7, lit(512L)).cast("int") + 31),
+            i => pmod(col("doc_id") * 31 + i.cast("long") * 17,
+              lit(60000L))).as("ids"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val seqs = graft.pipeline.Packing
+        .packTokenIdsWithBoundaries(df, 512).localCheckpoint(true)
+      val nSeq = seqs.count()
+      val tp = (System.nanoTime() - t0) / 1e9
+      val dir = graft.util.Scratch.dir("rehearsal_bp")
+      val t1 = System.nanoTime()
+      graft.pipeline.TokenShards.write(seqs, dir, nShards = 16,
+        vocabSize = 60000L, idCol = "seq_id", tokensCol = "ids",
+        segsCol = Some("segs"))
+      val tw = (System.nanoTime() - t1) / 1e9
+      val t2 = System.nanoTime()
+      val back = graft.pipeline.TokenShards.read(spark, dir,
+        boundaries = true)
+      // spans must TILE every sequence read back — a correctness probe
+      // inside the curve, not just a timing
+      val badTile = back.select(
+          expr("aggregate(segs, 0, (a, s) -> " +
+            "IF(s.start = a AND s.len > 0, a + s.len, -1000000))")
+            .as("tiled"), size(col("ids")).as("n"))
+        .filter(col("tiled") =!= col("n")).count()
+      val tr = (System.nanoTime() - t2) / 1e9
+      require(badTile == 0L, s"boundary spans failed to tile: $badTile")
+      println(f"[rehearsal] boundpack x$mult ($nDocs docs -> $nSeq seqs):" +
+        f" pack $tp%.1fs write $tw%.1fs readcheck $tr%.1fs")
+      val mdir = graft.util.Scratch.dir("rehearsal_mm")
+      val t3 = System.nanoTime()
+      graft.pipeline.TokenShards.write(df, mdir, nShards = 16,
+        vocabSize = 60000L, format = graft.pipeline.TokenShards.Megatron)
+      val t4 = System.nanoTime()
+      val nTok = graft.pipeline.TokenShards.read(spark, mdir)
+        .agg(sum(size(col("ids")))).head().getLong(0)
+      val t5 = System.nanoTime()
+      println(f"[rehearsal] megatron x$mult ($nDocs docs, $nTok tokens): " +
+        f"write ${(t4 - t3) / 1e9}%.1fs read ${(t5 - t4) / 1e9}%.1fs")
+      // split-read scaling: FIXED shard count (4 — fewer than cores),
+      // growing data; splits must recover the lost parallelism
+      val sdir = graft.util.Scratch.dir("rehearsal_split")
+      graft.pipeline.TokenShards.write(df, sdir, nShards = 4,
+        vocabSize = 60000L)
+      val t6 = System.nanoTime()
+      val c1 = graft.pipeline.TokenShards.read(spark, sdir,
+        splitsPerShard = 1).agg(sum(size(col("ids")))).head().getLong(0)
+      val t7 = System.nanoTime()
+      val c8 = graft.pipeline.TokenShards.read(spark, sdir,
+        splitsPerShard = 8).agg(sum(size(col("ids")))).head().getLong(0)
+      val t8 = System.nanoTime()
+      require(c1 == c8, "split read changed the token count")
+      println(f"[rehearsal] splitread x$mult (4 shards, $nTok tokens): " +
+        f"1-split ${(t7 - t6) / 1e9}%.1fs 8-split ${(t8 - t7) / 1e9}%.1fs")
+      // NFD bin packing over the same length distribution
+      val lens = df.select(col("doc_id"),
+        size(col("ids")).cast("long").as("n_tokens"))
+      val t9 = System.nanoTime()
+      val nBins = graft.pipeline.Packing.binPackDocs(lens, 256)
+        .agg(max(col("bin"))).head().getLong(0) + 1
+      val t10 = System.nanoTime()
+      println(f"[rehearsal] binpack x$mult ($nDocs docs -> $nBins bins): " +
+        f"${(t10 - t9) / 1e9}%.1fs")
+      // seeded epoch shuffle over the sequence-id range
+      val t11 = System.nanoTime()
+      val nPerm = graft.pipeline.Packing
+        .epochShuffle(spark.range(nSeq).toDF("id"), 42L).count()
+      val t12 = System.nanoTime()
+      require(nPerm == nSeq, "shuffle dropped positions")
+      println(f"[rehearsal] shuffleidx x$mult ($nSeq seqs): " +
+        f"${(t12 - t11) / 1e9}%.1fs")
+    }
+  }
+
+  /** Persisted URL-index curve (the d22 lifecycle, the lineidx shape):
+    * the stored side grows k-fold, the increment stays fixed — probe
+    * cost must track the index aggregation (sublinear in stored rows:
+    * the stored corpus never re-canonicalizes), build corpus-linear. */
+  private def urlIndexFamily(spark: org.apache.spark.sql.SparkSession,
+      k: Int): Unit = {
+    val block = {
+      import spark.implicits._
+      Seq("blocked7.com").toDF("domain")
+    }
+    def urls(n: Long, offset: Long, pageOff: Long = 0L): DataFrame =
+      spark.range(n).toDF("i")
+        .select((col("i") + offset).as("doc_id"),
+          concat(lit("https://site"), pmod(col("i"), lit(97L)),
+            lit(".com/p/"), pmod(col("i"), lit(5003L)) +
+              // half the increment is NOVEL pages (stored pages are
+              // < 5003): kept must be nonzero or the probe would pass
+              // with an everything-is-dup bug
+              when(pmod(col("i"), lit(2L)) === 0, lit(0L))
+                .otherwise(lit(pageOff)),
+            lit("?utm_source=x")).as("url"))
+    val incr = urls(20000L, 100000000L, pageOff = 10000L)
+      .localCheckpoint(true)
+    Seq(1, 4, k).distinct.foreach { mult =>
+      val corpus = urls(200000L * mult, 0L)
+      val dir = graft.util.Scratch.dir("rehearsal_urlidx")
+      val t0 = System.nanoTime()
+      graft.pipeline.Dedup.writeUrlIndex(corpus, block, dir)
+      val tw = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val kept = graft.pipeline.Dedup
+        .urlDedupAgainstIndex(incr, block, dir)
+        .filter(col("decision") === "kept").count()
+      val tp = (System.nanoTime() - t1) / 1e9
+      println(f"[rehearsal] urlidx x$mult (${200000L * mult} stored): " +
+        f"build $tw%.1fs probe(20k incr) $tp%.1fs kept=$kept")
     }
   }
 
