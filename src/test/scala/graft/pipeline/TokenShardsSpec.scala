@@ -218,6 +218,28 @@ class TokenShardsSpec extends SparkSpec {
       assert(back.length == exp.size, s"row count drift at $k splits")
       assert(back.toMap == exp, s"split-read drift at $k splits")
     }
+    // boundary sidecar THROUGH the split reader: the pointer-slice path
+    // (interior splits read one extra pointer; the last split uses the
+    // file-length sentinel) must reproduce every span
+    val bdir = java.nio.file.Files.createTempDirectory("ts_split_b")
+      .toString
+    val bdf = df.select($"doc_id", $"ids",
+      expr("array(struct(doc_id as doc_id, 0 as start, " +
+        "size(ids) as len))").as("segs"))
+    TokenShards.write(bdf, bdir, nShards = 2, vocabSize = 400L,
+      segsCol = Some("segs"))
+    Seq(1, 3, 100).foreach { k =>
+      val back = TokenShards.read(spark, bdir, splitsPerShard = k,
+          boundaries = true)
+        .select($"doc_id", size($"ids"),
+          expr("transform(segs, s -> struct(s.doc_id, s.start, s.len))"))
+        .as[(Long, Int, Seq[(Long, Int, Int)])].collect()
+      assert(back.length == exp.size)
+      back.foreach { case (id, n, segs) =>
+        assert(segs == Seq((id, 0, n)),
+          s"sidecar drift at $k splits for doc $id")
+      }
+    }
   }
 
   test("reader validates counts and pointers against the bin extent") {
