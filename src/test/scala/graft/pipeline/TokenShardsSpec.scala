@@ -151,6 +151,33 @@ class TokenShardsSpec extends SparkSpec {
     }
   }
 
+  test("reader consumes an EXTERNALLY hand-built MMIDIDX pair (interop " +
+    "independent of our writer)") {
+    // bytes laid out exactly as Megatron-LM's indexed_dataset writer
+    // would emit them for two docs of uint16 ids [5,6,7] and [9]
+    val dir = java.nio.file.Files.createTempDirectory("ts_ext").toString
+    val bin = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    Seq(5, 6, 7, 9).foreach(t => bin.putShort(t.toShort))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-000000.bin"), bin.array())
+    val idx = ByteBuffer.allocate(9 + 8 + 1 + 16 + 8 + 16 + 24)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    idx.put("MMIDIDX".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+    idx.putLong(1L)       // version
+    idx.put(8.toByte)     // dtype code: uint16
+    idx.putLong(2L)       // sequence count
+    idx.putLong(3L)       // doc_idx count
+    idx.putInt(3).putInt(1)        // sizes
+    idx.putLong(0L).putLong(6L)    // pointers (bytes)
+    idx.putLong(0L).putLong(1L).putLong(2L) // doc_idx
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "shard-000000.idx"), idx.array())
+    val got = TokenShards.read(spark, dir, requireSuccess = false)
+      .select($"doc_id", $"ids").as[(Long, Seq[Long])]
+      .collect().sortBy(_._1)
+    assert(got.toSeq == Seq((0L, Seq(5L, 6L, 7L)), (1L, Seq(9L))))
+  }
+
   test("boundary sidecar round-trips spans and pins the GRAFTDOC layout") {
     val dir = java.nio.file.Files.createTempDirectory("ts_doc").toString
     // three sequences with hand-built spans (tiling, like the packer's)
