@@ -91,23 +91,36 @@ object Packing {
     * the data on any cluster shape (the (n desc, id) key is unique
     * because ids are). */
   def globalRankDesc(df: DataFrame, idCol: String,
-      nCol: String): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val sorted = df
-      .select(col(nCol).cast("long").as("n"), col(idCol).cast("long").as("id"))
-      .repartitionByRange(col("n").desc, col("id"))
-      .sortWithinPartitions(col("n").desc, col("id"))
-      .localCheckpoint(true)
-    val ds = sorted.as[(Long, Long)]
-    val partCounts = ds
+      nCol: String): DataFrame =
+    rankScan(
+      df.select(col(nCol).cast("long").as("n"),
+          col(idCol).cast("long").as("id"))
+        .repartitionByRange(col("n").desc, col("id"))
+        .sortWithinPartitions(col("n").desc, col("id")))
+      .select(col("id"), col("n"), col("rank"))
+
+  /** The ONE copy of the two-pass distributed ROW-RANK scan (shared by
+    * [[globalRankDesc]] and [[epochShuffle]]): input must already be
+    * range-partitioned + sorted on its total key; appends a 0-based
+    * global `rank` column — per-partition counts to the driver (one
+    * tiny job), then running offsets. Never a single-task window. */
+  private def rankScan(sorted: DataFrame): DataFrame = {
+    val spark = sorted.sparkSession
+    val pinned = sorted.localCheckpoint(true)
+    val partCounts = pinned.rdd
       .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
     val offsets = partCounts.scanLeft(0L)(_ + _)
-    val rdd = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
+    val schema = pinned.schema
+      .add("rank", org.apache.spark.sql.types.LongType, nullable = false)
+    val rdd = pinned.rdd.mapPartitionsWithIndex { (pi, it) =>
       var r = offsets(pi)
-      it.map { case (n, id) => val my = r; r += 1; (id, n, my) }
+      it.map { row =>
+        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+        r += 1
+        out
+      }
     }
-    spark.createDataFrame(rdd).toDF("id", "n", "rank")
+    spark.createDataFrame(rdd, schema)
   }
 
   /** PER-GROUP rank in (id ASC) order — the grouped variant of
@@ -310,14 +323,20 @@ object Packing {
         col("len").cast("long").as("len"))
       .localCheckpoint(false) // feeds histogram, rank AND the join back
     val bounds = p.agg(max(col("chunk")).as("mc"), max(col("id")).as("mi"),
-      min(col("len")).as("ml"), max(col("len")).as("xl")).head()
+      min(col("len")).as("ml"), max(col("len")).as("xl"),
+      min(col("chunk")).as("nc"), min(col("id")).as("ni")).head()
     if (!bounds.isNullAt(0)) {
       require(bounds.getLong(2) >= 1L && bounds.getLong(3) <= capacity,
         s"piece lengths must lie in [1, $capacity] — chop oversized " +
           "docs first (chopToCapacity)")
-      require(bounds.getLong(0) < (1L << 20) &&
+      // BOTH bounds on both fields: a negative chunk would alias the
+      // previous id's top chunk in the composite key (0*2^20+1048575
+      // == 1*2^20-1) and silently fan out the rank join
+      require(bounds.getLong(4) >= 0L && bounds.getLong(0) < (1L << 20) &&
+          bounds.getLong(5) >= 0L &&
           bounds.getLong(1) <= (Long.MaxValue >> 21),
-        "composite (id, chunk) rank key needs chunk < 2^20 and id < 2^43")
+        "composite (id, chunk) rank key needs 0 <= chunk < 2^20 and " +
+          "0 <= id < 2^43")
     }
     // the length histogram: ≤ `capacity` rows by the bound above
     val hist = p.groupBy(col("len")).agg(count(lit(1)).as("k"))
@@ -371,28 +390,17 @@ object Packing {
     * The permutation key is md5(seed:id) — ASCII hex, where Spark's
     * UTF-8 binary string order, any engine's byte order and plain
     * lexicographic order all agree (ties, were a collision ever to
-    * happen, break on id). Rank is the [[globalRankDesc]] two-pass
-    * distributed scan on (key, id) — never a single-task window; same
-    * seed → same bytes on any cluster shape. */
+    * happen, break on id). Rank is the shared [[rankScan]] two-pass
+    * distributed scan on ascending (key, id) — never a single-task
+    * window; same seed → same bytes on any cluster shape. */
   def epochShuffle(df: DataFrame, seed: Long,
-      idCol: String = "id"): DataFrame = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val keyed = df.select(
-        md5(concat(lit(seed.toString), lit(":"),
-          col(idCol).cast("long").cast("string"))).as("h"),
-        col(idCol).cast("long").as("id"))
-      .repartitionByRange(col("h"), col("id"))
-      .sortWithinPartitions(col("h"), col("id"))
-      .localCheckpoint(true)
-    val ds = keyed.as[(String, Long)]
-    val partCounts = ds
-      .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
-    val offsets = partCounts.scanLeft(0L)(_ + _)
-    val rdd = ds.rdd.mapPartitionsWithIndex { (pi, it) =>
-      var r = offsets(pi)
-      it.map { case (_, id) => val my = r; r += 1; (my, id) }
-    }
-    spark.createDataFrame(rdd).toDF("pos", "id")
-  }
+      idCol: String = "id"): DataFrame =
+    rankScan(
+      df.select(
+          md5(concat(lit(seed.toString), lit(":"),
+            col(idCol).cast("long").cast("string"))).as("h"),
+          col(idCol).cast("long").as("id"))
+        .repartitionByRange(col("h"), col("id"))
+        .sortWithinPartitions(col("h"), col("id")))
+      .select(col("rank").as("pos"), col("id"))
 }

@@ -29,21 +29,25 @@ private[pipeline] object ShardFiles {
   val SuccessMarker = "_SUCCESS"
 
   /** Wipe-and-recreate the output root — the ShardWriter overwrite
-    * posture, GUARDED: a non-empty root is only wiped when it looks
-    * like a prior shard output (a `_SUCCESS`/`_tmp`/`shard-*` entry
-    * present). A mistyped outDir pointing the sink at an unrelated
-    * populated directory fails loudly instead of destroying it. */
+    * posture, GUARDED: a non-empty root is only wiped when EVERY entry
+    * looks like prior shard output (`_SUCCESS`, `_tmp`, `shard-*`). A
+    * mistyped outDir pointing the sink at an unrelated populated
+    * directory fails loudly instead of destroying it — and "contains a
+    * `_SUCCESS`" alone is NOT enough, since virtually every
+    * Spark/Hadoop job output carries one (a bare-marker rule would
+    * still wipe the most likely class of foreign directory, e.g. a
+    * parquet dataset). */
   def prepare(fs: FileSystem, root: Path): Unit = {
     if (fs.exists(root)) {
       val entries = fs.listStatus(root)
-      require(entries.isEmpty || entries.exists { s =>
+      require(entries.forall { s =>
           val n = s.getPath.getName
           n == SuccessMarker || n == "_tmp" || n.startsWith("shard-")
         },
         s"$root is non-empty and does not look like a prior shard " +
-          "output (no _SUCCESS, _tmp or shard-* entry) — refusing the " +
-          "overwrite wipe; point the sink at a fresh directory or a " +
-          "prior shard output")
+          "output (entries beyond _SUCCESS/_tmp/shard-*) — refusing " +
+          "the overwrite wipe; point the sink at a fresh directory or " +
+          "a prior shard output")
       fs.delete(root, true)
     }
     fs.mkdirs(root)

@@ -367,14 +367,22 @@ object TokenShards {
     val idxPath = new Path(p)
     val hfs = idxPath.getFileSystem(conf.value)
     val idxLen = hfs.getFileStatus(idxPath).getLen
-    require(idxLen >= Magic.length && idxLen <= Int.MaxValue,
+    // 24 = the GRAFTIDX header (the smaller of the two formats;
+    // Megatron's minimum is 34) — a shorter file is truncated and must
+    // die HERE with the diagnosable message, not as a raw EOFException
+    // from a header read
+    require(idxLen >= 24 && idxLen <= Int.MaxValue,
       s"malformed token-shard index: $p")
     val in = hfs.open(idxPath)
+    // register the close listener BEFORE any require/stat can throw —
+    // Spark retries failed read tasks, and each retry of a
+    // missing-bin/bad-magic failure would otherwise leak a descriptor
+    // in the long-lived executor JVM
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit](_ =>
+        try in.close() catch { case _: Throwable => () }))
     val head = new Array[Byte](MegatronMagic.length)
-    val headRead = try { in.readFully(0L, head, 0,
-        math.min(head.length.toLong, idxLen).toInt); true
-      } catch { case _: Throwable => false }
-    require(headRead, s"unreadable token-shard index: $p")
+    in.readFully(0L, head)
     val megatron =
       java.util.Arrays.equals(head, MegatronMagic)
     val graft = java.util.Arrays.equals(head.take(Magic.length), Magic)
@@ -388,10 +396,8 @@ object TokenShards {
     val binLen = hfs.getFileStatus(binPath).getLen
     val bin = hfs.open(binPath)
     Option(org.apache.spark.TaskContext.get()).foreach(
-      _.addTaskCompletionListener[Unit] { _ =>
-        try bin.close() catch { case _: Throwable => () }
-        try in.close() catch { case _: Throwable => () }
-      })
+      _.addTaskCompletionListener[Unit](_ =>
+        try bin.close() catch { case _: Throwable => () }))
     val name = binPath.getName
 
     def readAt(off: Long, n: Int): ByteBuffer = {

@@ -3479,6 +3479,25 @@ object PipelineQueries {
        |  SUM(n_sub)::BIGINT AS n_bytebpe_tokens
        |FROM leg GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** The q42/q43 shared concat-and-chop replay over `tids`: cumulative
+    * token offsets (an ORACLE may use the single-task window the
+    * engine's two-pass scan replaces) and global token positions. ONE
+    * copy so an offset-arithmetic tweak cannot update one gate's replay
+    * and miss the other's; `poff` is MATERIALIZED — q43 references it
+    * from both `ptok` and its span-clip CTE. */
+  private lazy val packChopCtes: String =
+    s"""poff AS MATERIALIZED (
+       |  SELECT doc_id, ids,
+       |    COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+       |      0)::BIGINT AS s
+       |  FROM tids),
+       |ptok AS (
+       |  SELECT (s + i - 1) AS gpos, ids[i] AS tok
+       |  FROM (SELECT doc_id, ids, s,
+       |          unnest(generate_series(1, len(ids))) AS i
+       |        FROM poff))""".stripMargin
+
   /** The d20/d22 shared URL-dedup replay: corpus CASE mirrors
     * [[urlCorpus]]; the canonicalization chain uses the ENGINE'S OWN
     * pattern constants (the t34 posture) — only the backref syntax is
@@ -4144,46 +4163,26 @@ object PipelineQueries {
          |  md5(array_to_string(ids, ' ')) AS ids_md5
          |FROM tids ORDER BY doc_id""".stripMargin,
     "q42_packed_shards" ->
-      // the SAME id streams → the packingTailSql-style cumulative
-      // offset window (an ORACLE may use the single-task window the
-      // engine's two-pass scan replaces) → global token positions →
-      // 512-chop → per-sequence rollups; a drift in offset arithmetic,
-      // boundary-spanning docs, or the seq-keyed binary round trip
-      // breaks the hash
+      // the SAME id streams → the shared packChopCtes replay (the
+      // cumulative offset window — an ORACLE may use the single-task
+      // window the engine's two-pass scan replaces — and global token
+      // positions) → 512-chop → per-sequence rollups; a drift in
+      // offset arithmetic, boundary-spanning docs, or the seq-keyed
+      // binary round trip breaks the hash
       s"""$bpeIdStreamCtes,
-         |poff AS (
-         |  SELECT doc_id, ids,
-         |    COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      0)::BIGINT AS s
-         |  FROM tids),
-         |ptok AS (
-         |  SELECT (s + i - 1) AS gpos, ids[i] AS tok
-         |  FROM (SELECT doc_id, ids, s,
-         |          unnest(generate_series(1, len(ids))) AS i
-         |        FROM poff))
+         |$packChopCtes
          |SELECT gpos // 512 AS seq_id, COUNT(*)::BIGINT AS n_tokens,
          |  SUM(tok)::BIGINT AS id_sum,
          |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
          |FROM ptok GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "q43_packed_boundaries" ->
-      // the q42 chop replay PLUS the span clip: each doc's global token
-      // interval [s, s+n) intersected with every 512-token sequence it
-      // touches — start/len clipped into sequence coordinates, ordered
-      // by start; a drift in clip arithmetic, ordering, or the sidecar
-      // round trip breaks segs_md5
+      // the shared q42 chop replay PLUS the span clip: each doc's
+      // global token interval [s, s+n) intersected with every
+      // 512-token sequence it touches — start/len clipped into
+      // sequence coordinates, ordered by start; a drift in clip
+      // arithmetic, ordering, or the sidecar round trip breaks segs_md5
       s"""$bpeIdStreamCtes,
-         |poff AS (
-         |  SELECT doc_id, ids,
-         |    COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      0)::BIGINT AS s
-         |  FROM tids),
-         |ptok AS (
-         |  SELECT (s + i - 1) AS gpos, ids[i] AS tok
-         |  FROM (SELECT doc_id, ids, s,
-         |          unnest(generate_series(1, len(ids))) AS i
-         |        FROM poff)),
+         |$packChopCtes,
          |seqt AS (
          |  SELECT gpos // 512 AS seq_id, COUNT(*)::BIGINT AS n_tokens,
          |    md5(array_to_string(list(tok ORDER BY gpos), ' '))
@@ -4236,7 +4235,7 @@ object PipelineQueries {
          |      regexp_split_to_array(lower(trim(text)), '\\s+'),
          |      w -> w <> ''))::BIGINT AS n
          |  FROM documents WHERE text IS NOT NULL),
-         |pieces AS (
+         |pieces AS MATERIALIZED (
          |  SELECT doc_id AS id, j - 1 AS chunk,
          |    LEAST(n - (j - 1) * 256, 256) AS len
          |  FROM (SELECT doc_id, n,

@@ -270,7 +270,10 @@ object ScaleRehearsal {
       k: Int): Unit = {
     val block = {
       import spark.implicits._
-      Seq("blocked7.com").toDF("domain")
+      // a domain the generated corpus ACTUALLY contains (site0..96):
+      // the blocked branch must carry real hits or this curve would
+      // measure a vacuous filter
+      Seq("site7.com").toDF("domain")
     }
     def urls(n: Long, offset: Long, pageOff: Long = 0L): DataFrame =
       spark.range(n).toDF("i")

@@ -353,6 +353,15 @@ class PipelineSpec extends SparkSpec {
         Seq((1L, 0L, 99L)).toDF("id", "chunk", "len"), 50)
     }
     assert(err.getMessage.contains("chop"))
+    // a negative chunk would ALIAS the previous id's top chunk in the
+    // composite rank key (0*2^20+1048575 == 1*2^20-1) — rejected, not
+    // silently fanned out
+    val err2 = intercept[IllegalArgumentException] {
+      graft.pipeline.Packing.binPackPieces(
+        Seq((0L, 1048575L, 5L), (1L, -1L, 5L))
+          .toDF("id", "chunk", "len"), 50)
+    }
+    assert(err2.getMessage.contains("composite"))
   }
 
   test("epochShuffle: a true permutation, identical bytes from " +
