@@ -276,6 +276,64 @@ object TextAnalysis {
       .select(col(idCol)).distinct()
   }
 
+  /** Persist a benchmark suite's DECONTAMINATION INDEX — the exact
+    * distinct n-gram set (parquet: the verify side) plus its Bloom
+    * sketch bytes (`bloom.bin`, [[org.apache.spark.util.sketch
+    * .BloomFilter.writeTo]]: the broadcast prefilter side) and the
+    * policy meta (n, fpp) — the d17/d21/d22 build-once/probe-many
+    * lifecycle in the decontamination domain: an eval suite's gram set
+    * is built ONCE per benchmark release and every later training
+    * batch probes it without the benchmark corpus ever re-tokenizing.
+    * Bloom bits cannot absorb appends (unlike the count/min-partial
+    * indexes) — admitting a new suite means a second index directory
+    * probed alongside, or a rewrite over the union. */
+  def writeContamIndex(benchmark: DataFrame, dir: String, n: Int,
+      textCol: String = "text", fpp: Double = 0.01): Unit = {
+    val spark = benchmark.sparkSession
+    import spark.implicits._
+    val grams = benchmark
+      .select(explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
+      .distinct()
+      .localCheckpoint(true) // read twice: write + cardinality/sketch
+    grams.write.mode("overwrite").parquet(s"$dir/grams")
+    val bloom = grams.stat.bloomFilter("gram",
+      math.max(grams.count(), 1L), fpp)
+    val p = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try bloom.writeTo(out) finally out.close()
+    Seq((n, fpp)).toDF("n", "fpp").write.mode("overwrite")
+      .parquet(s"$dir/meta")
+  }
+
+  /** Decontaminate a training batch against a persisted index — exactly
+    * [[contaminatedDocsBloom]]'s prefilter + exact-verify with both
+    * sides re-read from the index. The gram order `n` comes from the
+    * index meta, so a probe cannot silently shingle at a different
+    * length than the build (the d21 threshold-in-meta discipline);
+    * Bloom has no false negatives and survivors are exact-verified
+    * against the stored gram set, so the result equals
+    * [[contaminatedDocs]] against the original benchmark
+    * (spec-pinned). */
+  def contaminatedDocsAgainstIndex(train: DataFrame, dir: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = train.sparkSession
+    val n = spark.read.parquet(s"$dir/meta").head().getAs[Int]("n")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    val bloom =
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
+      finally in.close()
+    val bc = spark.sparkContext.broadcast(bloom)
+    train.select(col(idCol),
+        explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
+      .filter(graft.functions.BloomMightContain
+        .bloomMightContain(col("gram"), bc))
+      .join(spark.read.parquet(s"$dir/grams"), Seq("gram"), "left_semi")
+      .select(col(idCol)).distinct()
+  }
+
   /** PII patterns (emails, North-American phone numbers, IPv4 addresses) —
     * deliberately restricted to RE2-compatible constructs (no lookaround,
     * no backrefs) so the Java-regex Spark side and an RE2-based SQL engine

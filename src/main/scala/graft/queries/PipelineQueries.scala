@@ -800,6 +800,27 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** d23 — decontamination against a PERSISTED Bloom index
+    * ([[graft.pipeline.TextAnalysis.writeContamIndex]] /
+    * [[contaminatedDocsAgainstIndex]] — the d17/d21/d22
+    * build-once/probe-many lifecycle in the decontamination domain):
+    * the benchmark slice (doc_id % 11 = 0) tokenizes ONCE into a stored
+    * gram set + Bloom sketch bytes + (n, fpp) meta; the training slice
+    * probes the re-read index — Bloom prefilter (codegen'd, no false
+    * negatives) then exact verify against the stored grams, so the
+    * contaminated-doc set equals the full recompute and the oracle is
+    * the plain exact-overlap SQL over the %11 split. */
+  def d23ContamIndex(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val dir = graft.util.Scratch.dir("graft_contam_idx")
+    graft.pipeline.TextAnalysis.writeContamIndex(
+      docs.filter($"doc_id" % 11 === 0), dir, n = 4)
+    graft.pipeline.TextAnalysis.contaminatedDocsAgainstIndex(
+        docs.filter($"doc_id" % 11 =!= 0), dir)
+      .orderBy($"doc_id")
+  }
+
   /** d13 — content-defined-chunking dedup stats (Rabin CDC, the
     * LBFS/FastCDC storage-dedup lineage): chunk every document at
     * content-derived boundaries (k=8 rolling window, divisor 64 ⇒ ~64-cp
@@ -2734,6 +2755,7 @@ object PipelineQueries {
     "q38_warc_pipeline" -> (q38WarcPipeline _),
     "d20_url_dedup" -> (d20UrlDedup _),
     "d22_url_index_dedup" -> (d22UrlIndexDedup _),
+    "d23_contam_index" -> (d23ContamIndex _),
     "q39_http_extract" -> (q39HttpExtract _),
     "t35_line_dedup" -> (t35LineDedup _),
     "d21_line_index_dedup" -> (d21LineIndexDedup _),
@@ -4925,6 +4947,22 @@ object PipelineQueries {
         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
         |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
         |WHERE g.doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
+    "d23_contam_index" ->
+      // index probe == full recompute (Bloom has no false negatives;
+      // survivors exact-verified against the stored grams) — the d12
+      // exact-overlap SQL over the %11 split
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, unnest(list_distinct(
+        |    [array_to_string(toks[i:i+3], ' ')
+        |     for i in generate_series(1, len(toks) - 3)])) AS gram
+        |  FROM t),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0)
+        |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+        |WHERE g.doc_id % 11 <> 0 ORDER BY doc_id""".stripMargin,
     "q17_quality_cutoff" ->
       // t02's score formula + percent_rank within source. The rank key q
       // is a DOUBLE: cross-engine equality rests on both engines

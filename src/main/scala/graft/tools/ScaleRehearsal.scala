@@ -23,7 +23,7 @@ object ScaleRehearsal {
     require(
       Set("pipeline", "graph", "bpewide", "warc", "horizon", "wordpiece",
         "tiers", "cms", "bytebpe", "tokenshards", "lineidx", "wpdepth",
-        "packing15", "urlidx", "all")(family),
+        "packing15", "urlidx", "contamidx", "all")(family),
       s"unknown family '$family' (expected pipeline|graph|bpewide|warc|" +
         "horizon|wordpiece|tiers|cms|bytebpe|tokenshards|lineidx|" +
         "wpdepth|packing15|urlidx|all; packing15 the boundary/megatron/" +
@@ -80,6 +80,8 @@ object ScaleRehearsal {
     if (family == "wpdepth") wordpieceDepthFamily(spark)
     if (family == "packing15") packing15Family(spark, k)
     if (family == "urlidx") urlIndexFamily(spark, k)
+    if (family == "contamidx") contamIndexFamily(spark, sfDir, k,
+      replicateDocs)
     spark.stop()
   }
 
@@ -301,6 +303,32 @@ object ScaleRehearsal {
       val tp = (System.nanoTime() - t1) / 1e9
       println(f"[rehearsal] urlidx x$mult (${200000L * mult} stored): " +
         f"build $tw%.1fs probe(20k incr) $tp%.1fs kept=$kept")
+    }
+  }
+
+  /** Persisted contamination-index curve (the d23 lifecycle): the
+    * stored benchmark side grows k-fold, the training increment stays
+    * fixed — build pays the benchmark tokenize ONCE (corpus-linear);
+    * probe re-reads sketch + gram set, so its cost tracks the
+    * increment's gram explode plus one semi-join against stored grams,
+    * never a benchmark re-tokenize. */
+  private def contamIndexFamily(spark: org.apache.spark.sql.SparkSession,
+      sfDir: String, k: Int, replicateDocs: Int => DataFrame): Unit = {
+    val incr = Tables.documents(spark, sfDir)
+      .filter(col("text").isNotNull).filter(col("doc_id") < 500)
+      .localCheckpoint(true)
+    Seq(1, 4, k).distinct.foreach { mult =>
+      val bench = replicateDocs(mult)
+      val dir = graft.util.Scratch.dir("rehearsal_contamidx")
+      val t0 = System.nanoTime()
+      graft.pipeline.TextAnalysis.writeContamIndex(bench, dir, n = 4)
+      val tw = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val hits = graft.pipeline.TextAnalysis
+        .contaminatedDocsAgainstIndex(incr, dir).count()
+      val tp = (System.nanoTime() - t1) / 1e9
+      println(f"[rehearsal] contamidx x$mult: build $tw%.1fs " +
+        f"probe(500-doc incr) $tp%.1fs contaminated=$hits")
     }
   }
 

@@ -381,6 +381,31 @@ class PipelineSpec extends SparkSpec {
       "a different seed must give a different order")
   }
 
+  test("persisted contamination index: probe equals the full recompute " +
+    "and the gram order is pinned in the index meta") {
+    import spark.implicits._
+    val docs = graft.util.Tables.documents(spark, sfTiny)
+      .filter($"text".isNotNull)
+    val bench = docs.filter($"doc_id" % 11 === 0)
+    val train = docs.filter($"doc_id" % 11 =!= 0)
+    Seq(4, 5).foreach { n =>
+      val dir = java.nio.file.Files
+        .createTempDirectory(s"contam_idx_$n").toString
+      graft.pipeline.TextAnalysis.writeContamIndex(bench, dir, n = n)
+      val viaIndex = graft.pipeline.TextAnalysis
+        .contaminatedDocsAgainstIndex(train, dir)
+        .as[Long].collect().toSet
+      val recompute = graft.pipeline.TextAnalysis
+        .contaminatedDocs(train, bench, n)
+        .as[Long].collect().toSet
+      // the probe never passes n — it comes from the index meta, so a
+      // build at n=5 probes at 5 (a silent shingle-length mismatch is
+      // structurally impossible)
+      assert(viaIndex === recompute, s"index-probe drift at n=$n")
+      assert(viaIndex.nonEmpty, s"vacuous fixture at n=$n")
+    }
+  }
+
   test("incremental minhash finds exactly the cross-split exact pairs") {
     import spark.implicits._
     val docs = graft.util.Tables.documents(spark, sfTiny)
