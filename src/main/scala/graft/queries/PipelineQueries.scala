@@ -1349,7 +1349,7 @@ object PipelineQueries {
     * single-row map, the Bpe.train constant-plan idiom) — shared by q41
     * (per-doc shards) and q42 (packed sequences). Returns the
     * (doc_id, ids) frame and the vocabulary size. */
-  private def bpeIdStreams(spark: SparkSession, d: String)
+  private[queries] def bpeIdStreams(spark: SparkSession, d: String)
       : (DataFrame, Long) = {
     import spark.implicits._
     val model = bpeShared(spark, d)
@@ -3343,7 +3343,7 @@ object PipelineQueries {
   /** The q41/q42 shared id-stream replay: the t16 chain, positioned
     * tokens, the sorted-rank vocabulary numbering as ONE map row, and
     * `tids(doc_id, ids)` — per-doc integer id streams. */
-  private lazy val bpeIdStreamCtes: String =
+  private[queries] lazy val bpeIdStreamCtes: String =
     s"""${bpeOracleChain(BpeRounds)},
        |$bpeDtokCte,
        |vmap AS MATERIALIZED (

@@ -224,9 +224,34 @@ object StreamQueries {
         PipelineQueries.byteBpeShared(spark, d).merges)
       .orderBy(col("doc_id"))
 
+  /** st19 — PACK AT INGEST ([[EventStreams.packStream]]): the q42
+    * concat-and-chop as a stateful stream — the t16-model id streams,
+    * keyed by SOURCE (the per-stream sequence space an arrival pipeline
+    * actually packs in), chop into 512-token sequences with the partial
+    * tail carried in state across micro-batches. Emits FULL sequences
+    * only (a batch/single-batch run withholds each source's final
+    * partial — the oracle excludes it with HAVING count = 512). Per
+    * (source, seq_idx): id sum and id md5 — the oracle replays the
+    * per-source cumulative-offset chop in SQL; StreamingSpec pins the
+    * chunked-arrival readStream run (state carry across three
+    * micro-batches) equal to the batch leg. */
+  def st19StreamPack(spark: SparkSession, d: String): DataFrame = {
+    val (withIds, _) = PipelineQueries.bpeIdStreams(spark, d)
+    val docs = withIds.join(
+      Tables.documents(spark, d).select(col("doc_id"), col("source")),
+      "doc_id")
+    EventStreams.packStream(docs, 512)
+      .select(col("source"), col("seq_idx"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"),
+        md5(array_join(transform(col("ids"), x => x.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy(col("source"), col("seq_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st17_stream_cms" -> (st17StreamCms _),
     "st18_stream_bytebpe" -> (st18StreamByteBpe _),
+    "st19_stream_pack" -> (st19StreamPack _),
     "st16_stream_wordpiece" -> (st16StreamWordpiece _),
     "st15_warc_ingest_dedup" -> (st15WarcIngestDedup _),
     "st11_near_dup" -> (st11NearDup _),
@@ -277,6 +302,32 @@ object StreamQueries {
     // total byte-level encode == the t44 two-leg replay on the same
     // corpus (the st12/st16 shared-oracle precedent)
     "st18_stream_bytebpe" -> PipelineQueries.byteBpeOovEncodeOracle,
+    // the shared t16 id-stream replay -> PER-SOURCE cumulative offsets
+    // (the q42 window shape partitioned by source) -> 512-chop; full
+    // sequences only (the stream's tail-in-state contract)
+    "st19_stream_pack" ->
+      s"""${PipelineQueries.bpeIdStreamCtes},
+        |sdoc AS (
+        |  SELECT d.source, t.doc_id, t.ids
+        |  FROM tids t JOIN documents d USING (doc_id)),
+        |soff AS (
+        |  SELECT source, doc_id, ids,
+        |    COALESCE(SUM(len(ids)) OVER (PARTITION BY source
+        |      ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0)::BIGINT AS s
+        |  FROM sdoc),
+        |stok AS (
+        |  SELECT source, (s + i - 1) AS gpos, ids[i] AS tok
+        |  FROM (SELECT source, ids, s,
+        |          unnest(generate_series(1, len(ids))) AS i
+        |        FROM soff))
+        |SELECT source, gpos // 512 AS seq_idx,
+        |  SUM(tok)::BIGINT AS id_sum,
+        |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
+        |FROM stok GROUP BY source, gpos // 512
+        |HAVING COUNT(*) = 512
+        |ORDER BY source, seq_idx""".stripMargin,
     // the whole grid, replayed by the q40-shared hash chain (one
     // statement, ordered by row and bucket)
     "st17_stream_cms" ->

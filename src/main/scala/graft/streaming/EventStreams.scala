@@ -363,6 +363,59 @@ object EventStreams {
       .toDF("doc_id")
   }
 
+  /** PACK AT INGEST (st19): per-SOURCE concat-and-chop of arriving
+    * token-id streams into fixed-length training sequences, the partial
+    * tail carried in state until later arrivals complete it — the
+    * streaming twin of [[graft.pipeline.Packing.packTokenIds]]
+    * restricted to a per-source sequence space (an arrival stream has
+    * no global corpus order to chop against; production pack-at-ingest
+    * keys sequences by source/shard stream for exactly that reason).
+    *
+    * Emits FULL sequences only: the sub-seqLen tail stays in state
+    * awaiting the next micro-batch — so a single-batch (or batch-mode)
+    * run withholds each source's final partial, and the oracle excludes
+    * it the same way (HAVING count = seqLen). State per source is
+    * (next sequence index, tail ids), bounded at seqLen ids regardless
+    * of stream length; within a micro-batch a group's rows consume in
+    * ascending doc_id order — the deterministic arrival-order contract
+    * the batch twin replays — and the working buffer compacts after
+    * every document, so per-group memory is one document's ids plus the
+    * tail, not the micro-batch. */
+  def packStream(docs: DataFrame, seqLen: Int,
+      srcCol: String = "source", idCol: String = "doc_id",
+      idsCol: String = "ids"): DataFrame = {
+    require(seqLen >= 1, "need a positive sequence length")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(srcCol).cast("string"), col(idCol).cast("long"),
+        col(idsCol))
+      .as[(String, Long, Seq[Long])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (String, Long, Seq[Long])](
+          OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (src, rows, state) =>
+          var (nextSeq, carry) =
+            state.getOption.getOrElse((0L, Seq.empty[Long]))
+          val buf = new scala.collection.mutable.ArrayBuffer[Long](
+            seqLen * 2)
+          buf ++= carry
+          val out = Seq.newBuilder[(String, Long, Seq[Long])]
+          rows.toSeq.sortBy(_._2).foreach { r =>
+            buf ++= r._3
+            var off = 0
+            while (buf.length - off >= seqLen) {
+              out += ((src, nextSeq, buf.slice(off, off + seqLen).toSeq))
+              off += seqLen
+              nextSeq += 1
+            }
+            if (off > 0) buf.remove(0, off) // compact: tail < seqLen stays
+          }
+          state.update((nextSeq, buf.toSeq))
+          out.result().iterator
+      }
+      .toDF("source", "seq_idx", "ids")
+  }
+
   /** TOKENIZE AT INGEST (st12): per arriving document, the whitespace
     * word count and the BPE token count under a trained model's merge
     * list — completely STATELESS map-side work, so it runs identically

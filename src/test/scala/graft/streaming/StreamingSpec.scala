@@ -285,6 +285,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("pack-at-ingest: the tail carries across micro-batches and the " +
+    "multi-batch stream equals batch over the union") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // two sources; doc lengths chosen so a sequence boundary falls
+    // MID-batch and the tail of batch 1 completes only in batch 3
+    def doc(src: String, id: Long, n: Int): (String, Long, Seq[Long]) =
+      (src, id, (0 until n).map(j => id * 100 + j))
+    val all = Seq(doc("a", 1, 3), doc("a", 2, 4), doc("b", 3, 5),
+      doc("a", 4, 6), doc("b", 5, 2), doc("a", 6, 5), doc("b", 7, 9))
+    val in = MemoryStream[(String, Long, Seq[Long])]
+    val q = EventStreams.packStream(
+        in.toDF.toDF("source", "doc_id", "ids"), seqLen = 5)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pack_stream").start()
+    try {
+      Seq(all.take(2), all.slice(2, 5), all.drop(5)).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.sql(
+        "SELECT source, seq_idx, ids FROM pack_stream")
+      .as[(String, Long, Seq[Long])].collect().toSet
+    val batch = EventStreams.packStream(
+        all.toDF("source", "doc_id", "ids"), seqLen = 5)
+      .as[(String, Long, Seq[Long])].collect().toSet
+    assert(streamed == batch,
+      "chunked arrival must equal the single-batch chop")
+    // reference: per-source concat in doc_id order, full 5-blocks only
+    val exp = all.groupBy(_._1).flatMap { case (src, ds) =>
+      val toks = ds.sortBy(_._2).flatMap(_._3)
+      toks.grouped(5).zipWithIndex.collect {
+        case (g, i) if g.size == 5 => (src, i.toLong, g)
+      }
+    }.toSet
+    assert(streamed == exp)
+    // the sub-seqLen tails (a: 18 tokens -> 3 seqs + 3-tail; b: 16
+    // tokens -> 3 seqs + 1-tail) stay in state, unemitted
+    assert(streamed.count(_._1 == "a") == 3)
+    assert(streamed.count(_._1 == "b") == 3)
+  }
+
   test("content dedup stream is deterministic under adversarial arrival order") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
