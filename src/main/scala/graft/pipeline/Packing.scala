@@ -96,26 +96,33 @@ object Packing {
       df.select(col(nCol).cast("long").as("n"),
           col(idCol).cast("long").as("id"))
         .repartitionByRange(col("n").desc, col("id"))
-        .sortWithinPartitions(col("n").desc, col("id")))
-      .select(col("id"), col("n"), col("rank"))
+        .sortWithinPartitions(col("n").desc, col("id")),
+      keep = Seq("id", "n"))
 
   /** The ONE copy of the two-pass distributed ROW-RANK scan (shared by
     * [[globalRankDesc]] and [[epochShuffle]]): input must already be
-    * range-partitioned + sorted on its total key; appends a 0-based
-    * global `rank` column — per-partition counts to the driver (one
-    * tiny job), then running offsets. Never a single-task window. */
-  private def rankScan(sorted: DataFrame): DataFrame = {
+    * range-partitioned + sorted on its total key; emits the `keep`
+    * columns plus a 0-based global `rank` — per-partition counts to the
+    * driver (one tiny job), then running offsets. Never a single-task
+    * window. Sort-only key columns (e.g. epochShuffle's 32-char md5)
+    * are dropped INSIDE the row map, not by a projection above it — the
+    * output rows never materialize them. */
+  private def rankScan(sorted: DataFrame, keep: Seq[String]): DataFrame = {
     val spark = sorted.sparkSession
     val pinned = sorted.localCheckpoint(true)
     val partCounts = pinned.rdd
       .mapPartitions(it => Iterator.single(it.size.toLong)).collect()
     val offsets = partCounts.scanLeft(0L)(_ + _)
-    val schema = pinned.schema
-      .add("rank", org.apache.spark.sql.types.LongType, nullable = false)
+    val keepIx = keep.map(pinned.schema.fieldIndex)
+    val schema = org.apache.spark.sql.types.StructType(
+      keepIx.map(pinned.schema(_)) :+
+        org.apache.spark.sql.types.StructField("rank",
+          org.apache.spark.sql.types.LongType, nullable = false))
     val rdd = pinned.rdd.mapPartitionsWithIndex { (pi, it) =>
       var r = offsets(pi)
       it.map { row =>
-        val out = org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r)
+        val out = org.apache.spark.sql.Row.fromSeq(
+          keepIx.map(row.get) :+ r)
         r += 1
         out
       }
@@ -401,6 +408,7 @@ object Packing {
             col(idCol).cast("long").cast("string"))).as("h"),
           col(idCol).cast("long").as("id"))
         .repartitionByRange(col("h"), col("id"))
-        .sortWithinPartitions(col("h"), col("id")))
+        .sortWithinPartitions(col("h"), col("id")),
+      keep = Seq("id"))
       .select(col("rank").as("pos"), col("id"))
 }

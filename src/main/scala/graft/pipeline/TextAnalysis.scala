@@ -269,12 +269,24 @@ object TextAnalysis {
     val bloom = benchGrams.stat.bloomFilter("gram",
       math.max(benchGrams.count(), 1L), fpp)
     val bc = spark.sparkContext.broadcast(bloom)
+    contamProbe(trainGrams, benchGrams, bc, idCol)
+  }
+
+  /** The ONE copy of the Bloom-prefilter + exact-verify probe tail
+    * shared by [[contaminatedDocsBloom]] (in-session sketch) and
+    * [[contaminatedDocsAgainstIndex]] (persisted sketch) — a probe
+    * tweak (normalization, verify join shape, broadcast guard) cannot
+    * land in one lifecycle and miss the other. `trainGrams` is the
+    * exploded (id, gram) frame; `benchGrams` the distinct gram set. */
+  private def contamProbe(trainGrams: DataFrame, benchGrams: DataFrame,
+      bloomBc: org.apache.spark.broadcast.Broadcast[
+        org.apache.spark.util.sketch.BloomFilter],
+      idCol: String): DataFrame =
     trainGrams
       .filter(graft.functions.BloomMightContain
-        .bloomMightContain(col("gram"), bc))
+        .bloomMightContain(col("gram"), bloomBc))
       .join(benchGrams, Seq("gram"), "left_semi")
       .select(col(idCol)).distinct()
-  }
 
   /** Persist a benchmark suite's DECONTAMINATION INDEX — the exact
     * distinct n-gram set (parquet: the verify side) plus its Bloom
@@ -326,12 +338,10 @@ object TextAnalysis {
       try org.apache.spark.util.sketch.BloomFilter.readFrom(in)
       finally in.close()
     val bc = spark.sparkContext.broadcast(bloom)
-    train.select(col(idCol),
-        explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
-      .filter(graft.functions.BloomMightContain
-        .bloomMightContain(col("gram"), bc))
-      .join(spark.read.parquet(s"$dir/grams"), Seq("gram"), "left_semi")
-      .select(col(idCol)).distinct()
+    contamProbe(
+      train.select(col(idCol),
+        explode(wordNGrams(tokens(col(textCol)), n)).as("gram")),
+      spark.read.parquet(s"$dir/grams"), bc, idCol)
   }
 
   /** PII patterns (emails, North-American phone numbers, IPv4 addresses) —

@@ -382,12 +382,22 @@ object TokenShards {
       _.addTaskCompletionListener[Unit](_ =>
         try in.close() catch { case _: Throwable => () }))
     val head = new Array[Byte](MegatronMagic.length)
-    in.readFully(0L, head)
+    try in.readFully(0L, head)
+    catch {
+      case e: java.io.IOException =>
+        throw new IllegalArgumentException(
+          s"unreadable token-shard index: $p", e)
+    }
     val megatron =
       java.util.Arrays.equals(head, MegatronMagic)
     val graft = java.util.Arrays.equals(head.take(Magic.length), Magic)
     require(megatron || graft,
       s"bad token-shard magic in $p — neither GRAFTIDX nor MMIDIDX")
+    // the 24-byte floor above covers only the GRAFTIDX header; a
+    // Megatron index needs its own minimum or a 24-33-byte truncation
+    // dies as a raw EOFException inside the header read
+    require(!megatron || idxLen >= MegatronMagic.length + 25,
+      s"malformed token-shard index: $p")
     require(!(boundaries && megatron),
       s"boundary read requested but $p is a Megatron-format index " +
         "(no .doc sidecar channel)")

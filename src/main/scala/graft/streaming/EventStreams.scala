@@ -376,11 +376,17 @@ object EventStreams {
     * run withholds each source's final partial, and the oracle excludes
     * it the same way (HAVING count = seqLen). State per source is
     * (next sequence index, tail ids), bounded at seqLen ids regardless
-    * of stream length; within a micro-batch a group's rows consume in
+    * of stream length. Within a micro-batch a group's rows consume in
     * ascending doc_id order — the deterministic arrival-order contract
-    * the batch twin replays — and the working buffer compacts after
-    * every document, so per-group memory is one document's ids plus the
-    * tail, not the micro-batch. */
+    * the batch twin replays — which REQUIRES materializing the group's
+    * micro-batch rows to sort them: per-task memory is one source's
+    * slice of ONE MICRO-BATCH (bounded by the stream's admission unit),
+    * plus the compacting chop buffer (one document + tail). That bound
+    * is the streaming deployment's; running this transform in BATCH
+    * mode (as the st19 gate does for oracle parity) concentrates each
+    * source's whole corpus into one task — batch-scale packing belongs
+    * to [[graft.pipeline.Packing.packTokenIds]]'s two-pass scan, not
+    * this operator. */
   def packStream(docs: DataFrame, seqLen: Int,
       srcCol: String = "source", idCol: String = "doc_id",
       idsCol: String = "ids"): DataFrame = {

@@ -314,8 +314,19 @@ object ScaleRehearsal {
     * never a benchmark re-tokenize. */
   private def contamIndexFamily(spark: org.apache.spark.sql.SparkSession,
       sfDir: String, k: Int, replicateDocs: Int => DataFrame): Unit = {
+    // half the increment is corpus docs (genuinely contaminated), half
+    // is a disjoint synthetic token space the sketch has never seen —
+    // the Bloom DISCARD path must carry real traffic or the curve would
+    // stay flat even with an always-true prefilter (the urlidx lesson)
+    val novel = spark.range(250L).toDF("i")
+      .select((col("i") + 1000000000L).as("doc_id"),
+        concat(lit("zqx"), col("i"), lit(" wvu"), col("i"),
+          lit(" rst"), col("i"), lit(" nop"), col("i"),
+          lit(" jkl"), col("i")).as("text"))
     val incr = Tables.documents(spark, sfDir)
-      .filter(col("text").isNotNull).filter(col("doc_id") < 500)
+      .filter(col("text").isNotNull).filter(col("doc_id") < 250)
+      .select(col("doc_id"), col("text"))
+      .unionAll(novel)
       .localCheckpoint(true)
     Seq(1, 4, k).distinct.foreach { mult =>
       val bench = replicateDocs(mult)
