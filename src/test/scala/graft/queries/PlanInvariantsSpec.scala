@@ -36,7 +36,13 @@ class PlanInvariantsSpec extends SparkSpec {
     "t23_kn_lm_score", // 1-row distinct-bigram total broadcast into scores
     "t24_kn3_lm_score", // 1-row continuation-type total broadcast likewise
     "t28_kn4_lm_score", // same 1-row total, order-4 chain
-    "t33_kn5_lm_score") // same 1-row total, order-5 chain
+    "t33_kn5_lm_score", // same 1-row total, order-5 chain
+    // bpeIdStreams' vocabulary numbering is ONE broadcast map row
+    // (driver-sized by construction: alphabet + one symbol per merge)
+    // crossed into the streams; q41-q44 run the same chain but execute
+    // it during gate construction and return only the reader plan —
+    // st19 returns the live chain, so it alone surfaces the shape here
+    "st19_stream_pack")
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfTiny)
