@@ -50,6 +50,7 @@ object PipelineQueries {
     sweep(residentPairs); sweep(residentSpans); sweep(residentBpe)
     sweep(residentBpeDeep); sweep(residentUnigram); sweep(residentUnigramNoQ)
     sweep(residentWordpiece); sweep(residentByteBpe)
+    sweep(residentIdStreams)
   }
 
   /** Unpersist and forget every resident pair frame — callers that sweep
@@ -65,6 +66,10 @@ object PipelineQueries {
       try df.unpersist(blocking = false) catch { case _: Throwable => () }
     }
     residentSpans.clear()
+    residentIdStreams.values.foreach { case (df, _) =>
+      try df.unpersist(blocking = false) catch { case _: Throwable => () }
+    }
+    residentIdStreams.clear()
     // the BPE vocab is localCheckpoint-backed: a storage sweep kills its
     // blocks with NO lineage to recompute from, so the memo must go too
     // (next gate retrains) — same contract as the pair-frame memo above.
@@ -1349,23 +1354,35 @@ object PipelineQueries {
     * single-row map, the Bpe.train constant-plan idiom) — shared by q41
     * (per-doc shards) and q42 (packed sequences). Returns the
     * (doc_id, ids) frame and the vocabulary size. */
+  /** q41/q42/q43/q44/q46/st19 are SIX gates over ONE id-stream encode
+    * (per-doc streams → the sorted-rank vocabulary numbering — the
+    * corpus-dominant tokenize pass of the packing/shard family); the
+    * exactSpansShared contract, so the second-through-sixth gates reuse
+    * the first's encoded frame instead of re-tokenizing the corpus. */
+  private val residentIdStreams = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, Long)]
+
   private[queries] def bpeIdStreams(spark: SparkSession, d: String)
       : (DataFrame, Long) = {
-    import spark.implicits._
-    val model = bpeShared(spark, d)
-    val streams = graft.pipeline.Bpe
-      .tokenStreams(Tables.documents(spark, d), model)
-    val syms = model.vocab.select(explode($"syms").as("s")).distinct()
-      .as[String].collect()
-      .sortWith((a, b) => graft.pipeline.Bpe.cmpUtf8(a, b) < 0)
-    val mdf = spark.createDataFrame(Seq(
-        (syms.toSeq, syms.indices.map(_.toLong).toSeq)))
-      .toDF("_ks", "_vs")
-      .select(map_from_arrays($"_ks", $"_vs").as("_m"))
-    (streams.crossJoin(broadcast(mdf))
-      .select($"doc_id",
-        transform($"stream", s => element_at($"_m", s)).as("ids")),
-      syms.length.toLong)
+    sweepStoppedSessions()
+    residentIdStreams.getOrElseUpdate((spark, d), {
+      import spark.implicits._
+      val model = bpeShared(spark, d)
+      val streams = graft.pipeline.Bpe
+        .tokenStreams(Tables.documents(spark, d), model)
+      val syms = model.vocab.select(explode($"syms").as("s")).distinct()
+        .as[String].collect()
+        .sortWith((a, b) => graft.pipeline.Bpe.cmpUtf8(a, b) < 0)
+      val mdf = spark.createDataFrame(Seq(
+          (syms.toSeq, syms.indices.map(_.toLong).toSeq)))
+        .toDF("_ks", "_vs")
+        .select(map_from_arrays($"_ks", $"_vs").as("_m"))
+      (streams.crossJoin(broadcast(mdf))
+        .select($"doc_id",
+          transform($"stream", s => element_at($"_m", s)).as("ids"))
+        .cache(),
+        syms.length.toLong)
+    })
   }
 
   def q41TokenShards(spark: SparkSession, d: String): DataFrame = {
