@@ -195,9 +195,13 @@ object Bench {
     // stdout carries the SF basename only (sf0.1, not the full path):
     // at 168 gates the full-path line sat at 1,803 chars + sbt's ~100-
     // char trailer against the driver's 2,000-char window — the
-    // basename buys ~16 chars; the full path stays in bench_full.json
+    // basename buys ~16 chars; the full path stays in bench_full.json.
+    // Round 16 dropped the "unit" field (units are seconds by contract,
+    // stated in bench_full.json) — the documented next trim lever,
+    // applied preemptively: at 175 gates the line would otherwise sit
+    // ~1,860/2,000 against the parse window
     val sfBase = new java.io.File(sfDir.replaceAll("/+$", "")).getName
-    val line = s"""{"metric":"total","value":${f2(total)},"unit":"sec","cal":${f2(cal)},"queries":$qs,"sf":"$sfBase"}"""
+    val line = s"""{"metric":"total","value":${f2(total)},"cal":${f2(cal)},"queries":$qs,"sf":"$sfBase"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
       s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"cal_sec":$cal,"queries_note":"stdout uses prefix keys at 1dp; this file is full-name full-precision","queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
     catch { case _: Throwable => }

@@ -102,6 +102,34 @@ object ByteBpe {
     Bpe.tokenStreamsWith(docs, model, idCol, textCol, dictBroadcastLimit,
       encodeWordGreedy)
 
+  /** Byte-BPE token STREAMS over [[Gpt2.pretokenize]] pieces instead of
+    * lowercased whitespace words — the GPT-2-exact segmentation, under
+    * which [[decodeStream]] is the IDENTITY (pieces preserve case and
+    * whitespace and concatenate back to the input; byte symbols are
+    * lossless per piece). Same 100 TB shape as [[tokenStreams]]: one
+    * positioned explode, ONE guarded left-outer dictionary join (pieces
+    * that string-equal a trained vocab word — no leading space, already
+    * lowercase — ride the dictionary; everything else takes the total
+    * greedy byte kernel on the distinct-piece tail), one per-doc
+    * ordered flatten. */
+  def pretokStreams(docs: DataFrame, model: Bpe.Model,
+      idCol: String = "doc_id", textCol: String = "text",
+      dictBroadcastLimit: Long = Bpe.DictBroadcastLimit): DataFrame = {
+    val spark = docs.sparkSession
+    val dict = Bpe.guardedDict(
+      model.vocab.select(col("word"), col("syms")), dictBroadcastLimit)
+    val bc = spark.sparkContext.broadcast(Bpe.rankMap(model.merges))
+    val oovSyms = udf((w: String) => encodeWordGreedy(w, bc.value).toSeq)
+    val pos = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(Gpt2.pretokenize(col(textCol))))
+    Bpe.flattenOrdered(
+      pos.join(dict, col("col") === col("word"), "left_outer")
+        .select(col(idCol), col("pos"),
+          when(col("syms").isNotNull, col("syms"))
+            .otherwise(oovSyms(col("col"))).as("syms")),
+      idCol, "syms")
+  }
+
   /** EXACT detokenization of a byte-BPE token stream — byte-level BPE's
     * defining property (char-level BPE cannot promise it: an OOV
     * character has no symbol; here every symbol IS hex-encoded bytes):
@@ -109,8 +137,9 @@ object ByteBpe {
     * codegen'd expression, the algebraic inverse of [[byteSyms]] ∘
     * merges — `decodeStream(tokenStreams(x)) == x`'s pretokenized
     * normal form (whitespace pretokenization drops separators, so the
-    * reconstruction is the in-order word concatenation; a production
-    * separator-preserving pretokenizer would make it the identity). */
+    * reconstruction is the in-order word concatenation), and
+    * `decodeStream(pretokStreams(x)) == x` EXACTLY (the GPT-2
+    * pretokenizer preserves separators — the t46 identity gate). */
   def decodeStream(stream: Column): Column =
     decode(unhex(concat_ws("", stream)), "UTF-8")
 

@@ -155,12 +155,31 @@ object Dedup {
   /** Admit an increment: append its keeper rows as NEW rows — the index
     * is append-only partial minima, re-minimized per URL at probe time
     * (a map-side-combined aggregation over index rows, never the
-    * corpus); rewrite via [[writeUrlIndex]] on the unioned corpus to
-    * compact. */
+    * corpus); [[compactUrlIndex]] folds the accumulated partials back
+    * to one row per URL when probe-side re-minimization cost builds. */
   def appendUrlIndex(docs: DataFrame, blocklist: DataFrame, dir: String,
       idCol: String = "doc_id", urlCol: String = "url"): Unit =
     urlIndexRows(docs, blocklist, idCol, urlCol)
       .write.mode("append").parquet(s"$dir/urls")
+
+  /** INDEX-ONLY compaction of the append-accumulated keeper index:
+    * re-minimize the stored partial minima — one map-side-combined
+    * groupBy over the INDEX ROWS, never a corpus scan (the corpus-side
+    * rewrite is [[writeUrlIndex]] over the union; this is the cheap
+    * lifecycle half, index-sized regardless of corpus size) — staged
+    * and atomically swapped into place ([[graft.util.StageSwap]]: a
+    * kill mid-compact leaves the old index readable). Probe results
+    * are unchanged by construction — [[urlDedupAgainstIndex]] already
+    * re-minimizes at probe; compaction just materializes that
+    * aggregation once (spec-pinned probe-before == probe-after ==
+    * recompute). */
+  def compactUrlIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    graft.util.StageSwap.rewrite(
+      readUrlIndex(spark, dir)
+        .groupBy(col("canonical_url"))
+        .agg(min(col("keep_id")).as("keep_id")),
+      s"$dir/urls")
 
   def readUrlIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = spark.read.parquet(s"$dir/urls")

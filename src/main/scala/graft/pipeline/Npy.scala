@@ -1,0 +1,170 @@
+package graft.pipeline
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.SerializableConfiguration
+
+/** Single-file numpy `.npy` emission — the hand-off format for the
+  * Megatron loader artifacts that are NOT the token shards themselves:
+  * `shuffle_idx` ([[Packing.epochShuffle]], a 1-D integer permutation)
+  * and `sample_idx` ([[Packing.sampleIdx]], an (N, 2) integer table).
+  * The public format v1.0 (numpy `lib/format.py`): 6-byte magic
+  * `\x93NUMPY`, version bytes 1.0, a little-endian uint16 header
+  * length, then the header dict (`descr`/`fortran_order`/`shape`)
+  * space-padded so data starts 64-byte-aligned, then the C-order array
+  * bytes. A stock `np.load` (mmap_mode included) reads the output
+  * unmodified.
+  *
+  * The artifact is ONE file by contract (that is what the loader
+  * mmaps), so the write streams: rows range-partition + sort on
+  * `orderCol` (each task streams its run to a `_tmp` sibling part —
+  * O(1) memory in rows), and the driver stitches header + parts in
+  * partition order and promotes by atomic rename — the
+  * [[TokenShards]] metadata-stitch discipline. Same input, same bytes.
+  * `orderCol` values must be distinct (both artifacts' order columns
+  * are dense 0-based positions by construction); ties would make the
+  * byte order partition-dependent.
+  */
+object Npy {
+
+  val Magic: Array[Byte] =
+    Array[Byte](0x93.toByte) ++ "NUMPY".getBytes("US-ASCII")
+
+  private val Descrs = Map[String, Int]("<i4" -> 4, "<i8" -> 8, "<u4" -> 4)
+
+  /** The v1.0 header for `shape` rows of `descr`, data 64-byte-aligned
+    * (numpy's own alignment since 1.9; readers use only HEADER_LEN). */
+  def header(descr: String, shape: Seq[Long]): Array[Byte] = {
+    val shapeStr =
+      if (shape.length == 1) s"(${shape.head},)"
+      else shape.mkString("(", ", ", ")")
+    val dict =
+      s"{'descr': '$descr', 'fortran_order': False, 'shape': $shapeStr, }"
+    val unpadded = Magic.length + 4 + dict.length + 1
+    val pad = (64 - unpadded % 64) % 64
+    val hlen = dict.length + pad + 1
+    require(hlen <= 65535, "npy v1.0 header over 64 KiB")
+    val out = ByteBuffer.allocate(Magic.length + 4 + hlen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    out.put(Magic).put(1.toByte).put(0.toByte).putShort(hlen.toShort)
+    out.put(dict.getBytes("US-ASCII"))
+    (0 until pad).foreach(_ => out.put(' '.toByte))
+    out.put('\n'.toByte)
+    out.array()
+  }
+
+  /** Write `valueCols` of `df` in ascending `orderCol` order as `path`
+    * (shape `(N,)` for one value column, `(N, m)` for m — C order, so
+    * row k's values are adjacent, exactly how Megatron indexes
+    * `sample_idx[k]`). `descr` ∈ `<i4` / `<u4` / `<i8`; every value is
+    * range-checked against it — silent wraparound would corrupt the
+    * permutation it encodes. */
+  def write(df: DataFrame, path: String, orderCol: String,
+      valueCols: Seq[String], descr: String): Unit = {
+    val width = Descrs.getOrElse(descr,
+      throw new IllegalArgumentException(
+        s"unsupported npy descr '$descr' (expected <i4|<u4|<i8)"))
+    require(valueCols.nonEmpty, "need at least one value column")
+    val (lo, hi) = descr match {
+      case "<i4" => (Int.MinValue.toLong, Int.MaxValue.toLong)
+      case "<u4" => (0L, 0xFFFFFFFFL)
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
+    val m = valueCols.length
+    val spark = df.sparkSession
+    val conf = new SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
+    val target = new Path(path)
+    val fs = target.getFileSystem(conf.value)
+    val tmpRoot = new Path(path + ".npy-tmp")
+    fs.delete(tmpRoot, true)
+    fs.mkdirs(tmpRoot)
+    val cols = col(orderCol).cast("long").as("_o") +:
+      valueCols.map(c => col(c).cast("long").as(s"_v_$c"))
+    val sorted = df.select(cols: _*)
+      .repartitionByRange(col("_o")).sortWithinPartitions(col("_o"))
+    val tmpStr = tmpRoot.toString
+    // one pass: each task streams its sorted run to a part file and
+    // reports (partition, attempt, rows, firstOrder, lastOrder) — the
+    // driver gets exactly one row per partition (the successful
+    // attempt), stitches in partition order, and cross-checks the
+    // order runs are disjoint ascending (a duplicate orderCol would
+    // otherwise silently shuffle bytes)
+    val parts = sorted.rdd.mapPartitionsWithIndex { (pi, it) =>
+      val attempt = Option(org.apache.spark.TaskContext.get())
+        .map(_.taskAttemptId()).getOrElse(0L)
+      val p = new Path(tmpStr, f"part-$pi%05d-$attempt")
+      val pfs = p.getFileSystem(conf.value)
+      val out = pfs.create(p, true)
+      var rows = 0L
+      var first = Long.MaxValue
+      var last = Long.MinValue
+      var prev = Long.MinValue
+      val chunk = ByteBuffer.allocate(8192 * width)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      try {
+        it.foreach { r =>
+          val o = r.getLong(0)
+          require(o > prev || rows == 0L,
+            s"npy orderCol not strictly ascending at $o — " +
+              "order values must be distinct")
+          prev = o
+          if (rows == 0L) first = o
+          last = o
+          var j = 1
+          while (j <= m) {
+            val v = r.getLong(j)
+            require(v >= lo && v <= hi,
+              s"value $v outside npy dtype $descr")
+            if (chunk.remaining() < width) {
+              out.write(chunk.array(), 0, chunk.position()); chunk.clear()
+            }
+            if (width == 8) chunk.putLong(v) else chunk.putInt(v.toInt)
+            j += 1
+          }
+          rows += 1L
+        }
+        if (chunk.position() > 0)
+          out.write(chunk.array(), 0, chunk.position())
+      } finally out.close()
+      Iterator.single((pi, attempt, rows, first, last))
+    }.collect().sortBy(_._1)
+    val n = parts.map(_._3).sum
+    // range runs must be disjoint ascending across partitions (the
+    // range partitioner guarantees it; a violation means orderCol ties)
+    parts.filter(_._3 > 0).map(p => (p._4, p._5))
+      .toSeq.sliding(2).foreach {
+        case Seq((_, aLast), (bFirst, _)) =>
+          require(bFirst > aLast,
+            "npy orderCol ranges overlap across partitions — " +
+              "order values must be distinct")
+        case _ => ()
+      }
+    val shape = if (m == 1) Seq(n) else Seq(n, m.toLong)
+    val finalTmp = new Path(tmpStr, "stitched")
+    val out = fs.create(finalTmp, true)
+    try {
+      out.write(header(descr, shape))
+      parts.filter(_._3 > 0).foreach { case (pi, attempt, _, _, _) =>
+        val src = new Path(tmpStr, f"part-$pi%05d-$attempt")
+        val in = fs.open(src)
+        try {
+          val buf = new Array[Byte](65536)
+          var k = in.read(buf)
+          while (k >= 0) {
+            if (k > 0) out.write(buf, 0, k)
+            k = in.read(buf)
+          }
+        } finally in.close()
+      }
+    } finally out.close()
+    fs.delete(target, false)
+    require(fs.rename(finalTmp, target),
+      s"could not promote stitched npy into $target")
+    fs.delete(tmpRoot, true)
+    ()
+  }
+}

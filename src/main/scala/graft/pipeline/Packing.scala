@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Sequence packing — the final stage of LLM training-data prep: documents
@@ -207,18 +207,36 @@ object Packing {
     * map-side arithmetic on one posexplode, and the one shuffle groups
     * by `seq_id` with per-group state bounded at `seqLen` ids. The
     * input is lazily checkpointed — the offset pass and the pack pass
-    * would otherwise each recompute the upstream tokenization. */
+    * would otherwise each recompute the upstream tokenization.
+    *
+    * `eodId`: GPT-family END-OF-DOCUMENT insertion — when set, every
+    * document's stream is followed by one `eodId` token (the
+    * `<|endoftext|>` separator production packing interleaves between
+    * documents, Radford et al. 2019 §2), so each doc contributes n+1
+    * tokens to the global stream; pure map-side arithmetic absorbed
+    * BEFORE the offset pass, so offsets, chop and spans all account
+    * for the separator by construction. The separator id is the
+    * caller's (conventionally vocabSize — the appended special token);
+    * a zero-token document still contributes its separator. */
   def packTokenIds(docs: DataFrame, seqLen: Int, idCol: String = "doc_id",
-      idsCol: String = "ids"): DataFrame = {
+      idsCol: String = "ids", eodId: Option[Long] = None): DataFrame = {
     require(seqLen >= 1, "need a positive sequence length")
     val pinned = docs
-      .select(col(idCol).cast("long").as("id"), col(idsCol).as("_ids"))
+      .select(col(idCol).cast("long").as("id"),
+        withEod(col(idsCol), eodId).as("_ids"))
       .localCheckpoint(false)
     val offs = tokenOffsets(
       pinned.select(col("id"), size(col("_ids")).cast("long").as("n")),
       "id", "n")
     packIdsFromOffsets(pinned, offs, seqLen)
   }
+
+  /** One `eodId` token appended to a doc's id stream ([[packTokenIds]]'
+    * separator contract) — the ONE copy the batch packers and the
+    * streaming twin ([[graft.streaming.EventStreams.packStream]])
+    * share. */
+  private[graft] def withEod(ids: Column, eodId: Option[Long]): Column =
+    eodId.map(e => concat(ids, array(lit(e)))).getOrElse(ids)
 
   private def packIdsFromOffsets(pinned: DataFrame, offs: DataFrame,
       seqLen: Int): DataFrame =
@@ -246,12 +264,20 @@ object Packing {
     * doc-count-sized arithmetic (one explode per touched sequence, one
     * seq_id shuffle whose groups are bounded by docs-per-sequence) —
     * the token stream is never re-exploded for metadata; the offsets
-    * frame is pinned once and feeds both the id pack and the spans. */
+    * frame is pinned once and feeds both the id pack and the spans.
+    *
+    * `eodId` as in [[packTokenIds]]: each document's span then covers
+    * its n+1 tokens INCLUDING its trailing separator (the GPT loader
+    * convention — attention resets after `<|endoftext|>`, so the
+    * separator belongs to the document it closes), and the spans still
+    * tile every sequence exactly. */
   def packTokenIdsWithBoundaries(docs: DataFrame, seqLen: Int,
-      idCol: String = "doc_id", idsCol: String = "ids"): DataFrame = {
+      idCol: String = "doc_id", idsCol: String = "ids",
+      eodId: Option[Long] = None): DataFrame = {
     require(seqLen >= 1, "need a positive sequence length")
     val pinned = docs
-      .select(col(idCol).cast("long").as("id"), col(idsCol).as("_ids"))
+      .select(col(idCol).cast("long").as("id"),
+        withEod(col(idsCol), eodId).as("_ids"))
       .localCheckpoint(false)
     val offs = tokenOffsets(
       pinned.select(col("id"), size(col("_ids")).cast("long").as("n")),
@@ -411,4 +437,107 @@ object Packing {
         .sortWithinPartitions(col("h"), col("id")),
       keep = Seq("id"))
       .select(col("rank").as("pos"), col("id"))
+
+  /** The Megatron `sample_idx` artifact — the heaviest precomputable
+    * loader table (the strided map the public Megatron-LM
+    * `gpt_dataset.py` `_build_sample_idx` builds on first touch): for
+    * every training sample k, WHERE in the multi-epoch concatenated
+    * token stream it starts — `(sample, doc_index, doc_id, doc_offset)`
+    * with `doc_index` the document's 0-based position in the multi-epoch
+    * order (the `doc_idx` coordinate a loader indexes with) and
+    * `doc_offset` the token offset inside that document. Megatron's read
+    * convention: sample k spans tokens `[k·seqLen, k·seqLen + seqLen]`
+    * (seqLen+1 tokens — inputs plus the shifted labels), so consecutive
+    * samples overlap by exactly one token and each sample ADVANCES
+    * seqLen — sample k's start is the closed form `k·seqLen`, which is
+    * what makes this distributable at all. Rows run 0..num_samples
+    * INCLUSIVE, `num_samples = (epochs·totalTokens − 1) div seqLen` —
+    * the last row is Megatron's end sentinel, built by the same rule.
+    *
+    * Document order: `epochs` concatenated epochs, each epoch's docs
+    * permuted by the seeded md5 rank `md5(seed:epoch:id)` (ties on id —
+    * the [[epochShuffle]] key convention, Megatron's per-epoch
+    * document shuffle re-expressed as a pure function of (data, seed)).
+    * Zero-token documents are excluded before ordering (they contribute
+    * nothing to the stream; Megatron asserts sizes > 0 the same way).
+    *
+    * Scale: one combined two-pass distributed scan over the epoch-doc
+    * frame (per-partition (count, tokenSum) to the driver, then running
+    * (doc_index, tok_start) — the [[tokenOffsets]]/[[rankScan]] shape,
+    * fused so the rank and the prefix sum share one sort); each doc
+    * then EMITS the samples that start inside it via one bounded
+    * `sequence` explode — never a per-sample loop, never a single-task
+    * window. Output size is samples+1 rows — the artifact itself. */
+  def sampleIdx(docs: DataFrame, seqLen: Int, epochs: Int, seed: Long,
+      idCol: String = "doc_id", nCol: String = "n_tokens"): DataFrame = {
+    require(seqLen >= 1, "need a positive sequence length")
+    val L = seqLen.toLong
+    epochDocScan(docs, epochs, seed, idCol, nCol)
+      // the samples starting inside this doc: k·L in [tok_start,
+      // tok_start + n) — a doc fully inside one sample emits none
+      .select(col("id"), col("doc_index"), col("tok_start"),
+        expr(s"(tok_start + ${L - 1}) div $L").as("k0"),
+        expr(s"(tok_start + n - 1) div $L").as("k1"))
+      .filter(col("k0") <= col("k1"))
+      .select(explode(sequence(col("k0"), col("k1"))).as("sample"),
+        col("doc_index"), col("id").as("doc_id"),
+        col("tok_start"))
+      .select(col("sample"), col("doc_index"), col("doc_id"),
+        (col("sample") * L - col("tok_start")).as("doc_offset"))
+  }
+
+  /** The Megatron `doc_idx` artifact — the multi-epoch shuffled
+    * DOCUMENT ORDER itself, (doc_index, doc_id, n_tokens, tok_start):
+    * the table [[sampleIdx]]'s doc_index coordinates index into, and
+    * the third loader `.npy` alongside sample_idx and shuffle_idx
+    * (Megatron persists `{prefix}_doc_idx.npy` the same way). Same
+    * order contract as [[sampleIdx]] — epochs concatenated, each
+    * epoch's docs permuted by md5(seed:epoch:id), zero-token docs
+    * excluded. */
+  def epochDocOrder(docs: DataFrame, epochs: Int, seed: Long,
+      idCol: String = "doc_id", nCol: String = "n_tokens"): DataFrame =
+    epochDocScan(docs, epochs, seed, idCol, nCol)
+      .select(col("doc_index"), col("id").as("doc_id"), col("n"),
+        col("tok_start"))
+
+  /** The ONE copy of the fused multi-epoch scan [[sampleIdx]] and
+    * [[epochDocOrder]] share: (epoch, md5 rank, id) sort, then ONE
+    * two-pass distributed scan emitting both the global doc_index
+    * (row rank) and tok_start (token prefix sum) — the [[rankScan]]/
+    * [[tokenOffsets]] machinery fused so the rank and the sum pay one
+    * sort. Returns (id, n, doc_index, tok_start). */
+  private def epochDocScan(docs: DataFrame, epochs: Int, seed: Long,
+      idCol: String, nCol: String): DataFrame = {
+    require(epochs >= 1, "need a positive epoch count")
+    val spark = docs.sparkSession
+    val pinned = docs
+      .select(col(idCol).cast("long").as("id"),
+        col(nCol).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .crossJoin(spark.range(epochs.toLong).toDF("epoch"))
+      .select(col("epoch"),
+        md5(concat_ws(":", lit(seed.toString),
+          col("epoch").cast("string"), col("id").cast("string"))).as("h"),
+        col("id"), col("n"))
+      .repartitionByRange(col("epoch"), col("h"), col("id"))
+      .sortWithinPartitions(col("epoch"), col("h"), col("id"))
+      .localCheckpoint(true)
+    val stats = pinned.rdd.mapPartitions { it =>
+      var c = 0L; var s = 0L
+      it.foreach { r => c += 1L; s += r.getLong(3) }
+      Iterator.single((c, s))
+    }.collect()
+    val cOff = stats.map(_._1).scanLeft(0L)(_ + _)
+    val sOff = stats.map(_._2).scanLeft(0L)(_ + _)
+    val rdd = pinned.rdd.mapPartitionsWithIndex { (pi, it) =>
+      var di = cOff(pi); var ts = sOff(pi)
+      it.map { r =>
+        val n = r.getLong(3)
+        val out = (r.getLong(2), n, di, ts)
+        di += 1L; ts += n
+        out
+      }
+    }
+    spark.createDataFrame(rdd).toDF("id", "n", "doc_index", "tok_start")
+  }
 }

@@ -298,14 +298,25 @@ object TextAnalysis {
     * batch probes it without the benchmark corpus ever re-tokenizing.
     * Bloom bits cannot absorb appends (unlike the count/min-partial
     * indexes) — admitting a new suite means a second index directory
-    * probed alongside, or a rewrite over the union. */
+    * probed alongside, or the INDEX-ONLY union rewrite
+    * ([[mergeContamIndexes]] — no corpus ever re-tokenizes). */
   def writeContamIndex(benchmark: DataFrame, dir: String, n: Int,
-      textCol: String = "text", fpp: Double = 0.01): Unit = {
-    val spark = benchmark.sparkSession
+      textCol: String = "text", fpp: Double = 0.01): Unit =
+    writeContamFrom(
+      benchmark
+        .select(explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
+        .distinct(),
+      dir, n, fpp)
+
+  /** The ONE copy of the index-directory writer (grams parquet + Bloom
+    * bytes + policy meta) shared by [[writeContamIndex]] (corpus build)
+    * and [[mergeContamIndexes]] (index-only union rewrite) — a layout
+    * tweak cannot land in one lifecycle and miss the other. */
+  private def writeContamFrom(gramSet: DataFrame, dir: String, n: Int,
+      fpp: Double): Unit = {
+    val spark = gramSet.sparkSession
     import spark.implicits._
-    val grams = benchmark
-      .select(explode(wordNGrams(tokens(col(textCol)), n)).as("gram"))
-      .distinct()
+    val grams = gramSet
       .localCheckpoint(true) // read twice: write + cardinality/sketch
     grams.write.mode("overwrite").parquet(s"$dir/grams")
     val bloom = grams.stat.bloomFilter("gram",
@@ -316,6 +327,36 @@ object TextAnalysis {
     try bloom.writeTo(out) finally out.close()
     Seq((n, fpp)).toDF("n", "fpp").write.mode("overwrite")
       .parquet(s"$dir/meta")
+  }
+
+  /** Admit new benchmark suites WITHOUT re-tokenizing any corpus: union
+    * the stored distinct-gram sets of `dirs` into one fresh index at
+    * `outDir` — the INDEX-ONLY rewrite the d23 lifecycle was missing
+    * (Bloom bits cannot absorb appends, so admitting a suite used to
+    * mean probing a second directory alongside or re-shingling the
+    * union of corpora; this rebuilds the sketch from the stored gram
+    * sets alone — index-sized work regardless of benchmark-corpus
+    * size). The gram order `n` must AGREE across inputs (it is the
+    * shingling policy; sets at different n are not unionable) — fails
+    * loudly otherwise. The merged sketch is re-sized to the union's
+    * measured cardinality at `fpp`. `outDir` must be a fresh directory
+    * (the merged index is a new artifact; inputs stay readable
+    * throughout). Probing the result equals probing every input and
+    * unioning hits (spec-pinned). */
+  def mergeContamIndexes(spark: org.apache.spark.sql.SparkSession,
+      dirs: Seq[String], outDir: String, fpp: Double = 0.01): Unit = {
+    require(dirs.nonEmpty, "need at least one input index")
+    require(!dirs.contains(outDir),
+      "merge writes a NEW index directory — outDir must not be an input")
+    val ns = dirs.map(dd =>
+      spark.read.parquet(s"$dd/meta").head().getAs[Int]("n")).distinct
+    require(ns.sizeIs == 1,
+      s"gram orders differ across inputs ($ns) — indexes shingled at " +
+        "different n cannot merge")
+    writeContamFrom(
+      dirs.map(dd => spark.read.parquet(s"$dd/grams"))
+        .reduce(_ unionAll _).distinct(),
+      outDir, ns.head, fpp)
   }
 
   /** Decontaminate a training batch against a persisted index — exactly
@@ -568,12 +609,28 @@ object TextAnalysis {
   /** Admit an increment: append its line counts as NEW rows — the index
     * is append-only partial counts, summed per line at probe time (a
     * map-side-combined aggregation over index rows, never the corpus);
-    * rewrite via [[writeLineIndex]] on the unioned corpus to compact. */
+    * [[compactLineIndex]] folds the partials back to one row per line
+    * when probe-side summing cost builds. */
   def appendLineIndex(docs: DataFrame, dir: String,
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     explodeLines(docs, idCol, textCol)
       .groupBy(col("line")).agg(count(lit(1)).as("n_occ"))
       .write.mode("append").parquet(s"$dir/lines")
+
+  /** INDEX-ONLY compaction of the append-accumulated line index: sum
+    * the stored partial counts per line — one map-side-combined groupBy
+    * over the INDEX ROWS, never a corpus re-explode — staged and
+    * atomically swapped ([[graft.util.StageSwap]]); the
+    * [[graft.pipeline.Dedup.compactUrlIndex]] lifecycle in the line
+    * domain. Probe results unchanged by construction (the probe sums
+    * at read; spec-pinned). The threshold meta is untouched — it is
+    * not partial state. */
+  def compactLineIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit =
+    graft.util.StageSwap.rewrite(
+      readLineIndex(spark, dir)
+        .groupBy(col("line")).agg(sum(col("n_occ")).as("n_occ")),
+      s"$dir/lines")
 
   def readLineIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): DataFrame = spark.read.parquet(s"$dir/lines")

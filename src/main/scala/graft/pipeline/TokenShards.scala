@@ -158,6 +158,12 @@ object TokenShards {
         var metaB: FSDataOutputStream = null; var metaBTmp: Path = null
         var docPtrs: FSDataOutputStream = null; var docPtrsTmp: Path = null
         var docRecs: FSDataOutputStream = null; var docRecsTmp: Path = null
+        // the publish-time header-stitch channels are tracked too: an
+        // IOException inside copyInto or a header write must not strand
+        // an open descriptor + attempt-temp idx/doc file until the next
+        // prepare wipe (task retries in a long-lived executor accumulate)
+        var idxOut: FSDataOutputStream = null; var idxTmpT: Path = null
+        var docOut: FSDataOutputStream = null; var docTmpT: Path = null
         var pointer = 0L
         var docs = 0L
         var docBytes = 0L
@@ -172,6 +178,7 @@ object TokenShards {
           val idxTmp = ShardFiles.attemptTmp(outDir,
             f"shard-$cur%06d.idx", attempt)
           val out = pfs.create(idxTmp, true)
+          idxOut = out; idxTmpT = idxTmp
           if (megatron) {
             out.write(MegatronMagic)
             out.write(le(9).putLong(1L)
@@ -195,7 +202,7 @@ object TokenShards {
               .putLong(docs).array())
             copyInto(pfs, metaATmp, out) // (doc_id, pointer, count) records
           }
-          out.close()
+          out.close(); idxOut = null
           metaATmp = null; metaBTmp = null
           // publish .bin first, the sidecar second, .idx LAST: readers
           // key off .idx files, so a half-published set is invisible
@@ -209,31 +216,37 @@ object TokenShards {
             val docTmp = ShardFiles.attemptTmp(outDir,
               f"shard-$cur%06d.doc", attempt)
             val dout = pfs.create(docTmp, true)
+            docOut = dout; docTmpT = docTmp
             dout.write(DocMagic)
             dout.write(le(12).putInt(DocVersion).putLong(docs).array())
             copyInto(pfs, docPtrsTmp, dout)
             copyInto(pfs, docRecsTmp, dout)
-            dout.close()
+            dout.close(); docOut = null
             docPtrsTmp = null; docRecsTmp = null
             ShardFiles.publish(pfs, docTmp,
               new Path(outDir, f"shard-$cur%06d.doc"))
+            docTmpT = null
           }
           ShardFiles.publish(pfs, idxTmp,
             new Path(outDir, f"shard-$cur%06d.idx"))
+          idxTmpT = null
         }
         def abort(): Unit = {
-          Seq(bin, metaA, metaB, docPtrs, docRecs).foreach { s =>
-            if (s != null) try s.close() catch { case _: Throwable => () }
-          }
+          Seq(bin, metaA, metaB, docPtrs, docRecs, idxOut, docOut)
+            .foreach { s =>
+              if (s != null) try s.close() catch { case _: Throwable => () }
+            }
           bin = null; metaA = null; metaB = null
-          docPtrs = null; docRecs = null
-          Seq(binTmp, metaATmp, metaBTmp, docPtrsTmp, docRecsTmp)
+          docPtrs = null; docRecs = null; idxOut = null; docOut = null
+          Seq(binTmp, metaATmp, metaBTmp, docPtrsTmp, docRecsTmp,
+              idxTmpT, docTmpT)
             .foreach { p =>
               if (p != null)
                 try pfs.delete(p, false) catch { case _: Throwable => () }
             }
           binTmp = null; metaATmp = null; metaBTmp = null
-          docPtrsTmp = null; docRecsTmp = null
+          docPtrsTmp = null; docRecsTmp = null; idxTmpT = null
+          docTmpT = null
         }
         try {
           it.foreach { r =>
@@ -370,9 +383,11 @@ object TokenShards {
     // 24 = the GRAFTIDX header (the smaller of the two formats;
     // Megatron's minimum is 34) — a shorter file is truncated and must
     // die HERE with the diagnosable message, not as a raw EOFException
-    // from a header read
-    require(idxLen >= 24 && idxLen <= Int.MaxValue,
-      s"malformed token-shard index: $p")
+    // from a header read. No upper cap: a legitimate externally-written
+    // Megatron .idx over 2 GiB (~90M+ sequences) is fine — all offset
+    // arithmetic below is Long and only the per-SPLIT slice (bounded by
+    // splitsPerShard, guarded per allocation) is ever resident
+    require(idxLen >= 24, s"malformed token-shard index: $p")
     val in = hfs.open(idxPath)
     // register the close listener BEFORE any require/stat can throw —
     // Spark retries failed read tasks, and each retry of a
@@ -415,6 +430,16 @@ object TokenShards {
       in.readFully(off, raw)
       ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
     }
+    // the split's index slice is read whole — bound THAT allocation (the
+    // thing splitsPerShard controls), not the total index size: a >2 GiB
+    // slice means the caller needs more splits, and the message says so
+    def sliceLen(lo: Long, hi: Long, recBytes: Long): Int = {
+      val n = hi - lo
+      require(n >= 0 && n * recBytes <= Int.MaxValue.toLong,
+        s"split [$lo, $hi) of $p needs a ${n * recBytes}-byte index " +
+          "slice — raise splitsPerShard to bound per-task memory")
+      n.toInt
+    }
     // validated against the .bin extent BEFORE allocation — the writer
     // guards these, so a violation means corruption or a foreign file
     def checkRecord(what: String, n: Long, ptr: Long, width: Int): Unit =
@@ -452,7 +477,7 @@ object TokenShards {
         s"index length disagrees with sequence count in $p")
       val lo = seqs * splitIx / nSplits
       val hi = seqs * (splitIx + 1) / nSplits
-      val n = (hi - lo).toInt
+      val n = sliceLen(lo, hi, 8L)
       if (n == 0) Iterator.empty
       else {
         val sizes = readAt(base + 4L * lo, 4 * n)
@@ -475,7 +500,7 @@ object TokenShards {
         s"index length disagrees with document count in $p")
       val lo = docs * splitIx / nSplits
       val hi = docs * (splitIx + 1) / nSplits
-      val n = (hi - lo).toInt
+      val n = sliceLen(lo, hi, 20L)
       if (n == 0) Iterator.empty
       else {
         val recs = readAt(24L + lo * 20L, 20 * n)
@@ -521,6 +546,7 @@ object TokenShards {
               val from = offs(i)
               val to = if (i + 1 < n) offs(i + 1) else endOff
               require(from >= 0 && to >= from + 4 &&
+                  to - from <= Int.MaxValue.toLong &&
                   recBase + to <= docLen,
                 s"corrupt boundary record $k in $docPath")
               val raw = new Array[Byte]((to - from).toInt)

@@ -1552,6 +1552,162 @@ object PipelineQueries {
       .orderBy($"block")
   }
 
+  /** q47 — MEGATRON `sample_idx` ([[graft.pipeline.Packing.sampleIdx]],
+    * the third and heaviest loader artifact — q44 ships the mmap'able
+    * .bin/.idx, q46 the shuffle permutation; this is the strided map
+    * from training-sample k to (document, offset) across 3 epochs of
+    * the q42 corpus at seqLen 512, seed 42): per 64-sample block,
+    * sample count, doc-index and offset sums, and the md5 of the
+    * `doc_index:doc_id:doc_offset` triples in sample order — the full
+    * strided mapping pinned block by block (the q46 convention). The
+    * oracle replays the per-epoch md5 document shuffle, the multi-epoch
+    * prefix sum and the closed-form `k·seqLen` stride entirely in SQL
+    * (single-task windows allowed oracle-side; the engine uses the
+    * fused two-pass scan). */
+  def q47SampleIdx(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (withIds, _) = bpeIdStreams(spark, d)
+    val docs = withIds.select($"doc_id",
+      size($"ids").cast("long").as("n_tokens"))
+    graft.pipeline.Packing.sampleIdx(docs, 512, epochs = 3, seed = 42L)
+      .select(expr("sample div 64").as("block"), $"sample",
+        $"doc_index", $"doc_offset",
+        concat_ws(":", $"doc_index".cast("string"),
+          $"doc_id".cast("string"),
+          $"doc_offset".cast("string")).as("t"))
+      .groupBy($"block")
+      .agg(count(lit(1)).as("n"),
+        sum($"doc_index").as("di_sum"),
+        sum($"doc_offset").as("off_sum"),
+        sort_array(collect_list(struct($"sample", $"t"))).as("arr"))
+      .select($"block", $"n", $"di_sum", $"off_sum",
+        md5(array_join(transform($"arr", x => x.getField("t")), " "))
+          .as("sx_md5"))
+      .orderBy($"block")
+  }
+
+  /** q48 — EOD-SEPARATED packed sequences with boundaries (the q43
+    * artifact under [[graft.pipeline.Packing.packTokenIdsWithBoundaries]]'
+    * `eodId` contract — production GPT packing interleaves
+    * `<|endoftext|>` between documents; the separator id is vocabSize,
+    * the appended special token, and each doc's boundary span covers
+    * its n+1 tokens including its separator, so spans still tile every
+    * sequence exactly). Same write/read round trip and rollups as q43,
+    * shard width sized for vocabSize+1. The oracle appends the
+    * separator in SQL (list_append with the replayed vocab size) and
+    * reruns the SHARED chop + span-clip replay — a drift anywhere in
+    * the separator arithmetic breaks both md5s. */
+  def q48EodPacking(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (withIds, vocabSize) = bpeIdStreams(spark, d)
+    val seqs = graft.pipeline.Packing
+      .packTokenIdsWithBoundaries(withIds, 512, eodId = Some(vocabSize))
+    val dir = graft.util.Scratch.dir("graft_eod_packing")
+    graft.pipeline.TokenShards.write(seqs, dir, nShards = 4,
+      vocabSize = vocabSize + 1L, idCol = "seq_id", tokensCol = "ids",
+      segsCol = Some("segs"))
+    graft.pipeline.TokenShards.read(spark, dir, boundaries = true)
+      .select($"doc_id".as("seq_id"),
+        size($"ids").cast("long").as("n_tokens"),
+        md5(array_join(transform($"ids", x => x.cast("string")), " "))
+          .as("ids_md5"),
+        size($"segs").cast("long").as("n_docs"),
+        md5(array_join(transform($"segs", s => concat_ws(":",
+          s.getField("doc_id").cast("string"),
+          s.getField("start").cast("string"),
+          s.getField("len").cast("string"))), " ")).as("segs_md5"))
+      .orderBy($"seq_id")
+  }
+
+  /** q49 — the MIXTURE→PACK→SHARD capstone (the q38 pattern for the
+    * packing family): the q32 temperature draw (α = 0.5, 300-doc
+    * budget — the SHARED [[mixTargets]] arithmetic and the same
+    * two-pass per-language rank) selects the training mixture, the
+    * kept documents' id streams pack with EOD separators and boundary
+    * spans, ride the binary sink and come back — one gate proving
+    * draw → pack → shard end to end. Oracle: the q32 draw CTEs →
+    * the shared id-stream replay restricted to kept docs → the shared
+    * separator-append + chop + span replay. */
+  def q49MixturePack(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, d).filter($"text".isNotNull)
+    val kept = graft.pipeline.Packing
+      .groupRankAsc(base.select($"lang", $"doc_id"), "lang", "doc_id")
+      .join(broadcast(mixTargets(base)), "g")
+      .filter($"rk" <= $"target")
+      .select($"id".as("doc_id"))
+    val (withIds, vocabSize) = bpeIdStreams(spark, d)
+    val seqs = graft.pipeline.Packing.packTokenIdsWithBoundaries(
+      withIds.join(kept, "doc_id"), 512, eodId = Some(vocabSize))
+    val dir = graft.util.Scratch.dir("graft_mixture_pack")
+    graft.pipeline.TokenShards.write(seqs, dir, nShards = 4,
+      vocabSize = vocabSize + 1L, idCol = "seq_id", tokensCol = "ids",
+      segsCol = Some("segs"))
+    graft.pipeline.TokenShards.read(spark, dir, boundaries = true)
+      .select($"doc_id".as("seq_id"),
+        size($"ids").cast("long").as("n_tokens"),
+        md5(array_join(transform($"ids", x => x.cast("string")), " "))
+          .as("ids_md5"),
+        size($"segs").cast("long").as("n_docs"),
+        md5(array_join(transform($"segs", s => concat_ws(":",
+          s.getField("doc_id").cast("string"),
+          s.getField("start").cast("string"),
+          s.getField("len").cast("string"))), " ")).as("segs_md5"))
+      .orderBy($"seq_id")
+  }
+
+  /** t46 — GPT-2-EXACT pretokenization and the DETOKENIZE IDENTITY
+    * ([[graft.pipeline.Gpt2.pretokenize]] +
+    * [[graft.pipeline.ByteBpe.pretokStreams]]): t45 proved the
+    * whitespace-pretokenized round trip lossless up to a NORMAL FORM;
+    * here the GPT-2 split (contractions, space-prefixed runs, the
+    * donated-space whitespace rule) preserves separators and case, so
+    * `decodeStream(pretokStreams(x)) == x` EXACTLY — decoded_md5 is
+    * md5 of the RAW text (the oracle never runs the tokenizer), astral
+    * and planted fix-up rows included. n_pieces/pieces_md5 pin the
+    * SEGMENTATION itself cross-engine: the oracle replays the
+    * lookahead-free split regex and the fix-up lambda in RE2/DuckDB. */
+  def t46Gpt2Pretokenize(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val corpus = gpt2Corpus(spark, d).filter($"text".isNotNull)
+    val pieces = corpus.select($"doc_id",
+      graft.pipeline.Gpt2.pretokenize($"text").as("ps"))
+    val streams = graft.pipeline.ByteBpe.pretokStreams(
+      corpus, byteBpeShared(spark, d))
+    pieces.join(streams, "doc_id")
+      .select($"doc_id",
+        size($"ps").cast("long").as("n_pieces"),
+        md5(array_join(transform($"ps", p => md5(p)), " "))
+          .as("pieces_md5"),
+        graft.pipeline.ByteBpe.decodeStream($"stream").as("decoded"))
+      .select($"doc_id", $"n_pieces", $"pieces_md5",
+        length(encode($"decoded", "UTF-8")).cast("long").as("n_bytes"),
+        md5($"decoded").as("decoded_md5"))
+      .orderBy($"doc_id")
+  }
+
+  /** The t46 corpus: the byte-BPE encode corpus (multi-script planted
+    * rows included) plus rows pinning every pretokenizer fix-up branch
+    * — donated spaces before letters/digits/punct/contractions, the
+    * contraction-splits-into-following-letters case, tab/newline
+    * donations, Unicode whitespace, case preservation, trailing
+    * whitespace. */
+  private[graft] val gpt2Planted: Seq[(Long, String)] = Seq(
+    4000001L -> "It's we're I'd they'll 'tis o'clock",
+    4000002L -> "a  b c   d e\tf g \th",
+    4000003L -> "x  's y  'sa z  'd9 w  've",
+    4000004L -> "Num 42, price 3.50!  Weird   spacing ",
+    4000005L -> "nb\u00A0sp wide\u3000space em\u2003space ogham\u1680mark",
+    4000006L -> "line\nbreaks\n\n  double  and CRLF\r\n end",
+    4000007L -> "UPPER Case MiXeD 😀emoji 𠀀astral  '... ''quoted''")
+
+  private def gpt2Corpus(spark: SparkSession, d: String): DataFrame =
+    byteEncodeCorpus(spark, d).unionAll(plantedDf(spark, gpt2Planted))
+
+  private[queries] lazy val gpt2CorpusSql: String =
+    s"""($byteEncodeCorpusSql
+       |  UNION ALL ${plantedSql(gpt2Planted)})""".stripMargin
+
   /** d16 — exact-substring dedup ([[Dedup.exactSubstrSpans]], the Lee et
     * al. ACL'22 ExactSubstr removal operator, min duplicated length 40
     * chars): per document with any duplicated span, the maximal-span
@@ -2696,19 +2852,27 @@ object PipelineQueries {
     * this corpus; at 100 TB that's half the corpus through one core),
     * and because the `rk <= target` bound arrives via a join,
     * InferWindowGroupLimit can never rescue it the way it does q31. */
-  def q32TemperatureMix(spark: SparkSession, d: String): DataFrame = {
-    import spark.implicits._
-    val base = Tables.documents(spark, d).filter($"text".isNotNull)
+  /** The q32/q49 shared α=0.5 target frame (g, n, target) over a
+    * 300-doc budget — ONE copy of the sqrt/normalizer/floor dataflow so
+    * the capstone's draw cannot drift from the mixture gate's. */
+  private def mixTargets(base: DataFrame): DataFrame = {
+    import base.sparkSession.implicits._
     val n = base.groupBy($"lang").agg(count(lit(1)).as("n"))
     val tot = n
       .agg(sort_array(collect_list(struct($"lang",
         sqrt($"n".cast("double")).as("sq")))).as("arr"))
       .select(aggregate($"arr", lit(0.0),
         (acc, s) => acc + s.getField("sq")).as("s"))
-    val tgt = n.crossJoin(broadcast(tot))
+    n.crossJoin(broadcast(tot))
       .select($"lang".as("g"), $"n",
         floor(lit(300.0) * sqrt($"n".cast("double")) / $"s")
           .cast("long").as("target"))
+  }
+
+  def q32TemperatureMix(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, d).filter($"text".isNotNull)
+    val tgt = mixTargets(base)
     graft.pipeline.Packing
       .groupRankAsc(base.select($"lang", $"doc_id"), "lang", "doc_id")
       .join(broadcast(tgt), "g")
@@ -2796,6 +2960,10 @@ object PipelineQueries {
     "q44_megatron_shards" -> (q44MegatronShards _),
     "q45_bin_packing" -> (q45BinPacking _),
     "q46_epoch_shuffle" -> (q46EpochShuffle _),
+    "q47_sample_idx" -> (q47SampleIdx _),
+    "q48_eod_packing" -> (q48EodPacking _),
+    "q49_mixture_pack" -> (q49MixturePack _),
+    "t46_gpt2_pretokenize" -> (t46Gpt2Pretokenize _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -3472,6 +3640,60 @@ object PipelineQueries {
     s"""(SELECT doc_id, text FROM $byteCorpusSql
        |  UNION ALL ${plantedSql(byteOovPlanted)})""".stripMargin
 
+  /** t46's oracle: the GPT-2 pretokenizer replayed in RE2/DuckDB — the
+    * ENGINE'S OWN lookahead-free split pattern and whitespace class
+    * (the t34 posture: one constant, two dialects) plus the fix-up as
+    * a list lambda over raw-token indexes, mirroring
+    * [[graft.pipeline.Gpt2.pretokenize]] branch for branch. The
+    * decode side never runs the tokenizer: decoded_md5 is md5 of the
+    * RAW text, so agreement proves `decode ∘ encode` is the IDENTITY
+    * (pieces preserve separators; byte symbols are lossless). */
+  private lazy val gpt2PretokOracle: String = {
+    import graft.pipeline.Gpt2
+    val split = Gpt2.SplitRe.replace("'", "''")
+    val wsRun = Gpt2.WsRunRe.replace("'", "''")
+    val cons = Gpt2.Contractions
+      .map(c => "'" + c.replace("'", "''") + "'").mkString(", ")
+    s"""WITH pt AS (
+       |  SELECT doc_id, text,
+       |    regexp_extract_all(text, '$split') AS a
+       |  FROM $gpt2CorpusSql WHERE text IS NOT NULL),
+       |fx AS (
+       |  SELECT doc_id, text,
+       |    list_filter(flatten(list_transform(
+       |      generate_series(1, len(a)), i ->
+       |      CASE
+       |        WHEN regexp_matches(a[i], '$wsRun') AND i < len(a) THEN
+       |          CASE WHEN right(a[i], 1) = ' '
+       |            THEN [left(a[i], length(a[i]) - 1)]
+       |            ELSE [left(a[i], length(a[i]) - 1), right(a[i], 1)]
+       |          END
+       |        WHEN i > 1 AND regexp_matches(a[i-1], '$wsRun')
+       |            AND right(a[i-1], 1) = ' '
+       |            AND a[i] IN ($cons) THEN
+       |          CASE WHEN i < len(a)
+       |                 AND regexp_matches(a[i+1], '^\\p{L}')
+       |            THEN [' ''']
+       |            ELSE [' ''', a[i][2:]] END
+       |        WHEN i > 2 AND regexp_matches(a[i-2], '$wsRun')
+       |            AND right(a[i-2], 1) = ' '
+       |            AND a[i-1] IN ($cons)
+       |            AND regexp_matches(a[i], '^\\p{L}') THEN
+       |          [a[i-1][2:] || a[i]]
+       |        WHEN i > 1 AND regexp_matches(a[i-1], '$wsRun')
+       |            AND right(a[i-1], 1) = ' ' THEN
+       |          [' ' || a[i]]
+       |        ELSE [a[i]]
+       |      END)), p -> p <> '') AS pieces
+       |  FROM pt)
+       |SELECT doc_id, len(pieces)::BIGINT AS n_pieces,
+       |  md5(array_to_string(list_transform(pieces, p -> md5(p)), ' '))
+       |    AS pieces_md5,
+       |  octet_length(encode(text))::BIGINT AS n_bytes,
+       |  md5(text) AS decoded_md5
+       |FROM fx WHERE len(pieces) > 0 ORDER BY doc_id""".stripMargin
+  }
+
   /** t43's oracle: the t16 unrolled-train machinery over the BYTE
     * symbolization and the planted-multi-script corpus — same CTE
     * generator, two parameters swapped. Hex symbols are ASCII, so the
@@ -3524,18 +3746,84 @@ object PipelineQueries {
     * copy so an offset-arithmetic tweak cannot update one gate's replay
     * and miss the other's; `poff` is MATERIALIZED — q43 references it
     * from both `ptok` and its span-clip CTE. */
-  private lazy val packChopCtes: String =
+  private def packChopCtesFrom(src: String): String =
     s"""poff AS MATERIALIZED (
        |  SELECT doc_id, ids,
        |    COALESCE(SUM(len(ids)) OVER (ORDER BY doc_id
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
        |      0)::BIGINT AS s
-       |  FROM tids),
+       |  FROM $src),
        |ptok AS (
        |  SELECT (s + i - 1) AS gpos, ids[i] AS tok
        |  FROM (SELECT doc_id, ids, s,
        |          unnest(generate_series(1, len(ids))) AS i
        |        FROM poff))""".stripMargin
+
+  private lazy val packChopCtes: String = packChopCtesFrom("tids")
+
+  /** The SHARED q43/q48/q49 boundary-replay tail (reads the
+    * [[packChopCtesFrom]] poff/ptok frames): per-sequence token rollup
+    * + the span clip — each doc's global token interval [s, s+n)
+    * intersected with every 512-token sequence it touches, start/len
+    * in sequence coordinates, ordered by start. One copy, so a clip
+    * tweak cannot update one packing gate's replay and miss another. */
+  private lazy val packBoundariesTail: String =
+    s"""seqt AS (
+       |  SELECT gpos // 512 AS seq_id, COUNT(*)::BIGINT AS n_tokens,
+       |    md5(array_to_string(list(tok ORDER BY gpos), ' '))
+       |      AS ids_md5
+       |  FROM ptok GROUP BY 1),
+       |segs AS (
+       |  SELECT (s // 512 + j - 1) AS seq_id, doc_id,
+       |    GREATEST(s - (s // 512 + j - 1) * 512, 0) AS st,
+       |    LEAST(s + n, (s // 512 + j) * 512)
+       |      - GREATEST(s, (s // 512 + j - 1) * 512) AS ln
+       |  FROM (SELECT doc_id, s, len(ids) AS n,
+       |          unnest(generate_series(1,
+       |            ((s + len(ids) - 1) // 512) - (s // 512) + 1)) AS j
+       |        FROM poff WHERE len(ids) > 0)),
+       |segt AS (
+       |  SELECT seq_id, COUNT(*)::BIGINT AS n_docs,
+       |    md5(array_to_string(list(
+       |      doc_id::VARCHAR || ':' || st::VARCHAR || ':' ||
+       |        ln::VARCHAR ORDER BY st), ' ')) AS segs_md5
+       |  FROM segs GROUP BY seq_id)
+       |SELECT seq_id, n_tokens, ids_md5, n_docs, segs_md5
+       |FROM seqt JOIN segt USING (seq_id) ORDER BY seq_id""".stripMargin
+
+  /** The q32/q49 shared α-sampling draw replay: per-language counts,
+    * the language-ordered normalizer fold, floor(300·√n/s) targets and
+    * the per-language doc_id rank (single-task window allowed
+    * oracle-side; the engine uses groupRankAsc's two-pass scan). */
+  private lazy val q32DrawCtes: String =
+    """n AS (
+      |  SELECT lang, COUNT(*)::BIGINT AS n FROM documents
+      |  WHERE text IS NOT NULL GROUP BY lang),
+      |tot AS (
+      |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
+      |    list(sqrt(n::DOUBLE) ORDER BY lang)), (a, b) -> a + b) AS s
+      |  FROM n),
+      |tgt AS (
+      |  SELECT lang, n,
+      |    CAST(floor(300.0 * sqrt(n::DOUBLE) / tot.s) AS BIGINT)
+      |      AS target
+      |  FROM n CROSS JOIN tot),
+      |r AS (
+      |  SELECT lang, doc_id, ROW_NUMBER() OVER (
+      |    PARTITION BY lang ORDER BY doc_id) AS rk
+      |  FROM documents WHERE text IS NOT NULL)""".stripMargin
+
+  /** The q48/q49 separator-append CTEs: the replayed vocab size (the
+    * engine's deterministic numbering makes the separator id = the
+    * distinct-symbol count) appended to each stream — `$src` must have
+    * (doc_id, ids). */
+  private def eodAppendCtes(src: String): String =
+    s"""vsz AS (
+       |  SELECT COUNT(*)::BIGINT AS v
+       |  FROM (SELECT DISTINCT unnest(seq) AS s FROM w$BpeRounds)),
+       |teod AS (
+       |  SELECT doc_id, list_append(ids, v) AS ids
+       |  FROM $src CROSS JOIN vsz)""".stripMargin
 
   /** The d20/d22 shared URL-dedup replay: corpus CASE mirrors
     * [[urlCorpus]]; the canonicalization chain uses the ENGINE'S OWN
@@ -3822,23 +4110,10 @@ object PipelineQueries {
         |ORDER BY new_id, corpus_id""".stripMargin,
     "q32_temperature_mix" ->
       // sqrt of integer counts + a language-ordered normalizer fold +
-      // the pinned (300*sqrt)/s dataflow — bit-exact on both engines
-      """WITH n AS (
-        |  SELECT lang, COUNT(*)::BIGINT AS n FROM documents
-        |  WHERE text IS NOT NULL GROUP BY lang),
-        |tot AS (
-        |  SELECT list_reduce(list_prepend(0.0::DOUBLE,
-        |    list(sqrt(n::DOUBLE) ORDER BY lang)), (a, b) -> a + b) AS s
-        |  FROM n),
-        |tgt AS (
-        |  SELECT lang, n,
-        |    CAST(floor(300.0 * sqrt(n::DOUBLE) / tot.s) AS BIGINT)
-        |      AS target
-        |  FROM n CROSS JOIN tot),
-        |r AS (
-        |  SELECT lang, doc_id, ROW_NUMBER() OVER (
-        |    PARTITION BY lang ORDER BY doc_id) AS rk
-        |  FROM documents WHERE text IS NOT NULL)
+      // the pinned (300*sqrt)/s dataflow — bit-exact on both engines;
+      // the draw CTEs are the SHARED q32DrawCtes (q49 replays the same
+      // draw in front of its pack)
+      s"""WITH $q32DrawCtes
         |SELECT t.lang, t.n AS n_docs, t.target,
         |  COUNT(*) FILTER (WHERE r.rk <= t.target)::BIGINT AS n_kept,
         |  COALESCE(SUM(doc_id) FILTER (WHERE r.rk <= t.target), 0)::BIGINT
@@ -3992,6 +4267,7 @@ object PipelineQueries {
     "t16_bpe_train" -> bpeTrainOracle,
     "t43_bytebpe_train" -> byteBpeTrainOracle,
     "t44_bytebpe_encode" -> byteBpeOovEncodeOracle,
+    "t46_gpt2_pretokenize" -> gpt2PretokOracle,
     "t45_bytebpe_detokenize" ->
       // the round trip's expected value is the pretokenized normal form
       // of the INPUT — the oracle never runs the tokenizer, so it can
@@ -4215,35 +4491,70 @@ object PipelineQueries {
          |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
          |FROM ptok GROUP BY 1 ORDER BY seq_id""".stripMargin,
     "q43_packed_boundaries" ->
-      // the shared q42 chop replay PLUS the span clip: each doc's
-      // global token interval [s, s+n) intersected with every
-      // 512-token sequence it touches — start/len clipped into
-      // sequence coordinates, ordered by start; a drift in clip
-      // arithmetic, ordering, or the sidecar round trip breaks segs_md5
+      // the shared q42 chop replay PLUS the SHARED span-clip tail
+      // (packBoundariesTail): a drift in clip arithmetic, ordering, or
+      // the sidecar round trip breaks segs_md5
       s"""$bpeIdStreamCtes,
          |$packChopCtes,
-         |seqt AS (
-         |  SELECT gpos // 512 AS seq_id, COUNT(*)::BIGINT AS n_tokens,
-         |    md5(array_to_string(list(tok ORDER BY gpos), ' '))
-         |      AS ids_md5
-         |  FROM ptok GROUP BY 1),
-         |segs AS (
-         |  SELECT (s // 512 + j - 1) AS seq_id, doc_id,
-         |    GREATEST(s - (s // 512 + j - 1) * 512, 0) AS st,
-         |    LEAST(s + n, (s // 512 + j) * 512)
-         |      - GREATEST(s, (s // 512 + j - 1) * 512) AS ln
-         |  FROM (SELECT doc_id, s, len(ids) AS n,
-         |          unnest(generate_series(1,
-         |            ((s + len(ids) - 1) // 512) - (s // 512) + 1)) AS j
-         |        FROM poff WHERE len(ids) > 0)),
-         |segt AS (
-         |  SELECT seq_id, COUNT(*)::BIGINT AS n_docs,
-         |    md5(array_to_string(list(
-         |      doc_id::VARCHAR || ':' || st::VARCHAR || ':'
-         |        || ln::VARCHAR ORDER BY st), ' ')) AS segs_md5
-         |  FROM segs GROUP BY seq_id)
-         |SELECT seq_id, n_tokens, ids_md5, n_docs, segs_md5
-         |FROM seqt JOIN segt USING (seq_id) ORDER BY seq_id""".stripMargin,
+         |$packBoundariesTail""".stripMargin,
+    "q47_sample_idx" ->
+      // the Megatron strided-map replay: per-epoch md5 doc shuffle ->
+      // the multi-epoch prefix sum (single-task window allowed
+      // oracle-side; the engine's fused two-pass scan replaces it) ->
+      // each doc emits the samples starting inside it at the k*512
+      // stride -> 64-sample block rollups (the q46 convention)
+      s"""${bpeOracleChain(BpeRounds)},
+         |$bpeDocCountsCte,
+         |ed AS (
+         |  SELECT e.epoch, nb.doc_id, nb.n,
+         |    md5('42:' || e.epoch::VARCHAR || ':' || nb.doc_id::VARCHAR)
+         |      AS h
+         |  FROM nb
+         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS epoch) e
+         |  WHERE nb.n > 0),
+         |eo AS (
+         |  SELECT doc_id, n,
+         |    (ROW_NUMBER() OVER (ORDER BY epoch, h, doc_id) - 1)::BIGINT
+         |      AS doc_index,
+         |    COALESCE(SUM(n) OVER (ORDER BY epoch, h, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |      0)::BIGINT AS s
+         |  FROM ed),
+         |sx AS (
+         |  SELECT unnest(generate_series((s + 511) // 512,
+         |      (s + n - 1) // 512)) AS sample,
+         |    doc_index, doc_id, s
+         |  FROM eo WHERE (s + 511) // 512 <= (s + n - 1) // 512)
+         |SELECT sample // 64 AS block, COUNT(*)::BIGINT AS n,
+         |  SUM(doc_index)::BIGINT AS di_sum,
+         |  SUM(sample * 512 - s)::BIGINT AS off_sum,
+         |  md5(array_to_string(list(
+         |    doc_index::VARCHAR || ':' || doc_id::VARCHAR || ':'
+         |      || (sample * 512 - s)::VARCHAR ORDER BY sample), ' '))
+         |    AS sx_md5
+         |FROM sx GROUP BY 1 ORDER BY block""".stripMargin,
+    "q48_eod_packing" ->
+      // the q43 replay with the separator appended in SQL (the
+      // replayed vocab size IS the separator id) — the SHARED chop and
+      // span-clip fragments rerun over the n+1-token streams
+      s"""$bpeIdStreamCtes,
+         |${eodAppendCtes("tids")},
+         |${packChopCtesFrom("teod")},
+         |$packBoundariesTail""".stripMargin,
+    "q49_mixture_pack" ->
+      // draw -> pack -> shard, all replayed: the q32 draw CTEs pick
+      // the kept docs, the shared id streams restrict to them, the
+      // separator appends, the shared chop + span tail reruns
+      s"""$bpeIdStreamCtes,
+         |$q32DrawCtes,
+         |kept AS (
+         |  SELECT doc_id FROM r JOIN tgt t USING (lang)
+         |  WHERE r.rk <= t.target),
+         |tsel AS (
+         |  SELECT t.doc_id, t.ids FROM tids t JOIN kept USING (doc_id)),
+         |${eodAppendCtes("tsel")},
+         |${packChopCtesFrom("teod")},
+         |$packBoundariesTail""".stripMargin,
     "q44_megatron_shards" ->
       // the q41 stream replay -> the ShardWriter hash for placement ->
       // POSITIONAL identity (ascending doc-id rank within shard, the

@@ -248,10 +248,44 @@ object StreamQueries {
       .orderBy(col("source"), col("seq_idx"))
   }
 
+  /** st20 — END-OF-STREAM DRAIN for pack-at-ingest
+    * ([[EventStreams.packStream]]'s `eosCol` sentinel): st19's contract
+    * withholds each source's final sub-seqLen tail forever — correct
+    * for a continuous stream, wrong for a finite ingest RUN, which
+    * ends. Here a per-source end-of-stream sentinel row (doc_id
+    * Long.MaxValue — the in-batch sort plays it last) flushes the tail
+    * as a final PARTIAL sequence (its length < 512 marks it) and
+    * removes the source's state. Emits n_tokens alongside the st19
+    * rollup, so the oracle — the same per-source chop WITHOUT the
+    * full-sequences-only HAVING — pins both the full sequences and
+    * every drained tail. StreamingSpec pins the chunked-arrival
+    * readStream run (sentinel in the last micro-batch) equal to this
+    * batch leg, and the EOD-padded drain variant against the batch
+    * packer. */
+  def st20StreamDrain(spark: SparkSession, d: String): DataFrame = {
+    val (withIds, _) = PipelineQueries.bpeIdStreams(spark, d)
+    val docs = withIds.join(
+        Tables.documents(spark, d).select(col("doc_id"), col("source")),
+        "doc_id")
+      .withColumn("eos", lit(false))
+    val sentinels = docs.select(col("source")).distinct()
+      .select(col("source"), lit(Long.MaxValue).as("doc_id"),
+        array().cast("array<bigint>").as("ids"), lit(true).as("eos"))
+    EventStreams.packStream(docs.unionByName(sentinels), 512,
+        eosCol = Some("eos"))
+      .select(col("source"), col("seq_idx"),
+        size(col("ids")).cast("long").as("n_tokens"),
+        aggregate(col("ids"), lit(0L), (a, x) => a + x).as("id_sum"),
+        md5(array_join(transform(col("ids"), x => x.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy(col("source"), col("seq_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "st17_stream_cms" -> (st17StreamCms _),
     "st18_stream_bytebpe" -> (st18StreamByteBpe _),
     "st19_stream_pack" -> (st19StreamPack _),
+    "st20_stream_drain" -> (st20StreamDrain _),
     "st16_stream_wordpiece" -> (st16StreamWordpiece _),
     "st15_warc_ingest_dedup" -> (st15WarcIngestDedup _),
     "st11_near_dup" -> (st11NearDup _),
@@ -292,6 +326,29 @@ object StreamQueries {
 
   private val NearDupOracle: String = nearDupOracleWhere("")
 
+  /** The st19/st20 shared per-source chop replay (id streams joined to
+    * sources, per-source cumulative offsets, global positions) — the
+    * two gates differ only in their rollup tail (full-sequences-only
+    * HAVING vs drained tails included). */
+  private def streamPackOracleSql(tail: String): String =
+    s"""${PipelineQueries.bpeIdStreamCtes},
+      |sdoc AS (
+      |  SELECT d.source, t.doc_id, t.ids
+      |  FROM tids t JOIN documents d USING (doc_id)),
+      |soff AS (
+      |  SELECT source, doc_id, ids,
+      |    COALESCE(SUM(len(ids)) OVER (PARTITION BY source
+      |      ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::BIGINT AS s
+      |  FROM sdoc),
+      |stok AS (
+      |  SELECT source, (s + i - 1) AS gpos, ids[i] AS tok
+      |  FROM (SELECT source, ids, s,
+      |          unnest(generate_series(1, len(ids))) AS i
+      |        FROM soff))
+      |$tail""".stripMargin
+
   val oracle: Map[String, String] = Map(
     // the per-row greedy kernel equals the dictionary join exactly on
     // the self-trained gate corpus, so st12 shares t17's oracle verbatim
@@ -306,28 +363,25 @@ object StreamQueries {
     // (the q42 window shape partitioned by source) -> 512-chop; full
     // sequences only (the stream's tail-in-state contract)
     "st19_stream_pack" ->
-      s"""${PipelineQueries.bpeIdStreamCtes},
-        |sdoc AS (
-        |  SELECT d.source, t.doc_id, t.ids
-        |  FROM tids t JOIN documents d USING (doc_id)),
-        |soff AS (
-        |  SELECT source, doc_id, ids,
-        |    COALESCE(SUM(len(ids)) OVER (PARTITION BY source
-        |      ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        |      0)::BIGINT AS s
-        |  FROM sdoc),
-        |stok AS (
-        |  SELECT source, (s + i - 1) AS gpos, ids[i] AS tok
-        |  FROM (SELECT source, ids, s,
-        |          unnest(generate_series(1, len(ids))) AS i
-        |        FROM soff))
-        |SELECT source, gpos // 512 AS seq_idx,
-        |  SUM(tok)::BIGINT AS id_sum,
-        |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
-        |FROM stok GROUP BY source, gpos // 512
-        |HAVING COUNT(*) = 512
-        |ORDER BY source, seq_idx""".stripMargin,
+      streamPackOracleSql(
+        s"""SELECT source, gpos // 512 AS seq_idx,
+          |  SUM(tok)::BIGINT AS id_sum,
+          |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
+          |FROM stok GROUP BY source, gpos // 512
+          |HAVING COUNT(*) = 512
+          |ORDER BY source, seq_idx""".stripMargin),
+    // the SAME per-source chop WITHOUT the full-sequences-only HAVING:
+    // the sentinel drain makes every source's tail a real (partial)
+    // output sequence, so the replay keeps all groups and pins
+    // n_tokens too
+    "st20_stream_drain" ->
+      streamPackOracleSql(
+        s"""SELECT source, gpos // 512 AS seq_idx,
+          |  COUNT(*)::BIGINT AS n_tokens,
+          |  SUM(tok)::BIGINT AS id_sum,
+          |  md5(array_to_string(list(tok ORDER BY gpos), ' ')) AS ids_md5
+          |FROM stok GROUP BY source, gpos // 512
+          |ORDER BY source, seq_idx""".stripMargin),
     // the whole grid, replayed by the q40-shared hash chain (one
     // statement, ordered by row and bucket)
     "st17_stream_cms" ->

@@ -386,16 +386,40 @@ object EventStreams {
     * mode (as the st19 gate does for oracle parity) concentrates each
     * source's whole corpus into one task — batch-scale packing belongs
     * to [[graft.pipeline.Packing.packTokenIds]]'s two-pass scan, not
-    * this operator. */
+    * this operator.
+    *
+    * `eodId`: the batch packers' separator contract
+    * ([[graft.pipeline.Packing.packTokenIds]]) — every arriving
+    * document's ids are followed by one `eodId` token before chopping.
+    *
+    * `eosCol`: END-OF-STREAM DRAIN — a finite ingest run ends, and
+    * without a drain each source's final sub-seqLen tail stays in state
+    * forever (the continuous-stream contract above). When set, a TRUE
+    * row in that boolean column is the source's end-of-stream SENTINEL
+    * (the classic end-of-partition marker a finite producer appends;
+    * give it the source's largest doc_id so the in-batch sort plays it
+    * last, and carry no ids on it): on the sentinel the remaining tail
+    * is emitted — EOD-PADDED to a full seqLen when `eodId` is set (the
+    * GPT convention: pad slots are `<|endoftext|>`), as the raw partial
+    * (length < seqLen marks it) otherwise — and the source's state is
+    * REMOVED. Deterministic in both streaming and batch execution (the
+    * drain fires exactly where the sentinel sits in doc_id order), so
+    * the chunked-arrival stream and the batch gate replay stay
+    * pinned equal. A row arriving for a drained source starts a fresh
+    * sequence numbering — the sentinel means the producer said done. */
   def packStream(docs: DataFrame, seqLen: Int,
       srcCol: String = "source", idCol: String = "doc_id",
-      idsCol: String = "ids"): DataFrame = {
+      idsCol: String = "ids", eodId: Option[Long] = None,
+      eosCol: Option[String] = None): DataFrame = {
     require(seqLen >= 1, "need a positive sequence length")
     val spark = docs.sparkSession
     import spark.implicits._
-    docs.select(col(srcCol).cast("string"), col(idCol).cast("long"),
-        col(idsCol))
-      .as[(String, Long, Seq[Long])]
+    val eos = eosCol.map(c => col(c).cast("boolean")).getOrElse(lit(false))
+    docs.select(col(srcCol).cast("string").as("_src"),
+        col(idCol).cast("long").as("_id"),
+        graft.pipeline.Packing.withEod(col(idsCol), eodId).as("_ids"),
+        eos.as("_eos"))
+      .as[(String, Long, Seq[Long], Boolean)]
       .groupByKey(_._1)
       .flatMapGroupsWithState[(Long, Seq[Long]), (String, Long, Seq[Long])](
           OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -406,17 +430,40 @@ object EventStreams {
             seqLen * 2)
           buf ++= carry
           val out = Seq.newBuilder[(String, Long, Seq[Long])]
+          var drained = false
           rows.toSeq.sortBy(_._2).foreach { r =>
-            buf ++= r._3
-            var off = 0
-            while (buf.length - off >= seqLen) {
-              out += ((src, nextSeq, buf.slice(off, off + seqLen).toSeq))
-              off += seqLen
-              nextSeq += 1
+            if (r._4) {
+              // sentinel: flush the tail (EOD-padded to a full sequence
+              // when the separator contract is on) and forget the source.
+              // The sentinel's own ids are ignored — it marks, it does
+              // not carry. NOTE the eod-append above also skips nothing:
+              // a sentinel with the appended separator would leak one
+              // token, so strip it by construction (empty ids + eod = 1
+              // token) — handled by not consuming r._3 at all.
+              if (buf.nonEmpty) {
+                val tail = eodId match {
+                  case Some(e) =>
+                    (buf ++ Seq.fill(seqLen - buf.length)(e)).toSeq
+                  case None => buf.toSeq
+                }
+                out += ((src, nextSeq, tail))
+                nextSeq += 1
+                buf.clear()
+              }
+              drained = true
+            } else {
+              buf ++= r._3
+              var off = 0
+              while (buf.length - off >= seqLen) {
+                out += ((src, nextSeq, buf.slice(off, off + seqLen).toSeq))
+                off += seqLen
+                nextSeq += 1
+              }
+              if (off > 0) buf.remove(0, off) // compact: tail < seqLen stays
             }
-            if (off > 0) buf.remove(0, off) // compact: tail < seqLen stays
           }
-          state.update((nextSeq, buf.toSeq))
+          if (drained && buf.isEmpty) state.remove()
+          else state.update((nextSeq, buf.toSeq))
           out.result().iterator
       }
       .toDF("source", "seq_idx", "ids")

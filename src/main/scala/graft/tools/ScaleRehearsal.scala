@@ -23,12 +23,15 @@ object ScaleRehearsal {
     require(
       Set("pipeline", "graph", "bpewide", "warc", "horizon", "wordpiece",
         "tiers", "cms", "bytebpe", "tokenshards", "lineidx", "wpdepth",
-        "packing15", "urlidx", "contamidx", "all")(family),
+        "packing15", "packing16", "urlidx", "contamidx", "all")(family),
       s"unknown family '$family' (expected pipeline|graph|bpewide|warc|" +
         "horizon|wordpiece|tiers|cms|bytebpe|tokenshards|lineidx|" +
-        "wpdepth|packing15|urlidx|all; packing15 the boundary/megatron/" +
+        "wpdepth|packing15|packing16|urlidx|contamidx|all; packing16 " +
+        "the sampleidx/npy/eodpack curves, packing15 the " +
+        "boundary/megatron/" +
         "split-read/binpack/shuffle curves, urlidx the persisted " +
-        "URL-index probe curve, bpewide is the production-" +
+        "URL-index probe curve, contamidx the persisted " +
+        "decontamination-index probe curve, bpewide is the production-" +
         "merge-count BPE rehearsal, warc the big-segment memory-posture " +
         "probe, horizon the st14 two-query state-ceiling probe, " +
         "wordpiece the sequential-train + encode curve, tiers the t38 " +
@@ -79,6 +82,7 @@ object ScaleRehearsal {
     if (family == "lineidx") lineIndexFamily(spark, sfDir, k, replicateDocs)
     if (family == "wpdepth") wordpieceDepthFamily(spark)
     if (family == "packing15") packing15Family(spark, k)
+    if (family == "packing16") packing16Family(spark, k)
     if (family == "urlidx") urlIndexFamily(spark, k)
     if (family == "contamidx") contamIndexFamily(spark, sfDir, k,
       replicateDocs)
@@ -264,6 +268,70 @@ object ScaleRehearsal {
     }
   }
 
+  /** Round-16 packing rows: the Megatron sample_idx strided map (one
+    * fused two-pass scan + a bounded explode — must stay corpus-linear
+    * in epochs·docs), the single-file `.npy` emitters (stream-stitch:
+    * linear in rows, O(1) driver memory), and EOD-separated boundary
+    * packing (the q48 path — the separator must cost arithmetic, not a
+    * new shuffle: compare against packing15's eod-free boundpack row). */
+  private def packing16Family(spark: org.apache.spark.sql.SparkSession,
+      k: Int): Unit = {
+    val baseDocs = 20000L
+    Seq(1, 4, k).distinct.foreach { mult =>
+      val nDocs = baseDocs * mult
+      val lens = spark.range(nDocs).toDF("doc_id")
+        .select(col("doc_id"),
+          (pmod(col("doc_id") * 7, lit(512L)) + 32L).as("n_tokens"))
+        .repartition(32).localCheckpoint(true)
+      val t0 = System.nanoTime()
+      val sx = graft.pipeline.Packing
+        .sampleIdx(lens, 512, epochs = 3, seed = 42L).localCheckpoint(true)
+      val nSamp = sx.count()
+      val ts = (System.nanoTime() - t0) / 1e9
+      val dir = graft.util.Scratch.dir("rehearsal_npy")
+      val t1 = System.nanoTime()
+      graft.pipeline.Npy.write(sx, s"$dir/sample_idx.npy", "sample",
+        Seq("doc_index", "doc_offset"), "<i4")
+      val t2 = System.nanoTime()
+      graft.pipeline.Npy.write(
+        graft.pipeline.Packing.epochShuffle(
+          spark.range(nSamp).toDF("id"), 42L),
+        s"$dir/shuffle_idx.npy", "pos", Seq("id"), "<i8")
+      val t3 = System.nanoTime()
+      graft.pipeline.Npy.write(
+        graft.pipeline.Packing.epochDocOrder(lens, 3, 42L),
+        s"$dir/doc_idx.npy", "doc_index", Seq("doc_id"), "<i8")
+      val t3b = System.nanoTime()
+      println(f"[rehearsal] sampleidx x$mult ($nDocs docs, 3 epochs -> " +
+        f"$nSamp samples): map $ts%.1fs npy(i4 pairs) " +
+        f"${(t2 - t1) / 1e9}%.1fs npy(i8 perm) ${(t3 - t2) / 1e9}%.1fs " +
+        f"npy(doc_idx) ${(t3b - t3) / 1e9}%.1fs")
+      // EOD-separated boundary pack over variable-length id streams —
+      // vocab 60000, separator 60000 (the appended special id)
+      val df = spark.range(nDocs).toDF("doc_id")
+        .select(col("doc_id"),
+          transform(sequence(lit(0),
+              pmod(col("doc_id") * 7, lit(512L)).cast("int") + 31),
+            i => pmod(col("doc_id") * 31 + i.cast("long") * 17,
+              lit(60000L))).as("ids"))
+        .repartition(32).localCheckpoint(true)
+      val t4 = System.nanoTime()
+      val seqs = graft.pipeline.Packing
+        .packTokenIdsWithBoundaries(df, 512, eodId = Some(60000L))
+        .localCheckpoint(true)
+      val nSeq = seqs.count()
+      val t5 = System.nanoTime()
+      // separator accounting probe inside the curve: total tokens must
+      // be exactly raw + one separator per doc
+      val packed = seqs.agg(sum(size(col("ids")))).head().getLong(0)
+      val raw = df.agg(sum(size(col("ids")))).head().getLong(0)
+      require(packed == raw + nDocs,
+        s"eod accounting drift: $packed != $raw + $nDocs")
+      println(f"[rehearsal] eodpack x$mult ($nDocs docs -> $nSeq seqs): " +
+        f"${(t5 - t4) / 1e9}%.1fs")
+    }
+  }
+
   /** Persisted URL-index curve (the d22 lifecycle, the lineidx shape):
     * the stored side grows k-fold, the increment stays fixed — probe
     * cost must track the index aggregation (sublinear in stored rows:
@@ -303,6 +371,24 @@ object ScaleRehearsal {
       val tp = (System.nanoTime() - t1) / 1e9
       println(f"[rehearsal] urlidx x$mult (${200000L * mult} stored): " +
         f"build $tw%.1fs probe(20k incr) $tp%.1fs kept=$kept")
+      // INDEX-ONLY compaction: three appended increments accumulate
+      // partial minima, compact re-minimizes over index rows alone —
+      // its cost must track the INDEX (distinct URLs, bounded at 97·5003
+      // here), not the corpus build, and the probe must not move
+      (1 to 3).foreach { a =>
+        graft.pipeline.Dedup.appendUrlIndex(
+          urls(20000L, 200000000L + a * 1000000L, pageOff = 10000L),
+          block, dir)
+      }
+      val t2 = System.nanoTime()
+      graft.pipeline.Dedup.compactUrlIndex(spark, dir)
+      val tc = (System.nanoTime() - t2) / 1e9
+      val kept2 = graft.pipeline.Dedup
+        .urlDedupAgainstIndex(incr, block, dir)
+        .filter(col("decision") === "kept").count()
+      require(kept2 == kept, "probe moved across compaction")
+      println(f"[rehearsal] urlcompact x$mult (corpus ${200000L * mult}, " +
+        f"build was $tw%.1fs): compact $tc%.1fs")
     }
   }
 
@@ -340,6 +426,26 @@ object ScaleRehearsal {
       val tp = (System.nanoTime() - t1) / 1e9
       println(f"[rehearsal] contamidx x$mult: build $tw%.1fs " +
         f"probe(500-doc incr) $tp%.1fs contaminated=$hits")
+      // INDEX-ONLY union merge: admit a second (fixed, small) suite by
+      // unioning stored gram sets — cost must track the INDEX gram
+      // tables (never a benchmark re-tokenize; compare against the
+      // corpus-linear build column), and the merged probe must equal
+      // the per-input union
+      val dirB = graft.util.Scratch.dir("rehearsal_contamidx_b")
+      graft.pipeline.TextAnalysis.writeContamIndex(
+        Tables.documents(spark, sfDir).filter(col("text").isNotNull)
+          .filter(col("doc_id") >= 250 && col("doc_id") < 500),
+        dirB, n = 4)
+      val dirM = graft.util.Scratch.dir("rehearsal_contamidx_m")
+      val t2 = System.nanoTime()
+      graft.pipeline.TextAnalysis.mergeContamIndexes(spark,
+        Seq(dir, dirB), dirM)
+      val tm = (System.nanoTime() - t2) / 1e9
+      val mergedHits = graft.pipeline.TextAnalysis
+        .contaminatedDocsAgainstIndex(incr, dirM).count()
+      require(mergedHits >= hits, "merge lost stored grams")
+      println(f"[rehearsal] contammerge x$mult (build was $tw%.1fs): " +
+        f"merge $tm%.1fs mergedhits=$mergedHits")
     }
   }
 

@@ -39,10 +39,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "t33_kn5_lm_score", // same 1-row total, order-5 chain
     // bpeIdStreams' vocabulary numbering is ONE broadcast map row
     // (driver-sized by construction: alphabet + one symbol per merge)
-    // crossed into the streams; q41-q44 run the same chain but execute
-    // it during gate construction and return only the reader plan —
-    // st19 returns the live chain, so it alone surfaces the shape here
-    "st19_stream_pack")
+    // crossed into the streams; q41-q44 and q47-q49 run the same chain
+    // but execute it during gate construction and return only the
+    // reader/aggregation plan — st19 and its drain twin st20 return
+    // the live chain, so they alone surface the shape here
+    "st19_stream_pack", "st20_stream_drain")
 
   private def plan(name: String): String =
     graft.SparkEntry.queries(name)(spark, sfTiny)

@@ -329,6 +329,63 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.count(_._1 == "b") == 3)
   }
 
+  test("pack-at-ingest drain: the eos sentinel flushes tails (raw or " +
+    "EOD-padded) and the chunked stream equals the batch leg") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def doc(src: String, id: Long, n: Int)
+        : (String, Long, Seq[Long], Boolean) =
+      (src, id, (0 until n).map(j => id * 100 + j), false)
+    val data = Seq(doc("a", 1, 3), doc("a", 2, 4), doc("b", 3, 5),
+      doc("a", 4, 6), doc("b", 5, 2), doc("a", 6, 5), doc("b", 7, 9))
+    val sentinels = Seq(("a", 99L, Seq.empty[Long], true),
+      ("b", 99L, Seq.empty[Long], true))
+    val all = data ++ sentinels
+    def run(df: org.apache.spark.sql.DataFrame) =
+      EventStreams.packStream(df, seqLen = 5, eosCol = Some("eos"))
+    // chunked arrival, sentinels in the LAST micro-batch
+    val in = MemoryStream[(String, Long, Seq[Long], Boolean)]
+    val q = run(in.toDF.toDF("source", "doc_id", "ids", "eos"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pack_drain").start()
+    try {
+      Seq(data.take(4), data.drop(4), sentinels).foreach { chunk =>
+        in.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    val streamed = spark.sql("SELECT source, seq_idx, ids FROM pack_drain")
+      .as[(String, Long, Seq[Long])].collect().toSet
+    val batch = run(all.toDF("source", "doc_id", "ids", "eos"))
+      .as[(String, Long, Seq[Long])].collect().toSet
+    assert(streamed == batch, "chunked drain must equal batch drain")
+    // reference: per-source chop INCLUDING the partial tail
+    val exp = data.groupBy(_._1).flatMap { case (src, ds) =>
+      val toks = ds.sortBy(_._2).flatMap(_._3)
+      toks.grouped(5).zipWithIndex.map { case (g, i) => (src, i.toLong, g) }
+    }.toSet
+    assert(streamed == exp)
+    // a has 18 tokens -> 3 full + a 3-token tail; b 16 -> 3 full + 1-tail
+    assert(streamed.count(_._1 == "a") == 4)
+    assert(streamed.exists(s => s._1 == "b" && s._3.size == 1))
+    // EOD-padded drain: every sequence is exactly seqLen, pad slots are
+    // the separator, and stripping separators recovers the raw tokens
+    val EOD = 7777L
+    val padded = EventStreams.packStream(
+        all.toDF("source", "doc_id", "ids", "eos"), seqLen = 5,
+        eodId = Some(EOD), eosCol = Some("eos"))
+      .as[(String, Long, Seq[Long])].collect()
+    assert(padded.forall(_._3.size == 5), "drained tails must be padded")
+    val rawBack = padded.groupBy(_._1).map { case (src, seqs) =>
+      src -> seqs.sortBy(_._2).flatMap(_._3).filter(_ != EOD).toSeq
+    }
+    data.groupBy(_._1).foreach { case (src, ds) =>
+      assert(rawBack(src) == ds.sortBy(_._2).flatMap(_._3),
+        s"eod strip did not recover source $src")
+    }
+  }
+
   test("content dedup stream is deterministic under adversarial arrival order") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
