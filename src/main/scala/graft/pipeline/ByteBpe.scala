@@ -106,27 +106,66 @@ object ByteBpe {
     * lowercased whitespace words — the GPT-2-exact segmentation, under
     * which [[decodeStream]] is the IDENTITY (pieces preserve case and
     * whitespace and concatenate back to the input; byte symbols are
-    * lossless per piece). Same 100 TB shape as [[tokenStreams]]: one
-    * positioned explode, ONE guarded left-outer dictionary join (pieces
-    * that string-equal a trained vocab word — no leading space, already
-    * lowercase — ride the dictionary; everything else takes the total
-    * greedy byte kernel on the distinct-piece tail), one per-doc
-    * ordered flatten. */
+    * lossless per piece).
+    *
+    * Shape differs from [[tokenStreams]] deliberately: there the
+    * trained dictionary covers almost every occurrence, so the greedy
+    * kernel rides the left-outer join's rare unmatched tail. GPT-2
+    * pieces preserve case and leading spaces, so the lowercased-word
+    * dictionary rarely hits — the kernel IS the common case, and it
+    * must run once per DISTINCT piece, never per occurrence (measured
+    * 13.2 s → per-distinct at sf0.1; per-occurrence greedy on a
+    * Zipfian corpus is the anti-pattern every batch encode path here
+    * avoids): one distinct-piece aggregation, the trained-vocab
+    * dictionary as a fast path over it, the kernel on the misses, and
+    * the encoded piece table joined back under the broadcast guard
+    * (corpus-derived — never an unconditional hint). */
   def pretokStreams(docs: DataFrame, model: Bpe.Model,
       idCol: String = "doc_id", textCol: String = "text",
+      dictBroadcastLimit: Long = Bpe.DictBroadcastLimit): DataFrame =
+    encodePieces(
+      Gpt2.pretokenized(docs.filter(col(textCol).isNotNull),
+          idCol, textCol, "_pieces")
+        // pinned (lazy): the split regex is the family's per-row pole
+        // and TWO subplans read the pieces (the distinct-piece leg and
+        // the position join) — without the pin each would re-run it
+        // over the corpus
+        .localCheckpoint(false),
+      model, idCol, "_pieces", dictBroadcastLimit)
+
+  /** Encode an ALREADY-pretokenized `(id, array<string> pieces)` frame —
+    * the seam [[pretokStreams]] rides and the one a caller who computed
+    * the piece split itself (t46 pins ONE split frame for both its
+    * piece stats and the encode) shares. The kernel runs once per
+    * DISTINCT piece, never per occurrence: GPT-2 pieces preserve case
+    * and leading spaces, so the lowercased trained dictionary rarely
+    * hits and the greedy kernel is the COMMON case — per-occurrence
+    * evaluation on a Zipfian corpus is the anti-pattern every batch
+    * encode path here avoids. The encoded piece table is pinned
+    * (eager, distinct-piece-sized) because the broadcast guard's limit
+    * probe and the broadcast build would otherwise each re-run the
+    * distinct + kernel subplan; it joins back under the guard
+    * (corpus-derived — never an unconditional broadcast hint). */
+  def encodePieces(docs: DataFrame, model: Bpe.Model,
+      idCol: String = "doc_id", piecesCol: String = "pieces",
       dictBroadcastLimit: Long = Bpe.DictBroadcastLimit): DataFrame = {
     val spark = docs.sparkSession
     val dict = Bpe.guardedDict(
       model.vocab.select(col("word"), col("syms")), dictBroadcastLimit)
     val bc = spark.sparkContext.broadcast(Bpe.rankMap(model.merges))
     val oovSyms = udf((w: String) => encodeWordGreedy(w, bc.value).toSeq)
-    val pos = docs.filter(col(textCol).isNotNull)
-      .select(col(idCol), posexplode(Gpt2.pretokenize(col(textCol))))
-    Bpe.flattenOrdered(
-      pos.join(dict, col("col") === col("word"), "left_outer")
-        .select(col(idCol), col("pos"),
+    val pos = docs.select(col(idCol), posexplode(col(piecesCol)))
+    val encoded = Bpe.guardedDict(
+      pos.select(col("col").as("piece")).distinct()
+        .join(dict, col("piece") === col("word"), "left_outer")
+        .select(col("piece"),
           when(col("syms").isNotNull, col("syms"))
-            .otherwise(oovSyms(col("col"))).as("syms")),
+            .otherwise(oovSyms(col("piece"))).as("psyms"))
+        .localCheckpoint(true),
+      dictBroadcastLimit)
+    Bpe.flattenOrdered(
+      pos.join(encoded, col("col") === col("piece"))
+        .select(col(idCol), col("pos"), col("psyms").as("syms")),
       idCol, "syms")
   }
 

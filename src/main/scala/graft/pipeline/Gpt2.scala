@@ -76,8 +76,34 @@ object Gpt2 {
     *     `"sa"`).
     *  4. a donated space before any other token fuses onto it.
     */
-  def pretokenize(text: Column): Column = {
-    val a = regexp_extract_all(text, lit(SplitRe), lit(0))
+  def pretokenize(text: Column): Column =
+    fixup(rawSplit(text))
+
+  /** The raw lookahead-free split. */
+  def rawSplit(text: Column): Column =
+    regexp_extract_all(text, lit(SplitRe), lit(0))
+
+  /** [[pretokenize]] as a two-projection DataFrame transform — the
+    * CORPUS-PATH form. The fix-up lambda references its input array up
+    * to six times per element (the neighbor lookups), and expression
+    * evaluation inside a higher-order function does NOT share
+    * subexpressions — composing the fix-up directly over the split
+    * expression re-runs the split REGEX per element per reference,
+    * quadratic in document length (measured: the one-projection form
+    * held t46 at ~13 s at sf0.1; this form cut the split cost to one
+    * regex pass). Two Projects with the raw array as a real attribute
+    * keep the regex at once-per-row (CollapseProject does not inline a
+    * non-cheap alias referenced more than once). [[pretokenize]] stays
+    * the convenience form for single-pass/spec use. */
+  def pretokenized(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, outCol: String): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol), rawSplit(col(textCol)).as("_gpt2_raw"))
+      .select(col(idCol), fixup(col("_gpt2_raw")).as(outCol))
+
+  /** The lookahead fix-up over an already-materialized raw-split array
+    * (see [[pretokenized]] for why the argument should be a plain
+    * attribute on corpus paths). */
+  def fixup(a: Column): Column = {
     val out = flatten(transform(a, (x, i) => {
       val n = size(a)
       val isWs = x.rlike(WsRunRe)

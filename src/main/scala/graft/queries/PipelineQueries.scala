@@ -1670,10 +1670,13 @@ object PipelineQueries {
   def t46Gpt2Pretokenize(spark: SparkSession, d: String): DataFrame = {
     import spark.implicits._
     val corpus = gpt2Corpus(spark, d).filter($"text".isNotNull)
-    val pieces = corpus.select($"doc_id",
-      graft.pipeline.Gpt2.pretokenize($"text").as("ps"))
-    val streams = graft.pipeline.ByteBpe.pretokStreams(
-      corpus, byteBpeShared(spark, d))
+    // ONE pinned split frame (two-projection form — see
+    // Gpt2.pretokenized) feeds the piece stats AND the encode legs
+    val pieces = graft.pipeline.Gpt2
+      .pretokenized(corpus, "doc_id", "text", "ps")
+      .localCheckpoint(false)
+    val streams = graft.pipeline.ByteBpe.encodePieces(
+      pieces, byteBpeShared(spark, d), piecesCol = "ps")
     pieces.join(streams, "doc_id")
       .select($"doc_id",
         size($"ps").cast("long").as("n_pieces"),
