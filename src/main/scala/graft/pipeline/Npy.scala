@@ -56,6 +56,66 @@ object Npy {
     out.array()
   }
 
+  /** Read a graft-written `.npy` back as `(row, c0 .. c{m-1})` long
+    * columns — the consumer-side mirror [[write]]'s gate/spec round
+    * trips pin against. The file is read WHOLE on the driver: these
+    * artifacts are index-sized by design (a permutation / an (N,2)
+    * coordinate table — the loader mmaps them the same way), never
+    * corpus-sized. Supports exactly the descrs [[write]] emits. */
+  def read(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val len = fs.getFileStatus(p).getLen
+    require(len >= 10 && len <= Int.MaxValue,
+      s"not an index-sized npy artifact: $path ($len bytes)")
+    val raw = new Array[Byte](len.toInt)
+    val in = fs.open(p)
+    try in.readFully(0L, raw) finally in.close()
+    require(raw.take(6).sameElements(Magic) &&
+        raw(6) == 1.toByte && raw(7) == 0.toByte,
+      s"bad npy magic/version in $path")
+    val hlen = (raw(8) & 0xff) | ((raw(9) & 0xff) << 8)
+    val header = new String(raw.slice(10, 10 + hlen), "US-ASCII")
+    val descr = "'descr': '([^']+)'".r.findFirstMatchIn(header)
+      .map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(s"no descr in $path header"))
+    val width = Descrs.getOrElse(descr,
+      throw new IllegalArgumentException(
+        s"unsupported npy descr '$descr' in $path"))
+    require(!header.contains("'fortran_order': True"),
+      s"fortran-order npy not supported: $path")
+    val shape = "'shape': \\(([0-9, ]*)\\)".r.findFirstMatchIn(header)
+      .map(_.group(1).split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.toLong))
+      .getOrElse(throw new IllegalArgumentException(
+        s"no shape in $path header"))
+    require(shape.length == 1 || shape.length == 2,
+      s"only 1-D/2-D npy supported: $path")
+    val n = shape(0)
+    val m = if (shape.length == 2) shape(1).toInt else 1
+    val bb = ByteBuffer.wrap(raw, 10 + hlen, raw.length - 10 - hlen)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    require(bb.remaining().toLong == n * m * width,
+      s"npy payload length disagrees with shape in $path")
+    val rows = (0L until n).map { r =>
+      org.apache.spark.sql.Row.fromSeq(r +: (0 until m).map { _ =>
+        descr match {
+          case "<i8" => bb.getLong
+          case "<u4" => bb.getInt.toLong & 0xFFFFFFFFL
+          case _ => bb.getInt.toLong
+        }
+      })
+    }
+    val schema = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types.StructField("row",
+        org.apache.spark.sql.types.LongType, nullable = false) +:
+        (0 until m).map(j => org.apache.spark.sql.types.StructField(
+          s"c$j", org.apache.spark.sql.types.LongType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq), schema)
+  }
+
   /** Write `valueCols` of `df` in ascending `orderCol` order as `path`
     * (shape `(N,)` for one value column, `(N, m)` for m — C order, so
     * row k's values are adjacent, exactly how Megatron indexes
@@ -107,6 +167,16 @@ object Npy {
         .order(ByteOrder.LITTLE_ENDIAN)
       try {
         it.foreach { r =>
+          // a null order or value would otherwise die as a bare NPE in
+          // getLong — the operator's fail-LOUDLY contract covers the
+          // most common bad input too
+          var c0 = 0
+          while (c0 <= m) {
+            require(!r.isNullAt(c0),
+              s"npy input contains a NULL in column $c0 (0 = order, " +
+                "1.. = values) — artifacts cannot encode nulls")
+            c0 += 1
+          }
           val o = r.getLong(0)
           require(o > prev || rows == 0L,
             s"npy orderCol not strictly ascending at $o — " +

@@ -311,22 +311,31 @@ object TextAnalysis {
   /** The ONE copy of the index-directory writer (grams parquet + Bloom
     * bytes + policy meta) shared by [[writeContamIndex]] (corpus build)
     * and [[mergeContamIndexes]] (index-only union rewrite) — a layout
-    * tweak cannot land in one lifecycle and miss the other. */
+    * tweak cannot land in one lifecycle and miss the other. The three
+    * files are mutually CONSISTENT only as a set (a new gram table
+    * under an old sketch silently drops the new grams at the prefilter
+    * before exact verify ever sees them), so they materialize into a
+    * [[graft.util.StageSwap]] stage directory and swap in WHOLE — one
+    * atomic visibility point; a kill mid-write leaves the old index
+    * readable and the stage to the next writer's sweep. */
   private def writeContamFrom(gramSet: DataFrame, dir: String, n: Int,
       fpp: Double): Unit = {
     val spark = gramSet.sparkSession
     import spark.implicits._
     val grams = gramSet
       .localCheckpoint(true) // read twice: write + cardinality/sketch
-    grams.write.mode("overwrite").parquet(s"$dir/grams")
+    val target = new org.apache.hadoop.fs.Path(dir)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val stage = graft.util.StageSwap.stageFor(fs, target)
+    grams.write.mode("overwrite").parquet(s"$stage/grams")
     val bloom = grams.stat.bloomFilter("gram",
       math.max(grams.count(), 1L), fpp)
-    val p = new org.apache.hadoop.fs.Path(s"$dir/bloom.bin")
-    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    val out = fs.create(p, true)
+    val out = fs.create(new org.apache.hadoop.fs.Path(stage, "bloom.bin"),
+      true)
     try bloom.writeTo(out) finally out.close()
     Seq((n, fpp)).toDF("n", "fpp").write.mode("overwrite")
-      .parquet(s"$dir/meta")
+      .parquet(s"$stage/meta")
+    graft.util.StageSwap.promote(fs, stage, target)
   }
 
   /** Admit new benchmark suites WITHOUT re-tokenizing any corpus: union
@@ -346,7 +355,13 @@ object TextAnalysis {
   def mergeContamIndexes(spark: org.apache.spark.sql.SparkSession,
       dirs: Seq[String], outDir: String, fpp: Double = 0.01): Unit = {
     require(dirs.nonEmpty, "need at least one input index")
-    require(!dirs.contains(outDir),
+    // normalized-path guard (a trailing slash or ./ alias must not
+    // sneak an input through); the eager checkpoint in writeContamFrom
+    // and the whole-dir swap make even a missed alias read-safe, but
+    // merging onto an input is a caller error worth naming
+    def norm(d: String): java.net.URI =
+      new org.apache.hadoop.fs.Path(d).toUri.normalize()
+    require(!dirs.map(norm).contains(norm(outDir)),
       "merge writes a NEW index directory — outDir must not be an input")
     val ns = dirs.map(dd =>
       spark.read.parquet(s"$dd/meta").head().getAs[Int]("n")).distinct

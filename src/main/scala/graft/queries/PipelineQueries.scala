@@ -826,6 +826,31 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** d25 — INDEX-ONLY suite merge
+    * ([[graft.pipeline.TextAnalysis.mergeContamIndexes]]): the d23
+    * benchmark split into TWO suites (%22 == 0 and %22 == 11 — their
+    * union IS d23's %11 == 0 set), each built as its own index, merged
+    * by unioning the STORED gram sets (no benchmark re-tokenizes; the
+    * Bloom rebuilds from the union), then probed. Decisions must equal
+    * d23's single-suite build exactly — the oracle is the same
+    * exact-overlap SQL — so a merge that lost grams, mixed shingle
+    * orders, or tore the grams/sketch pair breaks the row set. */
+  def d25ContamMerge(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val docs = Tables.documents(spark, d)
+    val da = graft.util.Scratch.dir("graft_contam_ma")
+    val db = graft.util.Scratch.dir("graft_contam_mb")
+    val dm = graft.util.Scratch.dir("graft_contam_mm")
+    graft.pipeline.TextAnalysis.writeContamIndex(
+      docs.filter($"doc_id" % 22 === 0), da, n = 4)
+    graft.pipeline.TextAnalysis.writeContamIndex(
+      docs.filter($"doc_id" % 22 === 11), db, n = 4)
+    graft.pipeline.TextAnalysis.mergeContamIndexes(spark, Seq(da, db), dm)
+    graft.pipeline.TextAnalysis.contaminatedDocsAgainstIndex(
+        docs.filter($"doc_id" % 11 =!= 0), dm)
+      .orderBy($"doc_id")
+  }
+
   /** d13 — content-defined-chunking dedup stats (Rabin CDC, the
     * LBFS/FastCDC storage-dedup lineage): chunk every document at
     * content-derived boundaries (k=8 rolling window, divisor 64 ⇒ ~64-cp
@@ -1689,6 +1714,42 @@ object PipelineQueries {
       .orderBy($"doc_id")
   }
 
+  /** q50 — the `doc_idx` ARTIFACT round-tripped through `.npy`
+    * ([[graft.pipeline.Packing.epochDocOrder]] +
+    * [[graft.pipeline.Npy.write]]/[[graft.pipeline.Npy.read]]): the
+    * multi-epoch shuffled document order (3 epochs, seed 42 — the
+    * table q47's sample coordinates index into) writes as an (N,3)
+    * int64 numpy file and is read BACK FROM THE BYTES — so a
+    * placement, stitch-order, width, endianness or header drift
+    * anywhere in the npy path breaks the md5s, not just the spec's
+    * hand parse. Per 64-row block: row count, doc-id and token sums,
+    * and the md5 of `doc_id:n:tok_start` triples in doc_index order.
+    * The oracle replays the per-epoch md5 shuffle and the prefix sum
+    * (the SHARED q47 fragments) — it never sees the file. */
+  def q50DocOrderNpy(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val (withIds, _) = bpeIdStreams(spark, d)
+    val lens = withIds.select($"doc_id",
+      size($"ids").cast("long").as("n_tokens"))
+    val order = graft.pipeline.Packing.epochDocOrder(lens, 3, 42L)
+    val dir = graft.util.Scratch.dir("graft_doc_idx_npy")
+    graft.pipeline.Npy.write(order, s"$dir/doc_idx.npy", "doc_index",
+      Seq("doc_id", "n", "tok_start"), "<i8")
+    graft.pipeline.Npy.read(spark, s"$dir/doc_idx.npy")
+      .select(expr("row div 64").as("block"), $"row", $"c0", $"c1",
+        concat_ws(":", $"c0".cast("string"), $"c1".cast("string"),
+          $"c2".cast("string")).as("t"))
+      .groupBy($"block")
+      .agg(count(lit(1)).as("n"),
+        sum($"c0").as("id_sum"),
+        sum($"c1").as("tok_sum"),
+        sort_array(collect_list(struct($"row", $"t"))).as("arr"))
+      .select($"block", $"n", $"id_sum", $"tok_sum",
+        md5(array_join(transform($"arr", x => x.getField("t")), " "))
+          .as("ord_md5"))
+      .orderBy($"block")
+  }
+
   /** The t46 corpus: the byte-BPE encode corpus (multi-script planted
     * rows included) plus rows pinning every pretokenizer fix-up branch
     * — donated spaces before letters/digits/punct/contractions, the
@@ -2383,6 +2444,36 @@ object PipelineQueries {
       .orderBy($"decision")
   }
 
+  /** d24 — INDEX-ONLY compaction in the sweep
+    * ([[graft.pipeline.Dedup.compactUrlIndex]]): the d22 stored corpus
+    * arrives as a build plus two APPENDS (the daily-crawl
+    * accumulation — partial minima pile up per URL), compaction folds
+    * them back to one row per URL over index rows alone, and the probe
+    * runs against the compacted directory. Decisions must equal d22's
+    * one-shot build exactly — the oracle is the SAME global-recompute
+    * SQL — so a compaction that dropped a URL, kept a non-minimal id,
+    * or tore the staged swap breaks the rollup. */
+  def d24UrlIndexCompact(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    val blocklist = Seq("site3.com", "site5.com").toDF("domain")
+    val corpus = urlCorpus(Tables.documents(spark, d))
+    val stored = corpus.filter($"doc_id" % 17 =!= 0)
+    val dir = graft.util.Scratch.dir("graft_url_idx_c")
+    graft.pipeline.Dedup.writeUrlIndex(
+      stored.filter($"doc_id" % 3 === 0), blocklist, dir)
+    graft.pipeline.Dedup.appendUrlIndex(
+      stored.filter($"doc_id" % 3 === 1), blocklist, dir)
+    graft.pipeline.Dedup.appendUrlIndex(
+      stored.filter($"doc_id" % 3 === 2), blocklist, dir)
+    graft.pipeline.Dedup.compactUrlIndex(spark, dir)
+    graft.pipeline.Dedup.urlDedupAgainstIndex(
+        corpus.filter($"doc_id" % 17 === 0), blocklist, dir)
+      .groupBy($"decision")
+      .agg(count(lit(1)).as("n_docs"),
+        sum($"doc_id").as("sum_doc_id"))
+      .orderBy($"decision")
+  }
+
   /** Render (doc_id, content) pages as two `.warc.gz` segment files
     * (record-level gzip members, split by doc parity) plus a warcinfo
     * header member that pushdown must drop inside the reader — the ONE
@@ -2966,7 +3057,10 @@ object PipelineQueries {
     "q47_sample_idx" -> (q47SampleIdx _),
     "q48_eod_packing" -> (q48EodPacking _),
     "q49_mixture_pack" -> (q49MixturePack _),
+    "q50_doc_order_npy" -> (q50DocOrderNpy _),
     "t46_gpt2_pretokenize" -> (t46Gpt2Pretokenize _),
+    "d24_url_index_compact" -> (d24UrlIndexCompact _),
+    "d25_contam_merge" -> (d25ContamMerge _),
     "q27_balanced_shards" -> (q27BalancedShards _),
     "q26_leakage_split" -> (q26LeakageSplit _),
     "s07_ivf_index" -> (s07IvfIndex _),
@@ -3794,6 +3888,46 @@ object PipelineQueries {
        |SELECT seq_id, n_tokens, ids_md5, n_docs, segs_md5
        |FROM seqt JOIN segt USING (seq_id) ORDER BY seq_id""".stripMargin
 
+  /** The d23/d25 shared probe oracle: index probe == full recompute
+    * (Bloom has no false negatives; survivors exact-verified against
+    * the stored grams) — the d12 exact-overlap SQL over the %11
+    * split. */
+  private lazy val contamProbeOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, unnest(list_distinct(
+      |    [array_to_string(toks[i:i+3], ' ')
+      |     for i in generate_series(1, len(toks) - 3)])) AS gram
+      |  FROM t),
+      |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0)
+      |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
+      |WHERE g.doc_id % 11 <> 0 ORDER BY doc_id""".stripMargin
+
+  /** The q47/q50 shared multi-epoch document-order replay: per-epoch
+    * md5(42:epoch:doc_id) shuffle keys over the nb token counts (3
+    * epochs), then the global doc_index rank and the token prefix sum
+    * `s` in (epoch, h, doc_id) order — the engine computes both in one
+    * fused two-pass scan; the oracle may use the single-task windows. */
+  private lazy val epochOrderCtes: String =
+    """ed AS (
+      |  SELECT e.epoch, nb.doc_id, nb.n,
+      |    md5('42:' || e.epoch::VARCHAR || ':' || nb.doc_id::VARCHAR)
+      |      AS h
+      |  FROM nb
+      |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS epoch) e
+      |  WHERE nb.n > 0),
+      |eo AS (
+      |  SELECT doc_id, n,
+      |    (ROW_NUMBER() OVER (ORDER BY epoch, h, doc_id) - 1)::BIGINT
+      |      AS doc_index,
+      |    COALESCE(SUM(n) OVER (ORDER BY epoch, h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      0)::BIGINT AS s
+      |  FROM ed)""".stripMargin
+
   /** The q32/q49 shared α-sampling draw replay: per-language counts,
     * the language-ordered normalizer fold, floor(300·√n/s) targets and
     * the per-language doc_id rank (single-task window allowed
@@ -4501,28 +4635,15 @@ object PipelineQueries {
          |$packChopCtes,
          |$packBoundariesTail""".stripMargin,
     "q47_sample_idx" ->
-      // the Megatron strided-map replay: per-epoch md5 doc shuffle ->
-      // the multi-epoch prefix sum (single-task window allowed
-      // oracle-side; the engine's fused two-pass scan replaces it) ->
-      // each doc emits the samples starting inside it at the k*512
-      // stride -> 64-sample block rollups (the q46 convention)
+      // the Megatron strided-map replay: the SHARED per-epoch md5 doc
+      // shuffle + multi-epoch prefix sum (epochOrderCtes; single-task
+      // windows allowed oracle-side — the engine's fused two-pass scan
+      // replaces them) -> each doc emits the samples starting inside
+      // it at the k*512 stride -> 64-sample block rollups (the q46
+      // convention)
       s"""${bpeOracleChain(BpeRounds)},
          |$bpeDocCountsCte,
-         |ed AS (
-         |  SELECT e.epoch, nb.doc_id, nb.n,
-         |    md5('42:' || e.epoch::VARCHAR || ':' || nb.doc_id::VARCHAR)
-         |      AS h
-         |  FROM nb
-         |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS epoch) e
-         |  WHERE nb.n > 0),
-         |eo AS (
-         |  SELECT doc_id, n,
-         |    (ROW_NUMBER() OVER (ORDER BY epoch, h, doc_id) - 1)::BIGINT
-         |      AS doc_index,
-         |    COALESCE(SUM(n) OVER (ORDER BY epoch, h, doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-         |      0)::BIGINT AS s
-         |  FROM ed),
+         |$epochOrderCtes,
          |sx AS (
          |  SELECT unnest(generate_series((s + 511) // 512,
          |      (s + n - 1) // 512)) AS sample,
@@ -4536,6 +4657,21 @@ object PipelineQueries {
          |      || (sample * 512 - s)::VARCHAR ORDER BY sample), ' '))
          |    AS sx_md5
          |FROM sx GROUP BY 1 ORDER BY block""".stripMargin,
+    "q50_doc_order_npy" ->
+      // the SHARED epoch-order replay rolled up per 64-row doc_index
+      // block — the oracle never sees the npy file; the engine side
+      // reads the artifact back FROM ITS BYTES, so any drift in the
+      // npy write/read path breaks ord_md5
+      s"""${bpeOracleChain(BpeRounds)},
+         |$bpeDocCountsCte,
+         |$epochOrderCtes
+         |SELECT doc_index // 64 AS block, COUNT(*)::BIGINT AS n,
+         |  SUM(doc_id)::BIGINT AS id_sum,
+         |  SUM(n)::BIGINT AS tok_sum,
+         |  md5(array_to_string(list(
+         |    doc_id::VARCHAR || ':' || n::VARCHAR || ':' || s::VARCHAR
+         |    ORDER BY doc_index), ' ')) AS ord_md5
+         |FROM eo GROUP BY 1 ORDER BY block""".stripMargin,
     "q48_eod_packing" ->
       // the q43 replay with the separator appended in SQL (the
       // replayed vocab size IS the separator id) — the SHARED chop and
@@ -5278,22 +5414,16 @@ object PipelineQueries {
         |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 7 = 0)
         |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
         |WHERE g.doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
-    "d23_contam_index" ->
-      // index probe == full recompute (Bloom has no false negatives;
-      // survivors exact-verified against the stored grams) — the d12
-      // exact-overlap SQL over the %11 split
-      """WITH t AS (
-        |  SELECT doc_id,
-        |    regexp_split_to_array(lower(trim(text)), '\s+') AS toks
-        |  FROM documents),
-        |g AS (
-        |  SELECT doc_id, unnest(list_distinct(
-        |    [array_to_string(toks[i:i+3], ' ')
-        |     for i in generate_series(1, len(toks) - 3)])) AS gram
-        |  FROM t),
-        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 11 = 0)
-        |SELECT DISTINCT g.doc_id FROM g JOIN b USING (gram)
-        |WHERE g.doc_id % 11 <> 0 ORDER BY doc_id""".stripMargin,
+    "d23_contam_index" -> contamProbeOracle,
+    // merged index probe == the single-suite recompute: %22==0 ∪
+    // %22==11 IS d23's %11==0 benchmark, so d25 rides the SAME
+    // exact-overlap SQL — a merge that lost grams or tore the
+    // grams/sketch pair diverges from it
+    "d25_contam_merge" -> contamProbeOracle,
+    // compaction preserves probe semantics exactly (partial minima
+    // re-minimized == the global MIN the recompute takes), so d24
+    // rides d22's global-recompute oracle verbatim
+    "d24_url_index_compact" -> urlDedupOracle("WHERE mk.doc_id % 17 = 0"),
     "q17_quality_cutoff" ->
       // t02's score formula + percent_rank within source. The rank key q
       // is a DOUBLE: cross-engine equality rests on both engines

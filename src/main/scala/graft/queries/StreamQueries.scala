@@ -255,7 +255,8 @@ object StreamQueries {
     * ends. Here a per-source end-of-stream sentinel row (doc_id
     * Long.MaxValue — the in-batch sort plays it last) flushes the tail
     * as a final PARTIAL sequence (its length < 512 marks it) and
-    * removes the source's state. Emits n_tokens alongside the st19
+    * tombstones the source's state (late data fails loudly — see
+    * packStream). Emits n_tokens alongside the st19
     * rollup, so the oracle — the same per-source chop WITHOUT the
     * full-sequences-only HAVING — pins both the full sequences and
     * every drained tail. StreamingSpec pins the chunked-arrival

@@ -402,11 +402,15 @@ object EventStreams {
     * is emitted — EOD-PADDED to a full seqLen when `eodId` is set (the
     * GPT convention: pad slots are `<|endoftext|>`), as the raw partial
     * (length < seqLen marks it) otherwise — and the source's state is
-    * REMOVED. Deterministic in both streaming and batch execution (the
-    * drain fires exactly where the sentinel sits in doc_id order), so
-    * the chunked-arrival stream and the batch gate replay stay
-    * pinned equal. A row arriving for a drained source starts a fresh
-    * sequence numbering — the sentinel means the producer said done. */
+    * replaced by a DRAINED TOMBSTONE (nextSeq sign-flipped — one tuple
+    * per source, bounded forever). Deterministic in both streaming and
+    * batch execution (the drain fires exactly where the sentinel sits
+    * in doc_id order), so the chunked-arrival stream and the batch
+    * gate replay stay pinned equal. Data arriving AFTER a source's
+    * sentinel — same batch or any later one — FAILS LOUDLY: the
+    * sentinel means the producer said done, and silently restarting
+    * the sequence numbering would emit duplicate (source, seq_idx)
+    * keys and break the batch==stream pin. */
   def packStream(docs: DataFrame, seqLen: Int,
       srcCol: String = "source", idCol: String = "doc_id",
       idsCol: String = "ids", eodId: Option[Long] = None,
@@ -426,12 +430,20 @@ object EventStreams {
         (src, rows, state) =>
           var (nextSeq, carry) =
             state.getOption.getOrElse((0L, Seq.empty[Long]))
+          // the drained tombstone: nextSeq stored as -(n+1) after the
+          // sentinel, so late data is a loud contract violation, never
+          // a silent seq_idx restart
+          var drained = nextSeq < 0L
+          if (drained) nextSeq = -nextSeq - 1L
           val buf = new scala.collection.mutable.ArrayBuffer[Long](
             seqLen * 2)
           buf ++= carry
           val out = Seq.newBuilder[(String, Long, Seq[Long])]
-          var drained = false
           rows.toSeq.sortBy(_._2).foreach { r =>
+            require(!drained,
+              s"packStream: data for source '$src' arrived after its " +
+                "end-of-stream sentinel — the sentinel must carry the " +
+                "source's largest doc_id and nothing may follow it")
             if (r._4) {
               // sentinel: flush the tail (EOD-padded to a full sequence
               // when the separator contract is on) and forget the source.
@@ -462,7 +474,7 @@ object EventStreams {
               if (off > 0) buf.remove(0, off) // compact: tail < seqLen stays
             }
           }
-          if (drained && buf.isEmpty) state.remove()
+          if (drained) state.update((-nextSeq - 1L, Seq.empty[Long]))
           else state.update((nextSeq, buf.toSeq))
           out.result().iterator
       }

@@ -286,7 +286,11 @@ object ScaleRehearsal {
       val t0 = System.nanoTime()
       val sx = graft.pipeline.Packing
         .sampleIdx(lens, 512, epochs = 3, seed = 42L).localCheckpoint(true)
-      val nSamp = sx.count()
+      // rows = samples + 1: the last row is Megatron's end sentinel —
+      // the sample_idx ARTIFACT keeps it, the shuffle permutation is
+      // over the real samples only (Megatron sizes shuffle_idx at
+      // num_samples)
+      val nSamp = sx.count() - 1L
       val ts = (System.nanoTime() - t0) / 1e9
       val dir = graft.util.Scratch.dir("rehearsal_npy")
       val t1 = System.nanoTime()

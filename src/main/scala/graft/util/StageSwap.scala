@@ -30,10 +30,23 @@ object StageSwap {
     val target = new Path(dir)
     val fs = target.getFileSystem(
       df.sparkSession.sparkContext.hadoopConfiguration)
-    // sweep THIS table's orphans from earlier crashed/failed swaps (each
-    // is a full table copy, and every rewrite mints a fresh uuid) — the
-    // prefix scopes the sweep to this target, never a sibling table's
-    // in-flight rewrite under the same parent
+    val stage = stageFor(fs, target)
+    df.write.mode("overwrite").parquet(stage.toString)
+    promote(fs, stage, target)
+  }
+
+  /** Sweep this target's orphans from earlier crashed/failed swaps
+    * (each is a full artifact copy, and every rewrite mints a fresh
+    * uuid — the prefix scopes the sweep to THIS target, never a
+    * sibling's in-flight rewrite under the same parent) and mint a
+    * fresh stage directory. The caller materializes the ENTIRE new
+    * artifact under the returned path — one parquet table
+    * ([[rewrite]]) or a multi-file directory (the contamination
+    * index's grams + bloom.bin + meta, whose consistency spans files
+    * and therefore needs the whole-dir swap's single visibility
+    * point) — then calls [[promote]]. */
+  def stageFor(fs: org.apache.hadoop.fs.FileSystem,
+      target: Path): Path = {
     val prefix = s".swap-${target.getName}-"
     val siblings = try fs.listStatus(target.getParent) catch {
       case _: java.io.FileNotFoundException => Array.empty[
@@ -42,21 +55,27 @@ object StageSwap {
     siblings.iterator
       .filter(_.getPath.getName.startsWith(prefix))
       .foreach(s => fs.delete(s.getPath, true))
+    new Path(target.getParent,
+      s"${prefix}stage-${java.util.UUID.randomUUID()}")
+  }
+
+  /** Swap a fully-materialized stage into place via a retained aside
+    * dir, checking EVERY rename result — Hadoop FileSystems report
+    * most failures by returning false, and a silent false after the
+    * old artifact was dropped would lose it. A crash between the two
+    * renames leaves the data recoverable in the aside dir (and the
+    * next rewrite's sweep reclaims it); a crash anywhere else leaves
+    * the live artifact intact. */
+  def promote(fs: org.apache.hadoop.fs.FileSystem, stage: Path,
+      target: Path): Unit = {
     val tag = java.util.UUID.randomUUID()
-    val stage = new Path(target.getParent, s"${prefix}stage-$tag")
-    df.write.mode("overwrite").parquet(stage.toString)
-    // swap via a retained aside dir, and check EVERY rename result —
-    // Hadoop FileSystems report most failures by returning false, and a
-    // silent false after the old table was dropped would lose the index.
-    // A crash between the two renames leaves the data recoverable in
-    // the aside dir (and the next rewrite's sweep reclaims it); a crash
-    // anywhere else leaves the live table intact.
-    val old = new Path(target.getParent, s"${prefix}old-$tag")
+    val old = new Path(target.getParent,
+      s".swap-${target.getName}-old-$tag")
     if (fs.exists(target))
       require(fs.rename(target, old), s"could not set aside $target")
     require(fs.rename(stage, target),
       s"could not promote staged rewrite into $target " +
-        s"(previous table retained at $old)")
+        s"(previous artifact retained at $old)")
     fs.delete(old, true)
     ()
   }
