@@ -67,8 +67,15 @@ object Npy {
     val p = new Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val len = fs.getFileStatus(p).getLen
-    require(len >= 10 && len <= Int.MaxValue,
-      s"not an index-sized npy artifact: $path ($len bytes)")
+    // the driver materializes the whole array as Rows (boxed — ~10× the
+    // file bytes in heap), so the bound is on what a DRIVER comfortably
+    // holds, far below what the raw-bytes Int cap would admit; a bigger
+    // artifact is the training loader's mmap territory, not this
+    // verification mirror's
+    require(len >= 10 && len <= 64L * 1024 * 1024,
+      s"npy artifact $path is $len bytes — read() is the driver-side " +
+        "verification mirror, bounded at 64 MiB; mmap bigger artifacts " +
+        "in the consumer")
     val raw = new Array[Byte](len.toInt)
     val in = fs.open(p)
     try in.readFully(0L, raw) finally in.close()
@@ -76,6 +83,8 @@ object Npy {
         raw(6) == 1.toByte && raw(7) == 0.toByte,
       s"bad npy magic/version in $path")
     val hlen = (raw(8) & 0xff) | ((raw(9) & 0xff) << 8)
+    require(10L + hlen <= len,
+      s"truncated npy header in $path (HEADER_LEN $hlen, file $len)")
     val header = new String(raw.slice(10, 10 + hlen), "US-ASCII")
     val descr = "'descr': '([^']+)'".r.findFirstMatchIn(header)
       .map(_.group(1)).getOrElse(

@@ -45,18 +45,23 @@ object StageSwap {
     * index's grams + bloom.bin + meta, whose consistency spans files
     * and therefore needs the whole-dir swap's single visibility
     * point) — then calls [[promote]]. */
+  /** The ONE copy of the swap-sibling prefix — the sweep, the stage
+    * name and the aside name must agree or crashed promotes leak
+    * artifact copies the sweep never reclaims. */
+  private def prefix(target: Path): String = s".swap-${target.getName}-"
+
   def stageFor(fs: org.apache.hadoop.fs.FileSystem,
       target: Path): Path = {
-    val prefix = s".swap-${target.getName}-"
+    val pre = prefix(target)
     val siblings = try fs.listStatus(target.getParent) catch {
       case _: java.io.FileNotFoundException => Array.empty[
         org.apache.hadoop.fs.FileStatus]
     }
     siblings.iterator
-      .filter(_.getPath.getName.startsWith(prefix))
+      .filter(_.getPath.getName.startsWith(pre))
       .foreach(s => fs.delete(s.getPath, true))
     new Path(target.getParent,
-      s"${prefix}stage-${java.util.UUID.randomUUID()}")
+      s"${pre}stage-${java.util.UUID.randomUUID()}")
   }
 
   /** Swap a fully-materialized stage into place via a retained aside
@@ -70,7 +75,7 @@ object StageSwap {
       target: Path): Unit = {
     val tag = java.util.UUID.randomUUID()
     val old = new Path(target.getParent,
-      s".swap-${target.getName}-old-$tag")
+      s"${prefix(target)}old-$tag")
     if (fs.exists(target))
       require(fs.rename(target, old), s"could not set aside $target")
     require(fs.rename(stage, target),

@@ -177,6 +177,38 @@ class Packing16Spec extends SparkSpec {
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)
     assert(Seq.fill(6)(bb2.getInt) == Seq(2, 0, 2, 6, 3, 4))
     assert(!bb2.hasRemaining)
+    // the consumer mirror reads both files back value-identical —
+    // covers the <i8 1-D and <i4 (N,2) decode branches
+    assert(Npy.read(spark, s"$dir/shuffle_idx.npy").orderBy($"row")
+        .as[(Long, Long)].collect().toSeq ==
+      Seq((0L, 7L), (1L, 3L), (2L, 5L), (3L, 0L)))
+    assert(Npy.read(spark, s"$dir/sample_idx.npy").orderBy($"row")
+        .as[(Long, Long, Long)].collect().toSeq ==
+      Seq((0L, 2L, 0L), (1L, 2L, 6L), (2L, 3L, 4L)))
+    // <u4 round-trips a value above Int.MaxValue through the mask
+    Npy.write(Seq((0L, 3000000000L), (1L, 7L)).toDF("pos", "v"),
+      s"$dir/u4.npy", "pos", Seq("v"), "<u4")
+    assert(Npy.read(spark, s"$dir/u4.npy").orderBy($"row")
+        .as[(Long, Long)].collect().toSeq ==
+      Seq((0L, 3000000000L), (1L, 7L)))
+    // a header-truncated file dies with the NAMED diagnostic, not a
+    // raw slice/buffer exception
+    val trunc = new java.io.FileOutputStream(s"$dir/bad_trunc.npy")
+    trunc.write(Npy.Magic)
+    trunc.write(Array[Byte](1, 0, 0x20, 0x01)) // HEADER_LEN 288 > file
+    trunc.close()
+    val te = intercept[IllegalArgumentException] {
+      Npy.read(spark, s"$dir/bad_trunc.npy")
+    }
+    assert(te.getMessage.contains("truncated npy header"))
+    // null cells fail with the named diagnostic, not a bare NPE
+    val ne = intercept[org.apache.spark.SparkException] {
+      Npy.write(
+        Seq((0L, Some(1L)), (1L, None)).toDF("pos", "v"),
+        s"$dir/null.npy", "pos", Seq("v"), "<i8")
+    }
+    assert(ne.getMessage.contains("NULL") ||
+      Option(ne.getCause).exists(_.getMessage.contains("NULL")))
     // dtype range guard: an int32 overflow must fail loudly
     intercept[org.apache.spark.SparkException] {
       Npy.write(Seq((0L, Int.MaxValue.toLong + 1)).toDF("pos", "v"),

@@ -386,6 +386,47 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("drain tombstone: data after a source's sentinel fails loudly " +
+    "in batch (same invocation) AND across micro-batches (the " +
+    "tombstone-state decode path)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def hasSentinelMsg(t: Throwable): Boolean =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+        .exists(e => Option(e.getMessage)
+          .exists(_.contains("end-of-stream sentinel")))
+    // batch: a row sorting after the sentinel violates the contract
+    val bad = Seq(("a", 1L, Seq(1L, 2L), false),
+      ("a", 2L, Seq.empty[Long], true),
+      ("a", 3L, Seq(3L), false))
+    val be = intercept[Throwable] {
+      EventStreams.packStream(bad.toDF("source", "doc_id", "ids", "eos"),
+        seqLen = 5, eosCol = Some("eos")).collect()
+    }
+    assert(hasSentinelMsg(be), s"batch late-data error lost its name: $be")
+    // stream: drain in batch 1, late data in batch 2 — the decode of
+    // the PERSISTED tombstone (negative nextSeq) must reject it
+    val in = MemoryStream[(String, Long, Seq[Long], Boolean)]
+    val q = EventStreams.packStream(
+        in.toDF.toDF("source", "doc_id", "ids", "eos"),
+        seqLen = 5, eosCol = Some("eos"))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("pack_tombstone").start()
+    try {
+      in.addData(("a", 1L, Seq(1L, 2L, 3L, 4L, 5L, 6L), false),
+        ("a", 2L, Seq.empty[Long], true))
+      q.processAllAvailable()
+      // the drain emitted the full sequence AND the 1-token tail
+      assert(spark.sql("SELECT COUNT(*) FROM pack_tombstone")
+        .head().getLong(0) == 2L)
+      in.addData(("a", 9L, Seq(7L), false))
+      val se = intercept[Throwable] { q.processAllAvailable() }
+      assert(hasSentinelMsg(se),
+        s"stream late-data error lost its name: $se")
+    } finally q.stop()
+  }
+
   test("content dedup stream is deterministic under adversarial arrival order") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
