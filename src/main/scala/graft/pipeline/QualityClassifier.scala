@@ -31,11 +31,18 @@ import org.apache.spark.sql.functions._
 object QualityClassifier {
 
   /** Explicit polynomial feature hash of a gram into [0, dims): base-257
-    * mod-1000003 fold over code points (empty split artifacts dropped),
-    * then mod dims. Interpreted HOF — fine for the bounded gate corpora;
-    * the native-kernel upgrade path is the d05 SimHash route if a profile
-    * ever shows it hot. */
+    * mod-1000003 fold over code points, then mod dims. Runs the fused
+    * native codepoint-walk kernel ([[graft.functions.CmsRowBuckets]] at
+    * depth 1 — round-16 optimization; the interpreted HOF fold paid a
+    * per-codepoint split + ascii decode); [[featureHashSpec]] keeps the
+    * composable fold as the spec twin QualityClassifierSpec pins equal. */
   def featureHash(gram: Column, dims: Int): Column =
+    element_at(graft.functions.CmsRowBuckets.of(gram, Seq(257L), 1000003L,
+      dims.toLong), 1)
+
+  /** The composable/spec twin of [[featureHash]] (the pre-round-16 form,
+    * replayable in plain SQL — the oracle's shape). */
+  def featureHashSpec(gram: Column, dims: Int): Column =
     pmod(aggregate(filter(split(gram, ""), c => c =!= ""), lit(0L),
       (acc, c) => pmod(acc * 257L + ascii(c), lit(1000003L))), lit(dims))
 

@@ -35,12 +35,24 @@ object Sketches {
   /** Row-`j` bucket of a string column: the codepoint fold mod the
     * prime, mod the width. `split("")` + `ascii` walks codepoints (the
     * established corpus split semantics); the fold is the exact shape
-    * DuckDB's `list_reduce` over `ord` replays. */
+    * DuckDB's `list_reduce` over `ord` replays.
+    *
+    * Kept as the composable/spec twin: the hot paths ([[cmsBuild]],
+    * [[cmsEstimate]]) run [[graft.functions.CmsRowBuckets]], the fused
+    * one-walk kernel SketchesSpec pins bucket-for-bucket equal to this
+    * form (round-16 optimization — the per-j HOF fold re-split the key
+    * and re-decoded every codepoint `CmsDepth` times per occurrence). */
   def cmsBucket(key: Column, j: Int): Column =
     pmod(aggregate(filter(split(key, ""), c => c =!= ""),
       lit(0L), (acc, c) =>
         pmod(acc * lit(RowBases(j)) + ascii(c), lit(HashPrime))),
       lit(CmsWidth.toLong))
+
+  /** All `CmsDepth` row buckets of a key in one codepoint walk (the
+    * fused kernel behind the hot paths). */
+  def cmsBuckets(key: Column): Column =
+    graft.functions.CmsRowBuckets.of(key, RowBases.take(CmsDepth),
+      HashPrime, CmsWidth.toLong)
 
   /** Build the sketch of a corpus' word OCCURRENCES: one explode, one
     * (row, bucket)-keyed aggregation whose state is capped at d×w
@@ -58,8 +70,14 @@ object Sketches {
     * the union of all arrivals, across multiple micro-batches. */
   def cmsBuild(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val toks = wordOccurrences(docs, textCol)
-    toks.select(explode(array((0 until CmsDepth).map(j =>
-        struct(lit(j).as("j"), cmsBucket(col("word"), j).as("bucket"))): _*))
+    // the bucket vector is a REAL attribute in its own Project (the t46
+    // two-Project lesson: CollapseProject will not inline a non-cheap
+    // alias referenced CmsDepth times), so the kernel runs once per
+    // occurrence and the explode reads plain array slots
+    toks.select(cmsBuckets(col("word")).as("_jbs"))
+      .select(explode(array((0 until CmsDepth).map(j =>
+        struct(lit(j).as("j"),
+          element_at(col("_jbs"), j + 1).as("bucket"))): _*))
         .as("jb"))
       .groupBy(col("jb.j").as("j"), col("jb.bucket").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
@@ -90,13 +108,15 @@ object Sketches {
     val grid = cms.select(col("j").as("_cms_j"),
       col("bucket").as("_cms_bucket"), col("cnt").as("_cms_cnt"))
     val probes = keys.select(col("*"),
-      explode(array((0 until CmsDepth).map(j =>
-        struct(lit(j).as("_cms_j"),
-          cmsBucket(col(keyCol), j).as("_cms_bucket"))): _*))
-        .as("_cms_jb"))
+        cmsBuckets(col(keyCol)).as("_cms_jbs"))
+      .select(col("*"),
+        explode(array((0 until CmsDepth).map(j =>
+          struct(lit(j).as("_cms_j"),
+            element_at(col("_cms_jbs"), j + 1).as("_cms_bucket"))): _*))
+          .as("_cms_jb"))
       .select(col("*"), col("_cms_jb._cms_j").as("_cms_j"),
         col("_cms_jb._cms_bucket").as("_cms_bucket"))
-      .drop("_cms_jb")
+      .drop("_cms_jb", "_cms_jbs")
     probes.join(broadcast(grid), Seq("_cms_j", "_cms_bucket"), "left_outer")
       .groupBy(keys.columns.map(col): _*)
       .agg(min(coalesce(col("_cms_cnt"), lit(0L))).as("est_cnt"))

@@ -39,6 +39,17 @@ class QualityClassifierSpec extends SparkSpec {
     assert(two(0) == two(1))
   }
 
+  test("fused featureHash kernel == composable spec fold, astral rows " +
+    "included (round-16 optimization pin)") {
+    val grams = Seq("the cat", "zzq1 zzq2", "😀𠀀 a", "a😀b 𠀀", "√ x",
+      "x" * 300).toDF("g")
+    val both = grams.select(
+      QualityClassifier.featureHash($"g", 4096).as("fused"),
+      QualityClassifier.featureHashSpec($"g", 4096).as("spec"))
+    assert(both.filter($"fused" =!= $"spec").isEmpty,
+      "fused featureHash diverged from the spec fold")
+  }
+
   test("held-out crafted tiers separate: accuracy >= 0.9, scores ordered") {
     val docs = corpus(40)
     val scored = QualityClassifier.nbTrainScore(docs,

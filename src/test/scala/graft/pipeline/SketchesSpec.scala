@@ -36,6 +36,23 @@ class SketchesSpec extends SparkSpec {
     assert(merged == whole)
   }
 
+  test("fused bucket kernel == composable cmsBucket fold, bucket-for-" +
+    "bucket, astral rows included (round-16 optimization pin)") {
+    // every distinct corpus word plus planted edge cases: astral pairs
+    // (codepoint walk must not split surrogates), mixed BMP/astral,
+    // single char, long token
+    val words = Sketches.wordOccurrences(docs).distinct()
+      .union(Seq("😀𠀀", "a😀b", "√", "x" * 500, "𠀀")
+        .toDF("word"))
+    val both = words.select($"word",
+      Sketches.cmsBuckets($"word").as("fused"),
+      array((0 until Sketches.CmsDepth).map(j =>
+        Sketches.cmsBucket($"word", j)): _*).as("composable"))
+    assert(both.filter($"fused" =!= $"composable").isEmpty,
+      "fused CMS kernel diverged from the spec fold")
+    assert(both.count() > 0)
+  }
+
   test("an unseen key estimates 0 on a sparse grid (COALESCE totality)") {
     val tiny = Seq((1L, "alpha beta gamma")).toDF("doc_id", "text")
     val cms = Sketches.cmsBuild(tiny)
