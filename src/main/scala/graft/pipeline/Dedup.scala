@@ -728,10 +728,19 @@ object Dedup {
     * union-find replaces the multi-round star contraction. Pass
     * localLimit = 0 to force the distributed path.
     *
+    * The 500k default matches the family's other guarded driver-local
+    * bounds (embeddingNearDupPairs broadcastLimit 500k, triangleCount
+    * broadcastEdgeLimit 3M): ~8 MB of collected edge tuples and a
+    * sub-second union-find, versus ~10 rounds × 4 shuffles of the star
+    * contraction — raised from the round-11 100k in round 16 on g14's
+    * profile (65 stages of per-round fixed cost on a 290k-edge pair
+    * list). The ScaleRehearsal g14 row (860k+ edges at 1×) still clears
+    * the guard, so the DISTRIBUTED contraction stays the measured path.
+    *
     * Returns (id, cluster_id) for every id appearing in `pairs`. */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 50,
-      localLimit: Long = 100000): DataFrame = {
+      localLimit: Long = 500000): DataFrame = {
     val a = col(aCol).cast("long")
     val b = col(bCol).cast("long")
     // ids seen ONLY in reflexive pairs still belong in the output (the
