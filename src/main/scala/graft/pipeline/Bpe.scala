@@ -343,9 +343,14 @@ object Bpe {
         // NEXT round's argmax job instead of a job of its own — one Spark
         // job per driver round, half the round latency of an eager pin;
         // lineage still truncates at every round once computed
+        // native merge-pass kernel (round-16 optimization): the HOF fold
+        // rebuilt the accumulator array per element — quadratic copying
+        // per word, paid every driver round; [[applyMergeMapFold]] stays
+        // as the spec twin BpeSpec pins element-for-element
         words = words.crossJoin(broadcast(bdf))
           .select(col("word"), col("cnt"),
-            applyMergeMapFold(col("syms"), col("_m")).as("syms"))
+            graft.functions.BpeMergePass.of(col("syms"), col("_m"))
+              .as("syms"))
           .localCheckpoint(false)
       }
     }

@@ -190,9 +190,12 @@ object Wordpiece {
           .select(map_from_arrays(col("_ks"), col("_vs")).as("_m"))
         // LAZY checkpoint: the application materializes inside the next
         // round's argmax job (one Spark job per round, the Bpe lesson)
+        // native merge-pass kernel (round-16, the Bpe.trainWords change):
+        // same fold semantics, no per-element accumulator copy
         words = words.crossJoin(broadcast(bdf))
           .select(col("word"), col("cnt"),
-            Bpe.applyMergeMapFold(col("syms"), col("_m")).as("syms"))
+            graft.functions.BpeMergePass.of(col("syms"), col("_m"))
+              .as("syms"))
           .localCheckpoint(false)
       }
     }

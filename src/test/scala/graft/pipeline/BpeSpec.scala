@@ -65,6 +65,26 @@ class BpeSpec extends SparkSpec {
     assert(out("ab") == Seq("a", "b"))
   }
 
+  test("native merge-pass kernel == applyMergeMapFold, element for " +
+    "element, batches/astral/empties included (round-16 optimization pin)") {
+    // a symbol-disjoint batch (the trainer's shape) plus hostile inputs:
+    // astral symbols, repeated-symbol runs, singletons, empty arrays
+    val batch = map_from_arrays(
+      array(lit("1:ab"), lit("1:😀𠀀"), lit("2:xyz")),
+      array(lit("ab"), lit("😀𠀀"), lit("xyz")))
+    val df = Seq(
+      Seq("a", "b", "c", "a", "b"),
+      Seq("😀", "𠀀", "😀", "𠀀", "a", "b"),
+      Seq("xy", "z", "xy", "z", "xy"),
+      Seq("a"), Seq.empty[String],
+      Seq("a", "a", "a", "b")).toDF("syms")
+    val both = df.select(
+      graft.functions.BpeMergePass.of($"syms", batch).as("fused"),
+      Bpe.applyMergeMapFold($"syms", batch).as("composable"))
+    assert(both.filter(!($"fused" <=> $"composable")).isEmpty,
+      "native merge pass diverged from the HOF fold")
+  }
+
   test("merged token chains: (a,b)->ab then (ab,c)->abc") {
     val df = Seq(Seq("a", "b", "c", "a", "b")).toDF("syms")
     val once = df.select(
