@@ -265,9 +265,13 @@ object GraphAlgorithms {
       // (an edge survives iff NEITHER endpoint is bad; endpoints always
       // appear in deg, so the anti-join sees every edge's endpoints).
       var bad = deg.filter(col("deg") < k).select(col("id"))
-      if (bad.isEmpty) converged = true // fixpoint: nothing left to peel
+      // ONE probe job answers both the fixpoint test and the broadcast
+      // guard (round-16: isEmpty + atMost were two scheduling barriers
+      // per round on the same frame)
+      val badCount = graft.util.LimitProbe.countAtMost(bad, 2000000)
+      if (badCount == 0L) converged = true // fixpoint: nothing left to peel
       else {
-        if (graft.util.LimitProbe.atMost(bad, 2000000)) bad = broadcast(bad)
+        if (badCount <= 2000000L) bad = broadcast(bad)
         e = e
           .join(bad.select(col("id").as("src")), Seq("src"), "left_anti")
           .join(bad.select(col("id").as("dst")), Seq("dst"), "left_anti")

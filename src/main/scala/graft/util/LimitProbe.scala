@@ -16,4 +16,13 @@ object LimitProbe {
     val probe = math.min(limit, Int.MaxValue - 1L).toInt
     df.limit(probe + 1).count() <= probe
   }
+
+  /** The counted form: `min(count, limit + 1)` in one O(limit) job — for
+    * callers that need BOTH an emptiness test and a smallness guard on
+    * the same frame (kCorePeel's per-round fixpoint + broadcast checks),
+    * which as two probes cost two scheduling barriers per round. */
+  def countAtMost(df: Dataset[_], limit: Long): Long = {
+    val probe = math.min(math.max(limit, 0L), Int.MaxValue - 2L).toInt
+    df.limit(probe + 1).count()
+  }
 }
