@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the LAST 2000 chars of stdout for the bench metric
+// line; sbt's "[success] Total time: ..." trailer (~74 chars) printed
+// AFTER that line eats a fixed slice of the parse window. Suppressing the
+// success banner is presentation-only (errors still print) and buys ~74
+// chars of headroom against the 2000-char cliff (see OPTIMIZATION_r17.md).
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exempt it
+// from the unused-key lint (the warning itself is stdout noise).
+Global / excludeLintKeys += showSuccess
 // forward forked-run stdout directly (sbt --error otherwise swallows it:
 // LoggedOutput forwards stdout at info level)
 run / outputStrategy := Some(StdoutOutput)

@@ -135,6 +135,54 @@ object Bench {
       if (acc == 42L) System.err.println("cal sentinel collision")
       dt
     }
+    // Second host-condition sentinel (round 17): cal is a pure-JVM loop,
+    // blind by construction to cache/IO drag — both round-14 incidents and
+    // the round-16 32-core driver draw showed a diffuse 20-25 % every-gate
+    // slowdown at NORMAL cal. A fixed filesystem probe reads that axis:
+    // 16 MB written + re-read 4x on the Spark tmpfs local dir, plus 32
+    // re-reads of a fixed 256 KB tail slice (the parquet footer end) of
+    // one input file on the real data mount. Reported in bench_full.json
+    // ("io_sec") and on stderr — deliberately NOT on the parsed stdout
+    // line, whose 2000-char parse-window budget is a separate invariant
+    // (OPTIMIZATION_r17.md). Settled baseline on this VM: see README.
+    val io = {
+      val t0 = System.nanoTime()
+      try {
+        val dir = graft.util.LocalTmp.sparkLocalDir("graft-spark")
+        val f = new java.io.File(dir, "bench-io-sentinel.bin")
+        val buf = new Array[Byte](1 << 20)
+        java.util.Arrays.fill(buf, 0x5a.toByte)
+        val out = new java.io.FileOutputStream(f)
+        var i = 0
+        while (i < 16) { out.write(buf); i += 1 }
+        out.close()
+        var sink = 0L
+        var r = 0
+        while (r < 4) {
+          val in = new java.io.FileInputStream(f)
+          var n = in.read(buf)
+          while (n > 0) { sink += buf(0) + n; n = in.read(buf) }
+          in.close(); r += 1
+        }
+        f.delete()
+        val src = new java.io.File(sfDir, "lineitem.parquet")
+        if (src.isFile) {
+          val raf = new java.io.RandomAccessFile(src, "r")
+          val len = raf.length()
+          val slice = new Array[Byte](math.min(len, 256L * 1024L).toInt)
+          var k = 0
+          while (k < 32) {
+            raf.seek(math.max(0L, len - slice.length))
+            raf.readFully(slice); sink += slice(0); k += 1
+          }
+          raf.close()
+        }
+        if (sink == 42L) System.err.println("io sentinel collision")
+      } catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    System.err.println(
+      f"[bench] sentinels cal=$cal%.2f io=$io%.2f warmup=$warmup%.1f")
     // deterministic name order: Map iteration order shifts whenever a query
     // is added, silently moving queries into/out of the cold early slots
     // (per-query JIT of generated code is 2-6 s on this VM) — sorted order
@@ -164,8 +212,9 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver captures only the LAST 2000 chars of stdout and parses the
-    // metric line out of that window; sbt appends a ~100-char "[success]"
-    // trailer after us. Full-precision doubles pushed round 3's 63-query
+    // metric line out of that window; sbt's "[success]" trailer after us is
+    // suppressed since round 17 (build.sbt showSuccess := false, ~74 chars
+    // of window back). Full-precision doubles pushed round 3's 63-query
     // line past the window (BENCH_r03.json "parsed": null) — so the stdout
     // line uses 2-decimal seconds (~1.8 kB incl. trailer headroom) and the
     // full-precision numbers go to bench_full.json for local profiling.
@@ -178,12 +227,32 @@ object Bench {
     // more gates of headroom); full names + full precision stay in
     // bench_full.json, which is committed and is the profiling surface.
     def f1(v: Double): String = "%.1f".formatLocal(java.util.Locale.ROOT, v)
+    // Round-17 distortion-free trims (the stdout line sat 49 chars from the
+    // 2000-char parse cliff at 178 gates): values >= 9.95 s print at 0
+    // decimals (<=0.5 % rounding error, 2 chars per 10s+ gate) and an
+    // integral 1-decimal rendering drops its ".0" ("4.0" -> "4", same JSON
+    // number). NEVER print a bare "0": the driver divides prev/now and
+    // 32c/8c per gate, and a zero would poison its speedup/geomean math —
+    // that is why the coarser "0-decimal for all sub-second values" lever
+    // was rejected (64 gates would print 0). Full precision stays in
+    // bench_full.json.
+    def fq(v: Double): String =
+      if (v >= 9.95) "%.0f".formatLocal(java.util.Locale.ROOT, v)
+      else if (v < 0.05) {
+        // never print a value that parses as 0 — the driver divides by
+        // per-gate seconds; "0.0" was reachable under the old 1dp format
+        // for a sub-50ms gate (observed: t36 at 0.04 s)
+        if (v < 0.005) "0.01" else f2(v)
+      } else {
+        val s = f1(v)
+        if (s.endsWith(".0")) s.dropRight(2) else s
+      }
     val prefixOf = results.map(_._1).groupBy(_.takeWhile(_ != '_'))
     val qs = results.map { case (k, v) =>
       val p = k.takeWhile(_ != '_')
       // duplicate-key JSON guard: fall back to the full name on collision
       val key = if (prefixOf(p).sizeIs == 1) p else k
-      "\"" + key + "\":" + f1(v) }
+      "\"" + key + "\":" + fq(v) }
       .mkString("{", ",", "}")
     val qsFull = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -201,9 +270,9 @@ object Bench {
     // applied preemptively: at 175 gates the line would otherwise sit
     // ~1,860/2,000 against the parse window
     val sfBase = new java.io.File(sfDir.replaceAll("/+$", "")).getName
-    val line = s"""{"metric":"total","value":${f2(total)},"cal":${f2(cal)},"queries":$qs,"sf":"$sfBase"}"""
+    val line = s"""{"metric":"total","value":${f1(total)},"cal":${f2(cal)},"queries":$qs,"sf":"$sfBase"}"""
     try java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
-      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"cal_sec":$cal,"queries_note":"stdout uses prefix keys at 1dp; this file is full-name full-precision","queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
+      s"""{"metric":"total","value":$total,"unit":"sec","warmup_sec":$warmup,"cal_sec":$cal,"io_sec":$io,"queries_note":"stdout uses prefix keys at 1dp; this file is full-name full-precision","queries":$qsFull,"sf":"$sfDir"}\n""".getBytes("UTF-8"))
     catch { case _: Throwable => }
     println(line)
     spark.stop()

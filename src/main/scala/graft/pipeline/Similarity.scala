@@ -775,9 +775,21 @@ object Similarity {
       col(vecCol).cast("array<double>").as("vec"))
     val a = v.select(col("cell"), col("id").as("qid"), col("vec").as("qvec"))
     val b = v.select(col("cell"), col("id").as("nid"), col("vec").as("nvec"))
-    val scored = a.join(b, Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
-      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
+    // pair symmetry (round 17, guide §2.3): a within-cell pair exists in
+    // both directions, so join/score each UNORDERED pair once (qid < nid
+    // — half the join output, half the cosine kernels) and mirror the
+    // scored rows in-stream (explode, not a self-union — union branches
+    // would re-execute the join). Exact: cosine is bit-commutative.
+    val half = a.join(b, Seq("cell"))
+      .filter(col("qid") < col("nid"))
+      .select(col("cell"), col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 4).as("cos"))
+    val scored = half.select(col("cell"), explode(array(
+        struct(col("qid"), col("nid")),
+        struct(col("nid").as("qid"), col("qid").as("nid")))).as("p"),
+        col("cos"))
+      .select(col("cell"), col("p.qid").as("qid"), col("p.nid").as("nid"),
+        col("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))
@@ -828,14 +840,30 @@ object Similarity {
         col("t") * nBuckets + expr(
           s"pmod(bucket div cast(pow(2d, t * $bitsPerTable) as bigint), $nBuckets)"))
       .select(col("cell"), col("id"))
+    // candidate symmetry (round 17, guide §2.3/§3): a within-cell pair
+    // surfaces in BOTH directions, so generate/dedup/score each UNORDERED
+    // pair once (qid < nid — half the self-join output, half the distinct
+    // shuffle, half the two vector-attach joins and cosine kernels) and
+    // mirror the scored rows after. Exact: cosine is bit-commutative
+    // (per-index products and the norm product are IEEE-commutative;
+    // the kernel sums each side's norm independently), and (a,b) shares
+    // a cell iff (b,a) does.
     val cand = tabbed.select(col("cell"), col("id").as("qid"))
       .join(tabbed.select(col("cell"), col("id").as("nid")), Seq("cell"))
-      .filter(col("qid") =!= col("nid"))
+      .filter(col("qid") < col("nid"))
       .select(col("qid"), col("nid")).distinct()
-    val scored = cand
+    val half = cand
       .join(v.select(col("id").as("qid"), col("vec").as("qvec")), Seq("qid"))
       .join(v.select(col("id").as("nid"), col("vec").as("nvec")), Seq("nid"))
-      .withColumn("cos", round(cosine(col("qvec"), col("nvec")), 4))
+      .select(col("qid"), col("nid"),
+        round(cosine(col("qvec"), col("nvec")), 4).as("cos"))
+    // in-stream mirror (NOT a self-union — union branches re-execute the
+    // whole candidate chain; explode doubles rows in one pass)
+    val scored = half.select(explode(array(
+        struct(col("qid"), col("nid")),
+        struct(col("nid").as("qid"), col("qid").as("nid")))).as("p"),
+        col("cos"))
+      .select(col("p.qid").as("qid"), col("p.nid").as("nid"), col("cos"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("cos").desc, col("nid"))
     scored.withColumn("rank", row_number().over(w).cast("long"))

@@ -194,8 +194,7 @@ object Wordpiece {
         // same fold semantics, no per-element accumulator copy
         words = words.crossJoin(broadcast(bdf))
           .select(col("word"), col("cnt"),
-            graft.functions.BpeMergePass.of(col("syms"), col("_m"))
-              .as("syms"))
+            Bpe.mergeApply(col("syms"), col("_m")).as("syms"))
           .localCheckpoint(false)
       }
     }
