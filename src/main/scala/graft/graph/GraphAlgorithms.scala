@@ -305,30 +305,56 @@ object GraphAlgorithms {
       .union(dir.select(col("v").as("u"), col("u").as("v")))
       .filter(col("u").isNotNull && col("v").isNotNull &&
         col("u") =!= col("v"))
-      .distinct()
-      // partition by the per-round JOIN key: the edge table stays
-      // stationary across all rounds and only the (node-sized) label
-      // frame shuffles to meet it — the pageRankFixed posture
+      // partition by the per-round JOIN key FIRST, dedup locally after:
+      // HashPartitioning(u) satisfies the dedup's ClusteredDistribution
+      // (u, v) — every copy of (u, v) lands in u's partition — so the
+      // round-17 shape pays ONE edge-sized exchange where
+      // distinct().repartition(u) paid two (plan-verified; the edge
+      // table then stays stationary across all rounds and only the
+      // node-sized label frame shuffles to meet it — the pageRankFixed
+      // posture)
       .repartition(col("u"))
+      .dropDuplicates("u", "v")
       .cache()
-    var labels = und.select(col("u").as("id")).distinct()
-      .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+    // labels₀ is the identity map; it is only ever MATERIALIZED for an
+    // iters == 0 call — round 1 never reads it (see below)
+    var labels: DataFrame =
+      if (iters >= 1) null
+      else und.select(col("u").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint(true)
     var it = 0
     try {
       while (it < iters) {
         it += 1
-        val counts = und
-          .join(labels.select(col("id").as("u"), col("lbl")), Seq("u"))
-          .groupBy(col("v"), col("lbl"))
-          .agg(count(lit(1)).as("cnt"))
-        val best = counts.groupBy(col("v"))
-          .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("b"))
-          .select(col("v").as("id"), (-col("b.neg")).as("new_lbl"))
-        labels = labels.join(best, Seq("id"), "left")
-          .select(col("id"),
-            coalesce(col("new_lbl"), col("lbl")).as("lbl"))
-          .localCheckpoint(true)
+        labels = if (it == 1) {
+          // Round-1 strength reduction (round 17): labels are the
+          // identity map by construction, so every neighbor's label is
+          // its own id — each (v, lbl) group counts exactly 1 (und is
+          // deduped) and the plurality argmax (max cnt, tie toward the
+          // SMALLEST label) degenerates to min(neighbor id). One
+          // partial-aggregable min per node replaces round 1's label
+          // join and two-level count/argmax aggregation. Every node
+          // appears as v (und is symmetric), so no keep-own-label
+          // fall-through is needed. Pinned equal to the generic round
+          // by GraphAlgorithmsSpec.
+          und.groupBy(col("v"))
+            .agg(min(col("u")).as("lbl"))
+            .select(col("v").as("id"), col("lbl"))
+            .localCheckpoint(true)
+        } else {
+          val counts = und
+            .join(labels.select(col("id").as("u"), col("lbl")), Seq("u"))
+            .groupBy(col("v"), col("lbl"))
+            .agg(count(lit(1)).as("cnt"))
+          val best = counts.groupBy(col("v"))
+            .agg(max(struct(col("cnt"), (-col("lbl")).as("neg"))).as("b"))
+            .select(col("v").as("id"), (-col("b.neg")).as("new_lbl"))
+          labels.join(best, Seq("id"), "left")
+            .select(col("id"),
+              coalesce(col("new_lbl"), col("lbl")).as("lbl"))
+            .localCheckpoint(true)
+        }
       }
     } finally und.unpersist() // never orphan the cached edges on a throw
     labels

@@ -111,6 +111,24 @@ class GraphAlgorithmsSpec extends SparkSpec {
     assert((10L to 13L).forall(got(_) == 10L), s"clique two: $got")
   }
 
+  test("LPA round-1 fast path equals the plurality rule (min neighbor id)") {
+    import spark.implicits._
+    // identity labels make every (v, lbl) count exactly 1, so round 1's
+    // plurality argmax (max cnt, tie toward smallest label) must be the
+    // minimum undirected-neighbor id — the round-17 strength reduction.
+    // Mixed directions, a duplicate edge and a self-loop (dropped).
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 1L), (5L, 2L), (7L, 7L),
+      (9L, 5L), (2L, 1L))
+    val got = GraphAlgorithms.labelPropagation(pairs.toDF("src", "dst"), 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val und = pairs.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .filter { case (a, b) => a != b }.distinct
+    val expected = und.groupBy(_._1).map { case (v, es) =>
+      v -> es.map(_._2).min
+    }
+    assert(got === expected)
+  }
+
   test("label propagation is partitioning-independent") {
     import spark.implicits._
     val edges = (1 to 200).map(i => (i.toLong, (i % 37).toLong + 1000))
