@@ -29,6 +29,21 @@ object Paths {
     * far below the cap. */
   val DefaultFrontierBroadcastLimit = 1000000L
 
+  /** Edge-table row bound under which [[expandPaths]] broadcasts the TYPED
+    * edge set once per batch and STREAMS the frontier through the chained
+    * hop joins (round 17). The round-16 shape broadcast the frontier at
+    * every sub-hop, and each sub-hop's broadcast build re-executed the
+    * batch's join prefix as its own job (the documented d²/2 recompute),
+    * while the batch inherited the edge scan's partitioning — 4 levels ×
+    * 32 partitions of near-empty tasks per pin (g04 profile: 44 stages,
+    * none over 220 ms, 128-task checkpoints of a handful of path rows).
+    * With e as the ONE build side the whole batch is frontier-partitioned
+    * narrow work and the only build job is an edge hash shared across the
+    * batch's sub-hops by exchange reuse (~10 MB at the bound). A
+    * corpus-scale edge set fails the LimitProbe and keeps the round-16
+    * shapes — the hint is never unconditional. */
+  val EdgeBroadcastLimit = 500000L
+
   /** Transitive closure: all node IDs reachable from `roots` (inclusive)
     * over `edges` — the `DEFINES*` cascade used by delete_files
     * (`api/graph.py:408-426`). BFS on node-set, not paths: visited-set
@@ -105,7 +120,30 @@ object Paths {
       srcId: Long, target: Option[Long], maxHops: Int,
       frontierBroadcastLimit: Long = DefaultFrontierBroadcastLimit): DataFrame = {
     import spark.implicits._
-    val e = typedEdges.select(col("src"), col("dst")).distinct().cache()
+    // null endpoints can never contribute a result row: a null src never
+    // matches the hop join, and a (src, null) match is dropped by the
+    // cycle filter's null propagation — pruning them up front is
+    // result-identical and keeps the local path below free of boxing
+    // surprises
+    val e0 = typedEdges.select(col("src"), col("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .distinct().cache()
+    // one bounded probe decides the batch JOIN SHAPE for the whole walk:
+    // a small edge set becomes the build side (see [[EdgeBroadcastLimit]])
+    val eSmall = graft.util.LimitProbe.atMost(e0, EdgeBroadcastLimit)
+    val e =
+      if (eSmall) {
+        // pin a narrow copy: each batch's (exchange-reuse-shared) edge
+        // broadcast build becomes a 2-task local-block read instead of a
+        // 32-task cache scan (~180 ms of pure scheduling per batch,
+        // measured on g04). NOT a driver-side LocalRelation — embedding
+        // 10⁵ rows in every batch's logical plan moved the cost into
+        // Catalyst itself (measured: g04 wall 25 s at 1 s of stages).
+        val pinned = e0.coalesce(2).localCheckpoint(true)
+        e0.unpersist()
+        pinned
+      } else e0
+    val width = spark.sessionState.conf.numShufflePartitions
     // `acc` stays a lazy union of PINNED per-batch levels (one checkpoint
     // job per HopsPerJob hops — a 130-hop chain walk is ~33 round-trips)
     var acc = Seq((Array(srcId), 0)).toDF("path", "hops").localCheckpoint(true)
@@ -123,7 +161,13 @@ object Paths {
       // is made once per batch from the measured batch-entry size, with
       // 16× headroom for within-batch fan-out growth.
       val useBroadcast = frontierRows <= frontierBroadcastLimit / 16
-      var level = frontier
+      // under the edge-broadcast shape the batch runs at the FRONTIER's
+      // partitioning; a frontier past the broadcast guard is large, so
+      // spread it once per batch (the seed starts 1-partition and
+      // broadcast joins preserve partition count — without this a wide
+      // fan-out walk would funnel millions of paths through one task)
+      var level =
+        if (eSmall && !useBroadcast) frontier.repartition(width) else frontier
       var levels = Seq.empty[DataFrame]
       var h = hop
       while (h < maxHops && (h - hop) < HopsPerJob) {
@@ -132,7 +176,7 @@ object Paths {
           case Some(t) => level.filter(element_at(col("path"), -1) =!= lit(t))
           case None => level
         }
-        level = expandHop(expandable, e, useBroadcast)
+        level = expandHop(expandable, e, useBroadcast, eSmall)
         levels = levels :+ level
       }
       val batch = levels.reduce(_ union _).localCheckpoint(true)
@@ -173,10 +217,19 @@ object Paths {
     * broadcast would be a hard failure. Package-private so
     * PlanInvariantsSpec can assert both shapes. */
   private[graft] def expandHop(expandable: DataFrame, e: DataFrame,
-      useBroadcast: Boolean): DataFrame = {
+      useBroadcast: Boolean, edgeBroadcast: Boolean = false): DataFrame = {
     val keyed = expandable.withColumn("_last", element_at(col("path"), -1))
-    val hinted = if (useBroadcast) broadcast(keyed) else keyed
-    hinted.join(e, col("_last") === col("src"))
+    // edgeBroadcast (round 17, [[EdgeBroadcastLimit]]-guarded): the edge
+    // set is the build side, the frontier streams — no per-sub-hop
+    // frontier broadcast builds, and the batch keeps the frontier's
+    // partitioning instead of the edge scan's
+    val joined =
+      if (edgeBroadcast) keyed.join(broadcast(e), col("_last") === col("src"))
+      else {
+        val hinted = if (useBroadcast) broadcast(keyed) else keyed
+        hinted.join(e, col("_last") === col("src"))
+      }
+    joined
       .filter(!array_contains(col("path"), col("dst")))
       .select(concat(col("path"), array(col("dst"))).as("path"),
         (col("hops") + 1).as("hops"))

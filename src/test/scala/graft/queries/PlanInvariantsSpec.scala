@@ -300,5 +300,12 @@ class PlanInvariantsSpec extends SparkSpec {
       .queryExecution.analyzed.toString
     assert(!unhinted.contains("ResolvedHint"),
       "oversized frontier is still force-broadcast")
+    // round-17 edge-broadcast shape: with the frontier guard TRIPPED the
+    // only possible hint is the LimitProbe-guarded edge side
+    val eHinted = graft.graph.Paths.expandHop(frontier, e,
+        useBroadcast = false, edgeBroadcast = true)
+      .queryExecution.analyzed.toString
+    assert(eHinted.contains("ResolvedHint"),
+      "edge-broadcast shape lost its guarded hint")
   }
 }
