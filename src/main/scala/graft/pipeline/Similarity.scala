@@ -377,7 +377,11 @@ object Similarity {
     val dists = transform(col("cents"), c =>
       aggregate(zip_with(col("vec"), c, (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, d) => acc + d))
-    v.withColumn("ck", lit(1))
+    // guarded spread BEFORE the per-row assignment (round 17): the k×dim
+    // interpreted-HOF argmin otherwise runs the whole corpus on the one
+    // core a single-row-group scan provides (the hyperplaneBuckets
+    // posture); no-op at real scale where the scan has many splits
+    graft.util.Spread(v).withColumn("ck", lit(1))
       .join(broadcast(centDf), "ck")
       .withColumn("cell",
         (array_position(dists, array_min(dists)) - 1).cast("int"))
@@ -470,7 +474,9 @@ object Similarity {
       .toDF("cb").withColumn("ck", lit(1))
     val v = corpus.select(col(idCol).as("id"),
       col(vecCol).cast("array<double>").as("vec"))
-    v.withColumn("ck", lit(1)).join(broadcast(cbDf), "ck")
+    // guarded spread BEFORE the m·ksub·dsub encode kernel (round 17) —
+    // same posture as the ADC scan in [[pqTopK]], which already spreads
+    graft.util.Spread(v).withColumn("ck", lit(1)).join(broadcast(cbDf), "ck")
       .withColumn("codes",
         graft.functions.PqExpressions.encode(col("vec"), col("cb")))
       .select(col("id"), col("codes"))
