@@ -25,6 +25,20 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class CmsRowBuckets(child: Expression, bases: Seq[Long], prime: Long,
     width: Long) extends UnaryExpression {
+  // compute() folds with plain `%`, which equals the spec's pmod ONLY
+  // while every step stays non-negative and below 2⁶³: acc < prime and
+  // cp ≤ 0x10FFFF, so acc·base + cp < prime·base + 2²¹ — bounded by
+  // requiring base ≤ (2⁶³−1−2²¹)/prime. Fail loudly at construction
+  // instead of silently diverging from cmsBucket/featureHashSpec for an
+  // out-of-family base (round-16 advisor note).
+  require(prime > 0 && width > 0, s"$prettyName: prime/width must be positive")
+  require(bases.forall(b => b > 0 && b <= (Long.MaxValue - 0x200000L) / prime),
+    s"$prettyName: a base must satisfy 0 < base <= (2^63-1-2^21)/prime " +
+      s"so the %-fold equals pmod (got bases=$bases, prime=$prime)")
+
+  // one conversion per expression instance, not per row — nullSafeEval
+  // (the interpreted path) otherwise allocated a fresh array per key
+  @transient private lazy val basesArr: Array[Long] = bases.toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StringType => TypeCheckResult.TypeCheckSuccess
@@ -35,11 +49,11 @@ case class CmsRowBuckets(child: Expression, bases: Seq[Long], prime: Long,
   override def prettyName: String = "graft_cms_row_buckets"
 
   override def nullSafeEval(a: Any): Any =
-    CmsRowBuckets.compute(a.asInstanceOf[UTF8String], bases.toArray, prime,
+    CmsRowBuckets.compute(a.asInstanceOf[UTF8String], basesArr, prime,
       width)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val basesRef = ctx.addReferenceObj("cmsBases", bases.toArray,
+    val basesRef = ctx.addReferenceObj("cmsBases", basesArr,
       "long[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.functions.CmsRowBuckets$$.MODULE$$.compute($c, $basesRef, " +

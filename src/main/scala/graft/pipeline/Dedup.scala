@@ -730,9 +730,14 @@ object Dedup {
     *
     * The 500k default matches the family's other guarded driver-local
     * bounds (embeddingNearDupPairs broadcastLimit 500k, triangleCount
-    * broadcastEdgeLimit 3M): ~8 MB of collected edge tuples and a
-    * sub-second union-find, versus ~10 rounds × 4 shuffles of the star
-    * contraction — raised from the round-11 100k in round 16 on g14's
+    * broadcastEdgeLimit 3M). Honest driver footprint (round-17 advisor
+    * note): the collect materializes boxed (Long, Long) tuples via the
+    * product encoder — ~48 B/edge ≈ 25 MB at the bound, plus a
+    * comparable transient for the union-find's parent map; the bound is
+    * PER CALL, so concurrent gates (the 16-way bench warmup) can each
+    * hold one such batch — still far under the multi-GiB driver, and a
+    * sub-second union-find versus ~10 rounds × 4 shuffles of the star
+    * contraction. Raised from the round-11 100k in round 16 on g14's
     * profile (65 stages of per-round fixed cost on a 290k-edge pair
     * list). The ScaleRehearsal g14 row (860k+ edges at 1×) still clears
     * the guard, so the DISTRIBUTED contraction stays the measured path.
